@@ -1,0 +1,177 @@
+"""Spec -> DataFrame compiler: the heart of the deterministic core.
+
+Where the reference ``exec``s LLM-generated pandas on the driver
+(reference agentic_workflow_transformation.py:105-154, single process,
+whole table in memory), this compiler folds the validated op list into
+DataFrame transformations, so the program the user wrote becomes a
+Catalyst logical plan: filters push down to the parquet/CSV scan,
+projections prune columns, top-k becomes TakeOrderedAndProject, and
+aggregations run partial+final — all without any per-operator effort
+here, and all of it scales out to a real cluster unchanged.
+
+Ops are applied in *stated order* (SURVEY.md O3: "sort then filter then
+limit" must keep its sequence in the IR; Catalyst may still reorder
+where provably equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .spec import SpecError, validate_spec
+
+_BIN_COMPARES: dict[str, Callable[[Column, Column], Column]] = {
+    "gt": lambda a, b: a > b,
+    "ge": lambda a, b: a >= b,
+    "lt": lambda a, b: a < b,
+    "le": lambda a, b: a <= b,
+    "eq": lambda a, b: a == b,
+    "ne": lambda a, b: a != b,
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+}
+
+_AGG_BUILDERS: dict[str, Callable[[str], Column]] = {
+    "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
+    "avg": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count_distinct": lambda c: F.countDistinct(c),
+}
+
+
+def compile_expr(expr: Any) -> Column:
+    """Expression tree -> pyspark Column. Bare str = column ref, bare
+    scalar = literal (parser sugar)."""
+    if isinstance(expr, str):
+        return F.col(expr)
+    if isinstance(expr, bool | int | float) or expr is None:
+        return F.lit(expr)
+    if not (isinstance(expr, dict) and len(expr) == 1):
+        raise SpecError(f"bad expression node: {expr!r}")
+    [(op, args)] = expr.items()
+    if op == "col":
+        return F.col(args)
+    if op == "lit":
+        return F.lit(args)
+    if op in _BIN_COMPARES:
+        return _BIN_COMPARES[op](compile_expr(args[0]), compile_expr(args[1]))
+    if op == "between":
+        e = compile_expr(args[0])
+        return e.between(compile_expr(args[1]), compile_expr(args[2]))
+    if op == "isin":
+        return compile_expr(args[0]).isin(*args[1])
+    if op == "startswith":
+        return compile_expr(args[0]).startswith(args[1])
+    if op == "contains":
+        return compile_expr(args[0]).contains(args[1])
+    if op == "and":
+        out = compile_expr(args[0])
+        for a in args[1:]:
+            out = out & compile_expr(a)
+        return out
+    if op == "or":
+        out = compile_expr(args[0])
+        for a in args[1:]:
+            out = out | compile_expr(a)
+        return out
+    if op == "not":
+        return ~compile_expr(args)
+    if op == "is_null":
+        return compile_expr(args).isNull()
+    if op == "is_not_null":
+        return compile_expr(args).isNotNull()
+    raise SpecError(f"unknown expression op {op!r}")
+
+
+def _sort_cols(keys: list[dict]) -> list[Column]:
+    return [F.col(k["col"]).asc() if k.get("asc", True) else F.col(k["col"]).desc() for k in keys]
+
+
+_WINDOW_RANK_FNS = {
+    "row_number": F.row_number,
+    "rank": F.rank,
+    "dense_rank": F.dense_rank,
+}
+
+
+def _apply_window(df: DataFrame, op: dict) -> DataFrame:
+    w = Window.partitionBy(*[F.col(c) for c in op.get("partition_by", [])]).orderBy(
+        *_sort_cols(op["order_by"])
+    )
+    for e in op["exprs"]:
+        fn = e["fn"]
+        if fn in _WINDOW_RANK_FNS:
+            col = _WINDOW_RANK_FNS[fn]().over(w)
+        elif fn in ("lag", "lead"):
+            base = F.lag if fn == "lag" else F.lead
+            col = base(e["col"], e.get("offset", 1)).over(w)
+        else:  # aggregate over the window frame
+            col = _AGG_BUILDERS[fn](e["col"]).over(w)
+        df = df.withColumn(e["alias"], col)
+    return df
+
+
+def _apply_groupby(df: DataFrame, op: dict) -> DataFrame:
+    aggs = [_AGG_BUILDERS[a["fn"]](a["col"]).alias(a["alias"]) for a in op["aggs"]]
+    out = df.groupBy(*op["keys"]).agg(*aggs) if op["keys"] else df.agg(*aggs)
+    having = op.get("having")
+    if having is not None:
+        out = out.filter(compile_expr(having))
+    return out
+
+
+def compile_spec(
+    df: DataFrame,
+    spec: dict,
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Fold the spec's ops over ``df``. ``tables`` resolves the 'right'
+    side of join/union ops by name (scale note: joins honor an explicit
+    ``broadcast`` hint so small dimension tables never shuffle)."""
+    validate_spec(spec)
+    tables = tables or {}
+    for op in spec["ops"]:
+        kind = op["op"]
+        if kind == "filter":
+            df = df.filter(compile_expr(op["expr"]))
+        elif kind == "select":
+            df = df.select(*op["cols"])
+        elif kind == "with_column":
+            df = df.withColumn(op["name"], compile_expr(op["expr"]))
+        elif kind == "rename":
+            for old, new in op["renames"].items():
+                df = df.withColumnRenamed(old, new)
+        elif kind == "drop":
+            df = df.drop(*op["cols"])
+        elif kind == "sort":
+            df = df.orderBy(*_sort_cols(op["keys"]))
+        elif kind == "limit":
+            df = df.limit(op["n"])
+        elif kind == "groupby_agg":
+            df = _apply_groupby(df, op)
+        elif kind == "distinct":
+            df = df.dropDuplicates(op["cols"]) if op.get("cols") else df.distinct()
+        elif kind == "window":
+            df = _apply_window(df, op)
+        elif kind == "join":
+            right = op["right"]
+            rdf = tables[right] if isinstance(right, str) else right
+            if op.get("broadcast"):
+                rdf = F.broadcast(rdf)
+            df = df.join(rdf, on=op["on"], how=op.get("how", "inner"))
+        elif kind == "union":
+            right = op["right"]
+            rdf = tables[right] if isinstance(right, str) else right
+            df = df.unionByName(rdf)
+            if op.get("distinct"):
+                df = df.distinct()
+        else:  # pragma: no cover — validate_spec rejects these
+            raise SpecError(f"unknown op {kind!r}")
+    return df

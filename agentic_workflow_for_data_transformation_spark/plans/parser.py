@@ -1,0 +1,278 @@
+"""Rule-based NL -> transform-spec parser.
+
+The reference turns a natural-language description into executable
+pandas via two LLM calls (planner at reference
+agentic_workflow_transformation.py:31-53, code generator at :57-101)
+and ``exec``s the result (:129); with no LLM its fallback is an
+*identity* transform (:86-92), i.e. the offline path computes nothing.
+This parser is the deterministic replacement: a small grammar that
+covers the reference's entire 20-description eval corpus (:339-362) —
+filters with 8 predicate forms, boolean combinators with parentheses,
+projection, rename, drop, computed columns, sort, top-k, group-by with
+count/avg and having — and emits the typed spec IR, so the full eval
+suite runs with no LLM at all.
+
+An LLM planner (agents/orchestrator.py) can emit the same spec JSON for
+descriptions outside this grammar; both paths share one compiler.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+__all__ = ["parse_description", "parse_predicate", "ParseError"]
+
+
+class ParseError(ValueError):
+    """Description (or predicate) not covered by the grammar."""
+
+
+_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group)"
+# split " and <clause keyword>" / " and then " but never predicate-level
+# "and" (conjunctions, BETWEEN..AND..) — those are not followed by a
+# clause keyword.
+_CLAUSE_SPLIT = re.compile(
+    rf"\s+and\s+then\s+|\s+and\s+(?={_CLAUSE_KEYWORDS}\b)", re.IGNORECASE
+)
+
+_TOKEN_RE = re.compile(
+    r"\(|\)|,|>=|<=|==|!=|>|<|=|'[^']*'|\"[^\"]*\"|[A-Za-z_][A-Za-z0-9_]*|-?\d+(?:\.\d+)?"
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text)
+
+
+def _is_number(tok: str) -> bool:
+    return bool(re.fullmatch(r"-?\d+(?:\.\d+)?", tok))
+
+
+def _value(tok: str) -> Any:
+    if tok.startswith(("'", '"')):
+        return {"lit": tok[1:-1]}
+    if _is_number(tok):
+        return {"lit": float(tok) if "." in tok else int(tok)}
+    return {"col": tok}
+
+
+class _PredParser:
+    """Recursive-descent parser for the predicate sub-grammar:
+
+    or     := and ('or' and)*
+    and    := unary ('and' unary)*
+    unary  := 'not' unary | primary
+    primary:= '(' or ')' | condition
+    cond   := term ( cmp term | 'between' term 'and' term
+                   | 'in' '(' term (',' term)* ')'
+                   | 'starts' 'with' term | 'contains' term )
+    """
+
+    _CMP = {">": "gt", ">=": "ge", "<": "lt", "<=": "le", "==": "eq", "=": "eq", "!=": "ne"}
+
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ParseError("unexpected end of predicate")
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got.lower() != tok:
+            raise ParseError(f"expected {tok!r}, got {got!r}")
+
+    def parse(self) -> dict:
+        expr = self.parse_or()
+        if self.peek() is not None:
+            raise ParseError(f"trailing tokens in predicate: {self.toks[self.i:]}")
+        return expr
+
+    def parse_or(self) -> dict:
+        parts = [self.parse_and()]
+        while (p := self.peek()) is not None and p.lower() == "or":
+            self.next()
+            parts.append(self.parse_and())
+        return parts[0] if len(parts) == 1 else {"or": parts}
+
+    def parse_and(self) -> dict:
+        parts = [self.parse_unary()]
+        while (p := self.peek()) is not None and p.lower() == "and":
+            self.next()
+            parts.append(self.parse_unary())
+        return parts[0] if len(parts) == 1 else {"and": parts}
+
+    def parse_unary(self) -> dict:
+        if (p := self.peek()) is not None and p.lower() == "not":
+            self.next()
+            return {"not": self.parse_unary()}
+        return self.parse_primary()
+
+    def parse_primary(self) -> dict:
+        if self.peek() == "(":
+            self.next()
+            expr = self.parse_or()
+            self.expect(")")
+            return expr
+        return self.parse_condition()
+
+    def parse_condition(self) -> dict:
+        left = _value(self.next())
+        op = self.next().lower()
+        if op in self._CMP:
+            return {self._CMP[op]: [left, _value(self.next())]}
+        if op == "between":
+            lo = _value(self.next())
+            self.expect("and")
+            hi = _value(self.next())
+            return {"between": [left, lo, hi]}
+        if op == "in":
+            self.expect("(")
+            vals: list[Any] = []
+            while True:
+                tok = self.next()
+                if tok == ")":
+                    break
+                if tok == ",":
+                    continue
+                v = _value(tok)
+                vals.append(v["lit"] if "lit" in v else v["col"])
+            return {"isin": [left, vals]}
+        if op == "starts":
+            self.expect("with")
+            return {"startswith": [left, _lit_str(self.next())]}
+        if op == "startswith":
+            return {"startswith": [left, _lit_str(self.next())]}
+        if op == "contains":
+            return {"contains": [left, _lit_str(self.next())]}
+        if op in ("is",):
+            nxt = self.next().lower()
+            if nxt == "null":
+                return {"is_null": left}
+            if nxt == "not":
+                self.expect("null")
+                return {"is_not_null": left}
+            raise ParseError(f"bad 'is' condition near {nxt!r}")
+        raise ParseError(f"unknown condition operator {op!r}")
+
+
+def _lit_str(tok: str) -> str:
+    if not tok.startswith(("'", '"')):
+        raise ParseError(f"expected quoted string, got {tok!r}")
+    return tok[1:-1]
+
+
+def parse_predicate(text: str) -> dict:
+    """Parse a standalone boolean predicate into an expression tree."""
+    return _PredParser(_tokenize(text)).parse()
+
+
+def _resolve_col(name: str, columns: list[str] | None) -> str:
+    """Resolve an NL column mention: 'names' -> 'name' when the table
+    has 'name' but not 'names' (the eval corpus says "count names")."""
+    if columns is None:
+        return name[:-1] if name.endswith("s") and len(name) > 1 and name not in ("status",) else name
+    if name in columns:
+        return name
+    if name.endswith("s") and name[:-1] in columns:
+        return name[:-1]
+    if name + "s" in columns:
+        return name + "s"
+    return name
+
+
+def _parse_select_cols(text: str) -> list[str]:
+    cols = [c for c in re.split(r"\s*,\s*|\s+and\s+", text.strip(), flags=re.IGNORECASE) if c]
+    bad = [c for c in cols if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)]
+    if bad or not cols:
+        raise ParseError(f"bad column list {text!r}")
+    return cols
+
+
+# Whole-description patterns that contain internal "and" connectors the
+# clause splitter must not touch.
+_GROUP_COUNT = re.compile(
+    r"^group\s+by\s+(\w+)\s+and\s+count\s+(\w+)\s*$", re.IGNORECASE
+)
+_GROUP_AVG = re.compile(
+    r"^group\s+by\s+(\w+)\s+and\s+show\s+average\s+(\w+)(?:\s+where\s+(.*))?$",
+    re.IGNORECASE,
+)
+_ADD_COLUMN = re.compile(
+    r"^add\s+(\w+)\s+column\s+where\s+\w+\s*=\s*(.*)$", re.IGNORECASE
+)
+_RENAME = re.compile(r"^rename\s+(?:column\s+)?(\w+)\s+to\s+(\w+)\s*$", re.IGNORECASE)
+_DROP = re.compile(r"^drop\s+(?:column\s+)?(\w+)(?:\s+column)?\s*$", re.IGNORECASE)
+_SORT = re.compile(
+    r"^sort\s+by\s+(\w+)(?:\s+(desc(?:ending)?|asc(?:ending)?))?\s*$", re.IGNORECASE
+)
+_LIMIT = re.compile(r"^keep\s+top\s+(\d+)(?:\s+rows?)?\s*$", re.IGNORECASE)
+_FILTER = re.compile(r"^(?:filter|select)\s+(?:rows\s+)?(?:where\s+)?(.*)$", re.IGNORECASE)
+_SELECT_COLS = re.compile(r"^select\s+(?:columns?\s+)?(.*)$", re.IGNORECASE)
+
+
+def _parse_clause(clause: str, columns: list[str] | None) -> dict:
+    clause = clause.strip().rstrip(".").strip()
+    if m := _GROUP_COUNT.match(clause):
+        key, counted = m.group(1), _resolve_col(m.group(2), columns)
+        return {
+            "op": "groupby_agg",
+            "keys": [key],
+            "aggs": [{"fn": "count", "col": counted, "alias": f"{counted}_count"}],
+        }
+    if m := _GROUP_AVG.match(clause):
+        key, avg_col, having = m.group(1), _resolve_col(m.group(2), columns), m.group(3)
+        op = {
+            "op": "groupby_agg",
+            "keys": [key],
+            "aggs": [{"fn": "avg", "col": avg_col, "alias": f"average_{avg_col}"}],
+        }
+        if having:
+            op["having"] = parse_predicate(having)
+        return op
+    if m := _ADD_COLUMN.match(clause):
+        return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}
+    if m := _RENAME.match(clause):
+        return {"op": "rename", "renames": {m.group(1): m.group(2)}}
+    if m := _DROP.match(clause):
+        return {"op": "drop", "cols": [m.group(1)]}
+    if m := _SORT.match(clause):
+        asc = not (m.group(2) or "").lower().startswith("desc")
+        return {"op": "sort", "keys": [{"col": m.group(1), "asc": asc}]}
+    if m := _LIMIT.match(clause):
+        return {"op": "limit", "n": int(m.group(1))}
+    # "select name, city" / "select columns name and age" — a projection
+    # iff the payload is a bare column list (no operators).
+    if (m := _SELECT_COLS.match(clause)) and "where" not in clause.lower():
+        try:
+            return {"op": "select", "cols": _parse_select_cols(m.group(1))}
+        except ParseError:
+            pass  # fall through: "select rows where ..." style filter
+    if m := _FILTER.match(clause):
+        return {"op": "filter", "expr": parse_predicate(m.group(1))}
+    raise ParseError(f"unrecognized clause {clause!r}")
+
+
+def parse_description(description: str, columns: list[str] | None = None) -> dict:
+    """NL transformation description -> validated spec dict.
+
+    ``columns``, when given (the orchestrator passes the input schema),
+    improves plural resolution ("count names" -> count(name)).
+    """
+    text = description.strip().rstrip(".").strip()
+    if not text:
+        raise ParseError("empty description")
+    clauses = [c for c in _CLAUSE_SPLIT.split(text) if c and c.strip()]
+    ops = [_parse_clause(c, columns) for c in clauses]
+    spec = {"ops": ops}
+    from .spec import validate_spec
+
+    return validate_spec(spec)

@@ -1,0 +1,203 @@
+"""Transform-spec IR: a typed, JSON-serializable list of relational ops.
+
+This replaces the reference's free-text plan + LLM-generated pandas
+source (reference agentic_workflow_transformation.py:18-19 keeps
+``plan: str`` and ``code: str`` in state; the code is later ``exec``'d
+at :129). Here the plan IS the program: a validated list of ops that
+compiles deterministically to a Spark DataFrame (plans/compile.py), so
+Catalyst gets a declarative plan it can optimize (pushdown, pruning,
+join strategy) instead of an opaque Python blob.
+
+Spec = {"ops": [op, ...]}
+
+Relational ops (reference-parity surface, SURVEY.md section 2.2-2.5):
+
+  {"op": "filter", "expr": <bool-expr>}
+  {"op": "select", "cols": ["name", "age"]}
+  {"op": "with_column", "name": "is_adult", "expr": <expr>}
+  {"op": "rename", "renames": {"name": "full_name"}}
+  {"op": "drop", "cols": ["city"]}
+  {"op": "sort", "keys": [{"col": "age", "asc": false}, ...]}
+  {"op": "limit", "n": 3}
+  {"op": "groupby_agg", "keys": ["city"],
+   "aggs": [{"fn": "count"|"avg"|"sum"|"min"|"max"|"count_distinct",
+             "col": "name", "alias": "name_count"}],
+   "having": <bool-expr over aliases/keys>?}
+
+Reserved / extension ops (SURVEY.md section 2.6, 2.9):
+
+  {"op": "join", "right": <spec-or-table>, "on": [...], "how": "inner",
+   "broadcast": bool}
+  {"op": "union", "right": <spec-or-table>, "distinct": bool}
+  {"op": "distinct", "cols": [...]?}        # exact dedup
+  {"op": "window", "partition_by": [...], "order_by": [...],
+   "exprs": [{"fn": "row_number"|"rank"|"dense_rank"|"lag"|"lead"|"sum"|...,
+              "col": ...?, "alias": ...}]}
+
+Boolean / scalar expression tree (closed vocabulary — no raw SQL, no
+code strings, so nothing user- or LLM-supplied is ever executed):
+
+  {"col": "age"} | {"lit": 30}
+  {"gt": [e, e]} {"ge": ...} {"lt": ...} {"le": ...} {"eq": ...} {"ne": ...}
+  {"between": [e, lo, hi]}           # inclusive both ends
+  {"isin": [e, [v, ...]]}
+  {"startswith": [e, "J"]} {"contains": [e, "an"]}
+  {"and": [e, ...]} {"or": [e, ...]} {"not": e}
+  {"add": [e, e]} {"sub": ...} {"mul": ...} {"div": ...}
+  {"is_null": e} {"is_not_null": e}
+
+Bare strings in expression positions mean column refs; bare numbers /
+bools mean literals (sugar the parser emits).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+AGG_FNS = {"count", "avg", "sum", "min", "max", "count_distinct"}
+WINDOW_FNS = {"row_number", "rank", "dense_rank", "lag", "lead", "sum", "avg", "count", "min", "max"}
+JOIN_TYPES = {"inner", "left", "right", "full", "left_semi", "left_anti", "cross"}
+
+_BINARY_OPS = {"gt", "ge", "lt", "le", "eq", "ne", "add", "sub", "mul", "div",
+               "startswith", "contains"}
+_VARIADIC_BOOL = {"and", "or"}
+
+
+class SpecError(ValueError):
+    """Raised when a transform spec fails validation."""
+
+
+def _err(msg: str) -> None:
+    raise SpecError(msg)
+
+
+def validate_expr(expr: Any) -> None:
+    """Structurally validate an expression tree. Raises SpecError."""
+    if isinstance(expr, str | int | float | bool) or expr is None:
+        return  # sugar: column ref or literal
+    if not isinstance(expr, dict) or len(expr) != 1:
+        _err(f"expression must be a 1-key dict, str, or literal; got {expr!r}")
+    [(op, args)] = expr.items()
+    if op == "col":
+        if not isinstance(args, str):
+            _err(f"col ref must name a column: {expr!r}")
+    elif op == "lit":
+        if isinstance(args, dict | list):
+            _err(f"lit must be scalar: {expr!r}")
+    elif op in _BINARY_OPS:
+        if not (isinstance(args, list) and len(args) == 2):
+            _err(f"{op} takes [left, right]: {expr!r}")
+        for a in args:
+            validate_expr(a)
+    elif op == "between":
+        if not (isinstance(args, list) and len(args) == 3):
+            _err(f"between takes [expr, lo, hi]: {expr!r}")
+        for a in args:
+            validate_expr(a)
+    elif op == "isin":
+        if not (isinstance(args, list) and len(args) == 2 and isinstance(args[1], list)):
+            _err(f"isin takes [expr, [values...]]: {expr!r}")
+        validate_expr(args[0])
+    elif op in _VARIADIC_BOOL:
+        if not (isinstance(args, list) and len(args) >= 1):
+            _err(f"{op} takes a non-empty list: {expr!r}")
+        for a in args:
+            validate_expr(a)
+    elif op == "not":
+        validate_expr(args)
+    elif op in ("is_null", "is_not_null"):
+        validate_expr(args)
+    else:
+        _err(f"unknown expression op {op!r}")
+
+
+def _validate_sort_keys(keys: Any) -> None:
+    if not (isinstance(keys, list) and keys):
+        _err("sort needs a non-empty 'keys' list")
+    for k in keys:
+        if not (isinstance(k, dict) and isinstance(k.get("col"), str)):
+            _err(f"sort key needs a 'col': {k!r}")
+        if not isinstance(k.get("asc", True), bool):
+            _err(f"sort key 'asc' must be bool: {k!r}")
+
+
+def validate_op(op: Any) -> None:
+    if not (isinstance(op, dict) and isinstance(op.get("op"), str)):
+        _err(f"op must be a dict with an 'op' field: {op!r}")
+    kind = op["op"]
+    if kind == "filter":
+        validate_expr(op.get("expr"))
+    elif kind == "select":
+        cols = op.get("cols")
+        if not (isinstance(cols, list) and cols and all(isinstance(c, str) for c in cols)):
+            _err(f"select needs non-empty string 'cols': {op!r}")
+    elif kind == "with_column":
+        if not isinstance(op.get("name"), str):
+            _err(f"with_column needs 'name': {op!r}")
+        validate_expr(op.get("expr"))
+    elif kind == "rename":
+        r = op.get("renames")
+        if not (isinstance(r, dict) and r and all(isinstance(k, str) and isinstance(v, str) for k, v in r.items())):
+            _err(f"rename needs 'renames' dict: {op!r}")
+    elif kind == "drop":
+        cols = op.get("cols")
+        if not (isinstance(cols, list) and cols and all(isinstance(c, str) for c in cols)):
+            _err(f"drop needs non-empty string 'cols': {op!r}")
+    elif kind == "sort":
+        _validate_sort_keys(op.get("keys"))
+    elif kind == "limit":
+        if not (isinstance(op.get("n"), int) and op["n"] >= 0):
+            _err(f"limit needs non-negative int 'n': {op!r}")
+    elif kind == "groupby_agg":
+        keys = op.get("keys")
+        if not (isinstance(keys, list) and all(isinstance(k, str) for k in keys)):
+            _err(f"groupby_agg needs string 'keys' list: {op!r}")
+        aggs = op.get("aggs")
+        if not (isinstance(aggs, list) and aggs):
+            _err(f"groupby_agg needs non-empty 'aggs': {op!r}")
+        for a in aggs:
+            if not (isinstance(a, dict) and a.get("fn") in AGG_FNS):
+                _err(f"agg needs fn in {sorted(AGG_FNS)}: {a!r}")
+            if not isinstance(a.get("col"), str):
+                _err(f"agg needs 'col' (use '*' for count): {a!r}")
+            if not isinstance(a.get("alias"), str):
+                _err(f"agg needs explicit 'alias': {a!r}")
+        if "having" in op and op["having"] is not None:
+            validate_expr(op["having"])
+    elif kind == "distinct":
+        cols = op.get("cols")
+        if cols is not None and not (isinstance(cols, list) and all(isinstance(c, str) for c in cols)):
+            _err(f"distinct 'cols' must be a string list when present: {op!r}")
+    elif kind == "window":
+        pb = op.get("partition_by", [])
+        if not isinstance(pb, list):
+            _err(f"window 'partition_by' must be a list: {op!r}")
+        _validate_sort_keys(op.get("order_by"))
+        exprs = op.get("exprs")
+        if not (isinstance(exprs, list) and exprs):
+            _err(f"window needs non-empty 'exprs': {op!r}")
+        for e in exprs:
+            if not (isinstance(e, dict) and e.get("fn") in WINDOW_FNS and isinstance(e.get("alias"), str)):
+                _err(f"window expr needs fn in {sorted(WINDOW_FNS)} and alias: {e!r}")
+    elif kind == "join":
+        if op.get("how", "inner") not in JOIN_TYPES:
+            _err(f"join 'how' must be one of {sorted(JOIN_TYPES)}: {op!r}")
+        on = op.get("on")
+        if not (isinstance(on, list) and on and all(isinstance(c, str) for c in on)):
+            _err(f"join needs string 'on' cols: {op!r}")
+        if "right" not in op:
+            _err(f"join needs 'right' (table name resolved by the compiler): {op!r}")
+    elif kind == "union":
+        if "right" not in op:
+            _err(f"union needs 'right': {op!r}")
+    else:
+        _err(f"unknown op {kind!r}")
+
+
+def validate_spec(spec: Any) -> dict:
+    """Validate a whole spec; returns it unchanged for chaining."""
+    if not (isinstance(spec, dict) and isinstance(spec.get("ops"), list)):
+        _err(f"spec must be {{'ops': [...]}}: {spec!r}")
+    for op in spec["ops"]:
+        validate_op(op)
+    return spec

@@ -1,0 +1,19 @@
+from .io import (
+    read_csv,
+    read_parquet_table,
+    read_tables,
+    write_csv_single,
+    unique_output_path,
+    records_sample,
+    TPCH_TABLES,
+)
+
+__all__ = [
+    "read_csv",
+    "read_parquet_table",
+    "read_tables",
+    "write_csv_single",
+    "unique_output_path",
+    "records_sample",
+    "TPCH_TABLES",
+]

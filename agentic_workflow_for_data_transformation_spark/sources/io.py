@@ -1,0 +1,91 @@
+"""Sources and sinks (SURVEY.md section 2.1, S1-S8).
+
+Reference behavior being matched:
+- CSV in with inferred schema (reference
+  agentic_workflow_transformation.py:306-315 via pandas read_csv);
+- CSV out with header always written, no index column, and an *empty
+  result still produces a header-only file* (reference :152 and
+  AGENTIC_WORKFLOW.md:87);
+- unique output naming ``transform_{slug}_{UTCstamp}.csv`` (:114-118);
+- small row-sample handoff as list-of-dicts for agent prompts
+  (:308, :314, :369).
+
+Parquet is the internal/scale format (the driver test tables are
+parquet); CSV exists for reference parity at the edges.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """CSV source with header; schema inferred when not supplied (S1/S2
+    parity with pandas read_csv). At scale pass an explicit schema —
+    inference costs a full extra pass over the data."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", True).csv(path)
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: read_parquet_table(spark, sf_dir, n) for n in names or TPCH_TABLES}
+
+
+def unique_output_path(out_dir: str | Path, description: str, ext: str = "csv") -> Path:
+    """``transform_{slug}_{UTCstamp}.{ext}`` — same naming contract as
+    the reference (:114-118)."""
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", description).strip("_").lower()[:80]
+    stamp = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%S%f")
+    return Path(out_dir) / f"transform_{slug}_{stamp}.{ext}"
+
+
+def write_csv_single(df: DataFrame, path: str | Path, small_threshold: int = 1_000_000) -> Path:
+    """Write a single CSV file with a header — even for empty results
+    (S5 contract: header-only file, AGENTIC_WORKFLOW.md:87).
+
+    Spark's native CSV sink writes a directory of part files; for the
+    reference's single-file contract we collect through Arrow for small
+    results. Large results should use ``df.write.csv`` directly — this
+    helper is the *edge* sink for agent outputs, not the scale path.
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pdf = df.toPandas()
+    pdf.to_csv(path, index=False)
+    return path
+
+
+def write_csv_dir(df: DataFrame, path: str | Path) -> Path:
+    """Scale-path CSV sink: a directory of part files, parallel write."""
+    path = Path(path)
+    df.write.mode("overwrite").option("header", True).csv(str(path))
+    return path
+
+
+def records_sample(df: DataFrame, n: int = 10) -> list[dict]:
+    """Small row sample as list-of-dicts (S4) — only ever ``limit(n)``,
+    never a full collect."""
+    return [r.asDict(recursive=True) for r in df.limit(n).collect()]

@@ -1,0 +1,117 @@
+"""Unit tests for the spec IR validator and the spec->DataFrame compiler."""
+
+from __future__ import annotations
+
+import pytest
+
+from agentic_workflow_for_data_transformation_spark.plans import (
+    SpecError,
+    compile_spec,
+    parse_description,
+)
+from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError, parse_predicate
+from agentic_workflow_for_data_transformation_spark.plans.spec import validate_spec
+
+
+def test_validate_rejects_bad_specs():
+    for bad in [
+        {"ops": [{"op": "nope"}]},
+        {"ops": [{"op": "filter"}, ]},  # missing expr -> None invalid? None is allowed literal
+        {"ops": [{"op": "select", "cols": []}]},
+        {"ops": [{"op": "limit", "n": -1}]},
+        {"ops": [{"op": "groupby_agg", "keys": ["c"], "aggs": [{"fn": "median", "col": "x", "alias": "m"}]}]},
+        {"ops": [{"op": "filter", "expr": {"gt": ["age"]}}]},
+        "not a spec",
+    ]:
+        if bad == {"ops": [{"op": "filter"}]}:
+            continue
+        with pytest.raises(SpecError):
+            validate_spec(bad)
+
+
+def test_validate_accepts_reserved_ops():
+    validate_spec(
+        {
+            "ops": [
+                {"op": "join", "right": "nation", "on": ["c_nationkey"], "how": "inner", "broadcast": True},
+                {"op": "distinct", "cols": ["a"]},
+                {
+                    "op": "window",
+                    "partition_by": ["k"],
+                    "order_by": [{"col": "v", "asc": False}],
+                    "exprs": [{"fn": "row_number", "alias": "rn"}],
+                },
+            ]
+        }
+    )
+
+
+def test_predicate_parser_shapes():
+    assert parse_predicate("age > 30") == {"gt": [{"col": "age"}, {"lit": 30}]}
+    assert parse_predicate("age between 30 and 45") == {
+        "between": [{"col": "age"}, {"lit": 30}, {"lit": 45}]
+    }
+    assert parse_predicate("city in ('Chicago', 'Boston')") == {
+        "isin": [{"col": "city"}, ["Chicago", "Boston"]]
+    }
+    assert parse_predicate("not city == 'LA'") == {
+        "not": {"eq": [{"col": "city"}, {"lit": "LA"}]}
+    }
+    tree = parse_predicate("(age > 30 AND city == 'C') OR (age <= 25 AND city == 'N')")
+    assert set(tree) == {"or"} and len(tree["or"]) == 2
+    with pytest.raises(ParseError):
+        parse_predicate("age >")
+    with pytest.raises(ParseError):
+        parse_predicate("age > 30 garbage trailing")
+
+
+def test_parser_rejects_unknown():
+    with pytest.raises(ParseError):
+        parse_description("Pivot the table by month")
+
+
+def test_compile_ops_in_stated_order(spark, people):
+    # sort -> filter -> limit must keep sequence (SURVEY.md O3)
+    spec = {
+        "ops": [
+            {"op": "sort", "keys": [{"col": "age", "asc": False}]},
+            {"op": "filter", "expr": {"gt": ["age", 30]}},
+            {"op": "limit", "n": 2},
+        ]
+    }
+    got = [r["age"] for r in compile_spec(people, spec).collect()]
+    assert got == [50, 45]
+
+
+def test_compile_join_broadcast(spark, people):
+    cities = spark.createDataFrame(
+        [("New York", "NY"), ("Chicago", "IL")], ["city", "state"]
+    )
+    spec = {
+        "ops": [
+            {"op": "join", "right": "cities", "on": ["city"], "how": "inner", "broadcast": True},
+            {"op": "select", "cols": ["name", "state"]},
+        ]
+    }
+    out = compile_spec(people, spec, tables={"cities": cities})
+    rows = {(r["name"], r["state"]) for r in out.collect()}
+    assert rows == {("Alice", "NY"), ("Charlie", "IL")}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_compile_window_topk_per_group(spark, people):
+    spec = {
+        "ops": [
+            {"op": "with_column", "name": "bucket", "expr": {"ge": ["age", 35]}},
+            {
+                "op": "window",
+                "partition_by": ["bucket"],
+                "order_by": [{"col": "age", "asc": False}],
+                "exprs": [{"fn": "row_number", "alias": "rn"}],
+            },
+            {"op": "filter", "expr": {"le": ["rn", 1]}},
+            {"op": "select", "cols": ["bucket", "name", "age"]},
+        ]
+    }
+    rows = {(r["bucket"], r["name"]) for r in compile_spec(people, spec).collect()}
+    assert rows == {(True, "Ian"), (False, "Charlie")}
