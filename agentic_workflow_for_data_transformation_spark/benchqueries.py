@@ -1,0 +1,411 @@
+"""Named query registry: the driver-facing catalog of every implemented
+operator (SURVEY.md section 2), each as a (spark_builder, oracle_sql)
+pair over the /root/testdata parquet star schema.
+
+Parity queries (p01..p20) mirror the reference's 20-description eval
+corpus (reference agentic_workflow_transformation.py:339-362) ported to
+the TPC-H-ish tables, and run through the NL parser + spec compiler —
+the same path a user's description takes — so the oracle gate checks
+the whole pipeline, not hand-written DataFrame code.
+
+Extension queries (x_*) cover operators the reference lacks (joins,
+windows, set ops, JSON, time buckets) that the spec IR reserves.
+
+Numeric-determinism policy: any aggregate over a non-integral double
+column (prices) is summed as decimal(18,2) then cast back to double, so
+the result is exact and identical across engines and partition orders;
+averages are computed as exact-sum / count. Integral doubles
+(l_quantity) sum exactly in binary and need no cast.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .plans import compile_spec, parse_description
+from .sources import read_events, read_parquet_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return read_parquet_table(spark, sf_dir, name)
+
+
+def _nl(spark: SparkSession, sf_dir: str, table: str, description: str) -> DataFrame:
+    """Run an NL description through parser + compiler against a table —
+    the reference-parity execution path."""
+    df = _t(spark, sf_dir, table)
+    return compile_spec(df, parse_description(description, columns=df.columns))
+
+
+# --------------------------------------------------------------------------
+# Reference-parity corpus (SURVEY.md sections 2.2-2.5), via the NL pipeline.
+# Each description below is the same *shape* as the corresponding eval
+# description in the reference, with people-columns swapped for the star
+# schema.
+# --------------------------------------------------------------------------
+
+_PARITY: list[tuple[str, str, str, str]] = [
+    # (name, table, NL description, oracle SQL)
+    (
+        "p01_filter_gt_project",
+        "lineitem",
+        "Filter rows where l_quantity > 45 and select columns l_orderkey, l_linenumber and l_quantity.",
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
+    ),
+    (
+        "p02_filter_eq_str",
+        "customer",
+        "Filter rows where c_mktsegment == 'BUILDING' and select c_custkey, c_name, c_mktsegment.",
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
+    ),
+    (
+        "p03_filter_le",
+        "orders",
+        "Filter rows where o_totalprice <= 50000 and select o_orderkey and o_totalprice.",
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 50000",
+    ),
+    (
+        "p05_groupby_count",
+        "customer",
+        "Group by c_mktsegment and count c_custkey.",
+        "SELECT c_mktsegment, count(c_custkey) AS c_custkey_count FROM customer GROUP BY c_mktsegment",
+    ),
+    (
+        "p07_startswith",
+        "part",
+        "Select rows where p_name starts with 'red' and select p_partkey, p_name.",
+        "SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'red%'",
+    ),
+    (
+        "p08_rename",
+        "nation",
+        "Rename n_name to nation_name.",
+        "SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation",
+    ),
+    (
+        "p09_drop",
+        "nation",
+        "Drop n_regionkey column.",
+        "SELECT n_nationkey, n_name FROM nation",
+    ),
+    (
+        "p10_empty_result",
+        "lineitem",
+        "Filter rows where l_quantity > 1000",
+        "SELECT * FROM lineitem WHERE l_quantity > 1000",
+    ),
+    (
+        "p11_and",
+        "lineitem",
+        "Filter rows where l_quantity > 30 AND l_returnflag == 'A' and select l_orderkey, l_linenumber.",
+        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A'",
+    ),
+    (
+        "p12_or",
+        "orders",
+        "Filter rows where o_orderstatus == 'F' OR o_totalprice > 400000 and select o_orderkey.",
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' OR o_totalprice > 400000",
+    ),
+    (
+        "p13_between_startswith",
+        "lineitem",
+        "Filter rows where l_quantity between 10 and 20 and l_linestatus starts with 'F'.",
+        "SELECT * FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_linestatus LIKE 'F%'",
+    ),
+    (
+        "p14_paren_bool_tree",
+        "lineitem",
+        "Select rows where (l_quantity > 45 AND l_returnflag == 'A') OR (l_quantity < 5 AND l_returnflag == 'N').",
+        "SELECT * FROM lineitem WHERE (l_quantity > 45 AND l_returnflag = 'A') OR (l_quantity < 5 AND l_returnflag = 'N')",
+    ),
+    (
+        "p15_isin",
+        "orders",
+        "Filter rows where o_orderpriority in ('1-URGENT', '2-HIGH') and select o_orderkey, o_orderpriority.",
+        "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+    ),
+    (
+        "p16_not",
+        "lineitem",
+        "Filter rows where l_quantity > 49 and not l_returnflag == 'A' and select l_orderkey, l_returnflag.",
+        "SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 49 AND NOT l_returnflag = 'A'",
+    ),
+    (
+        "p19_contains_between",
+        "part",
+        "Filter where p_name contains 'ol' and p_size between 10 and 30.",
+        "SELECT * FROM part WHERE p_name LIKE '%ol%' AND p_size BETWEEN 10 AND 30",
+    ),
+]
+
+for _name, _table, _desc, _sql in _PARITY:
+    def _mk(table: str, desc: str) -> QueryFn:
+        return lambda spark, sf_dir: _nl(spark, sf_dir, table, desc)
+
+    register(_name, _sql)(_mk(_table, _desc))
+
+
+# p04/p17: sort + top-k need a deterministic tiebreak column so Spark and
+# the oracle pick the same boundary rows — spec-built, not NL (the NL
+# corpus's single-key sort is still exercised by tests/test_eval20.py).
+@register(
+    "p04_sort_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def p04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {
+        "ops": [
+            {"op": "sort", "keys": [{"col": "o_totalprice", "asc": False}, {"col": "o_orderkey", "asc": True}]},
+            {"op": "limit", "n": 10},
+            {"op": "select", "cols": ["o_orderkey", "o_totalprice"]},
+        ]
+    }
+    return compile_spec(_t(spark, sf_dir, "orders"), spec)
+
+
+@register(
+    "p06_with_column_bool",
+    "SELECT c_custkey, c_acctbal >= 5000 AS is_high_balance FROM customer",
+)
+def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = {
+        "ops": [
+            {"op": "with_column", "name": "is_high_balance", "expr": {"ge": ["c_acctbal", 5000]}},
+            {"op": "select", "cols": ["c_custkey", "is_high_balance"]},
+        ]
+    }
+    return compile_spec(_t(spark, sf_dir, "customer"), spec)
+
+
+@register(
+    "p17_sort_filter_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000 "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+)
+def p17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stated order: sort -> filter -> limit (SURVEY.md O3); result equals
+    # the oracle's filter-first form because the filter is order-stable.
+    spec = {
+        "ops": [
+            {"op": "sort", "keys": [{"col": "o_totalprice", "asc": False}, {"col": "o_orderkey", "asc": True}]},
+            {"op": "filter", "expr": {"gt": ["o_totalprice", 300000]}},
+            {"op": "limit", "n": 5},
+            {"op": "select", "cols": ["o_orderkey", "o_totalprice"]},
+        ]
+    }
+    return compile_spec(_t(spark, sf_dir, "orders"), spec)
+
+
+@register(
+    "p18_groupby_avg_having",
+    "SELECT o_orderpriority, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price "
+    "FROM orders GROUP BY o_orderpriority "
+    "HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) > 200000",
+)
+def p18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg as exact-decimal-sum / count: deterministic across engines.
+    spec = {
+        "ops": [
+            {
+                "op": "groupby_agg",
+                "keys": ["o_orderpriority"],
+                "aggs": [
+                    {"fn": "sum", "col": "o_totalprice", "cast": "decimal(18,2)", "alias": "_sum"},
+                    {"fn": "count", "col": "*", "alias": "_n"},
+                ],
+            },
+            {
+                "op": "with_column",
+                "name": "avg_price",
+                "expr": {"div": [{"cast": ["_sum", "double"]}, "_n"]},
+            },
+            {"op": "filter", "expr": {"gt": ["avg_price", 200000]}},
+            {"op": "select", "cols": ["o_orderpriority", "avg_price"]},
+        ]
+    }
+    return compile_spec(_t(spark, sf_dir, "orders"), spec)
+
+
+@register(
+    "p20_tpch_q1",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def p20_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1 shape — scan-filter-aggregate with partial+final
+    hash aggregation; the plan Catalyst produces is a single shuffle on
+    the two low-cardinality group keys (6 groups), so at 100 TB this is
+    scan-bound, which is optimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Extension operators (SURVEY.md section 2.6 vocabulary the reference lacks)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x_join_star_broadcast",
+    "SELECT r.r_name, count(*) AS cust_count "
+    "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
+)
+def x_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: dims broadcast (region=5, nation=25 rows) so the fact
+    table never shuffles for the join — the only shuffle is the final
+    5-group aggregate. This is the 100 TB-safe star-join shape."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("cust_count"))
+    )
+
+
+@register(
+    "x_join_semi",
+    "SELECT o_orderkey, o_totalprice FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.5)",
+)
+def x_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49.5)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "x_join_anti",
+    "SELECT c_custkey FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def x_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "x_window_topk_per_group",
+    "SELECT * FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 3",
+)
+def x_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "x_union_distinct",
+    "SELECT r_name AS name FROM region UNION SELECT n_name FROM nation",
+)
+def x_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").select(F.col("r_name").alias("name"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    return r.unionByName(n).distinct()
+
+
+@register(
+    "x_distinct_pairs",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def x_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "x_json_extract_agg",
+    "SELECT event_type, count(*) AS n_events, "
+    "CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k "
+    "FROM events GROUP BY event_type",
+)
+def x_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (events.props is a JSON string column) —
+    get_json_object runs JVM-side, no Python in the hot path."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+    )
+
+
+@register(
+    "x_time_bucket_agg",
+    "SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, "
+    "count(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def x_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming tumbling-window aggregate
+    (streaming/events.py runs the same plan incrementally)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+    )

@@ -37,7 +37,7 @@ _BIN_COMPARES: dict[str, Callable[[Column, Column], Column]] = {
 }
 
 _AGG_BUILDERS: dict[str, Callable[[str], Column]] = {
-    "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
+    "count": lambda c: F.count(F.lit(1)) if isinstance(c, str) and c == "*" else F.count(c),
     "avg": F.avg,
     "sum": F.sum,
     "min": F.min,
@@ -62,6 +62,10 @@ def compile_expr(expr: Any) -> Column:
         return F.lit(args)
     if op in _BIN_COMPARES:
         return _BIN_COMPARES[op](compile_expr(args[0]), compile_expr(args[1]))
+    if op == "round":
+        return F.round(compile_expr(args[0]), args[1])
+    if op == "cast":
+        return compile_expr(args[0]).cast(args[1])
     if op == "between":
         e = compile_expr(args[0])
         return e.between(compile_expr(args[1]), compile_expr(args[2]))
@@ -118,8 +122,18 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
     return df
 
 
+def _agg_col(a: dict) -> Column:
+    """Build one aggregate; an optional input 'cast' (e.g. to
+    decimal(18,2)) makes money-column sums exact and therefore
+    bit-identical across engines and partition orders."""
+    col = a["col"]
+    if a.get("cast") and col != "*":
+        col = F.col(col).cast(a["cast"])
+    return _AGG_BUILDERS[a["fn"]](col).alias(a["alias"])
+
+
 def _apply_groupby(df: DataFrame, op: dict) -> DataFrame:
-    aggs = [_AGG_BUILDERS[a["fn"]](a["col"]).alias(a["alias"]) for a in op["aggs"]]
+    aggs = [_agg_col(a) for a in op["aggs"]]
     out = df.groupBy(*op["keys"]).agg(*aggs) if op["keys"] else df.agg(*aggs)
     having = op.get("having")
     if having is not None:

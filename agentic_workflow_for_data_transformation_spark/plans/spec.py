@@ -44,6 +44,7 @@ code strings, so nothing user- or LLM-supplied is ever executed):
   {"startswith": [e, "J"]} {"contains": [e, "an"]}
   {"and": [e, ...]} {"or": [e, ...]} {"not": e}
   {"add": [e, e]} {"sub": ...} {"mul": ...} {"div": ...}
+  {"round": [e, ndigits]} {"cast": [e, "long"|"double"|"decimal(18,2)"|...]}
   {"is_null": e} {"is_not_null": e}
 
 Bare strings in expression positions mean column refs; bare numbers /
@@ -89,6 +90,14 @@ def validate_expr(expr: Any) -> None:
             _err(f"{op} takes [left, right]: {expr!r}")
         for a in args:
             validate_expr(a)
+    elif op == "round":
+        if not (isinstance(args, list) and len(args) == 2 and isinstance(args[1], int)):
+            _err(f"round takes [expr, ndigits]: {expr!r}")
+        validate_expr(args[0])
+    elif op == "cast":
+        if not (isinstance(args, list) and len(args) == 2 and isinstance(args[1], str)):
+            _err(f"cast takes [expr, typename]: {expr!r}")
+        validate_expr(args[0])
     elif op == "between":
         if not (isinstance(args, list) and len(args) == 3):
             _err(f"between takes [expr, lo, hi]: {expr!r}")
@@ -162,6 +171,8 @@ def validate_op(op: Any) -> None:
                 _err(f"agg needs 'col' (use '*' for count): {a!r}")
             if not isinstance(a.get("alias"), str):
                 _err(f"agg needs explicit 'alias': {a!r}")
+            if "cast" in a and not isinstance(a["cast"], str):
+                _err(f"agg 'cast' must be a typename string: {a!r}")
         if "having" in op and op["having"] is not None:
             validate_expr(op["having"])
     elif kind == "distinct":

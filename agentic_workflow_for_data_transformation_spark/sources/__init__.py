@@ -1,5 +1,6 @@
 from .io import (
     read_csv,
+    read_events,
     read_parquet_table,
     read_tables,
     write_csv_single,
@@ -10,6 +11,7 @@ from .io import (
 
 __all__ = [
     "read_csv",
+    "read_events",
     "read_parquet_table",
     "read_tables",
     "write_csv_single",

@@ -50,8 +50,24 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table ships nanosecond parquet timestamps, which Spark
+    refuses to read as TIMESTAMP (PARQUET_TYPE_ILLEGAL). Read the raw
+    int64 nanos via the legacy conf and derive a microsecond
+    TimestampType column with exact integer division (truncation —
+    matching a ns->us CAST in DuckDB/ANSI engines)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(str(Path(sf_dir) / "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def read_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
-    return {n: read_parquet_table(spark, sf_dir, n) for n in names or TPCH_TABLES}
+    return {
+        n: read_events(spark, sf_dir) if n == "events" else read_parquet_table(spark, sf_dir, n)
+        for n in names or TPCH_TABLES
+    }
 
 
 def unique_output_path(out_dir: str | Path, description: str, ext: str = "csv") -> Path:
