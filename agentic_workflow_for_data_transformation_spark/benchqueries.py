@@ -409,3 +409,8 @@ def x_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
     )
+
+
+# North-star operator registrations (dedup/similarity/text/multimodal)
+# live in nsqueries.py; importing it populates the same registry.
+from . import nsqueries  # noqa: E402,F401  (registration side effects)

@@ -1,0 +1,227 @@
+"""North-star query registrations (SURVEY.md section 2.9): dedup,
+similarity search, text analysis, multimodal — each wired into the
+driver registry with an exact DuckDB oracle (portable md5 hashing +
+double arithmetic with deterministic fold order make even the
+LSH/fingerprint operators SQL-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .benchqueries import _t, register
+from .operators import dedup, multimodal, similarity, text
+
+# ---------------------------------------------------------------- dedup
+
+register(
+    "ns_dedup_exact",
+    "SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY text",
+)(lambda spark, sf_dir: dedup.exact_dedup_groups(_t(spark, sf_dir, "documents")))
+
+
+_SHINGLE_CTE = (
+    "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) "
+    "ELSE CAST([] AS VARCHAR[]) END AS sh FROM w), "
+    "e AS (SELECT doc_id, unnest(sh) AS s FROM sh)"
+)
+
+register(
+    "ns_dedup_ngram_jaccard",
+    f"WITH {_SHINGLE_CTE}, "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter "
+    "  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "sizes AS (SELECT doc_id, len(sh) AS sz FROM sh) "
+    "SELECT doc_a, doc_b, round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
+    "WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) >= 0.2",
+)(lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2))
+
+
+def _sig_sql(num_hashes: int = 16) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(num_hashes)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM e GROUP BY doc_id)"
+
+
+def _buckets_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"h{b*rows + r}" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig"
+        )
+    return "buckets AS (" + " UNION ALL ".join(selects) + ")"
+
+
+register(
+    "ns_dedup_minhash_lsh",
+    f"WITH {_SHINGLE_CTE}, {_sig_sql()}, {_buckets_sql()} "
+    "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x "
+    "JOIN buckets y ON x.band_idx = y.band_idx AND x.band_key = y.band_key "
+    "AND x.doc_id < y.doc_id",
+)(lambda spark, sf_dir: dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents")))
+
+
+register(
+    "ns_dedup_lsh_verified",
+    f"WITH {_SHINGLE_CTE}, {_sig_sql()}, {_buckets_sql()}, "
+    "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x "
+    " JOIN buckets y ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter "
+    "  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "sizes AS (SELECT doc_id, len(sh) AS sz FROM sh), "
+    "jac AS (SELECT doc_a, doc_b, round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard "
+    "  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) "
+    "SELECT c.doc_a, c.doc_b, jaccard FROM cand c JOIN jac USING (doc_a, doc_b) "
+    "WHERE jaccard >= 0.5",
+)(lambda spark, sf_dir: dedup.lsh_verified_pairs(_t(spark, sf_dir, "documents"), threshold=0.5))
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    sums = ", ".join(
+        f"sum(CASE WHEN substring(h, {j+1}, 1) IN {high} THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " || ".join(f"(CASE WHEN b{j} >= 0 THEN '1' ELSE '0' END)" for j in range(bits))
+    return (
+        "WITH e AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents), "
+        "h AS (SELECT doc_id, md5(w) AS h FROM e), "
+        f"s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, {fp} AS simhash FROM s"
+    )
+
+
+register("ns_dedup_simhash", _simhash_sql())(
+    lambda spark, sf_dir: dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+)
+
+# ---------------------------------------------------------------- text
+
+register(
+    "ns_text_tokens",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+    r"CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens "
+    "FROM documents",
+)(
+    lambda spark, sf_dir: text.with_token_counts(_t(spark, sf_dir, "documents"))
+    .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_tokens").cast("long").alias("n_tokens"))
+)
+
+
+_EN = "('the','a','of','and','to')"
+
+register(
+    "ns_text_quality",
+    "WITH t AS (SELECT doc_id, text, length(text) AS n_chars, "
+    " string_split(text, ' ') AS ws FROM documents), "
+    "m AS (SELECT doc_id, n_chars, len(ws) AS n_words, "
+    f" len(list_filter(ws, w -> lower(w) IN {_EN})) AS stop_hits, "
+    " len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS nonalnum FROM t) "
+    "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+    " round((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len, "
+    " round(stop_hits / n_words, 6) AS stopword_ratio, "
+    " round(nonalnum / greatest(n_chars, 1), 6) AS nonalnum_ratio, "
+    " round(least(1.0, n_words / 50.0) * 0.5 "
+    "  + (1.0 - least(1.0, round(nonalnum / greatest(n_chars, 1), 6) * 10)) * 0.3 "
+    "  + least(1.0, round(stop_hits / n_words, 6) * 5) * 0.2, 6) AS quality_score "
+    "FROM m",
+)(
+    lambda spark, sf_dir: text.with_quality_score(_t(spark, sf_dir, "documents"))
+    .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+            "avg_word_len", "stopword_ratio", "nonalnum_ratio", "quality_score")
+)
+
+
+def _langid_sql() -> str:
+    hits = {
+        lang: f"len(list_filter(ws, w -> lower(w) IN ({', '.join(repr(s) for s in stops)})))"
+        for lang, stops in text.STOPWORDS.items()
+    }
+    langs = sorted(text.STOPWORDS)
+    best = f"greatest({', '.join(hits[lang] for lang in langs)})"
+    case = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return (
+        "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents) "
+        f"SELECT doc_id, lang, {case} AS pred_lang FROM t"
+    )
+
+
+register("ns_text_langid", _langid_sql())(
+    lambda spark, sf_dir: text.with_lang_id(_t(spark, sf_dir, "documents"))
+    .select("doc_id", "lang", "pred_lang")
+)
+
+register(
+    "ns_text_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fp_md5, "
+    "substring(md5(lower(trim(text))), 1, 16) AS fp_prefix FROM documents",
+)(
+    lambda spark, sf_dir: text.with_fingerprint(_t(spark, sf_dir, "documents"))
+    .select("doc_id", "fp_md5", "fp_prefix")
+)
+
+# ---------------------------------------------------------------- similarity
+
+_COS = "round(list_cosine_similarity({a}, {b}), 6)"
+
+register(
+    "ns_sim_topk_bruteforce",
+    "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, " + _COS.format(a="embedding::DOUBLE[]", b="qv") + " AS cos_sim "
+    "FROM embeddings, q WHERE vec_id <> 0 ORDER BY cos_sim DESC, vec_id LIMIT 10",
+)(lambda spark, sf_dir: similarity.topk_cosine_bruteforce(_t(spark, sf_dir, "embeddings"), query_id=0, k=10))
+
+
+def _bucket_sql(col: str, bits: int = 8) -> str:
+    return " || ".join(
+        f"(CASE WHEN {col}[{i+1}] >= 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+
+
+register(
+    "ns_sim_topk_lsh",
+    "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    f"{_bucket_sql('embedding', bits=4)} AS bucket FROM embeddings), "
+    "q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0) "
+    "SELECT vec_id, " + _COS.format(a="v", b="qv") + " AS cos_sim "
+    "FROM b, q WHERE vec_id <> 0 AND bucket = qbucket "
+    "ORDER BY cos_sim DESC, vec_id LIMIT 5",
+)(lambda spark, sf_dir: similarity.topk_cosine_lsh(_t(spark, sf_dir, "embeddings"), query_id=0, k=5, bits=4))
+
+
+register(
+    "ns_sim_knn_per_label",
+    "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    "p AS (SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id, "
+    + _COS.format(a="a.v", b="b.v") + " AS cos_sim, "
+    "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+    + _COS.format(a="a.v", b="b.v") + " DESC, b.vec_id) AS rn "
+    "FROM d a JOIN d b ON a.label = b.label AND a.vec_id <> b.vec_id) "
+    "SELECT vec_id, label, nn_vec_id, cos_sim FROM p WHERE rn = 1",
+)(lambda spark, sf_dir: similarity.knn_join_per_label(_t(spark, sf_dir, "embeddings"), k=1))
+
+# ---------------------------------------------------------------- multimodal
+
+
+def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_media_meta(docs)
+
+
+register(
+    "ns_multimodal_meta",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, "
+    "CAST(octet_length(encode(text)) % 256 AS INTEGER) AS fake_width, "
+    "CAST((octet_length(encode(text)) // 256) % 256 AS INTEGER) AS fake_height, "
+    "'fake' AS media_format FROM documents",
+)(_multimodal)

@@ -1,0 +1,74 @@
+"""Multimodal column plumbing (SURVEY.md section 2.9).
+
+Images/audio/video are opaque ``binary`` payload columns plus typed
+metadata. The Spark-side machinery here is real and tested — binary
+columns, Arrow-batched ``mapInPandas`` with an explicit output schema,
+partition-sized batches — while the actual media decoding is stubbed
+(image/audio libraries are not in this environment): ``decode_stub``
+raises NotImplementedError, and ``fake_decode_meta`` derives
+deterministic pseudo-metadata from the raw bytes so the pipeline shape
+is exercisable end-to-end.
+
+At 100 TB: payloads live in parquet binary columns (or object-store
+pointers for >1 MB blobs); decode/resize/frame-sample runs as
+``mapInPandas`` over row groups, so each Python worker sees Arrow
+batches, and the expensive stage scales with partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "doc_id long, n_bytes int, fake_width int, fake_height int, media_format string"
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text",
+                        out: str = "payload") -> DataFrame:
+    """Materialize an opaque binary column (here: utf-8 bytes of the
+    text; in production: the image/audio blob as read by
+    ``spark.read.format('binaryFile')``)."""
+    return df.withColumn(out, F.encode(F.col(text_col), "utf-8"))
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Placeholder for a real media decoder (PIL / torchaudio / PyAV).
+
+    STUB: media libraries are not available in this environment."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in this build"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic fake decode: metadata derived only from the byte
+    length, standing in for (width, height, format) of a real decode."""
+    n = len(payload)
+    return n, n % 256, (n // 256) % 256, "fake"
+
+
+def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """The mapInPandas decode stage: Arrow batches in, metadata rows
+    out. Swapping ``fake_decode_meta`` for a real decoder changes no
+    Spark plumbing — schema, batching, and partitioning are identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf[payload_col].map(fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": meta.map(lambda m: m[0]),
+                    "fake_width": meta.map(lambda m: m[1]),
+                    "fake_height": meta.map(lambda m: m[2]),
+                    "media_format": meta.map(lambda m: m[3]),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, META_SCHEMA)

@@ -1,0 +1,124 @@
+"""Similarity search over an embedding column (SURVEY.md section 2.9).
+
+Three tiers, all DataFrame-native:
+
+- brute-force top-k: broadcast the query vector as a literal, one
+  codegen'd scan computing cosine, TakeOrderedAndProject for top-k.
+  O(n*d) but embarrassingly parallel — the correct baseline, and at
+  100 TB still viable when the query set is small (scan once, score
+  all queries per row);
+- sign-LSH bucketed top-k: an 8-bit random-hyperplane-style bucket
+  (axis-aligned signs — deterministic, engine-portable) prunes the
+  scan to ~1/256 of the corpus before exact scoring. The IVF-style
+  scale path: bucket is a partition key, so a query touches one
+  bucket's partitions only;
+- kNN join per label: exact nearest neighbor within a blocking key
+  (label) via pair-join + window, the verification harness for ANN
+  recall and the shape of a blocked similarity self-join at scale.
+
+Cosines are computed in double with a deterministic left-fold (see
+functions/vectors.py) and rounded to 6 decimals in the emitted column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, cosine_similarity
+
+
+def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id: int) -> DataFrame:
+    return (
+        df.filter(F.col(id_col) == query_id)
+        .select(as_double_array(vec_col).alias("qv"))
+    )
+
+
+def topk_cosine_bruteforce(df: DataFrame, query_id: int, k: int = 10,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine to the row with id ``query_id`` (excluded
+    from results). The 1-row query side is broadcast; ties break on id
+    so results are total-ordered and engine-reproducible."""
+    q = F.broadcast(_query_vector(df, id_col, vec_col, query_id))
+    scored = (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .withColumn("cos_sim", F.round(cosine_similarity(as_double_array(vec_col), F.col("qv")), 6))
+    )
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .select(id_col, "cos_sim")
+        .limit(k)
+    )
+
+
+def sign_bucket(vec: str | F.Column, bits: int = 8) -> F.Column:
+    """Deterministic sign-LSH bucket: one bit per leading dimension
+    (>= 0 -> '1'). Portable to any ANSI engine, so the bucketed plan
+    has an exact oracle."""
+    v = as_double_array(vec)
+    return F.concat(
+        *[
+            F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+
+
+def topk_cosine_lsh(df: DataFrame, query_id: int, k: int = 5, bits: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Bucketed ANN: score only rows whose sign-bucket equals the
+    query's bucket. The bucket predicate prunes before any vector math;
+    at scale, partition (or Z-order) the table by bucket so pruning
+    happens at the file level."""
+    q = F.broadcast(
+        df.filter(F.col(id_col) == query_id).select(
+            as_double_array(vec_col).alias("qv"),
+            sign_bucket(vec_col, bits).alias("qbucket"),
+        )
+    )
+    scored = (
+        df.filter(F.col(id_col) != query_id)
+        .withColumn("bucket", sign_bucket(vec_col, bits))
+        .crossJoin(q)
+        .filter(F.col("bucket") == F.col("qbucket"))
+        .withColumn("cos_sim", F.round(cosine_similarity(as_double_array(vec_col), F.col("qv")), 6))
+    )
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .select(id_col, "cos_sim")
+        .limit(k)
+    )
+
+
+def knn_join_per_label(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", label_col: str = "label",
+                       k: int = 1) -> DataFrame:
+    """Exact k-nearest-neighbor self-join blocked by ``label_col``:
+    within each label, every vector gets its top-k neighbors by cosine.
+    The label is the join key, so the pair space is per-block, not
+    global — the blocked-similarity-join shape used to verify ANN
+    recall at scale."""
+    left = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(label_col).alias("label"),
+        as_double_array(vec_col).alias("a_v"),
+    )
+    right = df.select(
+        F.col(id_col).alias("b_id"),
+        F.col(label_col).alias("label"),
+        as_double_array(vec_col).alias("b_v"),
+    )
+    pairs = (
+        left.join(right, "label")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("a_v"), F.col("b_v")), 6))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("a_id").alias("vec_id"), "label",
+                F.col("b_id").alias("nn_vec_id"), "cos_sim")
+    )

@@ -1,0 +1,100 @@
+"""Text analysis for LLM data pipelines (SURVEY.md section 2.9):
+token counting, quality scoring, language ID, fingerprinting — all
+built from JVM-side string/regex functions so a 100 TB corpus is
+processed inside whole-stage codegen with no Python per row.
+
+Each operator uses only engine-portable primitives (length, regex
+extraction, md5) and deterministic arithmetic, so every derived column
+has an exact ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# minimal stopword sets per language for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+TOKEN_REGEX = r"[a-z0-9]+|[^a-z0-9\s]"  # BPE-ish: runs of alnum or single symbol
+
+
+def _word_array(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace word count + regex token count (a cheap stand-in for
+    BPE tokenization: alphanumeric runs and individual symbols)."""
+    ws = _word_array(text_col)
+    return df.withColumn("n_words", F.size(ws)).withColumn(
+        "n_tokens",
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristics: length, mean word length,
+    stopword ratio, non-alphanumeric ratio, and a composite score in
+    [0, 1]. The formula is arbitrary but fixed — what matters for the
+    pipeline is that it's cheap, monotone in the signals a filter would
+    use, and computed identically everywhere."""
+    ws = _word_array(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(ws)
+    avg_word_len = F.round((n_chars - (n_words - 1)) / n_words, 6)
+    stop_hits = F.size(
+        F.filter(ws, lambda w: F.lower(w).isin(*STOPWORDS["en"]))
+    )
+    stop_ratio = F.round(stop_hits / n_words, 6)
+    nonalnum = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9 ]"), 0))
+    nonalnum_ratio = F.round(nonalnum / F.greatest(n_chars, F.lit(1)), 6)
+    score = F.round(
+        F.least(F.lit(1.0), n_words / F.lit(50.0)) * 0.5
+        + (F.lit(1.0) - F.least(F.lit(1.0), nonalnum_ratio * 10)) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.2,
+        6,
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("nonalnum_ratio", nonalnum_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count stopword hits per language over
+    the word array, predict the argmax (ties break by language code
+    order), 'und' (undetermined) when no list scores > 0."""
+    ws = _word_array(text_col)
+
+    def _hits(stops: list[str]) -> F.Column:
+        # a plain 1-arg lambda: a default-arg binding would change the
+        # higher-order-function arity pyspark infers
+        return F.size(F.filter(ws, lambda w: F.lower(w).isin(*stops)))
+
+    hit_cols = {lang: _hits(stops) for lang, stops in STOPWORDS.items()}
+    langs = sorted(STOPWORDS)  # deterministic tie order
+    best = F.greatest(*[hit_cols[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    return df.withColumn("pred_lang", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-content md5 of the normalized text,
+    plus a 64-bit-style prefix for compact storage/joins. Rolling-hash
+    winnowing reduces to min-over-shingle-hashes — that variant lives
+    in dedup.minhash_signatures."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn(
+        "fp_prefix", F.substring(F.md5(norm), 1, 16)
+    )

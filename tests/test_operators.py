@@ -1,0 +1,124 @@
+"""Semantics tests for the north-star operators (dedup / similarity /
+text / multimodal) on small planted fixtures, independent of the
+driver's DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from agentic_workflow_for_data_transformation_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = "the quick brown fox jumps over the lazy cat and runs far away today"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate of 1
+        (3, near),  # near-duplicate (one word differs)
+        (4, "completely different words about spark engines and data pipelines"),
+        (5, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["text"]: (r["keeper_id"], r["n_copies"]) for r in dedup.exact_dedup_groups(docs).collect()}
+    assert len(out) == 4  # 5 docs, one exact dup
+    dup_text = [t for t, (_, n) in out.items() if n == 2]
+    assert len(dup_text) == 1 and out[dup_text[0]][0] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert 0.5 < pairs[(1, 3)] < 1.0  # one-word-off near dup
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_lsh_candidates_recall(docs):
+    cand = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in cand and (1, 3) in cand and (2, 3) in cand
+    assert (1, 4) not in cand
+
+
+def test_lsh_verified_pipeline(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           dedup.lsh_verified_pairs(docs, threshold=0.5).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_identical_and_near(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+    assert len(fp[1]) == 16 and set(fp[1]) <= {"0", "1"}
+    ham_near = sum(a != b for a, b in zip(fp[1], fp[3]))
+    ham_far = sum(a != b for a, b in zip(fp[1], fp[4]))
+    assert ham_near <= ham_far  # near-dup at most as far as unrelated doc
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 0),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite, other label
+        (4, [0.8, 0.2, 0.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_topk_bruteforce(vectors):
+    out = [(r["vec_id"], r["cos_sim"]) for r in
+           similarity.topk_cosine_bruteforce(vectors, query_id=0, k=2).collect()]
+    assert [v for v, _ in out] == [1, 4]
+    assert out[0][1] > 0.99
+
+
+def test_topk_lsh_prunes_bucket(vectors):
+    out = [r["vec_id"] for r in
+           similarity.topk_cosine_lsh(vectors, query_id=0, k=5, bits=4).collect()]
+    assert 3 not in out  # negative-sign bucket pruned
+    assert out and out[0] == 1
+
+
+def test_knn_per_label(vectors):
+    out = {r["vec_id"]: r["nn_vec_id"] for r in
+           similarity.knn_join_per_label(vectors, k=1).collect()}
+    assert out[0] == 1 and out[1] == 0
+    assert out[3] == 4 and out[4] == 3  # label-1 block only has each other
+
+
+def test_text_operators(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat!"), (2, "der hund und die katze ist da")],
+        ["doc_id", "text"],
+    )
+    toks = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in
+            text.with_token_counts(df).collect()}
+    assert toks[1] == (5, 6)  # '!' is its own token
+    quality = {r["doc_id"]: r for r in text.with_quality_score(df).collect()}
+    assert 0.0 <= quality[1]["quality_score"] <= 1.0
+    assert quality[1]["stopword_ratio"] == 0.6  # the, and, the
+    langs = {r["doc_id"]: r["pred_lang"] for r in text.with_lang_id(df).collect()}
+    assert langs[1] == "en" and langs[2] == "de"
+    fp = {r["doc_id"]: r for r in text.with_fingerprint(df).collect()}
+    assert fp[1]["fp_md5"] != fp[2]["fp_md5"]
+    assert fp[1]["fp_prefix"] == fp[1]["fp_md5"][:16]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "a" * 300)], ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in
+           multimodal.extract_media_meta(multimodal.with_binary_payload(df)).collect()}
+    assert out[1]["n_bytes"] == 3 and out[1]["fake_width"] == 3 and out[1]["fake_height"] == 0
+    assert out[2]["n_bytes"] == 300 and out[2]["fake_width"] == 44 and out[2]["fake_height"] == 1
+    assert out[1]["media_format"] == "fake"
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x89PNG")
