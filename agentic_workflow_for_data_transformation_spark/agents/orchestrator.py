@@ -1,0 +1,268 @@
+"""Agentic orchestration layer: planner -> executor -> critic, on the
+driver, outside Spark (BASELINE.json: "Spark DataFrame transformations
+orchestrated by external agent").
+
+Shape and contracts follow the reference workflow
+(reference agentic_workflow_transformation.py):
+
+- planner_agent (:31-53): NL description -> plan. There the plan is
+  prose and a second LLM call emits pandas code that gets exec'd
+  (:57-101, :129). Here the plan IS the program: a validated spec
+  (plans/spec.py), produced by the deterministic grammar first and an
+  optional LLM (emitting the same spec JSON) only as a fallback for
+  descriptions outside the grammar. Nothing is ever exec'd.
+- execution_agent (:105-154): compile the spec, run on Spark, write a
+  uniquely-named CSV (same transform_{slug}_{stamp} naming, :114-118),
+  empty results still produce a header-only file (AGENTIC_WORKFLOW.md:87).
+- critic_agent (:157-255): the reference asks an LLM YES/NO and with no
+  LLM accepts blindly (:175-177). Here validation is deterministic:
+  schema check + zero-predicate-violation check + row-count
+  cross-check, with the same MAX_RETRIES = 2 budget (:159). An LLM
+  critic can be layered on top but is never required.
+- LLM degradation policy (G8, :9-12): every stage works with no LLM at
+  all — and unlike the reference (whose offline path degenerates to an
+  identity transform), the deterministic path runs the full eval corpus.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..plans import compile_spec, parse_description, validate_spec
+from ..plans.parser import ParseError
+from ..plans.spec import SpecError
+from ..sources import read_csv, unique_output_path, write_csv_single
+
+MAX_RETRIES = 2  # same budget as the reference (:159)
+
+# An LLM client is just a callable prompt -> response; None = offline.
+LLMClient = Callable[[str], str]
+
+
+@dataclass
+class TransformState:
+    """Workflow state (reference TransformState TypedDict, :15-21),
+    with the free-text plan/code fields replaced by the typed spec."""
+
+    description: str
+    spec: dict | None = None
+    output_path: str | None = None
+    row_count: int | None = None
+    attempts: int = 0
+    valid: bool = False
+    messages: list[str] = field(default_factory=list)
+
+
+_SPEC_PROMPT = """You translate a natural-language data transformation into a JSON spec.
+The spec is {{"ops": [...]}} with ops: filter(expr), select(cols),
+with_column(name, expr), rename(renames), drop(cols), sort(keys),
+limit(n), groupby_agg(keys, aggs, having). Expressions are nested
+1-key dicts: col/lit/gt/ge/lt/le/eq/ne/between/isin/startswith/contains/
+and/or/not. Reply with ONLY the JSON.
+
+Columns available: {columns}
+Description: {description}
+"""
+
+
+def planner_agent(
+    description: str,
+    columns: list[str] | None = None,
+    llm: LLMClient | None = None,
+) -> dict:
+    """NL -> spec. Deterministic grammar first; optional LLM fallback
+    emits the same spec JSON (validated before use, never executed)."""
+    try:
+        return parse_description(description, columns=columns)
+    except ParseError:
+        if llm is None:
+            raise
+    raw = llm(_SPEC_PROMPT.format(columns=columns, description=description))
+    # tolerate markdown fences around the JSON (reference strips fences
+    # the same way for generated code, :79-81)
+    raw = raw.strip()
+    if raw.startswith("```"):
+        raw = raw.strip("`")
+        raw = raw.split("\n", 1)[1] if "\n" in raw else raw
+        if raw.endswith("json"):
+            raw = raw[: -len("json")]
+    return validate_spec(json.loads(raw))
+
+
+def execution_agent(
+    df: DataFrame, spec: dict, description: str, out_dir: str | Path
+) -> tuple[str, int]:
+    """Compile and run the spec; write the uniquely-named CSV sink.
+    Returns (output_path, row_count)."""
+    result = compile_spec(df, spec)
+    path = unique_output_path(out_dir, description)
+    write_csv_single(result, path)
+    # count from the written file's frame to match what the critic sees
+    n = sum(1 for _ in open(path)) - 1
+    return str(path), max(n, 0)
+
+
+def _filter_exprs_on_output(spec: dict) -> list[dict]:
+    """Filter expressions still checkable on the *output* schema: walk
+    ops in order, tracking renames/drops/selects; keep filters whose
+    referenced columns survive to the end."""
+
+    def expr_cols(e, acc: set[str]) -> set[str]:
+        if isinstance(e, str):  # bare string in expr position = column ref
+            acc.add(e)
+            return acc
+        if not isinstance(e, dict):
+            return acc
+        [(op, args)] = e.items()
+        if op == "col":
+            acc.add(args)
+        elif op == "lit":
+            pass
+        elif op in ("not", "is_null", "is_not_null"):
+            expr_cols(args, acc)
+        elif op in ("isin", "startswith", "contains", "round", "cast"):
+            expr_cols(args[0], acc)  # remaining args are raw values
+        else:  # compares, arithmetic, between, and, or: all args are exprs
+            for a in args:
+                expr_cols(a, acc)
+        return acc
+
+    kept: list[tuple[dict, set[str]]] = []
+    renames_total: dict[str, str] = {}
+    dropped: set[str] = set()
+    selected: set[str] | None = None
+    for op in spec["ops"]:
+        kind = op["op"]
+        if kind == "filter":
+            kept.append((op["expr"], expr_cols(op["expr"], set())))
+        elif kind == "rename":
+            renames_total.update(op["renames"])
+        elif kind == "drop":
+            dropped.update(op["cols"])
+        elif kind == "select":
+            selected = set(op["cols"])
+        elif kind == "groupby_agg":
+            selected = set(op["keys"]) | {a["alias"] for a in op["aggs"]}
+    out: list[dict] = []
+    for expr, cols in kept:
+        cols = {renames_total.get(c, c) for c in cols}
+        if cols & dropped:
+            continue
+        if selected is not None and not cols <= selected:
+            continue
+        if any(c in renames_total for c in cols):
+            continue  # renamed columns would need expr rewriting; skip
+        out.append(expr)
+    return out
+
+
+def critic_agent(
+    spark: SparkSession,
+    df: DataFrame,
+    spec: dict,
+    output_path: str,
+    llm: LLMClient | None = None,
+) -> tuple[bool, str]:
+    """Deterministic validation (replacing the reference's LLM YES/NO,
+    :179-193): (a) output schema == compiled schema; (b) zero rows in
+    the output violate any still-checkable filter predicate; (c) output
+    row count == recomputed count. The optional LLM verdict is advisory
+    only — it can veto, never approve a failed deterministic check."""
+    from ..plans.compile import compile_expr
+
+    result = compile_spec(df, spec)
+    expected_cols = result.columns
+    out_df = read_csv(spark, output_path)
+    if out_df.columns != expected_cols:
+        return False, f"schema mismatch: {out_df.columns} != {expected_cols}"
+    expected_n = result.count()
+    actual_n = out_df.count()
+    if actual_n != expected_n:
+        return False, f"row count mismatch: output {actual_n} != recomputed {expected_n}"
+    for expr in _filter_exprs_on_output(spec):
+        violations = out_df.filter(~compile_expr(expr)).count()
+        if violations:
+            return False, f"{violations} rows violate predicate {expr}"
+    if llm is not None:
+        verdict = llm(
+            "First line strictly YES or NO: does this output satisfy the plan?\n"
+            f"plan: {json.dumps(spec)}\nsample: {out_df.limit(5).toPandas().to_csv(index=False)}"
+        )
+        if verdict.strip().upper().startswith("NO"):
+            return False, f"llm critic rejected: {verdict.splitlines()[0]}"
+    return True, "ok"
+
+
+def run_transform(
+    spark: SparkSession,
+    df: DataFrame,
+    description: str,
+    out_dir: str | Path = ".",
+    llm: LLMClient | None = None,
+    max_retries: int = MAX_RETRIES,
+) -> TransformState:
+    """The linear pipeline (reference graph :271-285 is linear too):
+    plan -> execute -> validate, with the critic's retry loop
+    re-planning on failure, budget ``max_retries`` (:159)."""
+    state = TransformState(description=description)
+    feedback: str | None = None
+    for attempt in range(1 + max_retries):
+        state.attempts = attempt + 1
+        desc = description if feedback is None else f"{description}\n(previous attempt failed: {feedback})"
+        try:
+            state.spec = planner_agent(desc, columns=df.columns, llm=llm)
+            state.output_path, state.row_count = execution_agent(
+                df, state.spec, description, out_dir
+            )
+            ok, reason = critic_agent(spark, df, state.spec, state.output_path, llm=llm)
+        except (ParseError, SpecError, json.JSONDecodeError) as e:
+            state.messages.append(f"attempt {attempt + 1}: planning failed: {e}")
+            if llm is None:
+                raise  # deterministic path: retrying identical input is pointless
+            feedback = str(e)
+            continue
+        state.messages.append(f"attempt {attempt + 1}: {reason}")
+        if ok:
+            state.valid = True
+            return state
+        feedback = reason
+    return state
+
+
+def run_eval(
+    spark: SparkSession,
+    df: DataFrame,
+    descriptions: list[str],
+    out_dir: str | Path = ".",
+    llm: LLMClient | None = None,
+) -> list[dict]:
+    """The reference's eval harness (G6, :333-397): run every
+    description, record {id, description, actual_rows, pass,
+    output_path}, write eval_results.csv. Failures are per-query."""
+    results = []
+    for i, desc in enumerate(descriptions, start=1):
+        try:
+            st = run_transform(spark, df, desc, out_dir=out_dir, llm=llm)
+            results.append(
+                {
+                    "id": i,
+                    "description": desc,
+                    "actual_rows": st.row_count or 0,
+                    "pass": bool(st.valid),
+                    "output_path": st.output_path,
+                }
+            )
+        except Exception as e:  # one bad query must not abort the suite (:379-383)
+            results.append(
+                {"id": i, "description": desc, "actual_rows": 0, "pass": False,
+                 "output_path": None, "error": f"{type(e).__name__}: {e}"}
+            )
+    import pandas as pd
+
+    pd.DataFrame(results).to_csv(Path(out_dir) / "eval_results.csv", index=False)
+    return results

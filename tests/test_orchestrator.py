@@ -1,0 +1,86 @@
+"""Tests for the agentic orchestration layer: planner/executor/critic,
+retry loop, LLM fallback path (with a fake LLM), and the eval harness."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from agentic_workflow_for_data_transformation_spark.agents import (
+    critic_agent,
+    planner_agent,
+    run_eval,
+    run_transform,
+)
+from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+
+def test_run_transform_deterministic(spark, people, tmp_path):
+    st = run_transform(
+        spark, people, "Filter rows where age > 30 and select columns name and age.",
+        out_dir=tmp_path,
+    )
+    assert st.valid and st.row_count == 7 and st.attempts == 1
+    header = open(st.output_path).readline().strip()
+    assert header == "name,age"
+
+
+def test_run_transform_empty_result(spark, people, tmp_path):
+    st = run_transform(spark, people, "Filter rows where age > 100", out_dir=tmp_path)
+    assert st.valid and st.row_count == 0
+    assert open(st.output_path).read().strip() == "name,age,city"
+
+
+def test_planner_llm_fallback(spark, people):
+    spec_json = json.dumps(
+        {"ops": [{"op": "filter", "expr": {"gt": ["age", 40]}}]}
+    )
+    calls = []
+
+    def fake_llm(prompt: str) -> str:
+        calls.append(prompt)
+        return f"```json\n{spec_json}\n```"
+
+    spec = planner_agent("keep only the elderly people", columns=people.columns, llm=fake_llm)
+    assert spec["ops"][0]["expr"] == {"gt": ["age", 40]}
+    assert len(calls) == 1 and "keep only the elderly" in calls[0]
+
+
+def test_planner_offline_raises_outside_grammar(people):
+    with pytest.raises(ParseError):
+        planner_agent("summon a dashboard", columns=people.columns)
+
+
+def test_critic_catches_wrong_output(spark, people, tmp_path):
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    spec = parse_description("Filter rows where age > 30")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("name,age,city\nAlice,25,New York\n")  # violates age > 30
+    ok, reason = critic_agent(spark, people, spec, str(bad))
+    assert not ok
+    assert "mismatch" in reason or "violate" in reason
+
+
+def test_llm_critic_can_veto_but_not_override(spark, people, tmp_path):
+    naysayer = lambda prompt: "NO\nbecause I said so"  # noqa: E731
+    st = run_transform(
+        spark, people, "Filter rows where age > 30", out_dir=tmp_path,
+        llm=None, max_retries=0,
+    )
+    assert st.valid  # deterministic path unaffected by any LLM
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    spec = parse_description("Filter rows where age > 30")
+    ok, reason = critic_agent(spark, people, spec, st.output_path, llm=naysayer)
+    assert not ok and "llm critic rejected" in reason
+
+
+def test_run_eval_full_corpus(spark, people, tmp_path):
+    from agentic_workflow_for_data_transformation_spark.cli import EVAL_DESCRIPTIONS
+
+    results = run_eval(spark, people, EVAL_DESCRIPTIONS, out_dir=tmp_path)
+    assert len(results) == 20
+    assert all(r["pass"] for r in results), [r for r in results if not r["pass"]]
+    assert (tmp_path / "eval_results.csv").exists()
