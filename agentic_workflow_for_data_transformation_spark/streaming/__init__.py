@@ -1,0 +1,15 @@
+from .events import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    windowed_event_aggregate,
+    sessionized_event_aggregate,
+    run_stream_to_memory,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "windowed_event_aggregate",
+    "sessionized_event_aggregate",
+    "run_stream_to_memory",
+]

@@ -1,0 +1,104 @@
+"""Structured Streaming over the events table (SURVEY.md section 2.6:
+the reference has no streaming at all — this is north-star surface).
+
+The same logical plan as the batch time-bucket aggregate
+(benchqueries.x_time_bucket_agg) runs incrementally: watermark bounds
+state, tumbling/session windows aggregate, and the memory sink +
+``processAllAvailable`` lets a finite parquet directory drive the query
+to completion synchronously in tests. In production the source becomes
+Kafka and the sink a Delta/parquet table via ``foreachBatch`` —
+everything between them is unchanged.
+
+Scale design: state size is (watermark horizon / window) x
+cardinality(event_type); the watermark is what makes 100 TB/day of
+events processable — late data beyond 10 minutes is dropped instead of
+kept as unbounded state.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# file-stream sources need an explicit schema (no inference pass);
+# ts is int64 nanoseconds on disk (see sources/io.py read_events)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet, with the same
+    nanos->micros timestamp derivation as the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources require a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(str(Path(sf_dir)))
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_aggregate(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with a watermark: the
+    streaming twin of the batch x_time_bucket_agg query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionized_event_aggregate(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Stateful with dynamic windows — the built-in
+    session_window keeps state per (user, open session) only."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "append"):
+    """Run a (finite) streaming query to completion into an in-memory
+    table; returns the StreamingQuery (stopped). Results are then
+    ``spark.table(name)``."""
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

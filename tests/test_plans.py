@@ -1,0 +1,71 @@
+"""Physical-plan quality gates: these assert the *plan*, not the
+result — the properties that decide whether a query survives a 100x
+scale-up (filter pushdown to the scan, column pruning, broadcast joins
+for small dims, TakeOrderedAndProject for top-k, whole-stage codegen,
+partial aggregation)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from agentic_workflow_for_data_transformation_spark.benchqueries import queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(spark, name: str) -> str:
+    df = queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushes_down_to_scan(spark):
+    plan = plan_of(spark, "p01_filter_gt_project")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: the scan must read only the 3 projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
+
+
+def test_string_predicate_pushdown(spark):
+    plan = plan_of(spark, "p07_startswith")
+    assert "StringStartsWith(p_name,red)" in plan
+
+
+def test_topk_plans_as_take_ordered(spark):
+    # sort+limit must NOT be a global sort: TakeOrderedAndProject keeps
+    # per-partition heaps and merges k rows — O(n) scan, no shuffle of n
+    plan = plan_of(spark, "p04_sort_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "x_join_star_broadcast")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle for the join
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = plan_of(spark, "p20_tpch_q1")
+    # map-side partial aggregation: the shuffle carries one row per
+    # (group x partition), not the raw table
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "HashAggregate" in plan
+
+
+def test_whole_stage_codegen_covers_scan_filter(spark):
+    plan = plan_of(spark, "p01_filter_gt_project")
+    # '*(n)' prefixes mark WholeStageCodegen stages in the compact form
+    assert "*(1) Filter" in plan or "WholeStageCodegen" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "x_join_semi")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", ["ns_sim_topk_bruteforce", "ns_sim_topk_lsh"])
+def test_similarity_topk_no_global_sort(spark, name):
+    plan = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,57 @@
+"""Streaming tests: a finite parquet-backed stream driven to completion
+against the memory sink, cross-checked against the batch plan on the
+same data (stream/batch parity is the correctness bar for the
+incremental engine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agentic_workflow_for_data_transformation_spark.streaming import (
+    read_events_stream,
+    sessionized_event_aggregate,
+    windowed_event_aggregate,
+    run_stream_to_memory,
+)
+
+
+def test_windowed_stream_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    agg = windowed_event_aggregate(stream)
+    # append mode emits only watermark-closed windows; with a finite
+    # file source the final watermark closes all but the last windows,
+    # so compare through 'complete'-mode totals instead.
+    run_stream_to_memory(agg, "win_out", mode="complete")
+    got = {
+        (r["w_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("win_out").collect()
+    }
+
+    from agentic_workflow_for_data_transformation_spark.benchqueries import queries
+
+    batch = {
+        (r["w_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in queries()["x_time_bucket_agg"](spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
+def test_sessionized_stream_runs(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = sessionized_event_aggregate(stream, gap="30 minutes")
+    run_stream_to_memory(agg, "sess_out", mode="complete")
+    out = spark.table("sess_out")
+    assert out.count() > 0
+    bad = out.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+    # sessions per user don't overlap
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    overlaps = (
+        out.withColumn("prev_end", F.lag("session_end").over(w))
+        .filter(F.col("prev_end") > F.col("session_start"))
+        .count()
+    )
+    assert overlaps == 0
