@@ -25,6 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import joins
 from .plans import compile_spec, parse_description
 from .sources import read_events, read_parquet_table
 
@@ -408,6 +409,208 @@ def x_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "x_intersect",
+    "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer "
+    "INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier",
+)
+def x_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "x_except",
+    "SELECT o_orderkey FROM orders EXCEPT SELECT l_orderkey FROM lineitem",
+)
+def x_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with no lineitems: EXCEPT (distinct set semantics) —
+    plans as a left-anti hash join on the key."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey"))
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return o.distinct().exceptAll(li.distinct())
+
+
+@register(
+    "x_rollup",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "COUNT(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: rollup plans as a single
+    expand+aggregate, not one job per level."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "x_count_distinct",
+    "SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations FROM customer GROUP BY c_mktsegment",
+)
+def x_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_nationkey").alias("n_nations"))
+    )
+
+
+@register("x_approx_count_distinct", None)  # approximate: rows-only check
+def x_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count: the 100 TB path when exactness
+    isn't required — no per-key shuffle of distinct values, just
+    mergeable sketches (no exact SQL oracle by construction)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"))
+    )
+
+
+@register(
+    "x_window_lag_running",
+    "SELECT o_custkey, o_orderkey, "
+    "lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend "
+    "FROM orders",
+)
+def x_window_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window pair: lag + running sum share one window sort,
+    so Catalyst evaluates both in a single Window node (one shuffle on
+    o_custkey)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "x_join_asof",
+    "WITH v AS (SELECT user_id, ts, max(event_id) AS view_event_id FROM events "
+    " WHERE event_type = 'view' GROUP BY user_id, ts), "
+    "p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') "
+    "SELECT p.user_id, p.ts, p.event_id, v.ts AS asof_ts, v.view_event_id AS asof_view_event_id "
+    "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts",
+)
+def x_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    view at-or-before it (union + running-last, one shuffle on
+    user_id — see operators/joins.py). The right side is pre-aggregated
+    to unique (user, ts) so ties are well-defined in every engine."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return joins.asof_join(purchases, views, on="user_id", right_cols=["view_event_id"])
+
+
+@register(
+    "x_join_range",
+    "WITH tiers(tier, lo, hi) AS (VALUES ('low', 1.0, 16.0), ('mid', 17.0, 33.0), ('high', 34.0, 50.0)) "
+    "SELECT tier, count(*) AS n, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem JOIN tiers ON l_quantity BETWEEN lo AND hi GROUP BY tier",
+)
+def x_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a broadcast interval dim: the fact table
+    streams through a BroadcastNestedLoopJoin (|dim|=3), no shuffle
+    until the 3-group aggregate."""
+    tiers = spark.createDataFrame(
+        [("low", 1.0, 16.0), ("mid", 17.0, 33.0), ("high", 34.0, 50.0)],
+        "tier string, lo double, hi double",
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    return (
+        joins.range_join(li, tiers, "l_quantity")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "x_tpch_q3",
+    "SELECT l_orderkey, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "o_orderdate "
+    "FROM customer, orders, lineitem "
+    "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00' AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+)
+def x_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (no o_shippriority in this schema): segment
+    filter pushes into the customer scan, both join keys shuffle
+    hash-join (AQE may demote the filtered customer side to broadcast
+    at runtime), top-10 is TakeOrderedAndProject."""
+    cutoff = F.lit("1996-06-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "x_tpch_q6",
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24",
+)
+def x_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate
+    pushes to the parquet scan, result is a single global sum —
+    scan-bound at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.02, 0.04))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
     )
 
 

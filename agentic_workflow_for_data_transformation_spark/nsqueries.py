@@ -200,6 +200,42 @@ register(
 
 
 register(
+    "ns_dedup_embedding_cosine",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"b AS (SELECT vec_id, v, {_bucket_sql('v', bits=4)} AS bucket FROM d) "
+    "SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, "
+    + _COS.format(a="x.v", b="y.v") + " AS cos_sim "
+    "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id "
+    "WHERE " + _COS.format(a="x.v", b="y.v") + " >= 0.4",
+)(
+    lambda spark, sf_dir: similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits=4
+    )
+)
+
+
+register(
+    "ns_sim_topk_ivf",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "c AS (SELECT vec_id AS cent_id, v AS cv FROM d WHERE vec_id < 8), "
+    "a AS (SELECT vec_id, v, cent_id, "
+    "  row_number() OVER (PARTITION BY vec_id ORDER BY "
+    + _COS.format(a="v", b="cv") + " DESC, cent_id) AS rn FROM d, c), "
+    "cells AS (SELECT vec_id, v, cent_id AS cell FROM a WHERE rn = 1), "
+    "q AS (SELECT v AS qv FROM d WHERE vec_id = 0), "
+    "probe AS (SELECT cent_id AS probe_cell, qv FROM c, q "
+    "  ORDER BY " + _COS.format(a="qv", b="cv") + " DESC, cent_id LIMIT 2) "
+    "SELECT vec_id, cell, " + _COS.format(a="v", b="qv") + " AS cos_sim "
+    "FROM cells JOIN probe ON cell = probe_cell WHERE vec_id <> 0 "
+    "ORDER BY cos_sim DESC, vec_id LIMIT 5",
+)(
+    lambda spark, sf_dir: similarity.topk_cosine_ivf(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=5, n_centroids=8, n_probe=2
+    )
+)
+
+
+register(
     "ns_sim_knn_per_label",
     "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
     "p AS (SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id, "

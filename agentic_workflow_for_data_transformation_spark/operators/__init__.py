@@ -1,3 +1,3 @@
-from . import dedup, similarity, text, multimodal
+from . import dedup, joins, similarity, text, multimodal
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "joins", "similarity", "text", "multimodal"]

@@ -1,0 +1,91 @@
+"""Temporal join operators the reference lacks (SURVEY.md section 2.6
+reserves the vocabulary): as-of join and range join, both built from
+shuffle-aware DataFrame primitives.
+
+As-of join uses the union + running-last trick instead of a pairwise
+join: tag both sides, union them, and within each key take the most
+recent right-side value at or before each left row via
+``last(ignorenulls=True)`` over an ordered window. One shuffle on the
+key, zero pair explosion — at 100 TB this is the only shape that
+works (a ts-inequality join would be a near-cross-product per key).
+
+Range join joins a fact against a small interval dimension with a
+BETWEEN predicate; the dim is broadcast so the fact never shuffles —
+Spark plans BroadcastNestedLoopJoin, which is O(n * |dim|) with |dim|
+tiny and constant.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+) -> DataFrame:
+    """For every left row, attach the right row's columns with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
+    (same-timestamp right rows match). Left rows with no prior right
+    row keep nulls.
+
+    Output: all left columns, plus ``asof_ts`` (matched right
+    timestamp) and each requested right column as ``asof_<name>``.
+    """
+    pass_cols = [c for c in left.columns if c not in (on, left_ts)]
+    asof_cols = ["asof_ts", *[f"asof_{c}" for c in right_cols]]
+
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("asof_ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+        *pass_cols,
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("asof_ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in pass_cols],
+    )
+    # right rows sort before left rows at equal ts (_side 0 < 1), so a
+    # same-ts right row is visible to the left row's running last().
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        on,
+        "_ts",
+        "_side",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in asof_cols],
+        *pass_cols,
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        on, F.col("_ts").alias(left_ts), *pass_cols, *asof_cols
+    )
+
+
+def range_join(fact: DataFrame, dim: DataFrame, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi") -> DataFrame:
+    """Join ``fact`` to every ``dim`` row whose [lo, hi] interval
+    contains ``fact[value_col]`` (inclusive). The dim is broadcast —
+    the fact side streams through without shuffling."""
+    return fact.join(
+        F.broadcast(dim),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col)),
+    )

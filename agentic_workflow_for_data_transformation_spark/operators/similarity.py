@@ -92,6 +92,85 @@ def topk_cosine_lsh(df: DataFrame, query_id: int, k: int = 5, bits: int = 8,
     )
 
 
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4, bits: int = 4,
+                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: the dedup family's vector
+    tier (exact/MinHash/SimHash handle text; this handles embeddings).
+    Bucket by sign-LSH, self-join within bucket only, keep pairs with
+    cosine >= threshold. The bucket equi-join keeps the pair space
+    O(sum of bucket^2) instead of O(n^2) — the same LSH-first shape as
+    MinHash dedup, so it scales the same way; at 100 TB, partition the
+    table by bucket so each pair-block is co-located."""
+    b = df.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("v"),
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("x.v"), F.col("y.v")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"x.{id_col}").alias("vec_a"),
+            F.col(f"y.{id_col}").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+
+
+def topk_cosine_ivf(df: DataFrame, query_id: int, k: int = 5,
+                    n_centroids: int = 8, n_probe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists by
+    nearest centroid, then score only the lists nearest the query.
+
+    Centroids are the ``n_centroids`` lowest-id vectors (deterministic
+    seed sampling — engine-portable, unlike iterated k-means; a real
+    deployment would refine them offline and broadcast the result, the
+    query-time plan is identical). Assignment is one broadcast
+    cross-join + window argmax; the probe prunes the exact scan to
+    ~n_probe/n_centroids of the corpus. At scale, write the table
+    partitioned by ``cell`` so a probe is file-level pruning."""
+    cents = F.broadcast(
+        df.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), as_double_array(vec_col).alias("cv")
+        )
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    assigned = (
+        df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .crossJoin(cents)
+        .withColumn("cent_sim", F.round(cosine_similarity(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", F.col("cent_id").alias("cell"))
+    )
+    probe = F.broadcast(
+        df.filter(F.col(id_col) == query_id)
+        .select(as_double_array(vec_col).alias("qv"))
+        .crossJoin(cents)
+        .withColumn("cent_sim", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
+        .limit(n_probe)
+        .select(F.col("cent_id").alias("probe_cell"), "qv")
+    )
+    return (
+        assigned.join(probe, assigned.cell == probe.probe_cell)
+        .filter(F.col(id_col) != query_id)
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("v"), F.col("qv")), 6))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .select(id_col, "cell", "cos_sim")
+        .limit(k)
+    )
+
+
 def knn_join_per_label(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", label_col: str = "label",
                        k: int = 1) -> DataFrame:

@@ -3,6 +3,7 @@ from .events import (
     read_events_stream,
     windowed_event_aggregate,
     sessionized_event_aggregate,
+    stateful_user_totals,
     run_stream_to_memory,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "read_events_stream",
     "windowed_event_aggregate",
     "sessionized_event_aggregate",
+    "stateful_user_totals",
     "run_stream_to_memory",
 ]

@@ -89,6 +89,41 @@ def sessionized_event_aggregate(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and value total, emitted as an update whenever
+    the user appears in a micro-batch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregates can't express (arbitrary per-key accumulators, custom
+    eviction). State is one (long, double) pair per user — bounded by
+    user cardinality, not event volume; at 100 TB/day the state store
+    shards by the groupBy key across executors, and a production run
+    would add a timeout (GroupStateTimeout.ProcessingTimeTimeout) to
+    expire idle users instead of NoTimeout."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "append"):
     """Run a (finite) streaming query to completion into an in-memory
     table; returns the StreamingQuery (stopped). Results are then

@@ -1,0 +1,86 @@
+"""Semantic tests for the temporal joins (as-of, range) and the new
+vector operators (IVF top-k, embedding near-dup) on small hand-built
+frames where the expected answer is checkable by eye. The sf0.01
+DuckDB oracle (tools/check_oracle.py) covers them at data scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agentic_workflow_for_data_transformation_spark.operators import joins, similarity
+
+
+def _ts(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_join_matches_most_recent_at_or_before(spark):
+    left = _ts(
+        spark,
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c")],
+        "k long, ts long, tag string",
+    )
+    right = _ts(
+        spark,
+        [(1, 100, 10.0), (1, 200, 20.0), (1, 300, 30.0), (3, 1, 99.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["asof_v"])
+        for r in joins.asof_join(left, right, on="k", right_cols=["v"]).collect()
+    }
+    # same-ts right row matches; most recent prior wins; no match -> nulls
+    assert out[(1, 100)] == (100, 10.0)
+    assert out[(1, 205)] == (200, 20.0)
+    assert out[(2, 50)] == (None, None)
+
+
+def test_asof_join_keeps_all_left_rows_and_columns(spark):
+    left = _ts(spark, [(1, 5, "x")], "k long, ts long, tag string")
+    right = _ts(spark, [(1, 1, 7.0)], "k long, ts long, v double")
+    out = joins.asof_join(left, right, on="k", right_cols=["v"])
+    assert set(out.columns) == {"k", "ts", "tag", "asof_ts", "asof_v"}
+    assert out.count() == 1
+
+
+def test_range_join_inclusive_bounds(spark):
+    fact = _ts(spark, [(1,), (16,), (17,), (50,), (51,)], "x long")
+    dim = _ts(spark, [("lo", 1, 16), ("hi", 17, 50)], "tier string, lo long, hi long")
+    got = {
+        (r["x"], r["tier"])
+        for r in joins.range_join(fact, dim, "x").collect()
+    }
+    assert got == {(1, "lo"), (16, "lo"), (17, "hi"), (50, "hi")}
+
+
+def test_embedding_neardup_finds_planted_duplicate(spark):
+    rows = [
+        (0, [1.0, 0.0, 1.0, 0.5]),
+        (1, [1.0, 0.01, 1.0, 0.5]),   # near-dup of 0, same sign bucket
+        (2, [-1.0, 0.5, -1.0, 0.5]),  # different bucket
+    ]
+    df = _ts(spark, rows, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_neardup_pairs(df, threshold=0.95, bits=4).collect()
+    assert [(p["vec_a"], p["vec_b"]) for p in pairs] == [(0, 1)]
+    assert pairs[0]["cos_sim"] > 0.99
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_all_cells(spark, sf_dir):
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    # probing every cell makes IVF exact -> must equal brute force
+    ivf = similarity.topk_cosine_ivf(emb, query_id=0, k=5, n_centroids=4, n_probe=4)
+    bf = similarity.topk_cosine_bruteforce(emb, query_id=0, k=5)
+    assert [(r["vec_id"], r["cos_sim"]) for r in ivf.collect()] == [
+        (r["vec_id"], r["cos_sim"]) for r in bf.collect()
+    ]
+
+
+def test_ivf_probe_prunes_cells(spark, sf_dir):
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    out = similarity.topk_cosine_ivf(emb, query_id=0, k=5, n_centroids=8, n_probe=2)
+    cells = {r["cell"] for r in out.collect()}
+    assert len(cells) <= 2  # results come only from probed cells

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from agentic_workflow_for_data_transformation_spark.streaming import (
     read_events_stream,
     sessionized_event_aggregate,
+    stateful_user_totals,
     windowed_event_aggregate,
     run_stream_to_memory,
 )
@@ -55,3 +56,34 @@ def test_sessionized_stream_runs(spark, sf_dir):
         .count()
     )
     assert overlaps == 0
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    """applyInPandasWithState running totals: the last update emitted
+    per user must equal the batch groupBy on the same data."""
+    from pyspark.sql import Window
+
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(stateful_user_totals(stream), "state_out", mode="update")
+    # update mode appends one row per (user, micro-batch); keep the
+    # final (largest n_events) row per user
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        spark.table("state_out")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
+
+    from agentic_workflow_for_data_transformation_spark.sources import read_events
+
+    batch = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+    )
+    want = {r["user_id"]: (r["n"], r["tv"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid, (n, tv) in want.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - tv) < 1e-6
