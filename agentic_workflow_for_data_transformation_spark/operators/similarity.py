@@ -1,50 +1,71 @@
 """Similarity search over an embedding column (SURVEY.md section 2.9).
 
-Three tiers, all DataFrame-native:
+Tiers, all DataFrame-native:
 
 - brute-force top-k: broadcast the query vector as a literal, one
-  codegen'd scan computing cosine, TakeOrderedAndProject for top-k.
-  O(n*d) but embarrassingly parallel — the correct baseline, and at
-  100 TB still viable when the query set is small (scan once, score
-  all queries per row);
-- sign-LSH bucketed top-k: an 8-bit random-hyperplane-style bucket
-  (axis-aligned signs — deterministic, engine-portable) prunes the
-  scan to ~1/256 of the corpus before exact scoring. The IVF-style
-  scale path: bucket is a partition key, so a query touches one
-  bucket's partitions only;
-- kNN join per label: exact nearest neighbor within a blocking key
-  (label) via pair-join + window, the verification harness for ANN
-  recall and the shape of a blocked similarity self-join at scale.
+  scan computing cosine, TakeOrderedAndProject for top-k. O(n*d) but
+  embarrassingly parallel — the correct baseline, and at 100 TB still
+  viable when the query set is small (scan once, score all queries
+  per row);
+- sign-LSH bucketed top-k: a bit-per-dimension sign bucket
+  (deterministic, engine-portable) prunes the scan before exact
+  scoring;
+- IVF top-k: inverted lists by nearest centroid, probe the closest
+  lists only — the partition-pruning scale path;
+- embedding near-dup pairs: the dedup family's vector tier (bucketed
+  self-join, cosine threshold);
+- kNN join per label: exact nearest neighbor within a blocking key,
+  the verification harness for ANN recall.
 
-Cosines are computed in double with a deterministic left-fold (see
-functions/vectors.py) and rounded to 6 decimals in the emitted column.
+Every pairwise stage precomputes each row's L2 norm once and computes
+cosine as dot/(norm_a*norm_b) — one interpreted fold per pair instead
+of three (see functions/vectors.py for the measured cost model).
+Cosines are rounded to 6 decimals in the emitted column; ties break
+on id so results are total-ordered and engine-reproducible.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double_array, cosine_similarity
+from ..functions.vectors import (
+    as_double_array,
+    cosine_from_parts,
+    l2_norm,
+    probe_dim,
+)
 
 
-def _query_vector(df: DataFrame, id_col: str, vec_col: str, query_id: int) -> DataFrame:
-    return (
-        df.filter(F.col(id_col) == query_id)
-        .select(as_double_array(vec_col).alias("qv"))
+def _vec_norm(df: DataFrame, id_col: str, vec_col: str, dim: int,
+              extra_cols: list[str] | None = None) -> DataFrame:
+    """Project (id, v, nrm [, extras]): the double vector and its L2
+    norm, computed once per row before any pairwise work."""
+    return df.select(
+        F.col(id_col),
+        *(extra_cols or []),
+        as_double_array(vec_col).alias("v"),
+        l2_norm(as_double_array(vec_col), dim).alias("nrm"),
     )
 
 
 def topk_cosine_bruteforce(df: DataFrame, query_id: int, k: int = 10,
                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine to the row with id ``query_id`` (excluded
-    from results). The 1-row query side is broadcast; ties break on id
-    so results are total-ordered and engine-reproducible."""
-    q = F.broadcast(_query_vector(df, id_col, vec_col, query_id))
+    from results). The 1-row query side is broadcast."""
+    dim = probe_dim(df, vec_col)
+    rows = _vec_norm(df, id_col, vec_col, dim)
+    q = F.broadcast(
+        rows.filter(F.col(id_col) == query_id)
+        .select(F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    )
     scored = (
-        df.filter(F.col(id_col) != query_id)
+        rows.filter(F.col(id_col) != query_id)
         .crossJoin(q)
-        .withColumn("cos_sim", F.round(cosine_similarity(as_double_array(vec_col), F.col("qv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_from_parts(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6),
+        )
     )
     return (
         scored.orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -69,21 +90,30 @@ def sign_bucket(vec: str | F.Column, bits: int = 8) -> F.Column:
 def topk_cosine_lsh(df: DataFrame, query_id: int, k: int = 5, bits: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Bucketed ANN: score only rows whose sign-bucket equals the
-    query's bucket. The bucket predicate prunes before any vector math;
-    at scale, partition (or Z-order) the table by bucket so pruning
-    happens at the file level."""
+    query's bucket. The bucket predicate prunes before any vector
+    math; at scale, partition (or Z-order) the table by bucket so
+    pruning happens at the file level."""
+    dim = probe_dim(df, vec_col)
+    rows = df.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("v"),
+        l2_norm(as_double_array(vec_col), dim).alias("nrm"),
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
     q = F.broadcast(
-        df.filter(F.col(id_col) == query_id).select(
-            as_double_array(vec_col).alias("qv"),
-            sign_bucket(vec_col, bits).alias("qbucket"),
+        rows.filter(F.col(id_col) == query_id).select(
+            F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+            F.col("bucket").alias("qbucket"),
         )
     )
     scored = (
-        df.filter(F.col(id_col) != query_id)
-        .withColumn("bucket", sign_bucket(vec_col, bits))
+        rows.filter(F.col(id_col) != query_id)
         .crossJoin(q)
         .filter(F.col("bucket") == F.col("qbucket"))
-        .withColumn("cos_sim", F.round(cosine_similarity(as_double_array(vec_col), F.col("qv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_from_parts(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6),
+        )
     )
     return (
         scored.orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -99,11 +129,13 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4, bits: int = 4
     Bucket by sign-LSH, self-join within bucket only, keep pairs with
     cosine >= threshold. The bucket equi-join keeps the pair space
     O(sum of bucket^2) instead of O(n^2) — the same LSH-first shape as
-    MinHash dedup, so it scales the same way; at 100 TB, partition the
-    table by bucket so each pair-block is co-located."""
+    MinHash dedup; at 100 TB, partition the table by bucket so each
+    pair-block is co-located."""
+    dim = probe_dim(df, vec_col)
     b = df.select(
         F.col(id_col),
         as_double_array(vec_col).alias("v"),
+        l2_norm(as_double_array(vec_col), dim).alias("nrm"),
         sign_bucket(vec_col, bits).alias("bucket"),
     )
     x, y = b.alias("x"), b.alias("y")
@@ -113,7 +145,13 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4, bits: int = 4
             (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("x.v"), F.col("y.v")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_parts(F.col("x.v"), F.col("y.v"), F.col("x.nrm"), F.col("y.nrm")),
+                6,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select(
             F.col(f"x.{id_col}").alias("vec_a"),
@@ -136,35 +174,47 @@ def topk_cosine_ivf(df: DataFrame, query_id: int, k: int = 5,
     cross-join + window argmax; the probe prunes the exact scan to
     ~n_probe/n_centroids of the corpus. At scale, write the table
     partitioned by ``cell`` so a probe is file-level pruning."""
+    dim = probe_dim(df, vec_col)
+    rows = _vec_norm(df, id_col, vec_col, dim)
     cents = F.broadcast(
-        df.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), as_double_array(vec_col).alias("cv")
+        rows.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
         )
     )
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("cent_sim").desc(), F.col("cent_id")
     )
     assigned = (
-        df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-        .crossJoin(cents)
-        .withColumn("cent_sim", F.round(cosine_similarity(F.col("v"), F.col("cv")), 6))
+        rows.crossJoin(cents)
+        .withColumn(
+            "cent_sim",
+            F.round(cosine_from_parts(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
+        )
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select(id_col, "v", F.col("cent_id").alias("cell"))
+        .select(id_col, "v", "nrm", F.col("cent_id").alias("cell"))
     )
     probe = F.broadcast(
-        df.filter(F.col(id_col) == query_id)
-        .select(as_double_array(vec_col).alias("qv"))
+        rows.filter(F.col(id_col) == query_id)
+        .select(F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
         .crossJoin(cents)
-        .withColumn("cent_sim", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cent_sim",
+            F.round(cosine_from_parts(F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm")), 6),
+        )
         .orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
         .limit(n_probe)
-        .select(F.col("cent_id").alias("probe_cell"), "qv")
+        .select(F.col("cent_id").alias("probe_cell"), "qv", "qnrm")
     )
     return (
         assigned.join(probe, assigned.cell == probe.probe_cell)
         .filter(F.col(id_col) != query_id)
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("v"), F.col("qv")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_from_parts(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6),
+        )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .select(id_col, "cell", "cos_sim")
         .limit(k)
@@ -179,20 +229,27 @@ def knn_join_per_label(df: DataFrame, id_col: str = "vec_id",
     The label is the join key, so the pair space is per-block, not
     global — the blocked-similarity-join shape used to verify ANN
     recall at scale."""
-    left = df.select(
+    dim = probe_dim(df, vec_col)
+    rows = _vec_norm(df, id_col, vec_col, dim, extra_cols=[label_col])
+    left = rows.select(
         F.col(id_col).alias("a_id"),
         F.col(label_col).alias("label"),
-        as_double_array(vec_col).alias("a_v"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_nrm"),
     )
-    right = df.select(
+    right = rows.select(
         F.col(id_col).alias("b_id"),
         F.col(label_col).alias("label"),
-        as_double_array(vec_col).alias("b_v"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
     )
     pairs = (
         left.join(right, "label")
         .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("a_v"), F.col("b_v")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_from_parts(F.col("a_v"), F.col("b_v"), F.col("a_nrm"), F.col("b_nrm")), 6),
+        )
     )
     w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id"))
     return (
