@@ -614,6 +614,50 @@ def x_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_pivot",
+    "SELECT l_returnflag, "
+    "count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_count, "
+    "count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_count "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list: fixed output schema, plans as
+    one conditional aggregate (no second pass to discover values —
+    required at scale)."""
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_count"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_count"),
+    )
+
+
+@register(
+    "x_sessionize_batch",
+    "WITH o AS (SELECT user_id, event_id, ts, lag(epoch(ts)) OVER "
+    " (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), "
+    "f AS (SELECT user_id, event_id, ts, CASE WHEN prev_ts IS NULL "
+    " OR epoch(ts) - prev_ts > 1800 THEN 1 ELSE 0 END AS brk FROM o), "
+    "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id "
+    " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f) "
+    "SELECT user_id, session_id, count(*) AS n_events, "
+    " min(ts) AS session_start, max(ts) AS session_end "
+    "FROM s GROUP BY user_id, session_id",
+)
+def x_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline sessionization (lag -> cumsum), the exact-oracle batch
+    twin of the streaming session_window aggregate."""
+    from .streaming.events import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
 # North-star operator registrations (dedup/similarity/text/multimodal)
 # live in nsqueries.py; importing it populates the same registry.
 from . import nsqueries  # noqa: E402,F401  (registration side effects)

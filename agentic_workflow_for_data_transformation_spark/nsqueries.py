@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, sampling, similarity, text
 
 # ---------------------------------------------------------------- dedup
 
@@ -250,6 +250,57 @@ register(
     "FROM d a JOIN d b ON a.label = b.label AND a.vec_id <> b.vec_id) "
     "SELECT vec_id, label, nn_vec_id, cos_sim FROM p WHERE rn = 1",
 )(lambda spark, sf_dir: similarity.knn_join_per_label(_t(spark, sf_dir, "embeddings"), k=1))
+
+# ---------------------------------------------------------------- sampling
+
+_DRAW = "(('0x' || substr(md5('{salt}|' || {key}::VARCHAR), 1, 15))::BIGINT % 1000000)"
+
+register(
+    "ns_sample_hash",
+    "SELECT * FROM documents WHERE "
+    + _DRAW.format(salt="sample", key="doc_id") + " < 100000",
+)(
+    lambda spark, sf_dir: sampling.hash_sample(
+        _t(spark, sf_dir, "documents"), fraction=0.1, key_col="doc_id"
+    )
+)
+
+register(
+    "ns_sample_split",
+    "SELECT doc_id, CASE WHEN " + _DRAW.format(salt="split", key="doc_id")
+    + " < 200000 THEN 'test' ELSE 'train' END AS split FROM documents",
+)(
+    lambda spark, sf_dir: sampling.with_train_test_split(
+        _t(spark, sf_dir, "documents"), key_col="doc_id", test_fraction=0.2
+    ).select("doc_id", "split")
+)
+
+register(
+    "ns_sample_balanced",
+    "WITH d AS (SELECT vec_id, label, " + _DRAW.format(salt="balance", key="vec_id")
+    + " AS dr FROM embeddings), "
+    "r AS (SELECT vec_id, label, row_number() OVER "
+    " (PARTITION BY label ORDER BY dr, vec_id) AS rn FROM d) "
+    "SELECT vec_id, label FROM r WHERE rn <= 5",
+)(
+    lambda spark, sf_dir: sampling.balanced_sample_per_label(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        label_col="label", n_per_label=5, key_col="vec_id",
+    )
+)
+
+register(
+    "ns_text_top_ngrams",
+    f"WITH {_SHINGLE_CTE} "
+    "SELECT s, count(*) AS doc_freq FROM e GROUP BY s "
+    "ORDER BY doc_freq DESC, s LIMIT 20",
+)(
+    lambda spark, sf_dir: dedup.shingle_index(_t(spark, sf_dir, "documents"))
+    .groupBy("s")
+    .agg(F.count(F.lit(1)).alias("doc_freq"))
+    .orderBy(F.col("doc_freq").desc(), "s")
+    .limit(20)
+)
 
 # ---------------------------------------------------------------- multimodal
 

@@ -1,3 +1,3 @@
-from . import dedup, joins, similarity, text, multimodal
+from . import dedup, joins, sampling, similarity, text, multimodal
 
-__all__ = ["dedup", "joins", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "joins", "sampling", "similarity", "text", "multimodal"]

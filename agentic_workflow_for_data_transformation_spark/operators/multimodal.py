@@ -71,4 +71,10 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(run, META_SCHEMA)
+    from .dedup import spread_small_input
+
+    # decode is the expensive stage: never let a single small file pin
+    # every Arrow batch to one Python worker
+    return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
+        run, META_SCHEMA
+    )

@@ -89,6 +89,34 @@ def sessionized_event_aggregate(
     )
 
 
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch sessionization: the offline twin of session_window.
+    A session breaks when the gap to the previous event (per user)
+    exceeds ``gap_seconds``; session ids are running sums of break
+    flags. Two window passes over one shuffle+sort on (user_id, ts):
+    the classic lag -> cumsum sessionizer, exact-oracle expressible
+    in any engine with window functions."""
+    from pyspark.sql import Window
+
+    order = [F.col("ts"), F.col("event_id")]  # total order under ts ties
+    w = Window.partitionBy("user_id").orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag(F.col("ts").cast("long")).over(w)
+    brk = F.when(
+        prev_ts.isNull() | ((F.col("ts").cast("long") - prev_ts) > gap_seconds), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("_brk", brk)
+        .withColumn("session_id", F.sum("_brk").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running event count and value total, emitted as an update whenever

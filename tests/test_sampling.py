@@ -1,0 +1,70 @@
+"""Semantic tests for deterministic hash sampling and batch
+sessionization (the sf0.01 DuckDB oracle covers them at data scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agentic_workflow_for_data_transformation_spark.operators import sampling
+from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+
+def test_hash_sample_is_deterministic_and_roughly_sized(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, 0.1, "doc_id").select("doc_id").collect()}
+    b = {r["doc_id"] for r in sampling.hash_sample(docs, 0.1, "doc_id").select("doc_id").collect()}
+    assert a == b  # same sample every run
+    n = docs.count()
+    assert 0.03 * n <= len(a) <= 0.25 * n  # loose band around 10%
+
+
+def test_hash_sample_is_monotone_in_fraction(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    small = {r["doc_id"] for r in sampling.hash_sample(docs, 0.05, "doc_id").select("doc_id").collect()}
+    big = {r["doc_id"] for r in sampling.hash_sample(docs, 0.2, "doc_id").select("doc_id").collect()}
+    assert small <= big  # growing the fraction only adds rows
+
+
+def test_train_test_split_partitions_rows(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tagged = sampling.with_train_test_split(docs, "doc_id", test_fraction=0.2)
+    counts = {r["split"]: r["n"] for r in tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "test"}
+    assert counts["train"] + counts["test"] == docs.count()
+
+
+def test_balanced_sample_caps_each_label(spark, sf_dir):
+    emb = read_parquet_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    out = sampling.balanced_sample_per_label(emb, "label", 5, "vec_id")
+    per = out.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    assert per.filter(F.col("n") > 5).count() == 0
+    # deterministic across invocations
+    a = {(r["label"], r["vec_id"]) for r in out.collect()}
+    b = {(r["label"], r["vec_id"]) for r in sampling.balanced_sample_per_label(emb, "label", 5, "vec_id").collect()}
+    assert a == b
+
+
+def test_sessionize_batch_gap_invariants(spark, sf_dir):
+    from agentic_workflow_for_data_transformation_spark.sources import read_events
+    from agentic_workflow_for_data_transformation_spark.streaming.events import sessionize_batch
+
+    ev = read_events(spark, sf_dir)
+    sess = sessionize_batch(ev, gap_seconds=1800)
+    # every event lands in exactly one session
+    assert sess.agg(F.sum("n_events")).first()[0] == ev.count()
+    # consecutive sessions of a user are separated by more than the gap
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    bad = (
+        sess.withColumn("prev_end", F.lag("session_end").over(w))
+        .filter(
+            F.col("prev_end").isNotNull()
+            & (
+                (F.col("session_start").cast("long") - F.col("prev_end").cast("long"))
+                <= 1800
+            )
+        )
+        .count()
+    )
+    assert bad == 0
