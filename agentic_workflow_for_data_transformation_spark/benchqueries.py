@@ -658,6 +658,42 @@ def x_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_batch(_t(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+@register(
+    "x_spec_join_window",
+    "SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM ("
+    " SELECT c_mktsegment, o_orderkey, o_totalprice, row_number() OVER "
+    "  (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    " FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3",
+)
+def x_spec_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + window driven entirely by the transform-spec IR — the
+    same declarative path NL descriptions compile through, proving the
+    reserved join/window vocabulary executes end-to-end (broadcast
+    hint included)."""
+    spec = {
+        "ops": [
+            {"op": "rename", "renames": {"o_custkey": "c_custkey"}},
+            {"op": "join", "right": "customer", "on": ["c_custkey"], "broadcast": True},
+            {
+                "op": "window",
+                "partition_by": ["c_mktsegment"],
+                "order_by": [
+                    {"col": "o_totalprice", "asc": False},
+                    {"col": "o_orderkey", "asc": True},
+                ],
+                "exprs": [{"fn": "row_number", "alias": "rn"}],
+            },
+            {"op": "filter", "expr": {"le": ["rn", 3]}},
+            {"op": "select", "cols": ["c_mktsegment", "o_orderkey", "o_totalprice", "rn"]},
+        ]
+    }
+    return compile_spec(
+        _t(spark, sf_dir, "orders"),
+        spec,
+        tables={"customer": _t(spark, sf_dir, "customer")},
+    )
+
+
 # North-star operator registrations (dedup/similarity/text/multimodal)
 # live in nsqueries.py; importing it populates the same registry.
 from . import nsqueries  # noqa: E402,F401  (registration side effects)

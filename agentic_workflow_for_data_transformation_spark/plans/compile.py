@@ -186,6 +186,12 @@ def compile_spec(
             df = df.unionByName(rdf)
             if op.get("distinct"):
                 df = df.distinct()
+        elif kind == "sample":
+            from ..operators.sampling import hash_sample
+
+            df = hash_sample(
+                df, op["fraction"], op["key"], salt=op.get("salt", "sample")
+            )
         else:  # pragma: no cover — validate_spec rejects these
             raise SpecError(f"unknown op {kind!r}")
     return df

@@ -33,6 +33,9 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "window", "partition_by": [...], "order_by": [...],
    "exprs": [{"fn": "row_number"|"rank"|"dense_rank"|"lag"|"lead"|"sum"|...,
               "col": ...?, "alias": ...}]}
+  {"op": "sample", "fraction": 0.1, "key": "doc_id", "salt": "sample"?}
+      # deterministic hash sample (operators/sampling.py): a pure
+      # filter, reproducible across engines and partitionings
 
 Boolean / scalar expression tree (closed vocabulary — no raw SQL, no
 code strings, so nothing user- or LLM-supplied is ever executed):
@@ -201,6 +204,14 @@ def validate_op(op: Any) -> None:
     elif kind == "union":
         if "right" not in op:
             _err(f"union needs 'right': {op!r}")
+    elif kind == "sample":
+        frac = op.get("fraction")
+        if not (isinstance(frac, int | float) and 0 <= frac <= 1):
+            _err(f"sample needs 'fraction' in [0, 1]: {op!r}")
+        if not isinstance(op.get("key"), str):
+            _err(f"sample needs a string 'key' column: {op!r}")
+        if "salt" in op and not isinstance(op["salt"], str):
+            _err(f"sample 'salt' must be a string: {op!r}")
     else:
         _err(f"unknown op {kind!r}")
 

@@ -31,6 +31,9 @@ def main() -> None:
         sf = 0.0  # unconventional dir name; the read path still decides existence
 
     spark = get_spark(app_name="bench")
+    # one tiny action up front so JVM/codegen warmup isn't billed to
+    # whichever query happens to run first
+    spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in benchqueries.queries().items():

@@ -115,3 +115,22 @@ def test_compile_window_topk_per_group(spark, people):
     }
     rows = {(r["bucket"], r["name"]) for r in compile_spec(people, spec).collect()}
     assert rows == {(True, "Ian"), (False, "Charlie")}
+
+
+def test_spec_sample_op_validates_and_compiles(spark, sf_dir):
+    from agentic_workflow_for_data_transformation_spark.plans import compile_spec
+    from agentic_workflow_for_data_transformation_spark.plans.spec import SpecError, validate_spec
+    from agentic_workflow_for_data_transformation_spark.operators import sampling
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+    import pytest
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    spec = {"ops": [{"op": "sample", "fraction": 0.1, "key": "doc_id"}]}
+    via_spec = {r["doc_id"] for r in compile_spec(docs, spec).select("doc_id").collect()}
+    direct = {r["doc_id"] for r in sampling.hash_sample(docs, 0.1, "doc_id").select("doc_id").collect()}
+    assert via_spec == direct
+
+    with pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "sample", "fraction": 1.5, "key": "doc_id"}]})
+    with pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "sample", "fraction": 0.1}]})
