@@ -694,6 +694,71 @@ def x_spec_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p21_nl_sample",
+    "SELECT doc_id, lang FROM documents WHERE "
+    "(('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) < 100000",
+)
+def p21_nl_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL -> spec 'sample' clause: deterministic hash sampling reached
+    from a plain-English description."""
+    return _nl(spark, sf_dir, "documents",
+               "Sample 10% of rows by doc_id and select doc_id, lang.")
+
+
+@register(
+    "p22_nl_select_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def p22_nl_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nl(spark, sf_dir, "lineitem",
+               "Select distinct l_returnflag, l_linestatus.")
+
+
+@register(
+    "x_tpch_q5",
+    "SELECT n_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY n_name",
+)
+def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join. nation/region broadcast
+    explicitly (25/5 rows); the fact-side joins shuffle on their keys
+    and AQE may demote them to broadcast at runtime. The
+    customer-supplier same-nation predicate rides the join, not a
+    post-filter."""
+    cutoff_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 # North-star operator registrations (dedup/similarity/text/multimodal)
 # live in nsqueries.py; importing it populates the same registry.
 from . import nsqueries  # noqa: E402,F401  (registration side effects)

@@ -28,7 +28,7 @@ class ParseError(ValueError):
     """Description (or predicate) not covered by the grammar."""
 
 
-_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group)"
+_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate)"
 # split " and <clause keyword>" / " and then " but never predicate-level
 # "and" (conjunctions, BETWEEN..AND..) — those are not followed by a
 # clause keyword.
@@ -217,10 +217,36 @@ _SORT = re.compile(
 _LIMIT = re.compile(r"^keep\s+top\s+(\d+)(?:\s+rows?)?\s*$", re.IGNORECASE)
 _FILTER = re.compile(r"^(?:filter|select)\s+(?:rows\s+)?(?:where\s+)?(.*)$", re.IGNORECASE)
 _SELECT_COLS = re.compile(r"^select\s+(?:columns?\s+)?(.*)$", re.IGNORECASE)
+# north-star clause forms (SURVEY.md section 2.9 surface)
+_SAMPLE = re.compile(
+    r"^sample\s+(\d+(?:\.\d+)?)\s*(?:%|percent)\s+of\s+rows\s+by\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_DEDUP = re.compile(
+    r"^(?:deduplicate|drop\s+duplicates?)(?:\s+rows)?(?:\s+by\s+(.+))?$",
+    re.IGNORECASE,
+)
+_SELECT_DISTINCT = re.compile(r"^select\s+distinct\s+(.*)$", re.IGNORECASE)
 
 
-def _parse_clause(clause: str, columns: list[str] | None) -> dict:
+def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
     clause = clause.strip().rstrip(".").strip()
+    if m := _SAMPLE.match(clause):
+        return {
+            "op": "sample",
+            "fraction": float(m.group(1)) / 100.0,
+            "key": m.group(2),
+        }
+    if m := _DEDUP.match(clause):
+        op: dict = {"op": "distinct"}
+        if m.group(1):
+            op["cols"] = _parse_select_cols(m.group(1))
+        return op
+    if m := _SELECT_DISTINCT.match(clause):
+        return [
+            {"op": "select", "cols": _parse_select_cols(m.group(1))},
+            {"op": "distinct"},
+        ]
     if m := _GROUP_COUNT.match(clause):
         key, counted = m.group(1), _resolve_col(m.group(2), columns)
         return {
@@ -271,7 +297,10 @@ def parse_description(description: str, columns: list[str] | None = None) -> dic
     if not text:
         raise ParseError("empty description")
     clauses = [c for c in _CLAUSE_SPLIT.split(text) if c and c.strip()]
-    ops = [_parse_clause(c, columns) for c in clauses]
+    ops: list[dict] = []
+    for c in clauses:
+        parsed = _parse_clause(c, columns)
+        ops.extend(parsed if isinstance(parsed, list) else [parsed])
     spec = {"ops": ops}
     from .spec import validate_spec
 

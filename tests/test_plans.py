@@ -69,3 +69,37 @@ def test_semi_join_stays_semi(spark):
 def test_similarity_topk_no_global_sort(spark, name):
     plan = plan_of(spark, name)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_pushes_all_predicates(spark):
+    plan = plan_of(spark, "x_tpch_q6")
+    for pushed in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({pushed})" in plan
+    assert "partial_sum" in plan  # map-side partial aggregation
+
+
+def test_spec_join_window_honors_broadcast_hint(spark):
+    plan = plan_of(spark, "x_spec_join_window")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_broadcasts_interval_dim(spark):
+    # BETWEEN join against a 3-row dim: BroadcastNestedLoopJoin streams
+    # the fact side with zero shuffle
+    plan = plan_of(spark, "x_join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_is_one_shuffle_no_pair_join(spark):
+    # union + running-last: there must be NO join of the two event sides
+    # (a ts-inequality join would be a near-cross-product per key)
+    plan = plan_of(spark, "x_join_asof")
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_hash_sample_is_pure_filter_no_shuffle(spark):
+    plan = plan_of(spark, "ns_sample_hash")
+    assert "Exchange" not in plan  # sampling must never shuffle

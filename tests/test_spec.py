@@ -134,3 +134,27 @@ def test_spec_sample_op_validates_and_compiles(spark, sf_dir):
         validate_spec({"ops": [{"op": "sample", "fraction": 1.5, "key": "doc_id"}]})
     with pytest.raises(SpecError):
         validate_spec({"ops": [{"op": "sample", "fraction": 0.1}]})
+
+
+def test_parser_north_star_clauses():
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    spec = parse_description("Sample 10% of rows by doc_id and select doc_id, lang.")
+    assert spec["ops"][0] == {"op": "sample", "fraction": 0.1, "key": "doc_id"}
+    assert spec["ops"][1] == {"op": "select", "cols": ["doc_id", "lang"]}
+
+    spec = parse_description("Deduplicate rows by text")
+    assert spec["ops"] == [{"op": "distinct", "cols": ["text"]}]
+
+    spec = parse_description("Drop duplicates")
+    assert spec["ops"] == [{"op": "distinct"}]
+
+    spec = parse_description("Select distinct city, name")
+    assert spec["ops"] == [
+        {"op": "select", "cols": ["city", "name"]},
+        {"op": "distinct"},
+    ]
+
+    # the original drop-column clause must not be shadowed
+    spec = parse_description("Drop city column")
+    assert spec["ops"] == [{"op": "drop", "cols": ["city"]}]
