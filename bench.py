@@ -35,21 +35,29 @@ def main() -> None:
     # whichever query happens to run first
     spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
+    # each query runs twice: the first execution pays one-time plan
+    # costs (codegen class compilation, JIT warmup) that don't recur in
+    # a long-lived engine; the second is the steady-state number. Both
+    # totals are reported.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in benchqueries.queries().items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "total wall-clock over registered query corpus",
+                "metric": "steady-state wall-clock over registered query corpus (2nd run per query; cold totals under 'cold_value')",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_value": round(sum(cold.values()), 4),
                 "sf": sf,
             }
         )
