@@ -91,6 +91,12 @@ def compile_expr(expr: Any) -> Column:
         return compile_expr(args).isNull()
     if op == "is_not_null":
         return compile_expr(args).isNotNull()
+    if op in ("lower", "upper", "trim", "length"):
+        return getattr(F, op)(compile_expr(args))
+    if op == "concat":
+        return F.concat(*[compile_expr(a) for a in args])
+    if op == "coalesce":
+        return F.coalesce(*[compile_expr(a) for a in args])
     raise SpecError(f"unknown expression op {op!r}")
 
 

@@ -49,6 +49,9 @@ code strings, so nothing user- or LLM-supplied is ever executed):
   {"add": [e, e]} {"sub": ...} {"mul": ...} {"div": ...}
   {"round": [e, ndigits]} {"cast": [e, "long"|"double"|"decimal(18,2)"|...]}
   {"is_null": e} {"is_not_null": e}
+  {"lower": e} {"upper": e} {"trim": e} {"length": e}
+  {"concat": [e, ...]}                # string concatenation
+  {"coalesce": [e, ...]}
 
 Bare strings in expression positions mean column refs; bare numbers /
 bools mean literals (sugar the parser emits).
@@ -65,6 +68,8 @@ JOIN_TYPES = {"inner", "left", "right", "full", "left_semi", "left_anti", "cross
 _BINARY_OPS = {"gt", "ge", "lt", "le", "eq", "ne", "add", "sub", "mul", "div",
                "startswith", "contains"}
 _VARIADIC_BOOL = {"and", "or"}
+_UNARY_FNS = {"lower", "upper", "trim", "length"}
+_VARIADIC_FNS = {"concat", "coalesce"}
 
 
 class SpecError(ValueError):
@@ -119,6 +124,13 @@ def validate_expr(expr: Any) -> None:
         validate_expr(args)
     elif op in ("is_null", "is_not_null"):
         validate_expr(args)
+    elif op in _UNARY_FNS:
+        validate_expr(args)
+    elif op in _VARIADIC_FNS:
+        if not (isinstance(args, list) and len(args) >= 1):
+            _err(f"{op} takes a non-empty list: {expr!r}")
+        for a in args:
+            validate_expr(a)
     else:
         _err(f"unknown expression op {op!r}")
 

@@ -4,6 +4,7 @@ from .io import (
     read_parquet_table,
     read_tables,
     write_csv_single,
+    write_parquet,
     unique_output_path,
     records_sample,
     TPCH_TABLES,
@@ -15,6 +16,7 @@ __all__ = [
     "read_parquet_table",
     "read_tables",
     "write_csv_single",
+    "write_parquet",
     "unique_output_path",
     "records_sample",
     "TPCH_TABLES",

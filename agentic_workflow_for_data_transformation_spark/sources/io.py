@@ -101,6 +101,29 @@ def write_csv_dir(df: DataFrame, path: str | Path) -> Path:
     return path
 
 
+def write_parquet(df: DataFrame, path: str | Path,
+                  partition_by: list[str] | None = None,
+                  buckets: tuple[int, list[str], str] | None = None) -> Path:
+    """Scale-path parquet sink.
+
+    ``partition_by`` lays the table out as one directory per value —
+    the physical form that makes downstream partition pruning free
+    (e.g. similarity tables partitioned by IVF ``cell`` or sign-LSH
+    ``bucket``, events by date). ``buckets`` = (n, cols, table_name)
+    additionally bucket-sorts into a saved table so equi-joins on the
+    bucket columns co-locate without a shuffle."""
+    path = Path(path)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if buckets:
+        n, cols, table_name = buckets
+        writer.option("path", str(path)).bucketBy(n, *cols).sortBy(*cols).saveAsTable(table_name)
+        return path
+    writer.parquet(str(path))
+    return path
+
+
 def records_sample(df: DataFrame, n: int = 10) -> list[dict]:
     """Small row sample as list-of-dicts (S4) — only ever ``limit(n)``,
     never a full collect."""

@@ -158,3 +158,40 @@ def test_parser_north_star_clauses():
     # the original drop-column clause must not be shadowed
     spec = parse_description("Drop city column")
     assert spec["ops"] == [{"op": "drop", "cols": ["city"]}]
+
+
+def test_spec_string_functions_compile(spark, people):
+    from agentic_workflow_for_data_transformation_spark.plans import compile_spec
+
+    spec = {
+        "ops": [
+            {"op": "with_column", "name": "city_key",
+             "expr": {"lower": {"trim": "city"}}},
+            {"op": "with_column", "name": "tag",
+             "expr": {"concat": ["name", {"lit": "@"}, "city_key"]}},
+            {"op": "with_column", "name": "name_len", "expr": {"length": "name"}},
+            {"op": "filter", "expr": {"eq": [{"upper": "city"}, {"lit": "CHICAGO"}]}},
+            {"op": "select", "cols": ["tag", "name_len"]},
+        ]
+    }
+    rows = compile_spec(people, spec).collect()
+    assert [(r["tag"], r["name_len"]) for r in rows] == [("Charlie@chicago", 7)]
+
+
+def test_write_parquet_partitioned_prunes(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+        write_parquet,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = write_parquet(docs, tmp_path / "by_lang", partition_by=["lang"])
+    langs = {p.name.split("=")[1] for p in out.glob("lang=*")}
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    # a lang filter on the partitioned layout must prune at plan time
+    back = spark.read.parquet(str(out)).filter(F.col("lang") == sorted(langs)[0])
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert back.count() == docs.filter(F.col("lang") == sorted(langs)[0]).count()
