@@ -1,0 +1,177 @@
+"""Spec -> SQL generator (DuckDB-flavored ANSI): the oracle side of
+the IR.
+
+Every spec the engine can compile to a DataFrame (plans/compile.py)
+can also be rendered as portable ANSI SQL and executed by an
+independent engine (DuckDB in the test harness). That makes
+correctness checking *structural*: any spec — including randomly
+generated ones (tests/test_property.py, hypothesis) — gets a free
+oracle, instead of only the hand-written queries having one.
+
+Coverage: the relational core (filter/select/with_column/rename/drop/
+sort/limit/distinct/sample/groupby_agg) and the full expression
+vocabulary. Join/union/window specs are compiled per-query by hand in
+benchqueries (their SQL shape depends on table aliases); SqlGenError
+marks them unsupported here rather than emitting something wrong.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .spec import validate_spec
+
+_CMP_SQL = {"gt": ">", "ge": ">=", "lt": "<", "le": "<=", "eq": "=", "ne": "<>"}
+_ARITH_SQL = {"add": "+", "sub": "-", "mul": "*", "div": "/"}
+
+
+class SqlGenError(ValueError):
+    """Spec not renderable as standalone ANSI SQL by this generator."""
+
+
+def _q(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _lit_sql(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int | float):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _like_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+
+
+def expr_to_sql(expr: Any) -> str:
+    """Expression tree -> parenthesized ANSI SQL (same sugar rules as
+    the DataFrame compiler: bare str = column, bare scalar = literal)."""
+    if isinstance(expr, str):
+        return _q(expr)
+    if isinstance(expr, bool | int | float) or expr is None:
+        return _lit_sql(expr)
+    [(op, args)] = expr.items()
+    if op == "col":
+        return _q(args)
+    if op == "lit":
+        return _lit_sql(args)
+    if op in _CMP_SQL:
+        return f"({expr_to_sql(args[0])} {_CMP_SQL[op]} {expr_to_sql(args[1])})"
+    if op in _ARITH_SQL:
+        return f"({expr_to_sql(args[0])} {_ARITH_SQL[op]} {expr_to_sql(args[1])})"
+    if op == "between":
+        return (
+            f"({expr_to_sql(args[0])} BETWEEN {expr_to_sql(args[1])}"
+            f" AND {expr_to_sql(args[2])})"
+        )
+    if op == "isin":
+        vals = ", ".join(_lit_sql(v) for v in args[1])
+        return f"({expr_to_sql(args[0])} IN ({vals}))"
+    if op == "startswith":
+        return f"({expr_to_sql(args[0])} LIKE {_lit_sql(_like_escape(args[1]) + '%')} ESCAPE '\\')"
+    if op == "contains":
+        return f"({expr_to_sql(args[0])} LIKE {_lit_sql('%' + _like_escape(args[1]) + '%')} ESCAPE '\\')"
+    if op == "and":
+        return "(" + " AND ".join(expr_to_sql(a) for a in args) + ")"
+    if op == "or":
+        return "(" + " OR ".join(expr_to_sql(a) for a in args) + ")"
+    if op == "not":
+        return f"(NOT {expr_to_sql(args)})"
+    if op == "is_null":
+        return f"({expr_to_sql(args)} IS NULL)"
+    if op == "is_not_null":
+        return f"({expr_to_sql(args)} IS NOT NULL)"
+    if op == "round":
+        return f"round({expr_to_sql(args[0])}, {args[1]})"
+    if op == "cast":
+        return f"CAST({expr_to_sql(args[0])} AS {args[1]})"
+    if op in ("lower", "upper", "trim", "length"):
+        return f"{op}({expr_to_sql(args)})"
+    if op in ("concat", "coalesce"):
+        inner = ", ".join(expr_to_sql(a) for a in args)
+        return f"{op}({inner})"
+    raise SqlGenError(f"no SQL rendering for expression op {op!r}")
+
+
+_AGG_SQL = {
+    "count": "count", "avg": "avg", "sum": "sum", "min": "min", "max": "max",
+}
+
+
+def _sample_sql(op: dict) -> str:
+    # mirrors operators/sampling.py: 60-bit md5 prefix draw mod 1e6
+    key = _q(op["key"])
+    salt = op.get("salt", "sample")
+    draw = (
+        f"(('0x' || substr(md5({_lit_sql(salt + '|')} || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % 1000000)"
+    )
+    return f"{draw} < {int(op['fraction'] * 1_000_000)}"
+
+
+def spec_to_sql(spec: dict, table: str) -> str:
+    """Render a relational-core spec as a nested-subquery SQL statement
+    over ``table``. Ops keep their stated order (each op wraps the
+    previous result in a subquery — the optimizer flattens them)."""
+    validate_spec(spec)
+    sql = f"SELECT * FROM {table}"
+
+    def wrap(select: str, tail: str = "") -> str:
+        return f"SELECT {select} FROM ({sql}) {tail}".rstrip()
+
+    for op in spec["ops"]:
+        kind = op["op"]
+        if kind == "filter":
+            sql = wrap("*", f"WHERE {expr_to_sql(op['expr'])}")
+        elif kind == "select":
+            sql = wrap(", ".join(_q(c) for c in op["cols"]))
+        elif kind == "with_column":
+            sql = wrap(f"*, {expr_to_sql(op['expr'])} AS {_q(op['name'])}")
+        elif kind == "rename":
+            ren = op["renames"]
+            sql = wrap(
+                "* EXCLUDE ("
+                + ", ".join(_q(o) for o in ren)
+                + "), "
+                + ", ".join(f"{_q(o)} AS {_q(n)}" for o, n in ren.items())
+            )
+        elif kind == "drop":
+            sql = wrap("* EXCLUDE (" + ", ".join(_q(c) for c in op["cols"]) + ")")
+        elif kind == "sort":
+            keys = ", ".join(
+                _q(k["col"]) + ("" if k.get("asc", True) else " DESC")
+                for k in op["keys"]
+            )
+            sql = wrap("*", f"ORDER BY {keys}")
+        elif kind == "limit":
+            sql = wrap("*", f"LIMIT {op['n']}")
+        elif kind == "distinct":
+            if op.get("cols"):
+                raise SqlGenError("distinct-by-cols keeps arbitrary rows; no portable SQL")
+            sql = f"SELECT DISTINCT * FROM ({sql})"
+        elif kind == "sample":
+            sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "groupby_agg":
+            aggs = []
+            for a in op["aggs"]:
+                fn, col, alias = a["fn"], a["col"], _q(a["alias"])
+                if fn == "count_distinct":
+                    aggs.append(f"count(DISTINCT {_q(col)}) AS {alias}")
+                    continue
+                arg = "*" if col == "*" else _q(col)
+                if a.get("cast") and col != "*":
+                    arg = f"CAST({arg} AS {a['cast']})"
+                aggs.append(f"{_AGG_SQL[fn]}({arg}) AS {alias}")
+            keys = ", ".join(_q(k) for k in op["keys"])
+            head = (keys + ", " if keys else "") + ", ".join(aggs)
+            tail = f"GROUP BY {keys}" if keys else ""
+            sql = wrap(head, tail)
+            if op.get("having") is not None:
+                sql = f"SELECT * FROM ({sql}) WHERE {expr_to_sql(op['having'])}"
+        else:
+            raise SqlGenError(f"no SQL rendering for op {kind!r}")
+    return sql

@@ -4,6 +4,8 @@ from .events import (
     windowed_event_aggregate,
     sessionized_event_aggregate,
     stateful_user_totals,
+    streaming_dedup,
+    sessionize_batch,
     run_stream_to_memory,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "windowed_event_aggregate",
     "sessionized_event_aggregate",
     "stateful_user_totals",
+    "streaming_dedup",
+    "sessionize_batch",
     "run_stream_to_memory",
 ]

@@ -89,6 +89,19 @@ def sessionized_event_aggregate(
     )
 
 
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes",
+                    keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: emit each key's first arrival, drop
+    replays within the watermark horizon. State holds one entry per
+    key seen in the horizon — bounded by watermark x arrival rate, not
+    by stream length, which is what makes exactly-once-per-key dedup
+    of an at-least-once source (Kafka redeliveries, retried producers)
+    feasible at 100 TB/day."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Batch sessionization: the offline twin of session_window.
     A session breaks when the gap to the previous event (per user)

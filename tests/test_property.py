@@ -1,0 +1,128 @@
+"""Property-based correctness (SURVEY.md §5): hypothesis generates
+random predicate trees and pipelines over the people table; each spec
+runs through the Spark compiler AND the spec->SQL generator on DuckDB,
+and the row sets must match exactly. This checks the *compilers*, not
+hand-picked cases: precedence, negation, BETWEEN/IN edges, empty
+results, stacked ops."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from agentic_workflow_for_data_transformation_spark.plans import compile_spec
+from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+from conftest import PEOPLE_ROWS
+
+PEOPLE_PDF = pd.DataFrame(PEOPLE_ROWS, columns=["name", "age", "city"])
+CITIES = sorted(PEOPLE_PDF["city"])
+NAMES = sorted(PEOPLE_PDF["name"])
+
+ages = st.integers(min_value=15, max_value=60)
+city_lits = st.sampled_from(CITIES + ["Nowhere"])
+substrings = st.sampled_from(["a", "an", "on", "J", "z", "New", "ia"])
+
+
+def age_cmp():
+    return st.tuples(st.sampled_from(["gt", "ge", "lt", "le", "eq", "ne"]), ages).map(
+        lambda t: {t[0]: ["age", t[1]]}
+    )
+
+
+def age_between():
+    return st.tuples(ages, ages).map(
+        lambda t: {"between": ["age", min(t), max(t)]}
+    )
+
+
+def city_pred():
+    return st.one_of(
+        city_lits.map(lambda c: {"eq": ["city", {"lit": c}]}),
+        st.lists(city_lits, min_size=1, max_size=3).map(
+            lambda cs: {"isin": ["city", cs]}
+        ),
+        substrings.map(lambda s: {"startswith": ["city", s]}),
+        substrings.map(lambda s: {"contains": ["name", s]}),
+    )
+
+
+leaf = st.one_of(age_cmp(), age_between(), city_pred())
+
+predicate = st.recursive(
+    leaf,
+    lambda children: st.one_of(
+        st.lists(children, min_size=2, max_size=3).map(lambda cs: {"and": cs}),
+        st.lists(children, min_size=2, max_size=3).map(lambda cs: {"or": cs}),
+        children.map(lambda c: {"not": c}),
+    ),
+    max_leaves=6,
+)
+
+
+def _duck(sql: str) -> list[tuple]:
+    con = duckdb.connect()
+    con.register("people", PEOPLE_PDF)
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return sorted(tuple(str(v) for v in r) for r in rows)
+
+
+def _spark_rows(df) -> list[tuple]:
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(expr=predicate)
+def test_random_predicates_match_duckdb(spark_module, expr):
+    spec = {"ops": [{"op": "filter", "expr": expr}]}
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    proj=st.sampled_from([["name"], ["name", "age"], ["city", "age"]]),
+    sort_desc=st.booleans(),
+    n=st.integers(min_value=0, max_value=12),
+)
+def test_random_pipelines_match_duckdb(spark_module, expr, proj, sort_desc, n):
+    # filter -> computed column -> sort (with name tiebreak) -> limit -> select
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "with_column", "name": "age2", "expr": {"mul": ["age", 2]}},
+            {
+                "op": "sort",
+                "keys": [
+                    {"col": "age", "asc": not sort_desc},
+                    {"col": "name", "asc": True},
+                ],
+            },
+            {"op": "limit", "n": n},
+            {"op": "select", "cols": proj + ["age2"]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def spark_module(spark, people):
+    # hypothesis reruns the test body many times; bind the DataFrame
+    # once so per-example cost is one filter job, not a session build
+    return people

@@ -87,3 +87,36 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
     for uid, (n, tv) in want.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - tv) < 1e-6
+
+
+def test_streaming_dedup_drops_replays(spark, sf_dir, tmp_path):
+    """A doubled source (every event delivered twice) must come out
+    exactly once per event_id."""
+    from agentic_workflow_for_data_transformation_spark.sources import read_events
+    from agentic_workflow_for_data_transformation_spark.streaming import streaming_dedup
+    from agentic_workflow_for_data_transformation_spark.streaming.events import EVENTS_SCHEMA
+
+    batch = read_events(spark, sf_dir).limit(2000)
+    # store ts as epoch seconds (long) so the file-stream schema is
+    # simple; second precision is plenty for watermark-based dedup
+    raw = batch.withColumn("ts", F.col("ts").cast("long"))
+    doubled = raw.unionByName(raw)
+    src = str(tmp_path / "dup_events")
+    doubled.write.mode("overwrite").parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENTS_SCHEMA.fields]
+    )
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    )
+    assert stream.isStreaming
+    out = streaming_dedup(stream)
+    run_stream_to_memory(out, "dedup_out", mode="append")
+    got = spark.table("dedup_out")
+    n_ids = batch.select("event_id").distinct().count()
+    assert got.count() == n_ids
+    assert got.select("event_id").distinct().count() == n_ids
