@@ -214,8 +214,11 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     """The full scale-path pipeline: LSH candidates -> exact Jaccard on
     candidates only -> threshold. This is how fuzzy dedup runs at
     100 TB: the exact O(pairs) step touches only LSH survivors."""
+    # the candidate subtree feeds both the doc-restriction and the
+    # final join; persist it so minhash+banding runs once, not twice
+    # (it is tiny — pairs only — so memory cost is negligible)
     cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
-                                  bands=bands, n=n)
+                                  bands=bands, n=n).persist()
     docs = (
         cand.select(F.col("doc_a").alias("d"))
         .unionByName(cand.select(F.col("doc_b").alias("d")))
