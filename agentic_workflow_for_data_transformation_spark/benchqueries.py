@@ -759,6 +759,44 @@ def x_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_regex_extract",
+    "SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word, "
+    "count(*) AS n_parts FROM part GROUP BY regexp_extract(p_name, '^([a-z]+)', 1)",
+)
+def x_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex capture-group extraction, JVM-side, then aggregate."""
+    first = F.regexp_extract("p_name", r"^([a-z]+)", 1)
+    return (
+        _t(spark, sf_dir, "part")
+        .groupBy(first.alias("first_word"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "x_percentiles",
+    "SELECT o_orderpriority, "
+    "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+    "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based). The
+    approximate sibling for 100 TB is percentile_approx (mergeable
+    KLL-style sketch, no per-group sort) — x_approx_count_distinct
+    shows the sketch pattern; this one is the exact oracle-checkable
+    form."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
 # North-star operator registrations (dedup/similarity/text/multimodal)
 # live in nsqueries.py; importing it populates the same registry.
 from . import nsqueries  # noqa: E402,F401  (registration side effects)

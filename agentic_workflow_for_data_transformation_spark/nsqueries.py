@@ -302,6 +302,29 @@ register(
     .limit(20)
 )
 
+register(
+    "ns_centroids_per_label",
+    "WITH e AS (SELECT label, unnest(embedding) AS val, "
+    " generate_subscripts(embedding, 1) AS i FROM embeddings) "
+    "SELECT label, i - 1 AS pos, "
+    "round(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS centroid_val "
+    "FROM e GROUP BY label, i",
+)(
+    lambda spark, sf_dir: _t(spark, sf_dir, "embeddings")
+    .select("label", F.posexplode("embedding").alias("pos", "val"))
+    .groupBy("label", "pos")
+    .agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(20,10)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_val")
+    )
+)
+"""Per-label element-wise mean of embeddings — the centroid-update
+step of k-means / IVF list refinement, as one posexplode + aggregate
+(decimal sums make the result partition-order independent)."""
+
+
 # ---------------------------------------------------------------- multimodal
 
 
