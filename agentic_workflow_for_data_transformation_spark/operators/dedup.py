@@ -215,10 +215,12 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     candidates only -> threshold. This is how fuzzy dedup runs at
     100 TB: the exact O(pairs) step touches only LSH survivors."""
     # the candidate subtree feeds both the doc-restriction and the
-    # final join; persist it so minhash+banding runs once, not twice
-    # (it is tiny — pairs only — so memory cost is negligible)
+    # final join; it recomputes rather than persist() — repeated
+    # invocations through the registry would accumulate cached blocks
+    # with no unpersist point, and shuffle reuse covers most of the
+    # shared work anyway
     cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
-                                  bands=bands, n=n).persist()
+                                  bands=bands, n=n)
     docs = (
         cand.select(F.col("doc_a").alias("d"))
         .unionByName(cand.select(F.col("doc_b").alias("d")))
