@@ -61,9 +61,13 @@ class TransformState:
 _SPEC_PROMPT = """You translate a natural-language data transformation into a JSON spec.
 The spec is {{"ops": [...]}} with ops: filter(expr), select(cols),
 with_column(name, expr), rename(renames), drop(cols), sort(keys),
-limit(n), groupby_agg(keys, aggs, having). Expressions are nested
-1-key dicts: col/lit/gt/ge/lt/le/eq/ne/between/isin/startswith/contains/
-and/or/not. Reply with ONLY the JSON.
+limit(n), groupby_agg(keys, aggs, having), distinct(cols?),
+sample(fraction, key), window(partition_by, order_by, exprs),
+join(right, on, how, broadcast), union(right, distinct). Expressions
+are nested 1-key dicts: col/lit/gt/ge/lt/le/eq/ne/between/isin/
+startswith/contains/and/or/not/add/sub/mul/div/round/cast/is_null/
+is_not_null/lower/upper/trim/length/concat/coalesce.
+Reply with ONLY the JSON.
 
 Columns available: {columns}
 Description: {description}
@@ -123,11 +127,12 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
             acc.add(args)
         elif op == "lit":
             pass
-        elif op in ("not", "is_null", "is_not_null"):
-            expr_cols(args, acc)
+        elif op in ("not", "is_null", "is_not_null", "lower", "upper", "trim", "length"):
+            expr_cols(args, acc)  # single-expr argument
         elif op in ("isin", "startswith", "contains", "round", "cast"):
             expr_cols(args[0], acc)  # remaining args are raw values
-        else:  # compares, arithmetic, between, and, or: all args are exprs
+        else:  # compares, arithmetic, between, and/or, concat, coalesce:
+            # all args are exprs
             for a in args:
                 expr_cols(a, acc)
         return acc
