@@ -797,6 +797,32 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_skew_salted_agg",
+    "SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: stage 1 groups by
+    (key, salt) so one hot key spreads over 16 reducers; stage 2 merges
+    the partials. Same result as the direct group-by (the oracle IS the
+    direct form) — this registers the skew-safe plan shape. l_returnflag
+    has 3 values over 600k rows: exactly the shape that melts a single
+    reducer without salting when partial aggregation is defeated
+    (e.g. count-distinct-heavy aggs)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.col("l_orderkey"), F.lit(16))
+    )
+    partial = li.groupBy("l_returnflag", "_salt").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_sq").cast("double").alias("sum_qty"),
+        F.sum("_n").alias("n"),
+    )
+
+
 # North-star operator registrations (dedup/similarity/text/multimodal)
 # live in nsqueries.py; importing it populates the same registry.
 from . import nsqueries  # noqa: E402,F401  (registration side effects)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from agentic_workflow_for_data_transformation_spark.benchqueries import queries
 
@@ -103,3 +104,33 @@ def test_asof_join_is_one_shuffle_no_pair_join(spark):
 def test_hash_sample_is_pure_filter_no_shuffle(spark):
     plan = plan_of(spark, "ns_sample_hash")
     assert "Exchange" not in plan  # sampling must never shuffle
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Bucket-sorted saved tables co-locate join keys at write time:
+    the join plan must contain NO Exchange — the 100 TB recipe for a
+    repeatedly-joined fact pair."""
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+        write_parquet,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_parquet(
+            read_parquet_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+            tmp_path / "orders_b",
+            buckets=(8, ["o_orderkey"], "t_orders_b"),
+        )
+        li = read_parquet_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+        )
+        write_parquet(li, tmp_path / "lineitem_b", buckets=(8, ["o_orderkey"], "t_lineitem_b"))
+        joined = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
