@@ -333,6 +333,35 @@ def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_meta(docs)
 
 
+def _resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_meta(docs, target_width=64)
+
+
+register(
+    "ns_multimodal_resize",
+    "WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents), "
+    "d AS (SELECT doc_id, greatest(nb % 256, 1) AS w, (nb // 256) % 256 AS h FROM m) "
+    "SELECT doc_id, CAST(64 AS INTEGER) AS out_width, "
+    "CAST((h * 64) // w AS INTEGER) AS out_height, "
+    "round(64.0 / w, 6) AS scale FROM d",
+)(_resize)
+
+
+def _frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(docs, frame_bytes=100, max_frames=5)
+
+
+register(
+    "ns_multimodal_frames",
+    "WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents), "
+    "k AS (SELECT doc_id, least(greatest(nb // 100, 1), 5) AS n FROM m), "
+    "e AS (SELECT doc_id, unnest(range(n)) AS i FROM k) "
+    "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, i * 100 AS byte_offset FROM e",
+)(_frames)
+
+
 register(
     "ns_multimodal_meta",
     "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, "

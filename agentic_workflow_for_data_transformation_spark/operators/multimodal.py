@@ -78,3 +78,68 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
     return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
         run, META_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id long, out_width int, out_height int, scale double"
+
+
+def resize_meta(df: DataFrame, target_width: int = 64,
+                id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """The resize stage: per-item scale factor + output dims, as an
+    Arrow-batched mapInPandas over the payload (a real resize would
+    transform pixels here; the stub derives dims from the fake decode,
+    keeping the batch shape and schema identical to production)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf[payload_col].map(fake_decode_meta)
+            w = meta.map(lambda m: max(m[1], 1))
+            scale = w.map(lambda x: round(target_width / x, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "out_width": [target_width] * len(pdf),
+                    "out_height": (
+                        meta.map(lambda m: m[2]).astype("int64") * target_width // w
+                    ).astype("int32"),
+                    "scale": scale,
+                }
+            )
+
+    from .dedup import spread_small_input
+
+    return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, byte_offset long"
+
+
+def frame_sample(df: DataFrame, frame_bytes: int = 100, max_frames: int = 5,
+                 id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """The video-style frame-sampling stage: emit up to ``max_frames``
+    (frame_idx, byte_offset) rows per payload, one per ``frame_bytes``
+    stride — a row-expanding mapInPandas (1 input row -> k output
+    rows), the shape a real keyframe extractor has. Offsets are
+    deterministic functions of the payload length, so the stage is
+    exactly oracle-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = min(max(len(payload) // frame_bytes, 1), max_frames)
+                for i in range(n):
+                    ids.append(did)
+                    idxs.append(i)
+                    offs.append(i * frame_bytes)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "byte_offset": offs}
+            )
+
+    from .dedup import spread_small_input
+
+    return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
+        run, FRAMES_SCHEMA
+    )
