@@ -823,6 +823,49 @@ def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_time_spine_fill",
+    "WITH b AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS wb, event_type, "
+    " count(*) AS n FROM events GROUP BY 1, 2), "
+    "bounds AS (SELECT min(wb) AS lo, max(wb) AS hi FROM b), "
+    "types AS (SELECT DISTINCT event_type FROM events), "
+    "spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 5 minute)) AS wb "
+    " FROM bounds, types) "
+    "SELECT s.event_type, s.wb AS w_start, CAST(coalesce(n, 0) AS BIGINT) AS n_events "
+    "FROM spine s LEFT JOIN b ON s.wb = b.wb AND s.event_type = b.event_type",
+)
+def x_time_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling (hypertable-style): generate the dense
+    5-minute spine per event_type and left-join the bucket aggregate,
+    zero-filling empty buckets. The spine is sequence()+explode from
+    the aggregated bounds — O(buckets x types) rows built without
+    touching the fact table again; the only big-data pass is the
+    bucket aggregate itself."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wb"), "event_type", "n")
+    )
+    bounds = b.agg(F.min("wb").alias("lo"), F.max("wb").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))).alias("wb"),
+        )
+    )
+    return (
+        spine.join(b, ["wb", "event_type"], "left")
+        .select(
+            "event_type",
+            F.col("wb").alias("w_start"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
 # North-star operator registrations (dedup/similarity/text/multimodal)
 # live in nsqueries.py; importing it populates the same registry.
 from . import nsqueries  # noqa: E402,F401  (registration side effects)
