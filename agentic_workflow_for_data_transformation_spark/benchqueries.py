@@ -866,6 +866,71 @@ def x_time_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_tpch_q17",
+    "WITH a AS (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty "
+    " FROM lineitem GROUP BY l_partkey) "
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "JOIN a ON a.l_partkey = l.l_partkey "
+    "WHERE p.p_brand = 'Brand#11' AND l.l_quantity < 0.2 * a.avg_qty",
+)
+def x_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated 'below 20% of this part's average
+    quantity' rewritten as aggregate + self-join (the decorrelated plan
+    Catalyst would want); the brand filter broadcasts a tiny part side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    )
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_qty")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "x_tpch_q18",
+    "SELECT c_custkey, o_orderkey, o_totalprice, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "FROM customer, orders, lineitem "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+    " HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) "
+    "AND c_custkey = o_custkey AND o_orderkey = l_orderkey "
+    "GROUP BY c_custkey, o_orderkey, o_totalprice",
+)
+def x_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the IN-subquery becomes a
+    left-semi join against the big-order aggregate; one lineitem pass
+    feeds both the qualifier and the final sum via exchange reuse."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"))
+    )
+
+
 # North-star operator registrations (dedup/similarity/text/multimodal)
 # live in nsqueries.py; importing it populates the same registry.
 from . import nsqueries  # noqa: E402,F401  (registration side effects)
