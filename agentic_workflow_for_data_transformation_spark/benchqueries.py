@@ -931,6 +931,56 @@ def x_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_cube",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+)
+def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping combinations in one expand+aggregate pass."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "x_tpch_q14",
+    "SELECT CAST(100.0 * "
+    "SUM(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) "
+    "/ SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue_pct "
+    "FROM lineitem, part WHERE l_partkey = p_partkey "
+    "AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'",
+)
+def x_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): conditional aggregate
+    over a fact-dim join; the date filter pushes to the lineitem scan
+    so the join touches one month of the fact table. The ratio divides
+    two exact decimal sums — one double division, engine-identical."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(zero))
+                / F.sum(disc)
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
 # North-star operator registrations (dedup/similarity/text/multimodal)
 # live in nsqueries.py; importing it populates the same registry.
 from . import nsqueries  # noqa: E402,F401  (registration side effects)
