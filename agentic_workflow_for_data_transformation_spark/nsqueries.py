@@ -73,19 +73,39 @@ register(
 )(lambda spark, sf_dir: dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents")))
 
 
-register(
-    "ns_dedup_lsh_verified",
-    f"WITH {_SHINGLE_CTE}, {_sig_sql()}, {_buckets_sql()}, "
+# the candidate->verified CTE chain, shared by the pair query and the
+# connected-components clustering oracle
+_VERIFIED_CTES = (
+    f"{_SHINGLE_CTE}, {_sig_sql()}, {_buckets_sql()}, "
     "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x "
     " JOIN buckets y ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id), "
     "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter "
     "  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
     "sizes AS (SELECT doc_id, len(sh) AS sz FROM sh), "
     "jac AS (SELECT doc_a, doc_b, round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard "
-    "  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) "
+    "  FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id)"
+)
+
+register(
+    "ns_dedup_lsh_verified",
+    f"WITH {_VERIFIED_CTES} "
     "SELECT c.doc_a, c.doc_b, jaccard FROM cand c JOIN jac USING (doc_a, doc_b) "
     "WHERE jaccard >= 0.5",
 )(lambda spark, sf_dir: dedup.lsh_verified_pairs(_t(spark, sf_dir, "documents"), threshold=0.5))
+
+
+register(
+    "ns_dedup_clusters",
+    f"WITH RECURSIVE {_VERIFIED_CTES}, "
+    "ver AS (SELECT c.doc_a, c.doc_b FROM cand c JOIN jac USING (doc_a, doc_b) WHERE jaccard >= 0.5), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver "
+    " UNION SELECT doc_b, doc_a FROM ver), "
+    "reach(src, dst) AS (SELECT src, dst FROM edges "
+    " UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+    "m AS (SELECT src AS doc_id, min(dst) AS mr FROM reach GROUP BY src) "
+    "SELECT d.doc_id, CAST(least(coalesce(m.mr, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id "
+    "FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id",
+)(lambda spark, sf_dir: dedup.duplicate_clusters(_t(spark, sf_dir, "documents"), threshold=0.5))
 
 
 def _simhash_sql(bits: int = 16) -> str:

@@ -237,6 +237,62 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         id_col: str = "id", max_iter: int = 20) -> DataFrame:
+    """Minimum-label propagation connected components over an
+    undirected edge list: every node ends with the smallest node id
+    reachable from it (``component``). The iterative driver loop is
+    the Pregel-style shape (GraphX/GraphFrames do the same); each
+    round is one join + aggregate, converging in O(component diameter)
+    rounds — duplicate clusters are near-cliques, so 2-4 in practice.
+
+    localCheckpoint() truncates lineage each round: without it the
+    plan doubles per iteration and the driver chokes on plan
+    compilation long before data size matters."""
+    e = edges.select(F.col("src"), F.col("dst"))
+    bidir = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        neigh = (
+            bidir.join(labels, bidir.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("_nl"), F.col("component"))).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
+                       threshold: float = 0.5, num_hashes: int = 16,
+                       bands: int = 4, n: int = 3) -> DataFrame:
+    """Fuzzy-dedup clustering end to end: LSH-verified near-dup pairs
+    -> connected components -> (doc_id, cluster_id) where cluster_id
+    is the minimum doc id of the duplicate group (singletons cluster
+    with themselves). Downstream, keeping ``doc_id == cluster_id``
+    rows is the canonical-representative dedup policy."""
+    pairs = lsh_verified_pairs(df, id_col=id_col, threshold=threshold,
+                               num_hashes=num_hashes, bands=bands, n=n)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges, df.select(id_col), id_col=id_col)
+    return comp.select(F.col("id").alias(id_col), F.col("component").alias("cluster_id"))
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash: for bit j, sum +-1 over the document's distinct words

@@ -122,3 +122,33 @@ def test_multimodal_plumbing(spark):
     assert out[1]["media_format"] == "fake"
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"\x89PNG")
+
+
+def test_connected_components_chain_triangle_singleton(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import dedup
+
+    # graph: chain 1-2-3 (diameter > 1), triangle 10-11-12, singleton 99
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(edges, nodes, id_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_duplicate_clusters_cover_all_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from agentic_workflow_for_data_transformation_spark.operators import dedup
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    clusters = dedup.duplicate_clusters(docs, threshold=0.5)
+    assert clusters.count() == docs.count()  # every doc gets a cluster
+    # cluster representative is a member of its own cluster
+    reps = clusters.select(F.col("cluster_id").alias("doc_id")).distinct()
+    missing = reps.join(clusters.select("doc_id").distinct(), "doc_id", "left_anti").count()
+    assert missing == 0
