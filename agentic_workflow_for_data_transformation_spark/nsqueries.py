@@ -108,6 +108,20 @@ register(
 )(lambda spark, sf_dir: dedup.duplicate_clusters(_t(spark, sf_dir, "documents"), threshold=0.5))
 
 
+register(
+    "ns_dedup_apply",
+    f"WITH RECURSIVE {_VERIFIED_CTES}, "
+    "ver AS (SELECT c.doc_a, c.doc_b FROM cand c JOIN jac USING (doc_a, doc_b) WHERE jaccard >= 0.5), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver "
+    " UNION SELECT doc_b, doc_a FROM ver), "
+    "reach(src, dst) AS (SELECT src, dst FROM edges "
+    " UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), "
+    "m AS (SELECT src AS doc_id, min(dst) AS mr FROM reach GROUP BY src) "
+    "SELECT d.* FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id "
+    "WHERE least(coalesce(m.mr, d.doc_id), d.doc_id) = d.doc_id",
+)(lambda spark, sf_dir: dedup.dedup_keep_canonical(_t(spark, sf_dir, "documents"), threshold=0.5))
+
+
 def _simhash_sql(bits: int = 16) -> str:
     high = "('8','9','a','b','c','d','e','f')"
     sums = ", ".join(

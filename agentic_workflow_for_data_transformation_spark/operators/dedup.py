@@ -293,6 +293,19 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
     return comp.select(F.col("id").alias(id_col), F.col("component").alias("cluster_id"))
 
 
+def dedup_keep_canonical(df: DataFrame, id_col: str = "doc_id",
+                         threshold: float = 0.5, num_hashes: int = 16,
+                         bands: int = 4, n: int = 3) -> DataFrame:
+    """The applied fuzzy dedup: keep exactly one document per
+    near-duplicate cluster (the minimum-id representative), drop the
+    rest. This is the operator a training-data pipeline actually runs;
+    the pair/cluster queries are its observable intermediates."""
+    clusters = duplicate_clusters(df, id_col=id_col, threshold=threshold,
+                                  num_hashes=num_hashes, bands=bands, n=n)
+    keepers = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keepers, id_col, "left_semi")
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash: for bit j, sum +-1 over the document's distinct words
