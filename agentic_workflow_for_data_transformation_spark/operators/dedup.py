@@ -250,8 +250,15 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     plan doubles per iteration and the driver chokes on plan
     compilation long before data size matters."""
     e = edges.select(F.col("src"), F.col("dst"))
-    bidir = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    # materialize the edge list once: it joins into EVERY propagation
+    # round, and without truncation each round would re-derive the
+    # (possibly expensive) pair-generation DAG behind it
+    bidir = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint()
     for _ in range(max_iter):
         neigh = (
             bidir.join(labels, bidir.dst == labels.id)
