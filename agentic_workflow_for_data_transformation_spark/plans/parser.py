@@ -206,6 +206,12 @@ _GROUP_AVG = re.compile(
     r"^group\s+by\s+(\w+)\s+and\s+show\s+average\s+(\w+)(?:\s+where\s+(.*))?$",
     re.IGNORECASE,
 )
+_GROUP_AGG = re.compile(
+    r"^group\s+by\s+(\w+)\s+and\s+show\s+(total|sum of|minimum|maximum)\s+(\w+)"
+    r"(?:\s+where\s+(.*))?$",
+    re.IGNORECASE,
+)
+_AGG_WORDS = {"total": "sum", "sum of": "sum", "minimum": "min", "maximum": "max"}
 _ADD_COLUMN = re.compile(
     r"^add\s+(\w+)\s+column\s+where\s+\w+\s*=\s*(.*)$", re.IGNORECASE
 )
@@ -263,6 +269,17 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         }
         if having:
             op["having"] = parse_predicate(having)
+        return op
+    if m := _GROUP_AGG.match(clause):
+        key, word, col = m.group(1), m.group(2).lower(), _resolve_col(m.group(3), columns)
+        fn = _AGG_WORDS[word]
+        op = {
+            "op": "groupby_agg",
+            "keys": [key],
+            "aggs": [{"fn": fn, "col": col, "alias": f"{fn}_{col}"}],
+        }
+        if m.group(4):
+            op["having"] = parse_predicate(m.group(4))
         return op
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}

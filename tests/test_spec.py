@@ -195,3 +195,24 @@ def test_write_parquet_partitioned_prunes(spark, sf_dir, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert back.count() == docs.filter(F.col("lang") == sorted(langs)[0]).count()
+
+
+def test_parser_group_agg_variants(spark, people):
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+
+    spec = parse_description("Group by city and show total age")
+    assert spec["ops"] == [{
+        "op": "groupby_agg", "keys": ["city"],
+        "aggs": [{"fn": "sum", "col": "age", "alias": "sum_age"}],
+    }]
+
+    spec = parse_description("Group by city and show maximum age where max_age > 40")
+    assert spec["ops"][0]["aggs"] == [{"fn": "max", "col": "age", "alias": "max_age"}]
+    assert spec["ops"][0]["having"] == {"gt": [{"col": "max_age"}, {"lit": 40}]}
+    rows = compile_spec(people, spec).collect()
+    assert {(r["city"], r["max_age"]) for r in rows} == {
+        ("Seattle", 45), ("San Francisco", 41), ("Austin", 50)
+    }
