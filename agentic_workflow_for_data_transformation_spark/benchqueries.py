@@ -166,7 +166,9 @@ _PARITY: list[tuple[str, str, str, str]] = [
 
 for _name, _table, _desc, _sql in _PARITY:
     def _mk(table: str, desc: str) -> QueryFn:
-        return lambda spark, sf_dir: _nl(spark, sf_dir, table, desc)
+        fn: QueryFn = lambda spark, sf_dir: _nl(spark, sf_dir, table, desc)  # noqa: E731
+        fn.__doc__ = f"NL pipeline on {table}: {desc!r}"
+        return fn
 
     register(_name, _sql)(_mk(_table, _desc))
 
