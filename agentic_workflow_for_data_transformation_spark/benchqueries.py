@@ -983,6 +983,93 @@ def x_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_tpch_q10",
+    "SELECT c_custkey, c_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, "
+    "n_name FROM customer, orders, lineitem, nation "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+    "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+def x_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue, top 20 customers):
+    quarter + returnflag filters push to the fact scans, nation
+    broadcasts, top-20 is TakeOrderedAndProject on the aggregate."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q19_DISJUNCTS = [
+    ("Brand#11", (1, 11), (1, 15)),
+    ("Brand#12", (10, 20), (1, 25)),
+    ("Brand#13", (20, 30), (1, 40)),
+]
+
+
+@register(
+    "x_tpch_q19",
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+    "FROM lineitem, part WHERE p_partkey = l_partkey AND ("
+    + " OR ".join(
+        f"(p_brand = '{b}' AND l_quantity BETWEEN {ql} AND {qh} AND p_size BETWEEN {sl} AND {sh})"
+        for b, (ql, qh), (sl, sh) in _Q19_DISJUNCTS
+    )
+    + ")",
+)
+def x_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of conjunctive brand/quantity/
+    size ranges spanning BOTH join sides — the classic test that the
+    optimizer keeps the equi-join key join-able and evaluates the
+    OR-of-ANDs as a post-join filter (or CNF-pushes the single-side
+    conjuncts) instead of falling back to a cross product."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disj = None
+    for b, (ql, qh), (sl, sh) in _Q19_DISJUNCTS:
+        term = (
+            (F.col("p_brand") == b)
+            & F.col("l_quantity").between(ql, qh)
+            & F.col("p_size").between(sl, sh)
+        )
+        disj = term if disj is None else disj | term
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(disj)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 # North-star operator registrations (dedup/similarity/text/multimodal)
 # live in nsqueries.py; importing it populates the same registry.
 from . import nsqueries  # noqa: E402,F401  (registration side effects)
