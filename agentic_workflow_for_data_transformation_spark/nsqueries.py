@@ -275,6 +275,22 @@ register(
 
 
 register(
+    "ns_sim_topk_multi",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id IN (0, 1, 2, 3)), "
+    "s AS (SELECT query_id, vec_id, " + _COS.format(a="v", b="qv") + " AS cos_sim, "
+    " row_number() OVER (PARTITION BY query_id ORDER BY "
+    + _COS.format(a="v", b="qv") + " DESC, vec_id) AS rn "
+    " FROM d, q WHERE vec_id <> query_id) "
+    "SELECT query_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM s WHERE rn <= 3",
+)(
+    lambda spark, sf_dir: similarity.topk_cosine_multi(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=3
+    )
+)
+
+
+register(
     "ns_sim_knn_per_label",
     "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
     "p AS (SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id, "

@@ -221,6 +221,39 @@ def topk_cosine_ivf(df: DataFrame, query_id: int, k: int = 5,
     )
 
 
+def topk_cosine_multi(df: DataFrame, query_ids: list[int], k: int = 3,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Batch ANN: top-k for MANY queries in ONE corpus scan. The query
+    set broadcasts; every corpus row scores against all queries
+    (broadcast nested-loop), then a per-query window keeps k. At
+    100 TB this is the right shape whenever the query batch is small
+    enough to broadcast: corpus passes stay O(1) regardless of query
+    count, instead of one scan per query."""
+    dim = probe_dim(df, vec_col)
+    rows = _vec_norm(df, id_col, vec_col, dim)
+    queries = F.broadcast(
+        rows.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    scored = (
+        rows.crossJoin(queries)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_from_parts(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cos_sim", "rn")
+    )
+
+
 def knn_join_per_label(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", label_col: str = "label",
                        k: int = 1) -> DataFrame:

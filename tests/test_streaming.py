@@ -120,3 +120,34 @@ def test_streaming_dedup_drops_replays(spark, sf_dir, tmp_path):
     n_ids = batch.select("event_id").distinct().count()
     assert got.count() == n_ids
     assert got.select("event_id").distinct().count() == n_ids
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """Stream -> foreachBatch -> partitioned parquet: the production
+    sink shape (each micro-batch writes atomically; the batch id gives
+    exactly-once bookkeeping when paired with idempotent writes)."""
+    stream = read_events_stream(spark, sf_dir)
+    agg = windowed_event_aggregate(stream)
+    out_dir = str(tmp_path / "windows")
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        batch_df.write.mode("append").partitionBy("event_type").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert seen_batches  # sink ran at least once
+    back = spark.read.parquet(out_dir)
+    from agentic_workflow_for_data_transformation_spark.benchqueries import queries
+
+    batch = queries()["x_time_bucket_agg"](spark, sf_dir)
+    assert back.count() == batch.count()
+    # partitioned layout: one directory per event_type
+    types = {p.name.split("=")[1] for p in (tmp_path / "windows").glob("event_type=*")}
+    assert types == {r["event_type"] for r in batch.select("event_type").distinct().collect()}
