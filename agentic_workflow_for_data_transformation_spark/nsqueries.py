@@ -301,6 +301,23 @@ register(
     "SELECT vec_id, label, nn_vec_id, cos_sim FROM p WHERE rn = 1",
 )(lambda spark, sf_dir: similarity.knn_join_per_label(_t(spark, sf_dir, "embeddings"), k=1))
 
+def _hashvec_sql(d: int = 8) -> str:
+    bkt = "(('0x' || substr(md5(w), 1, 15))::BIGINT % " + str(d) + ")"
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN bkt = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
+        for i in range(d)
+    )
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+        f"b AS (SELECT doc_id, {bkt} AS bkt FROM w) "
+        f"SELECT doc_id, {sums} FROM b GROUP BY doc_id"
+    )
+
+
+register("ns_text_hashvec", _hashvec_sql())(
+    lambda spark, sf_dir: text.hashed_bow_features(_t(spark, sf_dir, "documents"), d=8)
+)
+
 # ---------------------------------------------------------------- sampling
 
 _DRAW = "(('0x' || substr(md5('{salt}|' || {key}::VARCHAR), 1, 15))::BIGINT % 1000000)"

@@ -89,6 +89,29 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", pred)
 
 
+def hashed_bow_features(df: DataFrame, d: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Feature hashing (hashing-trick bag of words): every word counts
+    into one of ``d`` buckets by portable 60-bit hash; output is one
+    integer column per bucket (f0..f{d-1}). This is the deterministic
+    text->vector bridge into the similarity stack — no vocabulary
+    build, no second pass, fixed width at any corpus size. One explode
+    + one aggregate; map-side partial aggregation collapses each
+    partition to d longs per doc before the shuffle."""
+    from .dedup import _hash60, spread_small_input
+
+    e = (
+        spread_small_input(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .withColumn("bkt", _hash60(F.col("w")) % d)
+    )
+    sums = [
+        F.sum(F.when(F.col("bkt") == i, 1).otherwise(0)).alias(f"f{i}")
+        for i in range(d)
+    ]
+    return e.groupBy(id_col).agg(*sums)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: full-content md5 of the normalized text,
     plus a 64-bit-style prefix for compact storage/joins. Rolling-hash
