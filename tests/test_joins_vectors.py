@@ -84,3 +84,21 @@ def test_ivf_probe_prunes_cells(spark, sf_dir):
     out = similarity.topk_cosine_ivf(emb, query_id=0, k=5, n_centroids=8, n_probe=2)
     cells = {r["cell"] for r in out.collect()}
     assert len(cells) <= 2  # results come only from probed cells
+
+
+def test_multi_query_topk_matches_single_bruteforce(spark, sf_dir):
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    multi = similarity.topk_cosine_multi(emb, query_ids=[0, 7], k=4)
+    for qid in (0, 7):
+        got = [
+            (r["vec_id"], r["cos_sim"])
+            for r in sorted(multi.filter(F.col("query_id") == qid).collect(),
+                            key=lambda r: r["rn"])
+        ]
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in similarity.topk_cosine_bruteforce(emb, query_id=qid, k=4).collect()
+        ]
+        assert got == want
