@@ -64,9 +64,19 @@ predicate = st.recursive(
 
 
 def _duck(sql: str) -> list[tuple]:
+    from hypothesis import assume
+
     con = duckdb.connect()
     con.register("people", PEOPLE_PDF)
-    rows = con.execute(sql).fetchall()
+    try:
+        rows = con.execute(sql).fetchall()
+    except duckdb.InternalException:
+        # DuckDB assertion failure (e.g. its optimizer chokes on
+        # duplicate OR-disjuncts + LIMIT 0, seen on 1.0.0): the ORACLE
+        # crashed, so it can't adjudicate this example — reject it
+        # rather than fail the engine under test.
+        con.close()
+        assume(False)
     con.close()
     return sorted(tuple(str(v) for v in r) for r in rows)
 
