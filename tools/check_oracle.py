@@ -9,6 +9,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 from pathlib import Path
 
@@ -63,26 +64,40 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        row = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = row
         try:
             spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e).splitlines()[0][:160]}")
+            row["err"] = f"spark:{type(e).__name__}"
             failures.append(name)
             continue
+        row["spark_rows"] = len(spdf)
         if name not in oracles:
             print(f"weak  {name}: rows={len(spdf)} (no oracle, rows-only check)")
+            row["err"] = "no_oracle"
             continue
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {e}")
+            row["err"] = "duckdb_error"
             failures.append(name)
             continue
         sn, sc, sh = frame_fingerprint(spdf)
         on, oc, oh = frame_fingerprint(opdf)
+        row.update(
+            rows_match=(sn == on), schema_match=(sc == oc),
+            hash_match=(sh == oh), oracle_rows=on,
+        )
         ok = (sn, sc, sh) == (on, oc, oh)
         status = "ok  " if ok else "FAIL"
         print(f"{status}  {name}: spark(n={sn}, h={sh}) duckdb(n={on}, h={oh})")
@@ -96,6 +111,12 @@ def main() -> int:
                 diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
                 for a, b in diffs:
                     print(f"      spark={a}\n      duck ={b}")
+    if not only:
+        # Committed full-registry replica of the driver's gate: the driver
+        # records only the first 50 registrations, this file covers all.
+        out = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
+        out.write_text(json.dumps(report, indent=2) + "\n")
+        print(f"wrote {out} ({len(report)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
