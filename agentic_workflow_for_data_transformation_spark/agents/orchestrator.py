@@ -34,6 +34,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans import compile_spec, parse_description, validate_spec
+from ..plans.escape import apply_snippet
 from ..plans.parser import ParseError
 from ..plans.spec import SpecError
 from ..sources import read_csv, unique_output_path, write_csv_single
@@ -51,6 +52,8 @@ class TransformState:
 
     description: str
     spec: dict | None = None
+    code: str | None = None  # escape-hatch pandas snippet (U1), if used
+    schema: str | None = None  # declared DDL schema for the snippet path
     output_path: str | None = None
     row_count: int | None = None
     attempts: int = 0
@@ -74,6 +77,28 @@ Description: {description}
 """
 
 
+_PANDAS_PROMPT = """The transformation could not be expressed as a spec.
+Reply with ONLY JSON: {{"schema": "<Spark DDL of the result, e.g. 'name string, age bigint'>", "code": "<pandas snippet>"}}.
+The snippet sees ONE pandas DataFrame batch as `pdf` (columns: {columns})
+and must assign `result_df`. It must be row-local (filter / project /
+computed columns only — it runs per partition batch, so no cross-row
+aggregation), with no imports, no file or network I/O, no exec/eval.
+Description: {description}
+"""
+
+
+def _strip_fences(raw: str) -> str:
+    """Tolerate markdown fences around LLM JSON (the reference strips
+    fences the same way for generated code, :79-81)."""
+    raw = raw.strip()
+    if raw.startswith("```"):
+        raw = raw.strip("`")
+        raw = raw.split("\n", 1)[1] if "\n" in raw else raw
+        if raw.endswith("json"):
+            raw = raw[: -len("json")]
+    return raw
+
+
 def planner_agent(
     description: str,
     columns: list[str] | None = None,
@@ -87,15 +112,26 @@ def planner_agent(
         if llm is None:
             raise
     raw = llm(_SPEC_PROMPT.format(columns=columns, description=description))
-    # tolerate markdown fences around the JSON (reference strips fences
-    # the same way for generated code, :79-81)
-    raw = raw.strip()
-    if raw.startswith("```"):
-        raw = raw.strip("`")
-        raw = raw.split("\n", 1)[1] if "\n" in raw else raw
-        if raw.endswith("json"):
-            raw = raw[: -len("json")]
-    return validate_spec(json.loads(raw))
+    return validate_spec(json.loads(_strip_fences(raw)))
+
+
+def escape_hatch_agent(
+    df: DataFrame, description: str, llm: LLMClient, out_dir: str | Path
+) -> tuple[str, str, str, int]:
+    """U1 escape hatch (SURVEY.md section 2.7): when neither the grammar
+    nor the LLM-spec path can express a description, ask the LLM for a
+    row-local pandas snippet + declared result schema, AST-validate it
+    (plans/escape.py — no imports/I-O/exec, closed name set), and run it
+    per Arrow batch via mapInPandas. The reference exec's the equivalent
+    snippet on the driver (:123-150); here it is sandboxed and
+    partition-parallel. Returns (code, schema, output_path, row_count)."""
+    raw = llm(_PANDAS_PROMPT.format(columns=df.columns, description=description))
+    payload = json.loads(_strip_fences(raw))
+    code, schema = payload["code"], payload["schema"]
+    result = apply_snippet(df, code, schema)  # validates before running
+    path = unique_output_path(out_dir, description)
+    path = write_csv_single(result, path)
+    return code, schema, str(path), result.count()
 
 
 def execution_agent(
@@ -105,10 +141,12 @@ def execution_agent(
     Returns (output_path, row_count)."""
     result = compile_spec(df, spec)
     path = unique_output_path(out_dir, description)
-    write_csv_single(result, path)
-    # count from the written file's frame to match what the critic sees
-    n = sum(1 for _ in open(path)) - 1
-    return str(path), max(n, 0)
+    path = write_csv_single(result, path)
+    # the compiled DataFrame's count — the critic independently
+    # recomputes and cross-checks it against the written file, so
+    # driver-side line counting (which miscounts quoted newlines and
+    # leaks a file handle) is unnecessary
+    return str(path), result.count()
 
 
 def _filter_exprs_on_output(spec: dict) -> list[dict]:
@@ -203,6 +241,30 @@ def critic_agent(
     return True, "ok"
 
 
+def critic_escape(
+    spark: SparkSession,
+    df: DataFrame,
+    code: str,
+    schema: str,
+    output_path: str,
+) -> tuple[bool, str]:
+    """Deterministic validation for the escape-hatch path: the snippet
+    has no spec to derive predicates from, so the check is (a) output
+    columns == declared schema columns, (b) output row count == a fresh
+    recomputation of the snippet. A snippet that violates the row-local
+    contract (e.g. per-batch aggregation) produces batch-dependent
+    counts and fails (b) whenever the partitioning differs between the
+    write and the recheck — an intentional tripwire."""
+    result = apply_snippet(df, code, schema)
+    out_df = read_csv(spark, output_path)
+    if out_df.columns != result.columns:
+        return False, f"schema mismatch: {out_df.columns} != {result.columns}"
+    expected_n, actual_n = result.count(), out_df.count()
+    if actual_n != expected_n:
+        return False, f"row count mismatch: output {actual_n} != recomputed {expected_n}"
+    return True, "ok (escape hatch)"
+
+
 def run_transform(
     spark: SparkSession,
     df: DataFrame,
@@ -229,7 +291,24 @@ def run_transform(
             state.messages.append(f"attempt {attempt + 1}: planning failed: {e}")
             if llm is None:
                 raise  # deterministic path: retrying identical input is pointless
-            feedback = str(e)
+            # Both the grammar and the LLM-spec path failed: U1 escape
+            # hatch — sandboxed row-local pandas via mapInPandas.
+            try:
+                state.code, state.schema, state.output_path, state.row_count = (
+                    escape_hatch_agent(df, desc, llm, out_dir)
+                )
+                ok, reason = critic_escape(
+                    spark, df, state.code, state.schema, state.output_path
+                )
+            except Exception as ee:  # sandbox rejection, bad JSON, runtime error
+                state.messages.append(f"attempt {attempt + 1}: escape hatch failed: {ee}")
+                feedback = f"{e}; escape hatch: {ee}"
+                continue
+            state.messages.append(f"attempt {attempt + 1}: {reason}")
+            if ok:
+                state.valid = True
+                return state
+            feedback = reason
             continue
         state.messages.append(f"attempt {attempt + 1}: {reason}")
         if ok:

@@ -328,6 +328,35 @@ def p22_nl_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import nsqueries  # noqa: E402,F401  (registration side effects)
 
 
+@register(
+    "u1_escape_hatch",
+    "SELECT c_custkey, c_name, c_acctbal, "
+    "CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acctbal_bucket "
+    "FROM customer WHERE c_acctbal > 5000.0",
+)
+def u1_escape_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 escape hatch (SURVEY.md section 2.7; reference
+    agentic_workflow_transformation.py:123-150): a free-form pandas
+    snippet, AST-validated (no imports/I-O/exec, closed name set) and
+    run per Arrow batch inside executors via mapInPandas — the
+    sandboxed, partition-parallel replacement for the reference's
+    driver-side exec. Row-local semantics (filter + project + computed
+    column), so per-batch execution composes to the exact global
+    answer."""
+    from .plans.escape import apply_snippet
+
+    code = (
+        "kept = pdf[pdf['c_acctbal'] > 5000.0]\n"
+        "result_df = kept[['c_custkey', 'c_name', 'c_acctbal']].assign(\n"
+        "    acctbal_bucket=(kept['c_acctbal'] // 1000).astype('int64'))\n"
+    )
+    return apply_snippet(
+        _t(spark, sf_dir, "customer"),
+        code,
+        "c_custkey bigint, c_name string, c_acctbal double, acctbal_bucket bigint",
+    )
+
+
 # --------------------------------------------------------------------------
 # Extension operators (SURVEY.md section 2.6 vocabulary the reference lacks)
 # --------------------------------------------------------------------------

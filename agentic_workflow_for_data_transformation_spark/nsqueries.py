@@ -436,3 +436,27 @@ register(
     "CAST((octet_length(encode(text)) // 256) % 256 AS INTEGER) AS fake_height, "
     "'fake' AS media_format FROM documents",
 )(_multimodal)
+
+
+def _topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a bucket-partitioned materialization: the probe's
+    literal bucket predicate prunes at the FILE level (PartitionFilters
+    in the scan), asserted by tests/test_plans.py."""
+    from pathlib import Path
+
+    out = f"/tmp/spark_graft_part/{Path(sf_dir).name}/emb_by_bucket"
+    return similarity.topk_cosine_partition_pruned(
+        spark, _t(spark, sf_dir, "embeddings"), query_id=7, out_path=out, k=5, bits=4
+    )
+
+
+register(
+    "ns_sim_topk_partitioned",
+    "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    f"{_bucket_sql('embedding', bits=4)} AS bucket FROM embeddings), "
+    "q AS (SELECT v AS qv FROM b WHERE vec_id = 7), "
+    "qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 7) "
+    "SELECT vec_id, " + _COS.format(a="v", b="qv") + " AS cos_sim "
+    "FROM b, q, qb WHERE vec_id <> 7 AND bucket = qbucket "
+    "ORDER BY cos_sim DESC, vec_id LIMIT 5",
+)(_topk_partitioned)

@@ -221,6 +221,64 @@ def topk_cosine_ivf(df: DataFrame, query_id: int, k: int = 5,
     )
 
 
+def topk_cosine_partition_pruned(
+    spark, df: DataFrame, query_id: int, out_path, k: int = 5, bits: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving-path ANN with FILE-LEVEL pruning: materialize the corpus
+    partitioned by sign-LSH bucket (one directory per bucket), then
+    probe with a *literal* bucket predicate so the re-read scan touches
+    only the query's partition — the plan shows the predicate under
+    ``PartitionFilters`` and lists exactly one of the 2^bits
+    directories. At 100 TB this is the difference between scanning the
+    whole corpus and scanning ~1/2^bits of it before any vector math.
+
+    The query vector is fetched with ONE single-row driver lookup (the
+    legitimate driver action for a point query) which turns the bucket
+    into a static literal — no join, no dynamic pruning machinery
+    needed. Semantically identical to ``topk_cosine_lsh``; only the
+    physical layout differs, so the same exact oracle applies."""
+    import math
+
+    from ..sources.io import write_parquet
+
+    base = df.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("v"),
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
+    write_parquet(base, out_path, partition_by=["bucket"])
+    part = spark.read.parquet(str(out_path))
+
+    qrow = (
+        df.filter(F.col(id_col) == query_id)
+        .select(as_double_array(vec_col).alias("qv"))
+        .first()
+    )
+    qv = [float(x) for x in qrow["qv"]]
+    dim = len(qv)
+    qbucket = "".join("1" if x >= 0 else "0" for x in qv[:bits])
+    qnrm = math.sqrt(sum(x * x for x in qv))
+    qv_col = F.array(*[F.lit(x) for x in qv])
+
+    scored = (
+        part.filter(F.col("bucket") == qbucket)  # static partition filter
+        .filter(F.col(id_col) != query_id)
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_parts(F.col("v"), qv_col, l2_norm(F.col("v"), dim), F.lit(qnrm)),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .select(id_col, "cos_sim")
+        .limit(k)
+    )
+
+
 def topk_cosine_multi(df: DataFrame, query_ids: list[int], k: int = 3,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Batch ANN: top-k for MANY queries in ONE corpus scan. The query

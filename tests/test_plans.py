@@ -134,3 +134,24 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_ann_scan_prunes_files(spark):
+    """ns_sim_topk_partitioned materializes the corpus partitioned by
+    sign bucket and probes with a literal bucket: the re-read scan must
+    carry the bucket predicate as a PartitionFilter (file-level pruning
+    — at 100 TB the probe reads ~1/2^bits of the corpus files)."""
+    plan = plan_of(spark, "ns_sim_topk_partitioned")
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*bucket", plan)
+    assert m, f"bucket predicate not in PartitionFilters:\n{plan[:2000]}"
+
+
+def test_escape_hatch_runs_in_executors(spark):
+    """u1_escape_hatch must plan as MapInPandas over the scan — the
+    snippet runs per Arrow batch in executors, never on the driver."""
+    plan = plan_of(spark, "u1_escape_hatch")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # row-local: no shuffle
