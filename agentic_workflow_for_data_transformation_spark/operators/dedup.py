@@ -214,13 +214,13 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     """The full scale-path pipeline: LSH candidates -> exact Jaccard on
     candidates only -> threshold. This is how fuzzy dedup runs at
     100 TB: the exact O(pairs) step touches only LSH survivors."""
-    # the candidate subtree feeds both the doc-restriction and the
-    # final join; it recomputes rather than persist() — repeated
-    # invocations through the registry would accumulate cached blocks
-    # with no unpersist point, and shuffle reuse covers most of the
-    # shared work anyway
+    # the candidate subtree feeds THREE consumers (the doc-restriction,
+    # the jaccard semi-join, and the final pair join): materialize it
+    # once with localCheckpoint — candidates are a tiny pair list, and
+    # unlike persist() the blocks are reclaimed when the frame is
+    # collected, so registry-driven repeated invocations don't leak
     cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
-                                  bands=bands, n=n)
+                                  bands=bands, n=n).localCheckpoint()
     docs = (
         cand.select(F.col("doc_a").alias("d"))
         .unionByName(cand.select(F.col("doc_b").alias("d")))
