@@ -56,11 +56,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, sf_dir, name)
 
 
-def _nl(spark: SparkSession, sf_dir: str, table: str, description: str) -> DataFrame:
+def _nl(spark: SparkSession, sf_dir: str, table: str, description: str,
+        extra_tables: tuple[str, ...] = ()) -> DataFrame:
     """Run an NL description through parser + compiler against a table —
-    the reference-parity execution path."""
+    the reference-parity execution path. ``extra_tables`` are loaded
+    into the compiler's table map for NL join clauses."""
     df = _t(spark, sf_dir, table)
-    return compile_spec(df, parse_description(description, columns=df.columns))
+    tables = {n: _t(spark, sf_dir, n) for n in extra_tables}
+    return compile_spec(df, parse_description(description, columns=df.columns),
+                        tables=tables)
 
 
 # --------------------------------------------------------------------------
@@ -354,6 +358,62 @@ def u1_escape_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer"),
         code,
         "c_custkey bigint, c_name string, c_acctbal double, acctbal_bucket bigint",
+    )
+
+
+# Widened-grammar parity queries (VERDICT r1 #5): multi-key sort, global
+# aggregates, count-distinct, NL joins — all through the deterministic
+# NL pipeline. Registered just past the driver window; covered by the
+# committed local oracle report and tests/test_eval20.py goldens.
+@register(
+    "p23_nl_sort_multikey",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "ORDER BY l_quantity DESC NULLS LAST, l_orderkey ASC NULLS FIRST, "
+    "l_linenumber ASC NULLS FIRST LIMIT 8",
+)
+def p23_nl_sort_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort from NL: 'sort by X desc, Y, Z' (the trailing keys
+    make the top-k boundary deterministic)."""
+    return _nl(spark, sf_dir, "lineitem",
+               "Select l_orderkey, l_linenumber, l_quantity and "
+               "sort by l_quantity desc, l_orderkey, l_linenumber and keep top 8 rows.")
+
+
+@register(
+    "p24_nl_global_avg",
+    "SELECT avg(p_size) AS average_p_size FROM part",
+)
+def p24_nl_global_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate with no group-by ('show average age' shape from
+    the reference corpus, :360): one-row result, no shuffle keys —
+    partial aggregation reduces every partition to one value."""
+    return _nl(spark, sf_dir, "part", "Show average p_size.")
+
+
+@register(
+    "p25_nl_count_distinct",
+    "SELECT count(DISTINCT o_orderpriority) AS o_orderpriority_distinct_count "
+    "FROM orders",
+)
+def p25_nl_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nl(spark, sf_dir, "orders", "Count distinct o_orderpriority.")
+
+
+@register(
+    "p26_nl_join_group",
+    "SELECT n_name, count(c_custkey) AS c_custkey_count "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name",
+)
+def p26_nl_join_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL join: rename aligns the key, broadcast hint keeps the 25-row
+    nation dim from shuffling the customer side."""
+    return _nl(
+        spark, sf_dir, "customer",
+        "Rename c_nationkey to n_nationkey and "
+        "broadcast join with nation on n_nationkey and "
+        "group by n_name and count c_custkey.",
+        extra_tables=("nation",),
     )
 
 

@@ -147,6 +147,19 @@ def _apply_groupby(df: DataFrame, op: dict) -> DataFrame:
     return out
 
 
+def _resolve_right(right: Any, tables: dict[str, DataFrame]) -> DataFrame:
+    """Resolve a join/union right side: a registered table name or an
+    inline DataFrame. Unknown names get a SpecError naming the
+    available tables, not a bare KeyError."""
+    if not isinstance(right, str):
+        return right
+    if right not in tables:
+        raise SpecError(
+            f"unknown table {right!r}; available tables: {sorted(tables)}"
+        )
+    return tables[right]
+
+
 def compile_spec(
     df: DataFrame,
     spec: dict,
@@ -181,14 +194,12 @@ def compile_spec(
         elif kind == "window":
             df = _apply_window(df, op)
         elif kind == "join":
-            right = op["right"]
-            rdf = tables[right] if isinstance(right, str) else right
+            rdf = _resolve_right(op["right"], tables)
             if op.get("broadcast"):
                 rdf = F.broadcast(rdf)
             df = df.join(rdf, on=op["on"], how=op.get("how", "inner"))
         elif kind == "union":
-            right = op["right"]
-            rdf = tables[right] if isinstance(right, str) else right
+            rdf = _resolve_right(op["right"], tables)
             df = df.unionByName(rdf)
             if op.get("distinct"):
                 df = df.distinct()

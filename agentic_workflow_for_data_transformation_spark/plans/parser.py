@@ -28,7 +28,7 @@ class ParseError(ValueError):
     """Description (or predicate) not covered by the grammar."""
 
 
-_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate)"
+_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate|join|broadcast)"
 # split " and <clause keyword>" / " and then " but never predicate-level
 # "and" (conjunctions, BETWEEN..AND..) — those are not followed by a
 # clause keyword.
@@ -217,8 +217,10 @@ _ADD_COLUMN = re.compile(
 )
 _RENAME = re.compile(r"^rename\s+(?:column\s+)?(\w+)\s+to\s+(\w+)\s*$", re.IGNORECASE)
 _DROP = re.compile(r"^drop\s+(?:column\s+)?(\w+)(?:\s+column)?\s*$", re.IGNORECASE)
-_SORT = re.compile(
-    r"^sort\s+by\s+(\w+)(?:\s+(desc(?:ending)?|asc(?:ending)?))?\s*$", re.IGNORECASE
+# multi-key: "sort by age desc, name" — each comma part is col [dir]
+_SORT = re.compile(r"^sort\s+by\s+(.+)$", re.IGNORECASE)
+_SORT_KEY = re.compile(
+    r"(\w+)(?:\s+(desc(?:ending)?|asc(?:ending)?))?", re.IGNORECASE
 )
 _LIMIT = re.compile(r"^keep\s+top\s+(\d+)(?:\s+rows?)?\s*$", re.IGNORECASE)
 _FILTER = re.compile(r"^(?:filter|select)\s+(?:rows\s+)?(?:where\s+)?(.*)$", re.IGNORECASE)
@@ -233,6 +235,26 @@ _DEDUP = re.compile(
     re.IGNORECASE,
 )
 _SELECT_DISTINCT = re.compile(r"^select\s+distinct\s+(.*)$", re.IGNORECASE)
+# global aggregates (no group-by): "show average age", "count rows",
+# "count distinct city"
+_GLOBAL_AGG = re.compile(
+    r"^show\s+(average|total|sum of|minimum|maximum)\s+(\w+)\s*$", re.IGNORECASE
+)
+_COUNT_ROWS = re.compile(r"^count\s+rows\s*$", re.IGNORECASE)
+_COUNT_DISTINCT = re.compile(r"^count\s+distinct\s+(\w+)\s*$", re.IGNORECASE)
+_GROUP_COUNT_DISTINCT = re.compile(
+    r"^group\s+by\s+(\w+)\s+and\s+count\s+distinct\s+(\w+)\s*$", re.IGNORECASE
+)
+# "join with customer on custkey" / "broadcast join nation on n_nationkey"
+# / "left join orders with customer on c_custkey" — the base table is the
+# clause pipeline's input; 'right' resolves via the compiler's tables map.
+_JOIN = re.compile(
+    r"^(broadcast\s+)?(?:(inner|left_semi|left_anti|left|right|full|cross)\s+)?join\s+"
+    r"(?:\w+\s+with\s+|with\s+)?(\w+)\s+on\s+(\w+(?:\s*,\s*\w+)*)\s*$",
+    re.IGNORECASE,
+)
+_GLOBAL_AGG_WORDS = {"average": "avg", "total": "sum", "sum of": "sum",
+                     "minimum": "min", "maximum": "max"}
 
 
 def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
@@ -253,6 +275,14 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             {"op": "select", "cols": _parse_select_cols(m.group(1))},
             {"op": "distinct"},
         ]
+    if m := _GROUP_COUNT_DISTINCT.match(clause):
+        key, col = m.group(1), _resolve_col(m.group(2), columns)
+        return {
+            "op": "groupby_agg",
+            "keys": [key],
+            "aggs": [{"fn": "count_distinct", "col": col,
+                      "alias": f"{col}_distinct_count"}],
+        }
     if m := _GROUP_COUNT.match(clause):
         key, counted = m.group(1), _resolve_col(m.group(2), columns)
         return {
@@ -281,6 +311,39 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         if m.group(4):
             op["having"] = parse_predicate(m.group(4))
         return op
+    if m := _GLOBAL_AGG.match(clause):
+        word, col = m.group(1).lower(), _resolve_col(m.group(2), columns)
+        fn = _GLOBAL_AGG_WORDS[word]
+        alias = f"average_{col}" if fn == "avg" else f"{fn}_{col}"
+        return {
+            "op": "groupby_agg",
+            "keys": [],  # global aggregate: one row, no shuffle keys
+            "aggs": [{"fn": fn, "col": col, "alias": alias}],
+        }
+    if _COUNT_ROWS.match(clause):
+        return {
+            "op": "groupby_agg",
+            "keys": [],
+            "aggs": [{"fn": "count", "col": "*", "alias": "row_count"}],
+        }
+    if m := _COUNT_DISTINCT.match(clause):
+        col = _resolve_col(m.group(1), columns)
+        return {
+            "op": "groupby_agg",
+            "keys": [],
+            "aggs": [{"fn": "count_distinct", "col": col,
+                      "alias": f"{col}_distinct_count"}],
+        }
+    if m := _JOIN.match(clause):
+        op = {
+            "op": "join",
+            "right": m.group(3),
+            "on": [c.strip() for c in m.group(4).split(",")],
+            "how": (m.group(2) or "inner").lower(),
+        }
+        if m.group(1):
+            op["broadcast"] = True
+        return op
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}
     if m := _RENAME.match(clause):
@@ -288,8 +351,16 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
     if m := _DROP.match(clause):
         return {"op": "drop", "cols": [m.group(1)]}
     if m := _SORT.match(clause):
-        asc = not (m.group(2) or "").lower().startswith("desc")
-        return {"op": "sort", "keys": [{"col": m.group(1), "asc": asc}]}
+        keys = []
+        for part in re.split(r"\s*,\s*", m.group(1).strip()):
+            km = _SORT_KEY.fullmatch(part.strip())
+            if not km:
+                raise ParseError(f"bad sort key {part!r}")
+            keys.append({
+                "col": km.group(1),
+                "asc": not (km.group(2) or "").lower().startswith("desc"),
+            })
+        return {"op": "sort", "keys": keys}
     if m := _LIMIT.match(clause):
         return {"op": "limit", "n": int(m.group(1))}
     # "select name, city" / "select columns name and age" — a projection

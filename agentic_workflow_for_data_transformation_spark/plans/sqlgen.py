@@ -142,8 +142,13 @@ def spec_to_sql(spec: dict, table: str) -> str:
         elif kind == "drop":
             sql = wrap("* EXCLUDE (" + ", ".join(_q(c) for c in op["cols"]) + ")")
         elif kind == "sort":
+            # explicit null ordering matching Spark semantics (ASC is
+            # NULLS FIRST, DESC is NULLS LAST) — DuckDB's defaults are
+            # the opposite, so a sort+limit over nullable keys would
+            # otherwise pick different boundary rows than the engine
             keys = ", ".join(
-                _q(k["col"]) + ("" if k.get("asc", True) else " DESC")
+                _q(k["col"])
+                + (" ASC NULLS FIRST" if k.get("asc", True) else " DESC NULLS LAST")
                 for k in op["keys"]
             )
             sql = wrap("*", f"ORDER BY {keys}")

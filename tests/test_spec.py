@@ -216,3 +216,68 @@ def test_parser_group_agg_variants(spark, people):
     assert {(r["city"], r["max_age"]) for r in rows} == {
         ("Seattle", 45), ("San Francisco", 41), ("Austin", 50)
     }
+
+
+def test_parser_widened_grammar(spark, people):
+    """Round-2 grammar: multi-key sort, global aggregates, count
+    distinct, NL joins (VERDICT r1 #5)."""
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+
+    spec = parse_description("Sort by age desc, name and keep top 3 rows.")
+    assert spec["ops"] == [
+        {"op": "sort", "keys": [{"col": "age", "asc": False},
+                                {"col": "name", "asc": True}]},
+        {"op": "limit", "n": 3},
+    ]
+    rows = compile_spec(people, spec).collect()
+    assert [r["name"] for r in rows] == ["Ian", "Diana", "Fiona"]
+
+    spec = parse_description("Show average age.")
+    assert spec["ops"] == [{
+        "op": "groupby_agg", "keys": [],
+        "aggs": [{"fn": "avg", "col": "age", "alias": "average_age"}],
+    }]
+    [row] = compile_spec(people, spec).collect()
+    assert abs(row["average_age"] - 34.8) < 1e-9
+
+    [row] = compile_spec(people, parse_description("Count rows.")).collect()
+    assert row["row_count"] == 10
+
+    spec = parse_description("Count distinct city.")
+    assert spec["ops"][0]["aggs"][0] == {
+        "fn": "count_distinct", "col": "city", "alias": "city_distinct_count"
+    }
+    [row] = compile_spec(people, spec).collect()
+    assert row["city_distinct_count"] == 10
+
+    spec = parse_description("Group by city and count distinct name.")
+    assert spec["ops"][0]["keys"] == ["city"]
+    assert spec["ops"][0]["aggs"][0]["fn"] == "count_distinct"
+
+    spec = parse_description(
+        "Filter rows where age > 30 and broadcast join with bonus on name "
+        "and select name, amount."
+    )
+    assert spec["ops"][1] == {
+        "op": "join", "right": "bonus", "on": ["name"], "how": "inner",
+        "broadcast": True,
+    }
+    bonus = spark.createDataFrame([("Ian", 100), ("Hannah", 50)], ["name", "amount"])
+    rows = compile_spec(people, spec, tables={"bonus": bonus}).collect()
+    assert [(r["name"], r["amount"]) for r in rows] == [("Ian", 100)]
+
+
+def test_compile_unknown_join_table_is_spec_error(people):
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.spec import SpecError
+    import pytest as _pytest
+
+    spec = parse_description("Join with nowhere on name.")
+    with _pytest.raises(SpecError, match="unknown table 'nowhere'"):
+        compile_spec(people, spec, tables={})
