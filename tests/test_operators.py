@@ -152,3 +152,32 @@ def test_duplicate_clusters_cover_all_docs(spark, sf_dir):
     reps = clusters.select(F.col("cluster_id").alias("doc_id")).distinct()
     missing = reps.join(clusters.select("doc_id").distinct(), "doc_id", "left_anti").count()
     assert missing == 0
+
+
+def test_approx_count_distinct_within_rsd_bound(spark):
+    """x_approx_count_distinct has no exact SQL oracle (HLL sketches are
+    engine-specific by construction); this is its deterministic guard:
+    per group, |approx - exact| / exact must stay within a few rsd
+    (rsd=0.02; 5x gives deterministic headroom — HLL++ is not a random
+    draw, the observed max at sf0.01 is well under 2 rsd)."""
+    from agentic_workflow_for_data_transformation_spark.benchqueries import queries
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.01"
+    approx = {
+        r["o_orderpriority"]: r["approx_custs"]
+        for r in queries()["x_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    exact = {
+        r["o_orderpriority"]: r["exact"]
+        for r in read_parquet_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for key, ex in exact.items():
+        rel_err = abs(approx[key] - ex) / ex
+        assert rel_err <= 5 * 0.02, f"{key}: approx={approx[key]} exact={ex} rel_err={rel_err:.4f}"
