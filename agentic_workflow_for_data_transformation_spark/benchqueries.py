@@ -1190,3 +1190,82 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem_gs "
         "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"
     )
+
+
+@register(
+    "x_tpch_q2",
+    "SELECT s_suppkey, s_name, n_name, s_acctbal "
+    "FROM supplier s JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2 "
+    "WHERE s2.s_nationkey = s.s_nationkey)",
+)
+def x_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated max subquery (testdata has no
+    partsupp, so the correlation runs supplier-per-nation instead of
+    partsupp-per-part — same plan challenge). Spark decorrelates by
+    hand: the per-nation max is a 25-row aggregate, broadcast back
+    against supplier, so the fact side never shuffles. Values compare
+    raw parquet doubles (no arithmetic), so float equality is exact."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    mx = sup.groupBy("s_nationkey").agg(F.max("s_acctbal").alias("_max_bal"))
+    return (
+        sup.join(F.broadcast(mx), "s_nationkey")
+        .filter(F.col("s_acctbal") == F.col("_max_bal"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+@register(
+    "x_tpch_q4",
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+    "WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+    "AND o_orderdate < TIMESTAMP '1995-07-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_quantity > 45) "
+    "GROUP BY o_orderpriority",
+)
+def x_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery as a left-semi join (the date
+    window filter pushes to the orders scan; the semi join never
+    duplicates orders however many lineitems match)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        o.join(li, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "x_tpch_q21",
+    "SELECT s_suppkey, s_name FROM supplier s "
+    "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey "
+    "AND l_quantity >= 49) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey "
+    "AND l_quantity <= 2)",
+)
+def x_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: stacked EXISTS + NOT EXISTS against the same
+    fact table, compiled as left-semi then left-anti joins. The two
+    lineitem sides are filtered before joining, so each carries only
+    the qualifying keys; at scale both reduce to semi-join bloom
+    filters on s_suppkey rather than fact-fact shuffles."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = li.filter(F.col("l_quantity") >= 49).select(F.col("l_suppkey").alias("s_suppkey"))
+    lo = li.filter(F.col("l_quantity") <= 2).select(F.col("l_suppkey").alias("s_suppkey"))
+    return (
+        s.join(hi, "s_suppkey", "left_semi")
+        .join(lo, "s_suppkey", "left_anti")
+        .select("s_suppkey", "s_name")
+    )
