@@ -51,7 +51,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input-csv", default=None, help="input table (CSV with header)")
     ap.add_argument("--eval", action="store_true", help="run the 20-description eval suite")
     ap.add_argument("--out-dir", default=".", help="directory for transform_*.csv outputs")
+    ap.add_argument(
+        "--llm", choices=["auto", "off"], default="auto",
+        help="'auto' uses the OPENAI_API_KEY-configured client as the "
+             "planner fallback when the grammar can't parse; 'off' is "
+             "strictly deterministic (default behaves as 'off' when no "
+             "key is set)",
+    )
     args = ap.parse_args(argv)
+
+    from .agents.llm import client_from_env
+
+    llm = client_from_env() if args.llm == "auto" else None
 
     input_csv = args.input_csv or (Path.cwd() / "input.csv")
     if not Path(input_csv).exists():
@@ -62,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     df = read_csv(spark, str(input_csv))
 
     if args.eval:
-        results = run_eval(spark, df, EVAL_DESCRIPTIONS, out_dir=args.out_dir)
+        results = run_eval(spark, df, EVAL_DESCRIPTIONS, out_dir=args.out_dir, llm=llm)
         n_pass = sum(r["pass"] for r in results)
         for r in results:
             print(f"[{'PASS' if r['pass'] else 'FAIL'}] {r['id']:>2} "
@@ -73,7 +84,7 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.parser import ParseError
 
     try:
-        state = run_transform(spark, df, args.description, out_dir=args.out_dir)
+        state = run_transform(spark, df, args.description, out_dir=args.out_dir, llm=llm)
     except ParseError as e:
         print(f"Could not understand the description: {e}", file=sys.stderr)
         return 2

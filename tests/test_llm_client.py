@@ -1,0 +1,81 @@
+"""Optional live-LLM binding (agents/llm.py). Offline behavior is
+always tested; the live integration test runs only when OPENAI_API_KEY
+is set (VERDICT r1 #8: passes offline as skipped, online for real)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from agentic_workflow_for_data_transformation_spark.agents.llm import (
+    client_from_env,
+    openai_chat_client,
+)
+
+
+def test_client_from_env_is_none_without_key(monkeypatch):
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    assert client_from_env() is None
+
+
+def test_client_requires_key(monkeypatch):
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(RuntimeError, match="OPENAI_API_KEY"):
+        openai_chat_client()
+
+
+def test_client_request_shape(monkeypatch):
+    """The request the client would send: OpenAI-compatible
+    chat-completions payload, temperature 0, bearer auth — verified by
+    intercepting urlopen (no network)."""
+    captured = {}
+
+    class _Resp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return json.dumps(
+                {"choices": [{"message": {"content": "pong"}}]}
+            ).encode()
+
+    def fake_urlopen(req, timeout=None):
+        captured["url"] = req.full_url
+        captured["auth"] = req.get_header("Authorization")
+        captured["payload"] = json.loads(req.data)
+        return _Resp()
+
+    import agentic_workflow_for_data_transformation_spark.agents.llm as llm_mod
+
+    monkeypatch.setattr(llm_mod.urllib.request, "urlopen", fake_urlopen)
+    client = openai_chat_client(api_key="k", base_url="https://example.test/v1")
+    assert client("ping") == "pong"
+    assert captured["url"] == "https://example.test/v1/chat/completions"
+    assert captured["auth"] == "Bearer k"
+    assert captured["payload"]["temperature"] == 0.0
+    assert captured["payload"]["messages"] == [{"role": "user", "content": "ping"}]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("OPENAI_API_KEY"),
+    reason="live LLM integration: set OPENAI_API_KEY to run",
+)
+def test_live_planner_fallback_roundtrip(spark, people, tmp_path):
+    """Full orchestrator loop against a real model: a description the
+    grammar can't parse must come back valid via the LLM spec (or
+    escape-hatch) path."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import run_transform
+
+    st = run_transform(
+        spark, people,
+        "Please keep only the folks older than forty, just their names.",
+        out_dir=tmp_path, llm=client_from_env(),
+    )
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    assert {r[0] for r in out.collect()} <= {"Diana", "Fiona", "Ian"}
