@@ -30,11 +30,36 @@ def as_double_array(col: Column | str) -> Column:
     return c.cast("array<double>")
 
 
-def probe_dim(df: DataFrame, vec_col: str) -> int:
-    """Read the vector width from the first row (one tiny job at plan
-    time; embedding width is a table constant)."""
+# (session id, plan semantic hash, column) -> width. Embedding width is
+# a table constant, so one probe per distinct source plan per session is
+# enough; repeated registry/bench invocations reuse the memo instead of
+# launching a hidden one-row job per query construction.
+_DIM_MEMO: dict[tuple[int, int, str], int] = {}
+
+
+def probe_dim(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
+    """Vector width for ``vec_col``: the explicit ``dim`` when the
+    caller knows it (the scale path — no job at all), else one
+    memoized single-row probe per (session, source plan)."""
+    if dim is not None:
+        return dim
+    try:
+        key = (
+            id(df.sparkSession),
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+            vec_col,
+        )
+    except Exception:  # semanticHash unavailable: fall back to probing
+        key = None
+    if key is not None and key in _DIM_MEMO:
+        return _DIM_MEMO[key]
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    return int(row["d"]) if row else 0
+    d = int(row["d"]) if row else 0
+    if key is not None and d:
+        if len(_DIM_MEMO) > 256:  # bounded: registry corpora are small
+            _DIM_MEMO.clear()
+        _DIM_MEMO[key] = d
+    return d
 
 
 def dot(a: Column, b: Column) -> Column:

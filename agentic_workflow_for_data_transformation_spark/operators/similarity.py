@@ -50,10 +50,11 @@ def _vec_norm(df: DataFrame, id_col: str, vec_col: str, dim: int,
 
 
 def topk_cosine_bruteforce(df: DataFrame, query_id: int, k: int = 10,
-                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           dim: int | None = None) -> DataFrame:
     """Exact top-k by cosine to the row with id ``query_id`` (excluded
     from results). The 1-row query side is broadcast."""
-    dim = probe_dim(df, vec_col)
+    dim = probe_dim(df, vec_col, dim)
     rows = _vec_norm(df, id_col, vec_col, dim)
     q = F.broadcast(
         rows.filter(F.col(id_col) == query_id)
@@ -88,12 +89,13 @@ def sign_bucket(vec: str | F.Column, bits: int = 8) -> F.Column:
 
 
 def topk_cosine_lsh(df: DataFrame, query_id: int, k: int = 5, bits: int = 8,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
     """Bucketed ANN: score only rows whose sign-bucket equals the
     query's bucket. The bucket predicate prunes before any vector
     math; at scale, partition (or Z-order) the table by bucket so
     pruning happens at the file level."""
-    dim = probe_dim(df, vec_col)
+    dim = probe_dim(df, vec_col, dim)
     rows = df.select(
         F.col(id_col),
         as_double_array(vec_col).alias("v"),
@@ -123,7 +125,8 @@ def topk_cosine_lsh(df: DataFrame, query_id: int, k: int = 5, bits: int = 8,
 
 
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4, bits: int = 4,
-                            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: the dedup family's vector
     tier (exact/MinHash/SimHash handle text; this handles embeddings).
     Bucket by sign-LSH, self-join within bucket only, keep pairs with
@@ -131,7 +134,7 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4, bits: int = 4
     O(sum of bucket^2) instead of O(n^2) — the same LSH-first shape as
     MinHash dedup; at 100 TB, partition the table by bucket so each
     pair-block is co-located."""
-    dim = probe_dim(df, vec_col)
+    dim = probe_dim(df, vec_col, dim)
     b = df.select(
         F.col(id_col),
         as_double_array(vec_col).alias("v"),
@@ -163,7 +166,8 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4, bits: int = 4
 
 def topk_cosine_ivf(df: DataFrame, query_id: int, k: int = 5,
                     n_centroids: int = 8, n_probe: int = 2,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted lists by
     nearest centroid, then score only the lists nearest the query.
 
@@ -174,7 +178,7 @@ def topk_cosine_ivf(df: DataFrame, query_id: int, k: int = 5,
     cross-join + window argmax; the probe prunes the exact scan to
     ~n_probe/n_centroids of the corpus. At scale, write the table
     partitioned by ``cell`` so a probe is file-level pruning."""
-    dim = probe_dim(df, vec_col)
+    dim = probe_dim(df, vec_col, dim)
     rows = _vec_norm(df, id_col, vec_col, dim)
     cents = F.broadcast(
         rows.filter(F.col(id_col) < n_centroids).select(
@@ -280,14 +284,15 @@ def topk_cosine_partition_pruned(
 
 
 def topk_cosine_multi(df: DataFrame, query_ids: list[int], k: int = 3,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None) -> DataFrame:
     """Batch ANN: top-k for MANY queries in ONE corpus scan. The query
     set broadcasts; every corpus row scores against all queries
     (broadcast nested-loop), then a per-query window keeps k. At
     100 TB this is the right shape whenever the query batch is small
     enough to broadcast: corpus passes stay O(1) regardless of query
     count, instead of one scan per query."""
-    dim = probe_dim(df, vec_col)
+    dim = probe_dim(df, vec_col, dim)
     rows = _vec_norm(df, id_col, vec_col, dim)
     queries = F.broadcast(
         rows.filter(F.col(id_col).isin(query_ids)).select(
@@ -314,13 +319,13 @@ def topk_cosine_multi(df: DataFrame, query_ids: list[int], k: int = 3,
 
 def knn_join_per_label(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", label_col: str = "label",
-                       k: int = 1) -> DataFrame:
+                       k: int = 1, dim: int | None = None) -> DataFrame:
     """Exact k-nearest-neighbor self-join blocked by ``label_col``:
     within each label, every vector gets its top-k neighbors by cosine.
     The label is the join key, so the pair space is per-block, not
     global — the blocked-similarity-join shape used to verify ANN
     recall at scale."""
-    dim = probe_dim(df, vec_col)
+    dim = probe_dim(df, vec_col, dim)
     rows = _vec_norm(df, id_col, vec_col, dim, extra_cols=[label_col])
     left = rows.select(
         F.col(id_col).alias("a_id"),
