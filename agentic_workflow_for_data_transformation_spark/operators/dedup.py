@@ -265,22 +265,24 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             .groupBy("src")
             .agg(F.min("component").alias("_nl"))
         )
-        new_labels = (
+        # carry the changed flag through the propagation join, so the
+        # convergence check is one cheap aggregate over the checkpointed
+        # result instead of a second old-vs-new join per round
+        new_comp = F.least(
+            F.col("component"), F.coalesce(F.col("_nl"), F.col("component"))
+        )
+        stepped = (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
                 "id",
-                F.least(F.col("component"), F.coalesce(F.col("_nl"), F.col("component"))).alias("component"),
+                new_comp.alias("component"),
+                (new_comp != F.col("component")).cast("long").alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = stepped.agg(F.sum("_chg")).first()[0]
+        labels = stepped.drop("_chg")
+        if not changed:
             break
     return labels
 
