@@ -542,6 +542,30 @@ def x_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_sliding_window_agg",
+    "SELECT w_start, event_type, count(*) AS n_events, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts), "
+    "time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start, "
+    "event_type, value FROM events) GROUP BY 1, 2",
+)
+def x_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the streaming sliding-window aggregate
+    (streaming/events.py sliding_window_aggregate): 10-minute windows
+    hopping every 5, so each event lands in exactly 2 windows — the
+    oracle unnests the two bucket starts explicitly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
     "x_intersect",
     "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer "
     "INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier",

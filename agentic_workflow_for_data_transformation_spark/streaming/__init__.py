@@ -2,8 +2,10 @@ from .events import (
     EVENTS_SCHEMA,
     read_events_stream,
     windowed_event_aggregate,
+    sliding_window_aggregate,
     sessionized_event_aggregate,
     stateful_user_totals,
+    stream_static_enrich,
     streaming_dedup,
     sessionize_batch,
     run_stream_to_memory,
@@ -13,8 +15,10 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
     "windowed_event_aggregate",
+    "sliding_window_aggregate",
     "sessionized_event_aggregate",
     "stateful_user_totals",
+    "stream_static_enrich",
     "streaming_dedup",
     "sessionize_batch",
     "run_stream_to_memory",

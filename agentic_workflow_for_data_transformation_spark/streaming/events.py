@@ -68,6 +68,39 @@ def windowed_event_aggregate(
     )
 
 
+def sliding_window_aggregate(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (overlapping) windows: each event contributes to
+    window/slide consecutive windows — the hopping-window smoother for
+    rate dashboards. State is (window/slide)x the tumbling case but
+    still watermark-bounded; the same plan runs in batch (Spark's
+    window() with a slide is batch-legal), which is what the exact
+    oracle checks (x_sliding_window_agg)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         on: str = "event_type", how: str = "left") -> DataFrame:
+    """Stream-static join: enrich each event with a dimension row. The
+    static side broadcasts (re-resolved per micro-batch, so slowly
+    changing dims pick up updates); no streaming state at all — the
+    100 TB-friendly way to tag events, vs. a stateful stream-stream
+    join."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 def sessionized_event_aggregate(
     events: DataFrame,
     gap: str = "5 minutes",

@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 from agentic_workflow_for_data_transformation_spark.streaming import (
     read_events_stream,
     sessionized_event_aggregate,
+    sliding_window_aggregate,
     stateful_user_totals,
+    stream_static_enrich,
     windowed_event_aggregate,
     run_stream_to_memory,
 )
@@ -151,3 +153,54 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     # partitioned layout: one directory per event_type
     types = {p.name.split("=")[1] for p in (tmp_path / "windows").glob("event_type=*")}
     assert types == {r["event_type"] for r in batch.select("event_type").distinct().collect()}
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_window_aggregate(stream)
+    run_stream_to_memory(agg, "slide_out", mode="complete")
+    got = {
+        (r["w_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("slide_out").collect()
+    }
+
+    from agentic_workflow_for_data_transformation_spark.benchqueries import queries
+
+    batch = {
+        (r["w_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in queries()["x_sliding_window_agg"](spark, sf_dir).collect()
+    }
+    assert got == batch
+    # every event lands in exactly 2 hopping windows: total count doubles
+    tumbling_total = sum(
+        n for (n, _) in (
+            (r["n_events"], 0) for r in queries()["x_time_bucket_agg"](spark, sf_dir).collect()
+        )
+    )
+    assert sum(n for (n, _) in got.values()) == 2 * tumbling_total
+
+
+def test_stream_static_enrich_broadcasts(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        ["event_type", "weight"],
+    )
+    enriched = stream_static_enrich(stream, dim)
+    agg = enriched.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.max("weight").alias("weight")
+    )
+    run_stream_to_memory(agg, "enrich_out", mode="complete")
+    rows = {r["event_type"]: (r["n"], r["weight"]) for r in spark.table("enrich_out").collect()}
+    assert rows, "no output rows"
+    # left join: every event type appears; dim-known types carry weights
+    from agentic_workflow_for_data_transformation_spark.sources import read_events
+
+    batch_counts = {
+        r["event_type"]: r["n"]
+        for r in read_events(spark, sf_dir).groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {k: v[0] for k, v in rows.items()} == batch_counts
+    for k, (_, w) in rows.items():
+        if k in ("click", "view", "purchase"):
+            assert w is not None
