@@ -136,3 +136,29 @@ def spark_module(spark, people):
     # hypothesis reruns the test body many times; bind the DataFrame
     # once so per-example cost is one filter job, not a session build
     return people
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    keys=st.sampled_from([[], ["city"]]),
+    fn=st.sampled_from(["count", "avg", "sum", "min", "max", "count_distinct"]),
+)
+def test_random_aggregates_match_duckdb(spark_module, expr, keys, fn):
+    """Grouped AND global (empty-key) aggregates over filtered input,
+    including count_distinct — the round-2 grammar surface."""
+    col = "*" if fn == "count" else "age"
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "groupby_agg", "keys": keys,
+             "aggs": [{"fn": fn, "col": col, "alias": "m"}]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
