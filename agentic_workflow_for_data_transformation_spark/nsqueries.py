@@ -460,3 +460,47 @@ register(
     "FROM b, q, qb WHERE vec_id <> 7 AND bucket = qbucket "
     "ORDER BY cos_sim DESC, vec_id LIMIT 5",
 )(_topk_partitioned)
+
+
+register(
+    "ns_text_redact",
+    "SELECT doc_id, substr(md5(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'[0-9]{4,}', '<NUM>', 'g')), 1, 16) AS redacted_md5, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+    "+ len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER) AS n_masked "
+    "FROM documents",
+)(
+    lambda spark, sf_dir: text.redact_text(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.substring(F.md5("redacted"), 1, 16).alias("redacted_md5"),
+        F.col("n_masked").cast("int").alias("n_masked"),
+    )
+)
+
+
+register(
+    "ns_embed_quantize",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "s AS (SELECT vec_id, v, CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0 "
+    "THEN list_max(list_transform(v, x -> abs(x))) / 127.0 ELSE 1.0 END AS scale FROM d) "
+    "SELECT vec_id, round(scale, 9) AS scale, "
+    "CAST(unnest(range(len(v))) AS INTEGER) AS dim_idx, "
+    "CAST(round(unnest(v) / scale) AS INTEGER) AS q FROM s",
+)(
+    lambda spark, sf_dir: similarity.quantize_int8(
+        _t(spark, sf_dir, "embeddings")
+    ).select("vec_id", "scale", F.posexplode("qvec").alias("dim_idx", "q"))
+)
+
+
+register(
+    "ns_dedup_minhash_estimate",
+    f"WITH {_SHINGLE_CTE}, {_sig_sql()}, {_buckets_sql()}, "
+    "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x "
+    " JOIN buckets y ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id) "
+    "SELECT doc_a, doc_b, round(("
+    + " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INTEGER)" for i in range(16))
+    + ") / 16.0, 6) AS est_jaccard "
+    "FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id",
+)(lambda spark, sf_dir: dedup.minhash_estimate_pairs(_t(spark, sf_dir, "documents")))

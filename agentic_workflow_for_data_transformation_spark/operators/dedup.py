@@ -339,3 +339,39 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
         *[F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)]
     )
     return agg.select(id_col, fingerprint.alias("simhash"))
+
+
+def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",
+                           num_hashes: int = 16, bands: int = 4,
+                           n: int = 3) -> DataFrame:
+    """Signature-only Jaccard ESTIMATE for LSH candidate pairs:
+    est = (#matching minhash components) / k.
+
+    This is the true 100 TB verification path when exact Jaccard is too
+    expensive: signatures are k longs per doc (no second shingle pass,
+    no inverted-index join), and the estimate is an O(k) row expression
+    on the candidate pair — standard MinHash theory (E[est] = J).
+    Exact verification (lsh_verified_pairs) remains the high-precision
+    tier; this one is the cheap screen. Emits
+    (doc_a, doc_b, est_jaccard) for every LSH candidate pair."""
+    sig = minhash_signatures(df, id_col=id_col, num_hashes=num_hashes, n=n)
+    cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
+                                  bands=bands, n=n)
+    a = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
+    )
+    b = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(float(num_hashes)), 6))
+        .select("doc_a", "doc_b", "est_jaccard")
+    )

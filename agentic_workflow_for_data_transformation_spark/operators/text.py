@@ -121,3 +121,29 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn(
         "fp_prefix", F.substring(F.md5(norm), 1, 16)
     )
+
+
+# RE2-safe patterns (work identically under Java regex and DuckDB RE2)
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUM_REGEX = r"[0-9]{4,}"
+
+
+def redact_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-style redaction for training corpora: mask emails and long
+    digit runs with typed placeholders, entirely in JVM regex — the
+    shape of every scrub/normalize pass a 100 TB pipeline runs before
+    tokenization (no Python per row, fully codegen'd).
+
+    Emits the redacted text plus ``n_masked`` (total matches of either
+    pattern against the ORIGINAL text, so the count is
+    replacement-order independent and portable)."""
+    email_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_REGEX), 0))
+    num_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(LONG_NUM_REGEX), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_REGEX, "<EMAIL>"),
+        LONG_NUM_REGEX,
+        "<NUM>",
+    )
+    return df.withColumn("redacted", redacted).withColumn(
+        "n_masked", email_hits + num_hits
+    )

@@ -181,3 +181,53 @@ def test_approx_count_distinct_within_rsd_bound(spark):
     for key, ex in exact.items():
         rel_err = abs(approx[key] - ex) / ex
         assert rel_err <= 5 * 0.02, f"{key}: approx={approx[key]} exact={ex} rel_err={rel_err:.4f}"
+
+
+def test_redact_text_masks_emails_and_numbers(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.text import redact_text
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@site.co.uk or call 5551234567 ext 12"),
+         (2, "clean text, nothing to mask")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in redact_text(df).collect()}
+    assert rows[1]["redacted"] == "mail me at <EMAIL> or call <NUM> ext 12"
+    assert rows[1]["n_masked"] == 2
+    assert rows[2]["redacted"] == "clean text, nothing to mask"
+    assert rows[2]["n_masked"] == 0
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert rows[0]["qvec"] == [127, -64, 32, 0] and abs(rows[0]["scale"] - 1 / 127) < 1e-9
+    assert rows[1]["qvec"] == [0, 0, 0, 0] and rows[1]["scale"] == 1.0  # zero vector
+    # dequantization error is bounded by half a quantization step
+    # (1e-6 slack: the emitted scale is display-rounded to 9 decimals,
+    # and exact-half inputs like -0.5/scale = -63.5 sit on the bound)
+    for r in rows.values():
+        orig = {0: [1.0, -0.5, 0.25, 0.0], 1: [0.0, 0.0, 0.0, 0.0]}[r["vec_id"]]
+        for x, q in zip(orig, r["qvec"]):
+            assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-6
+
+
+def test_minhash_estimate_identical_docs_score_one(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.dedup import (
+        minhash_estimate_pairs,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(0, text), (1, text), (2, "completely different words entirely unrelated content here")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in minhash_estimate_pairs(df).collect()}
+    assert rows[(0, 1)] == 1.0  # identical signatures
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
