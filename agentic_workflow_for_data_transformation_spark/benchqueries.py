@@ -1293,3 +1293,67 @@ def x_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lo, "s_suppkey", "left_anti")
         .select("s_suppkey", "s_name")
     )
+
+
+@register(
+    "x_join_full_outer",
+    "WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust "
+    "FROM customer GROUP BY 1), "
+    "s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp "
+    "FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) "
+    "SELECT CAST(coalesce(c.nationkey, s.nationkey) AS INTEGER) AS nationkey, "
+    "coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp "
+    "FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey",
+)
+def x_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (nations missing
+    from either side survive with a zero count). Aggregating BEFORE
+    joining keeps the outer join to dim-cardinality rows — at 100 TB
+    the facts reduce map-side first and only tiny aggregates meet."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey").cast("int").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "x_window_range_frame",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) "
+    "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d "
+    "FROM orders",
+)
+def x_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, rolling 30-day spend ordered
+    by order time (value-based frame, not row-based — two orders the
+    same second share a frame). One shuffle on the partition key; the
+    decimal cast keeps the windowed sum exact across engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )

@@ -504,3 +504,17 @@ register(
     + ") / 16.0, 6) AS est_jaccard "
     "FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id",
 )(lambda spark, sf_dir: dedup.minhash_estimate_pairs(_t(spark, sf_dir, "documents")))
+
+
+register(
+    "ns_text_tfidf_top",
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2), "
+    "dfreq AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "scored AS (SELECT doc_id, w, round(tf * (ln((n_docs + 1) * 1.0 / (dfreq + 1)) + 1), 6) AS tfidf "
+    " FROM tf JOIN dfreq USING (w) CROSS JOIN n), "
+    "r AS (SELECT doc_id, w, tfidf, row_number() OVER "
+    " (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk FROM scored) "
+    "SELECT doc_id, w AS term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 3",
+)(lambda spark, sf_dir: text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3))

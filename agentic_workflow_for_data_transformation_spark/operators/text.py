@@ -147,3 +147,48 @@ def redact_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("redacted", redacted).withColumn(
         "n_masked", email_hits + num_hits
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by smoothed tf-idf
+    (tf * (ln((N+1)/(df+1)) + 1)) — the classic relevance weighting a
+    corpus pipeline derives before keyword extraction or sparse
+    retrieval.
+
+    Shape: one explode -> (doc, term) count aggregate -> document
+    frequency aggregate on the term-level result (already distinct per
+    doc, so df is a plain count) -> broadcast joins of the tiny df/N
+    sides back onto term counts -> per-doc window top-k. The corpus
+    size N stays lazy (1-row aggregate cross-joined broadcast), so the
+    whole plan is one DAG with no driver action. Ties break on the
+    term string, so top-k is total-ordered and oracle-reproducible."""
+    from pyspark.sql import Window
+
+    from .dedup import spread_small_input
+
+    words = (
+        spread_small_input(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    )
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("dfreq") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, F.col("w").alias("term"), "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
