@@ -518,3 +518,22 @@ register(
     " (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk FROM scored) "
     "SELECT doc_id, w AS term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 3",
 )(lambda spark, sf_dir: text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3))
+
+
+register(
+    "ns_kmeans_refined",
+    # one Lloyd iteration unrolled: init cells (vec_id < 8) -> assign ->
+    # decimal-mean refine (rounded 6) -> final assignment
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "c0 AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 8), "
+    "a1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY "
+    " round(list_cosine_similarity(v, cv), 6) DESC, cell) AS rn FROM d, c0), "
+    "m1 AS (SELECT cell, i, round(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS cval "
+    " FROM (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM a1 WHERE rn = 1) "
+    " GROUP BY cell, i), "
+    "c1 AS (SELECT cell, list(cval ORDER BY i) AS cv FROM m1 GROUP BY cell), "
+    "a2 AS (SELECT vec_id, cell, round(list_cosine_similarity(v, cv), 6) AS cent_sim, "
+    " row_number() OVER (PARTITION BY vec_id ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell) AS rn "
+    " FROM d, c1) "
+    "SELECT vec_id, cell, cent_sim FROM a2 WHERE rn = 1",
+)(lambda spark, sf_dir: similarity.kmeans_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8, n_iter=1))

@@ -372,3 +372,66 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
     return df.select(
         F.col(id_col), F.round(scale, 9).alias("scale"), q.alias("qvec")
     )
+
+
+def kmeans_assign(df: DataFrame, n_centroids: int = 8, n_iter: int = 1,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  dim: int | None = None) -> DataFrame:
+    """Lloyd's k-means as the driver-loop iterative pattern (same shape
+    as connected_components): deterministic init (the n_centroids
+    lowest-id vectors), then per iteration (a) assign every vector to
+    its max-cosine centroid (broadcast centroids, window argmax, ties
+    to the lowest cell id) and (b) recompute centroids as per-cell
+    element means. Emits the final (vec_id, cell, cent_sim).
+
+    Determinism is engineered so even the iterated algorithm has an
+    exact oracle: element sums go through decimal(20,10) (partition-
+    order independent), refined centroid components round to 6
+    decimals BEFORE the next assignment, and cosines round to 6 with
+    id tiebreaks. Per-iteration localCheckpoint truncates lineage, so
+    plan size stays constant however many iterations run; each round
+    is one explode-aggregate plus one broadcast join — no shuffle of
+    the corpus beyond the assignment aggregate."""
+    dim = probe_dim(df, vec_col, dim)
+    rows = _vec_norm(df, id_col, vec_col, dim).localCheckpoint()
+
+    cents = rows.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).cast("long").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(F.col("cent_sim").desc(), F.col("cell"))
+        return (
+            rows.crossJoin(F.broadcast(c))
+            .withColumn(
+                "cent_sim",
+                F.round(cosine_from_parts(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "v", "cell", "cent_sim")
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(cents)
+        refined = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("cval")
+            )
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pl"))
+            .select("cell", F.transform("pl", lambda s: s["cval"]).alias("cv"))
+            .withColumn("cnrm", l2_norm(F.col("cv"), dim))
+            .localCheckpoint()
+        )
+        cents = refined
+
+    return assign(cents).select(id_col, "cell", "cent_sim")

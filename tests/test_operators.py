@@ -231,3 +231,19 @@ def test_minhash_estimate_identical_docs_score_one(spark):
             for r in minhash_estimate_pairs(df).collect()}
     assert rows[(0, 1)] == 1.0  # identical signatures
     assert all(0.0 <= v <= 1.0 for v in rows.values())
+
+
+def test_kmeans_assign_multi_iteration(spark, sf_dir):
+    """kmeans_assign must run >1 driver-loop iterations with constant
+    plan size (localCheckpoint) and keep every vector assigned to a
+    live cell."""
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import kmeans_assign
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = kmeans_assign(emb, n_centroids=4, n_iter=3)
+    rows = out.collect()
+    assert len(rows) == n
+    assert {r["cell"] for r in rows} <= set(range(4))
+    assert all(-1.0 <= r["cent_sim"] <= 1.0 for r in rows)
