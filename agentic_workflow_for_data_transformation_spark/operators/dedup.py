@@ -172,7 +172,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            num_hashes: int = 16, bands: int = 4,
-                           n: int = 3) -> DataFrame:
+                           n: int = 3, sig: DataFrame | None = None) -> DataFrame:
     """LSH banding over MinHash signatures: split the k-hash signature
     into `bands` bands, hash each band, and emit every distinct pair of
     documents sharing a band bucket as (doc_a, doc_b), doc_a < doc_b.
@@ -182,7 +182,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     classic near-dup filter curve. Cost is one self-join on band keys:
     candidates only, never the full cross product."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col=id_col, num_hashes=num_hashes, n=n)
+    if sig is None:
+        sig = minhash_signatures(df, id_col=id_col, num_hashes=num_hashes, n=n)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"h{b*rows + r}") for r in range(rows)])).alias(f"band{b}")
         for b in range(bands)
@@ -354,9 +355,11 @@ def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",
     Exact verification (lsh_verified_pairs) remains the high-precision
     tier; this one is the cheap screen. Emits
     (doc_a, doc_b, est_jaccard) for every LSH candidate pair."""
-    sig = minhash_signatures(df, id_col=id_col, num_hashes=num_hashes, n=n)
+    # one signature computation feeds banding AND the estimate join
+    sig = minhash_signatures(df, id_col=id_col, num_hashes=num_hashes,
+                             n=n).localCheckpoint()
     cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
-                                  bands=bands, n=n)
+                                  bands=bands, n=n, sig=sig)
     a = sig.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],

@@ -42,13 +42,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         # a long-lived engine compiles hundreds of codegen'd stages; the
         # JVM default 240m code cache fills up and the JIT silently stops
-        # compiling, slowing later queries 5-10x
+        # compiling, slowing later queries 5-10x. 512m still saturated at
+        # ~200 plan executions (the 98-query bench runs each query twice),
+        # re-introducing a late-session cliff — 1g holds the full corpus.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
     )
     spark = builder.getOrCreate()
