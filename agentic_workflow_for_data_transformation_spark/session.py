@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # long benchmark/registry sessions accumulate checkpoint and
+        # shuffle blocks that only free on driver GC; with a large heap
+        # GC is rare, so ask the ContextCleaner to force one periodically
+        .config("spark.cleaner.periodicGC.interval", "90s")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         # a long-lived engine compiles hundreds of codegen'd stages; the
         # JVM default 240m code cache fills up and the JIT silently stops
