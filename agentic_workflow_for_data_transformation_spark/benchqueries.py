@@ -1357,3 +1357,127 @@ def x_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend_30d"),
     )
+
+
+@register(
+    "x_tpch_q7",
+    "SELECT supp_nation, cust_nation, l_year, "
+    "CAST(SUM(volume) AS DOUBLE) AS revenue FROM ("
+    " SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    " year(l_shipdate) AS l_year, "
+    " CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume "
+    " FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+    " JOIN orders ON o_orderkey = l_orderkey "
+    " JOIN customer ON c_custkey = o_custkey "
+    " JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    " JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    " WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    " AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'"
+    ") GROUP BY supp_nation, cust_nation, l_year",
+)
+def x_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): a 5-way join where the two
+    nation dims broadcast under different aliases and the disjunctive
+    nation-pair predicate applies post-join. The only big shuffles are
+    lineitem-orders and orders-customer; supplier and both nation
+    aliases broadcast. Decimal volume keeps the yearly sums exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    ords = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    joined = (
+        li.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "x_tpch_q8",
+    "SELECT o_year, round(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume "
+    "ELSE CAST(0 AS DECIMAL(18,2)) * CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) "
+    "/ CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share FROM ("
+    " SELECT year(o_orderdate) AS o_year, "
+    " CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume, "
+    " n2.n_name AS nation "
+    " FROM lineitem JOIN part ON p_partkey = l_partkey "
+    " JOIN supplier ON s_suppkey = l_suppkey "
+    " JOIN orders ON o_orderkey = l_orderkey "
+    " JOIN customer ON c_custkey = o_custkey "
+    " JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    " JOIN region ON n1.n_regionkey = r_regionkey "
+    " JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    " WHERE r_name = 'ASIA' AND p_type = 'PROMO' "
+    " AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'"
+    ") GROUP BY o_year",
+)
+def x_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join in the
+    corpus — lineitem against part/supplier/orders/customer plus two
+    nation aliases and region, with a conditional-aggregate share.
+    part filters to one p_type BEFORE the join (semi-selective
+    broadcast); region restricts the customer side through nation.
+    The share divides two exact decimal sums, rounded to 6."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    ords = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+        )
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")))
+    reg = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    joined = (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(ords, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(reg, F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = (dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")).alias("volume")
+    zero = (F.lit(0).cast("decimal(18,2)") * F.lit(0).cast("decimal(18,2)"))
+    scored = joined.select(F.year("o_orderdate").alias("o_year"), vol, F.col("nation"))
+    return (
+        scored.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(zero))
+                .cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )

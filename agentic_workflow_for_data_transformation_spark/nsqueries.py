@@ -537,3 +537,17 @@ register(
     " FROM d, c1) "
     "SELECT vec_id, cell, cent_sim FROM a2 WHERE rn = 1",
 )(lambda spark, sf_dir: similarity.kmeans_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8, n_iter=1))
+
+
+register(
+    "ns_groupwise_scale",
+    "WITH m AS (SELECT event_type, min(value) AS lo, max(value) AS hi "
+    "FROM events GROUP BY 1) "
+    "SELECT event_id, events.event_type, "
+    "round(CASE WHEN hi > lo THEN (value - lo) / (hi - lo) ELSE 0.0 END, 6) AS scaled "
+    "FROM events JOIN m ON events.event_type = m.event_type",
+)(
+    lambda spark, sf_dir: text.groupwise_minmax_scale(
+        _t(spark, sf_dir, "events")
+    )
+)

@@ -192,3 +192,44 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
         .filter(F.col("rnk") <= k)
         .select(id_col, F.col("w").alias("term"), "tfidf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def groupwise_minmax_scale(df: DataFrame, group_col: str = "event_type",
+                           value_col: str = "value",
+                           id_col: str = "event_id") -> DataFrame:
+    """Per-group min-max scaling via ``applyInPandas`` (grouped-map
+    Pandas UDF): each group arrives as ONE pandas DataFrame, scaled =
+    (x - min) / (max - min), rounded to 6 (0.0 for constant groups).
+
+    This is the grouped-map member of the Pandas-UDF family (mapInPandas
+    = stream of batches, applyInPandasWithState = stateful streaming;
+    this = whole-group batch) — the escape hatch for per-group logic a
+    window can't express (quantile clipping, per-group model scoring).
+    Min/max are order-independent, so the result is deterministic and
+    exactly oracle-checkable, unlike float accumulations (the final
+    rounding happens JVM-side: pandas .round is banker's rounding,
+    Spark/DuckDB round half away from zero — rounding in the UDF would
+    disagree on exact halves). Scale note:
+    one shuffle on the group key, and each GROUP must fit in one
+    executor's memory — for billion-row groups prefer window functions;
+    this operator is for many modest groups."""
+    out_schema = f"{id_col} long, {group_col} string, scaled double"
+
+    def scale(pdf):
+        import pandas as pd  # noqa: F401 — executor-side import
+
+        lo, hi = pdf[value_col].min(), pdf[value_col].max()
+        rng = hi - lo
+        scaled = (pdf[value_col] - lo) / rng if rng > 0 else pdf[value_col] * 0.0
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            group_col: pdf[group_col],
+            "scaled": scaled,
+        })
+
+    import pandas as pd  # make pd visible to the closure on the driver too
+
+    out = df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
+        scale, schema=out_schema
+    )
+    return out.withColumn("scaled", F.round("scaled", 6))

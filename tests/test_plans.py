@@ -155,3 +155,42 @@ def test_escape_hatch_runs_in_executors(spark):
     plan = plan_of(spark, "u1_escape_hatch")
     assert "MapInPandas" in plan
     assert "Exchange" not in plan  # row-local: no shuffle
+
+
+def test_q2_decorrelates_with_broadcast_no_smj(spark):
+    """The correlated-max subquery must plan as broadcast joins of the
+    25-row aggregate and dim — no SortMergeJoin anywhere."""
+    plan = plan_of(spark, "x_tpch_q2")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q4_exists_is_semi_join_with_pushed_dates(spark):
+    plan = plan_of(spark, "x_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "IsNotNull(o_orderdate)" in plan  # date window reached the scan
+
+
+def test_q21_stacks_semi_and_anti(spark):
+    plan = plan_of(spark, "x_tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q7_broadcasts_all_dims(spark):
+    """supplier + two nation aliases broadcast; shuffle joins only for
+    the fact-fact pairs (lineitem-orders, orders-customer)."""
+    plan = plan_of(spark, "x_tpch_q7")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q8_filters_part_before_join(spark):
+    plan = plan_of(spark, "x_tpch_q8")
+    # the p_type filter must reach the part scan, not run post-join
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_groupwise_scale_is_grouped_map(spark):
+    plan = plan_of(spark, "ns_groupwise_scale")
+    assert "FlatMapGroupsInPandas" in plan
