@@ -361,6 +361,11 @@ def u1_escape_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round-2 north-star additions: registered AFTER the 50-row window
+# (covered by the committed CORRECTNESS_LOCAL.json report).
+from . import nsqueries2  # noqa: E402,F401  (registration side effects)
+
+
 # Widened-grammar parity queries (VERDICT r1 #5): multi-key sort, global
 # aggregates, count-distinct, NL joins — all through the deterministic
 # NL pipeline. Registered just past the driver window; covered by the

@@ -1,0 +1,107 @@
+"""Round-2 north-star additions (registered AFTER the driver's
+50-row correctness window — see the DRIVER CORRECTNESS WINDOW note in
+benchqueries.py; these queries are covered by the committed
+CORRECTNESS_LOCAL.json full-registry report instead): redaction, int8
+quantization, minhash Jaccard estimation, tf-idf, iterated k-means,
+grouped-map scaling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .benchqueries import _t, register
+from .nsqueries import _SHINGLE_CTE, _buckets_sql, _sig_sql
+from .operators import dedup, similarity, text
+
+register(
+    "ns_text_redact",
+    "SELECT doc_id, substr(md5(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'[0-9]{4,}', '<NUM>', 'g')), 1, 16) AS redacted_md5, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+    "+ len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER) AS n_masked "
+    "FROM documents",
+)(
+    lambda spark, sf_dir: text.redact_text(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.substring(F.md5("redacted"), 1, 16).alias("redacted_md5"),
+        F.col("n_masked").cast("int").alias("n_masked"),
+    )
+)
+
+
+register(
+    "ns_embed_quantize",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "s AS (SELECT vec_id, v, CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0 "
+    "THEN list_max(list_transform(v, x -> abs(x))) / 127.0 ELSE 1.0 END AS scale FROM d) "
+    "SELECT vec_id, round(scale, 9) AS scale, "
+    "CAST(unnest(range(len(v))) AS INTEGER) AS dim_idx, "
+    "CAST(round(unnest(v) / scale) AS INTEGER) AS q FROM s",
+)(
+    lambda spark, sf_dir: similarity.quantize_int8(
+        _t(spark, sf_dir, "embeddings")
+    ).select("vec_id", "scale", F.posexplode("qvec").alias("dim_idx", "q"))
+)
+
+
+register(
+    "ns_dedup_minhash_estimate",
+    f"WITH {_SHINGLE_CTE}, {_sig_sql()}, {_buckets_sql()}, "
+    "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x "
+    " JOIN buckets y ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id) "
+    "SELECT doc_a, doc_b, round(("
+    + " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INTEGER)" for i in range(16))
+    + ") / 16.0, 6) AS est_jaccard "
+    "FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id",
+)(lambda spark, sf_dir: dedup.minhash_estimate_pairs(_t(spark, sf_dir, "documents")))
+
+
+register(
+    "ns_text_tfidf_top",
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2), "
+    "dfreq AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "scored AS (SELECT doc_id, w, round(tf * (ln((n_docs + 1) * 1.0 / (dfreq + 1)) + 1), 6) AS tfidf "
+    " FROM tf JOIN dfreq USING (w) CROSS JOIN n), "
+    "r AS (SELECT doc_id, w, tfidf, row_number() OVER "
+    " (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk FROM scored) "
+    "SELECT doc_id, w AS term, tfidf, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 3",
+)(lambda spark, sf_dir: text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3))
+
+
+register(
+    "ns_kmeans_refined",
+    # one Lloyd iteration unrolled: init cells (vec_id < 8) -> assign ->
+    # decimal-mean refine (rounded 6) -> final assignment
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "c0 AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 8), "
+    "a1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY "
+    " round(list_cosine_similarity(v, cv), 6) DESC, cell) AS rn FROM d, c0), "
+    "m1 AS (SELECT cell, i, round(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS cval "
+    " FROM (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM a1 WHERE rn = 1) "
+    " GROUP BY cell, i), "
+    "c1 AS (SELECT cell, list(cval ORDER BY i) AS cv FROM m1 GROUP BY cell), "
+    "a2 AS (SELECT vec_id, cell, round(list_cosine_similarity(v, cv), 6) AS cent_sim, "
+    " row_number() OVER (PARTITION BY vec_id ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell) AS rn "
+    " FROM d, c1) "
+    "SELECT vec_id, cell, cent_sim FROM a2 WHERE rn = 1",
+)(lambda spark, sf_dir: similarity.kmeans_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8, n_iter=1))
+
+
+register(
+    "ns_groupwise_scale",
+    "WITH m AS (SELECT event_type, min(value) AS lo, max(value) AS hi "
+    "FROM events GROUP BY 1) "
+    "SELECT event_id, events.event_type, "
+    "round(CASE WHEN hi > lo THEN (value - lo) / (hi - lo) ELSE 0.0 END, 6) AS scaled "
+    "FROM events JOIN m ON events.event_type = m.event_type",
+)(
+    lambda spark, sf_dir: text.groupwise_minmax_scale(
+        _t(spark, sf_dir, "events")
+    )
+)
+
