@@ -1486,3 +1486,41 @@ def x_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@register(
+    "x_stream_join_attribution",
+    "SELECT p.event_id AS purchase_id, c.event_id AS click_id, "
+    "p.user_id, p.ts AS purchase_ts, c.ts AS click_ts, p.value "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON p.user_id = c.user_id "
+    "AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts",
+)
+def x_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream purchase-click attribution join
+    (streaming/events.py stream_stream_purchase_attribution): per-user
+    equi-join with an event-time band. The user_id equi-key makes this
+    a hash join with a post-filter band — never a cross product; the
+    streaming form bounds its state with the same band."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 10 minutes"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+        )
+        .select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "value")
+    )

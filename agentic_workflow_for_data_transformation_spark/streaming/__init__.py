@@ -6,6 +6,7 @@ from .events import (
     sessionized_event_aggregate,
     stateful_user_totals,
     stream_static_enrich,
+    stream_stream_purchase_attribution,
     streaming_dedup,
     sessionize_batch,
     run_stream_to_memory,
@@ -19,6 +20,7 @@ __all__ = [
     "sessionized_event_aggregate",
     "stateful_user_totals",
     "stream_static_enrich",
+    "stream_stream_purchase_attribution",
     "streaming_dedup",
     "sessionize_batch",
     "run_stream_to_memory",

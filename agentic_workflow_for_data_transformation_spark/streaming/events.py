@@ -211,3 +211,48 @@ def run_stream_to_memory(agg: DataFrame, name: str, mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_stream_purchase_attribution(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: attribute each
+    purchase to every click by the same user within the preceding
+    ``window``. Both sides carry watermarks and the join condition
+    bounds click time to [purchase - window, purchase], so Spark can
+    expire click state once the watermark passes the bound — without
+    the time constraint a stream-stream join would buffer both streams
+    forever. State is (watermark + window) x click rate, not stream
+    length: the only shape that survives 100 TB/day of events.
+
+    The batch twin (x_stream_join_attribution) runs the identical join
+    on the static table with an exact range-join oracle."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND click_ts >= purchase_ts - interval {window} "
+            "AND click_ts <= purchase_ts"
+        ),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"),
+             "purchase_ts", "click_ts", "value")

@@ -204,3 +204,29 @@ def test_stream_static_enrich_broadcasts(spark, sf_dir):
     for k, (_, w) in rows.items():
         if k in ("click", "view", "purchase"):
             assert w is not None
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream purchase-click attribution with watermarks + time
+    bound must produce exactly the batch range-join's rows."""
+    from agentic_workflow_for_data_transformation_spark.streaming.events import (
+        stream_stream_purchase_attribution,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_purchase_attribution(stream)
+    assert joined.isStreaming
+    run_stream_to_memory(joined, "attr_out", mode="append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("attr_out").collect()
+    }
+
+    from agentic_workflow_for_data_transformation_spark.benchqueries import queries
+
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in queries()["x_stream_join_attribution"](spark, sf_dir).collect()
+    }
+    assert got == batch
+    assert got, "join produced no pairs — fixture too sparse to test anything"
