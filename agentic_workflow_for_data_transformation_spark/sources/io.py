@@ -136,3 +136,21 @@ def records_sample(df: DataFrame, n: int = 10) -> list[dict]:
     """Small row sample as list-of-dicts (S4) — only ever ``limit(n)``,
     never a full collect."""
     return [r.asDict(recursive=True) for r in df.limit(n).collect()]
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source (one object per line — the only JSON layout
+    that splits across executors; multiLine JSON forces one task per
+    file). Schema inference costs a full extra pass: always pass an
+    explicit schema at scale."""
+    reader = spark.read
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)
+
+
+def write_json_dir(df: DataFrame, path: str | Path) -> Path:
+    """JSON-lines sink: a directory of part files, parallel write."""
+    path = Path(path)
+    df.write.mode("overwrite").json(str(path))
+    return path
