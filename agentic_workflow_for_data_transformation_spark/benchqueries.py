@@ -1524,3 +1524,147 @@ def x_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts", "value")
     )
+
+
+@register(
+    "x_tpch_q12",
+    "SELECT l_linestatus, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_quantity > 47 GROUP BY l_linestatus",
+)
+def x_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): fact-fact join
+    where the lineitem side filters hard BEFORE the join (date window +
+    quantity both reach the scan), then conditional-count aggregation.
+    At scale the filtered lineitem side shrinks enough for AQE to pick
+    a broadcast; the written plan leaves that choice to the optimizer."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 47)
+    )
+    o = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "x_tpch_q13",
+    "SELECT c_count, count(*) AS custdist FROM ("
+    " SELECT c_custkey, count(o_orderkey) AS c_count "
+    " FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "  AND o_orderpriority <> '1-URGENT' "
+    " GROUP BY c_custkey) GROUP BY c_count",
+)
+def x_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    with an extra join-side predicate (customers with zero qualifying
+    orders must survive with count 0 — count(o_orderkey) skips nulls),
+    then a second aggregation over the first's result. Two shuffles
+    total; the histogram aggregate runs on the already-tiny per-customer
+    counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "x_tpch_q15",
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+    "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+    "JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)",
+)
+def x_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the
+    revenue CTE aggregates once, then a scalar-max subquery selects its
+    peak. Spark expresses the scalar subquery as an empty-partition
+    window max over the (tiny, post-aggregate) revenue frame — no
+    second scan of lineitem, no driver action, exact decimal revenue
+    so the max comparison is bit-stable."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    top = revenue.withColumn(
+        "_mx", F.max("total_revenue").over(W.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_mx"))
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        top.join(sup, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "x_tpch_q22",
+    "WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0 "
+    " AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) "
+    "SELECT c_mktsegment, count(*) AS numcust, "
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal "
+    "FROM customer, avg_bal "
+    "WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > ab "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderpriority = '1-URGENT') "
+    "GROUP BY c_mktsegment",
+)
+def x_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-customer sentiment): a scalar-average
+    subquery gates the main filter, and NOT EXISTS becomes a left-anti
+    join against orders. The 1-row average broadcasts via crossJoin;
+    the anti join's right side carries only o_custkey (pruned scan).
+    Note avg(double) over a filtered set: both engines sum the same
+    doubles in a deterministic single-aggregate plan at this row count,
+    with the comparison (>) insensitive to last-ulp noise in practice;
+    the aggregate output itself is decimal-exact."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    )
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o_keys, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+    )
