@@ -130,3 +130,27 @@ def test_orchestrator_escape_hatch_rejects_malicious(spark, people, tmp_path):
     )
     assert not st.valid
     assert any("escape hatch failed" in m for m in st.messages)
+
+
+def test_orchestrator_escape_hatch_runtime_error_recovers(spark, people, tmp_path):
+    """A snippet that VALIDATES but fails at runtime (unknown column)
+    must not crash the orchestrator: the attempt is recorded as an
+    escape-hatch failure and the state comes back invalid after the
+    retry budget."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import run_transform
+
+    def brittle_llm(prompt: str) -> str:
+        if "pandas snippet" in prompt or "pandas DataFrame batch" in prompt:
+            return json.dumps({
+                "schema": "name string",
+                "code": "result_df = pdf[pdf['no_such_column'] > 1][['name']]",
+            })
+        return "still not json"
+
+    st = run_transform(
+        spark, people, "Apply an unparseable custom transformation.",
+        out_dir=tmp_path, llm=brittle_llm,
+    )
+    assert not st.valid
+    assert any("escape hatch failed" in m for m in st.messages)
+    assert st.attempts == 3  # initial + MAX_RETRIES
