@@ -1668,3 +1668,176 @@ def x_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "x_tpch_q9",
+    "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS profit "
+    "FROM lineitem "
+    "JOIN part ON p_partkey = l_partkey "
+    "JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE p_name LIKE '%red%' "
+    "GROUP BY 1, 2",
+)
+def x_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year; testdata
+    has no partsupp, so profit omits the ps_supplycost term — the plan
+    challenge is identical: a five-table join tree with one fact-fact
+    edge). part/supplier/nation broadcast (the part filter prunes to
+    ~2.5% of parts before broadcasting); lineitem joins orders on
+    l_orderkey, the only shuffle edge — at 100 TB that is the one
+    unavoidable repartition, and both sides carry only join + aggregate
+    columns by then. Ref: agentic_workflow_transformation.py has no
+    join surface; this extends the engine's TPC-H parity corpus."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+@register(
+    "x_tpch_q11",
+    "WITH val AS (SELECT l_partkey AS partkey, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value "
+    "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name = 'NATION_7' GROUP BY 1), "
+    "tot AS (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 0.001 "
+    "AS threshold FROM val) "
+    "SELECT partkey, value FROM val, tot WHERE value > threshold",
+)
+def x_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: per-part value exceeding a
+    fraction of the national total; lineitem value stands in for
+    partsupp supplycost*availqty). The HAVING-against-scalar-subquery
+    compiles to: one grouped aggregate, a 1-row re-aggregate of THAT
+    output (not a second fact scan), broadcast back via crossJoin.
+    Both aggregates stay decimal until the final cast so the threshold
+    comparison is bit-stable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value")
+        )
+    )
+    tot = val.agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") * F.lit(0.001)).alias(
+            "threshold"
+        )
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("partkey", "value")
+    )
+
+
+@register(
+    "x_tpch_q16",
+    "SELECT p_brand, p_type, p_size, "
+    "count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%' "
+    "AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49) "
+    "AND l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) "
+    "GROUP BY p_brand, p_type, p_size",
+)
+def x_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part group; lineitem is
+    the part-supplier relation since testdata has no partsupp, and the
+    complaints NOT IN becomes an anti join on negative-balance
+    suppliers). count(DISTINCT) over the join output runs as a
+    two-phase expand/partial-distinct aggregate — no row ever leaves
+    with more than the group key + suppkey. The NOT IN side is a
+    handful of keys: broadcast anti join, never a shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "x_tpch_q20",
+    "WITH shipped AS (SELECT l_suppkey, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_name LIKE 'red%' "
+    "AND l_shipdate >= TIMESTAMP '1995-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-01-01' "
+    "GROUP BY 1) "
+    "SELECT s_name, s_acctbal FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name = 'NATION_7' AND s_suppkey IN "
+    "(SELECT l_suppkey FROM shipped WHERE qty > 50)",
+)
+def x_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion: suppliers who moved
+    real volume of a part family in a year; the availqty comparison
+    becomes a shipped-quantity threshold since testdata has no
+    partsupp). The IN-subquery is a left-semi join against a
+    pre-aggregated, pre-filtered key set — lineitem reduces to
+    qualifying l_suppkey values before it ever meets supplier, so the
+    semi side is tiny and broadcastable at any scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select("p_partkey")
+    keys = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(keys, "s_suppkey", "left_semi")
+        .select("s_name", "s_acctbal")
+    )
