@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .operators import dedup, multimodal, sampling, similarity, text
+from .operators import corpus, dedup, multimodal, sampling, similarity, text
 
 # ---------------------------------------------------------------- dedup
 
@@ -460,3 +460,82 @@ register(
     "FROM b, q, qb WHERE vec_id <> 7 AND bucket = qbucket "
     "ORDER BY cos_sim DESC, vec_id LIMIT 5",
 )(_topk_partitioned)
+
+
+# ------------------------------------------------- corpus construction
+# (operators/corpus.py: decontamination, packing, stratified sampling,
+# deterministic shuffle, source filtering — the end-to-end pretraining
+# corpus pipeline the reference has no counterpart for)
+
+register(
+    "ns_decontaminate",
+    f"WITH {_SHINGLE_CTE}, "
+    "bm AS (SELECT DISTINCT s FROM e WHERE doc_id % 97 = 0) "
+    "SELECT DISTINCT doc_id FROM e WHERE doc_id % 97 <> 0 "
+    "AND s IN (SELECT s FROM bm)",
+)(
+    lambda spark, sf_dir: corpus.contaminated_ids(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 != 0),
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0),
+    )
+)
+
+
+register(
+    "ns_pack_sequences",
+    "WITH t AS (SELECT doc_id, lang, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(floor(doc_id / 128.0) AS BIGINT) AS grp FROM documents), "
+    "c AS (SELECT *, SUM(n_tokens) OVER "
+    "(PARTITION BY lang, grp ORDER BY doc_id) AS cum FROM t) "
+    "SELECT lang, grp, CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id, "
+    "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens, "
+    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+    "FROM c GROUP BY 1, 2, 3",
+)(
+    lambda spark, sf_dir: corpus.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, group_size=128
+    )
+)
+
+
+register(
+    "ns_sample_stratified",
+    "SELECT * FROM documents WHERE "
+    + _DRAW.format(salt="strat", key="doc_id")
+    + " < CASE WHEN lang = 'en' THEN 200000 ELSE 800000 END",
+)(
+    lambda spark, sf_dir: corpus.stratified_hash_sample(
+        _t(spark, sf_dir, "documents"), rates={"en": 0.2}, default_rate=0.8
+    )
+)
+
+
+register(
+    "ns_shuffle_sharded",
+    "WITH d AS (SELECT doc_id, "
+    "(('0x' || substr(md5('shard|' || doc_id::VARCHAR), 1, 15))::BIGINT % 8) AS shard, "
+    + _DRAW.format(salt="shuffle", key="doc_id")
+    + " AS draw FROM documents) "
+    "SELECT doc_id, shard, CAST(row_number() OVER "
+    "(PARTITION BY shard ORDER BY draw, doc_id) AS BIGINT) AS pos FROM d",
+)(
+    lambda spark, sf_dir: corpus.sharded_shuffle(
+        _t(spark, sf_dir, "documents")
+    ).withColumn("pos", F.col("pos").cast("long"))
+)
+
+
+register(
+    "ns_source_filter",
+    "WITH s AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS sl, "
+    "COUNT(*) AS n FROM documents GROUP BY 1), "
+    "g AS (SELECT CAST(SUM(sl) AS DOUBLE) AS gs, CAST(SUM(n) AS DOUBLE) AS gn FROM s), "
+    "keep AS (SELECT source FROM s, g WHERE sl / n >= gs / gn) "
+    "SELECT doc_id, source, n_chars FROM documents "
+    "WHERE source IN (SELECT source FROM keep)",
+)(
+    lambda spark, sf_dir: corpus.filter_sources_by_mean_len(
+        _t(spark, sf_dir, "documents")
+    )
+)

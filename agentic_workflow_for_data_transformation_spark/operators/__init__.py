@@ -1,3 +1,3 @@
-from . import dedup, joins, sampling, similarity, text, multimodal
+from . import corpus, dedup, joins, sampling, similarity, text, multimodal
 
-__all__ = ["dedup", "joins", "sampling", "similarity", "text", "multimodal"]
+__all__ = ["corpus", "dedup", "joins", "sampling", "similarity", "text", "multimodal"]

@@ -1,0 +1,163 @@
+"""Corpus-construction operators for LLM training-data pipelines:
+benchmark decontamination, sequence packing, stratified sampling,
+deterministic global shuffle, and source-level filtering (SURVEY.md
+section 2.9 scope; the reference — agentic_workflow_transformation.py —
+has no corpus surface at all, this is north-star extension work).
+
+Everything follows the same two rules as operators/dedup.py and
+operators/sampling.py:
+
+- deterministic across engines (portable md5 hashing, exact integer /
+  decimal arithmetic wherever a threshold comparison could be
+  knife-edge), so every operator is oracle-checkable;
+- shuffle-frugal at 100 TB: the corpus-sized side of every operator is
+  touched by at most a scan + a broadcast join + one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _hash60, shingle_index
+from .sampling import DRAW_BUCKETS, hash_draw
+
+
+def contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 3) -> DataFrame:
+    """Benchmark decontamination: ids of corpus documents that share at
+    least one word ``n``-gram with any benchmark document — the
+    standard eval-leakage check run before every pretraining job.
+
+    Scale shape: the benchmark side (eval sets — MBs, not TBs) is
+    shingled, deduped, and BROADCAST; the corpus side streams through a
+    codegen'd shingle explode and a broadcast left-semi probe, so the
+    100 TB side is never shuffled on shingle strings. Only the matched
+    ids (tiny) hit the final distinct's exchange."""
+    c = shingle_index(corpus, id_col=id_col, text_col=text_col, n=n,
+                      distinct=False)
+    b = (
+        shingle_index(benchmark, id_col=id_col, text_col=text_col, n=n,
+                      distinct=False)
+        .select("s")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "s", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def pack_sequences(df: DataFrame, budget: int = 256, group_size: int = 1024,
+                   id_col: str = "doc_id", lang_col: str = "lang",
+                   text_col: str = "text") -> DataFrame:
+    """Contiguous sequence packing: concatenate id-ordered documents of
+    one language into training sequences of ~``budget`` tokens (the
+    fill-the-context-window step of every LLM data pipeline). A doc
+    lands in sequence floor(tokens_before_it / budget) — the
+    deterministic, window-expressible variant of greedy first-fit.
+
+    Scale shape: the running token count is windowed over
+    (lang, floor(id / group_size)), NOT over the whole language —
+    each window partition holds at most ``group_size`` docs, so no
+    single reducer ever materializes a language's worth of rows and
+    the operator survives a 1000-executor corpus. Sequence ids are
+    unique per (lang, group, seq) triple."""
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    d = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        toks.alias("n_tokens"),
+        F.floor(F.col(id_col) / group_size).alias("grp"),
+    )
+    w = Window.partitionBy(lang_col, "grp").orderBy(id_col)
+    d = d.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
+    )
+    return d.groupBy(lang_col, "grp", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
+                           strat_col: str = "lang", key_col: str = "doc_id",
+                           default_rate: float = 0.0,
+                           salt: str = "strat") -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~rates[stratum] of each
+    stratum's rows, by key hash (corpus mixing: e.g. upweight rare
+    languages by sampling 'en' at 20% and everything else at 80%).
+
+    Like hash_sample this is a PURE FILTER — one codegen'd predicate,
+    no shuffle, reproducible under repartitioning and appends — the
+    per-stratum threshold is just a CASE expression over the same
+    portable draw."""
+    thresh = F.lit(int(default_rate * DRAW_BUCKETS))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strat_col) == value, F.lit(int(rate * DRAW_BUCKETS))
+        ).otherwise(thresh)
+    return df.filter(hash_draw(F.col(key_col), salt) < thresh)
+
+
+def sharded_shuffle(df: DataFrame, n_shards: int = 8,
+                    key_col: str = "doc_id",
+                    salt: str = "shuffle") -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every row gets a (shard, pos) address — shard by one hash, position
+    within the shard by rank of an independent hash — so the training
+    job reads shards in order and gets a reproducible pseudo-random
+    document order that no engine RNG can perturb.
+
+    Scale shape: one hash-partitioned exchange on shard (exactly the
+    write path's partitionBy(shard)), one per-shard sort. Shard count
+    scales with the corpus; no global single-reducer ordering."""
+    draw = hash_draw(F.col(key_col), salt)
+    shard = (
+        _hash60(F.concat(F.lit("shard|"), F.col(key_col).cast("string")))
+        % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("draw", key_col)
+    return (
+        df.select(F.col(key_col), shard.alias("shard"), draw.alias("draw"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(key_col, "shard", "pos")
+    )
+
+
+def filter_sources_by_mean_len(df: DataFrame, source_col: str = "source",
+                               len_col: str = "n_chars",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Source-level quality gate: keep documents whose SOURCE's mean
+    length is at least the corpus mean length (the domain-level
+    filtering step of web-corpus pipelines — junk domains are dropped
+    wholesale, not doc-by-doc). Returns (id, source, len) of survivors.
+
+    Determinism: both means divide exact integer sums by exact counts,
+    so the >= comparison is bit-identical in any IEEE engine. Scale
+    shape: per-source stats are one map-side-combined aggregate over
+    the corpus; the global mean re-aggregates THOSE (dim-sized, not
+    corpus-sized) partials; the keeper set broadcasts back as a semi
+    join — the corpus is scanned twice and shuffled never."""
+    per_src = df.groupBy(source_col).agg(
+        F.sum(F.col(len_col).cast("long")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    glob = per_src.agg(
+        F.sum("_s").alias("_gs"), F.sum("_n").alias("_gn")
+    )
+    keep = (
+        per_src.crossJoin(F.broadcast(glob))
+        .filter(
+            F.col("_s") / F.col("_n") >= F.col("_gs") / F.col("_gn")
+        )
+        .select(source_col)
+    )
+    return df.join(F.broadcast(keep), source_col, "left_semi").select(
+        id_col, source_col, len_col
+    )

@@ -1,0 +1,111 @@
+"""Semantic tests for corpus-construction operators (decontamination,
+sequence packing, stratified sampling, deterministic shuffle, source
+filtering). The sf0.01 DuckDB oracle covers them at data scale; these
+pin the edge-case semantics the oracle hash can't explain on failure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agentic_workflow_for_data_transformation_spark.operators import corpus
+from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_decontamination_flags_only_overlapping_docs(spark):
+    bench = _docs(spark, [(100, "en", "the quick brown fox jumps")])
+    corp = _docs(
+        spark,
+        [
+            (1, "en", "we saw the quick brown fox yesterday"),  # shares 3-gram
+            (2, "en", "entirely unrelated words in this text"),
+            (3, "en", "short"),  # < n words: no shingles, never flagged
+        ],
+    )
+    hit = {r["doc_id"] for r in corpus.contaminated_ids(corp, bench).collect()}
+    assert hit == {1}
+
+
+def test_decontamination_empty_benchmark_flags_nothing(spark):
+    bench = _docs(spark, []).filter(F.lit(False))
+    corp = _docs(spark, [(1, "en", "any text at all here")])
+    assert corpus.contaminated_ids(corp, bench).count() == 0
+
+
+def test_pack_sequences_respects_budget_and_order(spark):
+    # 5 docs of 4 tokens each, budget 8 -> sequences of 2, 2, 1 docs
+    rows = [(i, "en", "a b c d") for i in range(5)]
+    out = corpus.pack_sequences(_docs(spark, rows), budget=8, group_size=1024)
+    got = {
+        (r["seq_id"], r["n_docs"], r["first_doc"], r["last_doc"])
+        for r in out.collect()
+    }
+    assert got == {(0, 2, 0, 1), (1, 2, 2, 3), (2, 1, 4, 4)}
+
+
+def test_pack_sequences_doc_larger_than_budget_gets_own_bin(spark):
+    rows = [(0, "en", " ".join(["w"] * 20)), (1, "en", "a b")]
+    out = corpus.pack_sequences(_docs(spark, rows), budget=8, group_size=1024)
+    by_seq = {r["seq_id"]: r["n_docs"] for r in out.collect()}
+    # the oversized doc fills seq 0 alone; the next doc starts past it
+    assert by_seq[0] == 1 and sum(by_seq.values()) == 2
+
+
+def test_pack_sequences_group_boundary_resets_packing(spark):
+    # same doc stream, tiny groups: packing restarts at each group, so
+    # a (lang, grp, seq_id) triple never mixes docs across groups
+    rows = [(i, "en", "a b c d") for i in range(6)]
+    out = corpus.pack_sequences(_docs(spark, rows), budget=8, group_size=2)
+    for r in out.collect():
+        assert r["first_doc"] // 2 == r["last_doc"] // 2 == r["grp"]
+
+
+def test_stratified_sample_rates_and_subset(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = corpus.stratified_hash_sample(
+        docs, rates={"en": 0.2}, default_rate=0.8
+    )
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = out.filter(F.col("lang") == "en").count()
+    n_rest = docs.filter(F.col("lang") != "en").count()
+    k_rest = out.filter(F.col("lang") != "en").count()
+    assert 0.05 * n_en <= k_en <= 0.4 * n_en  # ~20%
+    assert 0.6 * n_rest <= k_rest <= 0.95 * n_rest  # ~80%
+    # zero default rate drops unlisted strata entirely
+    only_en = corpus.stratified_hash_sample(docs, rates={"en": 1.0})
+    assert only_en.filter(F.col("lang") != "en").count() == 0
+    assert only_en.filter(F.col("lang") == "en").count() == n_en
+
+
+def test_sharded_shuffle_is_a_permutation(spark, sf_dir):
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = corpus.sharded_shuffle(docs, n_shards=4)
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    # positions are dense 1..k within each shard
+    per = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    for r in per.collect():
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+    # deterministic across runs
+    a = sorted(out.collect())
+    b = sorted(corpus.sharded_shuffle(docs, n_shards=4).collect())
+    assert a == b
+
+
+def test_source_filter_keeps_whole_sources(spark):
+    rows = [
+        (1, "long_src", 100),
+        (2, "long_src", 100),
+        (3, "short_src", 1),
+        (4, "short_src", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = corpus.filter_sources_by_mean_len(df)
+    assert {r["source"] for r in out.collect()} == {"long_src"}
+    assert out.count() == 2  # every doc of the surviving source stays
