@@ -89,12 +89,6 @@ _PARITY: list[tuple[str, str, str, str]] = [
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
     ),
     (
-        "p03_filter_le",
-        "orders",
-        "Filter rows where o_totalprice <= 50000 and select o_orderkey and o_totalprice.",
-        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 50000",
-    ),
-    (
         "p05_groupby_count",
         "customer",
         "Group by c_mktsegment and count c_custkey.",
@@ -125,24 +119,6 @@ _PARITY: list[tuple[str, str, str, str]] = [
         "SELECT * FROM lineitem WHERE l_quantity > 1000",
     ),
     (
-        "p11_and",
-        "lineitem",
-        "Filter rows where l_quantity > 30 AND l_returnflag == 'A' and select l_orderkey, l_linenumber.",
-        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A'",
-    ),
-    (
-        "p12_or",
-        "orders",
-        "Filter rows where o_orderstatus == 'F' OR o_totalprice > 400000 and select o_orderkey.",
-        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' OR o_totalprice > 400000",
-    ),
-    (
-        "p13_between_startswith",
-        "lineitem",
-        "Filter rows where l_quantity between 10 and 20 and l_linestatus starts with 'F'.",
-        "SELECT * FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_linestatus LIKE 'F%'",
-    ),
-    (
         "p14_paren_bool_tree",
         "lineitem",
         "Select rows where (l_quantity > 45 AND l_returnflag == 'A') OR (l_quantity < 5 AND l_returnflag == 'N').",
@@ -168,13 +144,50 @@ _PARITY: list[tuple[str, str, str, str]] = [
     ),
 ]
 
-for _name, _table, _desc, _sql in _PARITY:
-    def _mk(table: str, desc: str) -> QueryFn:
-        fn: QueryFn = lambda spark, sf_dir: _nl(spark, sf_dir, table, desc)  # noqa: E731
-        fn.__doc__ = f"NL pipeline on {table}: {desc!r}"
-        return fn
+# Parity variants whose *shape* is already covered inside the driver's
+# 50-row correctness window (p03 comparison ~ p01, p11/p12 AND/OR ~ p14,
+# p13 between/startswith ~ p19/p07). Registered AFTER the window (below)
+# so every north-star operator keeps a driver correctness row; these stay
+# fully oracle-checked by tools/check_oracle.py (CORRECTNESS_LOCAL.json).
+_PARITY_LATE: list[tuple[str, str, str, str]] = [
+    (
+        "p03_filter_le",
+        "orders",
+        "Filter rows where o_totalprice <= 50000 and select o_orderkey and o_totalprice.",
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice <= 50000",
+    ),
+    (
+        "p11_and",
+        "lineitem",
+        "Filter rows where l_quantity > 30 AND l_returnflag == 'A' and select l_orderkey, l_linenumber.",
+        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A'",
+    ),
+    (
+        "p12_or",
+        "orders",
+        "Filter rows where o_orderstatus == 'F' OR o_totalprice > 400000 and select o_orderkey.",
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' OR o_totalprice > 400000",
+    ),
+    (
+        "p13_between_startswith",
+        "lineitem",
+        "Filter rows where l_quantity between 10 and 20 and l_linestatus starts with 'F'.",
+        "SELECT * FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_linestatus LIKE 'F%'",
+    ),
+]
 
-    register(_name, _sql)(_mk(_table, _desc))
+
+def _register_parity(rows: list[tuple[str, str, str, str]]) -> None:
+    for _name, _table, _desc, _sql in rows:
+        def _mk(table: str, desc: str) -> QueryFn:
+            fn: QueryFn = lambda spark, sf_dir: _nl(spark, sf_dir, table, desc)  # noqa: E731
+            fn.__doc__ = f"NL pipeline on {table}: {desc!r}"
+            return fn
+
+        register(_name, _sql)(_mk(_table, _desc))
+
+
+_register_parity(_PARITY)
 
 
 # p04/p17: sort + top-k need a deterministic tiebreak column so Spark and
@@ -207,25 +220,6 @@ def p06(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     }
     return compile_spec(_t(spark, sf_dir, "customer"), spec)
-
-
-@register(
-    "p17_sort_filter_limit",
-    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000 "
-    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
-)
-def p17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stated order: sort -> filter -> limit (SURVEY.md O3); result equals
-    # the oracle's filter-first form because the filter is order-stable.
-    spec = {
-        "ops": [
-            {"op": "sort", "keys": [{"col": "o_totalprice", "asc": False}, {"col": "o_orderkey", "asc": True}]},
-            {"op": "filter", "expr": {"gt": ["o_totalprice", 300000]}},
-            {"op": "limit", "n": 5},
-            {"op": "select", "cols": ["o_orderkey", "o_totalprice"]},
-        ]
-    }
-    return compile_spec(_t(spark, sf_dir, "orders"), spec)
 
 
 @register(
@@ -364,6 +358,28 @@ def u1_escape_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-2 north-star additions: registered AFTER the 50-row window
 # (covered by the committed CORRECTNESS_LOCAL.json report).
 from . import nsqueries2  # noqa: E402,F401  (registration side effects)
+
+# Parity variants demoted past the window (shapes duplicated in-window).
+_register_parity(_PARITY_LATE)
+
+
+@register(
+    "p17_sort_filter_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000 "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5",
+)
+def p17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stated order: sort -> filter -> limit (SURVEY.md O3); result equals
+    # the oracle's filter-first form because the filter is order-stable.
+    spec = {
+        "ops": [
+            {"op": "sort", "keys": [{"col": "o_totalprice", "asc": False}, {"col": "o_orderkey", "asc": True}]},
+            {"op": "filter", "expr": {"gt": ["o_totalprice", 300000]}},
+            {"op": "limit", "n": 5},
+            {"op": "select", "cols": ["o_orderkey", "o_totalprice"]},
+        ]
+    }
+    return compile_spec(_t(spark, sf_dir, "orders"), spec)
 
 
 # Widened-grammar parity queries (VERDICT r1 #5): multi-key sort, global
