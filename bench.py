@@ -41,10 +41,17 @@ def main() -> None:
     # totals are reported.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc  # type: ignore[attr-defined]
     for name, fn in benchqueries.queries().items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 4)
+        # a 230-execution session accumulates cleaner work (shuffle
+        # files, checkpoint blocks, codegen classes) that old-gen GC
+        # releases in multi-second pauses landing on random queries;
+        # collect BEFORE the timed run so the steady-state number
+        # measures the query, not whichever query the pause hit
+        jvm_gc()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
