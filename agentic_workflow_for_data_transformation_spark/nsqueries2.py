@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
 from .nsqueries import _SHINGLE_CTE, _buckets_sql, _sig_sql
-from .operators import dedup, similarity, text
+from .operators import corpus, dedup, similarity, text
 
 register(
     "ns_text_redact",
@@ -90,6 +90,38 @@ register(
     " FROM d, c1) "
     "SELECT vec_id, cell, cent_sim FROM a2 WHERE rn = 1",
 )(lambda spark, sf_dir: similarity.kmeans_assign(_t(spark, sf_dir, "embeddings"), n_centroids=8, n_iter=1))
+
+
+register(
+    "ns_chunk_documents",
+    # sliding word windows: starts 1, 1+stride, ... while start <= len;
+    # tail chunks may be short, no suffix dropped (stride 16, size 32)
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "st AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws), 16)) AS start FROM w), "
+    "c AS (SELECT doc_id, start, list_slice(ws, start, least(start + 31, len(ws))) AS chunk FROM st) "
+    "SELECT doc_id, CAST((start - 1) / 16 AS INTEGER) AS chunk_idx, "
+    "CAST(len(chunk) AS INTEGER) AS n_chunk_words, "
+    "md5(array_to_string(chunk, ' ')) AS chunk_md5 FROM c",
+)(
+    lambda spark, sf_dir: corpus.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=32, stride=16
+    ).withColumn("n_chunk_words", F.col("n_chunk_words").cast("int"))
+)
+
+
+register(
+    "ns_text_repetition",
+    # intra-doc n-gram repetition over the same 60-bit gram hash the
+    # Spark side aggregates, so distinctness is bit-identical
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN "
+    "list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+    "ELSE CAST([] AS VARCHAR[]) END) AS s FROM w) "
+    "SELECT doc_id, count(*) AS n_grams, "
+    "count(DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT) AS n_distinct, "
+    "round(1 - count(DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT) * 1.0 / count(*), 6) "
+    "AS repetition FROM g GROUP BY doc_id",
+)(lambda spark, sf_dir: text.repetition_ratio(_t(spark, sf_dir, "documents")))
 
 
 register(

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _hash60, shingle_index
+from .dedup import _hash60, shingle_index, spread_small_input
 from .sampling import DRAW_BUCKETS, hash_draw
 
 
@@ -127,6 +127,37 @@ def sharded_shuffle(df: DataFrame, n_shards: int = 8,
         df.select(F.col(key_col), shard.alias("shard"), draw.alias("draw"))
         .withColumn("pos", F.row_number().over(w))
         .select(key_col, "shard", "pos")
+    )
+
+
+def chunk_documents(df: DataFrame, size: int = 32, stride: int = 16,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking: split each document's word
+    array into windows of ``size`` words starting every ``stride``
+    words (stride < size ⇒ overlapping chunks) — the context-window
+    preparation step of every LLM training pipeline. Emits
+    (id, chunk_idx, n_chunk_words, chunk_md5); the md5 stands in for
+    the chunk text so the output stays fixed-width (the text itself is
+    ``slice(ws, start, size)`` if a caller wants it).
+
+    Start positions run 1, 1+stride, … while start <= n_words, so the
+    tail chunk may be short but no suffix of a document is ever
+    dropped. Scale shape: explode(sequence) + slice are fully
+    codegen'd row expressions — one narrow row expansion of ~1/stride
+    rows per word, no shuffle, no Python."""
+    ws = F.split(F.col(text_col), " ")
+    base = spread_small_input(df).select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        F.explode(F.sequence(F.lit(1), F.size(ws), F.lit(stride))).alias("_st"),
+    )
+    chunk = F.slice(F.col("_ws"), F.col("_st"), size)
+    return base.select(
+        F.col(id_col),
+        ((F.col("_st") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
 
 

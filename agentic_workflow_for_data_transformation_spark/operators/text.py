@@ -211,6 +211,37 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     )
 
 
+def repetition_ratio(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total word ``n``-grams —
+    the standard boilerplate/spam signal (near-1 means the document
+    repeats itself; quality filters drop high-repetition docs before
+    training). Documents shorter than ``n`` words have no n-grams and
+    are omitted, matching the empty-shingle-set semantics of
+    dedup.shingle_index.
+
+    Shape: one codegen'd shingle explode + one grouped aggregate with
+    map-side partial count/count-distinct — a single shuffle carrying
+    (doc, gram-hash) partials, never the gram strings themselves."""
+    from .dedup import _hash60, shingle_index
+
+    e = shingle_index(df, id_col=id_col, text_col=text_col, n=n,
+                      distinct=False).select(
+        id_col, _hash60(F.col("s")).alias("hs")
+    )
+    return (
+        e.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct("hs").alias("n_distinct"),
+        )
+        .withColumn(
+            "repetition",
+            F.round(1 - F.col("n_distinct") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def groupwise_minmax_scale(df: DataFrame, group_col: str = "event_type",
                            value_col: str = "value",
                            id_col: str = "event_id") -> DataFrame:

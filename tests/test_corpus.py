@@ -109,3 +109,27 @@ def test_source_filter_keeps_whole_sources(spark):
     out = corpus.filter_sources_by_mean_len(df)
     assert {r["source"] for r in out.collect()} == {"long_src"}
     assert out.count() == 2  # every doc of the surviving source stays
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    # 10 words, size 4, stride 2 -> starts 1,3,5,7,9; last chunk short
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = sorted(
+        corpus.chunk_documents(df, size=4, stride=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3, 4]
+    assert [r["n_chunk_words"] for r in out] == [4, 4, 4, 4, 2]
+    # chunk 1 covers words 2..5 (1-based starts: 3..6)
+    import hashlib
+
+    expected = hashlib.md5(" ".join(words[2:6]).encode()).hexdigest()
+    assert out[1]["chunk_md5"] == expected
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(7, "only three words")], "doc_id long, text string")
+    out = corpus.chunk_documents(df, size=32, stride=16).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_idx"] == 0 and out[0]["n_chunk_words"] == 3

@@ -247,3 +247,17 @@ def test_kmeans_assign_multi_iteration(spark, sf_dir):
     assert len(rows) == n
     assert {r["cell"] for r in rows} <= set(range(4))
     assert all(-1.0 <= r["cent_sim"] <= 1.0 for r in rows)
+
+
+def test_repetition_ratio_detects_boilerplate(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),   # 4 identical 3-grams -> 0.75
+        (2, "all words here are fully unique"), # 4 distinct 3-grams -> 0.0
+        (3, "too short"),                       # < 3 words -> omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_ratio(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_grams"] == 4 and out[1]["n_distinct"] == 1
+    assert out[1]["repetition"] == 0.75
+    assert out[2]["repetition"] == 0.0
