@@ -154,3 +154,23 @@ def write_json_dir(df: DataFrame, path: str | Path) -> Path:
     path = Path(path)
     df.write.mode("overwrite").json(str(path))
     return path
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (Spark-native, vectorized reader). Like parquet, ORC
+    carries its schema and min/max stripe statistics, so predicate
+    pushdown and column pruning reach the scan — interchange format
+    for pipelines landing data from Hive-era warehouses."""
+    return spark.read.orc(path)
+
+
+def write_orc_dir(df: DataFrame, path: str | Path,
+                  partition_by: list[str] | None = None) -> Path:
+    """ORC sink: directory of part files, optional hive-style
+    partition layout (same pruning story as write_parquet)."""
+    path = Path(path)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(str(path))
+    return path

@@ -53,3 +53,37 @@ def test_json_roundtrip(spark, people, tmp_path):
     inferred = read_json(spark, str(out))
     assert inferred.count() == 10
     assert inferred.filter(F.col("age") > 30).count() == 7
+
+
+def test_orc_roundtrip_with_pushdown(spark, people, tmp_path):
+    from agentic_workflow_for_data_transformation_spark.sources.io import (
+        read_orc,
+        write_orc_dir,
+    )
+
+    out = write_orc_dir(people, tmp_path / "people_orc")
+    back = read_orc(spark, str(out))
+    assert back.count() == 10
+    assert back.schema.simpleString() == people.schema.simpleString()
+    q = back.filter("age > 30").select("name")
+    assert q.count() == 7
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # predicate and projection must reach the ORC scan
+    assert "PushedFilters: [IsNotNull(age), GreaterThan(age,30)" in plan
+    assert "ReadSchema: struct<name:string" in plan
+
+
+def test_orc_partitioned_layout_prunes(spark, people, tmp_path):
+    from agentic_workflow_for_data_transformation_spark.sources.io import (
+        read_orc,
+        write_orc_dir,
+    )
+
+    from pyspark.sql import functions as F
+
+    out = write_orc_dir(people, tmp_path / "people_orc_part", partition_by=["city"])
+    one_city = people.select("city").first()["city"]
+    q = read_orc(spark, str(out)).filter(F.col("city") == one_city)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [isnotnull(city" in plan  # pruned at planning
+    assert q.count() == people.filter(F.col("city") == one_city).count()

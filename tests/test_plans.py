@@ -194,3 +194,29 @@ def test_q8_filters_part_before_join(spark):
 def test_groupwise_scale_is_grouped_map(spark):
     plan = plan_of(spark, "ns_groupwise_scale")
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The 100 TB corpus side must never shuffle on shingle strings:
+    the benchmark side broadcasts into a semi join, and no
+    SortMergeJoin appears anywhere in the plan."""
+    plan = plan_of(spark, "ns_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is a pure narrow row expansion (explode+slice): other
+    than the small-input spread repartition there must be no Exchange,
+    and the expansion stays inside whole-stage codegen."""
+    from agentic_workflow_for_data_transformation_spark.operators import corpus
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, SF_DIR, "documents").repartition(8)
+    df = corpus.chunk_documents(docs)
+    df.collect()  # finalize the AQE plan on this QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the initial plan below
+    assert final.count("Exchange") <= 1  # only the input repartition
+    assert "*(" in final or "WholeStageCodegen" in final
+    assert "Generate explode" in final
