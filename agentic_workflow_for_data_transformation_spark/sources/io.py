@@ -50,17 +50,39 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
 
 
-def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table ships nanosecond parquet timestamps, which Spark
-    refuses to read as TIMESTAMP (PARQUET_TYPE_ILLEGAL). Read the raw
-    int64 nanos via the legacy conf and derive a microsecond
-    TimestampType column with exact integer division (truncation —
-    matching a ns->us CAST in DuckDB/ANSI engines)."""
-    from pyspark.sql import functions as F
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the ``ts`` column to session-timezone TimestampType
+    regardless of how the parquet writer encoded it. Testdata
+    generations have shipped it three ways:
 
+    - int64 raw nanoseconds (readable only via the
+      ``spark.sql.legacy.parquet.nanosAsLong`` conf) -> exact integer
+      division to micros, matching a ns->us CAST in DuckDB/ANSI engines;
+    - parquet timestamp[us] with isAdjustedToUTC=false, which Spark
+      surfaces as TIMESTAMP_NTZ -> cast to TIMESTAMP (value-preserving
+      because the engine session timezone is pinned to UTC, session.py);
+    - plain TIMESTAMP -> pass through.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events source: read the parquet and adapt to whatever dtype the
+    ``ts`` column actually carries (see normalize_event_ts). The legacy
+    nanos conf is set defensively — it is a no-op unless the file really
+    stores int64 nanos, and without it such a file fails the read with
+    PARQUET_TYPE_ILLEGAL before we can inspect the schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(str(Path(sf_dir) / "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(df)
 
 
 def read_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

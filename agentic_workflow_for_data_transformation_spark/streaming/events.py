@@ -23,12 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# file-stream sources need an explicit schema (no inference pass);
-# ts is int64 nanoseconds on disk (see sources/io.py read_events)
+# The LOGICAL events schema after normalization (``ts`` is always
+# TimestampType downstream of the reader). The on-disk encoding of
+# ``ts`` varies across testdata generations and is NOT assumed here —
+# read_events_stream takes the physical schema from a batch read.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -38,16 +40,27 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events parquet, with the same
-    nanos->micros timestamp derivation as the batch reader."""
+    """Streaming source over the events parquet. File-stream sources
+    need an explicit schema (no inference pass), and the on-disk ``ts``
+    encoding has varied across testdata generations (int64 nanos,
+    timestamp[us]/NTZ, plain timestamp) — so the schema is taken from a
+    one-file batch read of the same path rather than hard-coded, and the
+    same dtype-adaptive normalization as the batch reader
+    (sources.io.normalize_event_ts) maps ``ts`` to TimestampType. In
+    production the source becomes Kafka with a registry-backed schema;
+    the normalization stays."""
+    from ..sources.io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = str(Path(sf_dir) / "events.parquet")
+    on_disk_schema = spark.read.parquet(path).schema
     # file-stream sources require a directory; glob-filter to the one table
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(on_disk_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(str(Path(sf_dir)))
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(stream)
 
 
 def windowed_event_aggregate(
