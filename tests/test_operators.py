@@ -261,3 +261,32 @@ def test_repetition_ratio_detects_boilerplate(spark):
     assert out[1]["n_grams"] == 4 and out[1]["n_distinct"] == 1
     assert out[1]["repetition"] == 0.75
     assert out[2]["repetition"] == 0.0
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """x_approx_count_distinct has no exact SQL oracle by construction
+    (HyperLogLog++); bound it deterministically instead: per-group
+    relative error vs the exact distinct count must stay within the
+    configured rsd (0.02). Spark's HLL++ is deterministic for fixed
+    input, so this is a hard gate, not a flaky probabilistic one."""
+    import pyspark.sql.functions as F
+
+    from agentic_workflow_for_data_transformation_spark import benchqueries
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["o_orderpriority"]: r["approx_custs"]
+        for r in benchqueries.queries()["x_approx_count_distinct"](spark, sf).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in read_parquet_table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        rel_err = abs(approx[k] - n) / n
+        assert rel_err <= 0.02, f"{k}: approx={approx[k]} exact={n} err={rel_err:.4f}"
