@@ -254,43 +254,6 @@ register(
 
 
 register(
-    "ns_sim_topk_ivf",
-    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-    "c AS (SELECT vec_id AS cent_id, v AS cv FROM d WHERE vec_id < 8), "
-    "a AS (SELECT vec_id, v, cent_id, "
-    "  row_number() OVER (PARTITION BY vec_id ORDER BY "
-    + _COS.format(a="v", b="cv") + " DESC, cent_id) AS rn FROM d, c), "
-    "cells AS (SELECT vec_id, v, cent_id AS cell FROM a WHERE rn = 1), "
-    "q AS (SELECT v AS qv FROM d WHERE vec_id = 0), "
-    "probe AS (SELECT cent_id AS probe_cell, qv FROM c, q "
-    "  ORDER BY " + _COS.format(a="qv", b="cv") + " DESC, cent_id LIMIT 2) "
-    "SELECT vec_id, cell, " + _COS.format(a="v", b="qv") + " AS cos_sim "
-    "FROM cells JOIN probe ON cell = probe_cell WHERE vec_id <> 0 "
-    "ORDER BY cos_sim DESC, vec_id LIMIT 5",
-)(
-    lambda spark, sf_dir: similarity.topk_cosine_ivf(
-        _t(spark, sf_dir, "embeddings"), query_id=0, k=5, n_centroids=8, n_probe=2
-    )
-)
-
-
-register(
-    "ns_sim_topk_multi",
-    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-    "q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id IN (0, 1, 2, 3)), "
-    "s AS (SELECT query_id, vec_id, " + _COS.format(a="v", b="qv") + " AS cos_sim, "
-    " row_number() OVER (PARTITION BY query_id ORDER BY "
-    + _COS.format(a="v", b="qv") + " DESC, vec_id) AS rn "
-    " FROM d, q WHERE vec_id <> query_id) "
-    "SELECT query_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM s WHERE rn <= 3",
-)(
-    lambda spark, sf_dir: similarity.topk_cosine_multi(
-        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=3
-    )
-)
-
-
-register(
     "ns_sim_knn_per_label",
     "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
     "p AS (SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id, "

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .nsqueries import _SHINGLE_CTE, _buckets_sql, _sig_sql
+from .nsqueries import _COS, _SHINGLE_CTE, _buckets_sql, _sig_sql
 from .operators import corpus, dedup, similarity, text
 
 register(
@@ -137,3 +137,44 @@ register(
     )
 )
 
+
+
+# Demoted from the driver window in round 3 (duplicate topk shapes:
+# bruteforce, lsh, and partitioned variants remain in-window) to make
+# room for two events-family queries — see the DRIVER CORRECTNESS
+# WINDOW note in benchqueries.py.
+register(
+    "ns_sim_topk_ivf",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "c AS (SELECT vec_id AS cent_id, v AS cv FROM d WHERE vec_id < 8), "
+    "a AS (SELECT vec_id, v, cent_id, "
+    "  row_number() OVER (PARTITION BY vec_id ORDER BY "
+    + _COS.format(a="v", b="cv") + " DESC, cent_id) AS rn FROM d, c), "
+    "cells AS (SELECT vec_id, v, cent_id AS cell FROM a WHERE rn = 1), "
+    "q AS (SELECT v AS qv FROM d WHERE vec_id = 0), "
+    "probe AS (SELECT cent_id AS probe_cell, qv FROM c, q "
+    "  ORDER BY " + _COS.format(a="qv", b="cv") + " DESC, cent_id LIMIT 2) "
+    "SELECT vec_id, cell, " + _COS.format(a="v", b="qv") + " AS cos_sim "
+    "FROM cells JOIN probe ON cell = probe_cell WHERE vec_id <> 0 "
+    "ORDER BY cos_sim DESC, vec_id LIMIT 5",
+)(
+    lambda spark, sf_dir: similarity.topk_cosine_ivf(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=5, n_centroids=8, n_probe=2
+    )
+)
+
+
+register(
+    "ns_sim_topk_multi",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id IN (0, 1, 2, 3)), "
+    "s AS (SELECT query_id, vec_id, " + _COS.format(a="v", b="qv") + " AS cos_sim, "
+    " row_number() OVER (PARTITION BY query_id ORDER BY "
+    + _COS.format(a="v", b="qv") + " DESC, vec_id) AS rn "
+    " FROM d, q WHERE vec_id <> query_id) "
+    "SELECT query_id, vec_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM s WHERE rn <= 3",
+)(
+    lambda spark, sf_dir: similarity.topk_cosine_multi(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=3
+    )
+)
