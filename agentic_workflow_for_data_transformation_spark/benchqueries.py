@@ -1861,3 +1861,75 @@ def x_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keys, "s_suppkey", "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+@register(
+    "x_retention_cohorts",
+    "WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day "
+    "FROM events GROUP BY 1) "
+    "SELECT f.cohort_day, "
+    "date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset, "
+    "count(DISTINCT e.user_id) AS n_users "
+    "FROM events e JOIN f USING (user_id) GROUP BY 1, 2",
+)
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each later activity day as an offset from their cohort. The classic
+    product-analytics triangle. Scale shape: the first-seen pass is one
+    map-side-combined min per user; the fact join shares the user_id
+    partitioning (AQE broadcasts the cohort side when it is small),
+    and only the (cohort, offset) aggregate — thousands of cells, not
+    events — shuffles for the distinct count."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "x_event_rate_anomaly",
+    "WITH b AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "w AS (SELECT h, event_type, n, count(n) OVER fr AS c, sum(n) OVER fr AS s, "
+    "sum(n*n) OVER fr AS ss FROM b "
+    "WINDOW fr AS (PARTITION BY event_type ORDER BY h "
+    "ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)) "
+    "SELECT h, event_type, n, "
+    "round((n - s / c) / sqrt((ss - s * s / c) / (c - 1)), 6) AS z "
+    "FROM w WHERE c >= 12 AND (ss - s * s / c) / (c - 1) > 0 "
+    "AND abs(round((n - s / c) / sqrt((ss - s * s / c) / (c - 1)), 6)) >= 2.0",
+)
+def x_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts per event type,
+    z-scored against the trailing 24 observed hours (current hour
+    excluded), emitting |z| >= 2 buckets. The mean and variance come
+    from exact integer window sums (sum, sum-of-squares, count), so
+    the floating-point z is the same IEEE expression in every engine —
+    deterministic enough for a hash-matched oracle, unlike stddev()
+    whose summation order is engine-private. One aggregate + one
+    window sort per event_type; at scale, join a time spine first
+    (x_time_spine_fill) so silent-gap hours count as zeros instead of
+    vanishing from the trailing frame."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fr = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    c = F.count("n").over(fr)
+    s = F.sum("n").over(fr)
+    ss = F.sum(F.col("n") * F.col("n")).over(fr)
+    var = (ss - s * s / c) / (c - 1)
+    z = F.round((F.col("n") - s / c) / F.sqrt(var), 6)
+    return (
+        b.select("h", "event_type", "n", c.alias("c"), var.alias("var"), z.alias("z"))
+        .filter((F.col("c") >= 12) & (F.col("var") > 0) & (F.abs("z") >= 2.0))
+        .select("h", "event_type", "n", "z")
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .nsqueries import _COS, _SHINGLE_CTE, _buckets_sql, _sig_sql
+from .nsqueries import _COS, _SHINGLE_CTE, _VERIFIED_CTES, _buckets_sql, _sig_sql
 from .operators import corpus, dedup, similarity, text
 
 register(
@@ -176,5 +176,62 @@ register(
 )(
     lambda spark, sf_dir: similarity.topk_cosine_multi(
         _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=3
+    )
+)
+
+
+# ---------------------------------------------------------- round 3 ops
+
+register(
+    "ns_corpus_mix_weights",
+    "SELECT lang, count(*) AS n_docs, "
+    "round(pow(count(*), 0.7) / sum(pow(count(*), 0.7)) OVER (), 6) AS weight "
+    "FROM documents GROUP BY lang",
+)(lambda spark, sf_dir: corpus.mix_weights(_t(spark, sf_dir, "documents"), alpha=0.7))
+
+
+register(
+    "ns_dedup_containment",
+    f"WITH {_VERIFIED_CTES} "
+    "SELECT c.doc_a, c.doc_b, "
+    "round(i.n_inter * 1.0 / sa.sz, 6) AS cont_a_in_b, "
+    "round(i.n_inter * 1.0 / sb.sz, 6) AS cont_b_in_a "
+    "FROM cand c JOIN inter i USING (doc_a, doc_b) "
+    "JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id "
+    "WHERE greatest(round(i.n_inter * 1.0 / sa.sz, 6), "
+    "round(i.n_inter * 1.0 / sb.sz, 6)) >= 0.5",
+)(lambda spark, sf_dir: dedup.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.5))
+
+
+_BITS4_BUCKET = (
+    "concat(CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END, "
+    "CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END)"
+)
+
+register(
+    "ns_ann_recall_lsh",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"b AS (SELECT vec_id, v, {_BITS4_BUCKET} AS bucket FROM d), "
+    "q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b "
+    " WHERE vec_id IN (0, 1, 2, 3)), "
+    "ex AS (SELECT query_id, vec_id FROM ("
+    " SELECT q.query_id, d.vec_id, row_number() OVER (PARTITION BY q.query_id "
+    " ORDER BY " + _COS.format(a="d.v", b="q.qv") + " DESC, d.vec_id) AS rn "
+    " FROM d, q WHERE d.vec_id <> q.query_id) WHERE rn <= 5), "
+    "ann AS (SELECT query_id, vec_id FROM ("
+    " SELECT q.query_id, b.vec_id, row_number() OVER (PARTITION BY q.query_id "
+    " ORDER BY " + _COS.format(a="b.v", b="q.qv") + " DESC, b.vec_id) AS rn "
+    " FROM b, q WHERE b.vec_id <> q.query_id AND b.bucket = q.qbucket) WHERE rn <= 5), "
+    "h AS (SELECT a.query_id, count(*) AS n_hits FROM ann a "
+    " JOIN ex USING (query_id, vec_id) GROUP BY 1), "
+    "c AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY 1) "
+    "SELECT c.query_id, c.n_ann, coalesce(h.n_hits, 0) AS n_hits, "
+    "round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall "
+    "FROM c LEFT JOIN h USING (query_id)",
+)(
+    lambda spark, sf_dir: similarity.ann_recall_vs_bruteforce(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=5, bits=4
     )
 )

@@ -192,3 +192,30 @@ def filter_sources_by_mean_len(df: DataFrame, source_col: str = "source",
     return df.join(F.broadcast(keep), source_col, "left_semi").select(
         id_col, source_col, len_col
     )
+
+
+def mix_weights(df: DataFrame, group_col: str = "lang",
+                alpha: float = 0.7) -> DataFrame:
+    """Temperature-scaled corpus mixing weights: for each group (a
+    language or source), weight = n^alpha / sum(n^alpha). alpha < 1
+    flattens the natural distribution — the standard multilingual /
+    multi-source sampling scheme (alpha 0.7 is the mT5/XLM-R
+    convention) that keeps low-resource groups from vanishing and
+    high-resource groups from dominating a training mix.
+
+    Scale shape: one map-side-combined count aggregate over the corpus;
+    the power/normalize math runs on the GROUP-cardinality frame (tens
+    of rows), where the unpartitioned window's single-task exchange is
+    free. Returns (group, n_docs, weight) with weight rounded to 6
+    places — pow/div on integer counts is bit-identical across IEEE
+    engines, so the round is deterministic."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    total = F.sum(scaled).over(Window.partitionBy())
+    return counts.select(
+        group_col,
+        "n_docs",
+        F.round(scaled / total, 6).alias("weight"),
+    )

@@ -290,14 +290,22 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
 
 def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
                        threshold: float = 0.5, num_hashes: int = 16,
-                       bands: int = 4, n: int = 3) -> DataFrame:
+                       bands: int = 4, n: int = 3,
+                       pairs: DataFrame | None = None) -> DataFrame:
     """Fuzzy-dedup clustering end to end: LSH-verified near-dup pairs
     -> connected components -> (doc_id, cluster_id) where cluster_id
     is the minimum doc id of the duplicate group (singletons cluster
     with themselves). Downstream, keeping ``doc_id == cluster_id``
-    rows is the canonical-representative dedup policy."""
-    pairs = lsh_verified_pairs(df, id_col=id_col, threshold=threshold,
-                               num_hashes=num_hashes, bands=bands, n=n)
+    rows is the canonical-representative dedup policy.
+
+    ``pairs`` lets a caller hand in an already-materialized
+    (doc_a, doc_b, ...) near-dup pair frame — the pair pipeline is the
+    expensive 90% of this operator and is shared verbatim with the
+    pair-level queries, so pipelines computing both should compute it
+    once (see nsqueries' session-scoped intermediate cache)."""
+    if pairs is None:
+        pairs = lsh_verified_pairs(df, id_col=id_col, threshold=threshold,
+                                   num_hashes=num_hashes, bands=bands, n=n)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     comp = connected_components(edges, df.select(id_col), id_col=id_col)
     return comp.select(F.col("id").alias(id_col), F.col("component").alias("cluster_id"))
@@ -305,13 +313,17 @@ def duplicate_clusters(df: DataFrame, id_col: str = "doc_id",
 
 def dedup_keep_canonical(df: DataFrame, id_col: str = "doc_id",
                          threshold: float = 0.5, num_hashes: int = 16,
-                         bands: int = 4, n: int = 3) -> DataFrame:
+                         bands: int = 4, n: int = 3,
+                         clusters: DataFrame | None = None) -> DataFrame:
     """The applied fuzzy dedup: keep exactly one document per
     near-duplicate cluster (the minimum-id representative), drop the
     rest. This is the operator a training-data pipeline actually runs;
-    the pair/cluster queries are its observable intermediates."""
-    clusters = duplicate_clusters(df, id_col=id_col, threshold=threshold,
-                                  num_hashes=num_hashes, bands=bands, n=n)
+    the pair/cluster queries are its observable intermediates.
+    ``clusters`` accepts a precomputed (doc_id, cluster_id) frame —
+    same sharing rationale as ``duplicate_clusters(pairs=...)``."""
+    if clusters is None:
+        clusters = duplicate_clusters(df, id_col=id_col, threshold=threshold,
+                                      num_hashes=num_hashes, bands=bands, n=n)
     keepers = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(keepers, id_col, "left_semi")
 
@@ -377,4 +389,53 @@ def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",
         .join(b, "doc_b")
         .withColumn("est_jaccard", F.round(matches / F.lit(float(num_hashes)), 6))
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      threshold: float = 0.5, num_hashes: int = 16,
+                      bands: int = 4, n: int = 3) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT over LSH candidate pairs:
+    c(a in b) = |A n B| / |A|. Jaccard misses the quote/boilerplate
+    case — a short document wholly embedded in a long one has low
+    Jaccard but containment ~1.0 — so corpus pipelines threshold on
+    max(c(a in b), c(b in a)) to catch subset duplication.
+
+    Same scale shape as lsh_verified_pairs: the exact intersection
+    count runs only on LSH survivors (broadcast doc restriction), one
+    inverted-index equi-join, intersections aggregate map-side. Emits
+    (doc_a, doc_b, cont_a_in_b, cont_b_in_a) for candidate pairs whose
+    max containment clears ``threshold``."""
+    cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
+                                  bands=bands, n=n).localCheckpoint()
+    docs = (
+        cand.select(F.col("doc_a").alias("d"))
+        .unionByName(cand.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    src = df.join(
+        F.broadcast(docs.select(F.col("d").alias(id_col))), id_col, "left_semi"
+    )
+    e = shingle_index(src, id_col=id_col, n=n).select(
+        F.col(id_col).alias("d"), _hash60(F.col("s")).alias("s")
+    )
+    sizes = e.groupBy("d").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = e.alias("a"), e.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")))
+        .groupBy(F.col("a.d").alias("doc_a"), F.col("b.d").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(sa, F.col("doc_a") == F.col("sa.d"))
+        .join(sb, F.col("doc_b") == F.col("sb.d"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("sa.sz"), 6).alias("cont_a_in_b"),
+            F.round(F.col("inter") / F.col("sb.sz"), 6).alias("cont_b_in_a"),
+        )
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
     )

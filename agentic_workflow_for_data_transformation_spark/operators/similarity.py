@@ -440,3 +440,44 @@ def kmeans_assign(df: DataFrame, n_centroids: int = 8, n_iter: int = 1,
         cents = refined
 
     return assign(cents).select(id_col, "cell", "cent_sim")
+
+
+def ann_recall_vs_bruteforce(df: DataFrame, query_ids: list[int], k: int = 5,
+                             bits: int = 4, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int | None = None) -> DataFrame:
+    """Recall@k harness: for each query, |ANN(sign-LSH) top-k  n
+    exact top-k| / k. This is the measurement every ANN deployment
+    needs BEFORE trusting the bucketed path — recall quantifies what
+    the pruning loses. Per query the exact side is one broadcast scan
+    (same plan as topk_cosine_bruteforce) and the ANN side scans only
+    the query's bucket; both top-k's are TakeOrderedAndProject, and the
+    intersection is a tiny join on (query_id, vec_id). Emits
+    (query_id, n_ann, n_hits, recall) — n_ann < k flags underfull
+    buckets (recall denominator stays k by convention)."""
+    exact = topk_cosine_multi(df, query_ids=query_ids, k=k, id_col=id_col,
+                              vec_col=vec_col, dim=dim).select(
+        "query_id", id_col
+    )
+    ann_parts = [
+        topk_cosine_lsh(df, query_id=q, k=k, bits=bits, id_col=id_col,
+                        vec_col=vec_col, dim=dim)
+        .select(F.lit(q).cast("long").alias("query_id"), F.col(id_col))
+        for q in query_ids
+    ]
+    ann = ann_parts[0]
+    for part in ann_parts[1:]:
+        ann = ann.unionByName(part)
+    hits = ann.join(exact, ["query_id", id_col]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    counts = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    return (
+        counts.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_ann",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
+        )
+    )
