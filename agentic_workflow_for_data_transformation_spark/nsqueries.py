@@ -70,7 +70,7 @@ register(
     "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM buckets x "
     "JOIN buckets y ON x.band_idx = y.band_idx AND x.band_key = y.band_key "
     "AND x.doc_id < y.doc_id",
-)(lambda spark, sf_dir: dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents")))
+)(lambda spark, sf_dir: _dedup_cached(spark, sf_dir, "cand"))
 
 
 # the candidate->verified CTE chain, shared by the pair query and the
@@ -104,8 +104,16 @@ def _dedup_cached(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     got = _DEDUP_CACHE.get(key)
     if got is None:
         docs = _t(spark, sf_dir, "documents")
-        if kind == "pairs":
-            got = dedup.lsh_verified_pairs(docs, threshold=0.5)
+        if kind == "sig":
+            got = dedup.minhash_signatures(docs)
+        elif kind == "cand":
+            got = dedup.minhash_lsh_candidates(
+                docs, sig=_dedup_cached(spark, sf_dir, "sig")
+            )
+        elif kind == "pairs":
+            got = dedup.lsh_verified_pairs(
+                docs, threshold=0.5, cand=_dedup_cached(spark, sf_dir, "cand")
+            )
         else:  # clusters
             got = dedup.duplicate_clusters(
                 docs, threshold=0.5,

@@ -12,7 +12,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .nsqueries import _COS, _SHINGLE_CTE, _VERIFIED_CTES, _buckets_sql, _sig_sql
+from .nsqueries import (
+    _COS,
+    _SHINGLE_CTE,
+    _VERIFIED_CTES,
+    _buckets_sql,
+    _dedup_cached,
+    _sig_sql,
+)
 from .operators import corpus, dedup, similarity, text
 
 register(
@@ -56,7 +63,13 @@ register(
     + " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INTEGER)" for i in range(16))
     + ") / 16.0, 6) AS est_jaccard "
     "FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id",
-)(lambda spark, sf_dir: dedup.minhash_estimate_pairs(_t(spark, sf_dir, "documents")))
+)(
+    lambda spark, sf_dir: dedup.minhash_estimate_pairs(
+        _t(spark, sf_dir, "documents"),
+        sig=_dedup_cached(spark, sf_dir, "sig"),
+        cand=_dedup_cached(spark, sf_dir, "cand"),
+    )
+)
 
 
 register(
@@ -200,7 +213,12 @@ register(
     "JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id "
     "WHERE greatest(round(i.n_inter * 1.0 / sa.sz, 6), "
     "round(i.n_inter * 1.0 / sb.sz, 6)) >= 0.5",
-)(lambda spark, sf_dir: dedup.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.5))
+)(
+    lambda spark, sf_dir: dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5,
+        cand=_dedup_cached(spark, sf_dir, "cand"),
+    )
+)
 
 
 _BITS4_BUCKET = (

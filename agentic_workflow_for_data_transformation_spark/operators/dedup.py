@@ -211,17 +211,22 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
 
 def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
                        threshold: float = 0.5, num_hashes: int = 16,
-                       bands: int = 4, n: int = 3) -> DataFrame:
+                       bands: int = 4, n: int = 3,
+                       sig: DataFrame | None = None,
+                       cand: DataFrame | None = None) -> DataFrame:
     """The full scale-path pipeline: LSH candidates -> exact Jaccard on
     candidates only -> threshold. This is how fuzzy dedup runs at
-    100 TB: the exact O(pairs) step touches only LSH survivors."""
+    100 TB: the exact O(pairs) step touches only LSH survivors.
+    ``sig``/``cand`` accept precomputed signature / candidate frames
+    (see minhash_estimate_pairs)."""
     # the candidate subtree feeds THREE consumers (the doc-restriction,
     # the jaccard semi-join, and the final pair join): materialize it
     # once with localCheckpoint — candidates are a tiny pair list, and
     # unlike persist() the blocks are reclaimed when the frame is
     # collected, so registry-driven repeated invocations don't leak
-    cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
-                                  bands=bands, n=n).localCheckpoint()
+    if cand is None:
+        cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
+                                      bands=bands, n=n, sig=sig).localCheckpoint()
     docs = (
         cand.select(F.col("doc_a").alias("d"))
         .unionByName(cand.select(F.col("doc_b").alias("d")))
@@ -356,7 +361,8 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",
                            num_hashes: int = 16, bands: int = 4,
-                           n: int = 3) -> DataFrame:
+                           n: int = 3, sig: DataFrame | None = None,
+                           cand: DataFrame | None = None) -> DataFrame:
     """Signature-only Jaccard ESTIMATE for LSH candidate pairs:
     est = (#matching minhash components) / k.
 
@@ -366,12 +372,17 @@ def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",
     on the candidate pair — standard MinHash theory (E[est] = J).
     Exact verification (lsh_verified_pairs) remains the high-precision
     tier; this one is the cheap screen. Emits
-    (doc_a, doc_b, est_jaccard) for every LSH candidate pair."""
+    (doc_a, doc_b, est_jaccard) for every LSH candidate pair.
+    ``sig`` accepts a precomputed (materialized) signature frame — the
+    signature table is the artifact every production minhash pipeline
+    persists, so consumers share one computation of it."""
     # one signature computation feeds banding AND the estimate join
-    sig = minhash_signatures(df, id_col=id_col, num_hashes=num_hashes,
-                             n=n).localCheckpoint()
-    cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
-                                  bands=bands, n=n, sig=sig)
+    if sig is None:
+        sig = minhash_signatures(df, id_col=id_col, num_hashes=num_hashes,
+                                 n=n).localCheckpoint()
+    if cand is None:
+        cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
+                                      bands=bands, n=n, sig=sig)
     a = sig.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"h{i}").alias(f"ha{i}") for i in range(num_hashes)],
@@ -394,7 +405,9 @@ def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       threshold: float = 0.5, num_hashes: int = 16,
-                      bands: int = 4, n: int = 3) -> DataFrame:
+                      bands: int = 4, n: int = 3,
+                      sig: DataFrame | None = None,
+                      cand: DataFrame | None = None) -> DataFrame:
     """Asymmetric shingle CONTAINMENT over LSH candidate pairs:
     c(a in b) = |A n B| / |A|. Jaccard misses the quote/boilerplate
     case — a short document wholly embedded in a long one has low
@@ -405,9 +418,12 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     count runs only on LSH survivors (broadcast doc restriction), one
     inverted-index equi-join, intersections aggregate map-side. Emits
     (doc_a, doc_b, cont_a_in_b, cont_b_in_a) for candidate pairs whose
-    max containment clears ``threshold``."""
-    cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
-                                  bands=bands, n=n).localCheckpoint()
+    max containment clears ``threshold``. ``sig``/``cand`` accept
+    precomputed signature / candidate-pair frames (see
+    minhash_estimate_pairs) so co-running dedup queries share them."""
+    if cand is None:
+        cand = minhash_lsh_candidates(df, id_col=id_col, num_hashes=num_hashes,
+                                      bands=bands, n=n, sig=sig).localCheckpoint()
     docs = (
         cand.select(F.col("doc_a").alias("d"))
         .unionByName(cand.select(F.col("doc_b").alias("d")))

@@ -455,19 +455,43 @@ def ann_recall_vs_bruteforce(df: DataFrame, query_ids: list[int], k: int = 5,
     intersection is a tiny join on (query_id, vec_id). Emits
     (query_id, n_ann, n_hits, recall) — n_ann < k flags underfull
     buckets (recall denominator stays k by convention)."""
+    from pyspark.sql import Window
+
     exact = topk_cosine_multi(df, query_ids=query_ids, k=k, id_col=id_col,
                               vec_col=vec_col, dim=dim).select(
         "query_id", id_col
     )
-    ann_parts = [
-        topk_cosine_lsh(df, query_id=q, k=k, bits=bits, id_col=id_col,
-                        vec_col=vec_col, dim=dim)
-        .select(F.lit(q).cast("long").alias("query_id"), F.col(id_col))
-        for q in query_ids
-    ]
-    ann = ann_parts[0]
-    for part in ann_parts[1:]:
-        ann = ann.unionByName(part)
+    # ANN side: ONE bucketed scan scored against the broadcast
+    # query-row frame (not one pipeline per query) — same shape as
+    # topk_cosine_multi with the bucket-equality prune added, so the
+    # data side is read once however many queries ride along
+    dim = probe_dim(df, vec_col, dim)
+    rows = df.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("v"),
+        l2_norm(as_double_array(vec_col), dim).alias("nrm"),
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
+    q = F.broadcast(
+        rows.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"), F.col("bucket").alias("qbucket"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    ann = (
+        rows.crossJoin(q)
+        .filter((F.col(id_col) != F.col("query_id")) & (F.col("bucket") == F.col("qbucket")))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_from_parts(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col)
+    )
     hits = ann.join(exact, ["query_id", id_col]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
