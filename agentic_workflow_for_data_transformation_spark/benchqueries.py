@@ -1933,3 +1933,72 @@ def x_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("c") >= 12) & (F.col("var") > 0) & (F.abs("z") >= 2.0))
         .select("h", "event_type", "n", "z")
     )
+
+
+@register(
+    "x_upsert_latest",
+    "SELECT user_id, event_type, value AS last_value, ts AS last_ts FROM ("
+    "SELECT user_id, event_type, value, ts, row_number() OVER ("
+    "PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events) WHERE rn = 1",
+)
+def x_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / SCD-1 upsert: collapse an append-only change
+    stream to the latest row per key (here (user_id, event_type), with
+    (ts, event_id) as the total version order — event_id breaks ts
+    ties deterministically). One shuffle on the key and a per-key sort;
+    at 100 TB this is the nightly compaction of a CDC-ingested table,
+    and the same plan runs incrementally under Structured Streaming
+    with dropDuplicatesWithinWatermark for the bounded-state variant."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_type", "value", "ts",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.col("value").alias("last_value"), F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "x_funnel_ordered",
+    "WITH f AS (SELECT user_id, "
+    "min(CASE WHEN event_type = 'view' THEN ts END) AS t_view, "
+    "min(CASE WHEN event_type = 'click' THEN ts END) AS t_click, "
+    "min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase "
+    "FROM events GROUP BY 1) "
+    "SELECT count(*) AS n_users, "
+    "CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click, "
+    "CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_full_funnel FROM f",
+)
+def x_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose FIRST view precedes their
+    first click precedes their first purchase. The classic funnel as
+    two aggregates: a conditional-min per user (map-side combined, one
+    shuffle), then a global roll-up of three counters — no joins, no
+    per-step subqueries, NULL comparisons drop non-completers in both
+    engines identically."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return first.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0)
+        ).alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")), 1
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )

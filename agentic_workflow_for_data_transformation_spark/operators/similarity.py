@@ -492,12 +492,16 @@ def ann_recall_vs_bruteforce(df: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col("rn") <= k)
         .select("query_id", id_col)
     )
-    hits = ann.join(exact, ["query_id", id_col]).groupBy("query_id").agg(
+    # both top-k frames are |query_ids| x k rows — broadcast the exact
+    # side into the intersection so nothing re-sorts for tiny joins
+    hits = ann.join(F.broadcast(exact), ["query_id", id_col]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
     counts = ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ann"))
+    # the per-query count frames are |query_ids| rows — broadcast the
+    # outer side explicitly so the static plan never sorts for them
     return (
-        counts.join(hits, "query_id", "left")
+        counts.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             "n_ann",

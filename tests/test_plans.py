@@ -220,3 +220,41 @@ def test_chunk_documents_is_shuffle_free(spark):
     assert final.count("Exchange") <= 1  # only the input repartition
     assert "*(" in final or "WholeStageCodegen" in final
     assert "Generate explode" in final
+
+
+def test_upsert_latest_is_one_shuffle_window(spark):
+    """CDC compaction must be one key shuffle + per-key sort, with the
+    rn=1 filter pushed into the sort as a group-limit (Spark's
+    WindowGroupLimit keeps one row per key per partition BEFORE the
+    exchange when possible) — never a join or a second shuffle."""
+    plan = plan_of(spark, "x_upsert_latest")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_funnel_is_two_aggregates_no_join(spark):
+    """The ordered funnel is a conditional-min per user then a global
+    roll-up: two partial/final aggregate pairs, zero joins, zero
+    window sorts."""
+    plan = plan_of(spark, "x_funnel_ordered")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") == 4  # 2 x (partial + final)
+
+
+def test_ann_recall_broadcasts_query_side(spark):
+    """The recall harness must read the vector table and broadcast the
+    tiny query frame — no SortMergeJoin, no shuffle of the data side
+    for the join itself."""
+    plan = plan_of(spark, "ns_ann_recall_lsh")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mix_weights_single_pass(spark):
+    """Mix weights: one count aggregate over the corpus; the window
+    normalization runs on the group-cardinality frame only."""
+    plan = plan_of(spark, "ns_corpus_mix_weights")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final count
