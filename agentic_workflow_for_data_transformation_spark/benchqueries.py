@@ -2002,3 +2002,52 @@ def x_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "x_ntile_deciles",
+    "SELECT c_nationkey, decile, count(*) AS n, "
+    "min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM ("
+    "SELECT c_nationkey, c_acctbal, ntile(10) OVER ("
+    "PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS decile "
+    "FROM customer) GROUP BY 1, 2",
+)
+def x_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group decile bucketing (feature engineering's quantile
+    binning): ntile(10) within each nation, made deterministic by the
+    (acctbal, custkey) total order. Partitioned windows keep the sort
+    distributed — an UNpartitioned ntile would serialize the table
+    through one task, the anti-pattern this query exists to contrast."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("c_nationkey", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+    )
+
+
+@register("x_approx_percentiles", None)  # sketch: bounded by pytest, not SQL
+def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentiles (approx_percentile, accuracy 10k):
+    the 100 TB path when per-group sorts are too expensive — partial
+    sketches merge associatively, so the shuffle carries fixed-size
+    summaries, not rows. The exact twin (x_percentiles) is the oracle-
+    checkable form; this one is rank-error bounded by a pytest gate
+    (tests/test_operators.py) the way x_approx_count_distinct is."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").alias("pcts")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50_approx"),
+            F.col("pcts")[1].alias("p90_approx"),
+        )
+    )

@@ -253,3 +253,21 @@ register(
         _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3], k=5, bits=4
     )
 )
+
+
+register(
+    "ns_dedup_exact_norm",
+    "WITH n AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace("
+    "lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5 "
+    "FROM documents) "
+    "SELECT norm_md5, min(doc_id) AS keeper_id, count(*) AS n_copies "
+    "FROM n GROUP BY 1",
+)(lambda spark, sf_dir: dedup.normalized_exact_dedup(_t(spark, sf_dir, "documents")))
+
+
+register(
+    "ns_corpus_length_hist",
+    "SELECT lang, CAST(floor(log2(n_chars::DOUBLE)) AS BIGINT) AS log2_bucket, "
+    "count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len "
+    "FROM documents WHERE n_chars > 0 GROUP BY 1, 2",
+)(lambda spark, sf_dir: corpus.length_histogram(_t(spark, sf_dir, "documents")))

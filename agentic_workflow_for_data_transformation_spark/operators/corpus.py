@@ -219,3 +219,22 @@ def mix_weights(df: DataFrame, group_col: str = "lang",
         "n_docs",
         F.round(scaled / total, 6).alias("weight"),
     )
+
+
+def length_histogram(df: DataFrame, len_col: str = "n_chars",
+                     group_col: str = "lang") -> DataFrame:
+    """Log2-bucketed length histogram per group: the corpus-shape
+    dashboard every data pipeline keeps (truncation tails, per-language
+    length skew). floor(log2(len)) is exact on integers in IEEE double
+    up to 2^53, so the bucketing is engine-portable; one
+    map-side-combined aggregate, output is buckets x groups rows."""
+    bucket = F.floor(F.log2(F.col(len_col).cast("double")))
+    return (
+        df.filter(F.col(len_col) > 0)
+        .groupBy(F.col(group_col), bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(len_col).alias("min_len"),
+            F.max(len_col).alias("max_len"),
+        )
+    )

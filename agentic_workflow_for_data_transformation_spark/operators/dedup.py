@@ -455,3 +455,25 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
     )
+
+
+def normalized_exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Normalized exact dedup: lowercase, strip non-alphanumerics to
+    spaces, collapse whitespace, then group on the md5 of the result.
+    Catches trivially-reformatted copies (case, punctuation, spacing)
+    that byte-exact dedup misses, at exactly the same cost — one
+    hash-aggregate, shuffling 16-byte digests instead of documents.
+    The middle tier between exact and MinHash dedup in a corpus
+    pipeline."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
+            " +", " ",
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

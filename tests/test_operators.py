@@ -290,3 +290,35 @@ def test_approx_count_distinct_within_rsd(spark):
     for k, n in exact.items():
         rel_err = abs(approx[k] - n) / n
         assert rel_err <= 0.02, f"{k}: approx={approx[k]} exact={n} err={rel_err:.4f}"
+
+
+def test_approx_percentiles_within_bound(spark):
+    """x_approx_percentiles is sketch-based (no SQL oracle); bound it
+    against the exact per-group percentiles: relative value error
+    under 2% at accuracy=10000 on sf0.01 (deterministic — Spark's
+    approx_percentile is a deterministic algorithm for fixed input)."""
+    import pyspark.sql.functions as F
+
+    from agentic_workflow_for_data_transformation_spark import benchqueries
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["o_orderpriority"]: (r["p50_approx"], r["p90_approx"])
+        for r in benchqueries.queries()["x_approx_percentiles"](spark, sf).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["p50"], r["p90"])
+        for r in read_parquet_table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (e50, e90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - e50) / e50 <= 0.02, f"{k} p50: {a50} vs {e50}"
+        assert abs(a90 - e90) / e90 <= 0.02, f"{k} p90: {a90} vs {e90}"
