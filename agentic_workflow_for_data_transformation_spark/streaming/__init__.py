@@ -4,6 +4,7 @@ from .events import (
     windowed_event_aggregate,
     sliding_window_aggregate,
     sessionized_event_aggregate,
+    stateful_latest_per_key,
     stateful_user_totals,
     stream_static_enrich,
     stream_stream_purchase_attribution,
@@ -18,6 +19,7 @@ __all__ = [
     "windowed_event_aggregate",
     "sliding_window_aggregate",
     "sessionized_event_aggregate",
+    "stateful_latest_per_key",
     "stateful_user_totals",
     "stream_static_enrich",
     "stream_stream_purchase_attribution",

@@ -269,3 +269,55 @@ def stream_stream_purchase_attribution(
         ),
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"),
              "purchase_ts", "click_ts", "value")
+
+
+def stateful_latest_per_key(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: the incremental twin of the batch
+    x_upsert_latest query — per (user_id, event_type), keep the row
+    with the greatest (ts, event_id) version seen so far and emit it
+    whenever the key appears in a micro-batch.
+
+    This is the materialized-view shape for CDC ingestion: state is one
+    (version, value) per live key — bounded by key cardinality, not
+    stream length — and the (ts, event_id) total order makes the fold
+    order-insensitive, so replays and out-of-order delivery converge to
+    the same answer as the batch window query. Versions compare as
+    epoch-microsecond longs (exact integers, no float drift)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ts_us, eid, val = state.get if state.exists else (-1, -1, None)
+        for pdf in pdfs:
+            for t, e, v in zip(
+                pdf["ts"].astype("int64") // 1000,  # ns -> us
+                pdf["event_id"], pdf["value"],
+            ):
+                if (int(t), int(e)) > (ts_us, eid):
+                    ts_us, eid, val = int(t), int(e), float(v)
+        state.update((ts_us, eid, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "last_value": [val],
+                "last_ts_us": [ts_us],
+                "last_event_id": [eid],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "ts", "event_id", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, event_type string, last_value double, "
+                "last_ts_us long, last_event_id long"
+            ),
+            stateStructType="ts_us long, eid long, val double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

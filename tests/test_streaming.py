@@ -230,3 +230,49 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     }
     assert got == batch
     assert got, "join produced no pairs — fixture too sparse to test anything"
+
+
+def test_stateful_latest_matches_batch_upsert(spark, sf_dir):
+    """Streaming CDC compaction (applyInPandasWithState) must converge
+    to exactly the batch x_upsert_latest result: same keys, same
+    latest value and timestamp per key."""
+    from pyspark.sql import Window
+
+    from agentic_workflow_for_data_transformation_spark.streaming.events import (
+        stateful_latest_per_key,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(stateful_latest_per_key(stream), "latest_out", mode="update")
+    # update mode re-emits a key's state per micro-batch it appears in;
+    # the final state is the max (version) emission per key
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("last_ts_us").desc(), F.col("last_event_id").desc()
+    )
+    final = (
+        spark.table("latest_out")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (r["last_value"], r["last_ts_us"])
+        for r in final.collect()
+    }
+
+    from agentic_workflow_for_data_transformation_spark.benchqueries import queries
+
+    batch = {
+        (r["user_id"], r["event_type"]): (
+            r["last_value"],
+            r["last_ts"].replace(tzinfo=None),
+        )
+        for r in queries()["x_upsert_latest"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch)
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    for k, (v, ts_us) in got.items():
+        bv, bts = batch[k]
+        assert v == bv, f"{k}: {v} != {bv}"
+        assert ts_us == int((bts - epoch).total_seconds() * 1_000_000), k
