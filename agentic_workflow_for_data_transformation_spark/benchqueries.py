@@ -2051,3 +2051,29 @@ def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pcts")[1].alias("p90_approx"),
         )
     )
+
+
+@register(
+    "x_join_salted_skew",
+    "SELECT s_name, count(*) AS n_items, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "GROUP BY s_name",
+)
+def x_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-managed fact-x-dim join via explicit salting
+    (operators/joins.py salted_join): results are identical to the
+    plain join — the oracle IS the plain join — but each join key's
+    rows spread across 8 reducers, the manual recipe for hot keys when
+    AQE's runtime splitting can't apply. The aggregate that follows
+    re-shuffles on s_name, so the salted partitioning never leaks into
+    results."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = joins.salted_join(li, s, on="l_suppkey", salt=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )

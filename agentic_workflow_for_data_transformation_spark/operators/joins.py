@@ -89,3 +89,32 @@ def range_join(fact: DataFrame, dim: DataFrame, value_col: str,
         F.broadcast(dim),
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col)),
     )
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: str,
+                how: str = "inner", salt: int = 8,
+                salt_source: str | None = None) -> DataFrame:
+    """Manually salted equi-join for skewed keys: the fact side gets a
+    deterministic salt in [0, salt), the dim side is replicated once
+    per salt value, and the join runs on (key, salt) — splitting each
+    hot key's rows across ``salt`` reducers instead of one.
+
+    AQE's skew-join splitting (enabled in session.py) handles most
+    skew automatically; this is the explicit fallback for the cases it
+    can't — skew inside aggregation-after-join pipelines where the
+    post-join partitioning must stay salted, engines/configs without
+    AQE, or deliberate layout control. The salt derives from a hash of
+    the fact row's other columns (or ``salt_source``), never lands in
+    the output, and cannot change results: every fact row still meets
+    every matching dim row exactly once because the dim side carries
+    ALL salt values. Cost: dim side inflates x salt — keep it for
+    fact-x-dim shapes where the dim is small but past the broadcast
+    threshold."""
+    src = F.col(salt_source) if salt_source else F.concat_ws(
+        "|", *[F.col(c) for c in fact.columns]
+    )
+    f = fact.withColumn("_salt", F.pmod(F.xxhash64(src), F.lit(salt)).cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return f.join(d, [on, "_salt"], how).drop("_salt")

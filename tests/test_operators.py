@@ -322,3 +322,80 @@ def test_approx_percentiles_within_bound(spark):
         a50, a90 = approx[k]
         assert abs(a50 - e50) / e50 <= 0.02, f"{k} p50: {a50} vs {e50}"
         assert abs(a90 - e90) / e90 <= 0.02, f"{k} p90: {a90} vs {e90}"
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be invisible in results: salted_join == plain join
+    row-for-row, for inner and left, including unmatched left rows."""
+    from agentic_workflow_for_data_transformation_spark.operators.joins import salted_join
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = read_parquet_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(li, s, on="l_suppkey", how=how, salt=4).collect())
+        )
+        want = sorted(map(tuple, li.join(s, "l_suppkey", how).collect()))
+        assert got == want, how
+
+
+def test_normalized_dedup_catches_reformatting(spark):
+    """Case/punctuation/whitespace variants must collapse to one group;
+    genuinely different text must not."""
+    from agentic_workflow_for_data_transformation_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),
+        (3, "HELLO-WORLD"),
+        (4, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["keeper_id"]: r["n_copies"] for r in normalized_exact_dedup(df).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_containment_bounds_and_dominates_jaccard(spark, sf_dir):
+    """Containment is in (0, 1] and max-containment >= jaccard for the
+    same pair (set algebra: |A n B|/min sides >= |A n B|/|A u B|)."""
+    from agentic_workflow_for_data_transformation_spark.operators import dedup
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    cont = {
+        (r["doc_a"], r["doc_b"]): max(r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in dedup.containment_pairs(docs, threshold=0.0).collect()
+    }
+    assert cont, "no candidate pairs at this scale factor"
+    assert all(0 < v <= 1.000001 for v in cont.values())
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.lsh_verified_pairs(docs, threshold=0.0).collect()
+    }
+    shared = set(cont) & set(jac)
+    assert shared
+    for k in shared:
+        assert cont[k] >= jac[k] - 1e-9
+
+
+def test_mix_weights_sum_to_one_and_flatten(spark, sf_dir):
+    """Weights must sum to 1, and alpha < 1 must give every group a
+    larger share than its raw proportion when it is below-average size
+    (the flattening property the temperature exists for)."""
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import mix_weights
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    rows = mix_weights(docs, alpha=0.7).collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    largest = max(rows, key=lambda r: r["n_docs"])
+    if smallest["n_docs"] < largest["n_docs"]:
+        assert smallest["weight"] > smallest["n_docs"] / total_docs
+        assert largest["weight"] < largest["n_docs"] / total_docs
