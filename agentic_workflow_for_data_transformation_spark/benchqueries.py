@@ -2077,3 +2077,59 @@ def x_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "x_window_rank_family",
+    "SELECT n_nationkey AS nation, c_custkey, "
+    "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, "
+    "round(percent_rank() OVER w, 6) AS prnk, "
+    "round(cume_dist() OVER w, 6) AS cdist "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE c_acctbal > 9000 "
+    "WINDOW w AS (PARTITION BY n_nationkey ORDER BY c_acctbal DESC, c_custkey)",
+)
+def x_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four ranking functions sharing ONE window sort: Catalyst
+    folds rank/dense_rank/percent_rank/cume_dist over the same
+    (partition, order) into a single Window node — one shuffle + one
+    sort however many ranking outputs ride along."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_nationkey").alias("nation"),
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+    )
+
+
+@register(
+    "x_entity_editdist_pairs",
+    "SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, "
+    "levenshtein(a.s_name, b.s_name) AS dist "
+    "FROM supplier a JOIN supplier b "
+    "ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey "
+    "WHERE levenshtein(a.s_name, b.s_name) <= 2",
+)
+def x_entity_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein entity matching (operators/dedup.py
+    edit_distance_pairs): near-identical supplier names within the
+    same nation block. Blocking keeps the pair space to sum(block^2)
+    — the standard entity-resolution shape; swap the block key for
+    phonetic codes or name prefixes in real data."""
+    from .operators.dedup import edit_distance_pairs
+
+    s = _t(spark, sf_dir, "supplier")
+    return edit_distance_pairs(
+        s, id_col="s_suppkey", text_col="s_name",
+        block_col="s_nationkey", max_dist=2,
+    )

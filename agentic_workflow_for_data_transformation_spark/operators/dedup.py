@@ -477,3 +477,32 @@ def normalized_exact_dedup(df: DataFrame, id_col: str = "doc_id",
         .groupBy("norm_md5")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str, text_col: str,
+                        block_col: str, max_dist: int = 2) -> DataFrame:
+    """Entity-resolution tier of the dedup family: Levenshtein pairs
+    within a blocking key. Edit distance is O(len^2) per pair and
+    all-pairs is O(n^2) — both unpayable at scale — so the join is
+    restricted to ``block_col`` equality (the classic blocking step:
+    same nation, same zip, same first-k chars), which keeps the pair
+    space to the sum of block^2. Emits (id_a, id_b, dist) for pairs
+    with dist <= ``max_dist``; both the distance and the blocking are
+    exact ANSI semantics, so the operator is oracle-checkable."""
+    a = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+    )
+    b = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+    )
+    return (
+        a.join(b, ["_blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -258,3 +258,11 @@ def test_mix_weights_single_pass(spark):
     plan = plan_of(spark, "ns_corpus_mix_weights")
     assert "Join" not in plan
     assert plan.count("HashAggregate") == 2  # partial + final count
+
+
+def test_rank_family_shares_one_window_sort(spark):
+    """Four ranking functions over the same (partition, order) must
+    fold into a single Window node — one shuffle + one sort total."""
+    plan = plan_of(spark, "x_window_rank_family")
+    assert plan.count("Window [") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
