@@ -20,7 +20,7 @@ from .nsqueries import (
     _dedup_cached,
     _sig_sql,
 )
-from .operators import corpus, dedup, similarity, text
+from .operators import corpus, dedup, similarity, stats, text
 
 register(
     "ns_text_redact",
@@ -271,3 +271,29 @@ register(
     "count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len "
     "FROM documents WHERE n_chars > 0 GROUP BY 1, 2",
 )(lambda spark, sf_dir: corpus.length_histogram(_t(spark, sf_dir, "documents")))
+
+
+register(
+    "ns_ks_drift_per_user",
+    # pooled-ECDF running counts; RANGE frame (the ORDER BY default)
+    # counts all rows with value <= current, matching searchsorted-right
+    "WITH u AS (SELECT user_id, value, "
+    " CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c, "
+    " CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v "
+    " FROM events WHERE event_type IN ('click', 'view')), "
+    "tot AS (SELECT user_id, CAST(sum(is_c) AS BIGINT) AS n, "
+    " CAST(sum(is_v) AS BIGINT) AS m FROM u GROUP BY 1), "
+    "r AS (SELECT user_id, "
+    " sum(is_c) OVER (PARTITION BY user_id ORDER BY value) AS k, "
+    " sum(is_v) OVER (PARTITION BY user_id ORDER BY value) AS j "
+    " FROM u) "
+    "SELECT r.user_id, CAST(max(abs(k * m - j * n)) AS BIGINT) AS ks_num, n, m "
+    "FROM r JOIN tot USING (user_id) WHERE n > 0 AND m > 0 "
+    "GROUP BY r.user_id, n, m",
+)(
+    lambda spark, sf_dir: stats.ks_statistic_cogrouped(
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "click"),
+        _t(spark, sf_dir, "events").filter(F.col("event_type") == "view"),
+        key_col="user_id", value_col="value",
+    )
+)

@@ -399,3 +399,28 @@ def test_mix_weights_sum_to_one_and_flatten(spark, sf_dir):
     if smallest["n_docs"] < largest["n_docs"]:
         assert smallest["weight"] > smallest["n_docs"] / total_docs
         assert largest["weight"] < largest["n_docs"] / total_docs
+
+
+def test_ks_statistic_hand_computed(spark):
+    """KS integer numerator against a hand-worked example:
+    left = [1, 2, 3] (n=3), right = [2, 4] (m=2).
+    pooled v: 1 -> |1*2 - 0*3| = 2; 2 -> |2*2 - 1*3| = 1;
+    3 -> |3*2 - 1*3| = 3; 4 -> |3*2 - 2*3| = 0  =>  ks_num = 3
+    (classical D = 3 / (3*2) = 0.5)."""
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        ks_statistic_cogrouped,
+    )
+
+    left = spark.createDataFrame([(7, 1.0), (7, 2.0), (7, 3.0)], "user_id long, value double")
+    right = spark.createDataFrame([(7, 2.0), (7, 4.0)], "user_id long, value double")
+    rows = ks_statistic_cogrouped(left, right).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["ks_num"], r["n"], r["m"]) == (7, 3, 3, 2)
+    # identical distributions -> numerator 0 (fresh frame: cogrouping a
+    # DataFrame with ITSELF hits Spark's self-join ambiguity, as usual)
+    left2 = spark.createDataFrame(
+        [(7, 1.0), (7, 2.0), (7, 3.0)], "user_id long, value double"
+    )
+    same = ks_statistic_cogrouped(left, left2).collect()[0]
+    assert same["ks_num"] == 0

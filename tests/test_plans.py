@@ -266,3 +266,11 @@ def test_rank_family_shares_one_window_sort(spark):
     plan = plan_of(spark, "x_window_rank_family")
     assert plan.count("Window [") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ks_drift_is_cogrouped_map(spark):
+    """The KS operator must plan as FlatMapCoGroupsInPandas — two keyed
+    sides cogrouped into one Arrow-batched computation, not a join."""
+    plan = plan_of(spark, "ns_ks_drift_per_user")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
