@@ -2133,3 +2133,33 @@ def x_entity_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         s, id_col="s_suppkey", text_col="s_name",
         block_col="s_nationkey", max_dist=2,
     )
+
+
+@register(
+    "x_zorder_key",
+    "SELECT l_orderkey, l_partkey, "
+    + __import__(
+        "agentic_workflow_for_data_transformation_spark.functions.layout",
+        fromlist=["zorder_sql_2d"],
+    ).zorder_sql_2d("(l_orderkey % 256)", "(l_partkey % 256)", bits=8)
+    + " AS zkey FROM lineitem ORDER BY zkey, l_orderkey, l_partkey LIMIT 100",
+)
+def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over two join/filter dimensions:
+    the ORDER BY a writer uses so parquet row-group min/max stats form
+    tight 2D bounding boxes and range predicates on EITHER dimension
+    prune at the file level (functions/layout.py; the pruning win is
+    measured in tests/test_layout.py against real row-group stats).
+    The key arithmetic is plain shifts/ors, bit-identical in any
+    engine."""
+    from .functions.layout import zorder_key_2d
+
+    li = _t(spark, sf_dir, "lineitem")
+    zkey = zorder_key_2d(
+        F.col("l_orderkey") % 256, F.col("l_partkey") % 256, bits=8
+    )
+    return (
+        li.select("l_orderkey", "l_partkey", zkey.alias("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_partkey")
+        .limit(100)
+    )
