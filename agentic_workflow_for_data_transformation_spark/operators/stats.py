@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 def ks_statistic_cogrouped(left: DataFrame, right: DataFrame,
                            key_col: str = "user_id",
-                           value_col: str = "value") -> DataFrame:
+                           value_col: str = "value",
+                           shards: int = 256) -> DataFrame:
     """Per-key two-sample KS via ``cogroup().applyInPandas``: for each
     key, D_num = max over pooled values v of |#left<=v * m - #right<=v
     * n| with n=|left|, m=|right| for that key. Emits
@@ -27,38 +28,58 @@ def ks_statistic_cogrouped(left: DataFrame, right: DataFrame,
 
     This is the cogrouped-map escape hatch (two keyed inputs, one
     Arrow-batched pandas computation per key) — the API tier between
-    a single-input grouped map and a full join. Each side shuffles once
-    on the key; group payloads are the per-key samples, so state per
-    task is one key's data, never a table. The same statistic is
+    a single-input grouped map and a full join. The same statistic is
     SQL-expressible (running counts over the pooled union — see the
     registered oracle), which is what keeps this exact and checkable;
     the pandas form exists to cover the cogroup surface and to scale to
     statistics SQL can't express (weighted variants, permutation
-    tests)."""
+    tests).
+
+    Key-coarsening: per-group pandas overhead dominates when keys are
+    numerous and tiny (millions of users, a handful of rows each), so
+    the cogroup runs on ``key % shards`` — bounded fan-in per task —
+    and the true key is grouped INSIDE the pandas function. Same
+    result, ~|shards| Arrow round-trips instead of ~|keys|. Set
+    ``shards=None`` to cogroup on the raw key (the right call when
+    keys are few and groups are big)."""
     import pandas as pd  # noqa: F401  (executor-side dependency)
 
-    def ks(lpdf, rpdf):
+    def ks_frame(lpdf, rpdf):
         import numpy as np
         import pandas as pd
 
-        lv = np.sort(lpdf[value_col].to_numpy())
-        rv = np.sort(rpdf[value_col].to_numpy())
-        n, m = len(lv), len(rv)
-        if n == 0 or m == 0:
-            return pd.DataFrame(
-                {"key": pd.Series(dtype="int64"), "ks_num": [], "n": [], "m": []}
-            )
-        pooled = np.unique(np.concatenate([lv, rv]))
-        k = np.searchsorted(lv, pooled, side="right").astype("int64")
-        j = np.searchsorted(rv, pooled, side="right").astype("int64")
-        d = int(np.max(np.abs(k * m - j * n)))
-        key = lpdf[key_col].iloc[0] if n else rpdf[key_col].iloc[0]
-        return pd.DataFrame({"key": [key], "ks_num": [d], "n": [n], "m": [m]})
+        out_keys, out_d, out_n, out_m = [], [], [], []
+        lg = {k: g[value_col].to_numpy() for k, g in lpdf.groupby(key_col)}
+        rg = {k: g[value_col].to_numpy() for k, g in rpdf.groupby(key_col)}
+        for key in lg.keys() & rg.keys():
+            lv, rv = np.sort(lg[key]), np.sort(rg[key])
+            n, m = len(lv), len(rv)
+            pooled = np.unique(np.concatenate([lv, rv]))
+            k = np.searchsorted(lv, pooled, side="right").astype("int64")
+            j = np.searchsorted(rv, pooled, side="right").astype("int64")
+            out_keys.append(key)
+            out_d.append(int(np.max(np.abs(k * m - j * n))))
+            out_n.append(n)
+            out_m.append(m)
+        return pd.DataFrame(
+            {"key": out_keys, "ks_num": out_d, "n": out_n, "m": out_m}
+        )
 
-    out = (
-        left.select(key_col, value_col)
-        .groupBy(key_col)
-        .cogroup(right.select(key_col, value_col).groupBy(key_col))
-        .applyInPandas(ks, schema="key long, ks_num long, n long, m long")
-    )
+    schema = "key long, ks_num long, n long, m long"
+    lsel = left.select(key_col, value_col)
+    rsel = right.select(key_col, value_col)
+    if shards:
+        shard = F.pmod(F.col(key_col), F.lit(shards)).alias("_shard")
+        out = (
+            lsel.withColumn("_shard", shard)
+            .groupBy("_shard")
+            .cogroup(rsel.withColumn("_shard", shard).groupBy("_shard"))
+            .applyInPandas(ks_frame, schema=schema)
+        )
+    else:
+        out = (
+            lsel.groupBy(key_col)
+            .cogroup(rsel.groupBy(key_col))
+            .applyInPandas(ks_frame, schema=schema)
+        )
     return out.withColumnRenamed("key", key_col)
