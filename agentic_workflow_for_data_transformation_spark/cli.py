@@ -52,6 +52,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--eval", action="store_true", help="run the 20-description eval suite")
     ap.add_argument("--out-dir", default=".", help="directory for transform_*.csv outputs")
     ap.add_argument(
+        "--sql", default=None, metavar="QUERY",
+        help="bypass the NL pipeline and run raw Spark SQL; the input "
+             "table registers as view 't' (with --sf-dir, the testdata "
+             "star-schema tables register by name instead)",
+    )
+    ap.add_argument(
+        "--sf-dir", default=None, metavar="DIR",
+        help="with --sql: register DIR's parquet tables "
+             "(region nation customer ... events documents embeddings) as views",
+    )
+    ap.add_argument(
         "--llm", choices=["auto", "off"], default="auto",
         help="'auto' uses the OPENAI_API_KEY-configured client as the "
              "planner fallback when the grammar can't parse; 'off' is "
@@ -63,6 +74,26 @@ def main(argv: list[str] | None = None) -> int:
     from .agents.llm import client_from_env
 
     llm = client_from_env() if args.llm == "auto" else None
+
+    if args.sql is not None:
+        # raw-SQL escape hatch: the full Spark SQL surface without the
+        # NL pipeline — same session config, same sinks
+        from .sources import read_tables, write_csv_single
+
+        spark = get_spark(app_name="cli")
+        if args.sf_dir:
+            for name, tdf in read_tables(spark, args.sf_dir).items():
+                tdf.createOrReplaceTempView(name)
+        elif args.input_csv and Path(args.input_csv).exists():
+            read_csv(spark, str(args.input_csv)).createOrReplaceTempView("t")
+        else:
+            print("--sql needs --sf-dir or --input-csv.", file=sys.stderr)
+            return 2
+        out = spark.sql(args.sql)
+        path = write_csv_single(out, Path(args.out_dir) / "sql_result.csv")
+        print(f"rows={out.count()}")
+        print(f"output: {path}")
+        return 0
 
     input_csv = args.input_csv or (Path.cwd() / "input.csv")
     if not Path(input_csv).exists():

@@ -84,3 +84,27 @@ def test_run_eval_full_corpus(spark, people, tmp_path):
     assert len(results) == 20
     assert all(r["pass"] for r in results), [r for r in results if not r["pass"]]
     assert (tmp_path / "eval_results.csv").exists()
+
+
+def test_cli_sql_escape_hatch(spark, tmp_path, capsys):
+    """--sql bypasses the NL pipeline: testdata tables register as
+    views, the result lands in the CSV sink."""
+    from agentic_workflow_for_data_transformation_spark import cli
+
+    rc = cli.main([
+        "--sql",
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    lines = (tmp_path / "sql_result.csv").read_text().strip().splitlines()
+    assert lines[0] == "l_returnflag,n"
+    assert len(lines) == 4  # header + A/N/R
+
+
+def test_cli_sql_requires_a_source(tmp_path, capsys):
+    from agentic_workflow_for_data_transformation_spark import cli
+
+    rc = cli.main(["--sql", "SELECT 1", "--out-dir", str(tmp_path)])
+    assert rc == 2
