@@ -276,3 +276,76 @@ def test_stateful_latest_matches_batch_upsert(spark, sf_dir):
         bv, bts = batch[k]
         assert v == bv, f"{k}: {v} != {bv}"
         assert ts_us == int((bts - epoch).total_seconds() * 1_000_000), k
+
+
+def test_watermark_drops_late_rows(spark, sf_dir, tmp_path):
+    """The watermark contract, exercised for real: a second file whose
+    events are far OLDER than the watermark horizon behind the first
+    file's max event time must be dropped from an append-mode windowed
+    aggregate — bounded state means late data is sacrificed, which is
+    the design that survives 100 TB/day. (The parity tests run in
+    complete mode, which never drops; this one pins the append-mode
+    drop behavior itself.)"""
+    from agentic_workflow_for_data_transformation_spark.sources import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    # batch 1: the newest DAY of events (many 5-minute windows, most of
+    # them older than the 10-minute watermark once the day's max is
+    # seen); batch 2: events from a week earlier — hopelessly late
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cut_new = max_ts - datetime.timedelta(days=1)
+    cut_old = max_ts - datetime.timedelta(days=7)
+    src = tmp_path / "late_src"
+    new_rows = ev.filter(F.col("ts") >= cut_new)
+    old_rows = ev.filter(F.col("ts") < cut_old).limit(500)
+    assert new_rows.count() > 0 and old_rows.count() > 0
+    new_rows.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    schema = new_rows.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # now the late batch arrives: all rows a day behind the watermark,
+    # appended as new part files in the same source directory
+    old_rows.coalesce(1).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = spark.table("late_out")
+    # nothing from the old week may be emitted after arriving late —
+    # those rows were entirely behind the watermark
+    late_windows = emitted.filter(F.col("w_start") < cut_old).count()
+    assert late_windows == 0
+    # the late batch's trigger flushes batch-1 windows the watermark
+    # (day-max minus 10 minutes) has passed: append mode emits each
+    # window exactly once, on a LATER trigger than its data — which is
+    # why a one-trigger run emits nothing and state stays bounded
+    flushed = emitted.filter(F.col("w_start") >= cut_new - datetime.timedelta(minutes=5))
+    assert flushed.count() > 0
+    # cross-check the flushed windows against the batch aggregate
+    batch = (
+        new_rows.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    want = {r["w_start"]: r["n"] for r in batch.collect()}
+    for r in flushed.collect():
+        assert want.get(r["w_start"]) == r["n"], r
