@@ -297,3 +297,21 @@ register(
         key_col="user_id", value_col="value",
     )
 )
+
+
+register(
+    "ns_sim_knn_bucketed",
+    "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"b AS (SELECT vec_id, label, v, {_BITS4_BUCKET} AS bucket FROM d), "
+    "p AS (SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id, "
+    + _COS.format(a="a.v", b="b.v") + " AS cos_sim, "
+    "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+    + _COS.format(a="a.v", b="b.v") + " DESC, b.vec_id) AS rn "
+    "FROM b a JOIN b b ON a.label = b.label AND a.bucket = b.bucket "
+    "AND a.vec_id <> b.vec_id) "
+    "SELECT vec_id, label, nn_vec_id, cos_sim FROM p WHERE rn = 1",
+)(
+    lambda spark, sf_dir: similarity.knn_join_bucketed(
+        _t(spark, sf_dir, "embeddings"), k=1, bits=4
+    )
+)

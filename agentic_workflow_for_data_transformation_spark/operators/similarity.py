@@ -509,3 +509,49 @@ def ann_recall_vs_bruteforce(df: DataFrame, query_ids: list[int], k: int = 5,
             F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+def knn_join_bucketed(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", label_col: str = "label",
+                      k: int = 1, bits: int = 4,
+                      dim: int | None = None) -> DataFrame:
+    """The SCALE path for the per-label kNN join: block by
+    (label, sign-LSH bucket) instead of label alone, so each pair block
+    shrinks ~2^bits x and total pair work drops from sum(label^2) to
+    sum(label-bucket^2). Approximate by construction — a vector's true
+    nearest neighbor in another bucket is missed (measure the tradeoff
+    with ann_recall_vs_bruteforce); vectors alone in their bucket emit
+    no row. This is the operator a 100 TB pipeline runs where
+    knn_join_per_label is the exact recall harness it is validated
+    against on samples."""
+    dim = probe_dim(df, vec_col, dim)
+    rows = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        as_double_array(vec_col).alias("v"),
+        l2_norm(as_double_array(vec_col), dim).alias("nrm"),
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
+    left = rows.select(
+        F.col(id_col).alias("a_id"), F.col(label_col).alias("label"),
+        F.col("bucket"), F.col("v").alias("a_v"), F.col("nrm").alias("a_nrm"),
+    )
+    right = rows.select(
+        F.col(id_col).alias("b_id"), F.col(label_col).alias("label"),
+        F.col("bucket"), F.col("v").alias("b_v"), F.col("nrm").alias("b_nrm"),
+    )
+    pairs = (
+        left.join(right, ["label", "bucket"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_from_parts(F.col("a_v"), F.col("b_v"), F.col("a_nrm"), F.col("b_nrm")), 6),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("a_id").alias("vec_id"), "label",
+                F.col("b_id").alias("nn_vec_id"), "cos_sim")
+    )
