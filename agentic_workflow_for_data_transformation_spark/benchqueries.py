@@ -2163,3 +2163,22 @@ def x_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "l_orderkey", "l_partkey")
         .limit(100)
     )
+
+
+@register(
+    "p27_nl_date_filter",
+    "SELECT event_id, ts FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' "
+    "AND ts < TIMESTAMP '2024-01-16 00:00:00' AND event_type = 'click'",
+)
+def p27_nl_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL temporal comparison: ISO date literals tokenize whole and
+    'on or after' / 'before' map to inclusive/strict bounds — the
+    grammar surface every real log-table description needs. Spark's
+    analyzer casts the string literal to timestamp against the ts
+    column, same as the oracle's TIMESTAMP literal."""
+    return _nl(
+        spark, sf_dir, "events",
+        "Filter rows where ts on or after 2024-01-15 and ts before "
+        "2024-01-16 and event_type == 'click' and select event_id and ts.",
+    )

@@ -37,8 +37,13 @@ _CLAUSE_SPLIT = re.compile(
 )
 
 _TOKEN_RE = re.compile(
-    r"\(|\)|,|>=|<=|==|!=|>|<|=|'[^']*'|\"[^\"]*\"|[A-Za-z_][A-Za-z0-9_]*|-?\d+(?:\.\d+)?"
+    # ISO date[time] must match before the number pattern, or
+    # 2024-01-15 tokenizes as three signed integers
+    r"\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}:\d{2})?"
+    r"|\(|\)|,|>=|<=|==|!=|>|<|=|'[^']*'|\"[^\"]*\"|[A-Za-z_][A-Za-z0-9_]*|-?\d+(?:\.\d+)?"
 )
+
+_DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}(?:[ T]\d{2}:\d{2}:\d{2})?")
 
 
 def _tokenize(text: str) -> list[str]:
@@ -52,6 +57,8 @@ def _is_number(tok: str) -> bool:
 def _value(tok: str) -> Any:
     if tok.startswith(("'", '"')):
         return {"lit": tok[1:-1]}
+    if _DATE_RE.fullmatch(tok):
+        return {"lit": tok}  # ISO date[time] literal, compiled as a cast
     if _is_number(tok):
         return {"lit": float(tok) if "." in tok else int(tok)}
     return {"col": tok}
@@ -153,6 +160,21 @@ class _PredParser:
             return {"startswith": [left, _lit_str(self.next())]}
         if op == "contains":
             return {"contains": [left, _lit_str(self.next())]}
+        if op == "after":
+            return {"gt": [left, _value(self.next())]}
+        if op == "before":
+            return {"lt": [left, _value(self.next())]}
+        if op == "on":
+            # 'on or after' / 'on or before' -> inclusive comparisons;
+            # the 'or' here is part of the phrase, not a boolean: a
+            # condition cannot legally end at 'on', so this is LL(1)-safe
+            self.expect("or")
+            which = self.next().lower()
+            if which == "after":
+                return {"ge": [left, _value(self.next())]}
+            if which == "before":
+                return {"le": [left, _value(self.next())]}
+            raise ParseError(f"bad 'on or' condition near {which!r}")
         if op in ("is",):
             nxt = self.next().lower()
             if nxt == "null":

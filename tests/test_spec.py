@@ -281,3 +281,30 @@ def test_compile_unknown_join_table_is_spec_error(people):
     spec = parse_description("Join with nowhere on name.")
     with _pytest.raises(SpecError, match="unknown table 'nowhere'"):
         compile_spec(people, spec, tables={})
+
+
+def test_parse_date_comparisons():
+    """ISO date[time] literals tokenize whole; after/before/on-or-*
+    map to the four comparison ops (dates as string lits, cast by the
+    engine against timestamp columns)."""
+    from agentic_workflow_for_data_transformation_spark.plans.parser import parse_predicate
+
+    assert parse_predicate("ts after 2024-01-15") == {
+        "gt": [{"col": "ts"}, {"lit": "2024-01-15"}]
+    }
+    assert parse_predicate("ts before 2024-01-02") == {
+        "lt": [{"col": "ts"}, {"lit": "2024-01-02"}]
+    }
+    assert parse_predicate("ts on or after 2024-01-15 12:00:00") == {
+        "ge": [{"col": "ts"}, {"lit": "2024-01-15 12:00:00"}]
+    }
+    assert parse_predicate("ts on or before 2024-01-15") == {
+        "le": [{"col": "ts"}, {"lit": "2024-01-15"}]
+    }
+    # the phrase-'or' must not break boolean 'or' between conditions
+    assert parse_predicate("ts after 2024-01-15 or ts before 2024-01-02") == {
+        "or": [
+            {"gt": [{"col": "ts"}, {"lit": "2024-01-15"}]},
+            {"lt": [{"col": "ts"}, {"lit": "2024-01-02"}]},
+        ]
+    }
