@@ -2182,3 +2182,16 @@ def p27_nl_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Filter rows where ts on or after 2024-01-15 and ts before "
         "2024-01-16 and event_type == 'click' and select event_id and ts.",
     )
+
+
+@register(
+    "p28_nl_count_per_day",
+    "SELECT date_trunc('day', ts) AS ts_day, count(event_id) AS event_id_count "
+    "FROM events GROUP BY 1",
+)
+def p28_nl_count_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL time-bucketed aggregation: 'group by day of ts' compiles to a
+    date_trunc key via the spec's trunc expression — the everyday
+    events-per-day rollup reached from plain English, one map-side-
+    combined aggregate."""
+    return _nl(spark, sf_dir, "events", "Group by day of ts and count event_id.")

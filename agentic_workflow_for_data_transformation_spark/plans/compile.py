@@ -93,6 +93,9 @@ def compile_expr(expr: Any) -> Column:
         return compile_expr(args).isNotNull()
     if op in ("lower", "upper", "trim", "length"):
         return getattr(F, op)(compile_expr(args))
+    if op == "trunc":
+        # time-bucket key: identical semantics to ANSI date_trunc
+        return F.date_trunc(args[0], compile_expr(args[1]))
     if op == "concat":
         return F.concat(*[compile_expr(a) for a in args])
     if op == "coalesce":

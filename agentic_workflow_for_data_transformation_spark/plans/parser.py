@@ -224,6 +224,11 @@ def _parse_select_cols(text: str) -> list[str]:
 _GROUP_COUNT = re.compile(
     r"^group\s+by\s+(\w+)\s+and\s+count\s+(\w+)\s*$", re.IGNORECASE
 )
+_GROUP_TIME_COUNT = re.compile(
+    r"^group\s+by\s+(year|month|week|day|hour|minute)\s+of\s+(\w+)"
+    r"\s+and\s+count\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _GROUP_AVG = re.compile(
     r"^group\s+by\s+(\w+)\s+and\s+show\s+average\s+(\w+)(?:\s+where\s+(.*))?$",
     re.IGNORECASE,
@@ -305,6 +310,18 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "aggs": [{"fn": "count_distinct", "col": col,
                       "alias": f"{col}_distinct_count"}],
         }
+    if m := _GROUP_TIME_COUNT.match(clause):
+        unit, ts_col, counted = (
+            m.group(1).lower(), m.group(2), _resolve_col(m.group(3), columns),
+        )
+        key = f"{ts_col}_{unit}"
+        return [
+            {"op": "with_column", "name": key,
+             "expr": {"trunc": [unit, {"col": ts_col}]}},
+            {"op": "groupby_agg", "keys": [key],
+             "aggs": [{"fn": "count", "col": counted,
+                       "alias": f"{counted}_count"}]},
+        ]
     if m := _GROUP_COUNT.match(clause):
         key, counted = m.group(1), _resolve_col(m.group(2), columns)
         return {

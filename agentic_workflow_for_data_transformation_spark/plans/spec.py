@@ -70,6 +70,7 @@ _BINARY_OPS = {"gt", "ge", "lt", "le", "eq", "ne", "add", "sub", "mul", "div",
 _VARIADIC_BOOL = {"and", "or"}
 _UNARY_FNS = {"lower", "upper", "trim", "length"}
 _VARIADIC_FNS = {"concat", "coalesce"}
+_TRUNC_UNITS = {"year", "month", "week", "day", "hour", "minute"}
 
 
 class SpecError(ValueError):
@@ -126,6 +127,13 @@ def validate_expr(expr: Any) -> None:
         validate_expr(args)
     elif op in _UNARY_FNS:
         validate_expr(args)
+    elif op == "trunc":
+        if not (
+            isinstance(args, list) and len(args) == 2
+            and args[0] in _TRUNC_UNITS
+        ):
+            _err(f"trunc takes [unit in {sorted(_TRUNC_UNITS)}, expr]: {expr!r}")
+        validate_expr(args[1])
     elif op in _VARIADIC_FNS:
         if not (isinstance(args, list) and len(args) >= 1):
             _err(f"{op} takes a non-empty list: {expr!r}")

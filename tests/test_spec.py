@@ -308,3 +308,31 @@ def test_parse_date_comparisons():
             {"lt": [{"col": "ts"}, {"lit": "2024-01-02"}]},
         ]
     }
+
+
+def test_parse_group_by_time_bucket():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        parse_description,
+    )
+
+    spec = parse_description("Group by day of ts and count event_id.")
+    assert spec["ops"] == [
+        {"op": "with_column", "name": "ts_day",
+         "expr": {"trunc": ["day", {"col": "ts"}]}},
+        {"op": "groupby_agg", "keys": ["ts_day"],
+         "aggs": [{"fn": "count", "col": "event_id",
+                   "alias": "event_id_count"}]},
+    ]
+
+
+def test_trunc_expr_validates():
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_expr,
+    )
+
+    validate_expr({"trunc": ["hour", {"col": "ts"}]})
+    with _pytest.raises(SpecError):
+        validate_expr({"trunc": ["fortnight", {"col": "ts"}]})
