@@ -20,7 +20,7 @@ from .nsqueries import (
     _dedup_cached,
     _sig_sql,
 )
-from .operators import corpus, dedup, similarity, stats, text
+from .operators import corpus, dedup, profile, similarity, stats, text
 
 register(
     "ns_text_redact",
@@ -313,5 +313,29 @@ register(
 )(
     lambda spark, sf_dir: similarity.knn_join_bucketed(
         _t(spark, sf_dir, "embeddings"), k=1, bits=4
+    )
+)
+
+
+register(
+    "ns_profile_table",
+    # one branch per profiled column, stringified min/max so the
+    # columns share a schema — mirrors the stack() unpivot exactly
+    "WITH a AS (SELECT count(*) AS _n, "
+    " count(o_orderpriority) AS nn1, count(DISTINCT o_orderpriority) AS nd1, "
+    " CAST(min(o_orderpriority) AS VARCHAR) AS mn1, CAST(max(o_orderpriority) AS VARCHAR) AS mx1, "
+    " count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS nd2, "
+    " CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2, "
+    " count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS nd3, "
+    " CAST(min(o_orderstatus) AS VARCHAR) AS mn3, CAST(max(o_orderstatus) AS VARCHAR) AS mx3 "
+    " FROM orders) "
+    "SELECT 'o_orderpriority' AS \"column\", _n AS n_rows, nn1 AS n_non_null, "
+    " nd1 AS n_distinct, mn1 AS min_value, mx1 AS max_value FROM a "
+    "UNION ALL SELECT 'o_custkey', _n, nn2, nd2, mn2, mx2 FROM a "
+    "UNION ALL SELECT 'o_orderstatus', _n, nn3, nd3, mn3, mx3 FROM a",
+)(
+    lambda spark, sf_dir: profile.profile_table(
+        _t(spark, sf_dir, "orders"),
+        cols=["o_orderpriority", "o_custkey", "o_orderstatus"],
     )
 )

@@ -222,3 +222,24 @@ def write_orc_dir(df: DataFrame, path: str | Path,
         writer = writer.partitionBy(*partition_by)
     writer.orc(str(path))
     return path
+
+
+def compact_parquet(spark: SparkSession, src: str | Path, dst: str | Path,
+                    target_bytes: int = 128 * 1024 * 1024) -> Path:
+    """Small-files compaction: rewrite a fragmented parquet directory
+    into ~ceil(total_size / target_bytes) files. Streaming sinks and
+    per-batch writers accumulate thousands of tiny files; every
+    downstream scan then pays one task + one open per file, and the
+    driver pays listing. Compaction restores ~target-sized files —
+    the routine maintenance job behind OPTIMIZE in table formats.
+
+    coalesce (not repartition): merging partitions needs no shuffle,
+    the rewrite is scan+write only. Row order within merged files may
+    change across engines/runs; parquet tables carry no order
+    contract."""
+    src, dst = Path(src), Path(dst)
+    total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, -(-total // target_bytes))  # ceil
+    df = spark.read.parquet(str(src))
+    df.coalesce(n_files).write.mode("overwrite").parquet(str(dst))
+    return dst

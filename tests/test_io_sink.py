@@ -87,3 +87,20 @@ def test_orc_partitioned_layout_prunes(spark, people, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert f"PartitionFilters: [isnotnull(city" in plan  # pruned at planning
     assert q.count() == people.filter(F.col("city") == one_city).count()
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """A 32-file fragmented table compacts to the computed target file
+    count with every row intact."""
+    from agentic_workflow_for_data_transformation_spark.sources import compact_parquet
+
+    src, dst = tmp_path / "frag", tmp_path / "compact"
+    spark.range(50_000).selectExpr("id", "id % 7 AS k").repartition(32).write.parquet(str(src))
+    assert len(list(src.glob("*.parquet"))) == 32
+    total = sum(f.stat().st_size for f in src.glob("*.parquet"))
+    compact_parquet(spark, src, dst, target_bytes=total // 3)
+    n_out = len(list(dst.glob("*.parquet")))
+    assert n_out <= 4  # ceil(total / (total/3)) with rounding slack
+    back = spark.read.parquet(str(dst))
+    assert back.count() == 50_000
+    assert back.selectExpr("sum(id)").first()[0] == 50_000 * 49_999 // 2
