@@ -339,3 +339,37 @@ register(
         cols=["o_orderpriority", "o_custkey", "o_orderstatus"],
     )
 )
+
+
+_NORM_MD5 = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), "
+    "' +', ' ', 'g')))"
+)
+
+register(
+    "ns_dedup_incremental",
+    # odd doc_ids are the 'new batch', evens the historical corpus
+    f"WITH nh AS (SELECT *, {_NORM_MD5} AS h FROM documents WHERE doc_id % 2 = 1), "
+    f"seen AS (SELECT DISTINCT {_NORM_MD5} AS h FROM documents WHERE doc_id % 2 = 0), "
+    "keep AS (SELECT h, min(doc_id) AS doc_id FROM nh GROUP BY h) "
+    "SELECT nh.doc_id, text, lang, source, n_chars FROM nh "
+    "JOIN keep USING (h, doc_id) WHERE h NOT IN (SELECT h FROM seen)",
+)(
+    lambda spark, sf_dir: dedup.incremental_new_docs(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1),
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
+    )
+)
+
+
+register(
+    "ns_corpus_length_buckets",
+    "SELECT CAST(ceil(n_chars / 128.0) * 128 AS BIGINT) AS bucket_len, "
+    "count(*) AS n_docs, "
+    "CAST(CAST(ceil(n_chars / 128.0) * 128 AS BIGINT) * count(*) - sum(n_chars) AS BIGINT) AS padding_waste "
+    "FROM documents WHERE n_chars > 0 GROUP BY 1",
+)(
+    lambda spark, sf_dir: corpus.length_bucket_stats(
+        _t(spark, sf_dir, "documents"), bucket=128
+    )
+)

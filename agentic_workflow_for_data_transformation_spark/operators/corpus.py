@@ -238,3 +238,28 @@ def length_histogram(df: DataFrame, len_col: str = "n_chars",
             F.max(len_col).alias("max_len"),
         )
     )
+
+
+def length_bucket_stats(df: DataFrame, len_col: str = "n_chars",
+                        bucket: int = 128) -> DataFrame:
+    """Padding-aware length bucketing for batched inference/training:
+    round each document's length up to the next ``bucket`` multiple
+    and report, per bucket, the document count and the padding
+    overhead a batch of that bucket would pay (bucket_len * n -
+    sum(len), exact integers). Minimizing this sum is why serving
+    stacks bucket by sequence length instead of batching FIFO. One
+    map-side-combined aggregate."""
+    blen = (F.ceil(F.col(len_col) / F.lit(bucket)) * bucket).cast("long")
+    return (
+        df.filter(F.col(len_col) > 0)
+        .groupBy(blen.alias("bucket_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(len_col).cast("long")).alias("sum_len"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            (F.col("bucket_len") * F.col("n_docs") - F.col("sum_len")).alias("padding_waste"),
+        )
+    )

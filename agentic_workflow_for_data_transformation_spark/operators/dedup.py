@@ -519,3 +519,30 @@ def edit_distance_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def incremental_new_docs(new: DataFrame, existing: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Incremental ingest dedup: keep only the NEW documents whose
+    normalized text does not already exist in the historical corpus —
+    the daily-crawl-vs-archive step, where re-deduplicating the whole
+    archive per batch is unpayable. Both sides reduce to 16-byte
+    digests before the anti join, so the shuffle carries hashes, not
+    documents; at 100 TB the existing side is a pre-materialized
+    digest table read directly. Intra-batch duplicates also collapse
+    (min-id representative per digest)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
+            " +", " ",
+        )
+    )
+    new_h = new.withColumn("_h", F.md5(norm))
+    seen = existing.select(F.md5(norm).alias("_h")).distinct()
+    w_min = new_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return (
+        new_h.join(w_min, [ "_h", id_col], "left_semi")
+        .join(seen, "_h", "left_anti")
+        .drop("_h")
+    )
