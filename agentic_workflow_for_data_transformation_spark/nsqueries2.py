@@ -373,3 +373,18 @@ register(
         _t(spark, sf_dir, "documents"), bucket=128
     )
 )
+
+
+register(
+    "ns_corpus_mix_apply",
+    # keep rate per lang = floor(budget * w / n * 1e6), hash-draw filter
+    "WITH c AS (SELECT lang, count(*) AS n_docs, "
+    " pow(count(*), 0.7) / sum(pow(count(*), 0.7)) OVER () AS w FROM documents GROUP BY lang), "
+    "r AS (SELECT lang, least(1000000, CAST(floor(200 * w / n_docs * 1000000) AS BIGINT)) AS kb FROM c) "
+    "SELECT doc_id, documents.lang, source FROM documents JOIN r ON documents.lang = r.lang "
+    "WHERE ('0x' || substr(md5('mix|' || doc_id), 1, 15))::BIGINT % 1000000 < kb",
+)(
+    lambda spark, sf_dir: corpus.apply_mix_sampling(
+        _t(spark, sf_dir, "documents"), budget=200
+    ).select("doc_id", "lang", "source")
+)

@@ -263,3 +263,35 @@ def length_bucket_stats(df: DataFrame, len_col: str = "n_chars",
             (F.col("bucket_len") * F.col("n_docs") - F.col("sum_len")).alias("padding_waste"),
         )
     )
+
+
+def apply_mix_sampling(df: DataFrame, budget: int,
+                       group_col: str = "lang", alpha: float = 0.7,
+                       key_col: str = "doc_id",
+                       salt: str = "mix") -> DataFrame:
+    """Operationalize mix_weights: deterministically sample the corpus
+    so each group's expected share matches its temperature-scaled
+    weight under a total document ``budget``. Per group the keep rate
+    is min(1, budget * w_g / n_g); rows are chosen by the same
+    hash-draw as every other sampler here, so the result is a pure
+    filter — reproducible across runs and engines, pushable to the
+    scan, stable under appends. The group-rate table is tiny (one row
+    per language/source) and broadcasts.
+
+    This is the step that turns a mixing POLICY into a corpus: the
+    weights say what the training mix should look like, this operator
+    materializes a dataset with that mix."""
+    from .sampling import DRAW_BUCKETS, hash_draw
+
+    rates = mix_weights(df, group_col=group_col, alpha=alpha).select(
+        group_col,
+        F.least(
+            F.lit(DRAW_BUCKETS),
+            F.floor(F.lit(budget) * F.col("weight") / F.col("n_docs") * DRAW_BUCKETS),
+        ).alias("_keep_below"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_draw(F.col(key_col), salt) < F.col("_keep_below"))
+        .drop("_keep_below")
+    )

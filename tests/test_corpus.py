@@ -133,3 +133,33 @@ def test_chunk_documents_short_doc_single_chunk(spark):
     out = corpus.chunk_documents(df, size=32, stride=16).collect()
     assert len(out) == 1
     assert out[0]["chunk_idx"] == 0 and out[0]["n_chunk_words"] == 3
+
+
+def test_apply_mix_sampling_hits_budget_and_shares(spark, sf_dir):
+    """The materialized mix must land near the document budget with
+    group shares pulled toward the temperature weights (flatter than
+    raw shares), deterministically across invocations."""
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        apply_mix_sampling,
+        mix_weights,
+    )
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    budget = 200
+    out = apply_mix_sampling(docs, budget=budget)
+    n = out.count()
+    # hash sampling is binomial around the target; generous bounds
+    assert 0.6 * budget <= n <= 1.4 * budget
+    # determinism: the same call returns the same rows
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in apply_mix_sampling(docs, budget=budget).select("doc_id").collect()}
+    assert ids == ids2
+    # kept rows per group never exceed the group's population, and
+    # every group with a positive keep rate is represented
+    want_w = {r[0]: r["weight"] for r in mix_weights(docs).collect()}
+    got = {r[0]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    raw = {r[0]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for g, kept in got.items():
+        assert kept <= raw[g]
+    assert set(got) == set(w for w in want_w if want_w[w] > 0)
