@@ -388,3 +388,14 @@ register(
         _t(spark, sf_dir, "documents"), budget=200
     ).select("doc_id", "lang", "source")
 )
+
+
+register(
+    "ns_text_surprisal",
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "t AS (SELECT count(*) AS total FROM w), "
+    "v AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1) "
+    "SELECT doc_id, count(*) AS n_tokens, "
+    "round(sum(-ln(cnt * 1.0 / total)) / count(*), 6) AS surprisal "
+    "FROM w JOIN v USING (w) CROSS JOIN t GROUP BY doc_id",
+)(lambda spark, sf_dir: text.unigram_surprisal(_t(spark, sf_dir, "documents")))

@@ -281,3 +281,49 @@ def groupwise_minmax_scale(df: DataFrame, group_col: str = "event_type",
         scale, schema=out_schema
     )
     return out.withColumn("scaled", F.round("scaled", 6))
+
+
+def unigram_surprisal(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality score from a self-trained unigram LM:
+    score(doc) = mean over tokens of -ln p(w), with p estimated from
+    the corpus itself (count(w)/total). Low surprisal = formulaic or
+    boilerplate text, high = rare-token soup; both tails are what
+    quality filters cut. This is the cheap stand-in for a real LM
+    perplexity filter — same pipeline shape (count pass, broadcast-ish
+    probability join, score pass), no model needed.
+
+    Two aggregates over the token explode plus one join from tokens to
+    the (vocabulary-sized) count table; the mean is computed as exact
+    sum-of-logs / exact count, rounded once at the end. At 100 TB the
+    vocabulary table is the thing to persist and broadcast."""
+    w = (
+        spread_small_input_text(df)
+        .select(F.col(id_col), F.explode(_word_array(text_col)).alias("w"))
+    )
+    # lazy 1-row total cross-joined in (broadcast) — no driver action
+    total = w.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        w.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("cnt") / F.col("_total"))).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("surprisal"),
+        )
+    )
+
+
+def spread_small_input_text(df: DataFrame) -> DataFrame:
+    """Text-module twin of dedup.spread_small_input (single small file
+    must not serialize a row-expansion pipeline onto one task)."""
+    from .dedup import spread_small_input
+
+    return spread_small_input(df)
