@@ -349,3 +349,41 @@ def test_watermark_drops_late_rows(spark, sf_dir, tmp_path):
     want = {r["w_start"]: r["n"] for r in batch.collect()}
     for r in flushed.collect():
         assert want.get(r["w_start"]) == r["n"], r
+
+
+def test_stateless_corpus_ops_run_on_streams(spark, sf_dir):
+    """Pure-filter/narrow operators (hash sampling, token counting,
+    quality scoring) must run UNCHANGED on a streaming source — the
+    'same plan runs incrementally' property that makes the batch
+    corpus pipeline deployable as a streaming ingest filter with zero
+    rewrite. Stream the documents table, apply the batch operators,
+    and compare the full result to the batch run."""
+    from agentic_workflow_for_data_transformation_spark.operators import sampling, text
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    batch_docs = read_parquet_table(spark, sf_dir, "documents")
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def pipeline(df):
+        return text.with_token_counts(
+            sampling.hash_sample(df, 0.3, "doc_id")
+        ).select("doc_id", "n_words", "n_tokens")
+
+    out = pipeline(stream_docs)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateless_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.table("stateless_out").collect()}
+    want = {tuple(r) for r in pipeline(batch_docs).collect()}
+    assert got == want
+    assert got, "sample produced no rows"
