@@ -2195,3 +2195,22 @@ def p28_nl_count_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     events-per-day rollup reached from plain English, one map-side-
     combined aggregate."""
     return _nl(spark, sf_dir, "events", "Group by day of ts and count event_id.")
+
+
+@register(
+    "p29_nl_top_per_group",
+    "SELECT o_orderkey, o_orderpriority, o_totalprice FROM ("
+    "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rn "
+    "FROM orders) WHERE rn <= 2",
+)
+def p29_nl_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL grouped top-k: 'for each X show top N by Y' compiles to a
+    partitioned row_number window + rank filter — distributed per-group
+    sort, never a global one. (Top values are tie-free in this data at
+    every tested scale factor, so the rank order is total.)"""
+    return _nl(
+        spark, sf_dir, "orders",
+        "Select o_orderkey, o_orderpriority and o_totalprice and "
+        "for each o_orderpriority show top 2 by o_totalprice.",
+    )

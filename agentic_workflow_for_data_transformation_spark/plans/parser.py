@@ -28,7 +28,7 @@ class ParseError(ValueError):
     """Description (or predicate) not covered by the grammar."""
 
 
-_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate|join|broadcast)"
+_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate|join|broadcast|for)"
 # split " and <clause keyword>" / " and then " but never predicate-level
 # "and" (conjunctions, BETWEEN..AND..) — those are not followed by a
 # clause keyword.
@@ -224,6 +224,10 @@ def _parse_select_cols(text: str) -> list[str]:
 _GROUP_COUNT = re.compile(
     r"^group\s+by\s+(\w+)\s+and\s+count\s+(\w+)\s*$", re.IGNORECASE
 )
+_GROUP_TOPK = re.compile(
+    r"^for\s+each\s+(\w+)\s+show\s+top\s+(\d+)\s+by\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _GROUP_TIME_COUNT = re.compile(
     r"^group\s+by\s+(year|month|week|day|hour|minute)\s+of\s+(\w+)"
     r"\s+and\s+count\s+(\w+)\s*$",
@@ -310,6 +314,15 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "aggs": [{"fn": "count_distinct", "col": col,
                       "alias": f"{col}_distinct_count"}],
         }
+    if m := _GROUP_TOPK.match(clause):
+        g, n, v = m.group(1), int(m.group(2)), _resolve_col(m.group(3), columns)
+        return [
+            {"op": "window", "partition_by": [g],
+             "order_by": [{"col": v, "asc": False}],
+             "exprs": [{"fn": "row_number", "alias": "_rn"}]},
+            {"op": "filter", "expr": {"le": [{"col": "_rn"}, n]}},
+            {"op": "drop", "cols": ["_rn"]},
+        ]
     if m := _GROUP_TIME_COUNT.match(clause):
         unit, ts_col, counted = (
             m.group(1).lower(), m.group(2), _resolve_col(m.group(3), columns),

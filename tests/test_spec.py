@@ -336,3 +336,18 @@ def test_trunc_expr_validates():
     validate_expr({"trunc": ["hour", {"col": "ts"}]})
     with _pytest.raises(SpecError):
         validate_expr({"trunc": ["fortnight", {"col": "ts"}]})
+
+
+def test_parse_grouped_topk():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        parse_description,
+    )
+
+    spec = parse_description("For each city show top 2 by age.")
+    assert spec["ops"] == [
+        {"op": "window", "partition_by": ["city"],
+         "order_by": [{"col": "age", "asc": False}],
+         "exprs": [{"fn": "row_number", "alias": "_rn"}]},
+        {"op": "filter", "expr": {"le": [{"col": "_rn"}, 2]}},
+        {"op": "drop", "cols": ["_rn"]},
+    ]
