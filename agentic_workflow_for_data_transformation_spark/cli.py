@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
              "(region nation customer ... events documents embeddings) as views",
     )
     ap.add_argument(
+        "--explain", action="store_true",
+        help="with --sql: print the formatted physical plan instead of "
+             "executing (inspect pushdown/broadcast/codegen before a "
+             "100 TB run)",
+    )
+    ap.add_argument(
         "--llm", choices=["auto", "off"], default="auto",
         help="'auto' uses the OPENAI_API_KEY-configured client as the "
              "planner fallback when the grammar can't parse; 'off' is "
@@ -90,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
             print("--sql needs --sf-dir or --input-csv.", file=sys.stderr)
             return 2
         out = spark.sql(args.sql)
+        if args.explain:
+            out.explain("formatted")  # prints the physical plan
+            return 0
         path = write_csv_single(out, Path(args.out_dir) / "sql_result.csv")
         print(f"rows={out.count()}")
         print(f"output: {path}")

@@ -108,3 +108,18 @@ def test_cli_sql_requires_a_source(tmp_path, capsys):
 
     rc = cli.main(["--sql", "SELECT 1", "--out-dir", str(tmp_path)])
     assert rc == 2
+
+
+def test_cli_sql_explain(spark, tmp_path, capsys):
+    """--explain prints the formatted physical plan without executing."""
+    from agentic_workflow_for_data_transformation_spark import cli
+
+    rc = cli.main([
+        "--sql", "SELECT count(*) AS n FROM region",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--explain", "--out-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    plan = capsys.readouterr().out
+    assert "Physical Plan" in plan and "HashAggregate" in plan
+    assert not (tmp_path / "sql_result.csv").exists()  # no execution
