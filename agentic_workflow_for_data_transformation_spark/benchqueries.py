@@ -2214,3 +2214,58 @@ def p29_nl_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Select o_orderkey, o_orderpriority and o_totalprice and "
         "for each o_orderpriority show top 2 by o_totalprice.",
     )
+
+
+@register(
+    "x_scd2_intervals",
+    "SELECT user_id, event_type, value, ts AS valid_from, "
+    "lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) "
+    "AS valid_to FROM events",
+)
+def x_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change stream:
+    each change row becomes a validity interval [valid_from, valid_to)
+    with the open (current) version carrying NULL valid_to — one
+    lead() over the same (key, version-order) sort the CDC compaction
+    uses, so building full history costs exactly what keeping only the
+    latest costs: one shuffle, one per-key sort. Point-in-time lookups
+    then join on valid_from <= t < coalesce(valid_to, 'infinity')."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "x_scd2_point_in_time",
+    "WITH h AS (SELECT user_id, event_type, value, ts AS valid_from, "
+    "lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to "
+    "FROM events) "
+    "SELECT user_id, event_type, value, valid_from FROM h "
+    "WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00' "
+    "AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')",
+)
+def x_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over the SCD2 history: every key's state as
+    of a fixed timestamp — the query a training-data pipeline runs to
+    reconstruct features 'as they were' at label time (no leakage from
+    the future). A pure filter over the interval table; when the
+    history is stored partitioned by month of valid_from, the time
+    predicate prunes partitions before the scan."""
+    t = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    h = ev.select(
+        "user_id", "event_type", "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return h.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "event_type", "value", "valid_from")
