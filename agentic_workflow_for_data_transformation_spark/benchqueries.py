@@ -2269,3 +2269,24 @@ def x_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "event_type", "value", "valid_from")
+
+
+@register(
+    "p30_nl_sessionize",
+    "WITH o AS (SELECT user_id, event_id, ts, lag(epoch(ts)) OVER "
+    " (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), "
+    "f AS (SELECT user_id, event_id, ts, CASE WHEN prev_ts IS NULL "
+    " OR epoch(ts) - prev_ts > 1800 THEN 1 ELSE 0 END AS brk FROM o), "
+    "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id "
+    " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f) "
+    "SELECT user_id, session_id, count(*) AS n_events, "
+    " min(ts) AS session_start, max(ts) AS session_end "
+    "FROM s GROUP BY user_id, session_id",
+)
+def p30_nl_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL sessionization: 'sessionize by user_id with 30 minute gap'
+    compiles straight to the lag->cumsum sessionizer — a genuinely
+    multi-stage operator (two windows + aggregate) reachable from one
+    plain-English clause."""
+    return _nl(spark, sf_dir, "events",
+               "Sessionize by user_id with 30 minute gap.")

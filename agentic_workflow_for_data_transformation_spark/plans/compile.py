@@ -196,6 +196,13 @@ def compile_spec(
             df = df.dropDuplicates(op["cols"]) if op.get("cols") else df.distinct()
         elif kind == "window":
             df = _apply_window(df, op)
+        elif kind == "sessionize":
+            from ..streaming.events import sessionize_batch
+
+            df = sessionize_batch(
+                df, gap_seconds=op["gap_seconds"], key_col=op["key"],
+                ts_col=op.get("ts_col", "ts"), id_col=op.get("id_col", "event_id"),
+            ).drop("_brk")
         elif kind == "join":
             rdf = _resolve_right(op["right"], tables)
             if op.get("broadcast"):

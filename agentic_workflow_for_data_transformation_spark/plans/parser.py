@@ -28,7 +28,7 @@ class ParseError(ValueError):
     """Description (or predicate) not covered by the grammar."""
 
 
-_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate|join|broadcast|for)"
+_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate|join|broadcast|for|sessionize)"
 # split " and <clause keyword>" / " and then " but never predicate-level
 # "and" (conjunctions, BETWEEN..AND..) — those are not followed by a
 # clause keyword.
@@ -224,6 +224,10 @@ def _parse_select_cols(text: str) -> list[str]:
 _GROUP_COUNT = re.compile(
     r"^group\s+by\s+(\w+)\s+and\s+count\s+(\w+)\s*$", re.IGNORECASE
 )
+_SESSIONIZE = re.compile(
+    r"^sessionize\s+by\s+(\w+)\s+with\s+(\d+)\s+(second|minute|hour)s?\s+gap\s*$",
+    re.IGNORECASE,
+)
 _GROUP_TOPK = re.compile(
     r"^for\s+each\s+(\w+)\s+show\s+top\s+(\d+)\s+by\s+(\w+)\s*$",
     re.IGNORECASE,
@@ -313,6 +317,13 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "keys": [key],
             "aggs": [{"fn": "count_distinct", "col": col,
                       "alias": f"{col}_distinct_count"}],
+        }
+    if m := _SESSIONIZE.match(clause):
+        mult = {"second": 1, "minute": 60, "hour": 3600}[m.group(3).lower()]
+        return {
+            "op": "sessionize",
+            "key": m.group(1),
+            "gap_seconds": int(m.group(2)) * mult,
         }
     if m := _GROUP_TOPK.match(clause):
         g, n, v = m.group(1), int(m.group(2)), _resolve_col(m.group(3), columns)

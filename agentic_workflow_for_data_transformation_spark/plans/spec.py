@@ -202,6 +202,14 @@ def validate_op(op: Any) -> None:
         cols = op.get("cols")
         if cols is not None and not (isinstance(cols, list) and all(isinstance(c, str) for c in cols)):
             _err(f"distinct 'cols' must be a string list when present: {op!r}")
+    elif kind == "sessionize":
+        if not isinstance(op.get("key"), str):
+            _err(f"sessionize needs string 'key': {op!r}")
+        if not (isinstance(op.get("gap_seconds"), int) and op["gap_seconds"] > 0):
+            _err(f"sessionize needs positive int 'gap_seconds': {op!r}")
+        for f in ("ts_col", "id_col"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"sessionize '{f}' must be a string: {op!r}")
     elif kind == "window":
         pb = op.get("partition_by", [])
         if not isinstance(pb, list):

@@ -148,30 +148,34 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes",
     )
 
 
-def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
     """Batch sessionization: the offline twin of session_window.
-    A session breaks when the gap to the previous event (per user)
+    A session breaks when the gap to the previous event (per key)
     exceeds ``gap_seconds``; session ids are running sums of break
-    flags. Two window passes over one shuffle+sort on (user_id, ts):
+    flags. Two window passes over one shuffle+sort on (key, ts):
     the classic lag -> cumsum sessionizer, exact-oracle expressible
-    in any engine with window functions."""
+    in any engine with window functions. Column names are
+    parameterized so the spec compiler can reach this from NL
+    ('sessionize by user_id with 30 minute gap')."""
     from pyspark.sql import Window
 
-    order = [F.col("ts"), F.col("event_id")]  # total order under ts ties
-    w = Window.partitionBy("user_id").orderBy(*order)
+    order = [F.col(ts_col), F.col(id_col)]  # total order under ts ties
+    w = Window.partitionBy(key_col).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ts = F.lag(F.col("ts").cast("long")).over(w)
+    prev_ts = F.lag(F.col(ts_col).cast("long")).over(w)
     brk = F.when(
-        prev_ts.isNull() | ((F.col("ts").cast("long") - prev_ts) > gap_seconds), 1
+        prev_ts.isNull() | ((F.col(ts_col).cast("long") - prev_ts) > gap_seconds), 1
     ).otherwise(0)
     return (
         events.withColumn("_brk", brk)
         .withColumn("session_id", F.sum("_brk").over(run))
-        .groupBy("user_id", "session_id")
+        .groupBy(key_col, "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
         )
     )
 

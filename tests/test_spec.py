@@ -351,3 +351,16 @@ def test_parse_grouped_topk():
         {"op": "filter", "expr": {"le": [{"col": "_rn"}, 2]}},
         {"op": "drop", "cols": ["_rn"]},
     ]
+
+
+def test_parse_sessionize():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        parse_description,
+    )
+
+    spec = parse_description("Sessionize by user_id with 30 minute gap.")
+    assert spec["ops"] == [
+        {"op": "sessionize", "key": "user_id", "gap_seconds": 1800}
+    ]
+    spec2 = parse_description("Sessionize by user_id with 2 hours gap.")
+    assert spec2["ops"][0]["gap_seconds"] == 7200
