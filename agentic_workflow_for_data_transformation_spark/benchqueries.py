@@ -2290,3 +2290,36 @@ def p30_nl_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain-English clause."""
     return _nl(spark, sf_dir, "events",
                "Sessionize by user_id with 30 minute gap.")
+
+
+@register(
+    "x_join_asof_forward",
+    # DuckDB ASOF is backward-only; express forward as-of with arg_min
+    # over the future-side pairs (exact at this pair scale)
+    "WITH v AS (SELECT user_id, ts, max(event_id) AS view_event_id FROM events "
+    " WHERE event_type = 'view' GROUP BY user_id, ts), "
+    "p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') "
+    "SELECT p.user_id, p.ts, p.event_id, "
+    "min(v.ts) AS asof_ts, "
+    "arg_min(v.view_event_id, v.ts) AS asof_view_event_id "
+    "FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts "
+    "GROUP BY p.user_id, p.ts, p.event_id",
+)
+def x_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the user's NEXT
+    view at-or-after it — post-hoc attribution / label lookahead. Same
+    union + running-fill single-shuffle plan as the backward join, run
+    over descending time (operators/joins.py); the oracle pays a
+    pairwise join because ANSI ASOF is backward-only, the engine does
+    not."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return joins.asof_join(purchases, views, on="user_id",
+                           right_cols=["view_event_id"], direction="forward")

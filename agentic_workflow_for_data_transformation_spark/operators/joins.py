@@ -30,15 +30,23 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the right row's columns with the
-    greatest ``right_ts`` <= ``left_ts`` within the same ``on`` key
-    (same-timestamp right rows match). Left rows with no prior right
-    row keep nulls.
+    greatest ``right_ts`` <= ``left_ts`` (``direction="backward"``, the
+    default) or the smallest ``right_ts`` >= ``left_ts``
+    (``direction="forward"`` — the next-event lookup used for label
+    attribution: 'first view after this purchase') within the same
+    ``on`` key; same-timestamp right rows match in both directions.
+    Left rows with no match keep nulls.
 
     Output: all left columns, plus ``asof_ts`` (matched right
     timestamp) and each requested right column as ``asof_<name>``.
+    Both directions are the same union + one-shuffle running-fill
+    plan — forward just runs it over a descending order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     pass_cols = [c for c in left.columns if c not in (on, left_ts)]
     asof_cols = ["asof_ts", *[f"asof_{c}" for c in right_cols]]
 
@@ -62,10 +70,13 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in pass_cols],
     )
     # right rows sort before left rows at equal ts (_side 0 < 1), so a
-    # same-ts right row is visible to the left row's running last().
+    # same-ts right row is visible to the left row's running last();
+    # forward mode reverses the ts order (running last over DESC ts =
+    # nearest following row), keeping _side ascending for the tie rule.
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l.unionByName(r).select(
