@@ -2323,3 +2323,16 @@ def x_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joins.asof_join(purchases, views, on="user_id",
                            right_cols=["view_event_id"], direction="forward")
+
+
+@register(
+    "p31_nl_group_two_keys",
+    "SELECT lang, source, count(doc_id) AS doc_id_count "
+    "FROM documents GROUP BY lang, source",
+)
+def p31_nl_group_two_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL composite-key aggregation: 'group by lang and source' — the
+    two-dimensional rollup phrasing, one map-side-combined aggregate
+    on the pair key."""
+    return _nl(spark, sf_dir, "documents",
+               "Group by lang and source and count doc_id.")

@@ -224,6 +224,10 @@ def _parse_select_cols(text: str) -> list[str]:
 _GROUP_COUNT = re.compile(
     r"^group\s+by\s+(\w+)\s+and\s+count\s+(\w+)\s*$", re.IGNORECASE
 )
+_GROUP_COUNT2 = re.compile(
+    r"^group\s+by\s+(\w+)\s+and\s+(\w+)\s+and\s+count\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _SESSIONIZE = re.compile(
     r"^sessionize\s+by\s+(\w+)\s+with\s+(\d+)\s+(second|minute|hour)s?\s+gap\s*$",
     re.IGNORECASE,
@@ -346,6 +350,13 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
              "aggs": [{"fn": "count", "col": counted,
                        "alias": f"{counted}_count"}]},
         ]
+    if m := _GROUP_COUNT2.match(clause):
+        k1, k2, counted = m.group(1), m.group(2), _resolve_col(m.group(3), columns)
+        return {
+            "op": "groupby_agg",
+            "keys": [k1, k2],
+            "aggs": [{"fn": "count", "col": counted, "alias": f"{counted}_count"}],
+        }
     if m := _GROUP_COUNT.match(clause):
         key, counted = m.group(1), _resolve_col(m.group(2), columns)
         return {

@@ -364,3 +364,16 @@ def test_parse_sessionize():
     ]
     spec2 = parse_description("Sessionize by user_id with 2 hours gap.")
     assert spec2["ops"][0]["gap_seconds"] == 7200
+
+
+def test_parse_group_by_two_keys():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        parse_description,
+    )
+
+    spec = parse_description("Group by lang and source and count doc_id.")
+    assert spec["ops"] == [
+        {"op": "groupby_agg", "keys": ["lang", "source"],
+         "aggs": [{"fn": "count", "col": "doc_id",
+                   "alias": "doc_id_count"}]}
+    ]
