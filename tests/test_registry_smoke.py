@@ -42,3 +42,27 @@ def test_query_builds_against_testdata(spark, name):
 def test_every_oracle_has_a_query():
     dangling = set(benchqueries.oracle_sql()) - set(_NAMES)
     assert not dangling, f"oracle_sql entries without a query: {sorted(dangling)}"
+
+
+def test_local_oracle_report_covers_full_registry():
+    """CORRECTNESS_LOCAL.json is the only correctness signal for
+    queries past the driver's 50-row window — a stale committed report
+    once hid a whole broken query family. The report must carry
+    exactly one row per registered query and no failed rows."""
+    import json
+    from pathlib import Path
+
+    report = json.loads(
+        (Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json").read_text()
+    )
+    registered = set(benchqueries.queries())
+    assert set(report) == registered, (
+        "stale CORRECTNESS_LOCAL.json — rerun tools/check_oracle.py: "
+        f"missing={sorted(registered - set(report))[:5]} "
+        f"extra={sorted(set(report) - registered)[:5]}"
+    )
+    bad = {
+        k: v for k, v in report.items()
+        if v.get("err") not in (None, "no_oracle") or v.get("hash_match") is False
+    }
+    assert not bad, f"failed rows in committed report: {sorted(bad)[:5]}"
