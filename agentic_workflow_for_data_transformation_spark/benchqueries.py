@@ -2201,14 +2201,16 @@ def p28_nl_count_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p29_nl_top_per_group",
     "SELECT o_orderkey, o_orderpriority, o_totalprice FROM ("
     "SELECT o_orderkey, o_orderpriority, o_totalprice, "
-    "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rn "
+    "row_number() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
     "FROM orders) WHERE rn <= 2",
 )
 def p29_nl_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL grouped top-k: 'for each X show top N by Y' compiles to a
     partitioned row_number window + rank filter — distributed per-group
-    sort, never a global one. (Top values are tie-free in this data at
-    every tested scale factor, so the rank order is total.)"""
+    sort, never a global one. The grammar appends the table's first
+    column (primary key) as a tie-break, so the rank order is total
+    regardless of value ties; the oracle mirrors it."""
     return _nl(
         spark, sf_dir, "orders",
         "Select o_orderkey, o_orderpriority and o_totalprice and "
@@ -2336,3 +2338,68 @@ def p31_nl_group_two_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the pair key."""
     return _nl(spark, sf_dir, "documents",
                "Group by lang and source and count doc_id.")
+
+
+# --------------------------------------------------------------------------
+# DRIVER WINDOW (declarative). The driver records correctness rows for the
+# first 50 registrations only, so the window is re-declared here explicitly
+# and the registry is reordered once at import time. To rotate coverage in
+# a future round, edit this list — everything NOT listed keeps its relative
+# registration order after the window and stays covered by the committed
+# full-registry report (tools/check_oracle.py -> CORRECTNESS_LOCAL.json).
+#
+# Round-4 rotation (VERDICT r3 #2): six duplicate-shape rows swapped out
+# (ns_sim_topk_lsh / ns_sim_topk_partitioned duplicate the bruteforce
+# top-k shape; ns_text_hashvec duplicates ns_text_fingerprint's per-doc
+# map shape; ns_sample_split duplicates ns_sample_hash's hash-draw;
+# ns_multimodal_meta duplicates the resize/frames mapInPandas shape;
+# ns_shuffle_sharded duplicates ns_sample_balanced's partitioned
+# row_number) for the round-3 operators that had no driver-gate row:
+# SCD2 build + point-in-time, forward as-of, NL sessionization, KS drift,
+# corpus-mix applied sampling.
+# --------------------------------------------------------------------------
+_WINDOW: list[str] = [
+    # reference-parity corpus (SURVEY.md 2.2-2.5), NL pipeline
+    "p01_filter_gt_project", "p02_filter_eq_str", "p05_groupby_count",
+    "p07_startswith", "p08_rename", "p09_drop", "p10_empty_result",
+    "p14_paren_bool_tree", "p15_isin", "p16_not", "p19_contains_between",
+    "p04_sort_topk", "p06_with_column_bool", "p18_groupby_avg_having",
+    "p20_tpch_q1", "p21_nl_sample", "p22_nl_select_distinct",
+    # north-star: dedup chain
+    "ns_dedup_exact", "ns_dedup_ngram_jaccard", "ns_dedup_minhash_lsh",
+    "ns_dedup_lsh_verified", "ns_dedup_clusters", "ns_dedup_apply",
+    "ns_dedup_simhash", "ns_dedup_embedding_cosine",
+    # north-star: text analysis
+    "ns_text_tokens", "ns_text_quality", "ns_text_langid",
+    "ns_text_fingerprint", "ns_text_top_ngrams",
+    # north-star: similarity
+    "ns_sim_topk_bruteforce", "ns_sim_knn_per_label", "ns_centroids_per_label",
+    # north-star: sampling + corpus construction
+    "ns_sample_hash", "ns_sample_balanced", "ns_sample_stratified",
+    "ns_decontaminate", "ns_pack_sequences", "ns_source_filter",
+    # north-star: multimodal (mapInPandas plumbing)
+    "ns_multimodal_resize", "ns_multimodal_frames",
+    # round-3 promotions: temporal / drift / corpus-mix (VERDICT r3 #2)
+    "x_scd2_intervals", "x_scd2_point_in_time", "x_join_asof_forward",
+    "p30_nl_sessionize", "ns_ks_drift_per_user", "ns_corpus_mix_apply",
+    # events family (the round-2 silent-breakage casualty — keep gated)
+    "x_time_bucket_agg", "x_join_asof",
+    # sandboxed escape hatch
+    "u1_escape_hatch",
+]
+
+
+def _apply_window_order() -> None:
+    missing = [n for n in _WINDOW if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"driver-window names not registered: {missing}")
+    if len(_WINDOW) != len(set(_WINDOW)):
+        raise RuntimeError("driver-window list contains duplicates")
+    in_window = set(_WINDOW)
+    rest = [n for n in _REGISTRY if n not in in_window]
+    ordered = {n: _REGISTRY[n] for n in [*_WINDOW, *rest]}
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_apply_window_order()

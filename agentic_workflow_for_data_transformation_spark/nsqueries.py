@@ -17,7 +17,8 @@ from .operators import corpus, dedup, multimodal, sampling, similarity, text
 
 register(
     "ns_dedup_exact",
-    "SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies "
+    "FROM documents GROUP BY md5(text)",
 )(lambda spark, sf_dir: dedup.exact_dedup_groups(_t(spark, sf_dir, "documents")))
 
 
@@ -104,10 +105,32 @@ _VERIFIED_CTES = (
 _DEDUP_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def clear_dedup_cache() -> None:
+    """Release every cached intermediate (and its localCheckpoint
+    blocks, via unpersist). Exposed for long-lived drivers that touch
+    many sf_dirs; also called automatically on sf_dir eviction."""
+    for df in _DEDUP_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _DEDUP_CACHE.clear()
+
+
 def _dedup_cached(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     got = _DEDUP_CACHE.get(key)
     if got is None:
+        # bound the cache to ONE (app, sf_dir): a long-lived driver
+        # sweeping many sf_dirs must not pin every dir's checkpoint
+        # blocks for process lifetime — evict (and unpersist) the rest
+        stale = [k for k in _DEDUP_CACHE if k[:2] != key[:2]]
+        for k in stale:
+            try:
+                _DEDUP_CACHE[k].unpersist()
+            except Exception:
+                pass
+            del _DEDUP_CACHE[k]
         docs = _t(spark, sf_dir, "documents")
         if kind == "eidx":
             # hashed inverted shingle index: the artifact a dedup

@@ -195,7 +195,7 @@ def filter_sources_by_mean_len(df: DataFrame, source_col: str = "source",
 
 
 def mix_weights(df: DataFrame, group_col: str = "lang",
-                alpha: float = 0.7) -> DataFrame:
+                alpha: float = 0.7, rounded: bool = True) -> DataFrame:
     """Temperature-scaled corpus mixing weights: for each group (a
     language or source), weight = n^alpha / sum(n^alpha). alpha < 1
     flattens the natural distribution — the standard multilingual /
@@ -207,17 +207,23 @@ def mix_weights(df: DataFrame, group_col: str = "lang",
     the power/normalize math runs on the GROUP-cardinality frame (tens
     of rows), where the unpartitioned window's single-task exchange is
     free. Returns (group, n_docs, weight) with weight rounded to 6
-    places — pow/div on integer counts is bit-identical across IEEE
-    engines, so the round is deterministic."""
+    places for REPORTING — pow/div on integer counts is bit-identical
+    across IEEE engines, so the round is deterministic. Downstream
+    arithmetic consumers (apply_mix_sampling's keep threshold) pass
+    ``rounded=False`` so a boundary floor() never flips on the rounded
+    value where the exact one would not."""
     from pyspark.sql import Window
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     scaled = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
     total = F.sum(scaled).over(Window.partitionBy())
+    weight = scaled / total
+    if rounded:
+        weight = F.round(weight, 6)
     return counts.select(
         group_col,
         "n_docs",
-        F.round(scaled / total, 6).alias("weight"),
+        weight.alias("weight"),
     )
 
 
@@ -283,7 +289,10 @@ def apply_mix_sampling(df: DataFrame, budget: int,
     materializes a dataset with that mix."""
     from .sampling import DRAW_BUCKETS, hash_draw
 
-    rates = mix_weights(df, group_col=group_col, alpha=alpha).select(
+    # unrounded weight: the keep threshold must floor() the exact value
+    # (the registered oracle uses the unrounded weight too) — see
+    # mix_weights' rounded flag
+    rates = mix_weights(df, group_col=group_col, alpha=alpha, rounded=False).select(
         group_col,
         F.least(
             F.lit(DRAW_BUCKETS),

@@ -116,11 +116,19 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str,
     post-join partitioning must stay salted, engines/configs without
     AQE, or deliberate layout control. The salt derives from a hash of
     the fact row's other columns (or ``salt_source``), never lands in
-    the output, and cannot change results: every fact row still meets
-    every matching dim row exactly once because the dim side carries
-    ALL salt values. Cost: dim side inflates x salt — keep it for
-    fact-x-dim shapes where the dim is small but past the broadcast
-    threshold."""
+    the output, and cannot change results for inner/left joins: every
+    fact row still meets every matching dim row exactly once because
+    the dim side carries ALL salt values. Right/full outer joins are
+    REJECTED — an unmatched dim row exists once per salt replica, so
+    the null-extended side would emit ``salt`` duplicate rows.
+    Cost: dim side inflates x salt — keep it for fact-x-dim shapes
+    where the dim is small but past the broadcast threshold."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "dim-side salt replication duplicates unmatched dim rows "
+            "under right/full outer semantics"
+        )
     src = F.col(salt_source) if salt_source else F.concat_ws(
         "|", *[F.col(c) for c in fact.columns]
     )

@@ -331,9 +331,15 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         }
     if m := _GROUP_TOPK.match(clause):
         g, n, v = m.group(1), int(m.group(2)), _resolve_col(m.group(3), columns)
+        # deterministic tie-break (determinism policy): append the
+        # table's first column (the star schema's primary key) so
+        # row_number's order is total even when top values tie
+        order = [{"col": v, "asc": False}]
+        if columns and columns[0] not in (v, g):
+            order.append({"col": columns[0], "asc": True})
         return [
             {"op": "window", "partition_by": [g],
-             "order_by": [{"col": v, "asc": False}],
+             "order_by": order,
              "exprs": [{"fn": "row_number", "alias": "_rn"}]},
             {"op": "filter", "expr": {"le": [{"col": "_rn"}, n]}},
             {"op": "drop", "cols": ["_rn"]},

@@ -294,8 +294,11 @@ def stateful_latest_per_key(events: DataFrame) -> DataFrame:
 
         ts_us, eid, val = state.get if state.exists else (-1, -1, None)
         for pdf in pdfs:
+            # normalize to ns explicitly: pandas/pyarrow may surface
+            # timestamps as datetime64[us], where a bare int64 view
+            # would be 1000x off the ns assumption
             for t, e, v in zip(
-                pdf["ts"].astype("int64") // 1000,  # ns -> us
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000,  # ns -> us
                 pdf["event_id"], pdf["value"],
             ):
                 if (int(t), int(e)) > (ts_us, eid):

@@ -27,10 +27,14 @@ def docs(spark):
 
 
 def test_exact_dedup_groups(docs):
-    out = {r["text"]: (r["keeper_id"], r["n_copies"]) for r in dedup.exact_dedup_groups(docs).collect()}
+    # groups on md5(text) so the shuffle carries digests, not documents
+    out = {r["text_md5"]: (r["keeper_id"], r["n_copies"]) for r in dedup.exact_dedup_groups(docs).collect()}
     assert len(out) == 4  # 5 docs, one exact dup
-    dup_text = [t for t, (_, n) in out.items() if n == 2]
-    assert len(dup_text) == 1 and out[dup_text[0]][0] == 1
+    dup_key = [k for k, (_, n) in out.items() if n == 2]
+    assert len(dup_key) == 1 and out[dup_key[0]][0] == 1
+    import hashlib
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    assert dup_key[0] == hashlib.md5(base.encode()).hexdigest()
 
 
 def test_ngram_jaccard_finds_near_dups(docs):
