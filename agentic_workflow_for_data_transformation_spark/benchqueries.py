@@ -2340,6 +2340,60 @@ def p31_nl_group_two_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                "Group by lang and source and count doc_id.")
 
 
+@register(
+    "p32_nl_left_join",
+    "SELECT o.o_orderkey AS l_orderkey, o.o_totalprice, l.l_quantity "
+    "FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey",
+)
+def p32_nl_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL outer join: 'left join with lineitem' keeps orders with no
+    lines as null-extended rows (257 such orders at sf0.01). The rename
+    aligns the key so the join is a plain equi-join Catalyst plans as
+    a shuffle (or AQE-broadcast) hash join."""
+    return _nl(
+        spark, sf_dir, "orders",
+        "Rename o_orderkey to l_orderkey and "
+        "left join with lineitem on l_orderkey and "
+        "select l_orderkey, o_totalprice and l_quantity.",
+        extra_tables=("lineitem",),
+    )
+
+
+@register(
+    "p33_nl_semi_join",
+    "SELECT o_orderkey AS l_orderkey, o_totalprice FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+)
+def p33_nl_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL existence join: 'keep rows that exist in lineitem' compiles
+    to a LeftSemi hash join — the right side's payload columns are
+    never materialized, only its join keys flow through the exchange."""
+    return _nl(
+        spark, sf_dir, "orders",
+        "Rename o_orderkey to l_orderkey and "
+        "keep rows that exist in lineitem on l_orderkey and "
+        "select l_orderkey and o_totalprice.",
+        extra_tables=("lineitem",),
+    )
+
+
+@register(
+    "p34_nl_anti_join",
+    "SELECT o_orderkey AS l_orderkey, o_totalprice FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)",
+)
+def p34_nl_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL anti join: 'keep rows with no match in lineitem' compiles to
+    a LeftAnti hash join (the orphaned-orders audit query)."""
+    return _nl(
+        spark, sf_dir, "orders",
+        "Rename o_orderkey to l_orderkey and "
+        "keep rows with no match in lineitem on l_orderkey and "
+        "select l_orderkey and o_totalprice.",
+        extra_tables=("lineitem",),
+    )
+
+
 # --------------------------------------------------------------------------
 # DRIVER WINDOW (declarative). The driver records correctness rows for the
 # first 50 registrations only, so the window is re-declared here explicitly

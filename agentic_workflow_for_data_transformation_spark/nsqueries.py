@@ -306,6 +306,45 @@ def _bucket_sql(col: str, bits: int = 8) -> str:
     )
 
 
+def _auto_bits_sql(table: str = "embeddings", target: int = 200,
+                   lo: int = 2, hi: int = 16) -> str:
+    """Scalar subquery mirroring similarity.auto_bits exactly: the
+    oracle computes the same data-dependent bit count the Spark
+    operator does, so hash-matched correctness survives scaling."""
+    return (
+        f"(SELECT CASE WHEN count(*) <= {target} THEN {lo} ELSE "
+        f"GREATEST({lo}, LEAST({hi}, CAST(ceil(log2(count(*) / {target}.0)) AS INT))) "
+        f"END FROM {table})"
+    )
+
+
+def _auto_bucket_sql(col: str, table: str = "embeddings") -> str:
+    """Sign-LSH bucket at the auto-scaled width: the 16-bit bucket
+    string truncated to auto_bits chars (identical to computing the
+    bucket at that width directly)."""
+    return f"substr(({_bucket_sql(col, bits=16)}), 1, {_auto_bits_sql(table)})"
+
+
+# residual (per-label-centered) bucketing CTEs mirroring
+# similarity.residual_sign_bucket: decimal-exact per-(label, dim) means
+# rounded to 6, then sign bits of v - center truncated to auto_bits
+_RESIDUAL_CTR_CTES = (
+    "m AS (SELECT label, i, "
+    " round(CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS c "
+    " FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM d) "
+    " WHERE i <= 16 GROUP BY 1, 2), "
+    "ctr AS (SELECT label, list(c ORDER BY i) AS cv FROM m GROUP BY 1)"
+)
+
+
+def _residual_bucket_sql(table: str = "embeddings", hi: int = 16) -> str:
+    full = " || ".join(
+        f"(CASE WHEN v[{i+1}] - cv[{i+1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(hi)
+    )
+    return f"substr(({full}), 1, {_auto_bits_sql(table)})"
+
+
 register(
     "ns_sim_topk_lsh",
     "WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
@@ -320,14 +359,14 @@ register(
 register(
     "ns_dedup_embedding_cosine",
     "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-    f"b AS (SELECT vec_id, v, {_bucket_sql('v', bits=4)} AS bucket FROM d) "
+    f"b AS (SELECT vec_id, v, {_auto_bucket_sql('v')} AS bucket FROM d) "
     "SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, "
     + _COS.format(a="x.v", b="y.v") + " AS cos_sim "
     "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id "
     "WHERE " + _COS.format(a="x.v", b="y.v") + " >= 0.4",
 )(
     lambda spark, sf_dir: similarity.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, bits=None
     )
 )
 

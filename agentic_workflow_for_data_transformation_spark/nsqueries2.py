@@ -16,7 +16,10 @@ from .nsqueries import (
     _COS,
     _SHINGLE_CTE,
     _VERIFIED_CTES,
+    _RESIDUAL_CTR_CTES,
+    _auto_bucket_sql,
     _buckets_sql,
+    _residual_bucket_sql,
     _dedup_cached,
     _sig_sql,
 )
@@ -302,7 +305,9 @@ register(
 register(
     "ns_sim_knn_bucketed",
     "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
-    f"b AS (SELECT vec_id, label, v, {_BITS4_BUCKET} AS bucket FROM d), "
+    f"{_RESIDUAL_CTR_CTES}, "
+    "b AS (SELECT vec_id, d.label AS label, v, "
+    f"{_residual_bucket_sql()} AS bucket FROM d JOIN ctr ON d.label = ctr.label), "
     "p AS (SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id, "
     + _COS.format(a="a.v", b="b.v") + " AS cos_sim, "
     "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
@@ -312,7 +317,7 @@ register(
     "SELECT vec_id, label, nn_vec_id, cos_sim FROM p WHERE rn = 1",
 )(
     lambda spark, sf_dir: similarity.knn_join_bucketed(
-        _t(spark, sf_dir, "embeddings"), k=1, bits=4
+        _t(spark, sf_dir, "embeddings"), k=1, bits=None
     )
 )
 

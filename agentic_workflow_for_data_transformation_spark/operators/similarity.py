@@ -26,6 +26,8 @@ on id so results are total-ordered and engine-reproducible.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,6 +90,23 @@ def sign_bucket(vec: str | F.Column, bits: int = 8) -> F.Column:
     )
 
 
+def auto_bits(n: int, target_bucket: int = 200, lo: int = 2, hi: int = 16) -> int:
+    """Sign-LSH bit count that keeps the EXPECTED bucket size constant
+    (~``target_bucket`` rows) as the input grows: bits =
+    clamp(ceil(log2(n / target)), lo, hi).
+
+    This is what turns the bucketed pair joins from quadratic to
+    ~linear in n: with fixed bits, bucket size grows with n and pair
+    work grows as n^2/2^bits (measured e=1.78 at the sf0.1 -> sf1 step,
+    BENCH_SCALE.md); with auto bits, pair work stays ~n * target.
+    The formula is engine-portable — the DuckDB oracles compute the
+    identical expression from count(*) — so scaling the bits does not
+    break hash-matched correctness."""
+    if n <= target_bucket:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(n / float(target_bucket)))))
+
+
 def topk_cosine_lsh(df: DataFrame, query_id: int, k: int = 5, bits: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     dim: int | None = None) -> DataFrame:
@@ -124,7 +143,8 @@ def topk_cosine_lsh(df: DataFrame, query_id: int, k: int = 5, bits: int = 8,
     )
 
 
-def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4, bits: int = 4,
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4,
+                            bits: int | None = 4,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: the dedup family's vector
@@ -133,7 +153,14 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4, bits: int = 4
     cosine >= threshold. The bucket equi-join keeps the pair space
     O(sum of bucket^2) instead of O(n^2) — the same LSH-first shape as
     MinHash dedup; at 100 TB, partition the table by bucket so each
-    pair-block is co-located."""
+    pair-block is co-located.
+
+    ``bits=None`` sizes the bucket count from the input (auto_bits):
+    constant expected bucket size, so pair work scales ~linearly
+    instead of n^2/2^bits. Pass explicit bits only for fixed-recall
+    comparisons at one known scale."""
+    if bits is None:
+        bits = auto_bits(df.count())
     dim = probe_dim(df, vec_col, dim)
     b = df.select(
         F.col(id_col),
@@ -511,9 +538,52 @@ def ann_recall_vs_bruteforce(df: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def residual_sign_bucket(rows: DataFrame, bits: int, label_col: str,
+                         vec_col: str = "v") -> DataFrame:
+    """Sign-LSH bucket of the PER-BLOCK RESIDUAL (v - block mean) —
+    appended as a ``bucket`` column.
+
+    Raw sign buckets stop subdividing once the blocking key is itself a
+    cluster label: within one cluster nearly every vector shares the
+    sign of every high-|center| dimension, so adding bits does not
+    shrink the block and pair work stays quadratic (measured e=1.39 at
+    the sf0.1 -> sf1 step, BENCH_SCALE.md). Centering per block first
+    makes each leading dimension a ~50/50 split of that block, so the
+    expected block size really is block/2^bits.
+
+    The block mean is computed decimal-exact and rounded to 6 decimals
+    (the same discipline as kmeans_assign) so every engine derives the
+    identical center — and therefore the identical buckets."""
+    pos = rows.select(label_col, F.posexplode(F.col(vec_col)).alias("i", "x")).filter(
+        F.col("i") < bits
+    )
+    means = pos.groupBy(label_col, "i").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(27,10)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    centers = means.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    joined = rows.join(F.broadcast(centers), label_col)
+    bucket = F.concat(
+        *[
+            F.when(
+                F.element_at(F.col(vec_col), i + 1) - F.element_at("cv", i + 1) >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+    return joined.withColumn("bucket", bucket).drop("cv")
+
+
 def knn_join_bucketed(df: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding", label_col: str = "label",
-                      k: int = 1, bits: int = 4,
+                      k: int = 1, bits: int | None = 4,
                       dim: int | None = None) -> DataFrame:
     """The SCALE path for the per-label kNN join: block by
     (label, sign-LSH bucket) instead of label alone, so each pair block
@@ -523,14 +593,25 @@ def knn_join_bucketed(df: DataFrame, id_col: str = "vec_id",
     with ann_recall_vs_bruteforce); vectors alone in their bucket emit
     no row. This is the operator a 100 TB pipeline runs where
     knn_join_per_label is the exact recall harness it is validated
-    against on samples."""
+    against on samples.
+
+    ``bits=None`` auto-sizes the bucket count (auto_bits) so the
+    per-(label, bucket) block size — and with it total pair work —
+    stays ~constant per row as the input grows. Buckets are signs of
+    the per-label residual (see residual_sign_bucket): raw signs
+    cannot subdivide a block that is itself a similarity cluster."""
+    if bits is None:
+        bits = auto_bits(df.count())
     dim = probe_dim(df, vec_col, dim)
-    rows = df.select(
-        F.col(id_col),
-        F.col(label_col),
-        as_double_array(vec_col).alias("v"),
-        l2_norm(as_double_array(vec_col), dim).alias("nrm"),
-        sign_bucket(vec_col, bits).alias("bucket"),
+    rows = residual_sign_bucket(
+        df.select(
+            F.col(id_col),
+            F.col(label_col),
+            as_double_array(vec_col).alias("v"),
+            l2_norm(as_double_array(vec_col), dim).alias("nrm"),
+        ),
+        bits,
+        label_col,
     )
     left = rows.select(
         F.col(id_col).alias("a_id"), F.col(label_col).alias("label"),

@@ -28,7 +28,12 @@ class ParseError(ValueError):
     """Description (or predicate) not covered by the grammar."""
 
 
-_CLAUSE_KEYWORDS = r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate|join|broadcast|for|sessionize)"
+_CLAUSE_KEYWORDS = (
+    r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate"
+    r"|join|broadcast|for|sessionize"
+    # join-type prefixes so "and left join ..." splits as a clause
+    r"|inner|left|right|full|cross)"
+)
 # split " and <clause keyword>" / " and then " but never predicate-level
 # "and" (conjunctions, BETWEEN..AND..) — those are not followed by a
 # clause keyword.
@@ -292,6 +297,21 @@ _JOIN = re.compile(
     r"(?:\w+\s+with\s+|with\s+)?(\w+)\s+on\s+(\w+(?:\s*,\s*\w+)*)\s*$",
     re.IGNORECASE,
 )
+# existence joins in natural phrasing: "keep rows that exist in
+# lineitem on l_orderkey" (semi) / "keep rows with no match in
+# lineitem on l_orderkey" (anti). Only the left side's columns
+# survive — Spark plans these as LeftSemi/LeftAnti hash joins, which
+# never materialize the right side's payload columns.
+_SEMI_JOIN = re.compile(
+    r"^keep\s+rows\s+(?:that\s+(?:exist|match|have\s+a\s+match)\s+in|"
+    r"with\s+a\s+match\s+in)\s+(\w+)\s+on\s+(\w+(?:\s*,\s*\w+)*)\s*$",
+    re.IGNORECASE,
+)
+_ANTI_JOIN = re.compile(
+    r"^keep\s+rows\s+with(?:\s+no|out\s+a?)\s+match\s+in\s+"
+    r"(\w+)\s+on\s+(\w+(?:\s*,\s*\w+)*)\s*$",
+    re.IGNORECASE,
+)
 _GLOBAL_AGG_WORDS = {"average": "avg", "total": "sum", "sum of": "sum",
                      "minimum": "min", "maximum": "max"}
 
@@ -424,6 +444,14 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         if m.group(1):
             op["broadcast"] = True
         return op
+    if m := _SEMI_JOIN.match(clause):
+        return {"op": "join", "right": m.group(1),
+                "on": [c.strip() for c in m.group(2).split(",")],
+                "how": "left_semi"}
+    if m := _ANTI_JOIN.match(clause):
+        return {"op": "join", "right": m.group(1),
+                "on": [c.strip() for c in m.group(2).split(",")],
+                "how": "left_anti"}
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}
     if m := _RENAME.match(clause):

@@ -102,3 +102,17 @@ def test_multi_query_topk_matches_single_bruteforce(spark, sf_dir):
             for r in similarity.topk_cosine_bruteforce(emb, query_id=qid, k=4).collect()
         ]
         assert got == want
+
+
+def test_auto_bits_keeps_bucket_size_constant():
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import auto_bits
+
+    assert auto_bits(0) == 2
+    assert auto_bits(200) == 2          # at/below target: floor
+    assert auto_bits(2_000) == 4        # sf0.1 embeddings -> 16 buckets
+    assert auto_bits(20_000) == 7       # sf1 -> 128 buckets
+    assert auto_bits(20_000_000) == 16  # capped at hi
+    # expected bucket size n/2^bits stays within ~2x of target
+    for n in (500, 5_000, 50_000, 5_000_000):
+        bits = auto_bits(n)
+        assert n / 2**bits <= 400, (n, bits)

@@ -274,3 +274,26 @@ def test_ks_drift_is_cogrouped_map(spark):
     plan = plan_of(spark, "ns_ks_drift_per_user")
     assert "FlatMapCoGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_nl_join_clauses_plan_shapes(spark):
+    """The NL join grammar's three new shapes produce the join
+    operators they claim: left outer, LeftSemi (no right payload
+    columns), LeftAnti."""
+    plan = plan_of(spark, "p32_nl_left_join")
+    assert "LeftOuter" in plan
+    plan = plan_of(spark, "p33_nl_semi_join")
+    assert "LeftSemi" in plan
+    plan = plan_of(spark, "p34_nl_anti_join")
+    assert "LeftAnti" in plan
+
+
+def test_knn_bucketed_residual_centers_broadcast(spark):
+    """Residual bucketing's per-label centers (10 rows) must broadcast
+    into the row side — the big table never shuffles to meet them; and
+    the bucket join still blocks the pair space (a SortMergeJoin or
+    shuffled hash join on (label, bucket) is acceptable, a cross join
+    is not)."""
+    plan = plan_of(spark, "ns_sim_knn_bucketed")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

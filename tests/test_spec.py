@@ -160,6 +160,46 @@ def test_parser_north_star_clauses():
     assert spec["ops"] == [{"op": "drop", "cols": ["city"]}]
 
 
+def test_parser_join_clauses():
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    # explicit join-type prefix splits as its own clause after "and"
+    spec = parse_description(
+        "Rename o_orderkey to l_orderkey and "
+        "left join with lineitem on l_orderkey and select l_orderkey."
+    )
+    assert spec["ops"][1] == {
+        "op": "join", "right": "lineitem", "on": ["l_orderkey"], "how": "left",
+    }
+
+    # natural existence-join phrasings -> semi / anti
+    spec = parse_description("Keep rows that exist in lineitem on l_orderkey")
+    assert spec["ops"] == [
+        {"op": "join", "right": "lineitem", "on": ["l_orderkey"],
+         "how": "left_semi"},
+    ]
+    spec = parse_description("Keep rows with a match in lineitem on l_orderkey")
+    assert spec["ops"][0]["how"] == "left_semi"
+    spec = parse_description(
+        "Keep rows with no match in lineitem on l_orderkey and keep top 5"
+    )
+    assert spec["ops"] == [
+        {"op": "join", "right": "lineitem", "on": ["l_orderkey"],
+         "how": "left_anti"},
+        {"op": "limit", "n": 5},
+    ]
+    spec = parse_description("Keep rows without a match in orders on o_custkey")
+    assert spec["ops"][0]["how"] == "left_anti"
+
+    # composite keys
+    spec = parse_description("Keep rows that exist in lineitem on a, b")
+    assert spec["ops"][0]["on"] == ["a", "b"]
+
+    # "keep top N" (limit) must not be shadowed by the join phrasings
+    spec = parse_description("Keep top 7 rows")
+    assert spec["ops"] == [{"op": "limit", "n": 7}]
+
+
 def test_spec_string_functions_compile(spark, people):
     from agentic_workflow_for_data_transformation_spark.plans import compile_spec
 

@@ -57,9 +57,11 @@ def main() -> int:
     spark = get_spark(app_name="check_oracle")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver testdata is one file per table; generated scaledata is
+        # a directory of part files — read_parquet takes either pattern
+        p = Path(sf_dir) / f"{t}.parquet"
+        pat = f"{p}/*.parquet" if p.is_dir() else str(p)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
