@@ -33,10 +33,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+# one-line catalog descriptions for lambda registrations (defs carry
+# their own docstring; tools/gen_catalog.py reads docstring-or-desc)
+_DESCRIPTIONS: dict[str, str] = {}
 
-def register(name: str, oracle: str | None):
+
+def register(name: str, oracle: str | None, desc: str | None = None):
     def deco(fn: QueryFn):
         _REGISTRY[name] = (fn, oracle)
+        if desc:
+            _DESCRIPTIONS[name] = desc
+        elif not (getattr(fn, "__doc__", None) or "").strip():
+            # keep the catalog complete: a registration must explain
+            # itself either via docstring or desc=
+            _DESCRIPTIONS.setdefault(name, "")
         return fn
 
     return deco
@@ -48,6 +58,19 @@ def queries() -> dict[str, QueryFn]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def descriptions() -> dict[str, str]:
+    """Catalog line per query: the builder's first docstring line, or
+    the desc= passed at registration for lambda builders."""
+    out: dict[str, str] = {}
+    for name, (fn, _) in _REGISTRY.items():
+        doc = (getattr(fn, "__doc__", None) or "").strip()
+        if doc:
+            out[name] = " ".join(doc.split("\n\n")[0].split())
+        else:
+            out[name] = _DESCRIPTIONS.get(name, "")
+    return out
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2457,3 +2480,23 @@ def _apply_window_order() -> None:
 
 
 _apply_window_order()
+
+
+# catalog lines for this module's lambda/def registrations that carry
+# no docstring (tools/gen_catalog.py emits docstring-or-desc; the
+# registry smoke test rejects blank cells)
+_DESCRIPTIONS.update({
+    "p04_sort_topk": "NL pipeline on orders: sort by o_totalprice desc, keep top 10 — compiled to TakeOrderedAndProject, never a full sort.",
+    "p06_with_column_bool": "NL pipeline on customer: add a computed boolean column (c_acctbal >= 5000) via the 'add <name> column where' clause.",
+    "p17_sort_filter_limit": "NL pipeline on orders: sort, then filter, then limit folded in the stated clause order (order-sensitivity check).",
+    "p18_groupby_avg_having": "NL pipeline on orders: group by o_orderpriority with decimal-exact average o_totalprice and a HAVING filter on the aggregate.",
+    "p22_nl_select_distinct": "NL pipeline on lineitem: 'Select distinct l_returnflag, l_linestatus' — projection then distinct (partial-agg dedup).",
+    "p25_nl_count_distinct": "NL pipeline on orders: global 'count distinct o_orderpriority' — a zero-key exact distinct aggregate.",
+    "x_join_semi": "Left-semi join orders -> high-quantity lineitem (EXISTS shape): the right side's payload columns never leave its scan.",
+    "x_join_anti": "Left-anti join customer -> orders (NOT EXISTS shape): customers with no orders, right side reduced to its join key.",
+    "x_window_topk_per_group": "Top-3 orders by price per priority via one row_number window — a single sort within each partition, id tie-break.",
+    "x_union_distinct": "UNION (distinct) of region and nation names: union-all then a hash dedup on the single output column.",
+    "x_distinct_pairs": "DISTINCT over the (l_returnflag, l_linestatus) pair: map-side partial dedup collapses 600k rows to 6 before the exchange.",
+    "x_intersect": "INTERSECT of customer and supplier nation keys — planned as a left-semi join over distinct keys.",
+    "x_count_distinct": "Per-segment exact COUNT(DISTINCT c_nationkey): two-phase expand + count Catalyst plan.",
+})

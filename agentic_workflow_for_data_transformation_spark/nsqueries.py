@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .benchqueries import _t, register
+from .benchqueries import _DESCRIPTIONS, _t, register
 from .operators import corpus, dedup, multimodal, sampling, similarity, text
 
 # ---------------------------------------------------------------- dedup
@@ -620,3 +620,39 @@ register(
         _t(spark, sf_dir, "documents")
     )
 )
+
+
+# catalog lines for this module's lambda registrations (the dedup/text/
+# similarity/sampling/corpus/multimodal families) — tools/gen_catalog.py
+# emits docstring-or-desc and the smoke test rejects blank cells
+_DESCRIPTIONS.update({
+    "ns_dedup_exact": "Exact duplicate groups: hash-aggregate on md5(text) so the exchange carries 16-byte digests, emitting count and min doc_id per duplicated text.",
+    "ns_dedup_ngram_jaccard": "Exact 3-gram Jaccard over candidate pairs — the documented quadratic verification harness for the LSH tier (never the serving path).",
+    "ns_dedup_minhash_lsh": "MinHash signatures + banded LSH: shingle -> 16 arithmetic min-hashes -> band keys; candidate pairs join on band buckets only.",
+    "ns_dedup_lsh_verified": "LSH candidates verified by exact Jaccard restricted to bucket survivors via broadcast semi-join — the full near-dup pair pipeline.",
+    "ns_dedup_clusters": "Connected components over verified near-dup pairs (Pregel-style min-label propagation with per-round localCheckpoint).",
+    "ns_dedup_apply": "Applied dedup: anti-join documents against non-representative cluster members, keeping one doc per near-dup cluster.",
+    "ns_dedup_simhash": "64-bit SimHash per document from one aggregation over word hashes — zero joins, the cheapest near-dup fingerprint.",
+    "ns_dedup_embedding_cosine": "Embedding near-dup pairs: auto-sized sign-LSH buckets, self-join within bucket, cosine >= 0.4 (output itself is quadratic on clustered data — see BENCH_SCALE.md).",
+    "ns_text_tokens": "Whitespace + BPE-ish regex token counts per document — pure JVM regex/array expressions.",
+    "ns_text_quality": "Quality scoring: length, punctuation ratio, stopword ratio, mean word length per document in one projection.",
+    "ns_text_langid": "N-gram-heuristic language ID: stopword-marker hit counts per language, argmax with deterministic tie-break.",
+    "ns_text_fingerprint": "64-bit rolling-hash document fingerprint over normalized words (order-sensitive, unlike a bag-of-words hash).",
+    "ns_text_top_ngrams": "Corpus-wide top-20 word 3-grams by count: explode, hash-aggregate, TakeOrderedAndProject.",
+    "ns_sim_topk_bruteforce": "Brute-force cosine top-k for one query vector: broadcast the query, one scan, TakeOrderedAndProject — the exactness baseline.",
+    "ns_sim_knn_per_label": "Exact per-label kNN join: quadratic within each label block BY DESIGN — the recall harness its bucketed sibling is validated against.",
+    "ns_centroids_per_label": "Per-label centroid vectors: posexplode + decimal-exact per-dimension means, reassembled in dimension order.",
+    "ns_sample_hash": "Deterministic hash sampling: keep rows whose salted md5 draw falls under the rate — a pure pushable filter, no shuffle.",
+    "ns_sample_balanced": "Class-balanced sampling: per-label row_number window capped at the minority class size.",
+    "ns_sample_stratified": "Per-stratum hash sampling at stratum-specific rates (lang-keyed), still a shuffle-free filter.",
+    "ns_decontaminate": "Benchmark decontamination: broadcast the benchmark shingle set into a left-anti join — the corpus side never shuffles.",
+    "ns_pack_sequences": "Greedy sequence packing into fixed token budgets, windowed per (lang, id-group) so packing parallelizes without a global scan.",
+    "ns_source_filter": "Source allow/deny filtering with per-source survival counts — predicate pushed to the scan.",
+    "ns_multimodal_resize": "Arrow-batched mapInPandas 'image resize' over binary payloads (decode honestly stubbed; schema/batching/partitioning real).",
+    "ns_multimodal_frames": "Arrow-batched mapInPandas frame sampling: one output row per sampled frame index with typed metadata.",
+    "ns_sim_topk_lsh": "Sign-LSH bucketed cosine top-k: bucket-equality prune before any vector math, exact scoring of the pruned set.",
+    "ns_text_hashvec": "8-bucket hashed bag-of-words features per document (feature-hashing trick) as one aggregation.",
+    "ns_sample_split": "Deterministic train/test split by salted hash draw — membership stable across runs and engines.",
+    "ns_multimodal_meta": "Typed metadata extraction (byte length, fake width/height) from binary payloads — the schema-contract half of the multimodal path.",
+    "ns_shuffle_sharded": "Deterministic corpus shuffle: salted-hash shard + in-shard sort — a reproducible global permutation without a single-node sort.",
+})

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .benchqueries import _t, register
+from .benchqueries import _DESCRIPTIONS, _t, register
 from .nsqueries import (
     _COS,
     _SHINGLE_CTE,
@@ -404,3 +404,31 @@ register(
     "round(sum(-ln(cnt * 1.0 / total)) / count(*), 6) AS surprisal "
     "FROM w JOIN v USING (w) CROSS JOIN t GROUP BY doc_id",
 )(lambda spark, sf_dir: text.unigram_surprisal(_t(spark, sf_dir, "documents")))
+
+
+# catalog lines for this module's lambda registrations — see the note
+# in nsqueries.py; tools/gen_catalog.py emits docstring-or-desc
+_DESCRIPTIONS.update({
+    "ns_text_redact": "PII-style redaction: regex-mask emails and long digit runs, reporting a masked-span count per document.",
+    "ns_embed_quantize": "Symmetric int8 vector quantization: per-vector scale + rounded components, exploded per dimension for the oracle.",
+    "ns_dedup_minhash_estimate": "Signature-only Jaccard estimate (matching-hash fraction) per LSH candidate pair — the O(k)/pair screen before exact verify.",
+    "ns_text_tfidf_top": "Top-3 TF-IDF terms per document: term/document frequencies as two hash-aggregates, smoothed idf, per-doc window rank.",
+    "ns_kmeans_refined": "One unrolled Lloyd iteration of cosine k-means: assign to seed centroids, decimal-exact mean refine, reassign.",
+    "ns_chunk_documents": "Sliding-window chunking (32-word windows, stride 16) as a pure narrow explode — no shuffle, tail chunks kept.",
+    "ns_text_repetition": "Intra-document 3-gram repetition ratio (1 - distinct/total grams) over a 60-bit gram hash.",
+    "ns_groupwise_scale": "Grouped min-max scaling of event values per event_type via applyInPandas (grouped-map Arrow path).",
+    "ns_sim_topk_ivf": "IVF top-k: assign vectors to nearest seed centroid cells, probe the query's 2 closest cells only — partition-pruned ANN.",
+    "ns_sim_topk_multi": "Multi-query brute-force top-k: all query vectors broadcast once, one scan scores every (query, row) pair.",
+    "ns_corpus_mix_weights": "Power-law (alpha=0.7) corpus mix weights per language from document counts — the sampling policy table.",
+    "ns_dedup_containment": "Asymmetric containment (|A∩B|/min |A|,|B|) over LSH candidates — catches subset duplication symmetric Jaccard misses.",
+    "ns_ann_recall_lsh": "ANN recall@5 harness: bucketed ANN vs exact brute-force for 4 query vectors in one bucketed scan, recall per query.",
+    "ns_dedup_exact_norm": "Normalized exact dedup: lowercase/strip-punctuation normalization, then groups on the 16-byte md5 of the normal form.",
+    "ns_corpus_length_hist": "Document length histogram in 64-char bins: one hash-aggregate over a computed bin key.",
+    "ns_sim_knn_bucketed": "Approximate per-label kNN join blocked by (label, residual sign-LSH bucket) with auto-sized bits — the linear-scaling sibling of the exact harness.",
+    "ns_profile_table": "One-pass column profiler (rows, non-null, distinct, min/max as strings) unpivoted to one row per column.",
+    "ns_dedup_incremental": "Incremental ingest dedup: anti-join the new batch's normalized digests against the existing corpus — only digests shuffle.",
+    "ns_corpus_length_buckets": "Padding-bucket accounting: round lengths up to 128-char buckets and report wasted padding chars per bucket.",
+    "ns_text_surprisal": "Unigram-surprisal quality score (mean -log2 corpus frequency per word) — a perplexity proxy from two aggregates.",
+    "ns_ks_drift_per_user": "Kolmogorov-Smirnov drift statistic between click and view value distributions per user via cogrouped applyInPandas.",
+    "ns_corpus_mix_apply": "Apply the power-law mix policy as a deterministic hash-draw sampler: per-language keep thresholds, stable membership.",
+})

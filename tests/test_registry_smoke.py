@@ -66,3 +66,11 @@ def test_local_oracle_report_covers_full_registry():
         if v.get("err") not in (None, "no_oracle") or v.get("hash_match") is False
     }
     assert not bad, f"failed rows in committed report: {sorted(bad)[:5]}"
+
+
+def test_every_query_has_a_catalog_description():
+    """QUERIES.md is the registry's browsing surface: every
+    registration must explain itself via docstring or desc= so the
+    generated catalog has no blank cells (VERDICT r3 #6)."""
+    blank = [k for k, v in benchqueries.descriptions().items() if not v.strip()]
+    assert not blank, f"registrations with no catalog line: {blank[:10]}"
