@@ -8,7 +8,7 @@ grouped-map scaling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .benchqueries import _DESCRIPTIONS, _t, register
@@ -404,6 +404,80 @@ register(
     "round(sum(-ln(cnt * 1.0 / total)) / count(*), 6) AS surprisal "
     "FROM w JOIN v USING (w) CROSS JOIN t GROUP BY doc_id",
 )(lambda spark, sf_dir: text.unigram_surprisal(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "ns_corpus_interleave",
+    "WITH s AS (SELECT source, row_number() OVER (ORDER BY source) AS src_idx, "
+    " count(*) OVER () AS n_src FROM (SELECT DISTINCT source FROM documents)), "
+    "r AS (SELECT doc_id, source, row_number() OVER "
+    " (PARTITION BY source ORDER BY doc_id) AS rn FROM documents) "
+    "SELECT doc_id, r.source, (rn - 1) * n_src + src_idx AS interleave_key "
+    "FROM r JOIN s ON r.source = s.source",
+)
+def ns_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave across sources: assigns
+    each document the training-order key (rank_within_source - 1) *
+    n_sources + source_index, so consuming in key order alternates
+    sources 1-per-step — the curriculum shape mixture training wants.
+    No global sort is ever computed: the per-source rank is a
+    partitioned window and the source index comes from a broadcast
+    20-row dimension; the total order exists only as a sortable key."""
+    docs = _t(spark, sf_dir, "documents")
+    srcs = (
+        docs.select("source").distinct()
+        .select(
+            "source",
+            F.row_number().over(Window.orderBy("source")).alias("src_idx"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_src"),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    return (
+        docs.join(F.broadcast(srcs), "source")
+        .select(
+            "doc_id",
+            "source",
+            ((rn - 1) * F.col("n_src") + F.col("src_idx")).alias("interleave_key"),
+        )
+    )
+
+
+@register(
+    "ns_text_bigram_lm",
+    "WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents), "
+    "g AS (SELECT unnest(list_transform(range(1, len(ws)), "
+    " i -> [ws[i], ws[i+1]])) AS bg FROM w WHERE len(ws) >= 2), "
+    "c AS (SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n FROM g GROUP BY 1, 2) "
+    "SELECT w1, w2, n, round(n * 1.0 / sum(n) OVER (PARTITION BY w1), 6) AS p "
+    "FROM c",
+)
+def ns_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model table: corpus-wide P(w2 | w1) as
+    count(w1,w2) / count(w1-prefix). One explode + hash-aggregate over
+    the corpus (map-side combine collapses to vocab^2 rows per
+    partition), then a window over the tiny vocab^2 count table for
+    the conditional — the big scan never sees a window function."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = docs.select(F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
+    pairs = ws.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    )
+    c = (
+        pairs.select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.select(
+        "w1", "w2", "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy("w1")), 6).alias("p"),
+    )
 
 
 # catalog lines for this module's lambda registrations — see the note
