@@ -406,6 +406,25 @@ register(
 )(lambda spark, sf_dir: text.unigram_surprisal(_t(spark, sf_dir, "documents")))
 
 
+register(
+    "ns_dedup_embedding_apply",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"b AS (SELECT vec_id, v, {_auto_bucket_sql('v')} AS bucket FROM d), "
+    "r AS (SELECT bucket, min(vec_id) AS rep_id FROM b GROUP BY 1), "
+    "rv AS (SELECT r.bucket, r.rep_id, b.v AS rv FROM r JOIN b ON r.rep_id = b.vec_id), "
+    "s AS (SELECT b.vec_id, b.bucket, rv.rep_id, "
+    + _COS.format(a="b.v", b="rv.rv") + " AS cos_to_rep "
+    " FROM b JOIN rv ON b.bucket = rv.bucket) "
+    "SELECT vec_id, bucket, cos_to_rep FROM s "
+    "WHERE vec_id = rep_id OR cos_to_rep < 0.9",
+    desc="Applied embedding dedup by canopy representative selection — one aggregation + one equi-join + one cosine per row, the LINEAR path where pair enumeration is quadratic.",
+)(
+    lambda spark, sf_dir: similarity.embedding_dedup_apply(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9, bits=None
+    )
+)
+
+
 @register(
     "ns_corpus_interleave",
     "WITH s AS (SELECT source, row_number() OVER (ORDER BY source) AS src_idx, "

@@ -191,6 +191,56 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4,
     )
 
 
+def embedding_dedup_apply(df: DataFrame, threshold: float = 0.9,
+                          bits: int | None = None,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int | None = None) -> DataFrame:
+    """Apply embedding dedup by REPRESENTATIVE SELECTION — the linear
+    sibling of embedding_neardup_pairs. Pair enumeration is inherently
+    quadratic in the duplicate mass (BENCH_SCALE.md: 129k -> 8.3M pairs
+    for 10x rows); a pipeline that only needs "keep one of each
+    near-dup set" never has to list the pairs. This canopy-style pass
+    costs one aggregation + one equi-join + one cosine per row:
+
+    - bucket rows by (auto-sized) sign-LSH;
+    - elect min-id per bucket as the representative;
+    - keep the representative plus every row whose cosine to it is
+      below the threshold.
+
+    Approximate by construction, in the same direction as all LSH
+    tiers: near-dups that land in different buckets both survive
+    (missed dedup, never lost data), and a bucket's non-rep member
+    similar to the rep but not to other members is still dropped only
+    against the rep. Emits survivors with their bucket and cos_to_rep
+    so the drop decision is auditable."""
+    if bits is None:
+        bits = auto_bits(df.count())
+    dim = probe_dim(df, vec_col, dim)
+    b = df.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("v"),
+        l2_norm(as_double_array(vec_col), dim).alias("nrm"),
+        sign_bucket(vec_col, bits).alias("bucket"),
+    )
+    reps = b.groupBy("bucket").agg(F.min(id_col).alias("rep_id"))
+    bv = b.select(
+        F.col(id_col).alias("_rid"),
+        F.col("v").alias("rv"),
+        F.col("nrm").alias("rnrm"),
+    )
+    repv = (
+        reps.join(bv, reps.rep_id == bv._rid)
+        .select("bucket", "rep_id", "rv", "rnrm")
+    )
+    scored = b.join(repv, "bucket").withColumn(
+        "cos_to_rep",
+        F.round(cosine_from_parts(F.col("v"), F.col("rv"), F.col("nrm"), F.col("rnrm")), 6),
+    )
+    return scored.filter(
+        (F.col(id_col) == F.col("rep_id")) | (F.col("cos_to_rep") < threshold)
+    ).select(id_col, "bucket", "cos_to_rep")
+
+
 def topk_cosine_ivf(df: DataFrame, query_id: int, k: int = 5,
                     n_centroids: int = 8, n_probe: int = 2,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -30,7 +30,7 @@ class ParseError(ValueError):
 
 _CLAUSE_KEYWORDS = (
     r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate"
-    r"|join|broadcast|for|sessionize"
+    r"|join|broadcast|for|sessionize|append"
     # join-type prefixes so "and left join ..." splits as a clause
     r"|inner|left|right|full|cross)"
 )
@@ -312,6 +312,11 @@ _ANTI_JOIN = re.compile(
     r"(\w+)\s+on\s+(\w+(?:\s*,\s*\w+)*)\s*$",
     re.IGNORECASE,
 )
+# "append rows from <table>" (union all, by column name) /
+# "append distinct rows from <table>" (union + dedup)
+_UNION = re.compile(
+    r"^append\s+(distinct\s+)?rows\s+from\s+(\w+)\s*$", re.IGNORECASE
+)
 _GLOBAL_AGG_WORDS = {"average": "avg", "total": "sum", "sum of": "sum",
                      "minimum": "min", "maximum": "max"}
 
@@ -452,6 +457,11 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "join", "right": m.group(1),
                 "on": [c.strip() for c in m.group(2).split(",")],
                 "how": "left_anti"}
+    if m := _UNION.match(clause):
+        op = {"op": "union", "right": m.group(2)}
+        if m.group(1):
+            op["distinct"] = True
+        return op
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}
     if m := _RENAME.match(clause):

@@ -9,10 +9,14 @@ generated ones (tests/test_property.py, hypothesis) — gets a free
 oracle, instead of only the hand-written queries having one.
 
 Coverage: the relational core (filter/select/with_column/rename/drop/
-sort/limit/distinct/sample/groupby_agg) and the full expression
-vocabulary. Join/union/window specs are compiled per-query by hand in
+sort/limit/distinct/sample/groupby_agg), join (all spec join types;
+semi/anti via DuckDB's SEMI/ANTI JOIN) and union (rendered as UNION
+[ALL] BY NAME — the exact positional-independence semantics of
+unionByName) when the right side is a table NAME, and the full
+expression vocabulary. Window specs are compiled per-query by hand in
 benchqueries (their SQL shape depends on table aliases); SqlGenError
-marks them unsupported here rather than emitting something wrong.
+marks them — and inline-DataFrame right sides — unsupported here
+rather than emitting something wrong.
 """
 
 from __future__ import annotations
@@ -160,6 +164,33 @@ def spec_to_sql(spec: dict, table: str) -> str:
             sql = f"SELECT DISTINCT * FROM ({sql})"
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "join":
+            right = op["right"]
+            if not isinstance(right, str):
+                raise SqlGenError("join right side must be a table name for SQL")
+            on = ", ".join(_q(c) for c in op["on"])
+            how = op.get("how", "inner")
+            if how in ("inner", "left", "right", "full"):
+                kw = {"inner": "JOIN", "left": "LEFT JOIN",
+                      "right": "RIGHT JOIN", "full": "FULL JOIN"}[how]
+                sql = f"SELECT * FROM ({sql}) {kw} {right} USING ({on})"
+            elif how == "left_semi":
+                sql = f"SELECT * FROM ({sql}) SEMI JOIN {right} USING ({on})"
+            elif how == "left_anti":
+                sql = f"SELECT * FROM ({sql}) ANTI JOIN {right} USING ({on})"
+            elif how == "cross":
+                sql = f"SELECT * FROM ({sql}) CROSS JOIN {right}"
+            else:  # pragma: no cover - spec validation rejects first
+                raise SqlGenError(f"no SQL rendering for join how={how!r}")
+        elif kind == "union":
+            right = op["right"]
+            if not isinstance(right, str):
+                raise SqlGenError("union right side must be a table name for SQL")
+            kw = "UNION BY NAME" if op.get("distinct") else "UNION ALL BY NAME"
+            sql = f"SELECT * FROM ({sql}) {kw} SELECT * FROM {right}"
+            if op.get("distinct"):
+                # UNION BY NAME already dedups; nothing further
+                pass
         elif kind == "groupby_agg":
             aggs = []
             for a in op["aggs"]:

@@ -162,3 +162,103 @@ def test_random_aggregates_match_duckdb(spark_module, expr, keys, fn):
     got = _spark_rows(compile_spec(spark_module, spec))
     want = _duck(spec_to_sql(spec, "people"))
     assert got == want
+
+
+# ---- join/union fuzz (round-4 grammar surface) ---------------------------
+# A dim table that deliberately misses five people-cities and contains
+# one city no person has: every join type has matched AND unmatched
+# rows on both sides. people2 shares one exact row with people so
+# union-distinct actually dedups.
+CITIES_ROWS = [
+    ("New York", "east"), ("Chicago", "central"), ("Seattle", "west"),
+    ("Austin", "south"), ("Miami", "south"), ("Nowhere", "void"),
+]
+CITIES_PDF = pd.DataFrame(CITIES_ROWS, columns=["city", "region"])
+PEOPLE2_ROWS = [
+    ("Karl", 28, "Chicago"), ("Alice", 25, "New York"), ("Luna", 33, "Reno"),
+]
+PEOPLE2_PDF = pd.DataFrame(PEOPLE2_ROWS, columns=["name", "age", "city"])
+
+
+def _name_sorted_rows(pdf: pd.DataFrame) -> list[tuple]:
+    # engines order join output columns differently (Spark leads with
+    # the USING keys); compare by sorted column name like the driver's
+    # oracle gate does
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+
+
+def _duck2(sql: str) -> list[tuple]:
+    con = duckdb.connect()
+    con.register("people", PEOPLE_PDF)
+    con.register("cities", CITIES_PDF)
+    con.register("people2", PEOPLE2_PDF)
+    pdf = con.execute(sql).fetch_df()
+    con.close()
+    return _name_sorted_rows(pdf)
+
+
+@pytest.fixture(scope="module")
+def join_tables(spark):
+    from pyspark.sql import types as T
+
+    cities = spark.createDataFrame(
+        CITIES_ROWS,
+        T.StructType([
+            T.StructField("city", T.StringType(), False),
+            T.StructField("region", T.StringType(), False),
+        ]),
+    )
+    people2 = spark.createDataFrame(
+        PEOPLE2_ROWS,
+        T.StructType([
+            T.StructField("name", T.StringType(), False),
+            T.StructField("age", T.LongType(), False),
+            T.StructField("city", T.StringType(), False),
+        ]),
+    )
+    return {"cities": cities, "people2": people2}
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    how=st.sampled_from(["inner", "left", "right", "full",
+                         "left_semi", "left_anti"]),
+)
+def test_random_joins_match_duckdb(spark_module, join_tables, expr, how):
+    """Every spec join type over a filtered left side, against the
+    sqlgen rendering (JOIN ... USING / SEMI / ANTI): matched and
+    unmatched rows on both sides, null-extension included."""
+    spec = {"ops": [
+        {"op": "filter", "expr": expr},
+        {"op": "join", "right": "cities", "on": ["city"], "how": how},
+    ]}
+    got = _name_sorted_rows(compile_spec(spark_module, spec, tables=join_tables).toPandas())
+    want = _duck2(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(expr=predicate, distinct=st.booleans())
+def test_random_unions_match_duckdb(spark_module, join_tables, expr, distinct):
+    """unionByName (+ optional distinct) vs UNION [ALL] BY NAME —
+    including the duplicate row people shares with people2."""
+    op = {"op": "union", "right": "people2"}
+    if distinct:
+        op["distinct"] = True
+    spec = {"ops": [{"op": "filter", "expr": expr}, op]}
+    got = _name_sorted_rows(compile_spec(spark_module, spec, tables=join_tables).toPandas())
+    want = _duck2(spec_to_sql(spec, "people"))
+    assert got == want

@@ -199,6 +199,12 @@ def test_parser_join_clauses():
     spec = parse_description("Keep top 7 rows")
     assert spec["ops"] == [{"op": "limit", "n": 7}]
 
+    # union clause: "append rows from <table>", optional distinct
+    spec = parse_description("Select a and append rows from other")
+    assert spec["ops"][1] == {"op": "union", "right": "other"}
+    spec = parse_description("Append distinct rows from other")
+    assert spec["ops"] == [{"op": "union", "right": "other", "distinct": True}]
+
 
 def test_spec_string_functions_compile(spark, people):
     from agentic_workflow_for_data_transformation_spark.plans import compile_spec

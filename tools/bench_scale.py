@@ -48,7 +48,9 @@ QUERIES = [
     "ns_ann_recall_lsh",
     "ns_text_quality",
     "ns_pack_sequences",
+    "ns_dedup_embedding_apply",
     "x_sessionize_batch",
+    "x_join_interval_bucketed",
     "x_time_bucket_agg",
     "x_join_asof",
     "p20_tpch_q1",
