@@ -2417,6 +2417,31 @@ def p34_nl_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P36_DESC = (
+    "Add running total of l_quantity per l_suppkey ordered by l_orderkey and "
+    "select l_orderkey, l_linenumber, l_suppkey and running_sum_l_quantity."
+)
+
+
+def _p36_oracle() -> str:
+    # dogfood: the registered oracle IS the sqlgen rendering of the
+    # parsed description, so parser, compiler, and SQL generator are
+    # all on the hook for the same spec
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(parse_description(_P36_DESC), "lineitem")
+
+
+@register("p36_nl_running_total", _p36_oracle())
+def p36_nl_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL ordered-aggregate window: 'add running total of X per K
+    ordered by O'. Spark's default RANGE frame equals the SQL default,
+    so order-by ties accumulate as one peer group in every engine;
+    l_quantity is an integral double, so the running sum is exact
+    regardless of accumulation order."""
+    return _nl(spark, sf_dir, "lineitem", _P36_DESC)
+
+
 @register(
     "x_pivot_status_by_priority",
     "SELECT o_orderpriority, "

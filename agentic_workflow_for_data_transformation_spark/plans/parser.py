@@ -317,6 +317,16 @@ _ANTI_JOIN = re.compile(
 _UNION = re.compile(
     r"^append\s+(distinct\s+)?rows\s+from\s+(\w+)\s*$", re.IGNORECASE
 )
+# "add running total of value per user_id ordered by ts" — an ordered
+# aggregate window (Spark's default RANGE frame = the SQL default, so
+# ties accumulate together in every engine)
+_RUNNING = re.compile(
+    r"^add\s+running\s+(total|sum|count|average|minimum|maximum)\s+of\s+(\w+)"
+    r"\s+per\s+(\w+)\s+ordered\s+by\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_RUNNING_FNS = {"total": "sum", "sum": "sum", "count": "count",
+                "average": "avg", "minimum": "min", "maximum": "max"}
 _GLOBAL_AGG_WORDS = {"average": "avg", "total": "sum", "sum of": "sum",
                      "minimum": "min", "maximum": "max"}
 
@@ -462,6 +472,15 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         if m.group(1):
             op["distinct"] = True
         return op
+    if m := _RUNNING.match(clause):
+        fn = _RUNNING_FNS[m.group(1).lower()]
+        col = _resolve_col(m.group(2), columns)
+        return {
+            "op": "window",
+            "partition_by": [m.group(3)],
+            "order_by": [{"col": m.group(4), "asc": True}],
+            "exprs": [{"fn": fn, "col": col, "alias": f"running_{fn}_{col}"}],
+        }
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}
     if m := _RENAME.match(clause):

@@ -12,11 +12,11 @@ Coverage: the relational core (filter/select/with_column/rename/drop/
 sort/limit/distinct/sample/groupby_agg), join (all spec join types;
 semi/anti via DuckDB's SEMI/ANTI JOIN) and union (rendered as UNION
 [ALL] BY NAME — the exact positional-independence semantics of
-unionByName) when the right side is a table NAME, and the full
-expression vocabulary. Window specs are compiled per-query by hand in
-benchqueries (their SQL shape depends on table aliases); SqlGenError
-marks them — and inline-DataFrame right sides — unsupported here
-rather than emitting something wrong.
+unionByName) when the right side is a table NAME, window (ranking,
+lag/lead, ordered aggregates — Spark's default RANGE frame is the SQL
+default, so no frame clause is emitted), and the full expression
+vocabulary. SqlGenError marks inline-DataFrame right sides
+unsupported rather than emitting something wrong.
 """
 
 from __future__ import annotations
@@ -164,6 +164,33 @@ def spec_to_sql(spec: dict, table: str) -> str:
             sql = f"SELECT DISTINCT * FROM ({sql})"
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "window":
+            parts = ", ".join(_q(c) for c in op.get("partition_by", []))
+            order = ", ".join(
+                _q(k["col"])
+                + (" ASC NULLS FIRST" if k.get("asc", True) else " DESC NULLS LAST")
+                for k in op["order_by"]
+            )
+            over = (
+                "OVER ("
+                + (f"PARTITION BY {parts} " if parts else "")
+                + f"ORDER BY {order})"
+            )
+            # Spark's default frame for an ordered aggregate window is
+            # RANGE UNBOUNDED PRECEDING..CURRENT ROW — the SQL default,
+            # so peers (order-by ties) are included identically and no
+            # explicit frame clause is needed.
+            sel = ["*"]
+            for e in op["exprs"]:
+                fn = e["fn"]
+                if fn in ("row_number", "rank", "dense_rank"):
+                    call = f"{fn}()"
+                elif fn in ("lag", "lead"):
+                    call = f"{fn}({_q(e['col'])}, {e.get('offset', 1)})"
+                else:
+                    call = f"{'avg' if fn == 'avg' else fn}({_q(e['col'])})"
+                sel.append(f"{call} {over} AS {_q(e['alias'])}")
+            sql = wrap(", ".join(sel))
         elif kind == "join":
             right = op["right"]
             if not isinstance(right, str):

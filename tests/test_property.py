@@ -180,13 +180,21 @@ PEOPLE2_ROWS = [
 PEOPLE2_PDF = pd.DataFrame(PEOPLE2_ROWS, columns=["name", "age", "city"])
 
 
+def _norm_num(v) -> str:
+    # DuckDB widens sum(BIGINT) to HUGEINT (float64 via pandas) where
+    # Spark keeps LongType: compare integral floats as ints
+    if isinstance(v, float) and not pd.isna(v) and v == int(v):
+        return str(int(v))
+    return str(v)
+
+
 def _name_sorted_rows(pdf: pd.DataFrame) -> list[tuple]:
     # engines order join output columns differently (Spark leads with
     # the USING keys); compare by sorted column name like the driver's
     # oracle gate does
     cols = sorted(pdf.columns)
     return sorted(
-        tuple(str(v) for v in row)
+        tuple(_norm_num(v) for v in row)
         for row in pdf[cols].itertuples(index=False, name=None)
     )
 
@@ -261,4 +269,96 @@ def test_random_unions_match_duckdb(spark_module, join_tables, expr, distinct):
     spec = {"ops": [{"op": "filter", "expr": expr}, op]}
     got = _name_sorted_rows(compile_spec(spark_module, spec, tables=join_tables).toPandas())
     want = _duck2(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(["row_number", "rank", "dense_rank", "lag", "lead",
+                        "sum", "min", "max", "count", "avg"]),
+    parts=st.sampled_from([[], ["city"]]),
+    age_desc=st.booleans(),
+)
+def test_random_windows_match_duckdb(spark_module, fn, parts, age_desc):
+    """Every spec window function (ranking, lag/lead, ordered
+    aggregates) against sqlgen's OVER rendering. The (age, name) order
+    is total (names unique), so ranking and lag/lead are
+    deterministic; integer sums make ordered aggregates exact."""
+    spec = {"ops": [{
+        "op": "window",
+        "partition_by": parts,
+        "order_by": [
+            {"col": "age", "asc": not age_desc},
+            {"col": "name", "asc": True},
+        ],
+        "exprs": [{"fn": fn, "col": "age", "alias": "w"}],
+    }]}
+    got = _name_sorted_rows(compile_spec(spark_module, spec).toPandas())
+    want = _duck2(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+# ---- null-handling fuzz: three-valued logic + null ordering --------------
+PEOPLE_NULL_ROWS = PEOPLE_ROWS + [
+    ("Kira", None, "Chicago"), ("Liam", 27, None), ("Mona", None, None),
+]
+PEOPLE_NULL_PDF = pd.DataFrame(
+    PEOPLE_NULL_ROWS, columns=["name", "age", "city"]
+).astype({"age": "Int64"})
+
+
+def _norm_null(v) -> str:
+    if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)):
+        return "NULL"
+    return str(v)
+
+
+def _null_rows(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    return sorted(
+        tuple(_norm_null(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+
+
+@pytest.fixture(scope="module")
+def people_nulls(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("name", T.StringType(), False),
+        T.StructField("age", T.LongType(), True),
+        T.StructField("city", T.StringType(), True),
+    ])
+    return spark.createDataFrame(PEOPLE_NULL_ROWS, schema)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(expr=predicate, sort_desc=st.booleans(), n=st.integers(min_value=0, max_value=13))
+def test_null_semantics_match_duckdb(people_nulls, expr, sort_desc, n):
+    """Three-valued logic end to end: random predicates over a table
+    WITH nulls (a NULL comparison filters the row in both engines, NOT
+    included), then a sort+limit whose boundary rows depend on the
+    NULLS FIRST/LAST mapping sqlgen pins to Spark's defaults."""
+    spec = {"ops": [
+        {"op": "filter", "expr": expr},
+        {"op": "sort", "keys": [
+            {"col": "age", "asc": not sort_desc},
+            {"col": "name", "asc": True},
+        ]},
+        {"op": "limit", "n": n},
+    ]}
+    got = _null_rows(compile_spec(people_nulls, spec).toPandas())
+    con = duckdb.connect()
+    con.register("people_n", PEOPLE_NULL_PDF)
+    want = _null_rows(con.execute(spec_to_sql(spec, "people_n")).fetch_df())
+    con.close()
     assert got == want

@@ -205,6 +205,20 @@ def test_parser_join_clauses():
     spec = parse_description("Append distinct rows from other")
     assert spec["ops"] == [{"op": "union", "right": "other", "distinct": True}]
 
+    # ordered-aggregate window: "add running total of X per K ordered by O"
+    spec = parse_description("Add running total of value per user_id ordered by ts")
+    assert spec["ops"] == [{
+        "op": "window",
+        "partition_by": ["user_id"],
+        "order_by": [{"col": "ts", "asc": True}],
+        "exprs": [{"fn": "sum", "col": "value", "alias": "running_sum_value"}],
+    }]
+    spec = parse_description("Add running count of event_id per user_id ordered by ts")
+    assert spec["ops"][0]["exprs"][0]["fn"] == "count"
+    # the plain add-column clause must not be shadowed
+    spec = parse_description("Add is_adult column where is_adult = age >= 18")
+    assert spec["ops"][0]["op"] == "with_column"
+
 
 def test_spec_string_functions_compile(spark, people):
     from agentic_workflow_for_data_transformation_spark.plans import compile_spec
