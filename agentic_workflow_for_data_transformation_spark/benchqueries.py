@@ -2555,7 +2555,8 @@ def p35_nl_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH s AS (SELECT DISTINCT user_id, ts AS period_start FROM events "
     " WHERE event_type = 'signup'), "
     "p AS (SELECT user_id, period_start, coalesce(lead(period_start) OVER "
-    " (PARTITION BY user_id ORDER BY period_start), TIMESTAMP '2024-02-01') "
+    " (PARTITION BY user_id ORDER BY period_start), "
+    " (SELECT max(ts) + INTERVAL 1 DAY FROM events)) "
     " AS period_end FROM s) "
     "SELECT e.event_id, e.user_id, p.period_start "
     "FROM events e JOIN p ON e.user_id = p.user_id "
@@ -2565,49 +2566,16 @@ def x_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-to-big interval containment join WITHOUT a range join:
     assign each event to the signup period [signup_i, signup_i+1)
     containing it. The naive plan is a non-equi join (BNLJ — quadratic
-    when both sides are large). Here each period explodes into the DAY
-    buckets it spans (bounded by period length / 1 day; the period
-    side is the small distinct-signups subset), the fact side computes
-    its day, and the join becomes a plain (user_id, day) HASH join
-    followed by an exact containment filter. This is the standard
-    bucketed range-join decomposition — the same plan works at 100 TB
-    with the bucket width tuned to interval length."""
+    when both sides are large); joins.interval_containment_join turns
+    it into a (user_id, day-bucket) hash join. The final period closes
+    at a data-derived horizon (max event ts + 1 day), so the operator
+    keeps working on datasets whose event window extends."""
     ev = read_events(spark, sf_dir)
     signups = (
         ev.filter(F.col("event_type") == "signup")
         .select("user_id", F.col("ts").alias("period_start"))
-        .distinct()
     )
-    w = Window.partitionBy("user_id").orderBy("period_start")
-    periods = signups.select(
-        "user_id",
-        "period_start",
-        F.coalesce(
-            F.lead("period_start").over(w),
-            F.lit("2024-02-01").cast("timestamp"),
-        ).alias("period_end"),
-    )
-    buckets = periods.select(
-        "user_id",
-        "period_start",
-        "period_end",
-        F.explode(
-            F.sequence(
-                F.to_date("period_start"),
-                # a period ending exactly at midnight contributes no
-                # events on its end day, but the extra bucket row is
-                # harmless (the containment filter drops strays)
-                F.to_date("period_end"),
-                F.expr("interval 1 day"),
-            )
-        ).alias("day"),
-    )
-    evd = ev.select("event_id", "user_id", "ts", F.to_date("ts").alias("day"))
-    return (
-        evd.join(buckets, ["user_id", "day"])
-        .filter((F.col("ts") >= F.col("period_start")) & (F.col("ts") < F.col("period_end")))
-        .select("event_id", "user_id", "period_start")
-    )
+    return joins.interval_containment_join(ev, signups)
 
 
 # --------------------------------------------------------------------------

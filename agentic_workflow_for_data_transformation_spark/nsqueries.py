@@ -106,9 +106,13 @@ _DEDUP_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def clear_dedup_cache() -> None:
-    """Release every cached intermediate (and its localCheckpoint
-    blocks, via unpersist). Exposed for long-lived drivers that touch
-    many sf_dirs; also called automatically on sf_dir eviction."""
+    """EXPLICITLY release every cached intermediate (and its
+    localCheckpoint blocks, via unpersist). For callers that know no
+    frame built from the cache is still live — after unpersist, a
+    previously returned DataFrame can no longer execute, because
+    localCheckpoint truncates lineage and lost blocks cannot be
+    recomputed. Automatic sf_dir eviction deliberately does NOT call
+    this (it only drops references; see _dedup_cached)."""
     for df in _DEDUP_CACHE.values():
         try:
             df.unpersist()
@@ -123,13 +127,14 @@ def _dedup_cached(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     if got is None:
         # bound the cache to ONE (app, sf_dir): a long-lived driver
         # sweeping many sf_dirs must not pin every dir's checkpoint
-        # blocks for process lifetime — evict (and unpersist) the rest
-        stale = [k for k in _DEDUP_CACHE if k[:2] != key[:2]]
-        for k in stale:
-            try:
-                _DEDUP_CACHE[k].unpersist()
-            except Exception:
-                pass
+        # blocks for process lifetime. Eviction only DROPS the
+        # references — it must not unpersist, because a query built
+        # for the evicted dir may still hold the frame, and a
+        # localCheckpoint'ed frame whose blocks are gone cannot
+        # recompute (truncated lineage). Once the last reference goes,
+        # the ContextCleaner frees the blocks (periodicGC is 90s,
+        # session.py). clear_dedup_cache() remains the explicit path.
+        for k in [k for k in _DEDUP_CACHE if k[:2] != key[:2]]:
             del _DEDUP_CACHE[k]
         docs = _t(spark, sf_dir, "documents")
         if kind == "eidx":

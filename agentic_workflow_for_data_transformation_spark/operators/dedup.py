@@ -29,21 +29,25 @@ from pyspark.sql import functions as F
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # top bit of a hex digit
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the scan yields fewer partitions
-    than cores. Row-expansion operators (shingling, word explode) do
-    orders of magnitude more work than the scan, so a single small
-    parquet file must not pin the whole pipeline to one task; on a
-    real multi-file 100 TB table this is a no-op.
+def spread_small_input(df: DataFrame, max_files: int = 4) -> DataFrame:
+    """Round-robin repartition for TINY inputs only. Row-expansion
+    operators (shingling, word explode) do orders of magnitude more
+    work than the scan, so a single small parquet file (or an
+    in-memory test frame, which reports zero files) must not pin the
+    whole pipeline to one task.
 
     The smallness probe is the scan's file count (``df.inputFiles()``),
     NOT ``df.rdd.getNumPartitions()`` — touching ``.rdd`` forces a
-    driver-side plan conversion per query construction. A table with
-    at least one file per core never repartitions (the 100 TB case);
-    fewer files than cores (single-file local test inputs, in-memory
-    test frames reporting zero files) get the round-robin spread."""
+    driver-side plan conversion per query construction. The threshold
+    is a small CONSTANT (``max_files``), deliberately not
+    ``defaultParallelism``: file count does not track scan parallelism
+    for big tables (Spark splits large files at
+    ``maxPartitionBytes``), so comparing against the core count would
+    full-shuffle a 40-file x 1 GB table on a 64-core cluster — exactly
+    the input this helper must leave alone. A handful of files is only
+    ever the local-test case; anything larger is a no-op."""
     sc = df.sparkSession.sparkContext
-    if len(df.inputFiles()) < sc.defaultParallelism:
+    if len(df.inputFiles()) <= max_files:
         return df.repartition(sc.defaultParallelism)
     return df
 

@@ -137,3 +137,69 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: str,
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return f.join(d, [on, "_salt"], how).drop("_salt")
+
+
+def interval_containment_join(
+    events: DataFrame,
+    boundaries: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Assign each event to the [boundary_i, boundary_i+1) period
+    containing it — a big-to-big interval containment join WITHOUT a
+    non-equi join. ``boundaries`` carries (key_col, period_start) rows
+    (e.g. the signup events); the last period per key is closed at a
+    DATA-DERIVED horizon (max event ts + 1 bucket), never a constant,
+    so events later than any boundary still land in the final period.
+
+    Physical plan: periods explode into the DAY buckets they span
+    (bounded by period length in days; the period side is the small
+    boundary subset), the fact side computes its day, and the join
+    becomes a plain (key, day) HASH join followed by the exact
+    containment filter. This is the standard bucketed range-join
+    decomposition — at 100 TB, pick the bucket width to match typical
+    interval length (day here; swap to_date for date_trunc of another
+    unit and the interval literal accordingly)."""
+    horizon = events.agg(
+        F.timestamp_add("DAY", F.lit(1), F.max(ts_col)).alias("_horizon")
+    )
+    w = Window.partitionBy(key_col).orderBy("period_start")
+    periods = (
+        boundaries.select(key_col, "period_start")
+        .distinct()
+        .join(F.broadcast(horizon))
+        .select(
+            key_col,
+            "period_start",
+            F.coalesce(F.lead("period_start").over(w), F.col("_horizon")).alias(
+                "period_end"
+            ),
+        )
+    )
+    buckets = periods.select(
+        key_col,
+        "period_start",
+        "period_end",
+        F.explode(
+            F.sequence(
+                F.to_date("period_start"),
+                # a period ending exactly at midnight contributes no
+                # events on its end day, but the extra bucket row is
+                # harmless (the containment filter drops strays)
+                F.to_date("period_end"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("_bucket"),
+    )
+    evd = events.select(
+        id_col, key_col, ts_col, F.to_date(ts_col).alias("_bucket")
+    )
+    return (
+        evd.join(buckets, [key_col, "_bucket"])
+        .filter(
+            (F.col(ts_col) >= F.col("period_start"))
+            & (F.col(ts_col) < F.col("period_end"))
+        )
+        .select(id_col, key_col, "period_start")
+    )

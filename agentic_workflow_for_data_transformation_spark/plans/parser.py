@@ -368,10 +368,13 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         g, n, v = m.group(1), int(m.group(2)), _resolve_col(m.group(3), columns)
         # deterministic tie-break (determinism policy): append the
         # table's first column (the star schema's primary key) so
-        # row_number's order is total even when top values tie
+        # row_number's order is total even when top values tie. Marked
+        # _auto so parse_description can strip it if an earlier clause
+        # projected that column away (the marker never reaches the
+        # validated spec).
         order = [{"col": v, "asc": False}]
         if columns and columns[0] not in (v, g):
-            order.append({"col": columns[0], "asc": True})
+            order.append({"col": columns[0], "asc": True, "_auto": True})
         return [
             {"op": "window", "partition_by": [g],
              "order_by": order,
@@ -526,7 +529,47 @@ def parse_description(description: str, columns: list[str] | None = None) -> dic
     for c in clauses:
         parsed = _parse_clause(c, columns)
         ops.extend(parsed if isinstance(parsed, list) else [parsed])
+    _strip_unavailable_tiebreaks(ops, columns)
     spec = {"ops": ops}
     from .spec import validate_spec
 
     return validate_spec(spec)
+
+
+def _strip_unavailable_tiebreaks(ops: list[dict], columns: list[str] | None) -> None:
+    """Drop auto-added top-k tie-break keys whose column an earlier
+    clause projected away (e.g. 'Select a and b and for each a show
+    top 1 by b' — the primary-key tie-break no longer resolves).
+    Tracks the frame's column set through the ops; the '_auto' marker
+    is removed in every case so it never reaches the validated spec."""
+    cols: set[str] | None = set(columns) if columns else None
+    for op in ops:
+        kind = op["op"]
+        if kind == "window":
+            kept = []
+            for k in op.get("order_by", []):
+                auto = k.pop("_auto", False)
+                if auto and cols is not None and k["col"] not in cols:
+                    continue
+                kept.append(k)
+            op["order_by"] = kept
+            if cols is not None:
+                cols |= {e["alias"] for e in op.get("exprs", [])}
+        elif cols is None:
+            continue
+        elif kind == "select":
+            cols = set(op["cols"])
+        elif kind == "drop":
+            cols -= set(op["cols"])
+        elif kind == "rename":
+            for old, new in op["renames"].items():
+                cols.discard(old)
+                cols.add(new)
+        elif kind == "with_column":
+            cols.add(op["name"])
+        elif kind == "groupby_agg":
+            cols = set(op["keys"]) | {a["alias"] for a in op["aggs"]}
+        elif kind == "sessionize":
+            cols.add("session_id")
+        # filter/sort/limit/distinct/sample keep the column set;
+        # join/union only ever preserve the left side's columns

@@ -188,7 +188,7 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 elif fn in ("lag", "lead"):
                     call = f"{fn}({_q(e['col'])}, {e.get('offset', 1)})"
                 else:
-                    call = f"{'avg' if fn == 'avg' else fn}({_q(e['col'])})"
+                    call = f"{fn}({_q(e['col'])})"
                 sel.append(f"{call} {over} AS {_q(e['alias'])}")
             sql = wrap(", ".join(sel))
         elif kind == "join":
@@ -197,27 +197,29 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 raise SqlGenError("join right side must be a table name for SQL")
             on = ", ".join(_q(c) for c in op["on"])
             how = op.get("how", "inner")
-            if how in ("inner", "left", "right", "full"):
+            # spec joins always carry 'on', and Spark applies the
+            # equi-condition even when how='cross' (df.join(r, on,
+            # 'cross') is an equi-join) — so 'cross' renders as the
+            # same USING join the compiler actually executes
+            if how in ("inner", "left", "right", "full", "cross"):
                 kw = {"inner": "JOIN", "left": "LEFT JOIN",
-                      "right": "RIGHT JOIN", "full": "FULL JOIN"}[how]
+                      "right": "RIGHT JOIN", "full": "FULL JOIN",
+                      "cross": "JOIN"}[how]
                 sql = f"SELECT * FROM ({sql}) {kw} {right} USING ({on})"
             elif how == "left_semi":
                 sql = f"SELECT * FROM ({sql}) SEMI JOIN {right} USING ({on})"
             elif how == "left_anti":
                 sql = f"SELECT * FROM ({sql}) ANTI JOIN {right} USING ({on})"
-            elif how == "cross":
-                sql = f"SELECT * FROM ({sql}) CROSS JOIN {right}"
             else:  # pragma: no cover - spec validation rejects first
                 raise SqlGenError(f"no SQL rendering for join how={how!r}")
         elif kind == "union":
             right = op["right"]
             if not isinstance(right, str):
                 raise SqlGenError("union right side must be a table name for SQL")
+            # UNION BY NAME dedups, UNION ALL BY NAME concatenates —
+            # exactly unionByName (+ optional .distinct())
             kw = "UNION BY NAME" if op.get("distinct") else "UNION ALL BY NAME"
             sql = f"SELECT * FROM ({sql}) {kw} SELECT * FROM {right}"
-            if op.get("distinct"):
-                # UNION BY NAME already dedups; nothing further
-                pass
         elif kind == "groupby_agg":
             aggs = []
             for a in op["aggs"]:

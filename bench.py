@@ -7,6 +7,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query executes fully (noop sink — JVM-side, no driver collect) so
 the timing covers scan + shuffle + aggregation, not result transfer.
+The cold/steady/min-of-2 measurement protocol lives in
+agentic_workflow_for_data_transformation_spark/benchutil.py, shared
+with tools/bench_scale.py so the two harnesses can never drift.
 """
 
 from __future__ import annotations
@@ -14,12 +17,12 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from agentic_workflow_for_data_transformation_spark import benchqueries
+from agentic_workflow_for_data_transformation_spark.benchutil import time_query, warmup
 from agentic_workflow_for_data_transformation_spark.session import get_spark
 
 
@@ -31,42 +34,14 @@ def main() -> None:
         sf = 0.0  # unconventional dir name; the read path still decides existence
 
     spark = get_spark(app_name="bench")
-    # one tiny action up front so JVM/codegen warmup isn't billed to
-    # whichever query happens to run first
-    spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    warmup(spark)
 
-    # each query runs twice: the first execution pays one-time plan
-    # costs (codegen class compilation, JIT warmup) that don't recur in
-    # a long-lived engine; the second is the steady-state number. Both
-    # totals are reported.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    jvm_gc = spark.sparkContext._jvm.System.gc  # type: ignore[attr-defined]
     for name, fn in benchqueries.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - t0, 4)
-        # a 230-execution session accumulates cleaner work (shuffle
-        # files, checkpoint blocks, codegen classes) that old-gen GC
-        # releases in multi-second pauses landing on random queries;
-        # collect BEFORE the timed run so the steady-state number
-        # measures the query, not whichever query the pause hit
-        jvm_gc()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        steady = time.perf_counter() - t0
-        # a steady run slower than its own cold run means a long-session
-        # pause (old-gen GC, shuffle-file cleaner) landed inside it, not
-        # a plan regression — re-measure once post-GC and keep the min,
-        # so per-query numbers reproduce against isolated runs instead
-        # of charging one unlucky query for session housekeeping
-        # (VERDICT r3: x_join_range read 7.6 s in-session, 1.0 s alone)
-        if steady > max(0.5, cold[name]):
-            jvm_gc()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            steady = min(steady, time.perf_counter() - t0)
-        timings[name] = round(steady, 4)
+        c, s = time_query(spark, fn, sf_dir)
+        cold[name] = round(c, 4)
+        timings[name] = round(s, 4)
 
     total = round(sum(timings.values()), 4)
     print(

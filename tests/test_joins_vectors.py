@@ -116,3 +116,44 @@ def test_auto_bits_keeps_bucket_size_constant():
     for n in (500, 5_000, 50_000, 5_000_000):
         bits = auto_bits(n)
         assert n / 2**bits <= 400, (n, bits)
+
+
+def test_interval_containment_join_late_events(spark):
+    """The final period must close at a DATA-DERIVED horizon: an event
+    after the last boundary (and after any fixed calendar constant)
+    still lands in the last period instead of crashing F.sequence or
+    silently dropping."""
+    from datetime import datetime
+
+    from agentic_workflow_for_data_transformation_spark.operators.joins import (
+        interval_containment_join,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 5, 12, 0), 7, "signup"),
+            (2, datetime(2024, 1, 7, 9, 0), 7, "click"),
+            (3, datetime(2024, 3, 1, 0, 30), 7, "signup"),
+            (4, datetime(2026, 6, 15, 8, 0), 7, "click"),   # far future
+            (5, datetime(2024, 1, 1, 0, 0), 8, "click"),    # before any boundary
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    from pyspark.sql import functions as F
+
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("period_start")
+    )
+    got = {
+        r["event_id"]: r["period_start"]
+        for r in interval_containment_join(ev, signups).collect()
+    }
+    # events 1,2 fall in the first period; 3,4 in the second (4 only
+    # because the horizon is max(ts)+1day, not a constant); 5 has no
+    # containing period (inner semantics)
+    assert got == {
+        1: datetime(2024, 1, 5, 12, 0),
+        2: datetime(2024, 1, 5, 12, 0),
+        3: datetime(2024, 3, 1, 0, 30),
+        4: datetime(2024, 3, 1, 0, 30),
+    }

@@ -239,12 +239,14 @@ def join_tables(spark):
 @given(
     expr=predicate,
     how=st.sampled_from(["inner", "left", "right", "full",
-                         "left_semi", "left_anti"]),
+                         "left_semi", "left_anti", "cross"]),
 )
 def test_random_joins_match_duckdb(spark_module, join_tables, expr, how):
     """Every spec join type over a filtered left side, against the
     sqlgen rendering (JOIN ... USING / SEMI / ANTI): matched and
-    unmatched rows on both sides, null-extension included."""
+    unmatched rows on both sides, null-extension included. 'cross'
+    with an 'on' list is an equi-join in Spark, and sqlgen must render
+    that, not a cartesian product."""
     spec = {"ops": [
         {"op": "filter", "expr": expr},
         {"op": "join", "right": "cities", "on": ["city"], "how": how},

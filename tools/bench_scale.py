@@ -21,13 +21,13 @@ import argparse
 import json
 import math
 import sys
-import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 from agentic_workflow_for_data_transformation_spark import benchqueries
+from agentic_workflow_for_data_transformation_spark.benchutil import time_query, warmup
 from agentic_workflow_for_data_transformation_spark.session import get_spark
 
 # headline chains (VERDICT r3 "Next round #1") plus the other families
@@ -73,24 +73,11 @@ EXPECTED_SUPERLINEAR: dict[str, str] = {
 
 def run_dir(sf_dir: str, names: list[str]) -> dict[str, float]:
     spark = get_spark(app_name=f"bench_scale_{Path(sf_dir).name}")
-    spark.range(1_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    warmup(spark)
     reg = benchqueries.queries()
-    jvm_gc = spark.sparkContext._jvm.System.gc  # type: ignore[attr-defined]
     out: dict[str, float] = {}
     for name in names:
-        fn = reg[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold = time.perf_counter() - t0
-        jvm_gc()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        steady = time.perf_counter() - t0
-        if steady > max(0.5, cold):
-            jvm_gc()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            steady = min(steady, time.perf_counter() - t0)
+        cold, steady = time_query(spark, reg[name], sf_dir)
         out[name] = round(steady, 3)
         print(f"  {name}: {out[name]:.2f}s (cold {cold:.2f}s)", flush=True)
     spark.stop()
