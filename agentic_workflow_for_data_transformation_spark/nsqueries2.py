@@ -407,6 +407,26 @@ register(
 
 
 register(
+    "ns_cross_corpus_overlap",
+    f"WITH {_VERIFIED_CTES} "
+    "SELECT c.doc_a, c.doc_b, jaccard FROM cand c JOIN jac USING (doc_a, doc_b) "
+    "WHERE jaccard >= 0.5 AND (doc_a % 2) <> (doc_b % 2)",
+    desc=(
+        "Cross-corpus contamination PAIRS: verified near-dups restricted to "
+        "pairs straddling the corpus split (id parity as the corpus label) — "
+        "train/benchmark overlap reported as auditable pair evidence, where "
+        "ns_decontaminate only filters. Shares the session-scoped LSH "
+        "intermediates, so the marginal cost is one filter over the pair "
+        "table."
+    ),
+)(
+    lambda spark, sf_dir: _dedup_cached(spark, sf_dir, "pairs").filter(
+        (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
+    )
+)
+
+
+register(
     "ns_dedup_embedding_apply",
     "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
     f"b AS (SELECT vec_id, v, {_auto_bucket_sql('v')} AS bucket FROM d), "
