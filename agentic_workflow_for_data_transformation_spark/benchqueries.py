@@ -2442,6 +2442,27 @@ def p36_nl_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "lineitem", _P36_DESC)
 
 
+_P37_DESC = (
+    "Add previous value per user_id ordered by event_id and "
+    "select event_id, user_id, value and previous_value."
+)
+
+
+def _p37_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(parse_description(_P37_DESC), "events")
+
+
+@register("p37_nl_lag", _p37_oracle())
+def p37_nl_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL lag window: 'add previous value per user_id ordered by
+    event_id' (event_id is unique, so the per-partition order is
+    total and the lag deterministic). Like p36, the oracle is the
+    sqlgen rendering of the parsed description."""
+    return _nl(spark, sf_dir, "events", _P37_DESC)
+
+
 @register(
     "x_pivot_status_by_priority",
     "SELECT o_orderpriority, "

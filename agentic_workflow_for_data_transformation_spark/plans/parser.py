@@ -327,6 +327,12 @@ _RUNNING = re.compile(
 )
 _RUNNING_FNS = {"total": "sum", "sum": "sum", "count": "count",
                 "average": "avg", "minimum": "min", "maximum": "max"}
+# "add previous value per user_id ordered by ts" (lag) /
+# "add next value per user_id ordered by ts" (lead)
+_LAG_LEAD = re.compile(
+    r"^add\s+(previous|next)\s+(\w+)\s+per\s+(\w+)\s+ordered\s+by\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _GLOBAL_AGG_WORDS = {"average": "avg", "total": "sum", "sum of": "sum",
                      "minimum": "min", "maximum": "max"}
 
@@ -483,6 +489,15 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "partition_by": [m.group(3)],
             "order_by": [{"col": m.group(4), "asc": True}],
             "exprs": [{"fn": fn, "col": col, "alias": f"running_{fn}_{col}"}],
+        }
+    if m := _LAG_LEAD.match(clause):
+        fn = "lag" if m.group(1).lower() == "previous" else "lead"
+        col = _resolve_col(m.group(2), columns)
+        return {
+            "op": "window",
+            "partition_by": [m.group(3)],
+            "order_by": [{"col": m.group(4), "asc": True}],
+            "exprs": [{"fn": fn, "col": col, "alias": f"{m.group(1).lower()}_{col}"}],
         }
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}

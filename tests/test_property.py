@@ -364,3 +364,36 @@ def test_null_semantics_match_duckdb(people_nulls, expr, sort_desc, n):
     want = _null_rows(con.execute(spec_to_sql(spec, "people_n")).fetch_df())
     con.close()
     assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    do_rename=st.booleans(),
+    do_drop=st.booleans(),
+    do_distinct=st.booleans(),
+    frac=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+)
+def test_random_schema_ops_match_duckdb(
+    spark_module, expr, do_rename, do_drop, do_distinct, frac
+):
+    """Schema-mutating ops stacked in random combinations: rename,
+    drop, deterministic hash sample (including keep-none/keep-all
+    rates), distinct — the part of the relational core the pipeline
+    fuzz didn't reach."""
+    ops = [{"op": "filter", "expr": expr}]
+    if do_rename:
+        ops.append({"op": "rename", "renames": {"city": "town"}})
+    if do_drop:
+        ops.append({"op": "drop", "cols": ["age"]})
+    ops.append({"op": "sample", "fraction": frac, "key": "name"})
+    if do_distinct:
+        ops.append({"op": "distinct"})
+    spec = {"ops": ops}
+    got = _name_sorted_rows(compile_spec(spark_module, spec).toPandas())
+    want = _duck2(spec_to_sql(spec, "people"))
+    assert got == want

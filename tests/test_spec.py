@@ -215,6 +215,13 @@ def test_parser_join_clauses():
     }]
     spec = parse_description("Add running count of event_id per user_id ordered by ts")
     assert spec["ops"][0]["exprs"][0]["fn"] == "count"
+    # lag/lead phrasing
+    spec = parse_description("Add previous value per user_id ordered by event_id")
+    assert spec["ops"][0]["exprs"] == [
+        {"fn": "lag", "col": "value", "alias": "previous_value"}]
+    spec = parse_description("Add next value per user_id ordered by ts")
+    assert spec["ops"][0]["exprs"][0]["fn"] == "lead"
+
     # the plain add-column clause must not be shadowed
     spec = parse_description("Add is_adult column where is_adult = age >= 18")
     assert spec["ops"][0]["op"] == "with_column"
