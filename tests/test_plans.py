@@ -297,3 +297,39 @@ def test_knn_bucketed_residual_centers_broadcast(spark):
     plan = plan_of(spark, "ns_sim_knn_bucketed")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pivot_is_single_aggregate_no_discovery_scan(spark):
+    """Declared pivot values -> ONE scan + hash aggregation; an
+    undeclared pivot would first run a distinct scan to discover the
+    values (two scans)."""
+    plan = plan_of(spark, "x_pivot_status_by_priority")
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan
+
+
+def test_rollup_is_one_pass_expand(spark):
+    """ROLLUP compiles to Expand over a single scan — one pass for all
+    grouping-set levels, not one aggregation per level."""
+    plan = plan_of(spark, "x_rollup_priority_status")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_gaps_islands_never_goes_quadratic(spark):
+    """Boundary anti-joins must stay hash joins; the only window runs
+    over the tiny boundary set, and no plan node is a cartesian or
+    nested-loop product."""
+    plan = plan_of(spark, "x_gaps_islands")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_bucketed_hash_join(spark):
+    """The containment join must be an equi hash join on
+    (key, day-bucket) — never a cartesian product. (A 1-row
+    BroadcastNestedLoopJoin exists by design: it attaches the scalar
+    max-ts horizon to the boundary side.)"""
+    plan = plan_of(spark, "x_join_interval_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
