@@ -1,9 +1,11 @@
-"""Round-2 north-star additions (registered AFTER the driver's
-50-row correctness window — see the DRIVER CORRECTNESS WINDOW note in
-benchqueries.py; these queries are covered by the committed
-CORRECTNESS_LOCAL.json full-registry report instead): redaction, int8
-quantization, minhash Jaccard estimation, tf-idf, iterated k-means,
-grouped-map scaling.
+"""North-star registrations, rounds 2-4 (mostly registered AFTER the
+driver's 50-row correctness window — see the DRIVER CORRECTNESS WINDOW
+note in benchqueries.py; out-of-window queries are covered by the
+freshness-gated CORRECTNESS_LOCAL.json full-registry report instead):
+redaction, int8 quantization, minhash Jaccard estimation, tf-idf,
+iterated k-means, grouped-map scaling, KS drift, corpus mix, profiling,
+residual-bucketed kNN, cross-corpus overlap, audio frame energy,
+corpus interleave, bigram LM.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from .nsqueries import (
     _dedup_cached,
     _sig_sql,
 )
-from .operators import corpus, dedup, profile, similarity, stats, text
+from .operators import corpus, dedup, multimodal, profile, similarity, stats, text
 
 register(
     "ns_text_redact",
@@ -404,6 +406,31 @@ register(
     "round(sum(-ln(cnt * 1.0 / total)) / count(*), 6) AS surprisal "
     "FROM w JOIN v USING (w) CROSS JOIN t GROUP BY doc_id",
 )(lambda spark, sf_dir: text.unigram_surprisal(_t(spark, sf_dir, "documents")))
+
+
+register(
+    "ns_multimodal_audio_energy",
+    # per-character code points mirror np.frombuffer(uint8) on the
+    # ASCII corpus; floor(rms*1e6) is engine-exact (integer sums of
+    # squares are exact in float64, sqrt is IEEE)
+    "WITH i AS (SELECT doc_id, unnest(range(1, len(text) + 1)) AS pos, text "
+    " FROM documents), "
+    "s AS (SELECT doc_id, CAST((pos - 1) // 256 AS INT) AS frame, "
+    " ord(substr(text, CAST(pos AS INT), 1)) AS code FROM i) "
+    "SELECT doc_id, frame, CAST(count(*) AS INT) AS n_samples, "
+    "CAST(floor(sqrt(sum(code * code) * 1.0 / count(*)) * 1000000) AS BIGINT) "
+    "AS rms_micro FROM s GROUP BY doc_id, frame",
+    desc=(
+        "Audio-branch multimodal: per-frame RMS energy over the binary "
+        "waveform payload via Arrow-batched mapInPandas + numpy — real "
+        "decode (frombuffer), declared schema, exact integer-microunit "
+        "oracle."
+    ),
+)(
+    lambda spark, sf_dir: multimodal.audio_frame_energy(
+        multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
+    )
+)
 
 
 register(

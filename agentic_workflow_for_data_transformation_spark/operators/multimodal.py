@@ -143,3 +143,47 @@ def frame_sample(df: DataFrame, frame_bytes: int = 100, max_frames: int = 5,
     return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
         run, FRAMES_SCHEMA
     )
+
+
+AUDIO_ENERGY_SCHEMA = "doc_id long, frame int, n_samples int, rms_micro long"
+
+
+def audio_frame_energy(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload",
+                       frame_size: int = 256) -> DataFrame:
+    """Per-frame RMS energy over a binary waveform column — the audio
+    branch of the multimodal family, and unlike the image decode this
+    one is REAL end to end: numpy reads the payload as unsigned 8-bit
+    samples (np.frombuffer), frames it, and emits sqrt(mean(sample^2))
+    per frame. (Production swaps the frombuffer line for a real codec
+    read at the same spot; everything else — Arrow batches, declared
+    schema, per-partition parallelism — is unchanged.)
+
+    Determinism across engines: sums of squares of < 2^53 integers are
+    exact in float64 and sqrt is IEEE-defined, so emitting
+    floor(rms * 1e6) as an integer is bit-identical everywhere — no
+    round() semantics to disagree on (the DuckDB oracle recomputes the
+    same value from per-character code points)."""
+    import math
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame": [], "n_samples": [], "rms_micro": []}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                for f in range(0, len(samples), frame_size):
+                    chunk = samples[f:f + frame_size]
+                    rms = math.sqrt(float(np.sum(chunk * chunk)) / len(chunk))
+                    out["doc_id"].append(doc_id)
+                    out["frame"].append(f // frame_size)
+                    out["n_samples"].append(len(chunk))
+                    out["rms_micro"].append(math.floor(rms * 1_000_000))
+            yield pd.DataFrame(out)
+
+    from .dedup import spread_small_input
+
+    return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
+        run, AUDIO_ENERGY_SCHEMA
+    )

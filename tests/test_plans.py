@@ -333,3 +333,11 @@ def test_interval_join_is_bucketed_hash_join(spark):
     plan = plan_of(spark, "x_join_interval_bucketed")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_audio_energy_is_arrow_batched(spark):
+    """The audio-energy decode stage must run as mapInPandas (Arrow
+    batches into Python), not a row-at-a-time UDF."""
+    plan = plan_of(spark, "ns_multimodal_audio_energy")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF

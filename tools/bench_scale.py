@@ -1,6 +1,7 @@
-"""Scale-validation harness: run the headline query chains at two scale
-factors of the SAME generator (tools/gen_scale.py) and report the
-per-query scaling exponent  e = log(t_big / t_small) / log(sf_ratio).
+"""Scale-validation harness: run the headline query chains at several
+scale factors of the SAME generator (tools/gen_scale.py) and report the
+per-query scaling exponent, least-squares fitted over
+log(t) = e * log(sf) + c.
 
 e ~ 1.0  -> linear in data size (the 100 TB story holds)
 e << 1   -> fixed overheads dominate at these sizes (fine)
@@ -10,9 +11,10 @@ e >> 1   -> super-linear; a finding unless the query is a documented
 Writes BENCH_SCALE.md at the repo root.
 
 Usage:
-    python tools/gen_scale.py --sf 0.1 --out scaledata/sf0.1
-    python tools/gen_scale.py --sf 1   --out scaledata/sf1
-    python tools/bench_scale.py --small scaledata/sf0.1 --big scaledata/sf1
+    python tools/gen_scale.py --sf 0.1 --out scaledata/sf0.1   # etc.
+    python tools/bench_scale.py \
+        --dirs scaledata/sf0.1,scaledata/sf1,scaledata/sf3 \
+        --sfs 0.1,1,3 [--skip name,...]
 """
 
 from __future__ import annotations
@@ -84,47 +86,68 @@ def run_dir(sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def fit_exponent(sfs: list[float], ts: list[float]) -> float:
+    """Least-squares slope of log(t) on log(sf)."""
+    xs = [math.log(s) for s in sfs]
+    ys = [math.log(max(t, 1e-9)) for t in ts]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--small", default="scaledata/sf0.1")
-    ap.add_argument("--big", default="scaledata/sf1")
-    ap.add_argument("--ratio", type=float, default=10.0)
+    ap.add_argument("--dirs", default="scaledata/sf0.1,scaledata/sf1")
+    ap.add_argument("--sfs", default="0.1,1")
+    ap.add_argument("--skip", default="")
     args = ap.parse_args()
 
-    print(f"== {args.small} ==", flush=True)
-    t_small = run_dir(args.small, QUERIES)
-    print(f"== {args.big} ==", flush=True)
-    t_big = run_dir(args.big, QUERIES)
+    dirs = args.dirs.split(",")
+    sfs = [float(s) for s in args.sfs.split(",")]
+    assert len(dirs) == len(sfs) >= 2
+    skip = set(filter(None, args.skip.split(",")))
+    names = [n for n in QUERIES if n not in skip]
 
+    per_dir: list[dict[str, float]] = []
+    for d in dirs:
+        print(f"== {d} ==", flush=True)
+        per_dir.append(run_dir(d, names))
+
+    sf_heads = " | ".join(f"sf{s:g} (s)" for s in sfs)
     lines = [
-        "# BENCH_SCALE — scaling validation (generated data, same generator both sides)",
+        "# BENCH_SCALE — scaling validation (generated data, same generator all points)",
         "",
-        f"Data: `tools/gen_scale.py` at sf0.1 and sf1 ({args.ratio:.0f}x rows; lineitem",
-        "600k -> 6M, documents 5k -> 50k, embeddings 2k -> 20k, events 100k -> 1M).",
-        "Steady-state seconds (2nd run, min-of-2 on GC-pause suspicion), local[32].",
-        "Exponent e = log(t_sf1 / t_sf0.1) / log(10): ~1 linear, <1 overhead-bound,",
-        ">1 super-linear (flagged unless documented).",
+        f"Data: `tools/gen_scale.py` at {', '.join(f'sf{s:g}' for s in sfs)}"
+        " (rows scale linearly with sf;",
+        "lineitem 6M, documents 50k, embeddings 20k, events 1M at sf1).",
+        "Steady-state seconds (shared benchutil protocol), local[32].",
+        "Exponent e = least-squares slope of log(t) on log(sf):",
+        "~1 linear, <1 overhead-bound, >1 super-linear (flagged unless documented).",
         "",
         "Chain note: `ns_dedup_clusters` / `ns_dedup_apply` reuse the session-scoped",
         "LSH intermediates built by the minhash/verified steps, so their cost is the",
         "marginal chain cost, as in a production pipeline run.",
         "",
-        "| query | sf0.1 (s) | sf1 (s) | ratio | exponent | verdict |",
-        "|---|---|---|---|---|---|",
+        f"| query | {sf_heads} | exponent | verdict |",
+        "|---|" + "---|" * (len(sfs) + 2),
     ]
     findings: list[str] = []
-    for name in QUERIES:
-        a, b = t_small[name], t_big[name]
-        ratio = b / max(a, 1e-9)
-        e = math.log(max(ratio, 1e-9)) / math.log(args.ratio)
-        if e <= 1.15 or b < 1.0:
+    for name in names:
+        ts = [d[name] for d in per_dir]
+        e = fit_exponent(sfs, ts)
+        if e <= 1.15 or ts[-1] < 1.0:
             verdict = "linear/overhead-bound"
         elif name in EXPECTED_SUPERLINEAR:
             verdict = f"super-linear BY DESIGN — {EXPECTED_SUPERLINEAR[name]}"
         else:
             verdict = "**SUPER-LINEAR — finding**"
             findings.append(name)
-        lines.append(f"| {name} | {a:.2f} | {b:.2f} | {ratio:.1f}x | {e:.2f} | {verdict} |")
+        cells = " | ".join(f"{t:.2f}" for t in ts)
+        lines.append(f"| {name} | {cells} | {e:.2f} | {verdict} |")
+    if skip:
+        lines.append("")
+        lines.append(f"Skipped at this run (adjudicated separately): {sorted(skip)}")
 
     lines += [
         "",
@@ -134,7 +157,7 @@ def main() -> None:
     ]
     (ROOT / "BENCH_SCALE.md").write_text("\n".join(lines) + "\n")
     (ROOT / "BENCH_SCALE.json").write_text(
-        json.dumps({"small": t_small, "big": t_big, "ratio": args.ratio}, indent=1) + "\n"
+        json.dumps({"sfs": sfs, "dirs": dirs, "timings": per_dir}, indent=1) + "\n"
     )
     print("\n".join(lines))
 
