@@ -25,7 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import joins
+from .operators import joins, windows
 from .plans import compile_spec, parse_description
 from .sources import read_events, read_parquet_table
 
@@ -2525,21 +2525,24 @@ def x_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     contiguous runs become (start, end, n_keys) rows. The classic
     row_number-difference formulation needs a GLOBAL sort of all keys;
     this one finds island boundaries with two shuffle-local anti-joins
-    (k-1 absent -> start, k+1 absent -> end) and only ever sorts the
-    boundary set — |islands| rows, not |keys| — to pair i-th start
-    with i-th end. At 100 TB the anti-joins are plain hash joins on
-    the key; the tiny boundary window is the only ordered step."""
+    (k-1 absent -> start, k+1 absent -> end) and pairs i-th start with
+    i-th end via operators.windows.two_phase_row_number — a PARTITIONED
+    in-bucket rank plus broadcast bucket offsets, so even a
+    pathological every-other-key input (|islands| ~ |keys|/2) never
+    funnels the boundary set through one partition; the only
+    unpartitioned ordered step runs over the bucket-count aggregate."""
     li = _t(spark, sf_dir, "lineitem")
     keys = li.select(F.col("l_orderkey").alias("k")).distinct()
     shifted_up = keys.select((F.col("k") + 1).alias("k"))
     shifted_dn = keys.select((F.col("k") - 1).alias("k"))
     starts = keys.join(shifted_up, "k", "left_anti")  # k-1 not present
     ends = keys.join(shifted_dn, "k", "left_anti")    # k+1 not present
-    ws = Window.orderBy("k")
-    s = starts.select(F.col("k").alias("island_start"),
-                      F.row_number().over(ws).alias("rn"))
-    e = ends.select(F.col("k").alias("island_end"),
-                    F.row_number().over(ws).alias("rn"))
+    s = windows.two_phase_row_number(starts, "k").select(
+        F.col("k").alias("island_start"), "rn"
+    )
+    e = windows.two_phase_row_number(ends, "k").select(
+        F.col("k").alias("island_end"), "rn"
+    )
     return s.join(e, "rn").select(
         "island_start",
         "island_end",
@@ -2589,8 +2592,11 @@ def x_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     containing it. The naive plan is a non-equi join (BNLJ — quadratic
     when both sides are large); joins.interval_containment_join turns
     it into a (user_id, day-bucket) hash join. The final period closes
-    at a data-derived horizon (max event ts + 1 day), so the operator
-    keeps working on datasets whose event window extends."""
+    at a data-derived PER-KEY horizon (that user's max event ts +
+    1 day) — same output as a global horizon, but a dormant user's
+    final period never fans out across the whole dataset span. The
+    oracle keeps the global-horizon formulation because period_end
+    only ever bounds the same user's events."""
     ev = read_events(spark, sf_dir)
     signups = (
         ev.filter(F.col("event_type") == "signup")

@@ -1,3 +1,6 @@
-from . import corpus, dedup, joins, sampling, similarity, text, multimodal
+from . import corpus, dedup, joins, sampling, similarity, text, multimodal, windows
 
-__all__ = ["corpus", "dedup", "joins", "sampling", "similarity", "text", "multimodal"]
+__all__ = [
+    "corpus", "dedup", "joins", "sampling", "similarity", "text",
+    "multimodal", "windows",
+]

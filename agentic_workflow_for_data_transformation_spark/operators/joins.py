@@ -150,8 +150,16 @@ def interval_containment_join(
     containing it — a big-to-big interval containment join WITHOUT a
     non-equi join. ``boundaries`` carries (key_col, period_start) rows
     (e.g. the signup events); the last period per key is closed at a
-    DATA-DERIVED horizon (max event ts + 1 bucket), never a constant,
-    so events later than any boundary still land in the final period.
+    DATA-DERIVED, PER-KEY horizon (that key's max event ts + 1 bucket),
+    never a constant, so events later than any boundary still land in
+    the final period. The horizon is per key rather than global so a
+    DORMANT key (last boundary early in a multi-year dataset span, no
+    recent events) does not explode into one bucket row per remaining
+    day of the whole span — the final period of each key spans only
+    that key's own active range, which bounds the bucket fanout by the
+    key's activity, not the dataset's. Because period_end only ever
+    bounds the same key's events, per-key and global horizons produce
+    identical join output.
 
     Physical plan: periods explode into the DAY buckets they span
     (bounded by period length in days; the period side is the small
@@ -161,20 +169,28 @@ def interval_containment_join(
     decomposition — at 100 TB, pick the bucket width to match typical
     interval length (day here; swap to_date for date_trunc of another
     unit and the interval literal accordingly)."""
-    horizon = events.agg(
+    key_horizon = events.groupBy(key_col).agg(
         F.timestamp_add("DAY", F.lit(1), F.max(ts_col)).alias("_horizon")
     )
     w = Window.partitionBy(key_col).orderBy("period_start")
     periods = (
         boundaries.select(key_col, "period_start")
         .distinct()
-        .join(F.broadcast(horizon))
+        .join(key_horizon, key_col, "inner")
         .select(
             key_col,
             "period_start",
-            F.coalesce(F.lead("period_start").over(w), F.col("_horizon")).alias(
-                "period_end"
-            ),
+            # clamp: a boundary AFTER the key's last event (or any
+            # out-of-range boundary) would hand F.sequence an
+            # end < start — greatest() degrades it to an empty period
+            # (one bucket row, dropped by the containment filter)
+            # instead of a runtime "Illegal sequence boundaries" error
+            F.greatest(
+                F.coalesce(
+                    F.lead("period_start").over(w), F.col("_horizon")
+                ),
+                F.col("period_start"),
+            ).alias("period_end"),
         )
     )
     buckets = periods.select(

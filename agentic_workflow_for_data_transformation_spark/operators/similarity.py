@@ -26,6 +26,7 @@ on id so results are total-ordered and engine-reproducible.
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 from pyspark.sql import DataFrame, Window
@@ -90,17 +91,25 @@ def sign_bucket(vec: str | F.Column, bits: int = 8) -> F.Column:
     )
 
 
-_COUNT_CACHE: dict[tuple[str, int], int] = {}
+_COUNT_CACHE: dict[tuple[str, int, str], int] = {}
 
 
 def cached_count(df: DataFrame) -> int:
-    """df.count() memoized per (applicationId, semantic plan hash):
-    the bits=None operators need the input cardinality at
-    construction time, and a benchmark harness constructs each query
-    several times — without the memo every construction pays a full
-    scan. semanticHash distinguishes filtered/derived frames from the
-    raw table, so the memo can never serve the wrong cardinality."""
-    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    """df.count() memoized per (applicationId, semantic plan hash,
+    input-file fingerprint): the bits=None operators need the input
+    cardinality at construction time, and a benchmark harness
+    constructs each query several times — without the memo every
+    construction pays a full scan. semanticHash distinguishes
+    filtered/derived frames from the raw table; the sorted
+    inputFiles() fingerprint guards a long-lived application whose
+    table is rewritten in place (same path, same plan hash, new
+    files), so the memo can never serve a stale cardinality."""
+    files = "\x00".join(sorted(df.inputFiles()))
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        hashlib.md5(files.encode()).hexdigest(),
+    )
     n = _COUNT_CACHE.get(key)
     if n is None:
         if len(_COUNT_CACHE) > 256:  # bound for very long-lived drivers

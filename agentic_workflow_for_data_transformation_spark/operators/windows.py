@@ -1,0 +1,80 @@
+"""Distributed window utilities.
+
+The classic global ``row_number() OVER (ORDER BY k)`` funnels the whole
+frame through one partition (Spark plans an Exchange SinglePartition
+under the Window). ``two_phase_row_number`` gives the identical numbers
+without ever sorting the data globally: rank inside coarse monotone
+buckets with a PARTITIONED window, then shift each bucket by the total
+row count of all earlier buckets. The only ordered-by step left runs
+over the bucket-count aggregate — ``|value range| / bucket_width`` rows,
+independent of the data's row count — so a pathological input (e.g. a
+gaps-and-islands boundary set with |islands| ~ |keys|/2) can no longer
+concentrate the data on one partition.
+
+Reference parity note: the reference pipeline
+(agentic_workflow_transformation.py:1-403) has no window functions at
+all; this module exists for the Spark-extension operators
+(gaps-and-islands, rank families) that need a global ordinal at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["two_phase_row_number"]
+
+
+def two_phase_row_number(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "rn",
+    bucket_width: int = 4096,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number`` by ``order_col`` without a
+    single-partition sort of the data.
+
+    Phase 1: each row gets a coarse bucket (monotone in the order
+    column — default ``floor(order_col / bucket_width)``; pass
+    ``bucket`` for non-numeric orderings) and a rank WITHIN its bucket
+    via a hash-partitioned window.  Phase 2: a per-bucket count
+    aggregate (tiny — at most ``|value range| / bucket_width`` rows) is
+    turned into exclusive running offsets; the offsets frame is
+    broadcast back and added to the in-bucket rank.
+
+    The cumulative step over bucket COUNTS is the only unpartitioned
+    ordered operation, and its input size is bounded by the value range
+    over the bucket width — never by ``df``'s cardinality.  For a value
+    range wide enough that even that frame is large (e.g. 64-bit ids at
+    100 TB), raise ``bucket_width`` or apply the same trick one more
+    level (bucket the buckets); one level suffices up to ~10^9 distinct
+    bucket ids.
+
+    Ties in ``order_col`` get arbitrary but stable-within-run numbers
+    (same as an unpartitioned ``row_number`` without a tie-break key);
+    pass a composite ``bucket``/order column when determinism under
+    ties matters.
+    """
+    b = bucket if bucket is not None else F.floor(
+        F.col(order_col) / F.lit(bucket_width)
+    )
+    d = df.withColumn("_b", b.cast("long"))
+    counts = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_b",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = Window.partitionBy("_b").orderBy(order_col)
+    return (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w_in) + F.col("_off")).cast("long"),
+        )
+        .drop("_b", "_off")
+    )

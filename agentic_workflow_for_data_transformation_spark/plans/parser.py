@@ -30,9 +30,12 @@ class ParseError(ValueError):
 
 _CLAUSE_KEYWORDS = (
     r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate"
-    r"|join|broadcast|for|sessionize|append"
-    # join-type prefixes so "and left join ..." splits as a clause
-    r"|inner|left|right|full|cross)"
+    r"|join|broadcast|for|sessionize|pivot|rollup"
+    # multi-word forms require their full token so a predicate conjunct
+    # that merely BEGINS with a join-type word ("... and left > 2")
+    # stays a conjunction instead of splitting as a clause
+    r"|append\s+(?:distinct\s+)?rows"
+    r"|(?:inner|left|right|full|cross)\s+join)"
 )
 # split " and <clause keyword>" / " and then " but never predicate-level
 # "and" (conjunctions, BETWEEN..AND..) — those are not followed by a

@@ -157,3 +157,43 @@ def test_interval_containment_join_late_events(spark):
         3: datetime(2024, 3, 1, 0, 30),
         4: datetime(2024, 3, 1, 0, 30),
     }
+
+
+def test_interval_containment_join_out_of_range_boundary(spark):
+    """A boundary AFTER its key's last event (or a boundary key with no
+    events at all) must degrade to an empty period instead of crashing
+    F.sequence with end < start, and must not steal events from the
+    preceding period."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from agentic_workflow_for_data_transformation_spark.operators.joins import (
+        interval_containment_join,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 5, 12, 0), 7, "click"),
+            (2, datetime(2024, 1, 7, 9, 0), 7, "click"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    bounds = spark.createDataFrame(
+        [
+            (7, datetime(2024, 1, 1, 0, 0)),
+            # boundary long after user 7's last event: empty final period
+            (7, datetime(2025, 6, 1, 0, 0)),
+            # boundary for a user with no events: drops out entirely
+            (9, datetime(2024, 1, 1, 0, 0)),
+        ],
+        "user_id long, period_start timestamp",
+    )
+    got = {
+        r["event_id"]: r["period_start"]
+        for r in interval_containment_join(ev, bounds).collect()
+    }
+    assert got == {
+        1: datetime(2024, 1, 1, 0, 0),
+        2: datetime(2024, 1, 1, 0, 0),
+    }

@@ -428,3 +428,40 @@ def test_ks_statistic_hand_computed(spark):
     )
     same = ks_statistic_cogrouped(left, left2).collect()[0]
     assert same["ks_num"] == 0
+
+
+def test_two_phase_row_number_matches_global_rank(spark):
+    """two_phase_row_number must equal the single-partition
+    row_number() OVER (ORDER BY k) for a gappy, shuffled key set, with
+    buckets small enough that several are non-empty AND several keys
+    share a bucket (both phases exercised)."""
+    from pyspark.sql import Window
+
+    from agentic_workflow_for_data_transformation_spark.operators.windows import (
+        two_phase_row_number,
+    )
+
+    ks = [1, 2, 5, 9, 10, 11, 40, 41, 97, 98, 99, 250, 251, 1000, 1001]
+    import random
+
+    rnd = random.Random(7)
+    rnd.shuffle(ks)
+    df = spark.createDataFrame([(k,) for k in ks], "k long").repartition(4)
+    got = {
+        r["k"]: r["rn"]
+        for r in two_phase_row_number(df, "k", bucket_width=16).collect()
+    }
+    want = {
+        r["k"]: r["rn"]
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy("k")).alias("rn")
+        ).collect()
+    }
+    assert got == want
+    # negative keys: floor() keeps the bucket monotone below zero too
+    df2 = spark.createDataFrame([(-33,), (-1,), (0,), (7,)], "k long")
+    got2 = {
+        r["k"]: r["rn"]
+        for r in two_phase_row_number(df2, "k", bucket_width=8).collect()
+    }
+    assert got2 == {-33: 1, -1: 2, 0: 3, 7: 4}

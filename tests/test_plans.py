@@ -317,21 +317,31 @@ def test_rollup_is_one_pass_expand(spark):
 
 
 def test_gaps_islands_never_goes_quadratic(spark):
-    """Boundary anti-joins must stay hash joins; the only window runs
-    over the tiny boundary set, and no plan node is a cartesian or
-    nested-loop product."""
+    """Boundary anti-joins must stay hash joins; no plan node is a
+    cartesian or nested-loop product; and the boundary ranking must be
+    the two-phase form — every window over a data column is partitioned
+    by the coarse bucket, so no `windowspecdefinition(k#...)`
+    (an unpartitioned ORDER BY the data column) may appear. The only
+    unpartitioned window orders the tiny bucket-count aggregate."""
     plan = plan_of(spark, "x_gaps_islands")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first_arg = spec.split(",")[0].strip()
+        assert not first_arg.startswith("k#"), (
+            "unpartitioned window ordered by the data column: " + spec
+        )
 
 
 def test_interval_join_is_bucketed_hash_join(spark):
     """The containment join must be an equi hash join on
-    (key, day-bucket) — never a cartesian product. (A 1-row
-    BroadcastNestedLoopJoin exists by design: it attaches the scalar
-    max-ts horizon to the boundary side.)"""
+    (key, day-bucket) — never a cartesian or nested-loop product.
+    (The per-key horizon attach is an equi join too, so no BNLJ
+    remains anywhere in the plan.)"""
     plan = plan_of(spark, "x_join_interval_bucketed")
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 

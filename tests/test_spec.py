@@ -172,6 +172,17 @@ def test_parser_join_clauses():
         "op": "join", "right": "lineitem", "on": ["l_orderkey"], "how": "left",
     }
 
+    # a predicate conjunct that merely BEGINS with a join-type word
+    # must stay a conjunction (the clause split requires the full
+    # "<type> join" / "append ... rows" token, not the bare word)
+    spec = parse_description(
+        "Filter rows where a > 1 and left > 2 and cross >= 3",
+        columns=["a", "left", "cross"],
+    )
+    assert spec["ops"][0]["op"] == "filter"
+    assert len(spec["ops"]) == 1
+    assert len(spec["ops"][0]["expr"]["and"]) == 3
+
     # natural existence-join phrasings -> semi / anti
     spec = parse_description("Keep rows that exist in lineitem on l_orderkey")
     assert spec["ops"] == [
