@@ -2463,6 +2463,62 @@ def p37_nl_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P37_DESC)
 
 
+# static schema for oracle-side parses (the oracle string is built at
+# import time, before any SparkSession exists; _nl passes the live
+# df.columns at query time and resolves to the same names)
+_ORDERS_COLUMNS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+_P38_DESC = (
+    "Pivot o_orderstatus by o_orderpriority counting rows "
+    "for values F, O and P."
+)
+
+
+def _p38_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P38_DESC, columns=_ORDERS_COLUMNS), "orders"
+    )
+
+
+@register("p38_nl_pivot", _p38_oracle())
+def p38_nl_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL declared-values pivot: 'pivot <col> by <key> counting rows
+    for values ...' — compiles to ONE hash aggregate (values are
+    declared in the description, so Spark never runs the distinct
+    discovery scan). Count cells null-fill to 0, matching the
+    sqlgen oracle's count(*) FILTER rendering."""
+    return _nl(spark, sf_dir, "orders", _P38_DESC)
+
+
+_P39_DESC = (
+    "Group by o_orderpriority then o_orderstatus with subtotals "
+    "and count rows."
+)
+
+
+def _p39_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P39_DESC, columns=_ORDERS_COLUMNS), "orders"
+    )
+
+
+@register("p39_nl_rollup", _p39_oracle())
+def p39_nl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL rollup: 'group by A then B with subtotals and count rows' —
+    ROLLUP(A, B) in one Expand pass over a single scan, with
+    grouping_id emitted as gid so subtotal rows stay distinguishable
+    from real NULL keys. Oracle is the sqlgen rendering of the parsed
+    description (GROUP BY ROLLUP + CAST(GROUPING(...) AS INTEGER))."""
+    return _nl(spark, sf_dir, "orders", _P39_DESC)
+
+
 @register(
     "x_pivot_status_by_priority",
     "SELECT o_orderpriority, "

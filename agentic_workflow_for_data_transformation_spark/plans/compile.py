@@ -150,6 +150,25 @@ def _apply_groupby(df: DataFrame, op: dict) -> DataFrame:
     return out
 
 
+def _apply_pivot(df: DataFrame, op: dict) -> DataFrame:
+    """Declared-values pivot: one hash aggregate (Catalyst plans it
+    exactly like a group-by — no distinct discovery scan, which is the
+    100 TB discipline). Count cells null-fill to 0 so the result
+    matches the portable `count(*) FILTER (WHERE ...)` rendering;
+    other aggregates keep SQL's NULL-for-empty-cell semantics."""
+    agg = op["agg"]
+    acol = F.lit(1) if agg["col"] == "*" else F.col(agg["col"])
+    cell = _AGG_BUILDERS[agg["fn"]](acol)
+    p = df.groupBy(*op["keys"]).pivot(op["col"], list(op["values"])).agg(cell)
+    sel: list[Column] = [F.col(k) for k in op["keys"]]
+    for v, alias in zip(op["values"], op["aliases"], strict=True):
+        c = p[str(v)]
+        if agg["fn"] == "count":
+            c = F.coalesce(c, F.lit(0))
+        sel.append(c.alias(alias))
+    return p.select(*sel)
+
+
 def _resolve_right(right: Any, tables: dict[str, DataFrame]) -> DataFrame:
     """Resolve a join/union right side: a registered table name or an
     inline DataFrame. Unknown names get a SpecError naming the
@@ -192,6 +211,14 @@ def compile_spec(
             df = df.limit(op["n"])
         elif kind == "groupby_agg":
             df = _apply_groupby(df, op)
+        elif kind == "pivot":
+            df = _apply_pivot(df, op)
+        elif kind == "rollup":
+            aggs = [_agg_col(a) for a in op["aggs"]]
+            aggs.append(
+                F.grouping_id().cast("int").alias(op.get("gid_alias", "gid"))
+            )
+            df = df.rollup(*op["keys"]).agg(*aggs)
         elif kind == "distinct":
             df = df.dropDuplicates(op["cols"]) if op.get("cols") else df.distinct()
         elif kind == "window":

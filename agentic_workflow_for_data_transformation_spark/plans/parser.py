@@ -338,6 +338,26 @@ _LAG_LEAD = re.compile(
 )
 _GLOBAL_AGG_WORDS = {"average": "avg", "total": "sum", "sum of": "sum",
                      "minimum": "min", "maximum": "max"}
+# round-5 relational extensions: declared-values pivot and rollup
+# subtotals (VERDICT r4 #4).
+# "pivot o_orderstatus by o_orderpriority counting rows for values F, O and P"
+_PIVOT = re.compile(
+    r"^pivot\s+(\w+)\s+by\s+(\w+)\s+counting\s+rows\s+for\s+values\s+(.+?)\s*$",
+    re.IGNORECASE,
+)
+# "group by o_orderpriority then o_orderstatus with subtotals and count rows"
+_ROLLUP = re.compile(
+    r"^group\s+by\s+(\w+(?:\s+then\s+\w+)+)\s+with\s+subtotals"
+    r"\s+and\s+count\s+rows\s*$",
+    re.IGNORECASE,
+)
+_VALUE_LIST_SPLIT = re.compile(r"\s*,\s*|\s+and\s+", re.IGNORECASE)
+
+
+def _slug_alias(value: str, prefix: str = "n_") -> str:
+    """Deterministic output-column alias for a pivot value — the same
+    name the sqlgen oracle emits, so hash-compares line up."""
+    return prefix + (re.sub(r"[^a-z0-9]+", "_", value.lower()).strip("_") or "value")
 
 
 def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
@@ -358,6 +378,30 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             {"op": "select", "cols": _parse_select_cols(m.group(1))},
             {"op": "distinct"},
         ]
+    if m := _PIVOT.match(clause):
+        pcol = _resolve_col(m.group(1), columns)
+        key = _resolve_col(m.group(2), columns)
+        vals = [
+            v.strip().strip("'\"")
+            for v in _VALUE_LIST_SPLIT.split(m.group(3))
+            if v.strip()
+        ]
+        return {
+            "op": "pivot",
+            "keys": [key],
+            "col": pcol,
+            "values": vals,
+            "agg": {"fn": "count", "col": "*"},
+            "aliases": [_slug_alias(v) for v in vals],
+        }
+    if m := _ROLLUP.match(clause):
+        keys = re.split(r"\s+then\s+", m.group(1), flags=re.IGNORECASE)
+        return {
+            "op": "rollup",
+            "keys": [_resolve_col(k, columns) for k in keys],
+            "aggs": [{"fn": "count", "col": "*", "alias": "n_rows"}],
+            "gid_alias": "gid",
+        }
     if m := _GROUP_COUNT_DISTINCT.match(clause):
         key, col = m.group(1), _resolve_col(m.group(2), columns)
         return {

@@ -36,6 +36,16 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "sample", "fraction": 0.1, "key": "doc_id", "salt": "sample"?}
       # deterministic hash sample (operators/sampling.py): a pure
       # filter, reproducible across engines and partitionings
+  {"op": "pivot", "keys": ["k"], "col": "status", "values": ["F", "O"],
+   "agg": {"fn": "count", "col": "*"}, "aliases": ["n_f", "n_o"]}
+      # declared-values pivot — one hash aggregate, never a distinct
+      # discovery scan; count cells null-fill to 0, other aggs stay
+      # NULL for absent (key, value) cells like SQL FILTER
+  {"op": "rollup", "keys": ["a", "b"], "aggs": [...groupby aggs...],
+   "gid_alias": "gid"}
+      # ROLLUP subtotal hierarchy in ONE Expand pass; grouping_id is
+      # always emitted (default alias "gid") so real NULL keys stay
+      # distinguishable from subtotal rows
 
 Boolean / scalar expression tree (closed vocabulary — no raw SQL, no
 code strings, so nothing user- or LLM-supplied is ever executed):
@@ -62,6 +72,9 @@ from __future__ import annotations
 from typing import Any
 
 AGG_FNS = {"count", "avg", "sum", "min", "max", "count_distinct"}
+# pivot cells can't be count_distinct (no portable FILTER rendering
+# that matches Spark's pivot null semantics)
+PIVOT_AGG_FNS = {"count", "avg", "sum", "min", "max"}
 WINDOW_FNS = {"row_number", "rank", "dense_rank", "lag", "lead", "sum", "avg", "count", "min", "max"}
 JOIN_TYPES = {"inner", "left", "right", "full", "left_semi", "left_anti", "cross"}
 
@@ -153,6 +166,21 @@ def _validate_sort_keys(keys: Any) -> None:
             _err(f"sort key 'asc' must be bool: {k!r}")
 
 
+def _validate_aggs(op: dict) -> None:
+    aggs = op.get("aggs")
+    if not (isinstance(aggs, list) and aggs):
+        _err(f"{op['op']} needs non-empty 'aggs': {op!r}")
+    for a in aggs:
+        if not (isinstance(a, dict) and a.get("fn") in AGG_FNS):
+            _err(f"agg needs fn in {sorted(AGG_FNS)}: {a!r}")
+        if not isinstance(a.get("col"), str):
+            _err(f"agg needs 'col' (use '*' for count): {a!r}")
+        if not isinstance(a.get("alias"), str):
+            _err(f"agg needs explicit 'alias': {a!r}")
+        if "cast" in a and not isinstance(a["cast"], str):
+            _err(f"agg 'cast' must be a typename string: {a!r}")
+
+
 def validate_op(op: Any) -> None:
     if not (isinstance(op, dict) and isinstance(op.get("op"), str)):
         _err(f"op must be a dict with an 'op' field: {op!r}")
@@ -184,20 +212,46 @@ def validate_op(op: Any) -> None:
         keys = op.get("keys")
         if not (isinstance(keys, list) and all(isinstance(k, str) for k in keys)):
             _err(f"groupby_agg needs string 'keys' list: {op!r}")
-        aggs = op.get("aggs")
-        if not (isinstance(aggs, list) and aggs):
-            _err(f"groupby_agg needs non-empty 'aggs': {op!r}")
-        for a in aggs:
-            if not (isinstance(a, dict) and a.get("fn") in AGG_FNS):
-                _err(f"agg needs fn in {sorted(AGG_FNS)}: {a!r}")
-            if not isinstance(a.get("col"), str):
-                _err(f"agg needs 'col' (use '*' for count): {a!r}")
-            if not isinstance(a.get("alias"), str):
-                _err(f"agg needs explicit 'alias': {a!r}")
-            if "cast" in a and not isinstance(a["cast"], str):
-                _err(f"agg 'cast' must be a typename string: {a!r}")
+        _validate_aggs(op)
         if "having" in op and op["having"] is not None:
             validate_expr(op["having"])
+    elif kind == "pivot":
+        keys = op.get("keys")
+        if not (isinstance(keys, list) and keys and all(isinstance(k, str) for k in keys)):
+            _err(f"pivot needs non-empty string 'keys': {op!r}")
+        if not isinstance(op.get("col"), str):
+            _err(f"pivot needs string 'col': {op!r}")
+        vals = op.get("values")
+        if not (
+            isinstance(vals, list)
+            and vals
+            and all(isinstance(v, str | int | float | bool) for v in vals)
+        ):
+            # declared values are mandatory — an undeclared pivot would
+            # run a distinct discovery scan over the fact table first
+            _err(f"pivot needs non-empty scalar 'values' (declared, never discovered): {op!r}")
+        agg = op.get("agg")
+        if not (
+            isinstance(agg, dict)
+            and agg.get("fn") in PIVOT_AGG_FNS
+            and isinstance(agg.get("col"), str)
+        ):
+            _err(f"pivot 'agg' needs fn in {sorted(PIVOT_AGG_FNS)} and string 'col': {op!r}")
+        aliases = op.get("aliases")
+        if not (
+            isinstance(aliases, list)
+            and len(aliases) == len(vals)
+            and all(isinstance(a, str) for a in aliases)
+            and len(set(aliases)) == len(aliases)
+        ):
+            _err(f"pivot 'aliases' must be distinct strings parallel to 'values': {op!r}")
+    elif kind == "rollup":
+        keys = op.get("keys")
+        if not (isinstance(keys, list) and keys and all(isinstance(k, str) for k in keys)):
+            _err(f"rollup needs non-empty string 'keys': {op!r}")
+        _validate_aggs(op)
+        if "gid_alias" in op and not isinstance(op["gid_alias"], str):
+            _err(f"rollup 'gid_alias' must be a string: {op!r}")
     elif kind == "distinct":
         cols = op.get("cols")
         if cols is not None and not (isinstance(cols, list) and all(isinstance(c, str) for c in cols)):

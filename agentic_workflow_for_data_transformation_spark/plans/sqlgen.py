@@ -237,6 +237,38 @@ def spec_to_sql(spec: dict, table: str) -> str:
             sql = wrap(head, tail)
             if op.get("having") is not None:
                 sql = f"SELECT * FROM ({sql}) WHERE {expr_to_sql(op['having'])}"
+        elif kind == "pivot":
+            agg = op["agg"]
+            fn = agg["fn"]
+            arg = "*" if agg["col"] == "*" else _q(agg["col"])
+            cells = []
+            for v, alias in zip(op["values"], op["aliases"], strict=True):
+                # count(*) FILTER over zero rows is 0 — identical to
+                # the compiler's coalesce-to-0 of Spark's null cell;
+                # other aggregates stay NULL in both engines
+                cells.append(
+                    f"{_AGG_SQL[fn]}({arg}) FILTER (WHERE {_q(op['col'])} = {_lit_sql(v)})"
+                    f" AS {_q(alias)}"
+                )
+            keys = ", ".join(_q(k) for k in op["keys"])
+            sql = wrap(keys + ", " + ", ".join(cells), f"GROUP BY {keys}")
+        elif kind == "rollup":
+            aggs = []
+            for a in op["aggs"]:
+                fn, col, alias = a["fn"], a["col"], _q(a["alias"])
+                if fn == "count_distinct":
+                    aggs.append(f"count(DISTINCT {_q(col)}) AS {alias}")
+                    continue
+                arg = "*" if col == "*" else _q(col)
+                if a.get("cast") and col != "*":
+                    arg = f"CAST({arg} AS {a['cast']})"
+                aggs.append(f"{_AGG_SQL[fn]}({arg}) AS {alias}")
+            keys = ", ".join(_q(k) for k in op["keys"])
+            gid = _q(op.get("gid_alias", "gid"))
+            aggs.append(f"CAST(GROUPING({keys}) AS INTEGER) AS {gid}")
+            sql = wrap(
+                keys + ", " + ", ".join(aggs), f"GROUP BY ROLLUP({keys})"
+            )
         else:
             raise SqlGenError(f"no SQL rendering for op {kind!r}")
     return sql

@@ -351,3 +351,20 @@ def test_audio_energy_is_arrow_batched(spark):
     plan = plan_of(spark, "ns_multimodal_audio_energy")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF
+
+
+def test_nl_pivot_is_single_aggregate(spark):
+    """The NL 'pivot ... for values ...' clause must compile like the
+    hand-written pivot: one scan, one hash aggregate, no distinct
+    discovery pass."""
+    plan = plan_of(spark, "p38_nl_pivot")
+    assert plan.count("Scan parquet") == 1
+    assert "HashAggregate" in plan
+
+
+def test_nl_rollup_is_one_pass_expand(spark):
+    """The NL 'with subtotals' clause must compile to ROLLUP's Expand
+    over a single scan — never one aggregation per subtotal level."""
+    plan = plan_of(spark, "p39_nl_rollup")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan

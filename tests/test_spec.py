@@ -455,3 +455,60 @@ def test_parse_group_by_two_keys():
          "aggs": [{"fn": "count", "col": "doc_id",
                    "alias": "doc_id_count"}]}
     ]
+
+
+def test_parse_pivot_and_rollup():
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    spec = parse_description(
+        "Pivot o_orderstatus by o_orderpriority counting rows "
+        "for values F, O and P.",
+        columns=cols,
+    )
+    assert spec["ops"] == [{
+        "op": "pivot", "keys": ["o_orderpriority"], "col": "o_orderstatus",
+        "values": ["F", "O", "P"], "agg": {"fn": "count", "col": "*"},
+        "aliases": ["n_f", "n_o", "n_p"],
+    }]
+    # quoted values keep punctuation out of the alias slug
+    spec = parse_description(
+        "Pivot o_orderstatus by o_orderpriority counting rows "
+        "for values '1-URGENT', '2-HIGH'.",
+        columns=cols,
+    )
+    assert spec["ops"][0]["values"] == ["1-URGENT", "2-HIGH"]
+    assert spec["ops"][0]["aliases"] == ["n_1_urgent", "n_2_high"]
+
+    spec = parse_description(
+        "Group by o_orderpriority then o_orderstatus with subtotals "
+        "and count rows.",
+        columns=cols,
+    )
+    assert spec["ops"] == [{
+        "op": "rollup", "keys": ["o_orderpriority", "o_orderstatus"],
+        "aggs": [{"fn": "count", "col": "*", "alias": "n_rows"}],
+        "gid_alias": "gid",
+    }]
+
+
+def test_pivot_rollup_compile_semantics(spark, people):
+    from agentic_workflow_for_data_transformation_spark.plans import compile_spec
+
+    pv = compile_spec(people, {"ops": [{
+        "op": "pivot", "keys": ["city"], "col": "name",
+        "values": ["Alice", "Nobody"],
+        "agg": {"fn": "count", "col": "*"},
+        "aliases": ["n_alice", "n_nobody"],
+    }]})
+    rows = {r["city"]: (r["n_alice"], r["n_nobody"]) for r in pv.collect()}
+    assert rows["New York"] == (1, 0)  # absent cell null-fills to 0
+    assert all(v == (1, 0) or v == (0, 0) for v in rows.values())
+
+    ru = compile_spec(people, {"ops": [{
+        "op": "rollup", "keys": ["city"],
+        "aggs": [{"fn": "count", "col": "*", "alias": "n"}],
+    }]})
+    out = {(r["city"], r["gid"]): r["n"] for r in ru.collect()}
+    assert out[(None, 1)] == 10  # grand total row, gid distinguishes it
+    assert out[("Boston", 0)] == 1
