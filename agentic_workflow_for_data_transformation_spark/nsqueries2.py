@@ -434,6 +434,39 @@ register(
 
 
 register(
+    "ns_multimodal_audio_zcr",
+    # 16-bit little-endian PCM from character code-point pairs
+    # (c1 + 256*c2, two's complement at 32768) — byte-exact vs
+    # np.frombuffer('<i2') on the ASCII corpus; output is pure
+    # integer counting, no float semantics to disagree on
+    "WITH i AS (SELECT doc_id, unnest(range(1, len(text) // 2 + 1)) AS pos, text "
+    " FROM documents), "
+    "s AS (SELECT doc_id, pos, CAST((pos - 1) // 256 AS INT) AS frame, "
+    " ord(substr(text, CAST(2 * pos - 1 AS INT), 1)) "
+    " + 256 * ord(substr(text, CAST(2 * pos AS INT), 1)) AS u FROM i), "
+    "v AS (SELECT doc_id, pos, frame, "
+    " CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM s), "
+    "p AS (SELECT doc_id, frame, x, "
+    " lead(x) OVER (PARTITION BY doc_id ORDER BY pos) AS nx, "
+    " lead(frame) OVER (PARTITION BY doc_id ORDER BY pos) AS nframe FROM v) "
+    "SELECT doc_id, frame, CAST(count(*) AS INT) AS n_samples, "
+    "CAST(count(*) FILTER (WHERE nframe = frame AND ((x < 0) <> (nx < 0))) "
+    " AS INT) AS n_crossings "
+    "FROM p GROUP BY doc_id, frame",
+    desc=(
+        "Audio-branch multimodal #2: per-frame zero-crossing rate over "
+        "the waveform payload read as 16-bit little-endian PCM — real "
+        "numpy decode in Arrow-batched mapInPandas, integer-exact "
+        "oracle (sign-flip counting, no floats)."
+    ),
+)(
+    lambda spark, sf_dir: multimodal.audio_frame_zcr(
+        multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
+    )
+)
+
+
+register(
     "ns_cross_corpus_overlap",
     f"WITH {_VERIFIED_CTES} "
     "SELECT c.doc_a, c.doc_b, jaccard FROM cand c JOIN jac USING (doc_a, doc_b) "

@@ -145,6 +145,51 @@ def frame_sample(df: DataFrame, frame_bytes: int = 100, max_frames: int = 5,
     )
 
 
+AUDIO_ZCR_SCHEMA = "doc_id long, frame int, n_samples int, n_crossings int"
+
+
+def audio_frame_zcr(df: DataFrame, id_col: str = "doc_id",
+                    payload_col: str = "payload",
+                    frame_size: int = 256) -> DataFrame:
+    """Per-frame zero-crossing rate over a binary waveform column read
+    as 16-bit little-endian PCM — the second REAL audio branch
+    (np.frombuffer('<i2'), no stub): a trailing odd byte is dropped,
+    samples are framed, and each frame emits the count of sign flips
+    between consecutive samples (negative vs non-negative; frames are
+    independent, so boundary pairs are never counted).
+
+    Determinism across engines: the output is pure integer counting —
+    no floats anywhere — so the DuckDB oracle recomputes it exactly
+    from character code points (valid on an ASCII corpus, which the
+    test suite asserts; see tests/test_operators.py ascii guard)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame": [], "n_samples": [], "n_crossings": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                buf = payload[: len(payload) - (len(payload) % 2)]
+                samples = np.frombuffer(buf, dtype="<i2")
+                for f in range(0, len(samples), frame_size):
+                    chunk = samples[f:f + frame_size]
+                    neg = chunk < 0
+                    out["doc_id"].append(doc_id)
+                    out["frame"].append(f // frame_size)
+                    out["n_samples"].append(len(chunk))
+                    out["n_crossings"].append(
+                        int(np.count_nonzero(neg[1:] != neg[:-1]))
+                    )
+            yield pd.DataFrame(out)
+
+    from .dedup import spread_small_input
+
+    return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
+        run, AUDIO_ZCR_SCHEMA
+    )
+
+
 AUDIO_ENERGY_SCHEMA = "doc_id long, frame int, n_samples int, rms_micro long"
 
 

@@ -465,3 +465,36 @@ def test_two_phase_row_number_matches_global_rank(spark):
         for r in two_phase_row_number(df2, "k", bucket_width=8).collect()
     }
     assert got2 == {-33: 1, -1: 2, 0: 3, 7: 4}
+
+
+def test_documents_corpus_is_pure_ascii(spark, sf_dir):
+    """The audio-branch oracles equate utf-8 payload BYTES with
+    per-character CODE POINTS (ord(substr(text, ...))), which only
+    holds when every character is ASCII — one multi-byte character
+    would shift every later frame boundary. Make the assumption an
+    asserted fact over the corpus instead of an implicit one."""
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    bad = docs.filter(
+        F.length(F.col("text")) != F.octet_length(F.col("text"))
+    ).count()
+    assert bad == 0, f"{bad} documents contain non-ASCII characters"
+
+
+def test_audio_frame_zcr_hand_computed(spark):
+    """int16 little-endian decode + per-frame sign-flip counting on a
+    byte-exact fixture; the trailing odd byte must be ignored."""
+    import struct
+
+    samples = [100, -5, 3, -2, 0, 0, -7]  # neg pattern F T F T F F T
+    payload = struct.pack("<7h", *samples) + b"\x01"  # + odd stray byte
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"\x02"))],  # doc 2: <1 sample
+        "doc_id long, payload binary",
+    )
+    rows = multimodal.audio_frame_zcr(df, frame_size=4).collect()
+    got = {(r["doc_id"], r["frame"]): (r["n_samples"], r["n_crossings"])
+           for r in rows}
+    # frame 0: [100,-5,3,-2] -> 3 flips; frame 1: [0,0,-7] -> 1 flip
+    assert got == {(1, 0): (4, 3), (1, 1): (3, 1)}

@@ -368,3 +368,11 @@ def test_nl_rollup_is_one_pass_expand(spark):
     plan = plan_of(spark, "p39_nl_rollup")
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan
+
+
+def test_audio_zcr_is_arrow_batched(spark):
+    """The PCM zero-crossing decode stage must run as mapInPandas
+    (Arrow batches into Python), not a row-at-a-time UDF."""
+    plan = plan_of(spark, "ns_multimodal_audio_zcr")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
