@@ -2680,51 +2680,41 @@ def x_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-mix applied sampling.
 # --------------------------------------------------------------------------
 _WINDOW: list[str] = [
-    # reference-parity corpus (SURVEY.md 2.2-2.5), NL pipeline.
-    # Round-4 rotations: p02 (string == appears inside p14's boolean
-    # tree), p08/p09 (rename is exercised by every p32-p34 pipeline)
-    # swapped for the NL join family p32-p34; then six more
-    # duplicate-shape rows (p07 string-predicate filter ~ p19;
-    # ns_text_tokens per-doc projection ~ ns_text_quality;
-    # ns_sample_hash/_stratified hash-draw ~ p21_nl_sample;
-    # ns_multimodal_frames mapInPandas shape ~ ns_multimodal_resize;
-    # ns_sim_topk_bruteforce broadcast-scan ~ ns_centroids_per_label)
-    # swapped for the round-4 operators: pivot, rollup,
-    # gaps-and-islands, bucketed interval join, NL running total, and
-    # the linear embedding-dedup apply. Everything demoted stays green
-    # in the freshness-gated local report.
-    "p01_filter_gt_project", "p05_groupby_count",
-    "p10_empty_result",
-    "p14_paren_bool_tree", "p15_isin", "p16_not", "p19_contains_between",
-    "p04_sort_topk", "p06_with_column_bool", "p18_groupby_avg_having",
-    "p20_tpch_q1", "p21_nl_sample", "p22_nl_select_distinct",
-    "p32_nl_left_join", "p33_nl_semi_join", "p34_nl_anti_join",
-    "p36_nl_running_total",
-    # north-star: dedup chain
-    "ns_dedup_exact", "ns_dedup_ngram_jaccard", "ns_dedup_minhash_lsh",
-    "ns_dedup_lsh_verified", "ns_dedup_clusters", "ns_dedup_apply",
-    "ns_dedup_simhash", "ns_dedup_embedding_cosine",
-    "ns_dedup_embedding_apply",
-    # north-star: text analysis
-    "ns_text_quality", "ns_text_langid",
-    "ns_text_fingerprint", "ns_text_top_ngrams",
-    # north-star: similarity
-    "ns_sim_knn_per_label", "ns_centroids_per_label",
-    # north-star: sampling + corpus construction
-    "ns_sample_balanced",
-    "ns_decontaminate", "ns_pack_sequences", "ns_source_filter",
-    # north-star: multimodal (mapInPandas plumbing)
+    # Round-5 rotation (VERDICT r4 #1): close the driver-gate coverage
+    # debt. 12 sentinels stay (predicate-form pair p01/p14, flagship
+    # p20, the round-2 silent-breakage events family, the escape
+    # hatch, the dedup-chain core, the mapInPandas shape, and the two
+    # operators whose plans CHANGED this round: per-key-horizon
+    # interval join and two-phase gaps-islands); 3 new round-5
+    # queries; the remaining 35 slots all go to queries that have
+    # NEVER had a CORRECTNESS_r* row (TPC-H join family, window/rank
+    # family, skew/full-outer/upsert joins, funnel/retention, bucketed
+    # kNN, audio energy, cross-corpus overlap, tf-idf, kmeans, NL
+    # union/lag). Everything demoted stays green in the
+    # freshness-gated local report (tools/check_oracle.py).
+    # -- sentinels --
+    "p01_filter_gt_project", "p14_paren_bool_tree", "p20_tpch_q1",
+    "x_time_bucket_agg", "x_join_asof", "u1_escape_hatch",
+    "ns_dedup_exact", "ns_dedup_minhash_lsh", "ns_dedup_apply",
     "ns_multimodal_resize",
-    # round-3 promotions: temporal / drift / corpus-mix (VERDICT r3 #2)
-    "x_scd2_intervals", "x_scd2_point_in_time", "x_join_asof_forward",
-    "p30_nl_sessionize", "ns_ks_drift_per_user", "ns_corpus_mix_apply",
-    # round-4 promotions: relational extensions + interval join
-    "x_pivot_status_by_priority", "x_rollup_priority_status",
-    "x_gaps_islands", "x_join_interval_bucketed",
-    # events family (the round-2 silent-breakage casualty — keep gated)
-    "x_time_bucket_agg", "x_join_asof",
-    # sandboxed escape hatch
-    "u1_escape_hatch",
+    "x_join_interval_bucketed", "x_gaps_islands",
+    # -- new this round --
+    "p38_nl_pivot", "p39_nl_rollup", "ns_multimodal_audio_zcr",
+    # -- first-ever driver rows: TPC-H join family --
+    "x_tpch_q2", "x_tpch_q4", "x_tpch_q7", "x_tpch_q8", "x_tpch_q9",
+    "x_tpch_q10", "x_tpch_q11", "x_tpch_q12", "x_tpch_q13",
+    "x_tpch_q14", "x_tpch_q15", "x_tpch_q16", "x_tpch_q19",
+    "x_tpch_q20", "x_tpch_q21", "x_tpch_q22",
+    # -- first-ever: window/rank + relational extensions --
+    "x_window_rank_family", "x_window_range_frame", "x_ntile_deciles",
+    "x_event_rate_anomaly", "x_sliding_window_agg", "x_cube",
+    "x_grouping_sets", "x_join_full_outer", "x_join_salted_skew",
+    "x_upsert_latest", "x_funnel_ordered", "x_retention_cohorts",
+    # -- first-ever: north-star vector/text/corpus --
+    "ns_sim_knn_bucketed", "ns_kmeans_refined", "ns_text_tfidf_top",
+    "ns_multimodal_audio_energy", "ns_cross_corpus_overlap",
+    # -- first-ever: NL grammar --
+    "p35_nl_union", "p37_nl_lag",
 ]
 
 

@@ -73,7 +73,56 @@ EXPECTED_SUPERLINEAR: dict[str, str] = {
 }
 
 
-def run_dir(sf_dir: str, names: list[str]) -> dict[str, float]:
+def dormant_interval_time(spark, sf: float) -> float:
+    """Adversarial dataset for the interval-containment join: ALL keys
+    are dormant (activity confined to the first 3 days) while the
+    dataset SPAN grows with sf (one heartbeat key keeps max(ts)
+    advancing). Under the old global max-ts horizon every key's final
+    period fans out into |keys| x |span-days| bucket rows (~sf^2 here);
+    the per-key horizon keeps the fanout at each key's own 3-day
+    activity (~sf). Everything is generated JVM-side (spark.range +
+    hash expressions), no driver loops."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from agentic_workflow_for_data_transformation_spark.operators.joins import (
+        interval_containment_join,
+    )
+
+    n_keys = int(50_000 * sf)
+    span_days = max(30, int(300 * sf))
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ev = (
+        spark.range(n_keys * 10)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % n_keys).alias("user_id"),
+            F.timestamp_add(
+                "SECOND",
+                (F.abs(F.xxhash64("id")) % (3 * 86400)).cast("int"),
+                base,
+            ).alias("ts"),
+        )
+    )
+    heartbeat = spark.range(span_days).select(
+        (F.col("id") + n_keys * 10).alias("event_id"),
+        F.lit(n_keys).cast("long").alias("user_id"),
+        F.timestamp_add("DAY", F.col("id").cast("int"), base).alias("ts"),
+    )
+    ev = ev.unionByName(heartbeat)
+    bounds = spark.range(n_keys + 1).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_add(
+            "SECOND", (F.abs(F.xxhash64("id", F.lit("b"))) % 3600).cast("int"), base
+        ).alias("period_start"),
+    )
+    t0 = _time.perf_counter()
+    interval_containment_join(ev, bounds).count()
+    return _time.perf_counter() - t0
+
+
+def run_dir(sf_dir: str, sf: float, names: list[str]) -> dict[str, float]:
     spark = get_spark(app_name=f"bench_scale_{Path(sf_dir).name}")
     warmup(spark)
     reg = benchqueries.queries()
@@ -82,6 +131,11 @@ def run_dir(sf_dir: str, names: list[str]) -> dict[str, float]:
         cold, steady = time_query(spark, reg[name], sf_dir)
         out[name] = round(steady, 3)
         print(f"  {name}: {out[name]:.2f}s (cold {cold:.2f}s)", flush=True)
+    # synthetic adversarial row (not a registry query): dormant-key
+    # interval join — min of 2 runs, same pause discipline as benchutil
+    t = min(dormant_interval_time(spark, sf), dormant_interval_time(spark, sf))
+    out["x_join_interval_dormant (synthetic)"] = round(t, 3)
+    print(f"  x_join_interval_dormant: {t:.2f}s", flush=True)
     spark.stop()
     return out
 
@@ -110,9 +164,10 @@ def main() -> None:
     names = [n for n in QUERIES if n not in skip]
 
     per_dir: list[dict[str, float]] = []
-    for d in dirs:
+    for d, sf in zip(dirs, sfs):
         print(f"== {d} ==", flush=True)
-        per_dir.append(run_dir(d, names))
+        per_dir.append(run_dir(d, sf, names))
+    names = names + ["x_join_interval_dormant (synthetic)"]
 
     sf_heads = " | ".join(f"sf{s:g} (s)" for s in sfs)
     lines = [
