@@ -2582,21 +2582,26 @@ def x_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number-difference formulation needs a GLOBAL sort of all keys;
     this one finds island boundaries with two shuffle-local anti-joins
     (k-1 absent -> start, k+1 absent -> end) and pairs i-th start with
-    i-th end via operators.windows.two_phase_row_number — a PARTITIONED
-    in-bucket rank plus broadcast bucket offsets, so even a
-    pathological every-other-key input (|islands| ~ |keys|/2) never
-    funnels the boundary set through one partition; the only
-    unpartitioned ordered step runs over the bucket-count aggregate."""
+    i-th end via one union-tagged two-phase rank
+    (operators.windows.two_phase_row_number with partition_by=[side]):
+    the in-bucket rank AND the bucket-offset cumulative are both
+    PARTITIONED windows, so even a pathological every-other-key input
+    (|islands| ~ |keys|/2) never funnels anything through one
+    partition — no unpartitioned ordered step exists in the plan."""
     li = _t(spark, sf_dir, "lineitem")
     keys = li.select(F.col("l_orderkey").alias("k")).distinct()
     shifted_up = keys.select((F.col("k") + 1).alias("k"))
     shifted_dn = keys.select((F.col("k") - 1).alias("k"))
     starts = keys.join(shifted_up, "k", "left_anti")  # k-1 not present
     ends = keys.join(shifted_dn, "k", "left_anti")    # k+1 not present
-    s = windows.two_phase_row_number(starts, "k").select(
+    bounds = starts.select("k", F.lit("s").alias("side")).unionByName(
+        ends.select("k", F.lit("e").alias("side"))
+    )
+    ranked = windows.two_phase_row_number(bounds, "k", partition_by=["side"])
+    s = ranked.filter(F.col("side") == "s").select(
         F.col("k").alias("island_start"), "rn"
     )
-    e = windows.two_phase_row_number(ends, "k").select(
+    e = ranked.filter(F.col("side") == "e").select(
         F.col("k").alias("island_end"), "rn"
     )
     return s.join(e, "rn").select(

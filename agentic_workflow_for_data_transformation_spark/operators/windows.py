@@ -31,6 +31,7 @@ def two_phase_row_number(
     out_col: str = "rn",
     bucket_width: int = 4096,
     bucket: Column | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Global 1-based ``row_number`` by ``order_col`` without a
     single-partition sort of the data.
@@ -51,27 +52,35 @@ def two_phase_row_number(
     level (bucket the buckets); one level suffices up to ~10^9 distinct
     bucket ids.
 
+    With ``partition_by``, numbering restarts per partition group
+    (``row_number() OVER (PARTITION BY ... ORDER BY order_col)``) and
+    even the bucket-offset cumulative becomes a PARTITIONED window —
+    no unpartitioned ordered step remains anywhere in the plan.
+
     Ties in ``order_col`` get arbitrary but stable-within-run numbers
     (same as an unpartitioned ``row_number`` without a tie-break key);
     pass a composite ``bucket``/order column when determinism under
     ties matters.
     """
+    pb = list(partition_by or [])
     b = bucket if bucket is not None else F.floor(
         F.col(order_col) / F.lit(bucket_width)
     )
     d = df.withColumn("_b", b.cast("long"))
-    counts = d.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    counts = d.groupBy(*pb, "_b").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (
-        Window.orderBy("_b")
+        (Window.partitionBy(*pb) if pb else Window)
+        .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
+        *pb,
         "_b",
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
     )
-    w_in = Window.partitionBy("_b").orderBy(order_col)
+    w_in = Window.partitionBy(*pb, "_b").orderBy(order_col)
     return (
-        d.join(F.broadcast(offsets), "_b")
+        d.join(F.broadcast(offsets), [*pb, "_b"])
         .withColumn(
             out_col,
             (F.row_number().over(w_in) + F.col("_off")).cast("long"),

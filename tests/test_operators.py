@@ -498,3 +498,30 @@ def test_audio_frame_zcr_hand_computed(spark):
            for r in rows}
     # frame 0: [100,-5,3,-2] -> 3 flips; frame 1: [0,0,-7] -> 1 flip
     assert got == {(1, 0): (4, 3), (1, 1): (3, 1)}
+
+
+def test_two_phase_row_number_partitioned(spark):
+    """partition_by restarts numbering per group and matches the
+    partitioned row_number() window exactly."""
+    from pyspark.sql import Window
+
+    from agentic_workflow_for_data_transformation_spark.operators.windows import (
+        two_phase_row_number,
+    )
+
+    rows = [("a", k) for k in (3, 9, 100, 4097)] + [("b", k) for k in (1, 8000)]
+    df = spark.createDataFrame(rows, "g string, k long").repartition(3)
+    got = {
+        (r["g"], r["k"]): r["rn"]
+        for r in two_phase_row_number(
+            df, "k", bucket_width=64, partition_by=["g"]
+        ).collect()
+    }
+    want = {
+        (r["g"], r["k"]): r["rn"]
+        for r in df.select(
+            "g", "k",
+            F.row_number().over(Window.partitionBy("g").orderBy("k")).alias("rn"),
+        ).collect()
+    }
+    assert got == want

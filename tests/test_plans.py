@@ -327,10 +327,12 @@ def test_gaps_islands_never_goes_quadratic(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     import re
-    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the two-phase rank windows in the plan"
+    for spec in specs:
         first_arg = spec.split(",")[0].strip()
-        assert not first_arg.startswith("k#"), (
-            "unpartitioned window ordered by the data column: " + spec
+        assert first_arg.startswith("side#"), (
+            "window not partitioned by the union tag: " + spec
         )
 
 
