@@ -2470,6 +2470,68 @@ _ORDERS_COLUMNS = [
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority",
 ]
+_LINEITEM_COLUMNS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+
+_P40_DESC = (
+    "Add moving minimum of value over last 3 rows per user_id "
+    "ordered by event_id and "
+    "select event_id, user_id and moving_min_value."
+)
+_EVENTS_COLUMNS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _p40_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P40_DESC, columns=_EVENTS_COLUMNS), "events"
+    )
+
+
+@register("p40_nl_moving_window", _p40_oracle())
+def p40_nl_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL sliding ROWS frame: 'add moving minimum of X over last N
+    rows per K ordered by O' — min over (N-1) PRECEDING .. CURRENT
+    ROW. One sort per partition either way. Determinism: event_id is
+    globally unique, so the per-partition order is total and the frame
+    CONTENTS are identical in every engine; min is comparison-only, so
+    no float-accumulation semantics can disagree (a ROWS frame over a
+    non-unique order key would split peers arbitrarily — the lineitem
+    variant of this query is NOT portable, which is why it runs on
+    events). Oracle is the sqlgen rendering of the parsed
+    description."""
+    return _nl(spark, sf_dir, "events", _P40_DESC)
+
+
+_P41_DESC = (
+    "Group by o_orderpriority and show count rows, "
+    "count distinct o_custkey, minimum o_totalprice and "
+    "maximum o_totalprice."
+)
+
+
+def _p41_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P41_DESC, columns=_ORDERS_COLUMNS), "orders"
+    )
+
+
+@register("p41_nl_multi_agg", _p41_oracle())
+def p41_nl_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL multi-aggregate group-by: several aggregates in ONE
+    aggregation pass (count rows, count distinct, min, max — each
+    phrase keeps the single-clause alias conventions). Exact outputs
+    only (counts and min/max), so the hash-compare is unconditional;
+    money SUMS would go through the decimal(18,2) cast discipline
+    instead."""
+    return _nl(spark, sf_dir, "orders", _P41_DESC)
 
 _P38_DESC = (
     "Pivot o_orderstatus by o_orderpriority counting rows "

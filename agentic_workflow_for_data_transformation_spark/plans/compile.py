@@ -126,7 +126,14 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
             base = F.lag if fn == "lag" else F.lead
             col = base(e["col"], e.get("offset", 1)).over(w)
         else:  # aggregate over the window frame
-            col = _AGG_BUILDERS[fn](e["col"]).over(w)
+            win = w
+            if "rows_preceding" in e:
+                # sliding ROWS frame: n PRECEDING .. CURRENT ROW (a
+                # moving aggregate) instead of the default cumulative
+                # RANGE frame — still one sort per partition; Spark
+                # keeps only the frame's rows buffered per group
+                win = w.rowsBetween(-e["rows_preceding"], Window.currentRow)
+            col = _AGG_BUILDERS[fn](e["col"]).over(win)
         df = df.withColumn(e["alias"], col)
     return df
 

@@ -330,6 +330,24 @@ _RUNNING = re.compile(
 )
 _RUNNING_FNS = {"total": "sum", "sum": "sum", "count": "count",
                 "average": "avg", "minimum": "min", "maximum": "max"}
+# "add moving average of value over last 5 rows per user_id ordered by
+# ts" — a sliding ROWS frame ((n-1) PRECEDING .. CURRENT ROW)
+_MOVING = re.compile(
+    r"^add\s+moving\s+(total|sum|count|average|minimum|maximum)\s+of\s+(\w+)"
+    r"\s+over\s+last\s+(\d+)\s+rows\s+per\s+(\w+)\s+ordered\s+by\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+# multi-aggregate group-by: "group by K and show total a, average b and
+# count rows [where ...]" — one aggregation pass, several outputs
+_GROUP_MULTI = re.compile(
+    r"^group\s+by\s+(\w+)\s+and\s+show\s+(.+?)(?:\s+where\s+(.+))?$",
+    re.IGNORECASE,
+)
+_AGG_PHRASE = re.compile(
+    r"^(?:(count)\s+rows|(count\s+distinct)\s+(\w+)"
+    r"|(total|sum\s+of|average|minimum|maximum)\s+(\w+))\s*$",
+    re.IGNORECASE,
+)
 # "add previous value per user_id ordered by ts" (lag) /
 # "add next value per user_id ordered by ts" (lead)
 _LAG_LEAD = re.compile(
@@ -358,6 +376,27 @@ def _slug_alias(value: str, prefix: str = "n_") -> str:
     """Deterministic output-column alias for a pivot value — the same
     name the sqlgen oracle emits, so hash-compares line up."""
     return prefix + (re.sub(r"[^a-z0-9]+", "_", value.lower()).strip("_") or "value")
+
+
+def _parse_agg_phrase(phrase: str, columns: list[str] | None) -> dict | None:
+    """One aggregate phrase of the multi-agg group-by clause: 'count
+    rows', 'count distinct x', 'total x', 'average x', ... Returns the
+    spec agg dict (aliases match the single-agg clause conventions) or
+    None when the phrase is not an aggregate."""
+    m = _AGG_PHRASE.match(phrase.strip())
+    if not m:
+        return None
+    if m.group(1):
+        return {"fn": "count", "col": "*", "alias": "row_count"}
+    if m.group(2):
+        col = _resolve_col(m.group(3), columns)
+        return {"fn": "count_distinct", "col": col,
+                "alias": f"{col}_distinct_count"}
+    word = re.sub(r"\s+", " ", m.group(4).lower())
+    fn = _GLOBAL_AGG_WORDS[word]
+    col = _resolve_col(m.group(5), columns)
+    alias = f"average_{col}" if fn == "avg" else f"{fn}_{col}"
+    return {"fn": fn, "col": col, "alias": alias}
 
 
 def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
@@ -482,6 +521,18 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         if m.group(4):
             op["having"] = parse_predicate(m.group(4))
         return op
+    if m := _GROUP_MULTI.match(clause):
+        # multi-aggregate form, only when EVERY comma/and-separated
+        # phrase parses and there are at least two (single-aggregate
+        # phrasings keep routing through the dedicated patterns above,
+        # preserving their alias conventions)
+        phrases = [p for p in _VALUE_LIST_SPLIT.split(m.group(2)) if p.strip()]
+        aggs = [_parse_agg_phrase(p, columns) for p in phrases]
+        if len(aggs) >= 2 and all(aggs):
+            op = {"op": "groupby_agg", "keys": [m.group(1)], "aggs": aggs}
+            if m.group(3):
+                op["having"] = parse_predicate(m.group(3))
+            return op
     if m := _GLOBAL_AGG.match(clause):
         word, col = m.group(1).lower(), _resolve_col(m.group(2), columns)
         fn = _GLOBAL_AGG_WORDS[word]
@@ -536,6 +587,19 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "partition_by": [m.group(3)],
             "order_by": [{"col": m.group(4), "asc": True}],
             "exprs": [{"fn": fn, "col": col, "alias": f"running_{fn}_{col}"}],
+        }
+    if m := _MOVING.match(clause):
+        fn = _RUNNING_FNS[m.group(1).lower()]
+        col = _resolve_col(m.group(2), columns)
+        n = int(m.group(3))
+        if n < 1:
+            raise ParseError(f"moving window needs at least 1 row: {clause!r}")
+        return {
+            "op": "window",
+            "partition_by": [m.group(4)],
+            "order_by": [{"col": m.group(5), "asc": True}],
+            "exprs": [{"fn": fn, "col": col, "alias": f"moving_{fn}_{col}",
+                       "rows_preceding": n - 1}],
         }
     if m := _LAG_LEAD.match(clause):
         fn = "lag" if m.group(1).lower() == "previous" else "lead"

@@ -275,6 +275,13 @@ def validate_op(op: Any) -> None:
         for e in exprs:
             if not (isinstance(e, dict) and e.get("fn") in WINDOW_FNS and isinstance(e.get("alias"), str)):
                 _err(f"window expr needs fn in {sorted(WINDOW_FNS)} and alias: {e!r}")
+            if "rows_preceding" in e:
+                # sliding ROWS frame (n PRECEDING .. CURRENT ROW):
+                # aggregate fns only — rank/lag semantics ignore frames
+                if e["fn"] in ("row_number", "rank", "dense_rank", "lag", "lead"):
+                    _err(f"'rows_preceding' is only valid on aggregate window fns: {e!r}")
+                if not (isinstance(e["rows_preceding"], int) and e["rows_preceding"] >= 0):
+                    _err(f"'rows_preceding' must be a non-negative int: {e!r}")
     elif kind == "join":
         if op.get("how", "inner") not in JOIN_TYPES:
             _err(f"join 'how' must be one of {sorted(JOIN_TYPES)}: {op!r}")

@@ -171,24 +171,32 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 + (" ASC NULLS FIRST" if k.get("asc", True) else " DESC NULLS LAST")
                 for k in op["order_by"]
             )
-            over = (
+            over_head = (
                 "OVER ("
                 + (f"PARTITION BY {parts} " if parts else "")
-                + f"ORDER BY {order})"
+                + f"ORDER BY {order}"
             )
             # Spark's default frame for an ordered aggregate window is
             # RANGE UNBOUNDED PRECEDING..CURRENT ROW — the SQL default,
             # so peers (order-by ties) are included identically and no
-            # explicit frame clause is needed.
+            # explicit frame clause is needed. A 'rows_preceding'
+            # sliding frame renders explicitly.
             sel = ["*"]
             for e in op["exprs"]:
                 fn = e["fn"]
+                over = over_head + ")"
                 if fn in ("row_number", "rank", "dense_rank"):
                     call = f"{fn}()"
                 elif fn in ("lag", "lead"):
                     call = f"{fn}({_q(e['col'])}, {e.get('offset', 1)})"
                 else:
                     call = f"{fn}({_q(e['col'])})"
+                    if "rows_preceding" in e:
+                        over = (
+                            over_head
+                            + f" ROWS BETWEEN {e['rows_preceding']} PRECEDING"
+                            + " AND CURRENT ROW)"
+                        )
                 sel.append(f"{call} {over} AS {_q(e['alias'])}")
             sql = wrap(", ".join(sel))
         elif kind == "join":

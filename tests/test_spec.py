@@ -512,3 +512,60 @@ def test_pivot_rollup_compile_semantics(spark, people):
     out = {(r["city"], r["gid"]): r["n"] for r in ru.collect()}
     assert out[(None, 1)] == 10  # grand total row, gid distinguishes it
     assert out[("Boston", 0)] == 1
+
+
+def test_parse_moving_window_and_multi_agg():
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    spec = parse_description(
+        "Add moving average of value over last 3 rows per user_id "
+        "ordered by event_id",
+        columns=["event_id", "user_id", "value"],
+    )
+    assert spec["ops"] == [{
+        "op": "window", "partition_by": ["user_id"],
+        "order_by": [{"col": "event_id", "asc": True}],
+        "exprs": [{"fn": "avg", "col": "value", "alias": "moving_avg_value",
+                   "rows_preceding": 2}],
+    }]
+
+    spec = parse_description(
+        "Group by city and show count rows, total age and count distinct name",
+        columns=["city", "age", "name"],
+    )
+    assert spec["ops"] == [{
+        "op": "groupby_agg", "keys": ["city"],
+        "aggs": [
+            {"fn": "count", "col": "*", "alias": "row_count"},
+            {"fn": "sum", "col": "age", "alias": "sum_age"},
+            {"fn": "count_distinct", "col": "name",
+             "alias": "name_distinct_count"},
+        ],
+    }]
+    # single-agg phrasing keeps routing through the dedicated pattern
+    spec = parse_description("Group by city and show average age",
+                             columns=["city", "age"])
+    assert spec["ops"][0]["aggs"][0]["alias"] == "average_age"
+
+
+def test_moving_window_compile_semantics(spark, people):
+    spec = {"ops": [{
+        "op": "window", "partition_by": [],
+        "order_by": [{"col": "age", "asc": True}],
+        "exprs": [{"fn": "sum", "col": "age", "alias": "m3",
+                   "rows_preceding": 2}],
+    }]}
+    rows = {r["age"]: r["m3"] for r in compile_spec(people, spec).collect()}
+    ages = sorted(r for r in rows)
+    for i, a in enumerate(ages):
+        assert rows[a] == sum(ages[max(0, i - 2):i + 1])
+    # frames are rejected on rank functions
+    import pytest as _pytest
+    from agentic_workflow_for_data_transformation_spark.plans.spec import validate_spec
+    with _pytest.raises(SpecError):
+        validate_spec({"ops": [{
+            "op": "window", "partition_by": [],
+            "order_by": [{"col": "age", "asc": True}],
+            "exprs": [{"fn": "row_number", "alias": "rn",
+                       "rows_preceding": 2}],
+        }]})
