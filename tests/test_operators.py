@@ -525,3 +525,19 @@ def test_two_phase_row_number_partitioned(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_cached_count_refreshes_on_rewritten_input(spark, tmp_path):
+    """The cardinality memo keys on an input-file fingerprint as well
+    as the plan hash: rewriting a table in place (same path, same
+    plan) must produce a fresh count, not a stale memo hit — a stale
+    count would silently mis-size auto_bits buckets."""
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        cached_count,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.mode("overwrite").parquet(p)
+    assert cached_count(spark.read.parquet(p)) == 10
+    spark.range(25).write.mode("overwrite").parquet(p)
+    assert cached_count(spark.read.parquet(p)) == 25

@@ -416,3 +416,67 @@ def test_stateless_corpus_ops_run_on_streams(spark, sf_dir):
     want = {tuple(r) for r in pipeline(batch_docs).collect()}
     assert got == want
     assert got, "sample produced no rows"
+
+
+def test_streaming_dedup_runs_on_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The RocksDB state-store provider is what BENCH_STREAM's dedup
+    capacity knee is measured on — guard that the provider actually
+    loads and produces the same dedup output as the default HashMap
+    store (a misconfigured provider class fails at query start)."""
+    from agentic_workflow_for_data_transformation_spark.sources import read_events
+    from agentic_workflow_for_data_transformation_spark.streaming.events import (
+        streaming_dedup,
+    )
+
+    from agentic_workflow_for_data_transformation_spark.streaming.events import (
+        EVENTS_SCHEMA,
+    )
+
+    ev = read_events(spark, sf_dir).limit(500)
+    # epoch-seconds ts for a simple file-stream schema (same pattern as
+    # test_streaming_dedup_drops_replays)
+    raw = ev.withColumn("ts", F.col("ts").cast("long"))
+    dup = raw.unionByName(raw)  # every id delivered twice
+    src = str(tmp_path / "in")
+    dup.write.mode("overwrite").parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.LongType())
+         for f in EVENTS_SCHEMA.fields]
+    )
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            streaming_dedup(stream, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rocksdb_dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        last = q.lastProgress
+        q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    got = [r["event_id"] for r in spark.table("rocksdb_dedup_out").collect()]
+    assert sorted(got) == sorted(
+        r["event_id"] for r in ev.select("event_id").distinct().collect()
+    )
+    # the provider that actually ran must be RocksDB, not a silent fallback
+    ops = (last or {}).get("stateOperators") or []
+    assert any("rocksdb" in str(op).lower() for op in ops), ops
