@@ -261,6 +261,13 @@ def spec_to_sql(spec: dict, table: str) -> str:
             keys = ", ".join(_q(k) for k in op["keys"])
             sql = wrap(keys + ", " + ", ".join(cells), f"GROUP BY {keys}")
         elif kind == "rollup":
+            # Known cross-engine edge (found by the round-5 fuzzer):
+            # over EMPTY input, standard SQL (DuckDB, Postgres) emits
+            # the grand-total grouping set as one row; Spark — both
+            # DataFrame rollup AND Spark SQL GROUP BY ROLLUP — returns
+            # 0 rows. This engine keeps Spark SQL's semantics; oracle
+            # comparisons must feed rollups non-empty input
+            # (tests/test_spec.py::test_rollup_empty_input_is_spark_semantics).
             aggs = []
             for a in op["aggs"]:
                 fn, col, alias = a["fn"], a["col"], _q(a["alias"])

@@ -397,3 +397,95 @@ def test_random_schema_ops_match_duckdb(
     got = _name_sorted_rows(compile_spec(spark_module, spec).toPandas())
     want = _duck2(spec_to_sql(spec, "people"))
     assert got == want
+
+
+# ---- round-5 grammar surface: pivot / rollup / sliding frames ------------
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    vals=st.lists(st.sampled_from(NAMES + ["Zed"]), min_size=1, max_size=3,
+                  unique=True),
+    fn=st.sampled_from(["count", "min", "max"]),
+)
+def test_random_pivots_match_duckdb(spark_module, expr, vals, fn):
+    """Declared-values pivot over filtered input: count cells
+    null-fill to 0 on both sides (count FILTER of zero rows is 0);
+    min/max keep NULL for absent cells on both sides."""
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "pivot", "keys": ["city"], "col": "name",
+             "values": list(vals),
+             "agg": {"fn": fn, "col": "*" if fn == "count" else "age"},
+             "aliases": [f"v{i}" for i in range(len(vals))]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(expr=predicate, fn=st.sampled_from(["count", "min", "max", "sum"]))
+def test_random_rollups_match_duckdb(spark_module, expr, fn):
+    """ROLLUP over filtered input: subtotal rows, NULL key levels, and
+    the grouping_id bitmask must agree bit-for-bit across engines.
+    Empty input is excluded — Spark (DataFrame and SQL alike) emits 0
+    rows there while standard SQL emits the grand-total row; this
+    engine keeps Spark semantics (see
+    test_spec.test_rollup_empty_input_is_spark_semantics)."""
+    from hypothesis import assume
+
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import expr_to_sql
+
+    n = int(_duck(f"SELECT count(*) FROM people WHERE {expr_to_sql(expr)}")[0][0])
+    assume(n > 0)
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "rollup", "keys": ["city", "name"],
+             "aggs": [{"fn": fn, "col": "*" if fn == "count" else "age",
+                       "alias": "m"}]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    n_prec=st.integers(min_value=0, max_value=5),
+    fn=st.sampled_from(["sum", "min", "max", "count", "avg"]),
+)
+def test_random_sliding_frames_match_duckdb(spark_module, expr, n_prec, fn):
+    """ROWS frame aggregates ordered by the (unique) age column: frame
+    contents are total-order deterministic, integer sums are exact, so
+    even avg compares as an identical IEEE double."""
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "window", "partition_by": [],
+             "order_by": [{"col": "age", "asc": True}],
+             "exprs": [{"fn": fn, "col": "age", "alias": "m",
+                        "rows_preceding": n_prec}]},
+            {"op": "select", "cols": ["name", "age", "m"]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want

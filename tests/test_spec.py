@@ -569,3 +569,24 @@ def test_moving_window_compile_semantics(spark, people):
             "exprs": [{"fn": "row_number", "alias": "rn",
                        "rows_preceding": 2}],
         }]})
+
+
+def test_rollup_empty_input_is_spark_semantics(spark, people):
+    """Documented cross-engine edge (found by the round-5 fuzzer):
+    ROLLUP over EMPTY input returns 0 rows in Spark — DataFrame rollup
+    and Spark SQL GROUP BY ROLLUP agree — while standard SQL (DuckDB,
+    Postgres) emits the grand-total grouping set as one row. The
+    engine keeps Spark SQL's semantics; sqlgen oracles must feed
+    rollups non-empty input."""
+    spec = {"ops": [
+        {"op": "filter", "expr": {"gt": ["age", 1000]}},
+        {"op": "rollup", "keys": ["city"],
+         "aggs": [{"fn": "count", "col": "*", "alias": "n"}]},
+    ]}
+    assert compile_spec(people, spec).collect() == []
+    people.createOrReplaceTempView("people_rollup_edge")
+    sql_rows = people.sparkSession.sql(
+        "SELECT city, count(*) n FROM people_rollup_edge "
+        "WHERE age > 1000 GROUP BY ROLLUP(city)"
+    ).collect()
+    assert sql_rows == []  # the DataFrame op matches Spark SQL exactly
