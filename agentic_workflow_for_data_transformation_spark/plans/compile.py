@@ -118,7 +118,31 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
     w = Window.partitionBy(*[F.col(c) for c in op.get("partition_by", [])]).orderBy(
         *_sort_cols(op["order_by"])
     )
-    for e in op["exprs"]:
+    exprs = op["exprs"]
+    # a GLOBAL row_number (no partition keys) would funnel the whole
+    # frame through one partition; when the ordering is a single
+    # ascending numeric key, route it through the two-phase rank
+    # (partitioned bucket windows + broadcast offsets) instead —
+    # same numbers, no single-partition sort of the data
+    if (
+        not op.get("partition_by")
+        and len(op["order_by"]) == 1
+        and op["order_by"][0].get("asc", True)
+        and len(exprs) == 1
+        and exprs[0]["fn"] == "row_number"
+    ):
+        from pyspark.sql import types as T
+
+        okey = op["order_by"][0]["col"]
+        if okey in df.columns and isinstance(
+            df.schema[okey].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        ):
+            from ..operators.windows import two_phase_row_number
+
+            return two_phase_row_number(df, okey, out_col=exprs[0]["alias"])
+    for e in exprs:
         fn = e["fn"]
         if fn in _WINDOW_RANK_FNS:
             col = _WINDOW_RANK_FNS[fn]().over(w)

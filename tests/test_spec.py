@@ -590,3 +590,34 @@ def test_rollup_empty_input_is_spark_semantics(spark, people):
         "WHERE age > 1000 GROUP BY ROLLUP(city)"
     ).collect()
     assert sql_rows == []  # the DataFrame op matches Spark SQL exactly
+
+
+def test_global_row_number_routes_through_two_phase(spark, people):
+    """A window op with NO partition keys and a single ascending
+    numeric order key + row_number must compile to the two-phase rank
+    (no single-partition sort of the data): numbers identical to the
+    naive plan, and no windowspecdefinition ordered directly by the
+    data column in the physical plan."""
+    spec = {"ops": [{
+        "op": "window", "partition_by": [],
+        "order_by": [{"col": "age", "asc": True}],
+        "exprs": [{"fn": "row_number", "alias": "rn"}],
+    }]}
+    out = compile_spec(people, spec)
+    got = {r["age"]: r["rn"] for r in out.collect()}
+    ages = sorted(got)
+    assert [got[a] for a in ages] == list(range(1, len(ages) + 1))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert not s.split(",")[0].strip().startswith("age#"), s
+    # string order key: falls back to the plain window (bucketing
+    # needs a numeric monotone key)
+    spec2 = {"ops": [{
+        "op": "window", "partition_by": [],
+        "order_by": [{"col": "name", "asc": True}],
+        "exprs": [{"fn": "row_number", "alias": "rn"}],
+    }]}
+    rows = {r["name"]: r["rn"] for r in compile_spec(people, spec2).collect()}
+    names = sorted(rows)
+    assert [rows[n] for n in names] == list(range(1, len(names) + 1))
