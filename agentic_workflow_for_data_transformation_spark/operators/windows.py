@@ -32,6 +32,7 @@ def two_phase_row_number(
     bucket_width: int = 4096,
     bucket: Column | None = None,
     partition_by: list[str] | None = None,
+    ascending: bool = True,
 ) -> DataFrame:
     """Global 1-based ``row_number`` by ``order_col`` without a
     single-partition sort of the data.
@@ -63,10 +64,23 @@ def two_phase_row_number(
     ties matters.
     """
     pb = list(partition_by or [])
-    b = bucket if bucket is not None else F.floor(
-        F.col(order_col) / F.lit(bucket_width)
+    if bucket is not None:
+        b = bucket
+    else:
+        # bucket ids must be monotone in RANK order, so a descending
+        # rank buckets the negated key
+        key = F.col(order_col) if ascending else -F.col(order_col)
+        b = F.floor(key / F.lit(bucket_width))
+    # a NULL order key would NULL its bucket too — and a null join key
+    # silently drops the row from the offsets equi-join. Map the null
+    # bucket to a sentinel that sorts where Spark puts nulls (ASC =
+    # NULLS FIRST -> before every real bucket; DESC = NULLS LAST ->
+    # after), so null rows keep both their offset row and their rank
+    # position under a plain ascending bucket order.
+    null_sentinel = -(2 ** 62) if ascending else 2 ** 62
+    d = df.withColumn(
+        "_b", F.coalesce(b.cast("long"), F.lit(null_sentinel))
     )
-    d = df.withColumn("_b", b.cast("long"))
     counts = d.groupBy(*pb, "_b").agg(F.count(F.lit(1)).alias("_c"))
     w_off = (
         (Window.partitionBy(*pb) if pb else Window)
@@ -78,7 +92,9 @@ def two_phase_row_number(
         "_b",
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
     )
-    w_in = Window.partitionBy(*pb, "_b").orderBy(order_col)
+    w_in = Window.partitionBy(*pb, "_b").orderBy(
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    )
     return (
         d.join(F.broadcast(offsets), [*pb, "_b"])
         .withColumn(

@@ -127,7 +127,6 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
     if (
         not op.get("partition_by")
         and len(op["order_by"]) == 1
-        and op["order_by"][0].get("asc", True)
         and len(exprs) == 1
         and exprs[0]["fn"] == "row_number"
     ):
@@ -141,7 +140,10 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
         ):
             from ..operators.windows import two_phase_row_number
 
-            return two_phase_row_number(df, okey, out_col=exprs[0]["alias"])
+            return two_phase_row_number(
+                df, okey, out_col=exprs[0]["alias"],
+                ascending=op["order_by"][0].get("asc", True),
+            )
     for e in exprs:
         fn = e["fn"]
         if fn in _WINDOW_RANK_FNS:

@@ -541,3 +541,40 @@ def test_cached_count_refreshes_on_rewritten_input(spark, tmp_path):
     assert cached_count(spark.read.parquet(p)) == 10
     spark.range(25).write.mode("overwrite").parquet(p)
     assert cached_count(spark.read.parquet(p)) == 25
+
+
+def test_two_phase_row_number_desc_and_nulls(spark):
+    """Descending ranks and NULL order keys must match the plain
+    row_number window exactly: desc numbers from the largest key, and
+    nulls rank first under ASC (NULLS FIRST) / last under DESC (NULLS
+    LAST) — and the null rows must not be dropped by the offsets
+    join."""
+    from pyspark.sql import Window
+
+    from agentic_workflow_for_data_transformation_spark.operators.windows import (
+        two_phase_row_number,
+    )
+
+    rows = [(1,), (None,), (500,), (9000,), (None,), (42,)]
+    df = spark.createDataFrame(rows, "k long").repartition(3)
+    for asc in (True, False):
+        got = sorted(
+            [
+                (r["k"], r["rn"])
+                for r in two_phase_row_number(
+                    df, "k", bucket_width=128, ascending=asc
+                ).collect()
+            ],
+            key=lambda t: (t[1],),
+        )
+        w = Window.orderBy(F.col("k").asc() if asc else F.col("k").desc())
+        want = sorted(
+            ((r["k"], r["rn"]) for r in df.select(
+                "k", F.row_number().over(w).alias("rn")).collect()),
+            key=lambda t: (t[1],),
+        )
+        # ties between the two NULLs make rn 1/2 (or 5/6) arbitrary —
+        # compare the multiset of (key, rank) pairs with nulls grouped
+        def norm(pairs):
+            return sorted((str("N" if k is None else k).rjust(8, "0"), rn) for k, rn in pairs)
+        assert norm(got) == norm(want), (asc, got, want)
