@@ -2508,6 +2508,31 @@ def p40_nl_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P40_DESC)
 
 
+_P42_DESC = (
+    "Add row number ordered by event_id and "
+    "select event_id, user_id and row_num."
+)
+
+
+def _p42_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P42_DESC, columns=_EVENTS_COLUMNS), "events"
+    )
+
+
+@register("p42_nl_global_row_number", _p42_oracle())
+def p42_nl_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL global ordinal: 'add row number ordered by event_id'. The
+    compiler routes this through operators.windows.two_phase_row_number
+    (numeric ascending key), so unlike the naive row_number() OVER
+    (ORDER BY ...) the data never crosses a single partition — the
+    oracle still renders the naive window because the numbers are
+    identical (event_id is unique, so the order is total)."""
+    return _nl(spark, sf_dir, "events", _P42_DESC)
+
+
 _P41_DESC = (
     "Group by o_orderpriority and show count rows, "
     "count distinct o_custkey, minimum o_totalprice and "

@@ -348,6 +348,13 @@ _AGG_PHRASE = re.compile(
     r"|(total|sum\s+of|average|minimum|maximum)\s+(\w+))\s*$",
     re.IGNORECASE,
 )
+# "add row number ordered by event_id" — global ordinal; the compiler
+# routes numeric ascending orderings through the two-phase rank so no
+# single-partition sort of the data ever runs
+_GLOBAL_RN = re.compile(
+    r"^add\s+row\s+number\s+ordered\s+by\s+(\w+)(\s+descending)?\s*$",
+    re.IGNORECASE,
+)
 # "add previous value per user_id ordered by ts" (lag) /
 # "add next value per user_id ordered by ts" (lead)
 _LAG_LEAD = re.compile(
@@ -600,6 +607,14 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "order_by": [{"col": m.group(5), "asc": True}],
             "exprs": [{"fn": fn, "col": col, "alias": f"moving_{fn}_{col}",
                        "rows_preceding": n - 1}],
+        }
+    if m := _GLOBAL_RN.match(clause):
+        return {
+            "op": "window",
+            "partition_by": [],
+            "order_by": [{"col": _resolve_col(m.group(1), columns),
+                          "asc": not m.group(2)}],
+            "exprs": [{"fn": "row_number", "alias": "row_num"}],
         }
     if m := _LAG_LEAD.match(clause):
         fn = "lag" if m.group(1).lower() == "previous" else "lead"

@@ -621,3 +621,18 @@ def test_global_row_number_routes_through_two_phase(spark, people):
     rows = {r["name"]: r["rn"] for r in compile_spec(people, spec2).collect()}
     names = sorted(rows)
     assert [rows[n] for n in names] == list(range(1, len(names) + 1))
+
+
+def test_parse_global_row_number():
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    spec = parse_description("Add row number ordered by event_id",
+                             columns=["event_id", "value"])
+    assert spec["ops"] == [{
+        "op": "window", "partition_by": [],
+        "order_by": [{"col": "event_id", "asc": True}],
+        "exprs": [{"fn": "row_number", "alias": "row_num"}],
+    }]
+    spec = parse_description("Add row number ordered by value descending",
+                             columns=["event_id", "value"])
+    assert spec["ops"][0]["order_by"] == [{"col": "value", "asc": False}]
