@@ -605,3 +605,76 @@ _DESCRIPTIONS.update({
     "ns_ks_drift_per_user": "Kolmogorov-Smirnov drift statistic between click and view value distributions per user via cogrouped applyInPandas.",
     "ns_corpus_mix_apply": "Apply the power-law mix policy as a deterministic hash-draw sampler: per-language keep thresholds, stable membership.",
 })
+
+
+from .nsqueries import _EN  # noqa: E402  (quality-score stopword set)
+
+register(
+    "ns_corpus_build_e2e",
+    # the full corpus build as ONE composed statement: quality gate ->
+    # exact-dedup keepers -> benchmark decontamination -> sequence
+    # packing. CTE names are prefixed (qt/qm/qs, kp, bm/bad, cl,
+    # pt/pc) so the reused quality/shingle/pack fragments can't
+    # collide.
+    "WITH qt AS (SELECT doc_id, text, length(text) AS n_chars, "
+    " string_split(text, ' ') AS ws FROM documents), "
+    "qm AS (SELECT doc_id, n_chars, len(ws) AS n_words, "
+    f" len(list_filter(ws, w -> lower(w) IN {_EN})) AS stop_hits, "
+    " len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS nonalnum FROM qt), "
+    "qs AS (SELECT doc_id FROM qm WHERE "
+    " round(least(1.0, n_words / 50.0) * 0.5 "
+    "  + (1.0 - least(1.0, round(nonalnum / greatest(n_chars, 1), 6) * 10)) * 0.3 "
+    "  + least(1.0, round(stop_hits / n_words, 6) * 5) * 0.2, 6) >= 0.55), "
+    "kp AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), "
+    f"{_SHINGLE_CTE}, "
+    "bm AS (SELECT DISTINCT s FROM e WHERE doc_id % 97 = 0), "
+    "bad AS (SELECT DISTINCT doc_id FROM e WHERE doc_id % 97 <> 0 "
+    " AND s IN (SELECT s FROM bm)), "
+    "cl AS (SELECT d.doc_id, d.lang, d.text FROM documents d "
+    " JOIN qs ON d.doc_id = qs.doc_id JOIN kp ON d.doc_id = kp.doc_id "
+    " WHERE d.doc_id % 97 <> 0 "
+    " AND d.doc_id NOT IN (SELECT doc_id FROM bad)), "
+    "pt AS (SELECT doc_id, lang, "
+    " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    " CAST(floor(doc_id / 128.0) AS BIGINT) AS grp FROM cl), "
+    "pc AS (SELECT *, SUM(n_tokens) OVER "
+    " (PARTITION BY lang, grp ORDER BY doc_id) AS cum FROM pt) "
+    "SELECT lang, grp, CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id, "
+    "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens, "
+    "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+    "FROM pc GROUP BY 1, 2, 3",
+    desc=(
+        "END-TO-END corpus build in one declarative plan: quality gate "
+        "(score >= 0.55) -> exact-dedup keepers (min doc_id per md5) -> "
+        "benchmark decontamination (broadcast shingle anti-join, "
+        "doc_id % 97 as the benchmark split) -> greedy sequence packing "
+        "(256-token budget, 128-doc groups). Every stage is the "
+        "registered operator run on its own; composed, Catalyst sees one "
+        "plan: slim semi/anti joins on doc_id, the 100 TB side never "
+        "shuffled on text."
+    ),
+)(
+    lambda spark, sf_dir: (lambda docs: corpus.pack_sequences(
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(
+            text.with_quality_score(docs)
+            .filter(F.col("quality_score") >= 0.55)
+            .select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        .join(
+            docs.groupBy(F.md5("text").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        .join(
+            corpus.contaminated_ids(
+                docs.filter(F.col("doc_id") % 97 != 0),
+                docs.filter(F.col("doc_id") % 97 == 0),
+            ).select("doc_id"),
+            "doc_id", "left_anti",
+        ),
+        budget=256, group_size=128,
+    ))(_t(spark, sf_dir, "documents"))
+)
