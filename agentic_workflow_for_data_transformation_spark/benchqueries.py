@@ -2775,7 +2775,9 @@ _WINDOW: list[str] = [
     # Round-5 rotation (VERDICT r4 #1): close the driver-gate coverage
     # debt. 12 sentinels stay (predicate-form pair p01/p14, flagship
     # p20, the round-2 silent-breakage events family, the escape
-    # hatch, the dedup-chain core, the mapInPandas shape, and the two
+    # hatch, the dedup-chain core — with the round-5 composite
+    # ns_corpus_build_e2e replacing ns_dedup_apply, whose applied-dedup
+    # shape it subsumes — the mapInPandas shape, and the two
     # operators whose plans CHANGED this round: per-key-horizon
     # interval join and two-phase gaps-islands); 3 new round-5
     # queries; the remaining 35 slots all go to queries that have
@@ -2787,7 +2789,7 @@ _WINDOW: list[str] = [
     # -- sentinels --
     "p01_filter_gt_project", "p14_paren_bool_tree", "p20_tpch_q1",
     "x_time_bucket_agg", "x_join_asof", "u1_escape_hatch",
-    "ns_dedup_exact", "ns_dedup_minhash_lsh", "ns_dedup_apply",
+    "ns_dedup_exact", "ns_dedup_minhash_lsh", "ns_corpus_build_e2e",
     "ns_multimodal_resize",
     "x_join_interval_bucketed", "x_gaps_islands",
     # -- new this round --

@@ -378,3 +378,14 @@ def test_audio_zcr_is_arrow_batched(spark):
     plan = plan_of(spark, "ns_multimodal_audio_zcr")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_build_e2e_plan_shape(spark):
+    """The composed corpus build must stay slim: no cartesian or
+    nested-loop node anywhere, the benchmark shingle probe a broadcast
+    join, and the filter stages planned as semi/anti joins on doc_id."""
+    plan = plan_of(spark, "ns_corpus_build_e2e")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
