@@ -17,6 +17,14 @@ the bottleneck — so the number measures operator throughput per core
 on local[32].
 
 Usage: python tools/bench_stream.py [--seconds 25] [--rate 2000000]
+
+Keep --seconds moderate (default 25): the dedup pipelines run the
+all-unique-id WORST case, so their state grows ~rate x seconds before
+the watermark can evict anything — on a single local JVM a much longer
+window (e.g. 40s at 2M/s ~ 80M heap-resident state rows plus store
+maintenance copies) kills the SparkContext mid-run. On a cluster the
+same state spreads across executor heaps / RocksDB instances; locally
+the bound is the one JVM.
 """
 
 from __future__ import annotations
