@@ -651,7 +651,10 @@ register(
         "(256-token budget, 128-doc groups). Every stage is the "
         "registered operator run on its own; composed, Catalyst sees one "
         "plan: slim semi/anti joins on doc_id, the 100 TB side never "
-        "shuffled on text."
+        "shuffled on text. Honest scan count: each stage derives from its "
+        "own scan of documents (4 pruned-column scans); at 100 TB you "
+        "would checkpoint the quality-gated subset once and feed the "
+        "later stages from it — the JOIN structure is unchanged."
     ),
 )(
     lambda spark, sf_dir: (lambda docs: corpus.pack_sequences(
