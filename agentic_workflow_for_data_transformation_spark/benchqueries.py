@@ -2684,6 +2684,13 @@ def x_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = starts.select("k", F.lit("s").alias("side")).unionByName(
         ends.select("k", F.lit("e").alias("side"))
     )
+    # the boundary set is tiny (2 x |islands| rows) but its subtree is
+    # referenced four times downstream (bucket counts + offsets join,
+    # then the s/e filter branches) — without a cut, Catalyst expands
+    # the distinct+anti-join pipeline once per reference (12 scans of
+    # lineitem). A lazy localCheckpoint materializes it once on first
+    # use; at 100 TB this is exactly where you'd checkpoint anyway.
+    bounds = bounds.localCheckpoint(eager=False)
     ranked = windows.two_phase_row_number(bounds, "k", partition_by=["side"])
     s = ranked.filter(F.col("side") == "s").select(
         F.col("k").alias("island_start"), "rn"
