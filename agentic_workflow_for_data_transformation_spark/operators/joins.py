@@ -161,14 +161,17 @@ def interval_containment_join(
     bounds the same key's events, per-key and global horizons produce
     identical join output.
 
-    Physical plan: periods explode into the DAY buckets they span
-    (bounded by period length in days; the period side is the small
-    boundary subset), the fact side computes its day, and the join
-    becomes a plain (key, day) HASH join followed by the exact
-    containment filter. This is the standard bucketed range-join
-    decomposition — at 100 TB, pick the bucket width to match typical
-    interval length (day here; swap to_date for date_trunc of another
-    unit and the interval literal accordingly)."""
+    Physical plan: the bucketed range-join decomposition, TWO-TIER so
+    long periods cannot explode either — periods spanning at most
+    ``short_max_days`` explode into DAY buckets, longer ones into
+    MONTH buckets; the fact side computes both units once, each tier
+    is a plain (key, bucket) HASH join followed by the exact
+    containment filter, and the tiers union (a period lives in exactly
+    one tier, so no event can match twice). Bucket fanout is therefore
+    bounded by min(period_days, ~period_months) per period: a
+    three-year interior period costs ~37 month rows, not ~1100 day
+    rows. At 100 TB, tune ``short_max_days`` to the typical interval
+    length."""
     key_horizon = events.groupBy(key_col).agg(
         F.timestamp_add("DAY", F.lit(1), F.max(ts_col)).alias("_horizon")
     )
@@ -193,29 +196,60 @@ def interval_containment_join(
             ).alias("period_end"),
         )
     )
-    buckets = periods.select(
-        key_col,
-        "period_start",
-        "period_end",
-        F.explode(
-            F.sequence(
-                F.to_date("period_start"),
-                # a period ending exactly at midnight contributes no
-                # events on its end day, but the extra bucket row is
-                # harmless (the containment filter drops strays)
-                F.to_date("period_end"),
-                F.expr("interval 1 day"),
-            )
-        ).alias("_bucket"),
+    # the periods frame is small (|distinct boundaries| rows) but its
+    # pipeline includes a full-fact aggregation (the per-key horizon);
+    # both tier branches reference it, so cut the lineage once instead
+    # of computing the horizon aggregate twice
+    periods = periods.localCheckpoint(eager=False)
+    span_days = F.datediff(F.to_date("period_end"), F.to_date("period_start"))
+    short_max_days = 32
+
+    def tier(pds: DataFrame, bucket_of, interval: str) -> DataFrame:
+        return pds.select(
+            key_col,
+            "period_start",
+            "period_end",
+            F.explode(
+                F.sequence(
+                    bucket_of(F.to_date("period_start")),
+                    # a period ending exactly on a bucket boundary
+                    # contributes no events in its end bucket, but the
+                    # extra bucket row is harmless (the containment
+                    # filter drops strays)
+                    bucket_of(F.to_date("period_end")),
+                    F.expr(f"interval 1 {interval}"),
+                )
+            ).alias("_bucket"),
+        )
+
+    month_of = lambda c: F.trunc(c, "month")  # noqa: E731
+    buckets_day = tier(
+        periods.filter(span_days <= short_max_days), lambda c: c, "day"
+    )
+    buckets_month = tier(
+        periods.filter(span_days > short_max_days), month_of, "month"
     )
     evd = events.select(
-        id_col, key_col, ts_col, F.to_date(ts_col).alias("_bucket")
+        id_col,
+        key_col,
+        ts_col,
+        F.to_date(ts_col).alias("_bucket_day"),
+        F.trunc(F.to_date(ts_col), "month").alias("_bucket_month"),
     )
-    return (
-        evd.join(buckets, [key_col, "_bucket"])
-        .filter(
-            (F.col(ts_col) >= F.col("period_start"))
-            & (F.col(ts_col) < F.col("period_end"))
-        )
-        .select(id_col, key_col, "period_start")
+    contained = (F.col(ts_col) >= F.col("period_start")) & (
+        F.col(ts_col) < F.col("period_end")
     )
+    out_cols = [id_col, key_col, "period_start"]
+    match_day = (
+        evd.withColumnRenamed("_bucket_day", "_bucket")
+        .join(buckets_day, [key_col, "_bucket"])
+        .filter(contained)
+        .select(*out_cols)
+    )
+    match_month = (
+        evd.withColumnRenamed("_bucket_month", "_bucket")
+        .join(buckets_month, [key_col, "_bucket"])
+        .filter(contained)
+        .select(*out_cols)
+    )
+    return match_day.unionByName(match_month)

@@ -197,3 +197,41 @@ def test_interval_containment_join_out_of_range_boundary(spark):
         1: datetime(2024, 1, 1, 0, 0),
         2: datetime(2024, 1, 1, 0, 0),
     }
+
+
+def test_interval_containment_join_long_periods_month_tier(spark):
+    """A multi-year interior period must route through the MONTH
+    bucket tier and still assign events exactly: same output as the
+    day tier would give, ~37 bucket rows instead of ~1100."""
+    from datetime import datetime
+
+    from agentic_workflow_for_data_transformation_spark.operators.joins import (
+        interval_containment_join,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2021, 1, 10, 12, 0), 5, "click"),   # period 1
+            (2, datetime(2022, 7, 4, 9, 30), 5, "click"),    # deep inside period 1
+            (3, datetime(2024, 2, 2, 0, 0), 5, "click"),     # period 2 (short, final)
+            (4, datetime(2021, 1, 1, 0, 0), 5, "click"),     # exactly at boundary 1
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    bounds = spark.createDataFrame(
+        [
+            (5, datetime(2021, 1, 1, 0, 0)),   # 3-year period -> month tier
+            (5, datetime(2024, 1, 15, 0, 0)),  # final period -> day tier
+        ],
+        "user_id long, period_start timestamp",
+    )
+    got = {
+        r["event_id"]: r["period_start"]
+        for r in interval_containment_join(ev, bounds).collect()
+    }
+    assert got == {
+        1: datetime(2021, 1, 1, 0, 0),
+        2: datetime(2021, 1, 1, 0, 0),
+        4: datetime(2021, 1, 1, 0, 0),
+        3: datetime(2024, 1, 15, 0, 0),
+    }
