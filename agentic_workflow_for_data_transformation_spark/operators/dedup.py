@@ -563,3 +563,93 @@ def incremental_new_docs(new: DataFrame, existing: DataFrame,
         .join(seen, "_h", "left_anti")
         .drop("_h")
     )
+
+
+def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
+                         threshold: float = 0.2, n: int = 3,
+                         index: DataFrame | None = None) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (AllPairs/PPJoin
+    family, Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06): the
+    SCALE path for exact-threshold Jaccard pairs, emitting exactly the
+    same (doc_a, doc_b, jaccard) rows as ``ngram_jaccard_pairs`` while
+    joining only on each document's rare-token PREFIX instead of its
+    full shingle set.
+
+    Canonical global token order = (corpus frequency ASC, token hash
+    ASC), so prefixes hold each document's RAREST shingles. With
+    prefix length |x| - ceil(t*|x|) + 1, any pair with J >= t shares a
+    prefix token (standard prefix-filtering completeness lemma), so
+    verifying candidates exactly loses nothing. A length filter
+    (min_sz >= t * max_sz, implied by J >= t) prunes further before
+    verification.
+
+    Scale shape: the frequency join and the candidate join both key on
+    the 60-bit shingle hash — fixed-width shuffle payloads. Hot
+    boilerplate shingles are exactly the ones the frequency order
+    EXCLUDES from prefixes, so the quadratic fan-out of the naive
+    inverted-index join (every pair sharing ANY token, dominated by
+    the hottest token) collapses to pairs sharing a RARE token. The
+    per-doc rank window partitions by document id — thousands of rows
+    per partition, no skew. Verification touches only surviving
+    candidates: one equi-join per side plus a map-side-combined
+    intersection count.
+    """
+    from pyspark.sql import Window
+
+    if index is not None:
+        e = index
+    else:
+        e = shingle_index(df, id_col=id_col, n=n).select(
+            F.col(id_col).alias("d"), _hash60(F.col("s")).alias("s")
+        )
+    freq = e.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = (
+        e.join(freq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("d").orderBy(F.asc("cnt"), F.asc("s"))
+            ),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("d")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("d", "s", "sz")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.d") < F.col("b.d"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.d").alias("doc_a"),
+            F.col("b.d").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("d").alias("doc_a"), "s")
+    eb = e.select(F.col("d").alias("doc_b"), "s")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "s"], "left_semi")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

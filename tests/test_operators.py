@@ -578,3 +578,63 @@ def test_two_phase_row_number_desc_and_nulls(spark):
         def norm(pairs):
             return sorted((str("N" if k is None else k).rjust(8, "0"), rn) for k, rn in pairs)
         assert norm(got) == norm(want), (asc, got, want)
+
+
+def test_jaccard_prefix_pairs_matches_quadratic_harness(docs, spark, sf_dir):
+    """The prefix-filtered join must return EXACTLY the quadratic
+    inverted-index harness's answer (completeness lemma: any pair with
+    J >= t shares a rarest-first prefix token), on both the planted
+    fixture and the real corpus."""
+    for frame, t in ((docs, 0.2), (docs, 0.5)):
+        want = sorted(map(tuple, dedup.ngram_jaccard_pairs(frame, threshold=t).collect()))
+        got = sorted(map(tuple, dedup.jaccard_prefix_pairs(frame, threshold=t).collect()))
+        assert got == want
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+    corpus = read_parquet_table(spark, sf_dir, "documents")
+    want = sorted(map(tuple, dedup.ngram_jaccard_pairs(corpus, threshold=0.2).collect()))
+    got = sorted(map(tuple, dedup.jaccard_prefix_pairs(corpus, threshold=0.2).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_jaccard_prefix_prunes_candidate_space(spark, sf_dir):
+    """The point of prefix filtering: the candidate-pair space (join on
+    rare-prefix tokens + length filter) must be far smaller than the
+    naive inverted-index pair space (join on ANY shared token). The
+    prefix is (1-t)|x|+1 tokens, so pruning strengthens with t:
+    measured sf0.01 candidates vs 11533 naive pairs are ~5000 at
+    t=0.2, 773 at t=0.5, 26 at t=0.7."""
+    from pyspark.sql import Window
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    corpus = read_parquet_table(spark, sf_dir, "documents")
+    e = dedup.shingle_index(corpus).select(
+        F.col("doc_id").alias("d"), dedup._hash60(F.col("s")).alias("s")
+    )
+    naive = (
+        e.alias("a")
+        .join(e.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d")))
+        .select("a.d", "b.d").distinct().count()
+    )
+    freq = e.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = (
+        e.join(freq, "s")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("d").orderBy(F.asc("cnt"), F.asc("s"))))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("d")))
+    )
+
+    def pruned_count(t):
+        prefix = ranked.filter(F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        return (
+            prefix.alias("a")
+            .join(
+                prefix.alias("b"),
+                (F.col("a.s") == F.col("b.s")) & (F.col("a.d") < F.col("b.d"))
+                & (F.least(F.col("a.sz"), F.col("b.sz")) >= t * F.greatest(F.col("a.sz"), F.col("b.sz"))),
+            )
+            .select("a.d", "b.d").distinct().count()
+        )
+
+    p2, p5, p7 = pruned_count(0.2), pruned_count(0.5), pruned_count(0.7)
+    assert p2 * 2 < naive, (p2, naive)
+    assert p5 * 10 < naive, (p5, naive)
+    assert p7 * 100 < naive, (p7, naive)

@@ -4,6 +4,12 @@ scale factor, compare row count + schema (column names) + an
 order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+With no query list, rewrites CORRECTNESS_LOCAL.json for the whole
+registry. With a query list plus ``--merge``, updates just those rows
+in the committed report — the incremental path when registering a new
+query (the freshness gate in tests/test_registry_smoke.py requires the
+report to cover the registry exactly).
 """
 
 from __future__ import annotations
@@ -48,8 +54,10 @@ def frame_fingerprint(pdf) -> tuple[int, list[str], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--merge"]
+    merge = "--merge" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from agentic_workflow_for_data_transformation_spark.session import get_spark
@@ -113,10 +121,15 @@ def main() -> int:
                 diffs = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
                 for a, b in diffs:
                     print(f"      spark={a}\n      duck ={b}")
-    if not only:
+    if not only or merge:
         # Committed full-registry replica of the driver's gate: the driver
         # records only the first 50 registrations, this file covers all.
         out = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
+        if only:
+            prior = json.loads(out.read_text()) if out.exists() else {}
+            prior.update(report)
+            # registry order, dropping rows for queries no longer registered
+            report = {k: prior[k] for k in qs if k in prior}
         out.write_text(json.dumps(report, indent=2) + "\n")
         print(f"wrote {out} ({len(report)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
