@@ -25,7 +25,7 @@ from .nsqueries import (
     _dedup_cached,
     _sig_sql,
 )
-from .operators import corpus, dedup, multimodal, profile, similarity, stats, text
+from .operators import corpus, dedup, multimodal, profile, sampling, similarity, stats, text
 
 register(
     "ns_text_redact",
@@ -680,4 +680,85 @@ register(
         ),
         budget=256, group_size=128,
     ))(_t(spark, sf_dir, "documents"))
+)
+
+
+register(
+    "ns_text_boilerplate_ratio",
+    f"WITH {_SHINGLE_CTE}, "
+    "f AS (SELECT s, count(*) AS nd FROM e GROUP BY s) "
+    "SELECT doc_id, count(*) AS n_grams, "
+    "CAST(count(*) FILTER (WHERE nd >= 2) AS BIGINT) AS n_common, "
+    "round(count(*) FILTER (WHERE nd >= 2) * 1.0 / count(*), 6) "
+    "AS boilerplate_ratio "
+    "FROM e JOIN f USING (s) GROUP BY doc_id",
+    desc=(
+        "Cross-document boilerplate ratio: fraction of a doc's distinct "
+        "3-gram shingles occurring in >= 2 documents corpus-wide — the "
+        "RefinedWeb/CCNet template-text quality signal, sibling of the "
+        "intra-document repetition ratio. One DF aggregate on the 60-bit "
+        "gram hash, one join back, one per-doc aggregate."
+    ),
+)(
+    lambda spark, sf_dir: text.boilerplate_ratio(
+        _t(spark, sf_dir, "documents"), min_docs=2
+    )
+)
+
+
+register(
+    "ns_text_token_pmi",
+    # rank on the RAW likelihood ratio (IEEE-exact identical doubles in
+    # both engines); ln only on the reported, 6-decimal-rounded pmi
+    "WITH w AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS word "
+    " FROM documents), "
+    "cw AS (SELECT word, count(*) AS c_w FROM w GROUP BY word), "
+    "cl AS (SELECT label, count(*) AS c_l FROM w GROUP BY label), "
+    "cwl AS (SELECT label, word, count(*) AS c_wl FROM w GROUP BY label, word), "
+    "t AS (SELECT count(*) AS n_total FROM w), "
+    "s AS (SELECT label, word, c_wl, "
+    " (c_wl * 1.0 * n_total) / (c_w * c_l) AS score "
+    " FROM cwl JOIN cw USING (word) JOIN cl USING (label) CROSS JOIN t "
+    " WHERE c_wl >= 5), "
+    "r AS (SELECT label, word, c_wl, score, row_number() OVER "
+    " (PARTITION BY label ORDER BY score DESC, word ASC) AS rn FROM s) "
+    "SELECT label, word, c_wl, round(ln(score), 6) AS pmi, CAST(rn AS BIGINT) AS rn "
+    "FROM r WHERE rn <= 10",
+    desc=(
+        "Token-label pointwise mutual information: top-10 tokens most "
+        "characteristic of each language by PMI with a min-count floor "
+        "— the classic feature-selection / corpus-analysis measure. "
+        "Three map-side-combined aggregates + broadcast 1-row total; "
+        "ranking key is the raw likelihood ratio so cross-engine order "
+        "is bit-identical, ln only decorates the report."
+    ),
+)(
+    lambda spark, sf_dir: text.token_label_pmi(
+        _t(spark, sf_dir, "documents"), label_col="lang", k=10, min_count=5
+    ).withColumn("rn", F.col("rn").cast("long"))
+)
+
+
+register(
+    "ns_sample_weighted",
+    # Efraimidis-Spirakis priority u^(1/weight), u from the portable
+    # 60-bit hash; identical double expressions in both engines
+    "WITH p AS (SELECT doc_id, lang, n_chars, "
+    " pow((('0x' || substr(md5('wrs|' || doc_id), 1, 15))::BIGINT + 1) "
+    "   / 1152921504606846976.0, 1.0 / n_chars) AS pri FROM documents), "
+    "r AS (SELECT doc_id, lang, n_chars, row_number() OVER "
+    " (PARTITION BY lang ORDER BY pri DESC, doc_id ASC) AS rn FROM p) "
+    "SELECT doc_id, lang, n_chars FROM r WHERE rn <= 10",
+    desc=(
+        "Weighted sampling without replacement, per language: top-10 by "
+        "the Efraimidis-Spirakis priority u^(1/n_chars) with a "
+        "deterministic per-doc hash draw — inclusion probability "
+        "proportional to document length, fully reproducible across "
+        "runs, shards, and engines."
+    ),
+)(
+    lambda spark, sf_dir: sampling.weighted_sample_per_group(
+        _t(spark, sf_dir, "documents"),
+        group_col="lang", weight_col="n_chars", k=10, key_col="doc_id",
+    ).select("doc_id", "lang", "n_chars")
 )

@@ -64,3 +64,34 @@ def balanced_sample_per_label(df: DataFrame, label_col: str, n_per_label: int,
         .filter(F.col("_rn") <= n_per_label)
         .drop("_rn")
     )
+
+
+def weighted_sample_per_group(df: DataFrame, group_col: str, weight_col: str,
+                              k: int, key_col: str,
+                              salt: str = "wrs") -> DataFrame:
+    """Weighted sampling without replacement, per group: keep the top
+    ``k`` rows per group by the Efraimidis-Spirakis priority
+    u^(1/weight), where u is the deterministic per-key hash draw in
+    (0, 1]. Each row's inclusion probability is proportional to its
+    weight (the A-ES reservoir scheme) while remaining fully
+    reproducible — rerun, re-shard, or re-engine and the same rows are
+    chosen. The training-data use: sample a fixed budget per language
+    or source with probability proportional to document length or a
+    quality score, instead of uniformly.
+
+    Determinism across engines: u = (hash60(salt|key) + 1) / 2^60 and
+    the exponent 1/weight are exact IEEE doubles built the same way on
+    both sides; pow is the only libm call, and a selection flip would
+    need two priorities within ~1 ulp at the rank-k boundary —
+    probability ~1e-16 per group. Ties break on the key. One window
+    per group partition; heavy groups prune early via the rank filter."""
+    u = (
+        _hash60(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))) + 1
+    ) / F.lit(float(2**60))
+    w = Window.partitionBy(group_col).orderBy(F.desc("_pri"), F.col(key_col))
+    return (
+        df.withColumn("_pri", F.pow(u, 1.0 / F.col(weight_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_pri", "_rn")
+    )

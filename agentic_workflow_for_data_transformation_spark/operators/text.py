@@ -327,3 +327,99 @@ def spread_small_input_text(df: DataFrame) -> DataFrame:
     from .dedup import spread_small_input
 
     return spread_small_input(df)
+
+
+def boilerplate_ratio(df: DataFrame, min_docs: int = 2, n: int = 3,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """CROSS-document boilerplate signal (the RefinedWeb/CCNet-style
+    sibling of ``repetition_ratio``'s intra-document one): the fraction
+    of a document's distinct word n-grams that occur in at least
+    ``min_docs`` documents corpus-wide. Near-1 means the document is
+    assembled from corpus-common phrasing (templates, navigation,
+    license blocks); quality filters drop or down-weight high-ratio
+    docs before training. Documents shorter than ``n`` words have no
+    n-grams and are omitted (empty-shingle-set semantics).
+
+    Shape: one codegen'd shingle explode, a document-frequency
+    aggregate keyed on the 60-bit gram hash (map-side combined; the
+    exchange carries 8-byte hashes), one equi-join back on that hash,
+    and a final per-doc aggregate. No window, no driver loop; every
+    stage keys on either the gram hash or the doc id."""
+    from .dedup import _hash60, shingle_index
+
+    e = shingle_index(df, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col), _hash60(F.col("s")).alias("hs")
+    )
+    freq = e.groupBy("hs").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        e.join(freq, "hs")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("nd") >= min_docs).cast("long")).alias("n_common"),
+        )
+        .withColumn(
+            "boilerplate_ratio",
+            F.round(F.col("n_common") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def token_label_pmi(df: DataFrame, label_col: str = "lang", k: int = 10,
+                    min_count: int = 5,
+                    text_col: str = "text") -> DataFrame:
+    """Pointwise mutual information between word tokens and a document
+    label (language, source, quality tier): the classic
+    feature-selection / corpus-analysis measure surfacing the tokens
+    most characteristic of each label. Emits the top ``k`` tokens per
+    label by PMI = ln(p(w,l) / (p(w) p(l))) among tokens with at least
+    ``min_count`` occurrences under the label.
+
+    Determinism across engines: the RANKING key is the raw likelihood
+    ratio c_wl * N / (c_w * c_l), computed with an identical
+    floating-point expression shape on both sides — IEEE multiply and
+    divide are exactly rounded, so the doubles (and hence the order)
+    are bit-identical; ln is applied only to the REPORTED pmi, rounded
+    to 6 decimals. Ties break on the token string.
+
+    Shape: one explode, three map-side-combined aggregates (token,
+    label, token-x-label), the 1-row corpus total broadcast via
+    crossJoin, one equi-join per marginal, one per-label rank window
+    over at most |vocab| rows."""
+    from pyspark.sql import Window
+
+    w = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    c_w = w.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    c_l = w.groupBy("label").agg(F.count(F.lit(1)).alias("c_l"))
+    c_wl = w.groupBy("label", "word").agg(F.count(F.lit(1)).alias("c_wl"))
+    total = w.agg(F.count(F.lit(1)).alias("n_total"))
+    score = (F.col("c_wl") * 1.0 * F.col("n_total")) / (
+        F.col("c_w") * F.col("c_l")
+    )
+    ranked = (
+        c_wl.filter(F.col("c_wl") >= min_count)
+        .join(c_w, "word")
+        .join(c_l, "label")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_score", score)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.desc("_score"), F.asc("word")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= k)
+    )
+    return ranked.select(
+        "label",
+        "word",
+        "c_wl",
+        F.round(F.log("_score"), 6).alias("pmi"),
+        "rn",
+    )

@@ -638,3 +638,47 @@ def test_jaccard_prefix_prunes_candidate_space(spark, sf_dir):
     assert p2 * 2 < naive, (p2, naive)
     assert p5 * 10 < naive, (p5, naive)
     assert p7 * 100 < naive, (p7, naive)
+
+
+def test_boilerplate_ratio_planted(docs):
+    out = {r["doc_id"]: r for r in text.boilerplate_ratio(docs, min_docs=2).collect()}
+    # docs 1 and 2 are identical: every shingle appears in >= 2 docs
+    assert out[1]["boilerplate_ratio"] == 1.0 and out[2]["boilerplate_ratio"] == 1.0
+    # doc 4 shares no shingle with anything
+    assert out[4]["boilerplate_ratio"] == 0.0
+    # doc 3 differs by one word: shares some but not all shingles with 1/2
+    assert 0.0 < out[3]["boilerplate_ratio"] < 1.0
+    assert 5 not in out  # shorter than one shingle -> omitted
+
+
+def test_token_label_pmi_planted(spark):
+    rows = [(i, "aa bb", "x") for i in range(5)] + [(i + 10, "cc bb", "y") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {(r["label"], r["rn"]): r for r in
+           text.token_label_pmi(df, label_col="lang", k=2, min_count=1).collect()}
+    # 'aa' is exclusive to x, 'cc' exclusive to y -> top-PMI token of each label
+    assert out[("x", 1)]["word"] == "aa" and out[("y", 1)]["word"] == "cc"
+    # 'bb' occurs everywhere -> pmi 0 (p(w,l) = p(w)p(l)), ranked below
+    assert out[("x", 2)]["word"] == "bb" and out[("x", 2)]["pmi"] == 0.0
+    # exclusive token: pmi = ln(N / c_l) = ln(20/10)
+    assert out[("x", 1)]["pmi"] == round(math.log(2), 6)
+
+
+def test_weighted_sample_per_group(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import sampling
+
+    rows = [(i, "g", 1 + (i % 7) * 100) for i in range(200)] + [(900, "tiny", 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "wt"])
+    pick = sampling.weighted_sample_per_group(df, "grp", "wt", k=20, key_col="doc_id")
+    got = sorted(r["doc_id"] for r in pick.collect())
+    # deterministic: same selection on a second run
+    again = sorted(r["doc_id"] for r in
+                   sampling.weighted_sample_per_group(df, "grp", "wt", k=20, key_col="doc_id").collect())
+    assert got == again
+    # exactly k from the large group, the whole tiny group
+    assert sum(1 for d in got if d < 900) == 20 and 900 in got
+    # weight-proportional bias: heavy rows (wt >= 401) are 3/7 of the
+    # population (~8.6 of 20 under uniform sampling) but carry ~2/3 of
+    # the total weight — the fixed hash draw picks 11 of them
+    heavy = sum(1 for d in got if d < 900 and (d % 7) * 100 + 1 >= 401)
+    assert heavy >= 10, heavy
