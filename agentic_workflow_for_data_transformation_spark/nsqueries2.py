@@ -25,7 +25,7 @@ from .nsqueries import (
     _dedup_cached,
     _sig_sql,
 )
-from .operators import corpus, dedup, multimodal, profile, sampling, similarity, stats, text
+from .operators import corpus, dedup, graph, multimodal, profile, sampling, similarity, stats, text
 
 register(
     "ns_text_redact",
@@ -761,4 +761,54 @@ register(
         _t(spark, sf_dir, "documents"),
         group_col="lang", weight_col="n_chars", k=10, key_col="doc_id",
     ).select("doc_id", "lang", "n_chars")
+)
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**12) -> str:
+    """Unrolled integer-PageRank oracle over the verified near-dup pair
+    graph — every operation BIGINT, so the result is bit-identical to
+    the Spark side regardless of join/partition order."""
+    parts = [
+        "p0 AS (SELECT doc_a, doc_b FROM cand JOIN jac USING (doc_a, doc_b) "
+        " WHERE jaccard >= 0.5)",
+        "ed AS (SELECT doc_a AS src, doc_b AS dst FROM p0 "
+        " UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p0)",
+        "dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src)",
+        "nd AS (SELECT DISTINCT src AS node FROM ed)",
+        "nn AS (SELECT count(*) AS n FROM nd)",
+        f"r0 AS (SELECT node, {scale} // n AS rank_scaled FROM nd CROSS JOIN nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            # CAST: DuckDB widens SUM(BIGINT) to HUGEINT (float in pandas)
+            f"r{k} AS (SELECT nd.node, CAST(({scale} * 15) // (100 * nn.n) "
+            f" + COALESCE(CAST(SUM((p.rank_scaled * 85) // (100 * dg.deg)) AS BIGINT), 0) AS BIGINT) AS rank_scaled "
+            f" FROM nd CROSS JOIN nn "
+            f" LEFT JOIN ed ON ed.dst = nd.node "
+            f" LEFT JOIN dg ON dg.src = ed.src "
+            f" LEFT JOIN r{k-1} p ON p.node = ed.src "
+            f" GROUP BY nd.node, nn.n)"
+        )
+    return ", ".join(parts) + f" SELECT node, rank_scaled FROM r{iters}"
+
+
+register(
+    "ns_graph_pagerank",
+    f"WITH {_VERIFIED_CTES}, {_pagerank_sql()}",
+    desc=(
+        "PageRank centrality over the verified near-dup pair graph "
+        "(5 iterations, damping 0.85) in exact scaled-integer "
+        "arithmetic — float in-mass sums are partition-order-dependent, "
+        "integer sums are associative, so the ranks are bit-identical "
+        "across engines and reruns. Corpus use: the most-central doc of "
+        "a duplicate cluster is its canonical representative. Per "
+        "iteration: one edge-list equi-join + one map-side-combined sum."
+    ),
+)(
+    lambda spark, sf_dir: (lambda pairs: graph.pagerank_integer(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    ))(_dedup_cached(spark, sf_dir, "pairs"))
 )

@@ -682,3 +682,23 @@ def test_weighted_sample_per_group(spark):
     # the total weight — the fixed hash draw picks 11 of them
     heavy = sum(1 for d in got if d < 900 and (d % 7) * 100 + 1 >= 401)
     assert heavy >= 10, heavy
+
+
+def test_pagerank_integer_star_and_symmetry(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import graph
+
+    # undirected star: center 0 <-> leaves 1..4, plus an isolated pair 8-9
+    und = [(0, i) for i in (1, 2, 3, 4)] + [(8, 9)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], "src long, dst long"
+    )
+    r = {row["node"]: row["rank_scaled"] for row in graph.pagerank_integer(edges).collect()}
+    # center of the star outranks every leaf; leaves are symmetric -> equal
+    assert r[0] > r[1] and len({r[i] for i in (1, 2, 3, 4)}) == 1
+    # the isolated pair is internally symmetric
+    assert r[8] == r[9]
+    # integer mass is conserved up to quantization (1 unit per edge per round)
+    assert abs(sum(r.values()) - 10**12) < 1000
+    # determinism: a rerun is bit-identical
+    again = {row["node"]: row["rank_scaled"] for row in graph.pagerank_integer(edges).collect()}
+    assert r == again
