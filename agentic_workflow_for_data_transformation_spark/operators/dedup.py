@@ -579,9 +579,20 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
     ASC), so prefixes hold each document's RAREST shingles. With
     prefix length |x| - ceil(t*|x|) + 1, any pair with J >= t shares a
     prefix token (standard prefix-filtering completeness lemma), so
-    verifying candidates exactly loses nothing. A length filter
-    (min_sz >= t * max_sz, implied by J >= t) prunes further before
-    verification.
+    verifying candidates exactly loses nothing. Two further prunes run
+    inside the join condition, before the pair ever materializes: the
+    length filter (min_sz >= t * max_sz, implied by J >= t) and
+    PPJoin's POSITIONAL filter — at a prefix match seen at ranks
+    (rn_a, rn_b), the overlap can't exceed 1 + min(sz_a - rn_a,
+    sz_b - rn_b), so pairs whose bound falls below the required
+    overlap ceil(t/(1+t) * (sz_a + sz_b)) are dropped. Completeness
+    holds because a qualifying pair's FIRST common token in the global
+    order has all other common tokens after it in both documents, so
+    the bound evaluated there covers the true overlap (the required
+    overlap is relaxed by 1e-9 before ceil so float rounding can only
+    under-prune, never over-prune). The positional filter is what
+    keeps candidates bounded even on low-entropy corpora where no
+    shingle is truly rare.
 
     Scale shape: the frequency join and the candidate join both key on
     the 60-bit shingle hash — fixed-width shuffle payloads. Hot
@@ -613,10 +624,21 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("d")))
     )
+    # both sides of the candidate self-join read the prefix frame, and
+    # the verification reuses the subtree root — materialize it once so
+    # the frequency aggregate + rank window don't run per consumer
+    # (same localCheckpoint discipline as lsh_verified_pairs)
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("d", "s", "sz")
+    ).select("d", "s", "sz", "rn").localCheckpoint()
     a, b = prefix.alias("a"), prefix.alias("b")
+    overlap_bound = 1 + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
+    required = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+        - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
@@ -625,7 +647,8 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
             & (
                 F.least(F.col("a.sz"), F.col("b.sz"))
                 >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz"))
-            ),
+            )
+            & (overlap_bound >= required),
         )
         .select(
             F.col("a.d").alias("doc_a"),
