@@ -812,3 +812,42 @@ register(
         )
     ))(_dedup_cached(spark, sf_dir, "pairs"))
 )
+
+
+register(
+    "ns_corpus_incremental_stats",
+    # the oracle recomputes from scratch over ALL documents — equality
+    # proves the monoid merge (history state + batch state) is exact
+    "SELECT lang, source, count(*) AS n, "
+    "CAST(sum(n_chars) AS BIGINT) AS total, "
+    "CAST(sum(n_chars * n_chars) AS BIGINT) AS total_sq, "
+    "min(n_chars) AS lo, max(n_chars) AS hi, "
+    "round(sum(n_chars) * 1.0 / count(*), 6) AS mean_chars, "
+    "round((sum(n_chars * n_chars) * 1.0 - sum(n_chars) * 1.0 * sum(n_chars) "
+    " / count(*)) / count(*), 6) AS var_chars "
+    "FROM documents GROUP BY lang, source",
+    desc=(
+        "Incremental aggregate maintenance: per-(lang, source) corpus "
+        "stats kept as a mergeable monoid state (n, sum, sum-of-squares, "
+        "min, max) — the Spark side merges a HISTORY state with a new "
+        "BATCH state, the oracle recomputes from scratch; equality "
+        "proves batch ingest never needs to rescan history. Integer "
+        "measures make the state exact, so mean and variance derive "
+        "bit-identically."
+    ),
+)(
+    lambda spark, sf_dir: (lambda docs: corpus.merge_agg_states(
+        corpus.agg_state(docs.filter(F.col("doc_id") % 11 != 0),
+                         ["lang", "source"], "n_chars"),
+        corpus.agg_state(docs.filter(F.col("doc_id") % 11 == 0),
+                         ["lang", "source"], "n_chars"),
+    ).select(
+        "lang", "source", "n", "total", "total_sq", "lo", "hi",
+        F.round(F.col("total") * 1.0 / F.col("n"), 6).alias("mean_chars"),
+        F.round(
+            (F.col("total_sq") * 1.0
+             - F.col("total") * 1.0 * F.col("total") / F.col("n"))
+            / F.col("n"), 6,
+        ).alias("var_chars"),
+    ))(_t(spark, sf_dir, "documents"))
+)

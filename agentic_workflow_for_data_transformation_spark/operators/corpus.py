@@ -304,3 +304,43 @@ def apply_mix_sampling(df: DataFrame, budget: int,
         .filter(hash_draw(F.col(key_col), salt) < F.col("_keep_below"))
         .drop("_keep_below")
     )
+
+
+def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-key mergeable aggregate STATE over an integer measure:
+    (n, total, total_sq, lo, hi). This is the materialized artifact of
+    incremental corpus accounting — counts, means, and variances per
+    language/source maintained across daily ingest batches without
+    rescanning history. All five components form a commutative monoid
+    (add, add, add, min, max), so states merge associatively in any
+    order; with an integer measure every component is exact, making
+    the incremental result bit-equal to a full recompute. One
+    map-side-combined hash aggregate."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("total"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("total_sq"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of ``agg_state`` frames (history + new batches)
+    into one: union then a combine aggregate on the key columns —
+    counts and sums add, min/max fold. The incremental-view-maintenance
+    step: cost is O(|keys|) per batch, never O(|history|). The shuffle
+    carries one fixed-width state row per key per input, not documents.
+    """
+    keys = [c for c in states[0].columns
+            if c not in ("n", "total", "total_sq", "lo", "hi")]
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.sum("total_sq").alias("total_sq"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )

@@ -163,3 +163,22 @@ def test_apply_mix_sampling_hits_budget_and_shares(spark, sf_dir):
     for g, kept in got.items():
         assert kept <= raw[g]
     assert set(got) == set(w for w in want_w if want_w[w] > 0)
+
+
+def test_merge_agg_states_equals_full_recompute(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import corpus
+    from pyspark.sql import functions as F
+
+    rows = [(i, ["en", "de", "fr"][i % 3], 10 + (i * 7) % 50) for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    # three "daily batches" merged out of order must equal one full pass
+    batches = [df.filter(F.col("doc_id") % 3 == r) for r in (2, 0, 1)]
+    inc = corpus.merge_agg_states(
+        *[corpus.agg_state(b, ["lang"], "n_chars") for b in batches]
+    )
+    full = corpus.agg_state(df, ["lang"], "n_chars")
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    # merging a state with an empty batch is a no-op
+    empty = corpus.agg_state(df.filter(F.lit(False)), ["lang"], "n_chars")
+    again = corpus.merge_agg_states(full, empty)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, full.collect()))
