@@ -44,11 +44,17 @@ QUERIES = [
     "ns_dedup_clusters",
     "ns_dedup_apply",
     "ns_dedup_simhash",
+    "ns_dedup_jaccard_prefix",
     "ns_dedup_embedding_cosine",
     "ns_sim_knn_bucketed",
     "ns_sim_topk_lsh",
     "ns_ann_recall_lsh",
     "ns_text_quality",
+    "ns_text_boilerplate_ratio",
+    "ns_text_token_pmi",
+    "ns_sample_weighted",
+    "ns_graph_pagerank",
+    "ns_corpus_incremental_stats",
     "ns_pack_sequences",
     "ns_dedup_embedding_apply",
     "x_sessionize_batch",
