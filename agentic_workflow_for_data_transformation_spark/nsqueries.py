@@ -66,12 +66,15 @@ register(
     "WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) >= 0.5",
     desc=(
         "Prefix-filtered set-similarity self-join (AllPairs/PPJoin "
-        "family): the joinless-LSH alternative scale path for "
-        "exact-threshold Jaccard pairs — candidates join only on each "
-        "doc's rarest-shingle prefix (global frequency order, prefix "
-        "length (1-t)|x|+1), then verify exactly. Same answer as the "
-        "quadratic harness at the same threshold (completeness lemma); "
-        "candidate space shrinks 15x at the registered t=0.5."
+        "family): the LOSSLESS exact-threshold alternative to LSH "
+        "banding — candidates join only on each doc's rarest-shingle "
+        "prefix (global frequency order, prefix length (1-t)|x|+1) "
+        "with PPJoin's positional overlap bound in the join condition, "
+        "then verify exactly. Same answer as the quadratic harness at "
+        "the same threshold (completeness lemma). Pruning power is "
+        "token-skew-dependent: strong on Zipfian text, degrades on "
+        "this low-entropy synthetic corpus (BENCH_SCALE.md; the LSH "
+        "chain is the scale path there)."
     ),
 )(
     lambda spark, sf_dir: dedup.jaccard_prefix_pairs(

@@ -604,6 +604,17 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
     per partition, no skew. Verification touches only surviving
     candidates: one equi-join per side plus a map-side-combined
     intersection count.
+
+    DATA DEPENDENCE (measured, BENCH_SCALE.md): the candidate bound
+    comes from token-frequency skew. On Zipfian real text the prefix
+    holds genuinely rare tokens and the join is cheap; on a
+    low-entropy corpus (the synthetic testdata draws from a ~30-word
+    vocabulary) even the rarest shingle of a document is shared by
+    hundreds of documents, and the prefix self-join degrades toward
+    the naive join. For such corpora the MinHash-LSH chain
+    (``minhash_lsh_candidates`` -> ``lsh_verified_pairs``) is the
+    scale path; this operator is the EXACT-threshold alternative — LSH
+    banding is probabilistic recall, prefix filtering is lossless.
     """
     from pyspark.sql import Window
 
