@@ -25,7 +25,7 @@ from .nsqueries import (
     _dedup_cached,
     _sig_sql,
 )
-from .operators import corpus, dedup, graph, multimodal, profile, sampling, similarity, stats, text
+from .operators import corpus, dedup, graph, multimodal, profile, quality, sampling, similarity, stats, text
 
 register(
     "ns_text_redact",
@@ -850,4 +850,46 @@ register(
             / F.col("n"), 6,
         ).alias("var_chars"),
     ))(_t(spark, sf_dir, "documents"))
+)
+
+
+_EXPECTATIONS = [
+    {"kind": "not_null", "col": "text"},
+    {"kind": "unique", "col": "doc_id"},
+    {"kind": "accepted_values", "col": "lang", "values": ["en", "de", "fr"]},
+    {"kind": "range", "col": "n_chars", "lo": 1, "hi": 375},
+    {"kind": "regex", "col": "source", "pattern": "^src[0-9]+$"},
+    {"kind": "min_rows", "n": 100},
+]
+
+register(
+    "ns_quality_expectations",
+    "WITH a AS (SELECT count(*) AS n, "
+    " CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0, "
+    " count(DISTINCT doc_id) AS d1, "
+    " CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dn1, "
+    " CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END) AS BIGINT) AS v2, "
+    " CAST(sum(CASE WHEN n_chars IS NULL OR n_chars NOT BETWEEN 1 AND 375 THEN 1 ELSE 0 END) AS BIGINT) AS v3, "
+    " CAST(sum(CASE WHEN source IS NULL OR NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v4 "
+    " FROM documents) "
+    "SELECT '0_not_null_text' AS expectation, 'not_null' AS kind, 'text' AS col, n AS n_rows, v0 AS n_violations, v0 = 0 AS passed FROM a "
+    "UNION ALL SELECT '1_unique_doc_id', 'unique', 'doc_id', n, n - d1 - (CASE WHEN dn1 > 0 THEN 1 ELSE 0 END), n - d1 - (CASE WHEN dn1 > 0 THEN 1 ELSE 0 END) = 0 FROM a "
+    "UNION ALL SELECT '2_accepted_values_lang', 'accepted_values', 'lang', n, v2, v2 = 0 FROM a "
+    "UNION ALL SELECT '3_range_n_chars', 'range', 'n_chars', n, v3, v3 = 0 FROM a "
+    "UNION ALL SELECT '4_regex_source', 'regex', 'source', n, v4, v4 = 0 FROM a "
+    "UNION ALL SELECT '5_min_rows_*', 'min_rows', '*', n, "
+    " CASE WHEN n < 100 THEN 100 - n ELSE 0 END, n >= 100 FROM a",
+    desc=(
+        "Declarative data-quality contract (Deequ/Great-Expectations "
+        "pattern): not-null, key uniqueness, accepted values, numeric "
+        "range, regex shape, and min-row-count checked in ONE aggregate "
+        "pass — each per-row check is a conditional sum and uniqueness "
+        "an exact count-distinct inside a single scan, however many "
+        "expectations are declared. The report (one row per "
+        "expectation, violation counts) is what batch ingest gates on."
+    ),
+)(
+    lambda spark, sf_dir: quality.check_expectations(
+        _t(spark, sf_dir, "documents"), _EXPECTATIONS
+    )
 )

@@ -1,6 +1,6 @@
-from . import corpus, dedup, graph, joins, sampling, similarity, text, multimodal, windows
+from . import corpus, dedup, graph, joins, quality, sampling, similarity, text, multimodal, windows
 
 __all__ = [
-    "corpus", "dedup", "graph", "joins", "sampling", "similarity", "text",
+    "corpus", "dedup", "graph", "joins", "quality", "sampling", "similarity", "text",
     "multimodal", "windows",
 ]

@@ -1,0 +1,105 @@
+"""Declarative data-quality expectations (the Deequ/Great-Expectations
+pattern, Spark-first): a table-level contract — not-null, uniqueness,
+accepted values, numeric ranges, regex shape, minimum row count —
+checked in ONE pass and reported as one row per expectation.
+
+The reference (agentic_workflow_transformation.py:1-403) has no
+quality gate at all; its critic re-reads the output CSV and checks row
+counts. This operator is the production form of that idea: a corpus
+ingest pipeline asserts its contract on every batch, and the report
+table is what the orchestrator (or a human) gates on.
+
+Scale shape: every per-row expectation compiles to a conditional SUM
+and every uniqueness expectation to a COUNT DISTINCT inside a SINGLE
+global aggregate — one scan, one 1-row partial-aggregated exchange, no
+matter how many expectations. The per-expectation report rows are then
+exploded from that 1-row frame with ``stack`` (no second scan, no
+join). At 100 TB the cost is the scan you were already paying on
+ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation_pred(exp: dict) -> F.Column:
+    """Per-row violation predicate for one expectation (NULL-safe:
+    NULL comparisons count as violations for range/values/regex, which
+    is what a contract wants — an unexpected NULL is not a pass)."""
+    col = F.col(exp["col"])
+    kind = exp["kind"]
+    if kind == "not_null":
+        return col.isNull()
+    if kind == "accepted_values":
+        return ~col.isin(*exp["values"]) | col.isNull()
+    if kind == "range":
+        lo, hi = exp["lo"], exp["hi"]
+        return ~col.between(lo, hi) | col.isNull()
+    if kind == "regex":
+        return ~col.rlike(exp["pattern"]) | col.isNull()
+    raise ValueError(f"unknown per-row expectation kind: {kind}")
+
+
+def check_expectations(df: DataFrame, expectations: list[dict]) -> DataFrame:
+    """Evaluate a list of expectation dicts against ``df`` in a single
+    aggregate pass. Supported kinds:
+
+    - ``{"kind": "not_null", "col": c}``
+    - ``{"kind": "unique", "col": c}`` — violations = rows beyond the
+      first occurrence of each value (exact count-distinct)
+    - ``{"kind": "accepted_values", "col": c, "values": [...]}``
+    - ``{"kind": "range", "col": c, "lo": x, "hi": y}`` (inclusive)
+    - ``{"kind": "regex", "col": c, "pattern": r}``
+    - ``{"kind": "min_rows", "n": k}``
+
+    Returns (expectation, kind, col, n_rows, n_violations, passed),
+    one row per expectation, in input order via the ``expectation``
+    label ``<idx>_<kind>_<col>``.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, exp in enumerate(expectations):
+        kind = exp["kind"]
+        if kind == "unique":
+            aggs.append(F.count_distinct(F.col(exp["col"])).alias(f"_d{i}"))
+            aggs.append(
+                F.sum(F.col(exp["col"]).isNull().cast("long")).alias(f"_dn{i}")
+            )
+        elif kind == "min_rows":
+            pass  # derived from _n
+        else:
+            aggs.append(
+                F.sum(_violation_pred(exp).cast("long")).alias(f"_v{i}")
+            )
+    one = df.agg(*aggs)
+
+    rows = []
+    for i, exp in enumerate(expectations):
+        kind = exp["kind"]
+        col = exp.get("col", "*")
+        label = F.lit(f"{i}_{kind}_{col}")
+        if kind == "unique":
+            # rows beyond the first occurrence of each value; NULL is a
+            # value group too (count_distinct ignores NULLs, so add the
+            # NULL group back when present): n - distinct - has_null
+            viol = F.col("_n") - F.col(f"_d{i}") - F.when(
+                F.col(f"_dn{i}") > 0, F.lit(1)
+            ).otherwise(F.lit(0))
+        elif kind == "min_rows":
+            viol = F.when(
+                F.col("_n") < exp["n"], F.lit(exp["n"]) - F.col("_n")
+            ).otherwise(F.lit(0))
+        else:
+            viol = F.col(f"_v{i}")
+        rows.append(
+            F.struct(
+                label.alias("expectation"),
+                F.lit(kind).alias("kind"),
+                F.lit(col).alias("col"),
+                F.col("_n").cast("long").alias("n_rows"),
+                viol.cast("long").alias("n_violations"),
+                (viol == 0).alias("passed"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("_e")).select("_e.*")

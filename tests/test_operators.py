@@ -702,3 +702,36 @@ def test_pagerank_integer_star_and_symmetry(spark):
     # determinism: a rerun is bit-identical
     again = {row["node"]: row["rank_scaled"] for row in graph.pagerank_integer(edges).collect()}
     assert r == again
+
+
+def test_check_expectations_planted(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import quality
+
+    rows = [
+        (1, "a", "en", 10),
+        (1, "b", "en", 20),      # duplicate id
+        (2, None, "de", 30),     # null text
+        (3, "c", "xx", -5),      # bad lang, out-of-range
+        (None, "d", "en", 400),  # null id, out-of-range
+        (None, "e", "en", 50),   # second null id -> one more dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    exps = [
+        {"kind": "not_null", "col": "text"},
+        {"kind": "unique", "col": "doc_id"},
+        {"kind": "accepted_values", "col": "lang", "values": ["en", "de"]},
+        {"kind": "range", "col": "n_chars", "lo": 0, "hi": 100},
+        {"kind": "min_rows", "n": 10},
+    ]
+    out = {r["expectation"]: r for r in quality.check_expectations(df, exps).collect()}
+    assert out["0_not_null_text"]["n_violations"] == 1
+    # values {1,1,2,3,N,N}: distinct non-null = 3, null group present
+    # -> 6 - 3 - 1 = 2 rows beyond first occurrences
+    assert out["1_unique_doc_id"]["n_violations"] == 2
+    assert out["2_accepted_values_lang"]["n_violations"] == 1
+    assert out["3_range_n_chars"]["n_violations"] == 2
+    assert out["4_min_rows_*"]["n_violations"] == 4 and not out["4_min_rows_*"]["passed"]
+    assert out["0_not_null_text"]["n_rows"] == 6
+    # single-scan claim: exactly one Aggregate pass over the data, no join
+    plan = quality.check_expectations(df, exps)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
