@@ -328,3 +328,64 @@ def stateful_latest_per_key(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_topk_values(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user top-k value tracker on the ``transformWithStateInPandas``
+    API (the arbitrary-stateful-processing successor to
+    ``applyInPandasWithState``: typed state handles, per-state TTL,
+    timers). Keeps the k largest values seen per user in a ValueState
+    and emits the refreshed top-k row whenever the user appears in a
+    micro-batch — the streaming form of a per-key leaderboard /
+    reservoir of extremes.
+
+    State is exactly k doubles per user — bounded by user cardinality
+    times k, independent of event volume; the state store shards by
+    the grouping key across executors. A production deployment would
+    pass ``ttlDurationMs`` on the state handle to expire idle users —
+    TTL is a transformWithState capability the old GroupState API
+    lacked (its timeouts were per-function, not per-state).
+
+    Runtime dependency: the transformWithState Python worker talks to
+    the JVM state server over protobuf, so executing the returned
+    stream requires the ``google.protobuf`` package (absent in this
+    container — the parity test env-gates on it; the plan construction
+    below needs nothing extra)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getValueState("topk", "vs array<double>")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = list(self._top.get()[0]) if self._top.exists() else []
+            for pdf in rows:
+                cur.extend(float(v) for v in pdf["value"])
+                cur = sorted(cur, reverse=True)[:k]
+            self._top.update(([float(v) for v in cur],))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_top": [len(cur)],
+                    "top_values": [cur],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=TopK(),
+            outputStructType="user_id long, n_top int, top_values array<double>",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

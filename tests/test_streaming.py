@@ -480,3 +480,80 @@ def test_streaming_dedup_runs_on_rocksdb_state_store(spark, sf_dir, tmp_path):
     # the provider that actually ran must be RocksDB, not a silent fallback
     ops = (last or {}).get("stateOperators") or []
     assert any("rocksdb" in str(op).lower() for op in ops), ops
+
+
+def test_stateful_topk_transformwithstate_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas per-user top-k: the last update per
+    user must equal the batch top-k over the same data (stream/batch
+    parity, same discipline as the GroupState totals test).
+
+    Env-gated: the transformWithState Python worker speaks a protobuf
+    state-server protocol, so the API needs the google.protobuf
+    package at RUNTIME (verified: without it the streaming query dies
+    with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError
+    google.protobuf.descriptor). This container has no protobuf and
+    installs are off-limits — same honest-gate discipline as the
+    media-decode stub."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import Window
+
+    from agentic_workflow_for_data_transformation_spark.streaming.events import (
+        stateful_topk_values,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    run_stream_to_memory(stateful_topk_values(stream, k=3), "topk_out", mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_top").desc())
+    # n_top saturates at k quickly; among saturated rows any is the
+    # final state only for the LAST batch — use a strict tiebreak on
+    # the best value instead: the final emitted row per user carries
+    # the global top-k, which dominates every earlier row elementwise
+    final = (
+        spark.table("topk_out")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("n_top").desc(),
+                    F.col("top_values").desc(),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    got = {
+        r["user_id"]: [round(v, 6) for v in r["top_values"]]
+        for r in final.collect()
+    }
+
+    from agentic_workflow_for_data_transformation_spark.sources import read_events
+
+    batch = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.reverse(F.slice(F.sort_array(F.collect_list("value"), False), 1, 3)).alias("top"))
+    )
+    want = {
+        r["user_id"]: sorted((round(v, 6) for v in r["top"]), reverse=True)
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    mismatches = {u for u in want if got[u] != want[u]}
+    assert not mismatches, list(mismatches)[:5]
+
+
+def test_stateful_topk_plan_constructs_without_protobuf(spark, sf_dir):
+    """Plan CONSTRUCTION for transformWithStateInPandas needs no
+    protobuf (only execution does): the unstarted stream must carry the
+    declared output schema and be a streaming frame."""
+    from agentic_workflow_for_data_transformation_spark.streaming.events import (
+        stateful_topk_values,
+    )
+
+    out = stateful_topk_values(read_events_stream(spark, sf_dir), k=3)
+    assert out.isStreaming
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "user_id:bigint", "n_top:int", "top_values:array<double>",
+    ]
