@@ -2760,6 +2760,40 @@ def x_join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.interval_containment_join(ev, signups)
 
 
+@register(
+    "x_join_interval_overlap",
+    "WITH iv AS (SELECT event_id, user_id, ts AS s, "
+    " ts + ((event_id % 7 + 1) || ' hours')::INTERVAL AS e FROM events) "
+    "SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id "
+    "FROM iv a JOIN iv b ON a.user_id = b.user_id "
+    "AND a.event_id < b.event_id AND a.s < b.e AND b.s < a.e",
+)
+def x_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-to-big INTERVAL x INTERVAL overlap self-join per user — the
+    concurrent-activity detector (each event opens a window of
+    (event_id % 7 + 1) hours; pairs of the same user whose windows
+    intersect emit once, a_id < b_id). The naive plan is a per-key
+    non-equi theta join (quadratic BNLJ); joins.interval_overlap_join
+    decomposes it into three (user_id, calendar-bucket) HASH joins
+    with two-tier day/month bucketing so neither short nor long
+    intervals explode, then applies the exact half-open overlap
+    predicate. The oracle keeps the naive formulation."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("s"),
+        F.timestamp_add(
+            "HOUR", (F.col("event_id") % 7 + 1).cast("int"), F.col("ts")
+        ).alias("e"),
+    )
+    return joins.interval_overlap_join(
+        ev.withColumnRenamed("event_id", "a_id"),
+        ev.withColumnRenamed("event_id", "b_id"),
+        key_col="user_id", start_col="s", end_col="e",
+        left_id="a_id", right_id="b_id", anti_reflexive=True,
+    )
+
+
 # --------------------------------------------------------------------------
 # DRIVER WINDOW (declarative). The driver records correctness rows for the
 # first 50 registrations only, so the window is re-declared here explicitly

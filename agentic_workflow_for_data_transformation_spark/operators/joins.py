@@ -253,3 +253,103 @@ def interval_containment_join(
         .select(*out_cols)
     )
     return match_day.unionByName(match_month)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+    left_id: str = "a_id",
+    right_id: str = "b_id",
+    anti_reflexive: bool = False,
+    short_max_days: int = 32,
+) -> DataFrame:
+    """Big-to-big INTERVAL x INTERVAL overlap join per key, without a
+    non-equi join: emit (key, left_id, right_id) for same-key pairs
+    whose half-open intervals overlap (l.start < r.end AND
+    r.start < l.end). The interval-interval sibling of
+    ``interval_containment_join`` (point-in-interval); use cases:
+    concurrent-session detection, double-booking, shipment overlap,
+    SCD2-version x activity-window reconciliation. With
+    ``anti_reflexive`` (self-join: pass the same frame twice under
+    different id aliases), only ``left_id < right_id`` pairs emit.
+
+    Physical plan: both sides explode into calendar buckets and meet in
+    plain (key, bucket) HASH joins; the exact overlap predicate then
+    filters, and duplicates from multi-bucket pairs collapse in one
+    distinct. Two-tier so long intervals cannot explode: spans up to
+    ``short_max_days`` use DAY buckets, longer spans MONTH buckets.
+    Overlapping intervals of different tiers still meet because tier
+    pairs are routed to the bucket unit both sides can afford:
+
+      1. short-left x short-right  -> day buckets
+      2. any-left   x long-right   -> month buckets
+      3. long-left  x short-right  -> month buckets
+
+    The three classes partition the pair space ((short,short) /
+    (*,long) / (long,short)), so no pair is produced by two joins and
+    the union needs no cross-join-class dedup — only the per-class
+    distinct over bucket multiplicity. Fanout per interval is bounded
+    by min(span_days, ~span_months + 1); every join is an equi-join on
+    fixed-width (key, date) rows.
+    """
+    overlap = (F.col("_ls") < F.col("_re")) & (F.col("_rs") < F.col("_le"))
+    if anti_reflexive:
+        overlap = overlap & (F.col(left_id) < F.col(right_id))
+
+    def prep(df: DataFrame, id_in: str, id_out: str, s: str, e: str) -> DataFrame:
+        base = df.select(
+            F.col(key_col),
+            F.col(id_in).alias(id_out),
+            F.col(start_col).alias(s),
+            F.col(end_col).alias(e),
+        )
+        # an inverted interval (end < start) is vacuous under the
+        # half-open overlap predicate AND would hand F.sequence an
+        # end < start — drop it instead of crashing (same degrade-not-
+        # crash rule as interval_containment_join's horizon clamp)
+        return base.filter(F.col(e) >= F.col(s)).withColumn(
+            "_span", F.datediff(F.to_date(e), F.to_date(s))
+        )
+
+    def explode_buckets(df: DataFrame, s: str, e: str, unit: str) -> DataFrame:
+        trunc = (lambda c: F.to_date(c)) if unit == "day" else (
+            lambda c: F.trunc(F.to_date(c), "month")
+        )
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    trunc(F.col(s)), trunc(F.col(e)), F.expr(f"interval 1 {unit}")
+                )
+            ),
+        ).drop("_span")
+
+    l = prep(left, left_id, left_id, "_ls", "_le")
+    r = prep(right, right_id, right_id, "_rs", "_re")
+    l_short, l_long = l.filter(F.col("_span") <= short_max_days), l.filter(
+        F.col("_span") > short_max_days
+    )
+    r_short, r_long = r.filter(F.col("_span") <= short_max_days), r.filter(
+        F.col("_span") > short_max_days
+    )
+    classes = [
+        (explode_buckets(l_short, "_ls", "_le", "day"),
+         explode_buckets(r_short, "_rs", "_re", "day")),
+        (explode_buckets(l, "_ls", "_le", "month"),
+         explode_buckets(r_long, "_rs", "_re", "month")),
+        (explode_buckets(l_long, "_ls", "_le", "month"),
+         explode_buckets(r_short, "_rs", "_re", "month")),
+    ]
+    out = None
+    for lb, rb in classes:
+        m = (
+            lb.join(rb, [key_col, "_bucket"])
+            .filter(overlap)
+            .select(key_col, left_id, right_id)
+            .distinct()
+        )
+        out = m if out is None else out.unionByName(m)
+    return out

@@ -235,3 +235,40 @@ def test_interval_containment_join_long_periods_month_tier(spark):
         4: datetime(2021, 1, 1, 0, 0),
         3: datetime(2024, 1, 15, 0, 0),
     }
+
+
+def test_interval_overlap_join_planted_and_tiers(spark):
+    """Planted overlap cases across both bucket tiers: short-short,
+    short-long (tier-crossing: the pair must meet in the month-bucket
+    join), long-long, touching-but-not-overlapping (half-open), and an
+    inverted interval that must vanish instead of crashing."""
+    import datetime as dt
+
+    from agentic_workflow_for_data_transformation_spark.operators import joins
+
+    d = lambda day, h=0: dt.datetime(2024, 3, day, h)  # noqa: E731
+    rows = [
+        # (id, key, start, end)
+        (1, 1, d(1, 0), d(1, 5)),     # short
+        (2, 1, d(1, 4), d(1, 9)),     # short, overlaps 1
+        (3, 1, d(1, 5), d(1, 6)),     # touches 1's end exactly -> NO overlap with 1, inside 2
+        (4, 1, d(2), dt.datetime(2024, 8, 1)),  # LONG, overlaps nothing on day 1... starts day 2
+        (5, 1, d(3), d(4)),           # short inside 4's span -> overlaps 4
+        (6, 1, dt.datetime(2024, 2, 1), dt.datetime(2024, 9, 1)),  # LONG, overlaps 1,2,3,4,5
+        (7, 2, d(1, 0), d(1, 5)),     # other key: no cross-key pairs
+        (8, 1, d(9), d(8)),           # inverted -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, user_id long, s timestamp, e timestamp")
+    out = joins.interval_overlap_join(
+        df.withColumnRenamed("id", "a_id"),
+        df.withColumnRenamed("id", "b_id"),
+        key_col="user_id", start_col="s", end_col="e",
+        left_id="a_id", right_id="b_id", anti_reflexive=True,
+    )
+    got = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    want = {(1, 2), (2, 3), (4, 5), (1, 6), (2, 6), (3, 6), (4, 6), (5, 6)}
+    assert got == want, got ^ want
+    # plan shape: equi hash/sortmerge joins only — the whole point is
+    # avoiding the per-key non-equi BNLJ
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
