@@ -25,7 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .operators import joins, windows
+from .operators import joins, stats, windows
 from .plans import compile_spec, parse_description
 from .sources import read_events, read_parquet_table
 
@@ -2791,6 +2791,46 @@ def x_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumnRenamed("event_id", "b_id"),
         key_col="user_id", start_col="s", end_col="e",
         left_id="a_id", right_id="b_id", anti_reflexive=True,
+    )
+
+
+@register(
+    "x_groupwise_ols",
+    # decimal-exact moments (order-independent), then one fixed double
+    # expression shape per formula — mirrored verbatim on the Spark side
+    "WITH j AS (SELECT p_brand, CAST(l_quantity AS DECIMAL(12,2)) AS x, "
+    " CAST(l_extendedprice AS DECIMAL(18,2)) AS y "
+    " FROM lineitem JOIN part ON l_partkey = p_partkey), "
+    "m AS (SELECT p_brand, count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx, "
+    " CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * x) AS DOUBLE) AS sxx, "
+    " CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(y * y) AS DOUBLE) AS syy "
+    " FROM j GROUP BY p_brand) "
+    "SELECT p_brand, n, "
+    "round(CASE WHEN n * sxx - sx * sx <> 0 "
+    " THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope, "
+    "round(CASE WHEN n * sxx - sx * sx <> 0 "
+    " THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6) "
+    " AS intercept, "
+    "round(CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 "
+    " THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy)) "
+    " / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2 "
+    "FROM m",
+)
+def x_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of extended price on quantity (slope, intercept,
+    Pearson r^2) in ONE aggregate pass: the five moments are a
+    mergeable monoid summed as exact decimals (partition-order-
+    independent), the closed forms then run as one fixed IEEE double
+    expression shape in both engines. The distributed form of
+    fit-a-line-per-segment analytics; at 100 TB it costs exactly one
+    partial+final aggregate on the group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "p_brand", "l_quantity", "l_extendedprice"
+    )
+    return stats.groupwise_ols(
+        j, group_col="p_brand", x_col="l_quantity", y_col="l_extendedprice"
     )
 
 

@@ -83,3 +83,50 @@ def ks_statistic_cogrouped(left: DataFrame, right: DataFrame,
             .applyInPandas(ks_frame, schema=schema)
         )
     return out.withColumnRenamed("key", key_col)
+
+
+def groupwise_ols(df: DataFrame, group_col: str, x_col: str, y_col: str,
+                  x_decimal: str = "decimal(12,2)",
+                  y_decimal: str = "decimal(18,2)") -> DataFrame:
+    """Per-group simple linear regression (OLS slope + intercept +
+    Pearson r^2) of ``y_col`` on ``x_col`` — the distributed form of
+    "fit a line per segment" analytics, in one map-side-combined
+    aggregate pass (the five moments n, Sx, Sy, Sxx, Sxy are a
+    mergeable monoid, like everything else this engine shuffles).
+
+    Cross-engine exactness: money-like doubles are cast to DECIMAL
+    before the moment sums, so the aggregates are EXACT regardless of
+    partition/visit order (float sums are order-dependent and would
+    drift between engines); the closed-form formulas then run in
+    doubles with one fixed expression shape — IEEE ops on identical
+    inputs are bit-identical — and only the reported values are
+    rounded. Groups with zero x-variance report NULL slope/intercept
+    (vertical fit) rather than dividing by zero.
+    """
+    x = F.col(x_col).cast(x_decimal)
+    y = F.col(y_col).cast(y_decimal)
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(den_x != 0, num / den_x)
+    intercept = F.when(
+        den_x != 0, (F.col("sy") - (num / den_x) * F.col("sx")) / F.col("n")
+    )
+    r2 = F.when(
+        (den_x != 0) & (den_y != 0), (num * num) / (den_x * den_y)
+    )
+    return m.select(
+        group_col,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

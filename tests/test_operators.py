@@ -735,3 +735,19 @@ def test_check_expectations_planted(spark):
     # single-scan claim: exactly one Aggregate pass over the data, no join
     plan = quality.check_expectations(df, exps)._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_groupwise_ols_planted(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import stats
+
+    rows = (
+        [("line", float(x), 2.0 * x + 3.0) for x in range(1, 6)]     # exact fit
+        + [("noisy", 1.0, 1.0), ("noisy", 2.0, 3.0), ("noisy", 3.0, 2.0)]
+        + [("flatx", 5.0, 1.0), ("flatx", 5.0, 9.0)]                 # zero x-variance
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in stats.groupwise_ols(df, "g", "x", "y").collect()}
+    assert out["line"]["slope"] == 2.0 and out["line"]["intercept"] == 3.0
+    assert out["line"]["r2"] == 1.0
+    assert 0.0 < out["noisy"]["r2"] < 1.0
+    assert out["flatx"]["slope"] is None and out["flatx"]["intercept"] is None
