@@ -893,3 +893,29 @@ register(
         _t(spark, sf_dir, "documents"), _EXPECTATIONS
     )
 )
+
+
+register(
+    "ns_stats_chi_square",
+    "WITH o AS (SELECT lang, source, count(*) AS observed FROM documents GROUP BY lang, source), "
+    "ra AS (SELECT lang, count(*) AS rt FROM documents GROUP BY lang), "
+    "cb AS (SELECT source, count(*) AS ct FROM documents GROUP BY source), "
+    "t AS (SELECT count(*) AS n FROM documents) "
+    "SELECT lang, source, observed, "
+    "round((rt * ct) / n, 6) AS expected, "
+    "round((observed - (rt * ct) / n) * (observed - (rt * ct) / n) / ((rt * ct) / n), 6) AS contrib, "
+    "CAST(floor((observed - (rt * ct) / n) * (observed - (rt * ct) / n) / ((rt * ct) / n) * 1000000) AS BIGINT) AS contrib_micro "
+    "FROM o JOIN ra USING (lang) JOIN cb USING (source) CROSS JOIN t",
+    desc=(
+        "Chi-square independence contribution table for lang x source: "
+        "per-cell observed vs independence-expected counts and the "
+        "(o-e)^2/e contribution — the drill-down that names WHICH cells "
+        "drive an association. Integer-microunit contributions sum "
+        "exactly (partition-order-independent) where a float chi2 total "
+        "would drift. Three count aggregates + two marginal equi-joins."
+    ),
+)(
+    lambda spark, sf_dir: stats.chi_square_cells(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+)

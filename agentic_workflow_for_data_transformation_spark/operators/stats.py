@@ -130,3 +130,40 @@ def groupwise_ols(df: DataFrame, group_col: str, x_col: str, y_col: str,
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def chi_square_cells(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Chi-square test-of-independence CONTRIBUTION TABLE between two
+    categorical columns: per (a, b) cell the observed count, the
+    independence-expected count row_total * col_total / n, and the
+    cell contribution (o - e)^2 / e — the drill-down view that tells
+    you WHICH cells drive an association, not just that one exists.
+    An integer-microunit contribution (floor(contrib * 1e6)) is
+    emitted alongside so callers can SUM it exactly: integer sums are
+    partition-order-independent where a float chi2 total would drift.
+
+    Shape: one (a, b) count aggregate, two marginal aggregates, the
+    1-row n broadcast via crossJoin, two equi-joins back on the
+    marginal keys — every exchange carries count rows, never data
+    rows. Cells with observed 0 don't appear (sparse output; their
+    contribution is e, derivable from the marginals if a dense table
+    is wanted)."""
+    o = df.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("observed"))
+    ra = df.groupBy(a_col).agg(F.count(F.lit(1)).alias("_row_total"))
+    cb = df.groupBy(b_col).agg(F.count(F.lit(1)).alias("_col_total"))
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    e = (F.col("_row_total") * F.col("_col_total")) / F.col("_n")
+    contrib = (F.col("observed") - e) * (F.col("observed") - e) / e
+    return (
+        o.join(ra, a_col)
+        .join(cb, b_col)
+        .crossJoin(F.broadcast(n))
+        .select(
+            a_col,
+            b_col,
+            "observed",
+            F.round(e, 6).alias("expected"),
+            F.round(contrib, 6).alias("contrib"),
+            F.floor(contrib * 1000000).cast("long").alias("contrib_micro"),
+        )
+    )

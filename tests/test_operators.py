@@ -751,3 +751,24 @@ def test_groupwise_ols_planted(spark):
     assert out["line"]["r2"] == 1.0
     assert 0.0 < out["noisy"]["r2"] < 1.0
     assert out["flatx"]["slope"] is None and out["flatx"]["intercept"] is None
+
+
+def test_chi_square_cells_planted(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import stats
+
+    # perfectly independent 2x2 -> every contribution exactly 0
+    rows = [("a", "x")] * 10 + [("a", "y")] * 30 + [("b", "x")] * 5 + [("b", "y")] * 15
+    df = spark.createDataFrame(rows, "g string, h string")
+    out = {(r["g"], r["h"]): r for r in stats.chi_square_cells(df, "g", "h").collect()}
+    assert all(r["contrib"] == 0.0 and r["contrib_micro"] == 0 for r in out.values())
+    assert out[("a", "x")]["expected"] == 10.0
+
+    # fully dependent 2x2 (diagonal) -> chi2 = n; per cell n/4
+    rows2 = [("a", "x")] * 10 + [("b", "y")] * 10
+    df2 = spark.createDataFrame(rows2, "g string, h string")
+    out2 = {(r["g"], r["h"]): r for r in stats.chi_square_cells(df2, "g", "h").collect()}
+    # sparse: only observed cells appear; each diagonal cell contributes
+    # (10-5)^2/5 = 5; off-diagonal cells (o=0) are absent by design
+    assert out2[("a", "x")]["contrib"] == 5.0 and out2[("b", "y")]["contrib"] == 5.0
+    total_micro = sum(r["contrib_micro"] for r in out2.values())
+    assert total_micro == 10_000_000  # exact integer sum of the observed cells
