@@ -2869,11 +2869,17 @@ _WINDOW: list[str] = [
     # freshness-gated local report (tools/check_oracle.py).
     # -- sentinels --
     "p01_filter_gt_project", "p14_paren_bool_tree", "p20_tpch_q1",
-    "x_time_bucket_agg", "x_join_asof", "u1_escape_hatch",
-    "ns_dedup_exact", "ns_dedup_minhash_lsh", "ns_corpus_build_e2e",
-    "ns_multimodal_resize",
+    "u1_escape_hatch",
+    "ns_dedup_minhash_lsh", "ns_corpus_build_e2e",
     "x_join_interval_bucketed", "x_gaps_islands",
-    # -- new this round --
+    # -- new this round (late-round-5 batch: the exact-dedup shape
+    # lives on inside ns_corpus_build_e2e, the events family in
+    # x_sliding_window_agg/x_event_rate_anomaly, the as-of family in
+    # the r04-green x_join_asof_forward, and mapInPandas in the two
+    # audio queries, so four r04-green sentinels rotate out for four
+    # first-ever rows on the new operators) --
+    "ns_dedup_jaccard_prefix", "x_groupwise_ols",
+    "ns_graph_pagerank", "x_join_interval_overlap",
     "p38_nl_pivot", "p39_nl_rollup", "ns_multimodal_audio_zcr",
     # -- first-ever driver rows: TPC-H join family --
     "x_tpch_q2", "x_tpch_q4", "x_tpch_q7", "x_tpch_q8", "x_tpch_q9",
