@@ -1047,6 +1047,67 @@ def x_time_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_time_interpolate",
+    "WITH b AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS wb, event_type, "
+    " CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+    "bounds AS (SELECT min(wb) AS lo, max(wb) AS hi FROM b), "
+    "types AS (SELECT DISTINCT event_type FROM events), "
+    "spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 5 minute)) AS wb "
+    " FROM bounds, types), "
+    "j AS (SELECT s.event_type, s.wb, b.v FROM spine s "
+    " LEFT JOIN b ON s.wb = b.wb AND s.event_type = b.event_type), "
+    "w AS (SELECT event_type, wb, v, "
+    " last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY wb "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, "
+    " last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(wb) AS BIGINT) END IGNORE NULLS) "
+    "  OVER (PARTITION BY event_type ORDER BY wb "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt, "
+    " first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY wb "
+    "  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, "
+    " first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(wb) AS BIGINT) END IGNORE NULLS) "
+    "  OVER (PARTITION BY event_type ORDER BY wb "
+    "  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt "
+    " FROM j) "
+    "SELECT event_type, wb AS w_start, round(v, 6) AS observed, "
+    "round(CASE WHEN v IS NOT NULL THEN v "
+    " WHEN pv IS NOT NULL AND nv IS NOT NULL "
+    " THEN pv + (nv - pv) * ((CAST(epoch(wb) AS BIGINT) - pt) * 1.0 / (nt - pt)) "
+    " END, 6) AS filled FROM w",
+)
+def x_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resampling with LINEAR INTERPOLATION: empty 5-minute
+    buckets get the time-weighted value between nearest observed
+    neighbors (leading/trailing gaps stay NULL) — the resample for
+    rate/sensor metrics where an empty bucket means "no sample", not
+    zero (x_time_spine_fill's zero-fill is the counting sibling). The
+    bucket metric sums as exact decimal so both engines interpolate
+    from bit-identical inputs; one exchange+sort serves both window
+    passes (windows.interpolate_gaps)."""
+    ev = _t(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v")
+        )
+        .select(F.col("w.start").alias("wb"), "event_type", "v")
+    )
+    bounds = b.agg(F.min("wb").alias("lo"), F.max("wb").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))).alias("wb"),
+    )
+    j = spine.join(b, ["wb", "event_type"], "left")
+    out = windows.interpolate_gaps(j, "event_type", "wb", "v", out_col="filled")
+    return out.select(
+        "event_type",
+        F.col("wb").alias("w_start"),
+        F.round(F.col("v"), 6).alias("observed"),
+        "filled",
+    )
+
+
+@register(
     "x_tpch_q17",
     "WITH a AS (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty "
     " FROM lineitem GROUP BY l_partkey) "

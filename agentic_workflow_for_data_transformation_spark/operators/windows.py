@@ -103,3 +103,45 @@ def two_phase_row_number(
         )
         .drop("_b", "_off")
     )
+
+
+def interpolate_gaps(df, key_col: str, ts_col: str, val_col: str,
+                     out_col: str = "filled"):
+    """Linear time-weighted interpolation over a dense spine: rows
+    where ``val_col`` is NULL (gap buckets) get
+    prev + (next - prev) * (t - t_prev) / (t_next - t_prev) between
+    the nearest OBSERVED neighbors; observed rows keep their value;
+    leading/trailing gaps stay NULL (no extrapolation). The
+    hypertable-style resample step after zero-fill isn't appropriate —
+    e.g. sensor readings or rates, where an empty bucket means
+    "no sample", not "zero".
+
+    Shape: two window passes per key (running last-observed backward,
+    first-observed forward) over the same partition sort — Spark plans
+    ONE exchange + sort, the second Window reuses the order. All
+    arithmetic is one fixed expression shape on epoch-second longs and
+    the (deterministic) observed values, so the oracle matches
+    bit-for-bit; only the reported value is rounded.
+    """
+    from pyspark.sql import Window, functions as F
+
+    wp = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    t = F.unix_timestamp(F.col(ts_col))
+    obs_t = F.when(F.col(val_col).isNotNull(), t)
+    prev_v = F.last(val_col, ignorenulls=True).over(wp)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wp)
+    next_v = F.first(val_col, ignorenulls=True).over(wn)
+    next_t = F.first(obs_t, ignorenulls=True).over(wn)
+    interp = prev_v + (next_v - prev_v) * (
+        (t - prev_t) * 1.0 / (next_t - prev_t)
+    )
+    filled = (
+        F.when(F.col(val_col).isNotNull(), F.col(val_col))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+    )
+    return df.withColumn(out_col, F.round(filled, 6))

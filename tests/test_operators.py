@@ -772,3 +772,32 @@ def test_chi_square_cells_planted(spark):
     assert out2[("a", "x")]["contrib"] == 5.0 and out2[("b", "y")]["contrib"] == 5.0
     total_micro = sum(r["contrib_micro"] for r in out2.values())
     assert total_micro == 10_000_000  # exact integer sum of the observed cells
+
+
+def test_interpolate_gaps_planted(spark):
+    import datetime as dt
+
+    from agentic_workflow_for_data_transformation_spark.operators import windows
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        ("a", m(0), None),     # leading gap -> stays NULL
+        ("a", m(5), 10.0),
+        ("a", m(10), None),    # 1/3 of the way -> 20
+        ("a", m(15), None),    # 2/3 -> 30
+        ("a", m(20), 40.0),
+        ("a", m(25), None),    # trailing gap -> NULL
+        ("b", m(0), 7.0),      # other key untouched
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {(r["k"], r["ts"]): r["filled"] for r in
+           windows.interpolate_gaps(df, "k", "ts", "v").collect()}
+    assert got[("a", m(0))] is None and got[("a", m(25))] is None
+    assert got[("a", m(5))] == 10.0 and got[("a", m(20))] == 40.0
+    assert got[("a", m(10))] == 20.0 and got[("a", m(15))] == 30.0
+    assert got[("b", m(0))] == 7.0
+    # both window passes share one partition sort: a single exchange
+    plan = windows.interpolate_gaps(df, "k", "ts", "v")._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
