@@ -919,3 +919,32 @@ register(
         _t(spark, sf_dir, "documents"), "lang", "source"
     )
 )
+
+
+register(
+    "ns_corpus_contamination_score",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) "
+    "ELSE CAST([] AS VARCHAR[]) END AS sh FROM w), "
+    "e AS (SELECT doc_id, unnest(sh) AS s FROM sh), "
+    "c AS (SELECT * FROM e WHERE doc_id % 97 <> 0), "
+    "bs AS (SELECT DISTINCT s FROM e WHERE doc_id % 97 = 0) "
+    "SELECT c.doc_id, count(*) AS n_grams, "
+    "CAST(count(bs.s) AS BIGINT) AS n_hit, "
+    "round(count(bs.s) * 1.0 / count(*), 6) AS contamination "
+    "FROM c LEFT JOIN bs ON c.s = bs.s GROUP BY c.doc_id",
+    desc=(
+        "GRADED benchmark contamination: per training doc, the fraction "
+        "of its distinct 3-gram shingles appearing anywhere in the "
+        "benchmark split — the audit/threshold/stratify sibling of the "
+        "binary ns_decontaminate filter. The benchmark gram set "
+        "broadcasts (eval suites are small), so the corpus never "
+        "shuffles for the join."
+    ),
+)(
+    lambda spark, sf_dir: (lambda docs: corpus.contamination_scores(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    ))(_t(spark, sf_dir, "documents"))
+)

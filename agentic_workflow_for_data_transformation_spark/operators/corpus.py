@@ -344,3 +344,44 @@ def merge_agg_states(*states: DataFrame) -> DataFrame:
         F.min("lo").alias("lo"),
         F.max("hi").alias("hi"),
     )
+
+
+def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3) -> DataFrame:
+    """GRADED benchmark contamination: per corpus document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    benchmark — where ``contaminated_ids`` gives the binary
+    drop-the-doc answer, this scores partial overlap so a pipeline can
+    threshold, stratify, or audit instead of only filtering (the
+    common corpus-audit report: "how MUCH of the eval set leaks into
+    each training doc?"). Documents shorter than ``n`` words have no
+    n-grams and are omitted.
+
+    Shape: both sides reduce to 60-bit shingle hashes; the benchmark
+    side dedups to its distinct-gram set before the join, so the join
+    carries |corpus grams| x hit-flag, then one per-doc aggregate. At
+    100 TB the benchmark gram set is the small side (eval suites are
+    MBs) — Spark broadcasts it and the corpus never shuffles."""
+    from .dedup import _hash60, shingle_index
+
+    e = shingle_index(corpus, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col), _hash60(F.col("s")).alias("hs")
+    )
+    bset = (
+        shingle_index(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select(_hash60(F.col("s")).alias("hs"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        e.join(F.broadcast(bset), "hs", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "contamination", F.round(F.col("n_hit") / F.col("n_grams"), 6)
+        )
+    )

@@ -182,3 +182,26 @@ def test_merge_agg_states_equals_full_recompute(spark):
     empty = corpus.agg_state(df.filter(F.lit(False)), ["lang"], "n_chars")
     again = corpus.merge_agg_states(full, empty)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_contamination_scores_planted(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import corpus
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # full overlap -> 1.0
+            (2, "alpha beta gamma epsilon zeta"), # 1 of 3 grams hit
+            (3, "one two three four"),            # no overlap -> 0.0
+            (4, "xy"),                            # too short -> omitted
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           corpus.contamination_scores(train, bench).collect()}
+    assert out[1]["contamination"] == 1.0
+    assert out[2]["n_grams"] == 3 and out[2]["n_hit"] == 1
+    assert out[3]["contamination"] == 0.0
+    assert 4 not in out
