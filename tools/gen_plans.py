@@ -1,0 +1,158 @@
+"""Generate PLANS.md: the formatted physical plan for each headline
+query, with a one-paragraph annotation of WHY that plan is the one
+you'd want at 100 TB — scan pushdown, exchange count, join strategy,
+codegen coverage. The plan-quality assertions live in
+tests/test_plans.py; this file is the human-auditable rendering.
+
+Usage: python tools/gen_plans.py  (writes PLANS.md at repo root)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from agentic_workflow_for_data_transformation_spark import benchqueries
+from agentic_workflow_for_data_transformation_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# (query, what to look for in the plan — the 100 TB argument)
+HEADLINE: list[tuple[str, str]] = [
+    (
+        "p20_tpch_q1",
+        "Scan-filter-aggregate: the shipdate filter reaches the parquet scan "
+        "(PushedFilters) and ReadSchema carries only the 7 needed columns; "
+        "one partial+final HashAggregate pair around a single exchange on the "
+        "two low-cardinality group keys; the whole map side is one "
+        "WholeStageCodegen span.",
+    ),
+    (
+        "x_tpch_q3",
+        "Star-ish join: both dimension filters push into their scans; the "
+        "small sides broadcast (BroadcastHashJoin), so the lineitem fact "
+        "never shuffles for the joins — its only exchange is the final "
+        "aggregate's; top-10 plans as TakeOrderedAndProject, not a global "
+        "sort.",
+    ),
+    (
+        "x_tpch_q18",
+        "Join-heaviest TPC-H in the corpus: the high-quantity aggregate "
+        "semi-joins orders BEFORE the 3-way join (the selective filter runs "
+        "first), and the top-100 is TakeOrderedAndProject.",
+    ),
+    (
+        "x_join_asof",
+        "As-of join WITHOUT a non-equi join: union + running-last over one "
+        "per-key window — exactly one exchange on the key, zero pair "
+        "explosion; the window sort is the only sort.",
+    ),
+    (
+        "x_join_interval_bucketed",
+        "Point-in-interval containment as a (key, day-bucket) HASH join — "
+        "no BroadcastNestedLoopJoin anywhere except the designed 1-row "
+        "horizon attach; the per-key horizon keeps dormant keys from "
+        "fanning out.",
+    ),
+    (
+        "x_join_interval_overlap",
+        "Interval x interval overlap as three two-tier (key, calendar-"
+        "bucket) hash joins (day for short spans, month for long) — the "
+        "naive plan is a per-key theta BNLJ; here every join is an "
+        "equi-join and the exact predicate filters after.",
+    ),
+    (
+        "x_join_salted_skew",
+        "Skew-safe join: the hot key is salted across N buckets (the dim "
+        "side replicates per salt), so no single reducer owns the hot key's "
+        "whole partition.",
+    ),
+    (
+        "ns_dedup_exact",
+        "Exact dedup groups on md5(text): the exchange carries 16-byte "
+        "digests, never documents — partial aggregation collapses "
+        "duplicates map-side.",
+    ),
+    (
+        "ns_dedup_minhash_lsh",
+        "LSH banding: signature aggregate + band-key self-join — cost is "
+        "O(candidate pairs), never O(n^2); the only joins key on band "
+        "hashes.",
+    ),
+    (
+        "ns_sim_knn_bucketed",
+        "Bucketed kNN: per-label residual sign buckets block the pair "
+        "space; centers broadcast; the bucket join is an equi-join, not a "
+        "cross product.",
+    ),
+    (
+        "ns_corpus_build_e2e",
+        "Four pipeline stages (quality gate -> exact dedup -> "
+        "decontamination -> packing) composed as ONE declarative plan: "
+        "Catalyst collapses the stage boundaries; the corpus is scanned "
+        "once per independent subtree, not once per stage.",
+    ),
+    (
+        "x_groupwise_ols",
+        "Five regression moments in one partial+final aggregate; the only "
+        "exchanges are the dimension broadcast and the group-key "
+        "aggregate.",
+    ),
+    (
+        "x_time_interpolate",
+        "Backward-last and forward-first window passes share ONE exchange + "
+        "sort (same partition spec); the spine explode never touches the "
+        "fact table again. The only BroadcastNestedLoopJoin is the designed "
+        "crossJoin of the 1-ROW bounds frame that sizes the spine.",
+    ),
+    (
+        "ns_quality_expectations",
+        "Six declared expectations -> ONE global aggregate (conditional "
+        "sums + exact count-distincts) over one scan; the per-expectation "
+        "report rows explode from the 1-row result. No join, no second "
+        "scan.",
+    ),
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="gen_plans")
+    reg = benchqueries.queries()
+    lines = [
+        "# PLANS — physical plans of the headline queries, annotated",
+        "",
+        f"`df.explain('formatted')` at {SF_DIR}, local[32], AQE on. The",
+        "annotation above each plan states the property that makes it the",
+        "plan you'd want at 100 TB; tests/test_plans.py asserts the same",
+        "properties mechanically so they can't silently regress.",
+        "Regenerate: `python tools/gen_plans.py`.",
+        "",
+    ]
+    for name, why in HEADLINE:
+        df = reg[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # keep the operator tree + scan details, drop the (long) codegen
+        # subtree listings after the first blank-line-separated block
+        plan = re.sub(r"\n{3,}", "\n\n", plan.strip())
+        lines += [
+            f"## {name}",
+            "",
+            why,
+            "",
+            "```",
+            plan,
+            "```",
+            "",
+        ]
+    (ROOT / "PLANS.md").write_text("\n".join(lines) + "\n")
+    print(f"PLANS.md: {len(HEADLINE)} plans")
+
+
+if __name__ == "__main__":
+    main()
