@@ -860,6 +860,68 @@ def x_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_events_funnel_e2e",
+    "WITH o AS (SELECT user_id, event_id, ts, event_type, value, "
+    " lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+    " FROM events), "
+    "f AS (SELECT user_id, event_id, ts, event_type, value, "
+    " CASE WHEN prev_ts IS NULL OR epoch(ts) - prev_ts > 1800 THEN 1 ELSE 0 END AS brk "
+    " FROM o), "
+    "s AS (SELECT user_id, event_type, value, CAST(sum(brk) OVER "
+    " (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+    " AS session_id FROM f), "
+    "sess AS (SELECT user_id, session_id, count(*) AS n_events, "
+    " max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase, "
+    " SUM(CAST(value AS DECIMAL(18,2))) AS v FROM s GROUP BY 1, 2), "
+    "u AS (SELECT user_id, count(*) AS n_sessions, max(has_purchase) AS converted, "
+    " SUM(v) AS uv FROM sess GROUP BY 1) "
+    "SELECT user_id % 10 AS cohort, count(*) AS n_users, "
+    "CAST(sum(n_sessions) AS BIGINT) AS n_sessions, "
+    "CAST(sum(converted) AS BIGINT) AS converted_users, "
+    "round(sum(converted) * 1.0 / count(*), 6) AS conversion_rate, "
+    "round(sum(n_sessions) * 1.0 / count(*), 6) AS sessions_per_user, "
+    "CAST(SUM(uv) AS DOUBLE) AS total_value "
+    "FROM u GROUP BY user_id % 10",
+)
+def x_events_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END product-analytics build in one declarative plan — the
+    events-family twin of ns_corpus_build_e2e: sessionize (lag ->
+    cumsum, one exchange+sort) -> per-session rollup (events, purchase
+    flag, decimal-exact value) -> per-user rollup (session count,
+    conversion) -> per-cohort report (conversion rate, sessions/user,
+    total value). Value stays DECIMAL through all three aggregate
+    levels and converts to double only in the report, so the sums are
+    partition-order-independent; every stage keys on user_id or its
+    cohort, so the whole pipeline is one window pass plus three
+    aggregates."""
+    from .streaming.events import sessionized_events
+
+    se = sessionized_events(_t(spark, sf_dir, "events"), gap_seconds=1800)
+    sess = se.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_purchase"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+    u = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("has_purchase").alias("converted"),
+        F.sum("v").alias("uv"),
+    )
+    return u.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_sessions").cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("converted_users"),
+        F.round(F.sum("converted") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(F.sum("n_sessions") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "sessions_per_user"
+        ),
+        F.sum("uv").cast("double").alias("total_value"),
+    )
+
+
+@register(
     "x_spec_join_window",
     "SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM ("
     " SELECT c_mktsegment, o_orderkey, o_totalprice, row_number() OVER "

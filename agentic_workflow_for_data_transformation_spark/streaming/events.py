@@ -148,17 +148,14 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes",
     )
 
 
-def sessionize_batch(events: DataFrame, gap_seconds: int = 1800,
-                     key_col: str = "user_id", ts_col: str = "ts",
-                     id_col: str = "event_id") -> DataFrame:
-    """Batch sessionization: the offline twin of session_window.
-    A session breaks when the gap to the previous event (per key)
-    exceeds ``gap_seconds``; session ids are running sums of break
-    flags. Two window passes over one shuffle+sort on (key, ts):
-    the classic lag -> cumsum sessionizer, exact-oracle expressible
-    in any engine with window functions. Column names are
-    parameterized so the spec compiler can reach this from NL
-    ('sessionize by user_id with 30 minute gap')."""
+def sessionized_events(events: DataFrame, gap_seconds: int = 1800,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """Event-level sessionization: every input row tagged with its
+    ``session_id`` (running sum of gap-break flags per key). The
+    composable core shared by the session-summary aggregate and
+    session-scoped analytics (per-session funnels, conversion, value
+    totals). Two window passes over ONE shuffle+sort on (key, ts)."""
     from pyspark.sql import Window
 
     order = [F.col(ts_col), F.col(id_col)]  # total order under ts ties
@@ -171,6 +168,22 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800,
     return (
         events.withColumn("_brk", brk)
         .withColumn("session_id", F.sum("_brk").over(run))
+        .drop("_brk")
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id") -> DataFrame:
+    """Batch sessionization: the offline twin of session_window.
+    A session breaks when the gap to the previous event (per key)
+    exceeds ``gap_seconds``; session ids are running sums of break
+    flags (``sessionized_events``), then one summary row per session.
+    Exact-oracle expressible in any engine with window functions.
+    Column names are parameterized so the spec compiler can reach this
+    from NL ('sessionize by user_id with 30 minute gap')."""
+    return (
+        sessionized_events(events, gap_seconds, key_col, ts_col, id_col)
         .groupBy(key_col, "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
