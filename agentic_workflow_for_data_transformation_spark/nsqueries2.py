@@ -948,3 +948,51 @@ register(
         docs.filter(F.col("doc_id") % 97 == 0),
     ))(_t(spark, sf_dir, "documents"))
 )
+
+
+register(
+    "ns_stats_key_skew",
+    "WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c), "
+    "b AS (SELECT CAST(floor(log2(n)) AS INT) AS bucket, count(*) AS n_keys, "
+    " CAST(sum(n) AS BIGINT) AS n_rows, CAST(max(n) AS BIGINT) AS max_key_rows "
+    " FROM c GROUP BY 1) "
+    "SELECT bucket, n_keys, n_rows, max_key_rows, "
+    "round(n_rows * 1.0 / total, 6) AS row_share FROM b CROSS JOIN t",
+    desc=(
+        "Shuffle-skew diagnostic: log2-bucketed histogram of per-key row "
+        "counts with each bucket's share of all rows — the pre-flight "
+        "check before a big groupBy/join that decides whether salting or "
+        "AQE skew-join is needed. Two aggregates, the second over "
+        "|log2 buckets| rows."
+    ),
+)(
+    lambda spark, sf_dir: stats.key_skew_profile(
+        _t(spark, sf_dir, "events"), "user_id"
+    )
+)
+
+
+register(
+    "ns_stats_robust_outliers",
+    "WITH med AS (SELECT event_type, median(value) AS m FROM events GROUP BY 1), "
+    "dev AS (SELECT e.event_type, e.value, m, abs(e.value - m) AS ad "
+    " FROM events e JOIN med USING (event_type)), "
+    "mad AS (SELECT event_type, median(ad) AS md FROM dev GROUP BY 1) "
+    "SELECT dev.event_type, count(*) AS n, round(max(m), 6) AS median, "
+    "round(max(md), 6) AS mad, "
+    "CAST(sum(CASE WHEN ad > 3.0 * 1.4826 * md THEN 1 ELSE 0 END) AS BIGINT) "
+    " AS n_outliers "
+    "FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type",
+    desc=(
+        "Robust per-group outliers via median/MAD: |x - median| > "
+        "3 * 1.4826 * MAD — the outlier test that is not itself dragged "
+        "by the outliers (unlike mean/stddev z-scores, cf. "
+        "x_event_rate_anomaly). Two grouped medians + two equi-joins on "
+        "the group key."
+    ),
+)(
+    lambda spark, sf_dir: stats.robust_outliers(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+)

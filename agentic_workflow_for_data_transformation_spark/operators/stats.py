@@ -167,3 +167,65 @@ def chi_square_cells(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             F.floor(contrib * 1000000).cast("long").alias("contrib_micro"),
         )
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Shuffle-skew diagnostic: the log2-bucketed histogram of per-key
+    row counts — the question to ask BEFORE any big groupBy/join ships
+    ("does one key own half the table?"). Each output row is one
+    bucket: how many keys fall in [2^b, 2^(b+1)) rows, how many rows
+    they carry in total, the largest key in the bucket, and the
+    bucket's share of all rows (the top bucket's share is the salting/
+    AQE-skew-join decision input). Two aggregates: per-key counts
+    (map-side combined), then the tiny per-bucket rollup."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_total"))
+    b = counts.withColumn(
+        "bucket", F.floor(F.log2("_n")).cast("int")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("_n").cast("long").alias("n_rows"),
+            F.max("_n").cast("long").alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(F.col("n_rows") * 1.0 / F.col("_total"), 6).alias("row_share"),
+        )
+    )
+
+
+def robust_outliers(df: DataFrame, group_col: str, value_col: str,
+                    k: float = 3.0) -> DataFrame:
+    """Robust per-group outlier report via median / MAD (median
+    absolute deviation): rows where |x - median| > k * 1.4826 * MAD —
+    the outlier test that, unlike mean/stddev z-scores, is not itself
+    dragged by the outliers. Emits per group the median, the MAD, and
+    the outlier count.
+
+    Shape: one grouped median, one join back, one grouped median of
+    deviations, one join + conditional count — all keyed on the group
+    column. Cross-engine: both engines define even-count median as the
+    midpoint of the two middle values computed in doubles, and the
+    threshold comparison uses one fixed expression shape."""
+    med = df.groupBy(group_col).agg(F.median(value_col).alias("_med"))
+    dev = df.join(med, group_col).withColumn(
+        "_ad", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(F.median("_ad").alias("_mad"))
+    flagged = dev.join(mad, group_col).withColumn(
+        "_out",
+        (F.col("_ad") > k * 1.4826 * F.col("_mad")).cast("long"),
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max("_med"), 6).alias("median"),
+        F.round(F.max("_mad"), 6).alias("mad"),
+        F.sum("_out").cast("long").alias("n_outliers"),
+    )

@@ -801,3 +801,31 @@ def test_interpolate_gaps_planted(spark):
     plan = windows.interpolate_gaps(df, "k", "ts", "v")._jdf.queryExecution().executedPlan().toString()
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
+
+
+def test_key_skew_profile_planted(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import stats
+
+    # one hot key with 8 rows, four singleton keys
+    rows = [(1,)] * 8 + [(2,), (3,), (4,), (5,)]
+    df = spark.createDataFrame(rows, "k long")
+    out = {r["bucket"]: r for r in stats.key_skew_profile(df, "k").collect()}
+    assert out[0]["n_keys"] == 4 and out[0]["n_rows"] == 4
+    assert out[3]["n_keys"] == 1 and out[3]["max_key_rows"] == 8
+    assert out[3]["row_share"] == round(8 / 12, 6)
+
+
+def test_robust_outliers_planted(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import stats
+
+    # tight cluster around 10 plus one wild value; mean/std would be
+    # dragged, median/MAD is not
+    vals = [9.0, 9.5, 10.0, 10.5, 11.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = stats.robust_outliers(df, "g", "v").collect()[0]
+    assert r["median"] == 10.25  # midpoint of 10.0, 10.5
+    assert r["n_outliers"] == 1  # only the 1000.0
+    # a constant group has MAD 0 -> nothing flagged by the strict >
+    df2 = spark.createDataFrame([("c", 5.0)] * 4, "g string, v double")
+    r2 = stats.robust_outliers(df2, "g", "v").collect()[0]
+    assert r2["mad"] == 0.0 and r2["n_outliers"] == 0
