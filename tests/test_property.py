@@ -10,7 +10,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from agentic_workflow_for_data_transformation_spark.plans import compile_spec
@@ -361,8 +361,17 @@ def test_null_semantics_match_duckdb(people_nulls, expr, sort_desc, n):
     got = _null_rows(compile_spec(people_nulls, spec).toPandas())
     con = duckdb.connect()
     con.register("people_n", PEOPLE_NULL_PDF)
-    want = _null_rows(con.execute(spec_to_sql(spec, "people_n")).fetch_df())
-    con.close()
+    try:
+        want = _null_rows(con.execute(spec_to_sql(spec, "people_n")).fetch_df())
+    except duckdb.InternalException:
+        # DuckDB 1.0.0 optimizer bug: NOT over an OR of *identical* AND
+        # subtrees plus LIMIT 0 trips an internal assertion ("Attempted to
+        # dereference unique_ptr that is NULL"). The Spark side already
+        # evaluated the same spec fine above; the oracle engine crashed, not
+        # ours — discard the example rather than fail on a DuckDB defect.
+        assume(False)
+    finally:
+        con.close()
     assert got == want
 
 
