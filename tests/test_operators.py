@@ -801,6 +801,10 @@ def test_interpolate_gaps_planted(spark):
     plan = windows.interpolate_gaps(df, "k", "ts", "v")._jdf.queryExecution().executedPlan().toString()
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1500]
+    # and both frames are RUNNING (unboundedpreceding..currentrow): a
+    # currentrow..unboundedfollowing frame re-scans the tail per row,
+    # O(n^2) per partition (17.7 s vs 0.8 s on the sf0.1 spine)
+    assert "unboundedfollowing" not in plan.lower(), plan[:1500]
 
 
 def test_key_skew_profile_planted(spark):
