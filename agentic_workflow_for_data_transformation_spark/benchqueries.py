@@ -2990,11 +2990,17 @@ _WINDOW: list[str] = [
     # kNN, audio energy, cross-corpus overlap, tf-idf, kmeans, NL
     # union/lag). Everything demoted stays green in the
     # freshness-gated local report (tools/check_oracle.py).
-    # -- sentinels --
-    "p01_filter_gt_project", "p14_paren_bool_tree", "p20_tpch_q1",
-    "u1_escape_hatch",
-    "ns_dedup_minhash_lsh", "ns_corpus_build_e2e",
+    # -- sentinels (final r5 trim: only p01 plus the two operators whose
+    # plans changed THIS round stay as re-gates; p14/p20/u1/
+    # ns_dedup_minhash_lsh are r04-green and rotate out for four more
+    # first-ever rows — the gap-interpolation spine whose window frames
+    # were rewritten this session, the declarative quality-expectation
+    # scan, LSH containment, and the ANN recall harness) --
+    "p01_filter_gt_project",
+    "ns_corpus_build_e2e",
     "x_join_interval_bucketed", "x_gaps_islands",
+    "x_time_interpolate", "ns_quality_expectations",
+    "ns_dedup_containment", "ns_ann_recall_lsh",
     # -- new this round (late-round-5 batch: the exact-dedup shape
     # lives on inside ns_corpus_build_e2e, the events family in
     # x_sliding_window_agg/x_event_rate_anomaly, the as-of family in
