@@ -431,6 +431,7 @@ def u1_escape_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-2 north-star additions: registered AFTER the 50-row window
 # (covered by the committed CORRECTNESS_LOCAL.json report).
 from . import nsqueries2  # noqa: E402,F401  (registration side effects)
+from . import nsqueries3  # noqa: E402,F401  (registration side effects)
 
 # Parity variants demoted past the window (shapes duplicated in-window).
 _register_parity(_PARITY_LATE)

@@ -1,0 +1,239 @@
+"""Round-5 late registrations (all AFTER the driver's 50-row
+correctness window; covered by the freshness-gated
+CORRECTNESS_LOCAL.json until rotated in): ordered string aggregation,
+deterministic per-group mode, Markov transition matrix, nearest-mode
+as-of join, running distinct count, the integer-exact Gram matrix
+(PCA sufficient statistics), and span-level substring dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .benchqueries import _t, register
+from .operators import dedup, joins, linalg
+
+
+@register(
+    "x_listagg",
+    "SELECT n_name, string_agg(s_name, '|' ORDER BY s_name) AS suppliers, "
+    "count(*) AS n_suppliers "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name",
+)
+def x_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): suppliers
+    per nation as one sorted pipe-joined string. Spark has no ordered
+    string_agg; array_sort(collect_list()) + array_join is the
+    equivalent — the explicit sort is what makes the result
+    deterministic (collect_list order is partition-dependent). Scale
+    note: per-group state is the group's strings; for unbounded groups
+    cap with slice() after the sort or switch to a top-k window first.
+    The dimension side broadcasts."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "x_mode_per_group",
+    "WITH c AS (SELECT user_id, event_type, count(*) AS n "
+    " FROM events GROUP BY 1, 2), "
+    "r AS (SELECT user_id, event_type, n, row_number() OVER "
+    " (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn FROM c) "
+    "SELECT user_id, event_type AS mode_type, n FROM r WHERE rn = 1",
+)
+def x_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE (most frequent value, ties to the
+    smallest value): each user's dominant event type via
+    count-then-rank, never a per-group sort of raw rows. Spark 3.4+
+    has mode() but its tie-break is partition-order-dependent; the
+    explicit (count DESC, value ASC) rank is reproducible on any
+    cluster. The window runs over the COUNTED table
+    (|users x types| rows), not the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@register(
+    "x_markov_transitions",
+    "WITH s AS (SELECT user_id, event_type, lead(event_type) OVER "
+    " (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events), "
+    "p AS (SELECT event_type, next_type, count(*) AS n FROM s "
+    " WHERE next_type IS NOT NULL GROUP BY 1, 2) "
+    "SELECT event_type, next_type, n, "
+    "round(n * 1.0 / sum(n) OVER (PARTITION BY event_type), 6) AS prob FROM p",
+)
+def x_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs consecutive events (total order pinned by
+    (ts, event_id) — event_id breaks timestamp ties), one groupBy
+    counts transitions, and the row-normalized probability is a single
+    IEEE division of two exact integers (bit-identical across
+    engines). The normalizing window runs over the |types^2| counted
+    table. This is the session-behavior model behind next-event
+    prediction and funnel-leak analysis."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = pairs.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    return t.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wt), 6).alias("prob"),
+    )
+
+
+@register(
+    "x_join_asof_nearest",
+    "WITH v AS (SELECT user_id, ts, max(event_id) AS view_event_id FROM events "
+    " WHERE event_type = 'view' GROUP BY user_id, ts), "
+    "p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), "
+    "b AS (SELECT p.user_id, p.ts, p.event_id, v.ts AS b_ts, "
+    " v.view_event_id AS b_id FROM p ASOF LEFT JOIN v "
+    " ON p.user_id = v.user_id AND p.ts >= v.ts), "
+    "f AS (SELECT p.user_id, p.ts, p.event_id, v.ts AS f_ts, "
+    " v.view_event_id AS f_id FROM p ASOF LEFT JOIN v "
+    " ON p.user_id = v.user_id AND p.ts <= v.ts) "
+    "SELECT b.user_id, b.ts, b.event_id, "
+    "CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL "
+    " AND epoch(b.ts) - epoch(b_ts) <= epoch(f_ts) - epoch(b.ts)) "
+    " THEN b_ts ELSE f_ts END AS asof_ts, "
+    "CASE WHEN f_ts IS NULL OR (b_ts IS NOT NULL "
+    " AND epoch(b.ts) - epoch(b_ts) <= epoch(f_ts) - epoch(b.ts)) "
+    " THEN b_id ELSE f_id END AS asof_view_event_id "
+    "FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id",
+)
+def x_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-mode as-of join: each purchase matched to the user's
+    closest view in EITHER direction (ties to the preceding one) —
+    sensor-alignment semantics, completing the backward/forward as-of
+    family. One hash exchange on user_id carries both running fills
+    (ascending for the preceding view, descending for the following
+    one); the per-row pick is a scalar comparison of epoch distances.
+    The oracle is two DuckDB ASOF joins + the same pick."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return joins.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        right_cols=["view_event_id"],
+        direction="nearest",
+    )
+
+
+@register(
+    "x_window_count_distinct",
+    "WITH m AS (SELECT user_id, ts, event_id, CASE WHEN row_number() OVER "
+    " (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 "
+    " THEN 1 ELSE 0 END AS first_seen FROM events) "
+    "SELECT user_id, event_id, CAST(sum(first_seen) OVER "
+    " (PARTITION BY user_id ORDER BY ts, event_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    " AS n_types_seen FROM m",
+)
+def x_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per partition — the window aggregate
+    SQL engines mostly refuse (Spark has no DISTINCT window
+    aggregates): after each event, how many distinct event types has
+    this user produced so far? Implemented as size(collect_set() OVER
+    running-frame): one exchange, set state bounded by the per-key
+    type cardinality. When that cardinality is unbounded, the
+    two-phase form the oracle uses (mark first occurrences with a
+    (key, value) rank, then a running sum over the key) trades the
+    set state for a second exchange. Total order pinned by
+    (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias(
+            "n_types_seen"
+        ),
+    )
+
+
+@register(
+    "ns_embed_gram",
+    "WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d), "
+    "q AS (SELECT vec_id, d, CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) "
+    " AS BIGINT) AS qv FROM embeddings, dims), "
+    "sums AS (SELECT d, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n "
+    " FROM q GROUP BY d), "
+    "g AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS dot "
+    " FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.d >= a.d GROUP BY 1, 2) "
+    "SELECT g.i - 1 AS i, g.j - 1 AS j, dot, si.n AS n, "
+    "si.s AS si, sj.s AS sj "
+    "FROM g JOIN sums si ON si.d = g.i JOIN sums sj ON sj.d = g.j",
+)
+def ns_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact upper-triangle Gram matrix + per-dimension sums —
+    the one-pass sufficient statistics for covariance/PCA/whitening
+    over the embedding corpus (operators/linalg.py; pca_components
+    finishes with a d x d eigh on the driver). Components quantize to
+    scaled BIGINTs before any arithmetic, so the sums are partition-
+    order-independent and the oracle matches exactly. Shuffle volume
+    is O(tasks * d^2) regardless of row count: map-side partial
+    aggregation collapses the posexplode-squared triangle to
+    d(d+1)/2 partial sums per task."""
+    return linalg.gram_upper(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+@register(
+    "ns_dedup_substring_spans",
+    "WITH spans AS (SELECT doc_id, "
+    " substr(md5(substr(text, CAST(p AS INTEGER), 50)), 1, 16) AS h "
+    " FROM documents CROSS JOIN "
+    "  unnest(generate_series(1, length(text) - 49, 10)) AS t(p) "
+    " WHERE length(text) >= 50), "
+    "ph AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM spans GROUP BY h), "
+    "agg AS (SELECT s.doc_id, count(*) AS n_spans, "
+    " CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans "
+    " FROM spans s JOIN ph USING (h) GROUP BY s.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans, "
+    "CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans, "
+    "round(coalesce(n_dup_spans, 0) * 1.0 / "
+    " greatest(coalesce(n_spans, 0), 1), 6) AS dup_ratio "
+    "FROM documents d LEFT JOIN agg USING (doc_id)",
+)
+def ns_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level substring dedup (Lee et al. ACL'22): hash a
+    50-char window every 10 chars, flag spans shared across >= 2
+    distinct documents, and report each document's duplicated-span
+    fraction — the boilerplate/quote-level signal whole-document
+    MinHash dilutes away. The exchange carries only (doc_id, digest)
+    pairs; exploded rows are corpus_chars/stride, linear in corpus
+    size (operators/dedup.py duplicated_span_stats)."""
+    return dedup.duplicated_span_stats(_t(spark, sf_dir, "documents"))

@@ -34,19 +34,25 @@ def asof_join(
 ) -> DataFrame:
     """For every left row, attach the right row's columns with the
     greatest ``right_ts`` <= ``left_ts`` (``direction="backward"``, the
-    default) or the smallest ``right_ts`` >= ``left_ts``
+    default), the smallest ``right_ts`` >= ``left_ts``
     (``direction="forward"`` — the next-event lookup used for label
-    attribution: 'first view after this purchase') within the same
-    ``on`` key; same-timestamp right rows match in both directions.
-    Left rows with no match keep nulls.
+    attribution: 'first view after this purchase'), or whichever of
+    the two is closer in absolute time (``direction="nearest"``, ties
+    to the backward match) within the same ``on`` key; same-timestamp
+    right rows match in every direction. Left rows with no match keep
+    nulls.
 
     Output: all left columns, plus ``asof_ts`` (matched right
     timestamp) and each requested right column as ``asof_<name>``.
-    Both directions are the same union + one-shuffle running-fill
-    plan — forward just runs it over a descending order.
+    All directions are the same union + one-shuffle running-fill
+    plan — forward runs it over a descending order; nearest runs BOTH
+    running fills over the single hash exchange (two sorts, no second
+    shuffle) and picks per row.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction!r}"
+        )
     pass_cols = [c for c in left.columns if c not in (on, left_ts)]
     asof_cols = ["asof_ts", *[f"asof_{c}" for c in right_cols]]
 
@@ -73,13 +79,45 @@ def asof_join(
     # same-ts right row is visible to the left row's running last();
     # forward mode reverses the ts order (running last over DESC ts =
     # nearest following row), keeping _side ascending for the tie rule.
+    u = l.unionByName(r)
+    if direction == "nearest":
+        wb = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts"), "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ts").desc(), "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.select(
+            on,
+            "_ts",
+            "_side",
+            *[F.last(c, ignorenulls=True).over(wb).alias(f"_b_{c}") for c in asof_cols],
+            *[F.last(c, ignorenulls=True).over(wf).alias(f"_f_{c}") for c in asof_cols],
+            *pass_cols,
+        )
+        d_back = F.col("_ts").cast("long") - F.col("_b_asof_ts").cast("long")
+        d_fwd = F.col("_f_asof_ts").cast("long") - F.col("_ts").cast("long")
+        use_back = F.col("_f_asof_ts").isNull() | (
+            F.col("_b_asof_ts").isNotNull() & (d_back <= d_fwd)
+        )
+        picked = [
+            F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(c)
+            for c in asof_cols
+        ]
+        return filled.filter(F.col("_side") == 1).select(
+            on, F.col("_ts").alias(left_ts), *pass_cols, *picked
+        )
     ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(on)
         .orderBy(ts_order, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l.unionByName(r).select(
+    filled = u.select(
         on,
         "_ts",
         "_side",

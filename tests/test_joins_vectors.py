@@ -272,3 +272,43 @@ def test_interval_overlap_join_planted_and_tiers(spark):
     # avoiding the per-key non-equi BNLJ
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_nearest_picks_closer_side_ties_backward(spark):
+    left = _ts(
+        spark,
+        [(1, 100, "a"), (1, 206, "b"), (1, 150, "c"), (2, 50, "d")],
+        "k long, ts long, tag string",
+    )
+    right = _ts(
+        spark,
+        [(1, 100, 10.0), (1, 200, 20.0), (1, 300, 30.0), (3, 1, 99.0)],
+        "k long, ts long, v double",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["asof_ts"], r["asof_v"])
+        for r in joins.asof_join(
+            left, right, on="k", right_cols=["v"], direction="nearest"
+        ).collect()
+    }
+    assert out[(1, 100)] == (100, 10.0)   # exact match
+    assert out[(1, 206)] == (200, 20.0)   # 6 back vs 94 forward
+    assert out[(1, 150)] == (100, 10.0)   # 50 back vs 50 forward: tie -> backward
+    assert out[(2, 50)] == (None, None)   # no right rows for key
+
+
+def test_asof_join_nearest_one_exchange(spark):
+    left = _ts(spark, [(1, 5, "x")], "k long, ts long, tag string")
+    right = _ts(spark, [(1, 1, 7.0), (1, 9, 8.0)], "k long, ts long, v double")
+    out = joins.asof_join(left, right, on="k", right_cols=["v"], direction="nearest")
+    assert {(r["asof_ts"], r["asof_v"]) for r in out.collect()} == {(1, 7.0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both running fills share one partitioning: the second Window sits
+    # on a Sort with NO exchange between the two Window nodes (the only
+    # exchanges are the initial partitioning, which AQE may push into
+    # the union legs)
+    first = plan.index("Window [")
+    second = plan.index("Window [", first + 1)
+    between = plan[first:second]
+    assert "Sort [" in between and "Exchange" not in between, between
+    assert "unboundedfollowing" not in plan.lower(), plan[:1500]

@@ -833,3 +833,58 @@ def test_robust_outliers_planted(spark):
     df2 = spark.createDataFrame([("c", 5.0)] * 4, "g string, v double")
     r2 = stats.robust_outliers(df2, "g", "v").collect()[0]
     assert r2["mad"] == 0.0 and r2["n_outliers"] == 0
+
+
+def test_duplicated_span_stats_planted(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import dedup
+
+    shared = "X" * 60  # one 50-char window at p=1 and p=11 both inside
+    rows = [
+        (1, shared + "unique tail one is here padding padding"),
+        (2, shared + "completely different ending text padding"),
+        (3, "no overlap with anyone " * 4),
+        (4, "short"),  # < span -> 0 spans, ratio 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.duplicated_span_stats(df, span=50, stride=10).collect()}
+    assert got[4]["n_spans"] == 0 and got[4]["dup_ratio"] == 0.0
+    # docs 1 and 2 share the all-X spans at positions 1 and 11
+    assert got[1]["n_dup_spans"] == 2 and got[2]["n_dup_spans"] == 2
+    assert got[3]["n_dup_spans"] == 0 and got[3]["n_spans"] > 0
+    assert 0 < got[1]["dup_ratio"] <= 1.0
+
+
+def test_gram_upper_and_pca_match_numpy(spark):
+    import numpy as np
+
+    from agentic_workflow_for_data_transformation_spark.operators import linalg
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: dominant direction along (1, 1, 0)/sqrt(2)
+    base = rng.randn(200, 3) * np.array([3.0, 0.5, 0.1])
+    rot = np.array([
+        [1 / np.sqrt(2), 1 / np.sqrt(2), 0.0],
+        [-1 / np.sqrt(2), 1 / np.sqrt(2), 0.0],
+        [0.0, 0.0, 1.0],
+    ])
+    data = np.round(base @ rot, 6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    # gram sums are exactly the numpy integer sums
+    q = np.round(np.round(data.astype(np.float32).astype(np.float64), 12) * 1e6)
+    got = {(r["i"], r["j"]): r["dot"]
+           for r in linalg.gram_upper(df, "embedding").collect()}
+    want = q.T @ q
+    for (i, j), dot in got.items():
+        assert dot == int(round(want[i, j])), (i, j, dot, want[i, j])
+    # top component matches numpy eigh on the exact covariance
+    comps, vals = linalg.pca_components(df, "embedding", k=2)
+    cov = np.cov(q / 1e6, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argmax(evals)]
+    cos = abs(float(np.dot(comps[0], top)))
+    assert cos > 0.9999, cos
+    assert vals[0] >= vals[1] > 0
