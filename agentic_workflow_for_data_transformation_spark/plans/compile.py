@@ -43,6 +43,10 @@ _AGG_BUILDERS: dict[str, Callable[[str], Column]] = {
     "min": F.min,
     "max": F.max,
     "count_distinct": lambda c: F.countDistinct(c),
+    # ordered LISTAGG: the explicit array_sort is what makes the value
+    # deterministic (collect_list order is partition-dependent); sqlgen
+    # renders string_agg(col, '|' ORDER BY col)
+    "listagg": lambda c: F.array_join(F.array_sort(F.collect_list(c)), "|"),
 }
 
 
@@ -202,6 +206,24 @@ def _apply_pivot(df: DataFrame, op: dict) -> DataFrame:
     return p.select(*sel)
 
 
+def _apply_mode(df: DataFrame, op: dict) -> DataFrame:
+    """Deterministic per-group MODE: count-then-rank with the
+    (count DESC, value ASC) tie-break, so the result is reproducible
+    on any cluster (Spark's own mode() breaks ties by partition
+    order). The rank window runs over the COUNTED |keys x values|
+    table, never the fact table."""
+    from pyspark.sql import Window
+
+    keys, col = op["keys"], op["col"]
+    c = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.asc(col))
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*keys, F.col(col).alias(f"mode_{col}"), "n")
+    )
+
+
 def _resolve_right(right: Any, tables: dict[str, DataFrame]) -> DataFrame:
     """Resolve a join/union right side: a registered table name or an
     inline DataFrame. Unknown names get a SpecError naming the
@@ -246,6 +268,8 @@ def compile_spec(
             df = _apply_groupby(df, op)
         elif kind == "pivot":
             df = _apply_pivot(df, op)
+        elif kind == "mode":
+            df = _apply_mode(df, op)
         elif kind == "rollup":
             aggs = [_agg_col(a) for a in op["aggs"]]
             aggs.append(

@@ -71,7 +71,7 @@ from __future__ import annotations
 
 from typing import Any
 
-AGG_FNS = {"count", "avg", "sum", "min", "max", "count_distinct"}
+AGG_FNS = {"count", "avg", "sum", "min", "max", "count_distinct", "listagg"}
 # pivot cells can't be count_distinct (no portable FILTER rendering
 # that matches Spark's pivot null semantics)
 PIVOT_AGG_FNS = {"count", "avg", "sum", "min", "max"}
@@ -293,6 +293,12 @@ def validate_op(op: Any) -> None:
     elif kind == "union":
         if "right" not in op:
             _err(f"union needs 'right': {op!r}")
+    elif kind == "mode":
+        keys = op.get("keys")
+        if not (isinstance(keys, list) and keys and all(isinstance(k, str) for k in keys)):
+            _err(f"mode needs non-empty string 'keys': {op!r}")
+        if not isinstance(op.get("col"), str):
+            _err(f"mode needs string 'col': {op!r}")
     elif kind == "sample":
         frac = op.get("fraction")
         if not (isinstance(frac, int | float) and 0 <= frac <= 1):

@@ -235,6 +235,13 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 if fn == "count_distinct":
                     aggs.append(f"count(DISTINCT {_q(col)}) AS {alias}")
                     continue
+                if fn == "listagg":
+                    # ordered inside the aggregate = the compiler's
+                    # array_sort(collect_list()) determinism
+                    aggs.append(
+                        f"string_agg({_q(col)}, '|' ORDER BY {_q(col)}) AS {alias}"
+                    )
+                    continue
                 arg = "*" if col == "*" else _q(col)
                 if a.get("cast") and col != "*":
                     arg = f"CAST({arg} AS {a['cast']})"
@@ -274,6 +281,11 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 if fn == "count_distinct":
                     aggs.append(f"count(DISTINCT {_q(col)}) AS {alias}")
                     continue
+                if fn == "listagg":
+                    aggs.append(
+                        f"string_agg({_q(col)}, '|' ORDER BY {_q(col)}) AS {alias}"
+                    )
+                    continue
                 arg = "*" if col == "*" else _q(col)
                 if a.get("cast") and col != "*":
                     arg = f"CAST({arg} AS {a['cast']})"
@@ -283,6 +295,15 @@ def spec_to_sql(spec: dict, table: str) -> str:
             aggs.append(f"CAST(GROUPING({keys}) AS INTEGER) AS {gid}")
             sql = wrap(
                 keys + ", " + ", ".join(aggs), f"GROUP BY ROLLUP({keys})"
+            )
+        elif kind == "mode":
+            keys = ", ".join(_q(k) for k in op["keys"])
+            col = _q(op["col"])
+            sql = (
+                f"SELECT {keys}, {col} AS {_q('mode_' + op['col'])}, n FROM ("
+                f"SELECT {keys}, {col}, count(*) AS n, row_number() OVER ("
+                f"PARTITION BY {keys} ORDER BY count(*) DESC, {col} ASC) AS rn "
+                f"FROM ({sql}) GROUP BY {keys}, {col}) WHERE rn = 1"
             )
         else:
             raise SqlGenError(f"no SQL rendering for op {kind!r}")

@@ -57,6 +57,11 @@ QUERIES = [
     "ns_corpus_incremental_stats",
     "ns_pack_sequences",
     "ns_dedup_embedding_apply",
+    "ns_dedup_substring_spans",
+    "ns_embed_gram",
+    "x_join_asof_nearest",
+    "x_window_count_distinct",
+    "x_markov_transitions",
     "x_sessionize_batch",
     "x_join_interval_bucketed",
     "x_time_bucket_agg",
