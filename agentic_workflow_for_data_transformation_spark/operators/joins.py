@@ -99,8 +99,25 @@ def asof_join(
             *[F.last(c, ignorenulls=True).over(wf).alias(f"_f_{c}") for c in asof_cols],
             *pass_cols,
         )
-        d_back = F.col("_ts").cast("long") - F.col("_b_asof_ts").cast("long")
-        d_fwd = F.col("_f_asof_ts").cast("long") - F.col("_ts").cast("long")
+        # distances must not truncate sub-second parts (cast('long') on a
+        # timestamp floors to seconds and can flip the tie rule) and must
+        # not NULL out DATE keys (cast('long') on a date is NULL) — map
+        # each temporal type to an exact integer scalar first.
+        from pyspark.sql import types as T
+
+        ts_type = left.schema[left_ts].dataType
+        if isinstance(ts_type, T.TimestampType):
+            _num = F.unix_micros
+        elif isinstance(ts_type, T.DateType):
+            _num = F.unix_date
+        elif isinstance(ts_type, T.TimestampNTZType):
+            def _num(c):
+                return F.unix_micros(c.cast("timestamp"))
+        else:
+            def _num(c):
+                return c.cast("double")
+        d_back = _num(F.col("_ts")) - _num(F.col("_b_asof_ts"))
+        d_fwd = _num(F.col("_f_asof_ts")) - _num(F.col("_ts"))
         use_back = F.col("_f_asof_ts").isNull() | (
             F.col("_b_asof_ts").isNotNull() & (d_back <= d_fwd)
         )

@@ -71,6 +71,16 @@ def two_phase_row_number(
         # rank buckets the negated key
         key = F.col(order_col) if ascending else -F.col(order_col)
         b = F.floor(key / F.lit(bucket_width))
+        # NaN float/double keys: floor(NaN/w) is NaN, whose non-ANSI
+        # long cast is 0 — placing NaN rows in the middle of the real
+        # buckets while Spark's sort puts NaN AFTER every real (so
+        # first under DESC). Route NaN to the end-matching sentinel
+        # bucket instead, keeping the monotone-bucket invariant.
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema[order_col].dataType, (T.FloatType, T.DoubleType)):
+            nan_sentinel = 2 ** 62 if ascending else -(2 ** 62)
+            b = F.when(F.isnan(order_col), F.lit(nan_sentinel)).otherwise(b)
     # a NULL order key would NULL its bucket too — and a null join key
     # silently drops the row from the offsets equi-join. Map the null
     # bucket to a sentinel that sorts where Spark puts nulls (ASC =

@@ -197,9 +197,17 @@ def _apply_pivot(df: DataFrame, op: dict) -> DataFrame:
     acol = F.lit(1) if agg["col"] == "*" else F.col(agg["col"])
     cell = _AGG_BUILDERS[agg["fn"]](acol)
     p = df.groupBy(*op["keys"]).pivot(op["col"], list(op["values"])).agg(cell)
+    # Resolve pivot cells POSITIONALLY: the output is keys then one cell
+    # per declared value in declared order. Name-based lookup (p[str(v)])
+    # breaks on non-string values (str(True)='True' but Spark names the
+    # column 'true') and on values containing '.'/'`' (parsed as nested
+    # field paths) — rename to safe synthetic names first.
+    nk = len(op["keys"])
+    safe = [*p.columns[:nk], *[f"_pv_{i}" for i in range(len(p.columns) - nk)]]
+    p = p.toDF(*safe)
     sel: list[Column] = [F.col(k) for k in op["keys"]]
-    for v, alias in zip(op["values"], op["aliases"], strict=True):
-        c = p[str(v)]
+    for i, alias in enumerate(op["aliases"]):
+        c = F.col(f"_pv_{i}")
         if agg["fn"] == "count":
             c = F.coalesce(c, F.lit(0))
         sel.append(c.alias(alias))

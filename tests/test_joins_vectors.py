@@ -312,3 +312,32 @@ def test_asof_join_nearest_one_exchange(spark):
     between = plan[first:second]
     assert "Sort [" in between and "Exchange" not in between, between
     assert "unboundedfollowing" not in plan.lower(), plan[:1500]
+
+
+def test_asof_join_nearest_subsecond_timestamps(spark):
+    """Sub-second distances must not truncate: 0.9 s back vs 0.4 s
+    forward picks the FORWARD row (second-floor longs would compare
+    0 <= 0 and wrongly keep backward)."""
+    left = spark.sql(
+        "SELECT 1L AS k, timestamp'2024-01-01 00:00:10.0' AS ts"
+    )
+    right = spark.sql(
+        "SELECT 1L AS k, timestamp'2024-01-01 00:00:09.1' AS ts, 1.0D AS v "
+        "UNION ALL "
+        "SELECT 1L, timestamp'2024-01-01 00:00:10.4', 2.0D"
+    )
+    out = joins.asof_join(left, right, on="k", right_cols=["v"], direction="nearest")
+    assert [r["asof_v"] for r in out.collect()] == [2.0]
+
+
+def test_asof_join_nearest_date_keys(spark):
+    """DATE-typed ts columns must still compare both sides (a plain
+    long cast of a date is NULL, silently forcing the forward match)."""
+    left = spark.sql("SELECT 1L AS k, date'2024-03-10' AS ts")
+    right = spark.sql(
+        "SELECT 1L AS k, date'2024-03-09' AS ts, 10.0D AS v "
+        "UNION ALL SELECT 1L, date'2024-03-14', 20.0D"
+    )
+    out = joins.asof_join(left, right, on="k", right_cols=["v"], direction="nearest")
+    # 1 day back vs 4 days forward -> backward
+    assert [r["asof_v"] for r in out.collect()] == [10.0]

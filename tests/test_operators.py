@@ -888,3 +888,37 @@ def test_gram_upper_and_pca_match_numpy(spark):
     cos = abs(float(np.dot(comps[0], top)))
     assert cos > 0.9999, cos
     assert vals[0] >= vals[1] > 0
+
+
+def test_two_phase_row_number_nan_keys(spark):
+    """NaN double keys sort AFTER every real under ASC (first under
+    DESC) in Spark; the bucket sentinel must match, not the non-ANSI
+    NaN->0 long cast that lands NaN rows mid-range."""
+    from pyspark.sql import Window
+
+    from agentic_workflow_for_data_transformation_spark.operators.windows import (
+        two_phase_row_number,
+    )
+
+    rows = [(float("nan"),), (1.5,), (None,), (9000.25,), (float("nan"),), (-3.0,)]
+    df = spark.createDataFrame(rows, "k double").repartition(3)
+    for asc in (True, False):
+        got = [
+            (r["k"], r["rn"])
+            for r in two_phase_row_number(
+                df, "k", bucket_width=64, ascending=asc
+            ).collect()
+        ]
+        w = Window.orderBy(F.col("k").asc() if asc else F.col("k").desc())
+        want = [
+            (r["k"], r["rn"])
+            for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+        ]
+
+        def norm(pairs):  # ties among the two NaNs / the NULL are arbitrary
+            return sorted(
+                ("U" if k is None else "N" if k != k else repr(k), rn)
+                for k, rn in pairs
+            )
+
+        assert norm(got) == norm(want), (asc, sorted(got, key=lambda t: t[1]))

@@ -636,3 +636,33 @@ def test_parse_global_row_number():
     spec = parse_description("Add row number ordered by value descending",
                              columns=["event_id", "value"])
     assert spec["ops"][0]["order_by"] == [{"col": "value", "asc": False}]
+
+
+def test_pivot_nonstring_and_dotted_values(spark):
+    """Pivot cells resolve positionally: bool values (Spark names the
+    column 'true', Python str() says 'True') and values containing
+    '.'/'`' (nested-field path syntax) must all compile and select."""
+    from agentic_workflow_for_data_transformation_spark.plans.compile import _apply_pivot
+
+    df = spark.createDataFrame(
+        [("a", True), ("a", False), ("b", True), ("a", True)],
+        "g string, flag boolean",
+    )
+    out = _apply_pivot(df, {
+        "op": "pivot", "keys": ["g"], "col": "flag",
+        "values": [True, False], "agg": {"fn": "count", "col": "*"},
+        "aliases": ["n_true", "n_false"],
+    })
+    rows = {r["g"]: (r["n_true"], r["n_false"]) for r in out.collect()}
+    assert rows == {"a": (2, 1), "b": (1, 0)}
+
+    df2 = spark.createDataFrame(
+        [("a", "v.1"), ("a", "v`2"), ("b", "v.1")], "g string, tag string"
+    )
+    out2 = _apply_pivot(df2, {
+        "op": "pivot", "keys": ["g"], "col": "tag",
+        "values": ["v.1", "v`2"], "agg": {"fn": "count", "col": "*"},
+        "aliases": ["n_v1", "n_v2"],
+    })
+    rows2 = {r["g"]: (r["n_v1"], r["n_v2"]) for r in out2.collect()}
+    assert rows2 == {"a": (1, 1), "b": (1, 0)}
