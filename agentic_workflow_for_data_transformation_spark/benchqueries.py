@@ -2730,6 +2730,88 @@ def p39_nl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "orders", _P39_DESC)
 
 
+_NATION_COLUMNS = ["n_nationkey", "n_name", "n_regionkey", "n_comment"]
+
+_P43_DESC = "Group by n_regionkey and concatenate n_name."
+
+
+def _p43_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P43_DESC, columns=_NATION_COLUMNS), "nation"
+    )
+
+
+@register("p43_nl_listagg", _p43_oracle())
+def p43_nl_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL ordered LISTAGG: 'group by K and concatenate X' — the
+    compiler's array_sort(collect_list()) makes the concatenation
+    order-deterministic on any partitioning (bare collect_list order
+    is partition-dependent); the sqlgen oracle renders
+    string_agg(col, '|' ORDER BY col)."""
+    return _nl(spark, sf_dir, "nation", _P43_DESC)
+
+
+_P44_DESC = "Show most common o_orderpriority per o_orderstatus."
+
+
+def _p44_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P44_DESC, columns=_ORDERS_COLUMNS), "orders"
+    )
+
+
+@register("p44_nl_mode", _p44_oracle())
+def p44_nl_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL per-group MODE: 'most common X per K' — count-then-rank with
+    the (count DESC, value ASC) tie-break so the winner is
+    reproducible on any cluster (Spark's built-in mode() breaks ties
+    by partition order). The rank window runs over the counted
+    |K x X| table, never the fact table."""
+    return _nl(spark, sf_dir, "orders", _P44_DESC)
+
+
+_P45_DESC = (
+    "Filter rows where event_type == 'purchase' and "
+    "select columns event_id, user_id and ts and "
+    "join nearest views on user_id by ts taking view_event_id."
+)
+_P45_VIEWS_CTE = (
+    "WITH views AS (SELECT user_id, ts, max(event_id) AS view_event_id "
+    "FROM events WHERE event_type = 'view' GROUP BY user_id, ts) "
+)
+
+
+def _p45_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return _P45_VIEWS_CTE + spec_to_sql(
+        parse_description(_P45_DESC, columns=_EVENTS_COLUMNS), "events"
+    )
+
+
+@register("p45_nl_asof_nearest", _p45_oracle())
+def p45_nl_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL as-of join, nearest mode: 'join nearest <right> on <key> by
+    <ts> taking <cols>' ('previous'/'next' parse to backward/forward).
+    Compiles to operators.joins.asof_join — union + two running fills
+    over ONE hash exchange, distances in exact integer micros, ties to
+    the backward row. The right side is provisioned by the harness
+    (unique (user_id, ts) view lookup); the sqlgen oracle renders a
+    LATERAL nearest-row probe under the same CTE."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    spec = parse_description(_P45_DESC, columns=ev.columns)
+    return compile_spec(ev, spec, tables={"views": views})
+
+
 @register(
     "x_pivot_status_by_priority",
     "SELECT o_orderpriority, "

@@ -295,6 +295,17 @@ def compile_spec(
                 df, gap_seconds=op["gap_seconds"], key_col=op["key"],
                 ts_col=op.get("ts_col", "ts"), id_col=op.get("id_col", "event_id"),
             ).drop("_brk")
+        elif kind == "asof_join":
+            from ..operators.joins import asof_join
+
+            rdf = _resolve_right(op["right"], tables)
+            ts = op.get("ts", "ts")
+            df = asof_join(
+                df, rdf, on=op["on"], left_ts=ts,
+                right_ts=op.get("right_ts", ts),
+                right_cols=op.get("right_cols", []),
+                direction=op.get("direction", "backward"),
+            )
         elif kind == "join":
             rdf = _resolve_right(op["right"], tables)
             if op.get("broadcast"):

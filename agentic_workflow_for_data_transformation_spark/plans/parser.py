@@ -377,6 +377,25 @@ _ROLLUP = re.compile(
     re.IGNORECASE,
 )
 _VALUE_LIST_SPLIT = re.compile(r"\s*,\s*|\s+and\s+", re.IGNORECASE)
+# round-6 relational extensions (VERDICT r5 #6).
+# "group by n_regionkey and concatenate n_name" -> ordered LISTAGG
+_LISTAGG = re.compile(
+    r"^group\s+by\s+(\w+)\s+and\s+concatenate\s+(\w+)\s*$", re.IGNORECASE
+)
+# "show most common o_orderpriority per o_orderstatus" -> per-group MODE
+_MODE = re.compile(
+    r"^(?:show\s+)?most\s+common\s+(\w+)\s+per\s+(\w+)\s*$", re.IGNORECASE
+)
+# "join nearest views on user_id by ts taking view_event_id" -> as-of
+# join (nearest|previous=backward|next=forward); 'taking' lists the
+# right-side payload columns to attach as asof_<name>
+_ASOF = re.compile(
+    r"^join\s+(nearest|previous|next)\s+(\w+)\s+on\s+(\w+)\s+by\s+(\w+)"
+    r"\s+taking\s+(\w+(?:\s*,\s*\w+)*)\s*$",
+    re.IGNORECASE,
+)
+_ASOF_DIRECTIONS = {"nearest": "nearest", "previous": "backward",
+                    "next": "forward"}
 
 
 def _slug_alias(value: str, prefix: str = "n_") -> str:
@@ -447,6 +466,25 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "keys": [_resolve_col(k, columns) for k in keys],
             "aggs": [{"fn": "count", "col": "*", "alias": "n_rows"}],
             "gid_alias": "gid",
+        }
+    if m := _LISTAGG.match(clause):
+        key, col = m.group(1), _resolve_col(m.group(2), columns)
+        return {
+            "op": "groupby_agg",
+            "keys": [key],
+            "aggs": [{"fn": "listagg", "col": col, "alias": f"{col}_list"}],
+        }
+    if m := _MODE.match(clause):
+        col = _resolve_col(m.group(1), columns)
+        return {"op": "mode", "keys": [m.group(2)], "col": col}
+    if m := _ASOF.match(clause):
+        return {
+            "op": "asof_join",
+            "right": m.group(2),
+            "on": m.group(3),
+            "ts": m.group(4),
+            "right_cols": [c.strip() for c in m.group(5).split(",")],
+            "direction": _ASOF_DIRECTIONS[m.group(1).lower()],
         }
     if m := _GROUP_COUNT_DISTINCT.match(clause):
         key, col = m.group(1), _resolve_col(m.group(2), columns)

@@ -41,6 +41,14 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # declared-values pivot — one hash aggregate, never a distinct
       # discovery scan; count cells null-fill to 0, other aggs stay
       # NULL for absent (key, value) cells like SQL FILTER
+  {"op": "asof_join", "right": <table>, "on": "k", "ts": "ts",
+   "right_ts": "ts"?, "right_cols": [...], "direction":
+   "backward"|"forward"|"nearest"}
+      # temporal as-of join (operators/joins.asof_join): union +
+      # running-fill, ONE shuffle on the key, no pair explosion;
+      # attaches asof_ts + asof_<col> per right col. Right (key, ts)
+      # pairs should be unique — ties among identical right
+      # timestamps are engine-arbitrary
   {"op": "rollup", "keys": ["a", "b"], "aggs": [...groupby aggs...],
    "gid_alias": "gid"}
       # ROLLUP subtotal hierarchy in ONE Expand pass; grouping_id is
@@ -293,6 +301,19 @@ def validate_op(op: Any) -> None:
     elif kind == "union":
         if "right" not in op:
             _err(f"union needs 'right': {op!r}")
+    elif kind == "asof_join":
+        if "right" not in op:
+            _err(f"asof_join needs 'right' (table name resolved by the compiler): {op!r}")
+        if not isinstance(op.get("on"), str):
+            _err(f"asof_join needs string 'on' key: {op!r}")
+        for f in ("ts", "right_ts"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"asof_join '{f}' must be a string: {op!r}")
+        rc = op.get("right_cols", [])
+        if not (isinstance(rc, list) and all(isinstance(c, str) for c in rc)):
+            _err(f"asof_join 'right_cols' must be a string list: {op!r}")
+        if op.get("direction", "backward") not in ("backward", "forward", "nearest"):
+            _err(f"asof_join 'direction' must be backward|forward|nearest: {op!r}")
     elif kind == "mode":
         keys = op.get("keys")
         if not (isinstance(keys, list) and keys and all(isinstance(k, str) for k in keys)):

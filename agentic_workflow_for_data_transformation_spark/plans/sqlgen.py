@@ -220,6 +220,37 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 sql = f"SELECT * FROM ({sql}) ANTI JOIN {right} USING ({on})"
             else:  # pragma: no cover - spec validation rejects first
                 raise SqlGenError(f"no SQL rendering for join how={how!r}")
+        elif kind == "asof_join":
+            right = op["right"]
+            if not isinstance(right, str):
+                raise SqlGenError("asof_join right side must be a table name for SQL")
+            key, ts = _q(op["on"]), _q(op.get("ts", "ts"))
+            rts = _q(op.get("right_ts", op.get("ts", "ts")))
+            cells = [f"r.{rts} AS {_q('asof_ts')}"] + [
+                f"r.{_q(c)} AS {_q('asof_' + c)}" for c in op.get("right_cols", [])
+            ]
+            direction = op.get("direction", "backward")
+            # type-generic distance: CASE-split subtraction compares
+            # INTERVALs for timestamps and numbers for numeric keys —
+            # no epoch() so fractional seconds survive exactly, the
+            # same discipline as the engine's unix_micros distances.
+            # Tie rule: equal distances prefer the earlier (backward)
+            # right row, matching operators/joins.asof_join.
+            if direction == "nearest":
+                cond, order = "", (
+                    f"CASE WHEN r.{rts} >= l.{ts} THEN r.{rts} - l.{ts}"
+                    f" ELSE l.{ts} - r.{rts} END, r.{rts} ASC"
+                )
+            elif direction == "backward":
+                cond, order = f" AND r.{rts} <= l.{ts}", f"r.{rts} DESC"
+            else:
+                cond, order = f" AND r.{rts} >= l.{ts}", f"r.{rts} ASC"
+            sql = (
+                f"SELECT l.*, lat.* FROM ({sql}) l LEFT JOIN LATERAL ("
+                f"SELECT {', '.join(cells)} FROM {right} r"
+                f" WHERE r.{key} = l.{key}{cond}"
+                f" ORDER BY {order} LIMIT 1) lat ON TRUE"
+            )
         elif kind == "union":
             right = op["right"]
             if not isinstance(right, str):

@@ -666,3 +666,58 @@ def test_pivot_nonstring_and_dotted_values(spark):
     })
     rows2 = {r["g"]: (r["n_v1"], r["n_v2"]) for r in out2.collect()}
     assert rows2 == {"a": (1, 1), "b": (1, 0)}
+
+
+def test_parse_listagg_mode_asof():
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    spec = parse_description(
+        "Group by n_regionkey and concatenate n_name.",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    assert spec["ops"] == [{
+        "op": "groupby_agg", "keys": ["n_regionkey"],
+        "aggs": [{"fn": "listagg", "col": "n_name", "alias": "n_name_list"}],
+    }]
+
+    spec = parse_description(
+        "Show most common o_orderpriority per o_orderstatus.",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+    assert spec["ops"] == [
+        {"op": "mode", "keys": ["o_orderstatus"], "col": "o_orderpriority"}
+    ]
+
+    for word, direction in (("nearest", "nearest"), ("previous", "backward"),
+                            ("next", "forward")):
+        spec = parse_description(
+            f"Join {word} views on user_id by ts taking view_event_id, extra.",
+            columns=["event_id", "ts", "user_id"],
+        )
+        assert spec["ops"] == [{
+            "op": "asof_join", "right": "views", "on": "user_id", "ts": "ts",
+            "right_cols": ["view_event_id", "extra"], "direction": direction,
+        }]
+
+
+def test_asof_spec_compiles_and_validates(spark):
+    from agentic_workflow_for_data_transformation_spark.plans import compile_spec
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError, validate_op,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(SpecError):
+        validate_op({"op": "asof_join", "on": "k"})  # missing right
+    with _pytest.raises(SpecError):
+        validate_op({"op": "asof_join", "right": "r", "on": "k",
+                     "direction": "sideways"})
+
+    left = spark.createDataFrame([(1, 10, "a")], "k long, ts long, tag string")
+    right = spark.createDataFrame([(1, 8, 5.0), (1, 11, 7.0)],
+                                  "k long, ts long, v double")
+    out = compile_spec(left, {"ops": [{
+        "op": "asof_join", "right": "r", "on": "k", "ts": "ts",
+        "right_cols": ["v"], "direction": "nearest",
+    }]}, tables={"r": right})
+    assert [(r["asof_ts"], r["asof_v"]) for r in out.collect()] == [(11, 7.0)]
