@@ -237,3 +237,37 @@ def ns_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; exploded rows are corpus_chars/stride, linear in corpus
     size (operators/dedup.py duplicated_span_stats)."""
     return dedup.duplicated_span_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ns_dedup_span_ranges",
+    "WITH spans AS (SELECT doc_id, CAST(p AS INTEGER) AS p, "
+    " substr(md5(substr(text, CAST(p AS INTEGER), 50)), 1, 16) AS h "
+    " FROM documents CROSS JOIN "
+    "  unnest(generate_series(1, length(text) - 49, 10)) AS t(p) "
+    " WHERE length(text) >= 50), "
+    "ph AS (SELECT h FROM ("
+    " SELECT h, count(DISTINCT doc_id) AS ndocs FROM spans GROUP BY h"
+    ") WHERE ndocs > 1), "
+    "d AS (SELECT s.doc_id, s.p FROM spans s JOIN ph USING (h)), "
+    "m AS (SELECT doc_id, p, CASE WHEN lag(p) OVER w IS NULL "
+    " OR p - lag(p) OVER w > 50 THEN 1 ELSE 0 END AS brk "
+    " FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY p)), "
+    "i AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m) "
+    "SELECT doc_id, CAST(min(p) AS BIGINT) AS range_start, "
+    "CAST(max(p) + 49 AS BIGINT) AS range_end, "
+    "CAST(count(*) AS BIGINT) AS n_dup_spans "
+    "FROM i GROUP BY doc_id, isl",
+)
+def ns_dedup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated RANGES per document (VERDICT r5 #7 — the
+    refinement of ns_dedup_substring_spans an actual decontamination
+    pass removes): contiguous runs of cross-document-duplicated
+    50-char span hashes merged into [start, end] char intervals via
+    per-document gaps-and-islands over the duplicated positions only.
+    Same linear explode/aggregate skeleton as the span stats (exchange
+    carries (doc_id, digest, pos), never text); the merge windows are
+    partitioned by doc_id — no global sort anywhere
+    (operators/dedup.py duplicated_span_ranges)."""
+    return dedup.duplicated_span_ranges(_t(spark, sf_dir, "documents"))

@@ -23,7 +23,7 @@ results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # top bit of a hex digit
@@ -752,4 +752,69 @@ def duplicated_span_stats(df: DataFrame, id_col: str = "doc_id",
             / F.greatest(F.coalesce(F.col("n_spans"), F.lit(0)), F.lit(1)),
             6,
         ).alias("dup_ratio"),
+    )
+
+
+def duplicated_span_ranges(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", span: int = 50,
+                           stride: int = 10) -> DataFrame:
+    """Maximal duplicated character RANGES per document — the
+    refinement of ``duplicated_span_stats`` an actual decontamination
+    pass removes: contiguous runs of cross-document-duplicated span
+    hashes, merged into [range_start, range_end] (1-based, inclusive)
+    intervals. Two duplicated spans at positions p1 < p2 merge when
+    p2 - p1 <= span (their windows overlap or touch), so each output
+    row is one maximal excisable region with its span count.
+
+    Scale shape: identical explode/aggregate skeleton as
+    duplicated_span_stats (exchange carries (doc_id, digest, pos),
+    never text; rows = corpus_chars/stride); the merge is
+    gaps-and-islands over the DUPLICATED positions only — a
+    per-document window over the small survivor set, partitioned by
+    doc_id, never a global sort. Documents with no duplicated span
+    produce no rows.
+    """
+    n = F.length(F.col(text_col))
+    positions = F.when(
+        n >= span,
+        F.sequence(F.lit(1), n - span + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = df.select(
+        F.col(id_col),
+        F.explode(positions).alias("_p"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "_p",
+        F.substring(F.md5(F.substring(F.col(text_col), F.col("_p"), span)), 1, 16)
+        .alias("_h"),
+    )
+    dup_hashes = (
+        spans.select("_h", id_col)
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") > 1)
+        .select("_h")
+    )
+    dup_pos = spans.join(dup_hashes, "_h").select(id_col, "_p")
+    w = Window.partitionBy(id_col).orderBy("_p")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("_p").over(w)
+    # two window passes over ONE (doc_id) exchange: mark island breaks,
+    # then running-sum them into island ids (Spark forbids nesting the
+    # lag inside the sum; both windows share the same partitioning so
+    # no second shuffle is planned)
+    marked = dup_pos.withColumn(
+        "_brk", F.when(prev.isNull() | (F.col("_p") - prev > span), 1).otherwise(0)
+    )
+    return (
+        marked.withColumn("_isl", F.sum("_brk").over(wrun))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("_p").cast("long").alias("range_start"),
+            (F.max("_p") + span - 1).cast("long").alias("range_end"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        )
+        .drop("_isl", "_brk")
     )

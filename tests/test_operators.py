@@ -922,3 +922,43 @@ def test_two_phase_row_number_nan_keys(spark):
             )
 
         assert norm(got) == norm(want), (asc, sorted(got, key=lambda t: t[1]))
+
+
+def test_duplicated_span_ranges_merges_islands(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import dedup
+
+    # two docs share an 80-char prefix (duplicated spans at p=1..31)
+    # AND a separate shared block far enough into doc 1 that the two
+    # duplicated regions can NOT merge (gap > span)
+    shared_a = "A" * 80
+    shared_b = "B" * 60
+    filler = "x y z unique middle section with no repeats at all " * 4
+    rows = [
+        (1, shared_a + filler + shared_b),
+        (2, shared_a + "totally different tail of text here padding padding"),
+        (3, shared_b + "another unrelated continuation of words padding pad"),
+        (4, "no overlap with anyone at all " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ranges = {}
+    for r in dedup.duplicated_span_ranges(df, span=50, stride=10).collect():
+        ranges.setdefault(r["doc_id"], []).append(
+            (r["range_start"], r["range_end"], r["n_dup_spans"])
+        )
+    for v in ranges.values():
+        v.sort()
+    # doc 1: two maximal islands — the A-prefix and the B-block
+    assert len(ranges[1]) == 2
+    a0, a1 = ranges[1]
+    assert a0[0] == 1 and a0[1] >= 50  # A-region starts at char 1
+    assert a1[0] > a0[1] + 50 - 49     # disjoint islands
+    # doc 2: one island at the start (the shared A prefix)
+    assert len(ranges[2]) == 1 and ranges[2][0][0] == 1
+    # doc 3: one island at the start (the shared B block)
+    assert len(ranges[3]) == 1 and ranges[3][0][0] == 1
+    # doc 4: no duplicated spans -> no rows
+    assert 4 not in ranges
+    # island invariant: each island's span count fits its width
+    for doc, vs in ranges.items():
+        for s, e, n in vs:
+            assert e - s + 1 >= 50 and n >= 1
