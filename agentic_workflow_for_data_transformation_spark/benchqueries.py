@@ -3059,55 +3059,51 @@ def x_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-mix applied sampling.
 # --------------------------------------------------------------------------
 _WINDOW: list[str] = [
-    # Round-5 rotation (VERDICT r4 #1): close the driver-gate coverage
-    # debt. 12 sentinels stay (predicate-form pair p01/p14, flagship
-    # p20, the round-2 silent-breakage events family, the escape
-    # hatch, the dedup-chain core — with the round-5 composite
-    # ns_corpus_build_e2e replacing ns_dedup_apply, whose applied-dedup
-    # shape it subsumes — the mapInPandas shape, and the two
-    # operators whose plans CHANGED this round: per-key-horizon
-    # interval join and two-phase gaps-islands); 3 new round-5
-    # queries; the remaining 35 slots all go to queries that have
-    # NEVER had a CORRECTNESS_r* row (TPC-H join family, window/rank
-    # family, skew/full-outer/upsert joins, funnel/retention, bucketed
-    # kNN, audio energy, cross-corpus overlap, tf-idf, kmeans, NL
-    # union/lag). Everything demoted stays green in the
-    # freshness-gated local report (tools/check_oracle.py).
-    # -- sentinels (final r5 trim: only p01 plus the two operators whose
-    # plans changed THIS round stay as re-gates; p14/p20/u1/
-    # ns_dedup_minhash_lsh are r04-green and rotate out for four more
-    # first-ever rows — the gap-interpolation spine whose window frames
-    # were rewritten this session, the declarative quality-expectation
-    # scan, LSH containment, and the ANN recall harness) --
-    "p01_filter_gt_project",
-    "ns_corpus_build_e2e",
-    "x_join_interval_bucketed", "x_gaps_islands",
-    "x_time_interpolate", "ns_quality_expectations",
-    "ns_dedup_containment", "ns_ann_recall_lsh",
-    # -- new this round (late-round-5 batch: the exact-dedup shape
-    # lives on inside ns_corpus_build_e2e, the events family in
-    # x_sliding_window_agg/x_event_rate_anomaly, the as-of family in
-    # the r04-green x_join_asof_forward, and mapInPandas in the two
-    # audio queries, so four r04-green sentinels rotate out for four
-    # first-ever rows on the new operators) --
-    "ns_dedup_jaccard_prefix", "x_groupwise_ols",
-    "ns_graph_pagerank", "x_join_interval_overlap",
-    "p38_nl_pivot", "p39_nl_rollup", "ns_multimodal_audio_zcr",
-    # -- first-ever driver rows: TPC-H join family --
-    "x_tpch_q2", "x_tpch_q4", "x_tpch_q7", "x_tpch_q8", "x_tpch_q9",
-    "x_tpch_q10", "x_tpch_q11", "x_tpch_q12", "x_tpch_q13",
-    "x_tpch_q14", "x_tpch_q15", "x_tpch_q16", "x_tpch_q19",
-    "x_tpch_q20", "x_tpch_q21", "x_tpch_q22",
-    # -- first-ever: window/rank + relational extensions --
-    "x_window_rank_family", "x_window_range_frame", "x_ntile_deciles",
-    "x_event_rate_anomaly", "x_sliding_window_agg", "x_cube",
-    "x_grouping_sets", "x_join_full_outer", "x_join_salted_skew",
-    "x_upsert_latest", "x_funnel_ordered", "x_retention_cohorts",
-    # -- first-ever: north-star vector/text/corpus --
-    "ns_sim_knn_bucketed", "ns_kmeans_refined", "ns_text_tfidf_top",
-    "ns_multimodal_audio_energy", "ns_cross_corpus_overlap",
-    # -- first-ever: NL grammar --
-    "p35_nl_union", "p37_nl_lag",
+    # Round-6 rotation (VERDICT r5 #2): ALL 50 slots go to queries that
+    # have NEVER had a CORRECTNESS_r* row — the 46 carried from round 5
+    # (nsqueries3 late adds, ns_stats_* family, corpus/text round-5
+    # registrations, remaining p2x/p4x NL, funnel e2e, stream
+    # attribution, zorder, edit-distance pairs) plus the 4 new round-6
+    # registrations (p43 listagg / p44 mode / p45 as-of nearest NL,
+    # ns_dedup_span_ranges). That closes the cumulative driver-gate
+    # ledger at 195/195. No sentinels this round: every previously
+    # gated query (p01 included) stays covered by the freshness-gated
+    # local report (tools/check_oracle.py), whose staleness is a pytest
+    # failure; the round-6 plan changes (pivot positional cells, as-of
+    # micros distances, NaN row-number buckets) are exercised
+    # first-hand by p45/p42/x_join_asof_nearest in this very window.
+    # x_approx_percentiles / x_approx_count_distinct are the two
+    # registry queries with NO oracle (sketches; pytest-bounded) — the
+    # percentile one takes its weaker rows-only driver row here by
+    # design rather than never appearing.
+    # -- round-5 late registrations (nsqueries3 + second-session batch) --
+    "ns_dedup_substring_spans", "ns_embed_gram", "x_listagg",
+    "x_mode_per_group", "x_markov_transitions", "x_join_asof_nearest",
+    "x_window_count_distinct", "ns_corpus_incremental_stats",
+    "ns_sample_weighted", "ns_text_boilerplate_ratio",
+    "ns_text_token_pmi",
+    # -- round-6 registrations --
+    "p43_nl_listagg", "p44_nl_mode", "p45_nl_asof_nearest",
+    "ns_dedup_span_ranges",
+    # -- stats family --
+    "ns_stats_chi_square", "ns_stats_key_skew", "ns_stats_robust_outliers",
+    "ns_profile_table", "ns_groupwise_scale",
+    # -- corpus/text/dedup/embedding round-5 carries --
+    "ns_text_redact", "ns_text_repetition", "ns_text_surprisal",
+    "ns_text_bigram_lm", "ns_embed_quantize", "ns_chunk_documents",
+    "ns_dedup_minhash_estimate", "ns_dedup_exact_norm",
+    "ns_dedup_incremental", "ns_corpus_mix_weights",
+    "ns_corpus_length_hist", "ns_corpus_length_buckets",
+    "ns_corpus_interleave", "ns_corpus_contamination_score",
+    # -- events / joins / layout extensions --
+    "x_events_funnel_e2e", "x_stream_join_attribution",
+    "x_approx_percentiles", "x_entity_editdist_pairs", "x_zorder_key",
+    # -- NL grammar backlog --
+    "p23_nl_sort_multikey", "p24_nl_global_avg", "p25_nl_count_distinct",
+    "p26_nl_join_group", "p27_nl_date_filter", "p28_nl_count_per_day",
+    "p29_nl_top_per_group", "p31_nl_group_two_keys",
+    "p40_nl_moving_window", "p41_nl_multi_agg",
+    "p42_nl_global_row_number",
 ]
 
 

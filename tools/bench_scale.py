@@ -58,7 +58,10 @@ QUERIES = [
     "ns_pack_sequences",
     "ns_dedup_embedding_apply",
     "ns_dedup_substring_spans",
+    "ns_dedup_span_ranges",
     "ns_embed_gram",
+    "x_listagg",
+    "x_mode_per_group",
     "x_join_asof_nearest",
     "x_window_count_distinct",
     "x_markov_transitions",
