@@ -527,8 +527,14 @@ def ns_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source").distinct()
         .select(
             "source",
-            F.row_number().over(Window.orderBy("source")).alias("src_idx"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_src"),
+            # constant partition key: this frame is the ~20-row distinct
+            # source list, so a single partition is the POINT — the
+            # explicit lit(1) key silences Spark's unpartitioned-window
+            # warning so a real one can't hide in the log noise
+            F.row_number()
+            .over(Window.partitionBy(F.lit(1)).orderBy("source"))
+            .alias("src_idx"),
+            F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_src"),
         )
     )
     rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))

@@ -216,7 +216,10 @@ def mix_weights(df: DataFrame, group_col: str = "lang",
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     scaled = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
-    total = F.sum(scaled).over(Window.partitionBy())
+    # constant partition key on the intentionally single-partition
+    # GROUP-cardinality frame — keeps the unpartitioned-window warning
+    # out of the logs so a real one stands out
+    total = F.sum(scaled).over(Window.partitionBy(F.lit(1)))
     weight = scaled / total
     if rounded:
         weight = F.round(weight, 6)

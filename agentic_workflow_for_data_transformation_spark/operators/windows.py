@@ -92,8 +92,13 @@ def two_phase_row_number(
         "_b", F.coalesce(b.cast("long"), F.lit(null_sentinel))
     )
     counts = d.groupBy(*pb, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    # the offsets cumulative runs over the tiny bucket-count frame
+    # (bounded by value range / bucket_width, never |df|); the global
+    # form uses an explicit constant partition key so the intentional
+    # one-partition window doesn't emit the unpartitioned-window
+    # warning that would mask a REAL one elsewhere
     w_off = (
-        (Window.partitionBy(*pb) if pb else Window)
+        (Window.partitionBy(*pb) if pb else Window.partitionBy(F.lit(1)))
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
