@@ -507,3 +507,81 @@ def test_random_sliding_frames_match_duckdb(spark_module, expr, n_prec, fn):
     got = _spark_rows(compile_spec(spark_module, spec))
     want = _duck(spec_to_sql(spec, "people"))
     assert got == want
+
+
+# ---- round-5/6 relational-op fuzz: mode / pivot / listagg / as-of --------
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    kind=st.sampled_from(["mode", "listagg", "pivot"]),
+)
+def test_random_mode_pivot_listagg_match_duckdb(spark_module, expr, kind):
+    """The round-5/6 relational extensions against their sqlgen
+    renderings, over a randomly filtered input (including the empty
+    frame): deterministic mode tie-break, declared-values pivot with
+    count null-fill (one declared value never occurs), ordered
+    LISTAGG."""
+    if kind == "mode":
+        op = {"op": "mode", "keys": ["city"], "col": "name"}
+    elif kind == "listagg":
+        op = {"op": "groupby_agg", "keys": ["city"],
+              "aggs": [{"fn": "listagg", "col": "name", "alias": "names"}]}
+    else:
+        op = {"op": "pivot", "keys": ["city"], "col": "name",
+              "values": ["Alice", "Bob", "Zzz_never"],
+              "agg": {"fn": "count", "col": "*"},
+              "aliases": ["n_alice", "n_bob", "n_zzz"]}
+    spec = {"ops": [{"op": "filter", "expr": expr}, op]}
+    got = _name_sorted_rows(compile_spec(spark_module, spec).toPandas())
+    want = _duck2(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    lts=st.lists(st.integers(min_value=0, max_value=40),
+                 min_size=1, max_size=6),
+    rts=st.lists(st.integers(min_value=0, max_value=40),
+                 min_size=0, max_size=6, unique=True),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_random_asof_match_duckdb(spark, lts, rts, direction):
+    """asof_join (all three directions) on random integer timestamps —
+    equal-ts matches, unmatched keys, empty right sides, and nearest's
+    ties-to-backward rule — vs the LATERAL sqlgen oracle. Right (k, ts)
+    unique by construction (ties among identical right timestamps are
+    engine-arbitrary by documented contract)."""
+    left_rows = [(1, t, i) for i, t in enumerate(lts)] + [(2, 7, 99)]
+    right_rows = [(1, t, t * 2.0) for t in rts]  # key 2 never matches
+    left = spark.createDataFrame(left_rows, "k long, ts long, lid long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, v double") \
+        if right_rows else spark.createDataFrame([], "k long, ts long, v double")
+    spec = {"ops": [{
+        "op": "asof_join", "right": "rtab", "on": "k", "ts": "ts",
+        "right_cols": ["v"], "direction": direction,
+    }]}
+    got = _name_sorted_rows(
+        compile_spec(left, spec, tables={"rtab": right}).toPandas()
+    )
+    con = duckdb.connect()
+    con.register("ltab", pd.DataFrame(left_rows, columns=["k", "ts", "lid"]))
+    con.register(
+        "rtab", pd.DataFrame(right_rows, columns=["k", "ts", "v"]).astype(
+            {"k": "int64", "ts": "int64", "v": "float64"}
+        )
+    )
+    try:
+        want = _name_sorted_rows(con.execute(spec_to_sql(spec, "ltab")).fetch_df())
+    finally:
+        con.close()
+    assert got == want, (direction, got, want)
