@@ -2812,6 +2812,40 @@ def p45_nl_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_spec(ev, spec, tables={"views": views})
 
 
+_P46_DESC = (
+    "Filter rows where event_type == 'purchase' and "
+    "select columns event_id, user_id and ts and "
+    "join nearest views on user_id by ts taking view_event_id "
+    "within 600 seconds."
+)
+
+
+def _p46_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return _P45_VIEWS_CTE + spec_to_sql(
+        parse_description(_P46_DESC, columns=_EVENTS_COLUMNS), "events"
+    )
+
+
+@register("p46_nl_asof_tolerance", _p46_oracle())
+def p46_nl_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL as-of join with a merge_asof tolerance: 'join nearest ...
+    within 600 seconds' — matches farther than the bound null out like
+    missing matches. Engine applies a post-pick scalar null-out on the
+    exact integer-micros distance (plan shape unchanged from p45); the
+    sqlgen oracle bounds the LATERAL probe with an INTERVAL comparison
+    (to_microseconds), so fractional-second tolerances stay exact."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    spec = parse_description(_P46_DESC, columns=ev.columns)
+    return compile_spec(ev, spec, tables={"views": views})
+
+
 @register(
     "x_pivot_status_by_priority",
     "SELECT o_orderpriority, "

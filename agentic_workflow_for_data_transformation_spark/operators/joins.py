@@ -23,6 +23,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ts_scalar(ts_type):
+    """Map a temporal/numeric ordering type to (scalar_fn,
+    per-natural-unit scale): exact integer micros for timestamps
+    (natural unit = seconds), integer days for dates (unit = days),
+    plain double for numerics (unit = the column's own units). Used
+    for nearest-pick distances and tolerance bounds — never a bare
+    cast('long'), which floors timestamps to seconds and NULLs dates.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(ts_type, T.TimestampType):
+        return F.unix_micros, 1_000_000
+    if isinstance(ts_type, T.DateType):
+        return F.unix_date, 1
+    if isinstance(ts_type, T.TimestampNTZType):
+        return (lambda c: F.unix_micros(c.cast("timestamp"))), 1_000_000
+    return (lambda c: c.cast("double")), 1
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -31,6 +50,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row's columns with the
     greatest ``right_ts`` <= ``left_ts`` (``direction="backward"``, the
@@ -41,6 +61,13 @@ def asof_join(
     to the backward match) within the same ``on`` key; same-timestamp
     right rows match in every direction. Left rows with no match keep
     nulls.
+
+    ``tolerance`` (pandas ``merge_asof`` parity) bounds the match
+    distance: matches farther than the bound null out exactly like a
+    missing match. Units follow the timestamp column's natural unit —
+    SECONDS for timestamp columns, DAYS for date columns, the column's
+    own units for numeric keys. Applied as a post-pick null-out (one
+    scalar comparison per row), so the plan shape is unchanged.
 
     Output: all left columns, plus ``asof_ts`` (matched right
     timestamp) and each requested right column as ``asof_<name>``.
@@ -80,6 +107,24 @@ def asof_join(
     # forward mode reverses the ts order (running last over DESC ts =
     # nearest following row), keeping _side ascending for the tie rule.
     u = l.unionByName(r)
+    num, scale = _ts_scalar(left.schema[left_ts].dataType)
+
+    def _bounded(out: DataFrame) -> DataFrame:
+        # merge_asof-style tolerance: null out matches farther than the
+        # bound (post-pick scalar comparison; plan shape unchanged)
+        if tolerance is None:
+            return out
+        keep = F.col("asof_ts").isNotNull() & (
+            F.abs(num(F.col(left_ts)) - num(F.col("asof_ts")))
+            <= F.lit(tolerance * scale)
+        )
+        return out.select(
+            on,
+            left_ts,
+            *pass_cols,
+            *[F.when(keep, F.col(c)).alias(c) for c in asof_cols],
+        )
+
     if direction == "nearest":
         wb = (
             Window.partitionBy(on)
@@ -101,23 +146,10 @@ def asof_join(
         )
         # distances must not truncate sub-second parts (cast('long') on a
         # timestamp floors to seconds and can flip the tie rule) and must
-        # not NULL out DATE keys (cast('long') on a date is NULL) — map
-        # each temporal type to an exact integer scalar first.
-        from pyspark.sql import types as T
-
-        ts_type = left.schema[left_ts].dataType
-        if isinstance(ts_type, T.TimestampType):
-            _num = F.unix_micros
-        elif isinstance(ts_type, T.DateType):
-            _num = F.unix_date
-        elif isinstance(ts_type, T.TimestampNTZType):
-            def _num(c):
-                return F.unix_micros(c.cast("timestamp"))
-        else:
-            def _num(c):
-                return c.cast("double")
-        d_back = _num(F.col("_ts")) - _num(F.col("_b_asof_ts"))
-        d_fwd = _num(F.col("_f_asof_ts")) - _num(F.col("_ts"))
+        # not NULL out DATE keys (cast('long') on a date is NULL) —
+        # _ts_scalar maps each temporal type to an exact integer scalar.
+        d_back = num(F.col("_ts")) - num(F.col("_b_asof_ts"))
+        d_fwd = num(F.col("_f_asof_ts")) - num(F.col("_ts"))
         use_back = F.col("_f_asof_ts").isNull() | (
             F.col("_b_asof_ts").isNotNull() & (d_back <= d_fwd)
         )
@@ -125,8 +157,10 @@ def asof_join(
             F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(c)
             for c in asof_cols
         ]
-        return filled.filter(F.col("_side") == 1).select(
-            on, F.col("_ts").alias(left_ts), *pass_cols, *picked
+        return _bounded(
+            filled.filter(F.col("_side") == 1).select(
+                on, F.col("_ts").alias(left_ts), *pass_cols, *picked
+            )
         )
     ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
@@ -141,8 +175,10 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in asof_cols],
         *pass_cols,
     )
-    return filled.filter(F.col("_side") == 1).select(
-        on, F.col("_ts").alias(left_ts), *pass_cols, *asof_cols
+    return _bounded(
+        filled.filter(F.col("_side") == 1).select(
+            on, F.col("_ts").alias(left_ts), *pass_cols, *asof_cols
+        )
     )
 
 

@@ -305,6 +305,7 @@ def compile_spec(
                 right_ts=op.get("right_ts", ts),
                 right_cols=op.get("right_cols", []),
                 direction=op.get("direction", "backward"),
+                tolerance=op.get("tolerance"),
             )
         elif kind == "join":
             rdf = _resolve_right(op["right"], tables)

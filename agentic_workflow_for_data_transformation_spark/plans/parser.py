@@ -386,16 +386,20 @@ _LISTAGG = re.compile(
 _MODE = re.compile(
     r"^(?:show\s+)?most\s+common\s+(\w+)\s+per\s+(\w+)\s*$", re.IGNORECASE
 )
-# "join nearest views on user_id by ts taking view_event_id" -> as-of
-# join (nearest|previous=backward|next=forward); 'taking' lists the
-# right-side payload columns to attach as asof_<name>
+# "join nearest views on user_id by ts taking view_event_id [within
+# 300 seconds|5 days|10 units]" -> as-of join (nearest|previous=
+# backward|next=forward); 'taking' lists the right-side payload
+# columns to attach as asof_<name>; 'within' bounds the match
+# distance (merge_asof tolerance)
 _ASOF = re.compile(
     r"^join\s+(nearest|previous|next)\s+(\w+)\s+on\s+(\w+)\s+by\s+(\w+)"
-    r"\s+taking\s+(\w+(?:\s*,\s*\w+)*)\s*$",
+    r"\s+taking\s+(\w+(?:\s*,\s*\w+)*)"
+    r"(?:\s+within\s+(\d+(?:\.\d+)?)\s+(second|day|unit)s?)?\s*$",
     re.IGNORECASE,
 )
 _ASOF_DIRECTIONS = {"nearest": "nearest", "previous": "backward",
                     "next": "forward"}
+_ASOF_UNITS = {"second": "second", "day": "day", "unit": "raw"}
 
 
 def _slug_alias(value: str, prefix: str = "n_") -> str:
@@ -478,7 +482,7 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         col = _resolve_col(m.group(1), columns)
         return {"op": "mode", "keys": [m.group(2)], "col": col}
     if m := _ASOF.match(clause):
-        return {
+        op = {
             "op": "asof_join",
             "right": m.group(2),
             "on": m.group(3),
@@ -486,6 +490,11 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "right_cols": [c.strip() for c in m.group(5).split(",")],
             "direction": _ASOF_DIRECTIONS[m.group(1).lower()],
         }
+        if m.group(6):
+            tol = float(m.group(6))
+            op["tolerance"] = int(tol) if tol.is_integer() else tol
+            op["tolerance_unit"] = _ASOF_UNITS[m.group(7).lower()]
+        return op
     if m := _GROUP_COUNT_DISTINCT.match(clause):
         key, col = m.group(1), _resolve_col(m.group(2), columns)
         return {

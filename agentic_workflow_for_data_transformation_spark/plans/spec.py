@@ -43,7 +43,8 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # NULL for absent (key, value) cells like SQL FILTER
   {"op": "asof_join", "right": <table>, "on": "k", "ts": "ts",
    "right_ts": "ts"?, "right_cols": [...], "direction":
-   "backward"|"forward"|"nearest"}
+   "backward"|"forward"|"nearest",
+   "tolerance": 300?, "tolerance_unit": "second"|"day"|"raw"?}
       # temporal as-of join (operators/joins.asof_join): union +
       # running-fill, ONE shuffle on the key, no pair explosion;
       # attaches asof_ts + asof_<col> per right col. Right (key, ts)
@@ -314,6 +315,14 @@ def validate_op(op: Any) -> None:
             _err(f"asof_join 'right_cols' must be a string list: {op!r}")
         if op.get("direction", "backward") not in ("backward", "forward", "nearest"):
             _err(f"asof_join 'direction' must be backward|forward|nearest: {op!r}")
+        if "tolerance" in op:
+            tol = op["tolerance"]
+            if not (isinstance(tol, int | float) and not isinstance(tol, bool) and tol >= 0):
+                _err(f"asof_join 'tolerance' must be a non-negative number: {op!r}")
+            # unit drives the SQL rendering only; it must match the ts
+            # column's type (second<->timestamp, day<->date, raw<->numeric)
+            if op.get("tolerance_unit", "raw") not in ("second", "day", "raw"):
+                _err(f"asof_join 'tolerance_unit' must be second|day|raw: {op!r}")
     elif kind == "mode":
         keys = op.get("keys")
         if not (isinstance(keys, list) and keys and all(isinstance(k, str) for k in keys)):

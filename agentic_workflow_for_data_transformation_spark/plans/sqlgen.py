@@ -236,15 +236,28 @@ def spec_to_sql(spec: dict, table: str) -> str:
             # same discipline as the engine's unix_micros distances.
             # Tie rule: equal distances prefer the earlier (backward)
             # right row, matching operators/joins.asof_join.
+            dist = (
+                f"CASE WHEN r.{rts} >= l.{ts} THEN r.{rts} - l.{ts}"
+                f" ELSE l.{ts} - r.{rts} END"
+            )
             if direction == "nearest":
-                cond, order = "", (
-                    f"CASE WHEN r.{rts} >= l.{ts} THEN r.{rts} - l.{ts}"
-                    f" ELSE l.{ts} - r.{rts} END, r.{rts} ASC"
-                )
+                cond, order = "", f"{dist}, r.{rts} ASC"
             elif direction == "backward":
                 cond, order = f" AND r.{rts} <= l.{ts}", f"r.{rts} DESC"
             else:
                 cond, order = f" AND r.{rts} >= l.{ts}", f"r.{rts} ASC"
+            if "tolerance" in op:
+                # bound rendered in the unit matching the ts type:
+                # timestamp distance is an INTERVAL (to_microseconds
+                # handles fractional-second tolerances exactly), date
+                # distance is integer days, numeric distance is raw
+                tol = op["tolerance"]
+                unit = op.get("tolerance_unit", "raw")
+                if unit == "second":
+                    bound = f"to_microseconds(CAST({int(round(tol * 1_000_000))} AS BIGINT))"
+                else:  # 'day' (date-date is integer days) or 'raw'
+                    bound = _lit_sql(tol)
+                cond += f" AND {dist} <= {bound}"
             sql = (
                 f"SELECT l.*, lat.* FROM ({sql}) l LEFT JOIN LATERAL ("
                 f"SELECT {', '.join(cells)} FROM {right} r"

@@ -341,3 +341,45 @@ def test_asof_join_nearest_date_keys(spark):
     out = joins.asof_join(left, right, on="k", right_cols=["v"], direction="nearest")
     # 1 day back vs 4 days forward -> backward
     assert [r["asof_v"] for r in out.collect()] == [10.0]
+
+
+def test_asof_join_tolerance_nulls_far_matches(spark):
+    """merge_asof-parity tolerance: matches farther than the bound
+    null out exactly like a missing match, in every direction, for
+    numeric and timestamp keys (seconds unit)."""
+    left = _ts(spark, [(1, 100, "a"), (1, 210, "b")], "k long, ts long, tag string")
+    right = _ts(spark, [(1, 95, 1.0), (1, 300, 2.0)], "k long, ts long, v double")
+    out = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in joins.asof_join(
+            left, right, on="k", right_cols=["v"], direction="nearest",
+            tolerance=20,
+        ).collect()
+    }
+    assert out[(1, 100)] == 1.0   # distance 5 <= 20
+    assert out[(1, 210)] is None  # nearest is 90 away -> nulled
+    # backward with tolerance
+    out_b = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in joins.asof_join(
+            left, right, on="k", right_cols=["v"], direction="backward",
+            tolerance=4,
+        ).collect()
+    }
+    assert out_b[(1, 100)] is None  # 5 > 4
+    assert out_b[(1, 210)] is None  # backward match 115 away
+    # timestamps: tolerance is SECONDS
+    lts = spark.sql("SELECT 1L AS k, timestamp'2024-01-01 00:10:00' AS ts")
+    rts = spark.sql(
+        "SELECT 1L AS k, timestamp'2024-01-01 00:00:00' AS ts, 9.0D AS v"
+    )
+    got = joins.asof_join(
+        lts, rts, on="k", right_cols=["v"], direction="backward",
+        tolerance=600,
+    ).collect()[0]
+    assert got["asof_v"] == 9.0  # exactly at the 600 s bound (inclusive)
+    got2 = joins.asof_join(
+        lts, rts, on="k", right_cols=["v"], direction="backward",
+        tolerance=599,
+    ).collect()[0]
+    assert got2["asof_v"] is None

@@ -554,11 +554,13 @@ def test_random_mode_pivot_listagg_match_duckdb(spark_module, expr, kind):
     rts=st.lists(st.integers(min_value=0, max_value=40),
                  min_size=0, max_size=6, unique=True),
     direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.one_of(st.none(), st.integers(min_value=0, max_value=25)),
 )
-def test_random_asof_match_duckdb(spark, lts, rts, direction):
+def test_random_asof_match_duckdb(spark, lts, rts, direction, tolerance):
     """asof_join (all three directions) on random integer timestamps —
-    equal-ts matches, unmatched keys, empty right sides, and nearest's
-    ties-to-backward rule — vs the LATERAL sqlgen oracle. Right (k, ts)
+    equal-ts matches, unmatched keys, empty right sides, nearest's
+    ties-to-backward rule, and random merge_asof tolerances (including
+    0 = exact-ts only) — vs the LATERAL sqlgen oracle. Right (k, ts)
     unique by construction (ties among identical right timestamps are
     engine-arbitrary by documented contract)."""
     left_rows = [(1, t, i) for i, t in enumerate(lts)] + [(2, 7, 99)]
@@ -566,10 +568,13 @@ def test_random_asof_match_duckdb(spark, lts, rts, direction):
     left = spark.createDataFrame(left_rows, "k long, ts long, lid long")
     right = spark.createDataFrame(right_rows, "k long, ts long, v double") \
         if right_rows else spark.createDataFrame([], "k long, ts long, v double")
-    spec = {"ops": [{
+    spec_op = {
         "op": "asof_join", "right": "rtab", "on": "k", "ts": "ts",
         "right_cols": ["v"], "direction": direction,
-    }]}
+    }
+    if tolerance is not None:
+        spec_op["tolerance"] = tolerance  # raw units on the numeric key
+    spec = {"ops": [spec_op]}
     got = _name_sorted_rows(
         compile_spec(left, spec, tables={"rtab": right}).toPandas()
     )
