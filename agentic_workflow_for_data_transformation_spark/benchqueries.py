@@ -2846,6 +2846,29 @@ def p46_nl_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_spec(ev, spec, tables={"views": views})
 
 
+_P47_DESC = "Group by l_returnflag and show median l_quantity."
+
+
+def _p47_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P47_DESC, columns=_LINEITEM_COLUMNS), "lineitem"
+    )
+
+
+@register("p47_nl_median", _p47_oracle())
+def p47_nl_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL exact median: 'group by K and show median X' — Spark's
+    F.median (exact interpolated, == DuckDB median / quantile_cont 0.5)
+    in one aggregation pass. The value depends only on the two middle
+    order statistics, so it is partition-order independent and
+    hash-compares without rounding tricks. Scale note: exact median is
+    a sort-based aggregate per group; for loose-tolerance profiling at
+    100 TB the KLL sketch (x_approx_percentiles) is the cheaper path."""
+    return _nl(spark, sf_dir, "lineitem", _P47_DESC)
+
+
 @register(
     "x_pivot_status_by_priority",
     "SELECT o_orderpriority, "

@@ -47,6 +47,10 @@ _AGG_BUILDERS: dict[str, Callable[[str], Column]] = {
     # deterministic (collect_list order is partition-dependent); sqlgen
     # renders string_agg(col, '|' ORDER BY col)
     "listagg": lambda c: F.array_join(F.array_sort(F.collect_list(c)), "|"),
+    # exact interpolated median (Spark's median == DuckDB's median /
+    # quantile_cont(0.5) definition; value depends only on the two
+    # middle order statistics, so it is partition-order independent)
+    "median": F.median,
 }
 
 

@@ -254,11 +254,12 @@ _GROUP_AVG = re.compile(
     re.IGNORECASE,
 )
 _GROUP_AGG = re.compile(
-    r"^group\s+by\s+(\w+)\s+and\s+show\s+(total|sum of|minimum|maximum)\s+(\w+)"
+    r"^group\s+by\s+(\w+)\s+and\s+show\s+(total|sum of|minimum|maximum|median)\s+(\w+)"
     r"(?:\s+where\s+(.*))?$",
     re.IGNORECASE,
 )
-_AGG_WORDS = {"total": "sum", "sum of": "sum", "minimum": "min", "maximum": "max"}
+_AGG_WORDS = {"total": "sum", "sum of": "sum", "minimum": "min",
+              "maximum": "max", "median": "median"}
 _ADD_COLUMN = re.compile(
     r"^add\s+(\w+)\s+column\s+where\s+\w+\s*=\s*(.*)$", re.IGNORECASE
 )
@@ -285,7 +286,8 @@ _SELECT_DISTINCT = re.compile(r"^select\s+distinct\s+(.*)$", re.IGNORECASE)
 # global aggregates (no group-by): "show average age", "count rows",
 # "count distinct city"
 _GLOBAL_AGG = re.compile(
-    r"^show\s+(average|total|sum of|minimum|maximum)\s+(\w+)\s*$", re.IGNORECASE
+    r"^show\s+(average|total|sum of|minimum|maximum|median)\s+(\w+)\s*$",
+    re.IGNORECASE,
 )
 _COUNT_ROWS = re.compile(r"^count\s+rows\s*$", re.IGNORECASE)
 _COUNT_DISTINCT = re.compile(r"^count\s+distinct\s+(\w+)\s*$", re.IGNORECASE)
@@ -345,7 +347,7 @@ _GROUP_MULTI = re.compile(
 )
 _AGG_PHRASE = re.compile(
     r"^(?:(count)\s+rows|(count\s+distinct)\s+(\w+)"
-    r"|(total|sum\s+of|average|minimum|maximum)\s+(\w+))\s*$",
+    r"|(total|sum\s+of|average|minimum|maximum|median)\s+(\w+))\s*$",
     re.IGNORECASE,
 )
 # "add row number ordered by event_id" — global ordinal; the compiler
@@ -362,7 +364,7 @@ _LAG_LEAD = re.compile(
     re.IGNORECASE,
 )
 _GLOBAL_AGG_WORDS = {"average": "avg", "total": "sum", "sum of": "sum",
-                     "minimum": "min", "maximum": "max"}
+                     "minimum": "min", "maximum": "max", "median": "median"}
 # round-5 relational extensions: declared-values pivot and rollup
 # subtotals (VERDICT r4 #4).
 # "pivot o_orderstatus by o_orderpriority counting rows for values F, O and P"

@@ -103,6 +103,10 @@ def expr_to_sql(expr: Any) -> str:
 
 _AGG_SQL = {
     "count": "count", "avg": "avg", "sum": "sum", "min": "min", "max": "max",
+    # exact interpolated median — Spark F.median == DuckDB median()
+    # (quantile_cont 0.5): value depends only on the two middle order
+    # statistics, so it is partition-order independent in both engines
+    "median": "median",
 }
 
 

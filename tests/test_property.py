@@ -146,7 +146,8 @@ def spark_module(spark, people):
 @given(
     expr=predicate,
     keys=st.sampled_from([[], ["city"]]),
-    fn=st.sampled_from(["count", "avg", "sum", "min", "max", "count_distinct"]),
+    fn=st.sampled_from(["count", "avg", "sum", "min", "max", "count_distinct",
+                        "median"]),
 )
 def test_random_aggregates_match_duckdb(spark_module, expr, keys, fn):
     """Grouped AND global (empty-key) aggregates over filtered input,

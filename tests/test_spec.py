@@ -721,3 +721,36 @@ def test_asof_spec_compiles_and_validates(spark):
         "right_cols": ["v"], "direction": "nearest",
     }]}, tables={"r": right})
     assert [(r["asof_ts"], r["asof_v"]) for r in out.collect()] == [(11, 7.0)]
+
+
+def test_parse_median_and_tolerance():
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    spec = parse_description(
+        "Group by l_returnflag and show median l_quantity.",
+        columns=["l_returnflag", "l_quantity"],
+    )
+    assert spec["ops"] == [{
+        "op": "groupby_agg", "keys": ["l_returnflag"],
+        "aggs": [{"fn": "median", "col": "l_quantity",
+                  "alias": "median_l_quantity"}],
+    }]
+    spec = parse_description("Show median l_quantity.",
+                             columns=["l_quantity"])
+    assert spec["ops"][0]["aggs"][0]["fn"] == "median"
+
+    spec = parse_description(
+        "Join nearest views on user_id by ts taking v within 300 seconds.",
+        columns=["user_id", "ts"],
+    )
+    assert spec["ops"] == [{
+        "op": "asof_join", "right": "views", "on": "user_id", "ts": "ts",
+        "right_cols": ["v"], "direction": "nearest",
+        "tolerance": 300, "tolerance_unit": "second",
+    }]
+    spec = parse_description(
+        "Join previous quotes on sym by t taking px within 10 units.",
+        columns=["sym", "t"],
+    )
+    assert spec["ops"][0]["tolerance"] == 10
+    assert spec["ops"][0]["tolerance_unit"] == "raw"
