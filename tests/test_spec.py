@@ -19,7 +19,7 @@ def test_validate_rejects_bad_specs():
         {"ops": [{"op": "filter"}, ]},  # missing expr -> None invalid? None is allowed literal
         {"ops": [{"op": "select", "cols": []}]},
         {"ops": [{"op": "limit", "n": -1}]},
-        {"ops": [{"op": "groupby_agg", "keys": ["c"], "aggs": [{"fn": "median", "col": "x", "alias": "m"}]}]},
+        {"ops": [{"op": "groupby_agg", "keys": ["c"], "aggs": [{"fn": "variance", "col": "x", "alias": "m"}]}]},
         {"ops": [{"op": "filter", "expr": {"gt": ["age"]}}]},
         "not a spec",
     ]:
