@@ -271,3 +271,40 @@ def ns_dedup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by doc_id — no global sort anywhere
     (operators/dedup.py duplicated_span_ranges)."""
     return dedup.duplicated_span_ranges(_t(spark, sf_dir, "documents"))
+
+
+from .operators import multimodal as _mm
+
+
+@register(
+    "ns_multimodal_audio_segments",
+    "WITH i AS (SELECT doc_id, unnest(range(1, len(text) + 1)) AS pos, text "
+    " FROM documents), "
+    "s AS (SELECT doc_id, CAST((pos - 1) // 256 AS INT) AS frame, "
+    " ord(substr(text, CAST(pos AS INT), 1)) AS code FROM i), "
+    "e AS (SELECT doc_id, frame, "
+    " CAST(floor(sqrt(sum(code * code) * 1.0 / count(*)) * 1000000) AS BIGINT) "
+    " AS rms_micro FROM s GROUP BY doc_id, frame), "
+    "v AS (SELECT * FROM e WHERE rms_micro >= 100000000), "
+    "m AS (SELECT doc_id, frame, rms_micro, CASE WHEN lag(frame) OVER w IS NULL "
+    " OR frame - lag(frame) OVER w > 1 THEN 1 ELSE 0 END AS brk "
+    " FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY frame)), "
+    "g AS (SELECT doc_id, frame, rms_micro, sum(brk) OVER ("
+    " PARTITION BY doc_id ORDER BY frame "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM m) "
+    "SELECT doc_id, CAST(min(frame) AS INT) AS seg_start, "
+    "CAST(max(frame) AS INT) AS seg_end, CAST(count(*) AS INT) AS n_frames, "
+    "max(rms_micro) AS peak_rms_micro FROM g GROUP BY doc_id, seg",
+)
+def ns_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-branch multimodal #3 — silence-aware segmentation
+    (VAD-lite): REAL numpy frame-RMS decode in Arrow-batched
+    mapInPandas, then a declarative threshold + per-document
+    gaps-and-islands merge of contiguous voiced frames into maximal
+    segments (the clip inventory a speech pipeline cuts samples
+    from). Payload bytes never reach an exchange — only (doc_id,
+    frame, rms_micro) rows do; integer micro-RMS keeps the oracle
+    exact (operators/multimodal.py audio_voiced_segments)."""
+    return _mm.audio_voiced_segments(
+        _mm.with_binary_payload(_t(spark, sf_dir, "documents"))
+    )

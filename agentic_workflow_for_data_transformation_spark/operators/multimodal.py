@@ -232,3 +232,43 @@ def audio_frame_energy(df: DataFrame, id_col: str = "doc_id",
     return spread_small_input(df.select(id_col, payload_col)).mapInPandas(
         run, AUDIO_ENERGY_SCHEMA
     )
+
+
+def audio_voiced_segments(df: DataFrame, id_col: str = "doc_id",
+                          payload_col: str = "payload",
+                          frame_size: int = 256,
+                          threshold_micro: int = 100_000_000) -> DataFrame:
+    """Silence-aware segmentation (VAD-lite): frames whose RMS clears
+    ``threshold_micro`` (integer micro-RMS, same scale as
+    ``audio_frame_energy``) are voiced; contiguous voiced frames merge
+    into maximal segments via per-document gaps-and-islands. Output:
+    one row per segment with [seg_start, seg_end] frame bounds, frame
+    count, and peak micro-RMS — the clip inventory a speech pipeline
+    cuts training samples from.
+
+    Scale shape: the Arrow-batched decode emits (doc_id, frame,
+    rms_micro) only — payload bytes never reach an exchange; the
+    threshold is a pushable filter and both merge windows share one
+    doc_id partitioning. Integer micro-RMS in, integer counting out:
+    no float semantics for an oracle to disagree on."""
+    from pyspark.sql import Window
+
+    energy = audio_frame_energy(df, id_col, payload_col, frame_size)
+    voiced = energy.filter(F.col("rms_micro") >= threshold_micro)
+    w = Window.partitionBy(id_col).orderBy("frame")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("frame").over(w)
+    marked = voiced.withColumn(
+        "_brk", F.when(prev.isNull() | (F.col("frame") - prev > 1), 1).otherwise(0)
+    )
+    return (
+        marked.withColumn("_seg", F.sum("_brk").over(wrun))
+        .groupBy(id_col, "_seg")
+        .agg(
+            F.min("frame").cast("int").alias("seg_start"),
+            F.max("frame").cast("int").alias("seg_end"),
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.max("rms_micro").alias("peak_rms_micro"),
+        )
+        .drop("_seg")
+    )

@@ -962,3 +962,31 @@ def test_duplicated_span_ranges_merges_islands(spark):
     for doc, vs in ranges.items():
         for s, e, n in vs:
             assert e - s + 1 >= 50 and n >= 1
+
+
+def test_audio_voiced_segments_merges_frames(spark):
+    """Planted waveform: loud-quiet-loud-loud-quiet-loud frame pattern
+    must produce exactly the maximal voiced segments [0,0], [2,3],
+    [5,5] with correct peaks; an all-quiet doc yields no rows."""
+    from agentic_workflow_for_data_transformation_spark.operators import multimodal
+
+    loud = bytes([200]) * 256   # rms 200.0 -> 200_000_000 micro
+    quiet = bytes([10]) * 256   # rms 10.0  -> 10_000_000 micro
+    louder = bytes([250]) * 256
+    rows = [
+        (1, loud + quiet + loud + louder + quiet + loud),
+        (2, quiet + quiet),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sorted(
+        (r["doc_id"], r["seg_start"], r["seg_end"], r["n_frames"],
+         r["peak_rms_micro"])
+        for r in multimodal.audio_voiced_segments(
+            df, threshold_micro=100_000_000
+        ).collect()
+    )
+    assert got == [
+        (1, 0, 0, 1, 200_000_000),
+        (1, 2, 3, 2, 250_000_000),
+        (1, 5, 5, 1, 200_000_000),
+    ]
