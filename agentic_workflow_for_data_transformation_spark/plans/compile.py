@@ -156,6 +156,17 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
         fn = e["fn"]
         if fn in _WINDOW_RANK_FNS:
             col = _WINDOW_RANK_FNS[fn]().over(w)
+        elif fn == "ntile":
+            col = F.ntile(e["n"]).over(w)
+        elif fn in ("percent_rank", "cume_dist"):
+            # exact rationals of row/rank counts — (rank-1)/(n-1) and
+            # peers/n divide integers in float64, bit-identical across
+            # engines under a total order
+            col = getattr(F, fn)().over(w)
+        elif fn == "first_value":
+            # Spark's default ordered frame (RANGE unbounded..current)
+            # is the SQL default, so first_value agrees cross-engine
+            col = F.first(e["col"]).over(w)
         elif fn in ("lag", "lead"):
             base = F.lag if fn == "lag" else F.lead
             col = base(e["col"], e.get("offset", 1)).over(w)

@@ -31,8 +31,9 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "union", "right": <spec-or-table>, "distinct": bool}
   {"op": "distinct", "cols": [...]?}        # exact dedup
   {"op": "window", "partition_by": [...], "order_by": [...],
-   "exprs": [{"fn": "row_number"|"rank"|"dense_rank"|"lag"|"lead"|"sum"|...,
-              "col": ...?, "alias": ...}]}
+   "exprs": [{"fn": "row_number"|"rank"|"dense_rank"|"lag"|"lead"|"sum"|
+              "ntile"|"percent_rank"|"cume_dist"|"first_value"|...,
+              "col": ...?, "alias": ..., "n": 4?}]}   # n: ntile buckets
   {"op": "sample", "fraction": 0.1, "key": "doc_id", "salt": "sample"?}
       # deterministic hash sample (operators/sampling.py): a pure
       # filter, reproducible across engines and partitionings
@@ -85,7 +86,9 @@ AGG_FNS = {"count", "avg", "sum", "min", "max", "count_distinct", "listagg",
 # pivot cells can't be count_distinct (no portable FILTER rendering
 # that matches Spark's pivot null semantics)
 PIVOT_AGG_FNS = {"count", "avg", "sum", "min", "max"}
-WINDOW_FNS = {"row_number", "rank", "dense_rank", "lag", "lead", "sum", "avg", "count", "min", "max"}
+WINDOW_FNS = {"row_number", "rank", "dense_rank", "lag", "lead", "sum", "avg",
+              "count", "min", "max", "ntile", "percent_rank", "cume_dist",
+              "first_value"}
 JOIN_TYPES = {"inner", "left", "right", "full", "left_semi", "left_anti", "cross"}
 
 _BINARY_OPS = {"gt", "ge", "lt", "le", "eq", "ne", "add", "sub", "mul", "div",
@@ -285,10 +288,14 @@ def validate_op(op: Any) -> None:
         for e in exprs:
             if not (isinstance(e, dict) and e.get("fn") in WINDOW_FNS and isinstance(e.get("alias"), str)):
                 _err(f"window expr needs fn in {sorted(WINDOW_FNS)} and alias: {e!r}")
+            if e.get("fn") == "ntile":
+                if not (isinstance(e.get("n"), int) and e["n"] >= 1):
+                    _err(f"ntile needs a positive int 'n': {e!r}")
             if "rows_preceding" in e:
                 # sliding ROWS frame (n PRECEDING .. CURRENT ROW):
                 # aggregate fns only — rank/lag semantics ignore frames
-                if e["fn"] in ("row_number", "rank", "dense_rank", "lag", "lead"):
+                if e["fn"] in ("row_number", "rank", "dense_rank", "lag", "lead",
+                               "ntile", "percent_rank", "cume_dist"):
                     _err(f"'rows_preceding' is only valid on aggregate window fns: {e!r}")
                 if not (isinstance(e["rows_preceding"], int) and e["rows_preceding"] >= 0):
                     _err(f"'rows_preceding' must be a non-negative int: {e!r}")

@@ -189,8 +189,13 @@ def spec_to_sql(spec: dict, table: str) -> str:
             for e in op["exprs"]:
                 fn = e["fn"]
                 over = over_head + ")"
-                if fn in ("row_number", "rank", "dense_rank"):
+                if fn in ("row_number", "rank", "dense_rank", "percent_rank",
+                          "cume_dist"):
                     call = f"{fn}()"
+                elif fn == "ntile":
+                    call = f"ntile({e['n']})"
+                elif fn == "first_value":
+                    call = f"first_value({_q(e['col'])})"
                 elif fn in ("lag", "lead"):
                     call = f"{fn}({_q(e['col'])}, {e.get('offset', 1)})"
                 else:

@@ -291,15 +291,21 @@ def test_random_unions_match_duckdb(spark_module, join_tables, expr, distinct):
 )
 @given(
     fn=st.sampled_from(["row_number", "rank", "dense_rank", "lag", "lead",
-                        "sum", "min", "max", "count", "avg"]),
+                        "sum", "min", "max", "count", "avg", "ntile",
+                        "percent_rank", "cume_dist", "first_value"]),
     parts=st.sampled_from([[], ["city"]]),
     age_desc=st.booleans(),
 )
 def test_random_windows_match_duckdb(spark_module, fn, parts, age_desc):
-    """Every spec window function (ranking, lag/lead, ordered
-    aggregates) against sqlgen's OVER rendering. The (age, name) order
-    is total (names unique), so ranking and lag/lead are
-    deterministic; integer sums make ordered aggregates exact."""
+    """Every spec window function (ranking incl. ntile/percent_rank/
+    cume_dist/first_value, lag/lead, ordered aggregates) against
+    sqlgen's OVER rendering. The (age, name) order is total (names
+    unique), so ranking and lag/lead are deterministic; integer sums
+    make ordered aggregates exact; percent_rank/cume_dist divide
+    integers in float64, bit-identical under a total order."""
+    e = {"fn": fn, "col": "age", "alias": "w"}
+    if fn == "ntile":
+        e["n"] = 3
     spec = {"ops": [{
         "op": "window",
         "partition_by": parts,
@@ -307,7 +313,7 @@ def test_random_windows_match_duckdb(spark_module, fn, parts, age_desc):
             {"col": "age", "asc": not age_desc},
             {"col": "name", "asc": True},
         ],
-        "exprs": [{"fn": fn, "col": "age", "alias": "w"}],
+        "exprs": [e],
     }]}
     got = _name_sorted_rows(compile_spec(spark_module, spec).toPandas())
     want = _duck2(spec_to_sql(spec, "people"))
