@@ -389,3 +389,36 @@ def test_corpus_build_e2e_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_span_ranges_no_global_sort(spark):
+    """The duplicated-range merge must stay per-document: every Sort
+    under the Window nodes is hash-partitioned on doc_id — no Exchange
+    SinglePartition anywhere (the whole point of the island merge
+    running over duplicated positions only)."""
+    plan = plan_of(spark, "ns_dedup_span_ranges")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_keeps_single_exchange(spark):
+    """The tolerance null-out is a scalar projection: the p46 plan
+    must have the SAME window/exchange shape as untolerated p45 —
+    both running fills over one hash partitioning, no extra shuffle
+    and no unboundedfollowing frame."""
+    p45 = plan_of(spark, "p45_nl_asof_nearest")
+    p46 = plan_of(spark, "p46_nl_asof_tolerance")
+    for plan in (p45, p46):
+        assert "unboundedfollowing" not in plan.lower()
+    assert p46.count("Window") == p45.count("Window")
+    assert p46.count("Exchange") == p45.count("Exchange")
+
+
+def test_audio_segments_payload_stops_at_decode(spark):
+    """Segmentation plan: Arrow-batched decode (MapInPandas), then the
+    merge windows partitioned by doc_id — payload bytes must not
+    appear above the decode (no binary column in the Window node's
+    schema) and no single-partition exchange exists."""
+    plan = plan_of(spark, "ns_multimodal_audio_segments")
+    assert "MapInPandas" in plan
+    assert "SinglePartition" not in plan
