@@ -190,6 +190,11 @@ def _agg_col(a: dict) -> Column:
     col = a["col"]
     if a.get("cast") and col != "*":
         col = F.col(col).cast(a["cast"])
+    if a["fn"] == "percentile":
+        # exact interpolated percentile (Spark percentile == DuckDB
+        # quantile_cont): index p*(n-1) over the sorted group, linear
+        # interpolation — partition-order independent like median
+        return F.percentile(col, F.lit(a["p"])).alias(a["alias"])
     return _AGG_BUILDERS[a["fn"]](col).alias(a["alias"])
 
 

@@ -368,10 +368,21 @@ _GLOBAL_AGG_WORDS = {"average": "avg", "total": "sum", "sum of": "sum",
 # round-5 relational extensions: declared-values pivot and rollup
 # subtotals (VERDICT r4 #4).
 # "pivot o_orderstatus by o_orderpriority counting rows for values F, O and P"
+# round-6: aggregate cells too — "pivot o_orderstatus by o_orderpriority
+# summing o_totalprice for values F, O" (summing|averaging|taking
+# minimum/maximum of <col>)
 _PIVOT = re.compile(
     r"^pivot\s+(\w+)\s+by\s+(\w+)\s+counting\s+rows\s+for\s+values\s+(.+?)\s*$",
     re.IGNORECASE,
 )
+_PIVOT_AGG = re.compile(
+    r"^pivot\s+(\w+)\s+by\s+(\w+)\s+"
+    r"(summing|averaging|taking\s+minimum\s+of|taking\s+maximum\s+of)\s+(\w+)"
+    r"\s+for\s+values\s+(.+?)\s*$",
+    re.IGNORECASE,
+)
+_PIVOT_AGG_WORDS = {"summing": "sum", "averaging": "avg",
+                    "taking minimum of": "min", "taking maximum of": "max"}
 # "group by o_orderpriority then o_orderstatus with subtotals and count rows"
 _ROLLUP = re.compile(
     r"^group\s+by\s+(\w+(?:\s+then\s+\w+)+)\s+with\s+subtotals"
@@ -464,6 +475,24 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "values": vals,
             "agg": {"fn": "count", "col": "*"},
             "aliases": [_slug_alias(v) for v in vals],
+        }
+    if m := _PIVOT_AGG.match(clause):
+        pcol = _resolve_col(m.group(1), columns)
+        key = _resolve_col(m.group(2), columns)
+        fn = _PIVOT_AGG_WORDS[re.sub(r"\s+", " ", m.group(3).lower())]
+        acol = _resolve_col(m.group(4), columns)
+        vals = [
+            v.strip().strip("'\"")
+            for v in _VALUE_LIST_SPLIT.split(m.group(5))
+            if v.strip()
+        ]
+        return {
+            "op": "pivot",
+            "keys": [key],
+            "col": pcol,
+            "values": vals,
+            "agg": {"fn": fn, "col": acol},
+            "aliases": [_slug_alias(v, prefix=f"{fn}_") for v in vals],
         }
     if m := _ROLLUP.match(clause):
         keys = re.split(r"\s+then\s+", m.group(1), flags=re.IGNORECASE)

@@ -82,7 +82,7 @@ from __future__ import annotations
 from typing import Any
 
 AGG_FNS = {"count", "avg", "sum", "min", "max", "count_distinct", "listagg",
-           "median"}
+           "median", "percentile"}
 # pivot cells can't be count_distinct (no portable FILTER rendering
 # that matches Spark's pivot null semantics)
 PIVOT_AGG_FNS = {"count", "avg", "sum", "min", "max"}
@@ -192,6 +192,11 @@ def _validate_aggs(op: dict) -> None:
             _err(f"agg needs explicit 'alias': {a!r}")
         if "cast" in a and not isinstance(a["cast"], str):
             _err(f"agg 'cast' must be a typename string: {a!r}")
+        if a.get("fn") == "percentile":
+            p = a.get("p")
+            if not (isinstance(p, int | float) and not isinstance(p, bool)
+                    and 0 <= p <= 1):
+                _err(f"percentile agg needs 'p' in [0, 1]: {a!r}")
 
 
 def validate_op(op: Any) -> None:

@@ -295,6 +295,13 @@ def spec_to_sql(spec: dict, table: str) -> str:
                         f"string_agg({_q(col)}, '|' ORDER BY {_q(col)}) AS {alias}"
                     )
                     continue
+                if fn == "percentile":
+                    # quantile_cont == Spark's exact interpolated
+                    # percentile (index p*(n-1), linear interpolation)
+                    aggs.append(
+                        f"quantile_cont({_q(col)}, {a['p']!r}) AS {alias}"
+                    )
+                    continue
                 arg = "*" if col == "*" else _q(col)
                 if a.get("cast") and col != "*":
                     arg = f"CAST({arg} AS {a['cast']})"
@@ -337,6 +344,11 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 if fn == "listagg":
                     aggs.append(
                         f"string_agg({_q(col)}, '|' ORDER BY {_q(col)}) AS {alias}"
+                    )
+                    continue
+                if fn == "percentile":
+                    aggs.append(
+                        f"quantile_cont({_q(col)}, {a['p']!r}) AS {alias}"
                     )
                     continue
                 arg = "*" if col == "*" else _q(col)
