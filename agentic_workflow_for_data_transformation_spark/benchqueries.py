@@ -1764,12 +1764,11 @@ def x_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier by quarterly revenue): the
     revenue CTE aggregates once, then a scalar-max subquery selects its
-    peak. Spark expresses the scalar subquery as an empty-partition
-    window max over the (tiny, post-aggregate) revenue frame — no
-    second scan of lineitem, no driver action, exact decimal revenue
-    so the max comparison is bit-stable."""
-    from pyspark.sql import Window as W
-
+    peak. The scalar subquery is a 1-row max aggregate crossJoined back
+    with a broadcast (same shape as Q17's scalar average) — no window
+    node, no single-partition exchange over a frame that grows with
+    the supplier count, no second scan of lineitem, no driver action;
+    exact decimal revenue so the max comparison is bit-stable."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1783,9 +1782,10 @@ def x_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue")
         )
     )
-    top = revenue.withColumn(
-        "_mx", F.max("total_revenue").over(W.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("_mx"))
+    mx = F.broadcast(revenue.agg(F.max("total_revenue").alias("_mx")))
+    top = revenue.crossJoin(mx).filter(
+        F.col("total_revenue") == F.col("_mx")
+    )
     sup = F.broadcast(_t(spark, sf_dir, "supplier"))
     return (
         top.join(sup, F.col("s_suppkey") == F.col("supplier_no"))

