@@ -108,6 +108,17 @@ def asof_join(
     # nearest following row), keeping _side ascending for the tie rule.
     u = l.unionByName(r)
     num, scale = _ts_scalar(left.schema[left_ts].dataType)
+    # The running fill carries ONE struct per direction, not one
+    # last() per column: per-column fills could stitch asof_ts and
+    # asof_<col> from DIFFERENT right rows when a payload column is
+    # NULL on the matched row but non-null on a farther one (null
+    # payload cells must stay null, exactly as a LATERAL one-row pick
+    # returns them). The struct is non-null iff the row is a right
+    # row, so last(ignorenulls=True) always picks every cell from the
+    # single nearest right row.
+    payload = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(c).alias(c) for c in asof_cols])
+    )
 
     def _bounded(out: DataFrame) -> DataFrame:
         # merge_asof-style tolerance: null out matches farther than the
@@ -140,26 +151,26 @@ def asof_join(
             on,
             "_ts",
             "_side",
-            *[F.last(c, ignorenulls=True).over(wb).alias(f"_b_{c}") for c in asof_cols],
-            *[F.last(c, ignorenulls=True).over(wf).alias(f"_f_{c}") for c in asof_cols],
+            F.last(payload, ignorenulls=True).over(wb).alias("_b"),
+            F.last(payload, ignorenulls=True).over(wf).alias("_f"),
             *pass_cols,
         )
         # distances must not truncate sub-second parts (cast('long') on a
         # timestamp floors to seconds and can flip the tie rule) and must
         # not NULL out DATE keys (cast('long') on a date is NULL) —
         # _ts_scalar maps each temporal type to an exact integer scalar.
-        d_back = num(F.col("_ts")) - num(F.col("_b_asof_ts"))
-        d_fwd = num(F.col("_f_asof_ts")) - num(F.col("_ts"))
-        use_back = F.col("_f_asof_ts").isNull() | (
-            F.col("_b_asof_ts").isNotNull() & (d_back <= d_fwd)
+        d_back = num(F.col("_ts")) - num(F.col("_b.asof_ts"))
+        d_fwd = num(F.col("_f.asof_ts")) - num(F.col("_ts"))
+        use_back = F.col("_f").isNull() | (
+            F.col("_b").isNotNull() & (d_back <= d_fwd)
         )
-        picked = [
-            F.when(use_back, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(c)
-            for c in asof_cols
-        ]
+        picked = F.when(use_back, F.col("_b")).otherwise(F.col("_f"))
         return _bounded(
             filled.filter(F.col("_side") == 1).select(
-                on, F.col("_ts").alias(left_ts), *pass_cols, *picked
+                on,
+                F.col("_ts").alias(left_ts),
+                *pass_cols,
+                *[picked[c].alias(c) for c in asof_cols],
             )
         )
     ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
@@ -172,12 +183,15 @@ def asof_join(
         on,
         "_ts",
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in asof_cols],
+        F.last(payload, ignorenulls=True).over(w).alias("_fill"),
         *pass_cols,
     )
     return _bounded(
         filled.filter(F.col("_side") == 1).select(
-            on, F.col("_ts").alias(left_ts), *pass_cols, *asof_cols
+            on,
+            F.col("_ts").alias(left_ts),
+            *pass_cols,
+            *[F.col("_fill")[c].alias(c) for c in asof_cols],
         )
     )
 

@@ -165,8 +165,13 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
             col = getattr(F, fn)().over(w)
         elif fn == "first_value":
             # Spark's default ordered frame (RANGE unbounded..current)
-            # is the SQL default, so first_value agrees cross-engine
-            col = F.first(e["col"]).over(w)
+            # is the SQL default, so first_value agrees cross-engine;
+            # an explicit rows_preceding sliding frame is honored the
+            # same way as on aggregates (first of the last n+1 rows)
+            win = w
+            if "rows_preceding" in e:
+                win = w.rowsBetween(-e["rows_preceding"], Window.currentRow)
+            col = F.first(e["col"]).over(win)
         elif fn in ("lag", "lead"):
             base = F.lag if fn == "lag" else F.lead
             col = base(e["col"], e.get("offset", 1)).over(w)
@@ -316,10 +321,33 @@ def compile_spec(
                 ts_col=op.get("ts_col", "ts"), id_col=op.get("id_col", "event_id"),
             ).drop("_brk")
         elif kind == "asof_join":
+            from pyspark.sql import types as T
+
             from ..operators.joins import asof_join
 
             rdf = _resolve_right(op["right"], tables)
             ts = op.get("ts", "ts")
+            if op.get("tolerance") is not None:
+                # the engine applies tolerance in the ts column's
+                # NATURAL unit (seconds for timestamps, days for
+                # dates, the column's own units for numerics) while
+                # sqlgen renders the declared unit — a silent
+                # disagreement (e.g. 'within 300 seconds' on a DATE
+                # column = 300 days engine-side) must be an error,
+                # not a divergence the oracle gate can't see
+                dt = df.schema[ts].dataType
+                natural = (
+                    "second"
+                    if isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+                    else "day" if isinstance(dt, T.DateType) else "raw"
+                )
+                unit = op.get("tolerance_unit", natural)
+                if unit != natural:
+                    raise SpecError(
+                        f"asof_join tolerance_unit {unit!r} does not match "
+                        f"ts column {ts!r} of type {dt.simpleString()} "
+                        f"(natural unit {natural!r})"
+                    )
             df = asof_join(
                 df, rdf, on=op["on"], left_ts=ts,
                 right_ts=op.get("right_ts", ts),

@@ -332,10 +332,17 @@ def validate_op(op: Any) -> None:
             tol = op["tolerance"]
             if not (isinstance(tol, int | float) and not isinstance(tol, bool) and tol >= 0):
                 _err(f"asof_join 'tolerance' must be a non-negative number: {op!r}")
-            # unit drives the SQL rendering only; it must match the ts
-            # column's type (second<->timestamp, day<->date, raw<->numeric)
-            if op.get("tolerance_unit", "raw") not in ("second", "day", "raw"):
-                _err(f"asof_join 'tolerance_unit' must be second|day|raw: {op!r}")
+            # unit is REQUIRED alongside tolerance: the engine applies
+            # the bound in the ts column's natural unit while sqlgen
+            # renders the declared one, so an implicit default could
+            # let the two silently disagree. compile_spec raises if
+            # the declared unit doesn't match the ts column's type
+            # (second<->timestamp, day<->date, raw<->numeric).
+            if op.get("tolerance_unit") not in ("second", "day", "raw"):
+                _err(
+                    "asof_join with 'tolerance' needs 'tolerance_unit' "
+                    f"in second|day|raw: {op!r}"
+                )
     elif kind == "mode":
         keys = op.get("keys")
         if not (isinstance(keys, list) and keys and all(isinstance(k, str) for k in keys)):

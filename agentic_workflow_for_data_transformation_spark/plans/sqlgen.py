@@ -194,11 +194,12 @@ def spec_to_sql(spec: dict, table: str) -> str:
                     call = f"{fn}()"
                 elif fn == "ntile":
                     call = f"ntile({e['n']})"
-                elif fn == "first_value":
-                    call = f"first_value({_q(e['col'])})"
                 elif fn in ("lag", "lead"):
                     call = f"{fn}({_q(e['col'])}, {e.get('offset', 1)})"
                 else:
+                    # first_value and frame-capable aggregates: both
+                    # honor an explicit rows_preceding sliding frame
+                    # (the engine compiles the identical rowsBetween)
                     call = f"{fn}({_q(e['col'])})"
                     if "rows_preceding" in e:
                         over = (

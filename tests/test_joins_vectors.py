@@ -5,6 +5,7 @@ DuckDB oracle (tools/check_oracle.py) covers them at data scale."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from agentic_workflow_for_data_transformation_spark.operators import joins, similarity
@@ -383,3 +384,28 @@ def test_asof_join_tolerance_nulls_far_matches(spark):
         tolerance=599,
     ).collect()[0]
     assert got2["asof_v"] is None
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_null_payload_stays_null(spark, direction):
+    """A NULL payload cell on the matched right row must come through
+    as NULL — per-column running fills would stitch it from a farther
+    right row whose payload is non-null (different row than the one
+    asof_ts came from); the struct-packed fill makes every asof_*
+    cell come from the single matched row, as a LATERAL one-row pick
+    would."""
+    left = _ts(spark, [(1, 100, "a")], "k long, ts long, tag string")
+    # the matched row (ts=90 backward / 110 forward / 90 nearest-tie)
+    # carries a NULL v; farther rows carry non-null v in BOTH
+    # directions so a cross-row stitch would surface 7.0 or 9.0
+    right = _ts(
+        spark,
+        [(1, 10, 7.0), (1, 90, None), (1, 110, None), (1, 200, 9.0)],
+        "k long, ts long, v double",
+    )
+    row = joins.asof_join(
+        left, right, on="k", right_cols=["v"], direction=direction
+    ).collect()[0]
+    expected_ts = 110 if direction == "forward" else 90
+    assert row["asof_ts"] == expected_ts
+    assert row["asof_v"] is None

@@ -569,9 +569,13 @@ def test_random_asof_match_duckdb(spark, lts, rts, direction, tolerance):
     ties-to-backward rule, and random merge_asof tolerances (including
     0 = exact-ts only) — vs the LATERAL sqlgen oracle. Right (k, ts)
     unique by construction (ties among identical right timestamps are
-    engine-arbitrary by documented contract)."""
+    engine-arbitrary by documented contract). Every third right row
+    carries a NULL payload: a matched-row NULL must come through as
+    NULL, not get stitched from a farther non-null row (the struct-
+    packed running fill's contract; operators/joins.py)."""
     left_rows = [(1, t, i) for i, t in enumerate(lts)] + [(2, 7, 99)]
-    right_rows = [(1, t, t * 2.0) for t in rts]  # key 2 never matches
+    # key 2 never matches; t % 3 == 0 rows carry a NULL payload
+    right_rows = [(1, t, None if t % 3 == 0 else t * 2.0) for t in rts]
     left = spark.createDataFrame(left_rows, "k long, ts long, lid long")
     right = spark.createDataFrame(right_rows, "k long, ts long, v double") \
         if right_rows else spark.createDataFrame([], "k long, ts long, v double")
@@ -581,6 +585,7 @@ def test_random_asof_match_duckdb(spark, lts, rts, direction, tolerance):
     }
     if tolerance is not None:
         spec_op["tolerance"] = tolerance  # raw units on the numeric key
+        spec_op["tolerance_unit"] = "raw"  # required alongside tolerance
     spec = {"ops": [spec_op]}
     got = _name_sorted_rows(
         compile_spec(left, spec, tables={"rtab": right}).toPandas()

@@ -754,3 +754,57 @@ def test_parse_median_and_tolerance():
     )
     assert spec["ops"][0]["tolerance"] == 10
     assert spec["ops"][0]["tolerance_unit"] == "raw"
+
+
+def test_asof_tolerance_requires_unit():
+    with pytest.raises(SpecError, match="tolerance_unit"):
+        validate_spec({"ops": [{
+            "op": "asof_join", "right": "r", "on": "k", "ts": "ts",
+            "tolerance": 300,
+        }]})
+
+
+def test_asof_tolerance_unit_must_match_ts_type(spark):
+    """'within 300 seconds' on a non-timestamp ts column must raise at
+    compile time: the engine applies the bound in the column's natural
+    unit while sqlgen renders the declared one — a silent mismatch
+    would make the two agree on nothing (e.g. 300 days engine-side vs
+    an INTERVAL comparison oracle-side) without the oracle gate ever
+    seeing it."""
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 8, 1.0)], "k long, ts long, v double")
+    spec = {"ops": [{
+        "op": "asof_join", "right": "r", "on": "k", "ts": "ts",
+        "right_cols": ["v"], "tolerance": 300, "tolerance_unit": "second",
+    }]}
+    with pytest.raises(SpecError, match="natural unit"):
+        compile_spec(left, spec, tables={"r": right})
+    # the matching unit compiles and bounds in raw units
+    spec["ops"][0]["tolerance_unit"] = "raw"
+    row = compile_spec(left, spec, tables={"r": right}).collect()[0]
+    assert row["asof_v"] == 1.0
+
+
+def test_first_value_honors_sliding_frame(spark):
+    """first_value with rows_preceding = first of the last n+1 rows —
+    the frame must not be silently dropped to the cumulative default
+    (which would return the partition's first row everywhere), and the
+    sqlgen rendering must carry the identical ROWS frame."""
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    df = spark.createDataFrame(
+        [("a", i, i * 10) for i in range(1, 6)], "k string, o long, v long"
+    )
+    spec = {"ops": [{
+        "op": "window", "partition_by": ["k"],
+        "order_by": [{"col": "o", "asc": True}],
+        "exprs": [{"fn": "first_value", "col": "v", "alias": "fv",
+                   "rows_preceding": 2}],
+    }]}
+    got = {r["o"]: r["fv"] for r in compile_spec(df, spec).collect()}
+    # window of the last 3 rows: o=1 -> 10, o=2 -> 10, o=3 -> 10,
+    # o=4 -> first of {20,30,40} = 20, o=5 -> 30
+    assert got == {1: 10, 2: 10, 3: 10, 4: 20, 5: 30}
+    sql = spec_to_sql(spec, "t")
+    assert "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW" in sql
+    assert "first_value" in sql
