@@ -2869,6 +2869,100 @@ def p47_nl_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "lineitem", _P47_DESC)
 
 
+# round-7 NL reach for the window vocabulary (VERDICT r6 #3): ntile,
+# percent_rank, cume_dist, first_value had spec/compile/sqlgen support
+# but no NL phrasing produced them.
+
+_P48_DESC = (
+    "Divide into 10 buckets by event_id per user_id and "
+    "select event_id, user_id and bucket_event_id."
+)
+
+
+def _p48_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P48_DESC, columns=_EVENTS_COLUMNS), "events"
+    )
+
+
+@register("p48_nl_ntile", _p48_oracle())
+def p48_nl_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL ntile: 'divide into 10 buckets by event_id per user_id' —
+    per-user decile assignment over a TIE-FREE ordering column
+    (event_id is unique, so the bucket boundaries are deterministic;
+    ntile among order ties is engine-arbitrary and the grammar's
+    docstring says to order by a key). One partitioned window, one
+    shuffle on user_id."""
+    return _nl(spark, sf_dir, "events", _P48_DESC)
+
+
+_P49_DESC = "Add percentile rank of value per user_id."
+
+
+def _p49_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P49_DESC, columns=_EVENTS_COLUMNS), "events"
+    )
+
+
+@register("p49_nl_percent_rank", _p49_oracle())
+def p49_nl_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL percent_rank: '(rank-1)/(n-1)' within each user's values.
+    Deterministic under order ties (tied rows share a rank), and the
+    division is an exact integer-over-integer float64 op — identical
+    bits across engines, no rounding trick needed."""
+    return _nl(spark, sf_dir, "events", _P49_DESC)
+
+
+_P50_DESC = "Add cumulative distribution of value per user_id."
+
+
+def _p50_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P50_DESC, columns=_EVENTS_COLUMNS), "events"
+    )
+
+
+@register("p50_nl_cume_dist", _p50_oracle())
+def p50_nl_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL cume_dist: fraction of the user's rows with value <= mine —
+    peers included, so order ties are deterministic by construction.
+    Integer-count division in float64, bit-identical cross-engine."""
+    return _nl(spark, sf_dir, "events", _P50_DESC)
+
+
+_P51_DESC = (
+    "Add first value per user_id ordered by event_id over last 3 rows and "
+    "select event_id, user_id, value and first_value."
+)
+
+
+def _p51_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P51_DESC, columns=_EVENTS_COLUMNS), "events"
+    )
+
+
+@register("p51_nl_first_value", _p51_oracle())
+def p51_nl_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL sliding first_value: 'first value ... over last 3 rows' =
+    the value from two events back (or the earliest available) in each
+    user's event_id order — the same ROWS frame the engine compiles as
+    rowsBetween(-2, 0) and the oracle renders as ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW (the round-7 frame fix: previously a
+    first_value frame was silently dropped on both sides). event_id is
+    unique, so the pick is deterministic."""
+    return _nl(spark, sf_dir, "events", _P51_DESC)
+
+
 @register(
     "x_pivot_status_by_priority",
     "SELECT o_orderpriority, "
@@ -3116,51 +3210,51 @@ def x_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-mix applied sampling.
 # --------------------------------------------------------------------------
 _WINDOW: list[str] = [
-    # Round-6 rotation (VERDICT r5 #2): ALL 50 slots go to queries that
-    # have NEVER had a CORRECTNESS_r* row — the 46 carried from round 5
-    # (nsqueries3 late adds, ns_stats_* family, corpus/text round-5
-    # registrations, remaining p2x/p4x NL, funnel e2e, stream
-    # attribution, zorder, edit-distance pairs) plus the 4 new round-6
-    # registrations (p43 listagg / p44 mode / p45 as-of nearest NL,
-    # ns_dedup_span_ranges). That closes the cumulative driver-gate
-    # ledger at 195/195. No sentinels this round: every previously
-    # gated query (p01 included) stays covered by the freshness-gated
-    # local report (tools/check_oracle.py), whose staleness is a pytest
-    # failure; the round-6 plan changes (pivot positional cells, as-of
-    # micros distances, NaN row-number buckets) are exercised
-    # first-hand by p45/p42/x_join_asof_nearest in this very window.
-    # x_approx_percentiles / x_approx_count_distinct are the two
-    # registry queries with NO oracle (sketches; pytest-bounded) — the
-    # percentile one takes its weaker rows-only driver row here by
-    # design rather than never appearing.
-    # -- round-5 late registrations (nsqueries3 + second-session batch) --
-    "ns_dedup_substring_spans", "ns_embed_gram", "x_listagg",
-    "x_mode_per_group", "x_markov_transitions", "x_join_asof_nearest",
-    "x_window_count_distinct", "ns_corpus_incremental_stats",
-    "ns_sample_weighted", "ns_text_boilerplate_ratio",
-    "ns_text_token_pmi",
-    # -- round-6 registrations --
-    "p43_nl_listagg", "p44_nl_mode", "p45_nl_asof_nearest",
-    "ns_dedup_span_ranges",
-    # -- stats family --
-    "ns_stats_chi_square", "ns_stats_key_skew", "ns_stats_robust_outliers",
-    "ns_profile_table", "ns_groupwise_scale",
-    # -- corpus/text/dedup/embedding round-5 carries --
-    "ns_text_redact", "ns_text_repetition", "ns_text_surprisal",
-    "ns_text_bigram_lm", "ns_embed_quantize", "ns_chunk_documents",
-    "ns_dedup_minhash_estimate", "ns_dedup_exact_norm",
-    "ns_dedup_incremental", "ns_corpus_mix_weights",
-    "ns_corpus_length_hist", "ns_corpus_length_buckets",
-    "ns_corpus_interleave", "ns_corpus_contamination_score",
-    # -- events / joins / layout extensions --
-    "x_events_funnel_e2e", "x_stream_join_attribution",
-    "x_approx_percentiles", "x_entity_editdist_pairs", "x_zorder_key",
-    # -- NL grammar backlog --
-    "p23_nl_sort_multikey", "p24_nl_global_avg", "p25_nl_count_distinct",
-    "p26_nl_join_group", "p27_nl_date_filter", "p28_nl_count_per_day",
-    "p29_nl_top_per_group", "p31_nl_group_two_keys",
-    "p40_nl_moving_window", "p41_nl_multi_agg",
-    "p42_nl_global_row_number",
+    # Round-7 rotation (VERDICT r6 #2). Composition:
+    #   (a) the 7 never-gated queries — the 3 late round-6 adds the r6
+    #       window froze out (p46 asof tolerance, p47 median, audio
+    #       segments) plus the 4 new round-7 NL window-vocabulary
+    #       queries (p48 ntile, p49 percent_rank, p50 cume_dist, p51
+    #       sliding first_value). Gating these closes the cumulative
+    #       driver ledger at N/N for every query registered BEFORE
+    #       this round; any query registered later in round 7 is
+    #       swapped into this list at registration time (the r6 lesson:
+    #       keep registrations ahead of the window freeze).
+    #   (b) 8 queries whose PLANS changed this round and need fresh
+    #       driver rows: x_tpch_q15 (broadcast scalar-max instead of
+    #       the empty-partition window), ns_corpus_mix_weights /
+    #       ns_corpus_mix_apply / ns_corpus_interleave (pmod window
+    #       keys replacing folded-away lit(1)), p42 (two-phase offsets
+    #       pmod key), x_join_asof / x_join_asof_forward /
+    #       p45_nl_asof_nearest (struct-packed running fill).
+    #   (c) 35 freshness picks: every query last gated in ROUND 1
+    #       (31), both round-2 stragglers (ns_sim_topk_ivf/multi), and
+    #       the 2 oldest round-3 rows (multimodal frames/meta).
+    # Everything else stays covered by the freshness-gated local
+    # report (tools/check_oracle.py), whose staleness fails pytest.
+    # x_approx_count_distinct is sketch-only (no oracle) and records
+    # its rows-only row here by design.
+    # -- (a) never-gated --
+    "p46_nl_asof_tolerance", "p47_nl_median", "ns_multimodal_audio_segments",
+    "p48_nl_ntile", "p49_nl_percent_rank", "p50_nl_cume_dist",
+    "p51_nl_first_value",
+    # -- (b) plans changed in round 7 --
+    "x_tpch_q15", "ns_corpus_mix_weights", "ns_corpus_mix_apply",
+    "ns_corpus_interleave", "p42_nl_global_row_number", "x_join_asof",
+    "x_join_asof_forward", "p45_nl_asof_nearest",
+    # -- (c) freshness: last gated round 1 --
+    "p03_filter_le", "p11_and", "p12_or", "p13_between_startswith",
+    "p17_sort_filter_limit", "x_approx_count_distinct", "x_count_distinct",
+    "x_distinct_pairs", "x_except", "x_intersect", "x_join_anti",
+    "x_join_range", "x_join_semi", "x_join_star_broadcast",
+    "x_json_extract_agg", "x_percentiles", "x_pivot", "x_regex_extract",
+    "x_rollup", "x_sessionize_batch", "x_skew_salted_agg",
+    "x_spec_join_window", "x_time_spine_fill", "x_tpch_q17", "x_tpch_q18",
+    "x_tpch_q3", "x_tpch_q5", "x_tpch_q6", "x_union_distinct",
+    "x_window_lag_running", "x_window_topk_per_group",
+    # -- (c) freshness: last gated rounds 2-3 --
+    "ns_sim_topk_ivf", "ns_sim_topk_multi",
+    "ns_multimodal_frames", "ns_multimodal_meta",
 ]
 
 

@@ -413,6 +413,32 @@ _ASOF = re.compile(
 _ASOF_DIRECTIONS = {"nearest": "nearest", "previous": "backward",
                     "next": "forward"}
 _ASOF_UNITS = {"second": "second", "day": "day", "unit": "raw"}
+# round-7: NL reach for the remaining window-vocabulary spec ops
+# (VERDICT r6 #3 — ntile/percent_rank/cume_dist/first_value existed in
+# the spec IR and compiler but no phrasing produced them).
+# "divide into 10 buckets by event_id per user_id" -> ntile. Pick a
+# tie-free ordering column: ntile's assignment among order ties is
+# engine-arbitrary.
+_NTILE = re.compile(
+    r"^divide\s+into\s+(\d+)\s+buckets\s+by\s+(\w+)\s+per\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+# "add percentile rank of value per user_id" / "add cumulative
+# distribution of value per user_id" — both are deterministic under
+# order ties (rank- and count-based), unlike row_number
+_PCT_RANK = re.compile(
+    r"^add\s+(percentile\s+rank|cumulative\s+distribution)\s+of\s+(\w+)"
+    r"\s+per\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+# "add first value per user_id ordered by event_id [over last 3 rows]"
+# -> first_value; the optional rows suffix makes it a sliding frame
+# (first of the last n rows) exactly like moving aggregates
+_FIRST_VALUE = re.compile(
+    r"^add\s+first\s+(\w+)\s+per\s+(\w+)\s+ordered\s+by\s+(\w+)"
+    r"(?:\s+over\s+last\s+(\d+)\s+rows)?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _slug_alias(value: str, prefix: str = "n_") -> str:
@@ -702,6 +728,41 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "partition_by": [m.group(3)],
             "order_by": [{"col": m.group(4), "asc": True}],
             "exprs": [{"fn": fn, "col": col, "alias": f"{m.group(1).lower()}_{col}"}],
+        }
+    if m := _NTILE.match(clause):
+        n = int(m.group(1))
+        if n < 1:
+            raise ParseError(f"ntile needs at least 1 bucket: {clause!r}")
+        col = _resolve_col(m.group(2), columns)
+        return {
+            "op": "window",
+            "partition_by": [m.group(3)],
+            "order_by": [{"col": col, "asc": True}],
+            "exprs": [{"fn": "ntile", "n": n, "alias": f"bucket_{col}"}],
+        }
+    if m := _PCT_RANK.match(clause):
+        fn = ("percent_rank" if m.group(1).lower().startswith("percentile")
+              else "cume_dist")
+        col = _resolve_col(m.group(2), columns)
+        return {
+            "op": "window",
+            "partition_by": [m.group(3)],
+            "order_by": [{"col": col, "asc": True}],
+            "exprs": [{"fn": fn, "alias": f"{fn}_{col}"}],
+        }
+    if m := _FIRST_VALUE.match(clause):
+        col = _resolve_col(m.group(1), columns)
+        expr = {"fn": "first_value", "col": col, "alias": f"first_{col}"}
+        if m.group(4):
+            n = int(m.group(4))
+            if n < 1:
+                raise ParseError(f"first over last needs >= 1 row: {clause!r}")
+            expr["rows_preceding"] = n - 1
+        return {
+            "op": "window",
+            "partition_by": [m.group(2)],
+            "order_by": [{"col": m.group(3), "asc": True}],
+            "exprs": [expr],
         }
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}

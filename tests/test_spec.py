@@ -808,3 +808,34 @@ def test_first_value_honors_sliding_frame(spark):
     sql = spec_to_sql(spec, "t")
     assert "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW" in sql
     assert "first_value" in sql
+
+
+def test_parse_window_vocabulary():
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    from agentic_workflow_for_data_transformation_spark.plans.parser import parse_description
+
+    spec = parse_description(
+        "Divide into 4 buckets by event_id per user_id.", columns=cols
+    )
+    assert spec["ops"][0]["exprs"] == [
+        {"fn": "ntile", "n": 4, "alias": "bucket_event_id"}
+    ]
+    spec = parse_description(
+        "Add percentile rank of value per user_id.", columns=cols
+    )
+    assert spec["ops"][0]["exprs"][0]["fn"] == "percent_rank"
+    spec = parse_description(
+        "Add cumulative distribution of value per user_id.", columns=cols
+    )
+    assert spec["ops"][0]["exprs"][0]["fn"] == "cume_dist"
+    spec = parse_description(
+        "Add first value per user_id ordered by event_id.", columns=cols
+    )
+    assert spec["ops"][0]["exprs"] == [
+        {"fn": "first_value", "col": "value", "alias": "first_value"}
+    ]
+    spec = parse_description(
+        "Add first value per user_id ordered by event_id over last 3 rows.",
+        columns=cols,
+    )
+    assert spec["ops"][0]["exprs"][0]["rows_preceding"] == 2
