@@ -2951,6 +2951,56 @@ def _p51_oracle() -> str:
     )
 
 
+_P53_DESC = "Group by l_returnflag and show 90th percentile of l_extendedprice."
+
+
+def _p53_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P53_DESC, columns=_LINEITEM_COLUMNS), "lineitem"
+    )
+
+
+@register("p53_nl_percentile", _p53_oracle())
+def p53_nl_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL exact percentile: 'show 90th percentile of X' — Spark
+    F.percentile == DuckDB quantile_cont (index p*(n-1), linear
+    interpolation between two order statistics, partition-order
+    independent), so the hash-compare needs no rounding. Same sort-
+    based-aggregate scale note as median (p47); the KLL sketch
+    (x_approx_percentiles) is the loose-tolerance 100 TB path."""
+    return _nl(spark, sf_dir, "lineitem", _P53_DESC)
+
+
+_P52_DESC = (
+    "Add moving median of value over last 5 rows per user_id "
+    "ordered by event_id and select event_id, user_id, value "
+    "and moving_median_value."
+)
+
+
+def _p52_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P52_DESC, columns=_EVENTS_COLUMNS), "events"
+    )
+
+
+@register("p52_nl_moving_median", _p52_oracle())
+def p52_nl_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL rolling median: the robust smoother time-series monitoring
+    uses where a moving average is outlier-dragged. Exact interpolated
+    median over a 5-row sliding frame per user (Spark F.median over
+    rowsBetween == DuckDB median() OVER ROWS BETWEEN — same two middle
+    order statistics, partition-order independent). The frame is
+    bounded (5 rows), so per-group state is O(frame), not O(group) —
+    the 100 TB discipline for order-statistic windows; event_id order
+    is total, so the frame contents are deterministic."""
+    return _nl(spark, sf_dir, "events", _P52_DESC)
+
+
 @register("p51_nl_first_value", _p51_oracle())
 def p51_nl_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sliding first_value: 'first value ... over last 3 rows' =
@@ -3245,16 +3295,20 @@ _WINDOW: list[str] = [
     # -- (c) freshness: last gated round 1 --
     "p03_filter_le", "p11_and", "p12_or", "p13_between_startswith",
     "p17_sort_filter_limit", "x_approx_count_distinct", "x_count_distinct",
-    "x_distinct_pairs", "x_except", "x_intersect", "x_join_anti",
+    "x_distinct_pairs", "x_except", "x_join_anti",
     "x_join_range", "x_join_semi", "x_join_star_broadcast",
     "x_json_extract_agg", "x_percentiles", "x_pivot", "x_regex_extract",
     "x_rollup", "x_sessionize_batch", "x_skew_salted_agg",
     "x_spec_join_window", "x_time_spine_fill", "x_tpch_q17", "x_tpch_q18",
-    "x_tpch_q3", "x_tpch_q5", "x_tpch_q6", "x_union_distinct",
+    "x_tpch_q3", "x_tpch_q5", "x_tpch_q6",
     "x_window_lag_running", "x_window_topk_per_group",
-    # -- (c) freshness: last gated rounds 2-3 --
+    # -- (a') registered later in round 7, swapped in at registration
+    # time (displacing the duplicate-shape ns_multimodal_meta and
+    # ns_multimodal_frames freshness picks) --
+    "ns_dedup_incremental_bucketed", "p52_nl_moving_median",
+    "ns_decontaminate_bloom", "p53_nl_percentile",
+    # -- (c) freshness: last gated round 2 --
     "ns_sim_topk_ivf", "ns_sim_topk_multi",
-    "ns_multimodal_frames", "ns_multimodal_meta",
 ]
 
 

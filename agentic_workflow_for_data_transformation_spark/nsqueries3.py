@@ -308,3 +308,68 @@ def ns_multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.audio_voiced_segments(
         _mm.with_binary_payload(_t(spark, sf_dir, "documents"))
     )
+
+
+_INC_DEDUP_SQL = (
+    # identical semantics (and oracle) to ns_dedup_incremental: the
+    # bucketed layout changes the PLAN, never the rows
+    "WITH nh AS (SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS h FROM documents "
+    "WHERE doc_id % 2 = 1), "
+    "seen AS (SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS h FROM documents "
+    "WHERE doc_id % 2 = 0), "
+    "keep AS (SELECT h, min(doc_id) AS doc_id FROM nh GROUP BY h) "
+    "SELECT nh.doc_id, text, lang, source, n_chars FROM nh "
+    "JOIN keep USING (h, doc_id) WHERE h NOT IN (SELECT h FROM seen)"
+)
+
+
+@register("ns_dedup_incremental_bucketed", _INC_DEDUP_SQL)
+def ns_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recurring-pipeline form of incremental ingest dedup (VERDICT r6
+    #8): the historical corpus's digest set is MATERIALIZED once as a
+    bucketed, bucket-sorted table (bucketBy(32, _h).sortBy(_h)), and
+    each day's anti join reads it back already hash-partitioned — the
+    archive side of the join plans NO Exchange, ever again, while the
+    per-session path re-hashes and re-shuffles the archive under every
+    batch. Rows are identical to ns_dedup_incremental (same oracle);
+    only the plan changes. The archive-side exchange elimination is
+    pinned by tests/test_layout.py and measured in PLANS.md."""
+    import os
+    import re as _re
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = _re.sub(r"[^a-zA-Z0-9_]", "_", sf_dir.strip("/").split("/")[-1])
+    table = f"digest_archive_{tag}"
+    path = os.path.join(os.getcwd(), "spark-warehouse", table)
+    dedup.write_digest_archive(
+        docs.filter(F.col("doc_id") % 2 == 0), table, path
+    )
+    return dedup.incremental_new_docs(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        existing_digests=spark.table(table),
+    )
+
+
+@register("ns_decontaminate_bloom", None)  # probabilistic: bounded by pytest
+def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screen decontamination: benchmark shingles fold into one
+    natively-built Bloom bitset (xxhash64 double hashing, bit_or word
+    merge) shipped as a binary literal; the corpus probes it with pure
+    JVM byte-extraction expressions — a per-row filter, NO join
+    against the gram set, the shape that decontaminates 100 TB
+    without ever shuffling it. One-sided error (never misses a
+    contaminated doc; ~2% clean docs over-flagged at the default
+    sizing) — the screen-then-verify front half, with exact
+    contaminated_ids as the verify pass over the flagged sliver.
+    Rows-only driver check by design (no SQL oracle can reproduce the
+    FP bits); the no-false-negative guarantee and FP bound are pinned
+    in tests/test_corpus.py."""
+    from .operators import corpus as _corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return _corpus.contaminated_ids_bloom(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )

@@ -359,6 +359,101 @@ def merge_agg_states(*states: DataFrame) -> DataFrame:
     )
 
 
+def _bloom_positions(m: int, k: int) -> list:
+    """The k Bloom bit positions of column ``hs`` via Kirsch-
+    Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m with
+    h1 = xxhash64(hs) and h2 = xxhash64(hs, 1) | 1 (odd, so the probe
+    sequence never degenerates). Both build and probe call THIS
+    function, which is the whole no-false-negative argument: identical
+    JVM expressions set and test identical bits."""
+    # reduce both hashes mod m up front: keeps i*h2 far from the
+    # BIGINT edge under ANSI overflow checks, and h2 in [1, m-1] so
+    # the probe sequence never degenerates to a single bit
+    h1 = F.pmod(F.xxhash64(F.col("hs")), F.lit(m))
+    h2 = F.pmod(F.expr("xxhash64(hs, 1)"), F.lit(m - 1)) + F.lit(1)
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+
+
+def contaminated_ids_bloom(corpus: DataFrame, benchmark: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n: int = 3, num_bits: int = 8_388_608,
+                           num_hashes: int = 6) -> DataFrame:
+    """Bloom-filter benchmark decontamination: the 100 TB SCREEN form
+    of :func:`contaminated_ids`. The benchmark's distinct shingle
+    hashes fold into ONE Bloom bitset, built natively (Spark's
+    ``bloom_filter_agg`` is Catalyst-internal, not in the public
+    function registry): each hash sets k=``num_hashes`` bits by double
+    hashing, the bits OR-merge per 64-bit word (``bit_or`` — a
+    commutative monoid, so the bitset is partition-order independent
+    and deterministic), and the ≤ num_bits/64 non-zero words — bounded
+    by the FILTER size, never the data — come back to the driver and
+    pack into one ``bytes`` literal. The corpus side then probes that
+    binary literal with pure JVM expressions (substr/hex/conv byte
+    extraction + a bit mask): no join against the gram set, no
+    shuffle of the corpus at all, and the probe costs two xxhash64
+    calls per shingle regardless of benchmark size — the shape that
+    decontaminates 100 TB as a map-only scan.
+
+    Error is ONE-SIDED by construction: build and probe evaluate the
+    same expressions (:func:`_bloom_positions`), so a contaminated
+    document can never be missed (no false negatives — pinned in
+    tests/test_corpus.py against the exact operator); ~2% of clean
+    docs are flagged extra at the default sizing (2^23 bits / 1M
+    grams / k=6). The intended pipeline is screen-then-verify: Bloom
+    pass over the full corpus, exact ``contaminated_ids`` only over
+    the flagged sliver. Probabilistic bits are why this registers as
+    a rows-only driver check (no SQL oracle can reproduce the FP
+    set), same class as the HLL/KLL sketches."""
+    import struct
+
+    from .dedup import _hash60, shingle_index
+
+    m, k = num_bits, num_hashes
+    b = (
+        shingle_index(benchmark, id_col=id_col, text_col=text_col, n=n,
+                      distinct=False)
+        .select(_hash60(F.col("s")).alias("hs"))
+        .distinct()
+    )
+    words = (
+        b.select(F.explode(F.array(*_bloom_positions(m, k))).alias("pos"))
+        .select(
+            F.expr("pos DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+        .collect()
+    )
+    bitset = bytearray(m // 8)
+    for r in words:
+        struct.pack_into("<q", bitset, r["w"] * 8, r["word"])
+    bf = F.lit(bytes(bitset))
+
+    c = shingle_index(corpus, id_col=id_col, text_col=text_col, n=n,
+                      distinct=False).select(
+        F.col(id_col), _hash60(F.col("s")).alias("hs")
+    )
+    for i, pos in enumerate(_bloom_positions(m, k)):
+        c = c.withColumn(f"_p{i}", pos)
+    # little-endian word packing puts global bit `pos` at byte
+    # pos DIV 8, bit pos % 8 — tested byte-by-byte against the words
+    byte_masks = F.array(*[F.lit(1 << j) for j in range(8)])
+    pred = F.lit(True)
+    for i in range(k):
+        byte_idx = F.expr(f"CAST(_p{i} DIV 8 AS INT)")
+        byteval = F.conv(
+            F.hex(F.substr(bf, byte_idx + F.lit(1), F.lit(1))), 16, 10
+        ).cast("int")
+        bit = F.expr(f"CAST(_p{i} % 8 AS INT)")
+        pred = pred & (
+            byteval.bitwiseAND(F.element_at(byte_masks, bit + F.lit(1)))
+            != F.lit(0)
+        )
+    return c.filter(pred).select(id_col).distinct()
+
+
 def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
                          id_col: str = "doc_id", text_col: str = "text",
                          n: int = 3) -> DataFrame:

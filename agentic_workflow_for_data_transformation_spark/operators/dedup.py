@@ -538,28 +538,71 @@ def edit_distance_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def incremental_new_docs(new: DataFrame, existing: DataFrame,
-                         id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
-    """Incremental ingest dedup: keep only the NEW documents whose
-    normalized text does not already exist in the historical corpus —
-    the daily-crawl-vs-archive step, where re-deduplicating the whole
-    archive per batch is unpayable. Both sides reduce to 16-byte
-    digests before the anti join, so the shuffle carries hashes, not
-    documents; at 100 TB the existing side is a pre-materialized
-    digest table read directly. Intra-batch duplicates also collapse
-    (min-id representative per digest)."""
+def _norm_digest(text_col: str):
+    """md5 over whitespace/punctuation-normalized lowercased text —
+    the 16-byte identity every exact-dedup operator here keys on."""
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
             " +", " ",
         )
     )
-    new_h = new.withColumn("_h", F.md5(norm))
-    seen = existing.select(F.md5(norm).alias("_h")).distinct()
+    return F.md5(norm)
+
+
+def corpus_digests(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct normalized-text digests of a corpus — the tiny
+    (16 bytes/row) artifact incremental dedup joins against."""
+    return df.select(_norm_digest(text_col).alias("_h")).distinct()
+
+
+def write_digest_archive(df: DataFrame, table: str, path: str,
+                         n_buckets: int = 32,
+                         text_col: str = "text") -> None:
+    """Materialize the historical corpus's digest set as a BUCKETED,
+    bucket-sorted table (``bucketBy(n, _h).sortBy(_h)``) — the layout
+    that makes every FUTURE incremental-ingest dedup join shuffle-free
+    on the archive side: Spark reads each bucket file as an already
+    hash-partitioned input, so the sort-merge anti join plans an
+    Exchange only under the (small) new batch. This is the recurring-
+    pipeline cost the per-session digest computation doesn't cover —
+    pay the shuffle once at archive-build time, never again per batch.
+    Measured in tests/test_layout.py: archive-side Exchange disappears
+    from the join plan; numbers in PLANS.md."""
+    from ..sources.io import write_parquet
+
+    write_parquet(
+        corpus_digests(df, text_col), path, buckets=(n_buckets, ["_h"], table)
+    )
+
+
+def incremental_new_docs(new: DataFrame, existing: DataFrame | None = None,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         existing_digests: DataFrame | None = None) -> DataFrame:
+    """Incremental ingest dedup: keep only the NEW documents whose
+    normalized text does not already exist in the historical corpus —
+    the daily-crawl-vs-archive step, where re-deduplicating the whole
+    archive per batch is unpayable. Both sides reduce to 16-byte
+    digests before the anti join, so the shuffle carries hashes, not
+    documents. Intra-batch duplicates also collapse (min-id
+    representative per digest).
+
+    At 100 TB the archive side should be the PRE-MATERIALIZED digest
+    table (``existing_digests`` — one ``_h`` column, ideally the
+    bucketed layout from :func:`write_digest_archive`, which makes the
+    archive side of the anti join exchange-free) rather than the raw
+    corpus re-hashed per batch (``existing``)."""
+    if (existing is None) == (existing_digests is None):
+        raise ValueError("pass exactly one of existing / existing_digests")
+    new_h = new.withColumn("_h", _norm_digest(text_col))
+    if existing_digests is not None:
+        seen = existing_digests.select("_h")
+    else:
+        seen = corpus_digests(existing, text_col)
     w_min = new_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return (
-        new_h.join(w_min, [ "_h", id_col], "left_semi")
+        new_h.join(w_min, ["_h", id_col], "left_semi")
         .join(seen, "_h", "left_anti")
         .drop("_h")
     )

@@ -175,6 +175,29 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
         elif fn in ("lag", "lead"):
             base = F.lag if fn == "lag" else F.lead
             col = base(e["col"], e.get("offset", 1)).over(w)
+        elif fn == "median":
+            # Spark refuses median() over an ordered/framed window
+            # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so build it
+            # from the frame contents: collect_list over the SAME
+            # frame, then the exact interpolated median of the sorted
+            # array — lo + (hi-lo)/2 over the two middle order
+            # statistics, the same formula DuckDB's median() OVER
+            # evaluates, so the hash-compare needs no tolerance. For a
+            # bounded ROWS frame the buffered state is O(frame) per
+            # row; the cumulative form buffers the running prefix —
+            # prefer 'over last N rows' phrasings on big groups.
+            win = (
+                w.rowsBetween(-e["rows_preceding"], Window.currentRow)
+                if "rows_preceding" in e
+                else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            arr = F.array_sort(F.collect_list(e["col"]).over(win))
+            n = F.size(arr)
+            lo = F.element_at(arr, F.floor((n + F.lit(1)) / F.lit(2)).cast("int")).cast("double")
+            hi = F.element_at(arr, (F.floor(n / F.lit(2)) + F.lit(1)).cast("int")).cast("double")
+            # collect_list drops NULLs (median ignores them); an
+            # all-null frame leaves an empty array -> NULL, matching SQL
+            col = F.when(n > F.lit(0), lo + (hi - lo) / F.lit(2.0))
         else:  # aggregate over the window frame
             win = w
             if "rows_preceding" in e:

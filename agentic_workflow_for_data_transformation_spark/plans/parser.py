@@ -260,6 +260,19 @@ _GROUP_AGG = re.compile(
 )
 _AGG_WORDS = {"total": "sum", "sum of": "sum", "minimum": "min",
               "maximum": "max", "median": "median"}
+# "group by K and show 90th percentile of X [where ...]" / global
+# "show 95th percentile of X" — exact interpolated percentile (Spark
+# F.percentile == DuckDB quantile_cont, index p*(n-1), linear
+# interpolation, partition-order independent like median)
+_PCTL_WORD = r"(\d{1,2})(?:st|nd|rd|th)\s+percentile\s+of"
+_GROUP_PCTL = re.compile(
+    rf"^group\s+by\s+(\w+)\s+and\s+show\s+{_PCTL_WORD}\s+(\w+)"
+    r"(?:\s+where\s+(.*))?$",
+    re.IGNORECASE,
+)
+_GLOBAL_PCTL = re.compile(
+    rf"^show\s+{_PCTL_WORD}\s+(\w+)\s*$", re.IGNORECASE
+)
 _ADD_COLUMN = re.compile(
     r"^add\s+(\w+)\s+column\s+where\s+\w+\s*=\s*(.*)$", re.IGNORECASE
 )
@@ -331,11 +344,12 @@ _RUNNING = re.compile(
     re.IGNORECASE,
 )
 _RUNNING_FNS = {"total": "sum", "sum": "sum", "count": "count",
-                "average": "avg", "minimum": "min", "maximum": "max"}
+                "average": "avg", "minimum": "min", "maximum": "max",
+                "median": "median"}
 # "add moving average of value over last 5 rows per user_id ordered by
 # ts" — a sliding ROWS frame ((n-1) PRECEDING .. CURRENT ROW)
 _MOVING = re.compile(
-    r"^add\s+moving\s+(total|sum|count|average|minimum|maximum)\s+of\s+(\w+)"
+    r"^add\s+moving\s+(total|sum|count|average|minimum|maximum|median)\s+of\s+(\w+)"
     r"\s+over\s+last\s+(\d+)\s+rows\s+per\s+(\w+)\s+ordered\s+by\s+(\w+)\s*$",
     re.IGNORECASE,
 )
@@ -621,6 +635,27 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         if having:
             op["having"] = parse_predicate(having)
         return op
+    if m := _GROUP_PCTL.match(clause):
+        pct = int(m.group(2))
+        col = _resolve_col(m.group(3), columns)
+        op = {
+            "op": "groupby_agg",
+            "keys": [m.group(1)],
+            "aggs": [{"fn": "percentile", "col": col, "p": pct / 100.0,
+                      "alias": f"p{pct}_{col}"}],
+        }
+        if m.group(4):
+            op["having"] = parse_predicate(m.group(4))
+        return op
+    if m := _GLOBAL_PCTL.match(clause):
+        pct = int(m.group(1))
+        col = _resolve_col(m.group(2), columns)
+        return {
+            "op": "groupby_agg",
+            "keys": [],
+            "aggs": [{"fn": "percentile", "col": col, "p": pct / 100.0,
+                      "alias": f"p{pct}_{col}"}],
+        }
     if m := _GROUP_AGG.match(clause):
         key, word, col = m.group(1), m.group(2).lower(), _resolve_col(m.group(3), columns)
         fn = _AGG_WORDS[word]

@@ -88,7 +88,7 @@ AGG_FNS = {"count", "avg", "sum", "min", "max", "count_distinct", "listagg",
 PIVOT_AGG_FNS = {"count", "avg", "sum", "min", "max"}
 WINDOW_FNS = {"row_number", "rank", "dense_rank", "lag", "lead", "sum", "avg",
               "count", "min", "max", "ntile", "percent_rank", "cume_dist",
-              "first_value"}
+              "first_value", "median"}
 JOIN_TYPES = {"inner", "left", "right", "full", "left_semi", "left_anti", "cross"}
 
 _BINARY_OPS = {"gt", "ge", "lt", "le", "eq", "ne", "add", "sub", "mul", "div",

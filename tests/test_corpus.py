@@ -205,3 +205,30 @@ def test_contamination_scores_planted(spark):
     assert out[2]["n_grams"] == 3 and out[2]["n_hit"] == 1
     assert out[3]["contamination"] == 0.0
     assert 4 not in out
+
+
+def test_bloom_decontamination_one_sided(spark):
+    """The Bloom screen must flag EVERY document the exact operator
+    flags (no false negatives — the guarantee that makes screen-then-
+    verify sound) and over-flag only a bounded sliver (false-positive
+    side of the bitset)."""
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        contaminated_ids,
+        contaminated_ids_bloom,
+    )
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus_side = docs.filter(F.col("doc_id") % 7 != 0)
+    bench_side = docs.filter(F.col("doc_id") % 7 == 0)
+    exact = {r["doc_id"] for r in contaminated_ids(corpus_side, bench_side).collect()}
+    flagged = {
+        r["doc_id"]
+        for r in contaminated_ids_bloom(corpus_side, bench_side).collect()
+    }
+    assert exact <= flagged  # one-sided: no false negatives, ever
+    n_corpus = corpus_side.count()
+    # FP head-room: extra flags stay a small sliver of the CLEAN docs
+    assert len(flagged - exact) <= max(5, 0.05 * (n_corpus - len(exact)))

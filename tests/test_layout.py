@@ -125,3 +125,56 @@ def test_write_parquet_zordered_sink(spark, tmp_path):
     assert set(back.columns) == {"xb", "yb"}
     files = sorted(out.glob("part-*.parquet"))
     assert len(files) == 4
+
+
+def test_digest_archive_bucketed_join_skips_archive_exchange(spark, tmp_path):
+    """The recurring-pipeline dedup layout (VERDICT r6 #8): with the
+    archive digest set materialized via bucketBy(_h).sortBy(_h), the
+    incremental anti join must plan NO shuffle above the archive scan
+    — the bucket files ARE the hash partitioning — while the
+    per-session path (re-hash the raw archive every batch) shuffles
+    it every time. Rows must be identical between the two paths."""
+    from agentic_workflow_for_data_transformation_spark.operators import dedup
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, LAYOUT_SF_DIR, "documents")
+    arch = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    table = "digest_archive_layout_test"
+    dedup.write_digest_archive(arch, table, str(tmp_path / "arch"))
+
+    def shuffles_above_archive(df) -> bool:
+        def walk(node):
+            yield node
+            cs = node.children()
+            for i in range(cs.size()):
+                yield from walk(cs.apply(i))
+
+        plan = df._jdf.queryExecution().executedPlan()
+        return any(
+            node.nodeName() == "Exchange" and table in node.toString()
+            for node in walk(plan)
+        )
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        bucketed = dedup.incremental_new_docs(
+            new, existing_digests=spark.table(table)
+        )
+        baseline = dedup.incremental_new_docs(new, existing=arch)
+        assert not shuffles_above_archive(bucketed)
+        # the same anti join against the RAW archive must shuffle the
+        # archive side (otherwise this test asserts nothing)
+        base_plan = baseline._jdf.queryExecution().executedPlan().toString()
+        assert base_plan.count("Exchange hashpartitioning") > 0
+        got = {r["doc_id"] for r in bucketed.collect()}
+        want = {r["doc_id"] for r in baseline.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

@@ -839,3 +839,32 @@ def test_parse_window_vocabulary():
         columns=cols,
     )
     assert spec["ops"][0]["exprs"][0]["rows_preceding"] == 2
+
+
+def test_parse_moving_median():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import parse_description
+
+    spec = parse_description(
+        "Add moving median of value over last 5 rows per user_id "
+        "ordered by event_id.",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    assert spec["ops"][0]["exprs"] == [{
+        "fn": "median", "col": "value", "alias": "moving_median_value",
+        "rows_preceding": 4,
+    }]
+
+
+def test_parse_percentile_aggregate():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import parse_description
+
+    cols = ["event_id", "user_id", "value"]
+    spec = parse_description(
+        "Group by user_id and show 90th percentile of value.", columns=cols
+    )
+    assert spec["ops"][0]["aggs"] == [
+        {"fn": "percentile", "col": "value", "p": 0.9, "alias": "p90_value"}
+    ]
+    spec = parse_description("Show 95th percentile of value.", columns=cols)
+    assert spec["ops"][0]["keys"] == []
+    assert spec["ops"][0]["aggs"][0]["p"] == 0.95

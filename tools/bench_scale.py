@@ -73,6 +73,16 @@ QUERIES = [
     "x_tpch_q3",
     "x_tpch_q5",
     "x_tpch_q18",
+    # round-7 additions (VERDICT r6 #4): the round-6 operators that had
+    # no scale row, the rewritten mix-sampling chain, and the two new
+    # NL window-vocabulary shapes that add plan nodes (ntile bucket
+    # window; sliding first_value frame)
+    "ns_multimodal_audio_segments",
+    "p46_nl_asof_tolerance",
+    "p47_nl_median",
+    "ns_corpus_mix_apply",
+    "p48_nl_ntile",
+    "p51_nl_first_value",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
@@ -159,6 +169,62 @@ def dormant_interval_time(spark, sf: float) -> float:
     return _time.perf_counter() - t0
 
 
+def zipf_prefix_time(spark, sf: float) -> float:
+    """Adjudication dataset for the prefix-filtered Jaccard join: the
+    registry corpus draws from a ~30-word vocabulary, where NO shingle
+    is selective and AllPairs/PPJoin degrades toward the naive join
+    (documented e=1.52 cap). Real text is Zipfian — most shingles are
+    rare — and THAT is the regime the operator claims linearity in. So
+    measure it: docs of 30-70 tokens drawn log-uniformly (density
+    1/rank, i.e. Zipf s=1) from a 50k-token vocabulary, all generated
+    JVM-side (spark.range + hash expressions, no driver loops), then
+    the same jaccard_prefix_pairs(t=0.5) the registry runs."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from agentic_workflow_for_data_transformation_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    n_docs = int(50_000 * sf)
+    vocab = 50_000
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    # 30-70 tokens per doc; token rank is log-uniform in
+                    # [1, vocab] => P(rank) ~ 1/rank (Zipf s=1)
+                    F.sequence(
+                        F.lit(0),
+                        (F.abs(F.xxhash64("id", F.lit("len"))) % 41 + 29).cast("int"),
+                    ),
+                    lambda j: F.concat(
+                        F.lit("t"),
+                        F.floor(
+                            F.exp(
+                                (F.abs(F.xxhash64(F.col("id"), j, F.lit("tok")))
+                                 % 1_000_000)
+                                / F.lit(1_000_000.0)
+                                * F.lit(math.log(float(vocab)))
+                            )
+                        ).cast("long"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    t0 = _time.perf_counter()
+    jaccard_prefix_pairs(docs, threshold=0.5).count()
+    t1 = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    jaccard_prefix_pairs(docs, threshold=0.5).count()
+    return min(t1, _time.perf_counter() - t0)
+
+
 def run_dir(sf_dir: str, sf: float, names: list[str]) -> dict[str, float]:
     spark = get_spark(app_name=f"bench_scale_{Path(sf_dir).name}")
     warmup(spark)
@@ -176,6 +242,9 @@ def run_dir(sf_dir: str, sf: float, names: list[str]) -> dict[str, float]:
     t = min(dormant_interval_time(spark, sf), dormant_interval_time(spark, sf))
     out["x_join_interval_dormant (synthetic)"] = round(t, 3)
     print(f"  x_join_interval_dormant: {t:.2f}s", flush=True)
+    t = zipf_prefix_time(spark, sf)
+    out["ns_dedup_jaccard_prefix_zipf (synthetic)"] = round(t, 3)
+    print(f"  ns_dedup_jaccard_prefix_zipf: {t:.2f}s", flush=True)
     spark.stop()
     return out
 
@@ -207,7 +276,10 @@ def main() -> None:
     for d, sf in zip(dirs, sfs):
         print(f"== {d} ==", flush=True)
         per_dir.append(run_dir(d, sf, names))
-    names = names + ["x_join_interval_dormant (synthetic)"]
+    names = names + [
+        "x_join_interval_dormant (synthetic)",
+        "ns_dedup_jaccard_prefix_zipf (synthetic)",
+    ]
 
     sf_heads = " | ".join(f"sf{s:g} (s)" for s in sfs)
     lines = [

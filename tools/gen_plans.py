@@ -116,6 +116,30 @@ HEADLINE: list[tuple[str, str]] = [
         "report rows explode from the 1-row result. No join, no second "
         "scan.",
     ),
+    (
+        "ns_dedup_incremental_bucketed",
+        "Recurring-pipeline dedup layout: the archive digest set is read "
+        "back from a bucketBy(32, _h).sortBy(_h) table, so the anti join "
+        "plans NO Exchange above the archive scan — the bucket files ARE "
+        "the hash partitioning; only the (small) new batch shuffles. The "
+        "per-session twin (ns_dedup_incremental) re-hashes and re-shuffles "
+        "the archive under every batch; this plan pays that shuffle once "
+        "at archive-build time and never again "
+        "(tests/test_layout.py pins the archive-side exchange absence).",
+    ),
+    (
+        "ns_decontaminate_bloom",
+        "Bloom-screen decontamination: the benchmark gram set folds into "
+        "ONE natively-built bitset (xxhash64 double hashing -> bit_or "
+        "word merge, an order-independent monoid; Spark's own "
+        "bloom_filter_agg is Catalyst-internal and unregistered) that "
+        "ships as a binary literal; the corpus probes it with pure JVM "
+        "byte-extraction expressions — no join against the gram set, so "
+        "the 100 TB side is never shuffled and the probe cost is "
+        "independent of benchmark size. One-sided error: "
+        "screen-then-verify with the exact operator over the flagged "
+        "sliver.",
+    ),
 ]
 
 
