@@ -3017,6 +3017,60 @@ def p52_nl_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P52_DESC)
 
 
+_P54_DESC = "Split text into words and count each word showing top 50."
+
+
+def _p54_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P54_DESC, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        "documents",
+    )
+
+
+@register("p54_nl_wordcount", _p54_oracle())
+def p54_nl_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL word count: 'split text into words and count each word' —
+    the new explode spec op (regex split -> one row per non-empty
+    token) feeding a groupby count; top-k sorts on (count desc, word
+    asc), a total order, so the boundary row is deterministic. Scale
+    shape: explode happens map-side inside the scan stage and the
+    count is a partial-aggregated shuffle on the token — the word-
+    count plan that works at any corpus size. Oracle: unnest over
+    string_split_regex."""
+    return _nl(spark, sf_dir, "documents", _P54_DESC)
+
+
+_P55_DESC = "Remove duplicate rows by text keeping the lowest doc_id."
+
+
+def _p55_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P55_DESC, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        "documents",
+    )
+
+
+@register("p55_nl_dedup_keep", _p55_oracle())
+def p55_nl_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL deterministic dedup: 'remove duplicate rows by X keeping
+    the lowest Y' — the keyed dedup spec op (row_number over the dedup
+    keys ordered by the keep column, filter to 1). This is the
+    reproducible sibling of distinct-by-cols, which keeps an
+    engine-arbitrary row and is declared non-portable in sqlgen; with
+    an explicit keep order both engines pick the SAME representative,
+    so the whole surviving ROW hash-matches. One exchange on the dedup
+    keys; duplicate groups are small so the per-group sort is cheap."""
+    return _nl(spark, sf_dir, "documents", _P55_DESC)
+
+
 @register("p51_nl_first_value", _p51_oracle())
 def p51_nl_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sliding first_value: 'first value ... over last 3 rows' =
@@ -3318,7 +3372,7 @@ _WINDOW: list[str] = [
     # -- (c) freshness: last gated round 1 --
     "p03_filter_le", "p11_and", "p12_or", "p13_between_startswith",
     "p17_sort_filter_limit", "x_approx_count_distinct", "x_count_distinct",
-    "x_distinct_pairs", "x_except", "x_join_anti",
+    "x_join_anti",
     "x_join_range", "x_join_semi", "x_join_star_broadcast",
     "x_json_extract_agg", "x_percentiles", "x_pivot", "x_regex_extract",
     "x_rollup", "x_sessionize_batch", "x_skew_salted_agg",
@@ -3330,6 +3384,7 @@ _WINDOW: list[str] = [
     # ns_multimodal_frames freshness picks) --
     "ns_dedup_incremental_bucketed", "p52_nl_moving_median",
     "ns_decontaminate_bloom", "p53_nl_percentile",
+    "p54_nl_wordcount", "p55_nl_dedup_keep",
     # -- (c) freshness: last gated round 2 --
     "ns_sim_topk_ivf", "ns_sim_topk_multi",
 ]

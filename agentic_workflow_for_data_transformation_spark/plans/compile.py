@@ -334,6 +334,30 @@ def compile_spec(
             df = df.rollup(*op["keys"]).agg(*aggs)
         elif kind == "distinct":
             df = df.dropDuplicates(op["cols"]) if op.get("cols") else df.distinct()
+        elif kind == "dedup":
+            # deterministic keyed dedup: row_number over (keys, keep_col
+            # order) — ONE exchange on the dedup keys plus a per-group
+            # sort, vs the min-agg + semi-join form's two shuffles;
+            # duplicate groups are small, so the sort is cheap
+            keep = op.get("keep", "min")
+            kc = F.col(op["keep_col"])
+            w = Window.partitionBy(*[F.col(k) for k in op["keys"]]).orderBy(
+                kc.asc() if keep == "min" else kc.desc()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        elif kind == "explode":
+            # one row per non-empty regex token; empty tokens (leading
+            # separators) are filtered AFTER the explode so both
+            # engines agree, and rows with no tokens vanish (inner
+            # explode semantics, matching SQL unnest)
+            alias = op["alias"]
+            df = df.withColumn(
+                alias, F.explode(F.split(F.col(op["col"]), op.get("pattern", r"\s+")))
+            ).filter(F.col(alias) != "")
         elif kind == "window":
             df = _apply_window(df, op)
         elif kind == "sessionize":

@@ -35,6 +35,8 @@ _CLAUSE_KEYWORDS = (
     # that merely BEGINS with a join-type word ("... and left > 2")
     # stays a conjunction instead of splitting as a clause
     r"|append\s+(?:distinct\s+)?rows"
+    r"|remove\s+duplicates?"
+    r"|split\s+\w+\s+into\s+words"
     r"|(?:inner|left|right|full|cross)\s+join)"
 )
 # split " and <clause keyword>" / " and then " but never predicate-level
@@ -292,7 +294,17 @@ _SAMPLE = re.compile(
     re.IGNORECASE,
 )
 _DEDUP = re.compile(
-    r"^(?:deduplicate|drop\s+duplicates?)(?:\s+rows)?(?:\s+by\s+(.+))?$",
+    r"^(?:deduplicate|drop\s+duplicates?|remove\s+duplicates?)(?:\s+rows)?"
+    r"(?:\s+by\s+(.+?))?"
+    r"(?:\s+keeping\s+the\s+(lowest|highest)\s+(\w+))?$",
+    re.IGNORECASE,
+)
+# "split text into words and count each word [showing top 50]" — the
+# explode + groupby-count shape (word count); the optional top-k sorts
+# on (count desc, word asc) so the boundary is a total order
+_WORDCOUNT = re.compile(
+    r"^split\s+(\w+)\s+into\s+words\s+and\s+count\s+each\s+word"
+    r"(?:\s+showing\s+top\s+(\d+))?$",
     re.IGNORECASE,
 )
 _SELECT_DISTINCT = re.compile(r"^select\s+distinct\s+(.*)$", re.IGNORECASE)
@@ -490,7 +502,35 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "fraction": float(m.group(1)) / 100.0,
             "key": m.group(2),
         }
+    if m := _WORDCOUNT.match(clause):
+        ops: list[dict] = [
+            {"op": "explode", "col": _resolve_col(m.group(1), columns),
+             "alias": "word"},
+            {"op": "groupby_agg", "keys": ["word"],
+             "aggs": [{"fn": "count", "col": "*", "alias": "n"}]},
+        ]
+        if m.group(2):
+            ops += [
+                {"op": "sort", "keys": [{"col": "n", "asc": False},
+                                        {"col": "word", "asc": True}]},
+                {"op": "limit", "n": int(m.group(2))},
+            ]
+        return ops
     if m := _DEDUP.match(clause):
+        if m.group(2):
+            # "keeping the lowest/highest <col>" makes the kept row
+            # deterministic -> the keyed dedup op (oracle-renderable),
+            # not arbitrary-row distinct-by-cols
+            if not m.group(1):
+                raise ParseError(
+                    "deduplicate ... keeping ... needs 'by <columns>'"
+                )
+            return {
+                "op": "dedup",
+                "keys": _parse_select_cols(m.group(1)),
+                "keep_col": _resolve_col(m.group(3), columns),
+                "keep": "min" if m.group(2).lower() == "lowest" else "max",
+            }
         op: dict = {"op": "distinct"}
         if m.group(1):
             op["cols"] = _parse_select_cols(m.group(1))

@@ -30,6 +30,16 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
    "broadcast": bool}
   {"op": "union", "right": <spec-or-table>, "distinct": bool}
   {"op": "distinct", "cols": [...]?}        # exact dedup
+  {"op": "dedup", "keys": ["text"], "keep_col": "doc_id",
+   "keep": "min"|"max"}
+      # DETERMINISTIC keyed dedup: one row per distinct keys, the row
+      # whose keep_col is the group min/max — the reproducible form of
+      # distinct-by-cols (which keeps an arbitrary row and is declared
+      # non-portable in sqlgen). keep_col should be unique per group
+      # (an id column) for a total tie-break
+  {"op": "explode", "col": "text", "alias": "word", "pattern": "\\s+"?}
+      # split a string column by regex and emit one row per non-empty
+      # token (other columns preserved) — the NL word-count shape
   {"op": "window", "partition_by": [...], "order_by": [...],
    "exprs": [{"fn": "row_number"|"rank"|"dense_rank"|"lag"|"lead"|"sum"|
               "ntile"|"percent_rank"|"cume_dist"|"first_value"|...,
@@ -274,6 +284,21 @@ def validate_op(op: Any) -> None:
         cols = op.get("cols")
         if cols is not None and not (isinstance(cols, list) and all(isinstance(c, str) for c in cols)):
             _err(f"distinct 'cols' must be a string list when present: {op!r}")
+    elif kind == "dedup":
+        keys = op.get("keys")
+        if not (isinstance(keys, list) and keys and all(isinstance(k, str) for k in keys)):
+            _err(f"dedup needs non-empty string 'keys': {op!r}")
+        if not isinstance(op.get("keep_col"), str):
+            _err(f"dedup needs string 'keep_col': {op!r}")
+        if op.get("keep", "min") not in ("min", "max"):
+            _err(f"dedup 'keep' must be 'min' or 'max': {op!r}")
+    elif kind == "explode":
+        if not isinstance(op.get("col"), str):
+            _err(f"explode needs string 'col': {op!r}")
+        if not isinstance(op.get("alias"), str):
+            _err(f"explode needs string 'alias': {op!r}")
+        if "pattern" in op and not isinstance(op["pattern"], str):
+            _err(f"explode 'pattern' must be a string: {op!r}")
     elif kind == "sessionize":
         if not isinstance(op.get("key"), str):
             _err(f"sessionize needs string 'key': {op!r}")

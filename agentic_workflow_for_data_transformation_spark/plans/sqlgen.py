@@ -166,6 +166,26 @@ def spec_to_sql(spec: dict, table: str) -> str:
             if op.get("cols"):
                 raise SqlGenError("distinct-by-cols keeps arbitrary rows; no portable SQL")
             sql = f"SELECT DISTINCT * FROM ({sql})"
+        elif kind == "dedup":
+            # the deterministic sibling of distinct-by-cols: keyed
+            # row_number with an explicit keep order IS portable
+            part = ", ".join(_q(k) for k in op["keys"])
+            dirn = (
+                "ASC NULLS FIRST"
+                if op.get("keep", "min") == "min"
+                else "DESC NULLS LAST"
+            )
+            inner = wrap(
+                f"*, row_number() OVER (PARTITION BY {part} "
+                f"ORDER BY {_q(op['keep_col'])} {dirn}) AS _rn"
+            )
+            sql = f'SELECT * EXCLUDE ("_rn") FROM ({inner}) WHERE "_rn" = 1'
+        elif kind == "explode":
+            pat = _lit_sql(op.get("pattern", r"\s+"))
+            sql = wrap(
+                f"*, unnest(list_filter(string_split_regex("
+                f"{_q(op['col'])}, {pat}), t -> t <> '')) AS {_q(op['alias'])}"
+            )
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
         elif kind == "window":

@@ -868,3 +868,70 @@ def test_parse_percentile_aggregate():
     spec = parse_description("Show 95th percentile of value.", columns=cols)
     assert spec["ops"][0]["keys"] == []
     assert spec["ops"][0]["aggs"][0]["p"] == 0.95
+
+
+def test_parse_wordcount_explode():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import parse_description
+
+    cols = ["doc_id", "text", "lang"]
+    spec = parse_description(
+        "Split text into words and count each word showing top 50.", columns=cols
+    )
+    assert spec["ops"][0] == {"op": "explode", "col": "text", "alias": "word"}
+    assert spec["ops"][1]["keys"] == ["word"]
+    assert spec["ops"][2]["keys"] == [
+        {"col": "n", "asc": False}, {"col": "word", "asc": True},
+    ]
+    assert spec["ops"][3] == {"op": "limit", "n": 50}
+    # without top-k: explode + count only
+    spec = parse_description("Split text into words and count each word.", columns=cols)
+    assert [o["op"] for o in spec["ops"]] == ["explode", "groupby_agg"]
+
+
+def test_parse_dedup_keep():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        ParseError,
+        parse_description,
+    )
+
+    cols = ["doc_id", "text", "lang"]
+    spec = parse_description(
+        "Remove duplicate rows by text keeping the lowest doc_id.", columns=cols
+    )
+    assert spec["ops"] == [{
+        "op": "dedup", "keys": ["text"], "keep_col": "doc_id", "keep": "min",
+    }]
+    spec = parse_description(
+        "Deduplicate by text keeping the highest doc_id.", columns=cols
+    )
+    assert spec["ops"][0]["keep"] == "max"
+    # keep-order without keys is ambiguous -> hard error
+    import pytest
+
+    with pytest.raises(ParseError):
+        parse_description("Deduplicate keeping the lowest doc_id.", columns=cols)
+    # arbitrary-row distinct-by-cols is still reachable (no keep clause)
+    spec = parse_description("Drop duplicates by lang.", columns=cols)
+    assert spec["ops"] == [{"op": "distinct", "cols": ["lang"]}]
+
+
+def test_validate_dedup_and_explode():
+    import pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+
+    validate_spec({"ops": [{"op": "dedup", "keys": ["text"],
+                            "keep_col": "doc_id", "keep": "max"}]})
+    validate_spec({"ops": [{"op": "explode", "col": "text", "alias": "w",
+                            "pattern": ","}]})
+    with pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "dedup", "keys": [],
+                                "keep_col": "doc_id"}]})
+    with pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "dedup", "keys": ["text"],
+                                "keep_col": "doc_id", "keep": "first"}]})
+    with pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "explode", "col": "text"}]})
