@@ -376,8 +376,10 @@ def _bloom_positions(m: int, k: int) -> list:
 
 def contaminated_ids_bloom(corpus: DataFrame, benchmark: DataFrame,
                            id_col: str = "doc_id", text_col: str = "text",
-                           n: int = 3, num_bits: int = 8_388_608,
-                           num_hashes: int = 6) -> DataFrame:
+                           n: int = 3, bits_per_gram: int = 8,
+                           num_hashes: int = 6,
+                           min_bits: int = 1 << 17,
+                           max_bits: int = 1 << 23) -> DataFrame:
     """Bloom-filter benchmark decontamination: the 100 TB SCREEN form
     of :func:`contaminated_ids`. The benchmark's distinct shingle
     hashes fold into ONE Bloom bitset, built natively (Spark's
@@ -385,72 +387,88 @@ def contaminated_ids_bloom(corpus: DataFrame, benchmark: DataFrame,
     function registry): each hash sets k=``num_hashes`` bits by double
     hashing, the bits OR-merge per 64-bit word (``bit_or`` — a
     commutative monoid, so the bitset is partition-order independent
-    and deterministic), and the ≤ num_bits/64 non-zero words — bounded
-    by the FILTER size, never the data — come back to the driver and
-    pack into one ``bytes`` literal. The corpus side then probes that
-    binary literal with pure JVM expressions (substr/hex/conv byte
-    extraction + a bit mask): no join against the gram set, no
-    shuffle of the corpus at all, and the probe costs two xxhash64
-    calls per shingle regardless of benchmark size — the shape that
-    decontaminates 100 TB as a map-only scan.
+    and deterministic), and the non-zero words — bounded by the FILTER
+    size, never the data — come back to the driver and re-enter the
+    plan as ONE constant-folded array<bigint> literal (rendered as a
+    SQL ``array(..L, ..)`` expression, so the py4j transfer is one
+    string, not one call per element — ``F.lit`` on a large list costs
+    ~0.4 ms/element). The corpus side probes it with O(1) arithmetic —
+    ``element_at`` word lookup + shiftleft mask — so the probe is two
+    xxhash64 calls plus k constant-time bit tests per shingle, no join
+    against the gram set, no shuffle of the corpus at all: the shape
+    that decontaminates 100 TB as a map-only scan.
+
+    Two probe shapes were measured and REJECTED (258k-shingle corpus,
+    same box): 1-char ``substr`` on a STRING bitset is O(position) —
+    UTF-8 character indexing walks the literal, ~11 us per test at an
+    average position of 64k — and hex()/conv() byte extraction on a
+    BINARY bitset pays per-test string parsing; element_at is ~6x
+    faster than either.
+
+    The bitset is AUTO-SIZED to the benchmark: m = next power of two
+    >= ``bits_per_gram`` * distinct-gram-count, clamped to
+    [min_bits, max_bits] — one count() on the (small, cached)
+    benchmark side, so a tiny benchmark doesn't pay a megabyte
+    literal and a 1M-gram one still gets ~8 bits/gram (~2% FP at
+    k=6).
 
     Error is ONE-SIDED by construction: build and probe evaluate the
     same expressions (:func:`_bloom_positions`), so a contaminated
     document can never be missed (no false negatives — pinned in
-    tests/test_corpus.py against the exact operator); ~2% of clean
-    docs are flagged extra at the default sizing (2^23 bits / 1M
-    grams / k=6). The intended pipeline is screen-then-verify: Bloom
-    pass over the full corpus, exact ``contaminated_ids`` only over
-    the flagged sliver. Probabilistic bits are why this registers as
-    a rows-only driver check (no SQL oracle can reproduce the FP
-    set), same class as the HLL/KLL sketches."""
-    import struct
-
+    tests/test_corpus.py against the exact operator). The intended
+    pipeline is screen-then-verify: Bloom pass over the full corpus,
+    exact ``contaminated_ids`` only over the flagged sliver.
+    Probabilistic bits are why this registers as a rows-only driver
+    check (no SQL oracle can reproduce the FP set), same class as the
+    HLL/KLL sketches."""
     from .dedup import _hash60, shingle_index
 
-    m, k = num_bits, num_hashes
+    k = num_hashes
     b = (
         shingle_index(benchmark, id_col=id_col, text_col=text_col, n=n,
                       distinct=False)
         .select(_hash60(F.col("s")).alias("hs"))
         .distinct()
+        .cache()
     )
-    words = (
-        b.select(F.explode(F.array(*_bloom_positions(m, k))).alias("pos"))
-        .select(
-            F.expr("pos DIV 64").alias("w"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-            .alias("mask"),
+    try:
+        n_grams = b.count()
+        m = max(
+            min_bits,
+            1 << max(0, (bits_per_gram * max(n_grams, 1) - 1).bit_length()),
         )
-        .groupBy("w")
-        .agg(F.expr("bit_or(mask)").alias("word"))
-        .collect()
-    )
-    bitset = bytearray(m // 8)
-    for r in words:
-        struct.pack_into("<q", bitset, r["w"] * 8, r["word"])
-    bf = F.lit(bytes(bitset))
+        m = min(m, max_bits)
+
+        rows = (
+            b.select(F.explode(F.array(*_bloom_positions(m, k))).alias("pos"))
+            .select(
+                F.expr("pos DIV 64").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+                .alias("mask"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(mask)").alias("word"))
+            .collect()
+        )
+    finally:
+        b.unpersist()
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
 
     c = shingle_index(corpus, id_col=id_col, text_col=text_col, n=n,
                       distinct=False).select(
         F.col(id_col), _hash60(F.col("s")).alias("hs")
     )
+    pred = F.lit(True)
     for i, pos in enumerate(_bloom_positions(m, k)):
         c = c.withColumn(f"_p{i}", pos)
-    # little-endian word packing puts global bit `pos` at byte
-    # pos DIV 8, bit pos % 8 — tested byte-by-byte against the words
-    byte_masks = F.array(*[F.lit(1 << j) for j in range(8)])
-    pred = F.lit(True)
-    for i in range(k):
-        byte_idx = F.expr(f"CAST(_p{i} DIV 8 AS INT)")
-        byteval = F.conv(
-            F.hex(F.substr(bf, byte_idx + F.lit(1), F.lit(1))), 16, 10
-        ).cast("int")
-        bit = F.expr(f"CAST(_p{i} % 8 AS INT)")
-        pred = pred & (
-            byteval.bitwiseAND(F.element_at(byte_masks, bit + F.lit(1)))
-            != F.lit(0)
+        word = F.element_at(arr, F.expr(f"CAST(_p{i} DIV 64 AS INT)") + F.lit(1))
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))"
         )
+        pred = pred & (word.bitwiseAND(mask) != F.lit(0))
     return c.filter(pred).select(id_col).distinct()
 
 

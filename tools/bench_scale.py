@@ -83,6 +83,14 @@ QUERIES = [
     "ns_corpus_mix_apply",
     "p48_nl_ntile",
     "p51_nl_first_value",
+    # the Bloom screen's fixed build jobs dominate at sf0.1 (3.8s solo
+    # vs 1.3s for the exact join it screens for); the sweep is where
+    # its flat-probe advantage over the join's growing shuffle shows
+    "ns_decontaminate_bloom",
+    "ns_dedup_incremental_bucketed",
+    "p52_nl_moving_median",
+    "p54_nl_wordcount",
+    "p55_nl_dedup_keep",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
