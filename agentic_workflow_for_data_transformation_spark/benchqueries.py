@@ -3354,9 +3354,11 @@ _WINDOW: list[str] = [
     #       keys replacing folded-away lit(1)), p42 (two-phase offsets
     #       pmod key), x_join_asof / x_join_asof_forward /
     #       p45_nl_asof_nearest (struct-packed running fill).
-    #   (c) 35 freshness picks: every query last gated in ROUND 1
-    #       (31), both round-2 stragglers (ns_sim_topk_ivf/multi), and
-    #       the 2 oldest round-3 rows (multimodal frames/meta).
+    #   (c) 29 freshness picks, all last gated in ROUND 1 except
+    #       the two round-2 stragglers (ns_sim_topk_ivf/multi) — six
+    #       round-1 rows and the two round-3 multimodal rows were
+    #       displaced by the (a')/(b') swaps below; every displaced
+    #       query stays covered by CORRECTNESS_LOCAL.json.
     # Everything else stays covered by the freshness-gated local
     # report (tools/check_oracle.py), whose staleness fails pytest.
     # x_approx_count_distinct is sketch-only (no oracle) and records
@@ -3374,7 +3376,7 @@ _WINDOW: list[str] = [
     "p17_sort_filter_limit", "x_approx_count_distinct", "x_count_distinct",
     "x_join_anti",
     "x_join_range", "x_join_semi", "x_join_star_broadcast",
-    "x_json_extract_agg", "x_percentiles", "x_pivot", "x_regex_extract",
+    "x_percentiles", "x_pivot",
     "x_rollup", "x_sessionize_batch", "x_skew_salted_agg",
     "x_spec_join_window", "x_time_spine_fill", "x_tpch_q17", "x_tpch_q18",
     "x_tpch_q3", "x_tpch_q5", "x_tpch_q6",
@@ -3385,6 +3387,10 @@ _WINDOW: list[str] = [
     "ns_dedup_incremental_bucketed", "p52_nl_moving_median",
     "ns_decontaminate_bloom", "p53_nl_percentile",
     "p54_nl_wordcount", "p55_nl_dedup_keep",
+    # -- (b') plans changed mid-round-7 (pre-aggregated expand),
+    # swapped in for fresh driver rows like group (b); x_rollup itself
+    # is already above --
+    "x_cube", "x_rollup_priority_status",
     # -- (c) freshness: last gated round 2 --
     "ns_sim_topk_ivf", "ns_sim_topk_multi",
 ]

@@ -243,3 +243,22 @@ def compact_parquet(spark: SparkSession, src: str | Path, dst: str | Path,
     df = spark.read.parquet(str(src))
     df.coalesce(n_files).write.mode("overwrite").parquet(str(dst))
     return dst
+
+
+def read_union_evolving(spark: SparkSession, paths: list[str | Path]) -> DataFrame:
+    """Schema-evolving multi-batch reader: union parquet directories
+    whose schemas DRIFTED across time (a column added mid-stream, an
+    early batch missing a field) by name, null-filling what a batch
+    lacks — ``unionByName(allowMissingColumns=True)``, the semantics a
+    long-lived ingest pipeline needs when old batches can't be
+    rewritten. Positional union would silently misalign columns;
+    ``mergeSchema`` alone handles footer merging but not missing-
+    column null-fill across separate roots.
+
+    Each directory keeps its own pushdown-capable scan; the union is
+    plan-level (no shuffle, no materialization)."""
+    dfs = [spark.read.parquet(str(p)) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

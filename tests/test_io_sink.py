@@ -104,3 +104,26 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(str(dst))
     assert back.count() == 50_000
     assert back.selectExpr("sum(id)").first()[0] == 50_000 * 49_999 // 2
+
+
+def test_read_union_evolving_null_fills_drifted_schema(spark, tmp_path):
+    """Batches written before a column existed union by NAME with
+    null-fill; a positional union would misalign or refuse."""
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_union_evolving,
+    )
+
+    old = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    new = spark.createDataFrame(
+        [(2, "b", "fr")], "id bigint, name string, lang string"
+    )
+    p1, p2 = tmp_path / "b1", tmp_path / "b2"
+    old.write.parquet(str(p1))
+    new.write.parquet(str(p2))
+
+    out = read_union_evolving(spark, [p1, p2])
+    rows = {r["id"]: (r["name"], r["lang"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", "fr")}
+    # plan-level union: two pushdown-capable scans, no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -557,3 +557,69 @@ def test_stateful_topk_plan_constructs_without_protobuf(spark, sf_dir):
     assert [f.simpleString() for f in out.schema.fields] == [
         "user_id:bigint", "n_top:int", "top_values:array<double>",
     ]
+
+
+def test_stream_ingest_dedup_against_archive(spark, sf_dir, tmp_path):
+    """Streaming corpus ingest vs the persisted bucketed digest
+    archive: docs already archived (or replayed within the stream)
+    never reach the sink, fresh docs always do, and the archive grows
+    so a SECOND stream run over the same source emits nothing — state
+    lives in the table, not the stream."""
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+    from agentic_workflow_for_data_transformation_spark.streaming import (
+        ensure_digest_archive,
+        ingest_stream_dedup,
+        read_documents_stream,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    incoming = docs.filter(F.col("doc_id") % 3 != 0)
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    incoming.write.parquet(str(src))
+
+    table = "digest_archive_stream_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ensure_digest_archive(spark, table, str(tmp_path / "arch"), seed=seed)
+
+    q = ingest_stream_dedup(
+        read_documents_stream(spark, str(src)), table,
+        str(tmp_path / "arch"), str(out), str(ckpt),
+    )
+    q.awaitTermination(120)
+
+    from agentic_workflow_for_data_transformation_spark.operators import dedup
+
+    # WHICH representative doc survives a cross-batch duplicate depends
+    # on arrival order (stream) vs global min-id (batch) — the
+    # invariant is the DIGEST set and the one-per-digest cardinality
+    got_df = spark.read.parquet(str(out))
+    want_df = dedup.incremental_new_docs(incoming, existing=seed)
+    got = {r["_h"] for r in dedup.corpus_digests(got_df).collect()}
+    want = {r["_h"] for r in dedup.corpus_digests(want_df).collect()}
+    assert got == want and len(got) > 0
+    assert got_df.count() == want_df.count()
+
+    # second run over the SAME source: the archive already holds every
+    # emitted digest, so nothing new comes out (fresh checkpoint so the
+    # source re-reads the files)
+    q2 = ingest_stream_dedup(
+        read_documents_stream(spark, str(src)), table,
+        str(tmp_path / "arch"), str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    import os
+
+    out2 = tmp_path / "out2"
+    n2 = (
+        spark.read.parquet(str(out2)).count()
+        if out2.exists() and any(f.endswith(".parquet") for f in os.listdir(out2))
+        else 0
+    )
+    assert n2 == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
