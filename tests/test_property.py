@@ -602,3 +602,113 @@ def test_random_asof_match_duckdb(spark, lts, rts, direction, tolerance):
     finally:
         con.close()
     assert got == want, (direction, got, want)
+
+
+# ---- round-7 op fuzz: explode / keyed dedup / median & percentile --------
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    pattern=st.sampled_from(["a", "e", "o", "n", "\\s+"]),
+)
+def test_random_explode_matches_duckdb(spark_module, expr, pattern):
+    """The explode op across the regex-dialect boundary (Java regex vs
+    DuckDB RE2 — single-char and \\s+ patterns mean the same in both):
+    same tokens, same empty-token drops, same no-token row removal."""
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "explode", "col": "name", "alias": "tok",
+             "pattern": pattern},
+            {"op": "select", "cols": ["name", "city", "tok"]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(expr=predicate, keep=st.sampled_from(["min", "max"]))
+def test_random_dedup_matches_duckdb(spark_module, expr, keep):
+    """Keyed dedup with an explicit keep order: both engines must pick
+    the SAME representative row per key (age is unique, so the order
+    is total), including over empty filtered input."""
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "dedup", "keys": ["city"], "keep_col": "age",
+             "keep": keep},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    n_prec=st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    parts=st.sampled_from([[], ["city"]]),
+)
+def test_random_median_windows_match_duckdb(spark_module, expr, n_prec, parts):
+    """Window median (cumulative and sliding ROWS frames): Spark
+    rejects median() over ordered windows, so the compiler builds it
+    from collect_list over the same frame + interpolated array median
+    — the values must still match DuckDB's native median() OVER
+    exactly (lo + (hi-lo)/2 over integer-valued doubles)."""
+    e = {"fn": "median", "col": "age", "alias": "m"}
+    if n_prec is not None:
+        e["rows_preceding"] = n_prec
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "window", "partition_by": parts,
+             "order_by": [{"col": "age", "asc": True}], "exprs": [e]},
+            {"op": "select", "cols": ["name", "age", "m"]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    p=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 0.95]),
+    keys=st.sampled_from([[], ["city"]]),
+)
+def test_random_percentiles_match_duckdb(spark_module, expr, p, keys):
+    """Exact interpolated percentile aggregate: Spark F.percentile ==
+    DuckDB quantile_cont (index p*(n-1), linear interpolation) — over
+    random filters including empty groups and the empty global frame."""
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "groupby_agg", "keys": keys,
+             "aggs": [{"fn": "percentile", "col": "age", "p": p,
+                       "alias": "q"}]},
+        ]
+    }
+    got = _name_sorted_rows(compile_spec(spark_module, spec).toPandas())
+    want = _duck2(spec_to_sql(spec, "people"))
+    assert got == want
