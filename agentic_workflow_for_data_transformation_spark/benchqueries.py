@@ -3071,6 +3071,42 @@ def p55_nl_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P55_DESC)
 
 
+_P56_DESC = (
+    "Add tier column as 'low' when o_totalprice < 100000, "
+    "'mid' when o_totalprice < 300000, otherwise 'high' "
+    "and then group by tier and count o_orderkey."
+)
+
+
+def _p56_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P56_DESC,
+            columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderpriority"],
+        ),
+        "orders",
+    )
+
+
+@register("p56_nl_case_when", _p56_oracle())
+def p56_nl_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL CASE expression: "add <col> column as 'low' when ..., 'mid'
+    when ..., otherwise 'high'" — the categorize/bucket phrasing every
+    labeling pipeline needs, compiled to an ANSI first-match-wins
+    when-chain (F.when...otherwise) feeding a group-count. The CASE is
+    a pure projection expression, so it stays inside the scan stage's
+    WholeStageCodegen and the only exchange is the 3-key count — the
+    same plan shape at any data size. Branch values are explicit lit
+    nodes (a bare string in expression position is column-ref sugar).
+    Reference parity: the closest reference eval shapes are the
+    computed-column descriptions (agentic_workflow_transformation.py:339-362);
+    this extends them with multi-branch categorization."""
+    return _nl(spark, sf_dir, "orders", _P56_DESC)
+
+
 @register("p51_nl_first_value", _p51_oracle())
 def p51_nl_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sliding first_value: 'first value ... over last 3 rows' =
@@ -3379,14 +3415,16 @@ _WINDOW: list[str] = [
     "x_percentiles", "x_pivot",
     "x_rollup", "x_sessionize_batch", "x_skew_salted_agg",
     "x_spec_join_window", "x_time_spine_fill", "x_tpch_q17", "x_tpch_q18",
-    "x_tpch_q3", "x_tpch_q5", "x_tpch_q6",
+    "x_tpch_q3", "x_tpch_q5",
     "x_window_lag_running", "x_window_topk_per_group",
     # -- (a') registered later in round 7, swapped in at registration
     # time (displacing the duplicate-shape ns_multimodal_meta and
-    # ns_multimodal_frames freshness picks) --
+    # ns_multimodal_frames freshness picks; p56 displaced the
+    # x_tpch_q6 freshness pick — q6's scan-agg shape stays covered by
+    # the other TPC-H rows and the local report) --
     "ns_dedup_incremental_bucketed", "p52_nl_moving_median",
     "ns_decontaminate_bloom", "p53_nl_percentile",
-    "p54_nl_wordcount", "p55_nl_dedup_keep",
+    "p54_nl_wordcount", "p55_nl_dedup_keep", "p56_nl_case_when",
     # -- (b') plans changed mid-round-7 (pre-aggregated expand),
     # swapped in for fresh driver rows like group (b); x_rollup itself
     # is already above --

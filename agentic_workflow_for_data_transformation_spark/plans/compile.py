@@ -108,6 +108,17 @@ def compile_expr(expr: Any) -> Column:
         return F.concat(*[compile_expr(a) for a in args])
     if op == "coalesce":
         return F.coalesce(*[compile_expr(a) for a in args])
+    if op == "case":
+        # ANSI CASE: first matching branch wins; missing else -> NULL.
+        # Spark evaluates when-chains lazily branch-by-branch, same as
+        # the SQL rendering, so both engines agree on every row.
+        whens = args["when"]
+        out = F.when(compile_expr(whens[0][0]), compile_expr(whens[0][1]))
+        for cond, val in whens[1:]:
+            out = out.when(compile_expr(cond), compile_expr(val))
+        if "else" in args:
+            out = out.otherwise(compile_expr(args["else"]))
+        return out
     raise SpecError(f"unknown expression op {op!r}")
 
 

@@ -278,6 +278,19 @@ _GLOBAL_PCTL = re.compile(
 _ADD_COLUMN = re.compile(
     r"^add\s+(\w+)\s+column\s+where\s+\w+\s*=\s*(.*)$", re.IGNORECASE
 )
+# "add tier column as 'low' when o_totalprice < 100000, 'mid' when
+# o_totalprice < 300000, otherwise 'high'" -> ANSI CASE (first match
+# wins). Branches split on top-level commas only, so IN-lists inside a
+# when-predicate survive; values are quoted strings or bare numbers.
+_CASE_COLUMN = re.compile(r"^add\s+(\w+)\s+column\s+as\s+(.+)$", re.IGNORECASE)
+_CASE_BRANCH = re.compile(
+    r"^('[^']*'|-?\d+(?:\.\d+)?)\s+when\s+(.+)$", re.IGNORECASE
+)
+_CASE_ELSE = re.compile(
+    r"^(?:otherwise\s+('[^']*'|-?\d+(?:\.\d+)?)"
+    r"|('[^']*'|-?\d+(?:\.\d+)?)\s+otherwise)$",
+    re.IGNORECASE,
+)
 _RENAME = re.compile(r"^rename\s+(?:column\s+)?(\w+)\s+to\s+(\w+)\s*$", re.IGNORECASE)
 _DROP = re.compile(r"^drop\s+(?:column\s+)?(\w+)(?:\s+column)?\s*$", re.IGNORECASE)
 # multi-key: "sort by age desc, name" — each comma part is col [dir]
@@ -839,6 +852,27 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "order_by": [{"col": m.group(3), "asc": True}],
             "exprs": [expr],
         }
+    if (m := _CASE_COLUMN.match(clause)) and not _ADD_COLUMN.match(clause):
+        whens: list[list] = []
+        else_val = None
+        for part in _split_top_level_commas(m.group(2)):
+            if em := _CASE_ELSE.match(part):
+                if else_val is not None:
+                    raise ParseError(f"case column has two otherwise branches: {clause!r}")
+                else_val = _case_literal(em.group(1) or em.group(2))
+                continue
+            bm = _CASE_BRANCH.match(part)
+            if not bm:
+                raise ParseError(f"bad case branch {part!r} in {clause!r}")
+            if else_val is not None:
+                raise ParseError(f"case branch after otherwise: {clause!r}")
+            whens.append([parse_predicate(bm.group(2)), _case_literal(bm.group(1))])
+        if not whens:
+            raise ParseError(f"case column needs at least one when branch: {clause!r}")
+        case: dict = {"when": whens}
+        if else_val is not None:
+            case["else"] = else_val
+        return {"op": "with_column", "name": m.group(1), "expr": {"case": case}}
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}
     if m := _RENAME.match(clause):
@@ -868,6 +902,39 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
     if m := _FILTER.match(clause):
         return {"op": "filter", "expr": parse_predicate(m.group(1))}
     raise ParseError(f"unrecognized clause {clause!r}")
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    """Split on commas outside parentheses and quotes, so a case
+    branch's IN-list ("status in ('F', 'O')") never fragments."""
+    parts, depth, buf, in_q = [], 0, [], False
+    for ch in text:
+        if ch == "'" :
+            in_q = not in_q
+        elif not in_q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(buf).strip())
+                buf = []
+                continue
+        buf.append(ch)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+def _case_literal(tok: str) -> dict:
+    """Case-branch value: quoted string, else int, else float — wrapped
+    as an explicit {"lit": ...} node (a bare string in expression
+    position would be column-ref sugar)."""
+    if tok.startswith("'") and tok.endswith("'"):
+        return {"lit": tok[1:-1]}
+    try:
+        return {"lit": int(tok)}
+    except ValueError:
+        return {"lit": float(tok)}
 
 
 def parse_description(description: str, columns: list[str] | None = None) -> dict:

@@ -82,6 +82,8 @@ code strings, so nothing user- or LLM-supplied is ever executed):
   {"lower": e} {"upper": e} {"trim": e} {"length": e}
   {"concat": [e, ...]}                # string concatenation
   {"coalesce": [e, ...]}
+  {"case": {"when": [[cond, val], ...], "else": val?}}   # first match wins;
+                                      # no else -> NULL (ANSI CASE)
 
 Bare strings in expression positions mean column refs; bare numbers /
 bools mean literals (sugar the parser emits).
@@ -175,6 +177,21 @@ def validate_expr(expr: Any) -> None:
             _err(f"{op} takes a non-empty list: {expr!r}")
         for a in args:
             validate_expr(a)
+    elif op == "case":
+        if not isinstance(args, dict):
+            _err(f"case takes {{'when': [[cond, val], ...], 'else': val?}}: {expr!r}")
+        whens = args.get("when")
+        if not (isinstance(whens, list) and whens):
+            _err(f"case needs a non-empty 'when' list: {expr!r}")
+        for pair in whens:
+            if not (isinstance(pair, list) and len(pair) == 2):
+                _err(f"each case 'when' entry is a [cond, value] pair: {expr!r}")
+            validate_expr(pair[0])
+            validate_expr(pair[1])
+        if set(args) - {"when", "else"}:
+            _err(f"case allows only 'when' and 'else' keys: {expr!r}")
+        if "else" in args:
+            validate_expr(args["else"])
     else:
         _err(f"unknown expression op {op!r}")
 

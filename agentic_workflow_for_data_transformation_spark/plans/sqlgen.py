@@ -98,6 +98,13 @@ def expr_to_sql(expr: Any) -> str:
     if op in ("concat", "coalesce"):
         inner = ", ".join(expr_to_sql(a) for a in args)
         return f"{op}({inner})"
+    if op == "case":
+        branches = " ".join(
+            f"WHEN {expr_to_sql(c)} THEN {expr_to_sql(v)}"
+            for c, v in args["when"]
+        )
+        tail = f" ELSE {expr_to_sql(args['else'])}" if "else" in args else ""
+        return f"(CASE {branches}{tail} END)"
     raise SqlGenError(f"no SQL rendering for expression op {op!r}")
 
 

@@ -712,3 +712,36 @@ def test_random_percentiles_match_duckdb(spark_module, expr, p, keys):
     got = _name_sorted_rows(compile_spec(spark_module, spec).toPandas())
     want = _duck2(spec_to_sql(spec, "people"))
     assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    t1=st.integers(min_value=0, max_value=80),
+    t2=st.integers(min_value=0, max_value=80),
+    with_else=st.booleans(),
+)
+def test_random_case_matches_duckdb(spark_module, expr, t1, t2, with_else):
+    """CASE expression: first-match-wins branch order, overlapping
+    (even inverted) thresholds, and the no-else -> NULL path must
+    agree cell-for-cell across Spark's when-chain and ANSI CASE."""
+    case = {"when": [
+        [{"lt": ["age", t1]}, {"lit": "a"}],
+        [{"lt": ["age", t2]}, {"lit": "b"}],
+    ]}
+    if with_else:
+        case["else"] = {"lit": "z"}
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "with_column", "name": "tier", "expr": {"case": case}},
+            {"op": "select", "cols": ["name", "age", "tier"]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want

@@ -935,3 +935,73 @@ def test_validate_dedup_and_explode():
                                 "keep_col": "doc_id", "keep": "first"}]})
     with pytest.raises(SpecError):
         validate_spec({"ops": [{"op": "explode", "col": "text"}]})
+
+
+def test_parse_case_column():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        ParseError,
+        parse_description,
+    )
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    spec = parse_description(
+        "Add tier column as 'low' when o_totalprice < 100000, "
+        "'mid' when o_totalprice < 300000, otherwise 'high'.",
+        columns=cols,
+    )
+    assert spec["ops"] == [{
+        "op": "with_column", "name": "tier",
+        "expr": {"case": {"when": [
+            [{"lt": [{"col": "o_totalprice"}, {"lit": 100000}]}, {"lit": "low"}],
+            [{"lt": [{"col": "o_totalprice"}, {"lit": 300000}]}, {"lit": "mid"}],
+        ], "else": {"lit": "high"}}},
+    }]
+    # trailing-otherwise form, numeric values, IN-list commas survive
+    spec = parse_description(
+        "Add flag column as 1 when o_orderpriority in ('1-URGENT', '2-HIGH'), "
+        "0 otherwise.",
+        columns=cols,
+    )
+    case = spec["ops"][0]["expr"]["case"]
+    assert case["else"] == {"lit": 0}
+    assert case["when"][0][1] == {"lit": 1}
+    assert case["when"][0][0]["isin"][1] == ["1-URGENT", "2-HIGH"]
+    # no else branch -> ANSI NULL (key absent)
+    spec = parse_description(
+        "Add tag column as 'big' when o_totalprice > 400000.", columns=cols
+    )
+    assert "else" not in spec["ops"][0]["expr"]["case"]
+    import pytest
+
+    with pytest.raises(ParseError):
+        parse_description(
+            "Add t column as 'a' when o_totalprice > 1, otherwise 'b', "
+            "'c' when o_totalprice > 2.",
+            columns=cols,
+        )  # branch after otherwise
+    with pytest.raises(ParseError):
+        parse_description("Add t column as otherwise 'b'.", columns=cols)
+
+
+def test_validate_case_expr():
+    import pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+
+    ok = {"case": {"when": [[{"gt": ["age", 30]}, {"lit": "old"}]],
+                   "else": {"lit": "young"}}}
+    validate_spec({"ops": [{"op": "with_column", "name": "t", "expr": ok}]})
+    for bad in (
+        {"case": {"when": []}},                       # empty when
+        {"case": {"when": [[{"gt": ["age", 30]}]]}},  # not a pair
+        {"case": {"when": [["x", "y", "z"]]}},        # 3-tuple
+        {"case": {"whenever": [["x", "y"]]}},         # unknown key
+        {"case": {"when": [["x", "y"]], "default": 1}},
+        {"case": [["x", "y"]]},                       # not a dict
+    ):
+        with pytest.raises(SpecError):
+            validate_spec({"ops": [{"op": "with_column", "name": "t",
+                                    "expr": bad}]})
