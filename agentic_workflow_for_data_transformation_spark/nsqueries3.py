@@ -373,3 +373,35 @@ def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
     )
+
+
+_BM25_TERMS = ("vector", "stream", "window", "group")
+_BM25_SQL = (
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents), "
+    "ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, w, count(*) AS tf FROM w WHERE w IN ('vector', 'stream', 'window', 'group') GROUP BY 1, 2), "
+    "dfreq AS (SELECT w, count(*) AS dfq FROM tf GROUP BY 1), "
+    "s AS (SELECT doc_id, "
+    " ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5)) * "
+    " ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s "
+    " FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad) "
+    "SELECT doc_id, round(sum(s), 6) AS bm25 FROM s GROUP BY 1 "
+    "ORDER BY bm25 DESC, doc_id LIMIT 20"
+)
+
+
+@register("ns_text_bm25", _BM25_SQL)
+def ns_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval over the documents table for a 4-term
+    query (operators/text.bm25_topk) — the lexical-search sibling of
+    the ANN family: one token explode, query-term filter BEFORE the tf
+    shuffle, broadcast df/N/avgdl frames, TakeOrderedAndProject top-k.
+    Oracle renders the identical IEEE expression shapes; the per-doc
+    sum (the only order-sensitive float op) is rounded to 6 places and
+    the k boundary tie-breaks on doc_id."""
+    from .operators import text as _text
+
+    return _text.bm25_topk(_t(spark, sf_dir, "documents"),
+                           list(_BM25_TERMS), k=20)

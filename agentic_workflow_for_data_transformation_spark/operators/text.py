@@ -438,3 +438,67 @@ def token_label_pmi(df: DataFrame, label_col: str = "lang", k: int = 10,
         F.round(F.log("_score"), 6).alias("pmi"),
         "rn",
     )
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """BM25 sparse retrieval: score every document against a query
+    term set and return the top-k — the lexical-search baseline every
+    RAG / retrieval pipeline keeps next to its ANN index (tf-idf's
+    production successor: term saturation via k1, document-length
+    normalization via b).
+
+    Per-term score: idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with the Robertson/Lucene idf ln(1 + (N-df+.5)/(df+.5)).
+
+    Scale shape: ONE token explode feeds both the per-doc length
+    aggregate and the (doc, term) tf aggregate; the tf side filters to
+    the query terms BEFORE its shuffle (an isin over a literal list —
+    pushed into the scan stage), so the only full-corpus exchanges
+    carry (doc_id, dl) and the query-term sliver. df/N/avgdl are
+    term- or 1-row-cardinality frames broadcast back via crossJoin —
+    no unpartitioned window, no driver action. Final top-k is a sort
+    + limit = TakeOrderedAndProject, never a global sort.
+
+    Determinism: every per-term score is the same IEEE expression
+    shape in both engines (bit-identical); only the per-doc SUM order
+    differs, so the reported score rounds to 6 places and the top-k
+    boundary breaks ties on doc_id."""
+    qt = [t for t in query_terms]
+    words = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # N over the documents frame, avgdl over lengths: sum/count in the
+    # SAME shape the oracle renders (avg() could disagree in the last
+    # ulp; an explicit sum-over-count cannot)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = doclen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    tf = (
+        words.filter(F.col("w").isin(qt))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfq") + F.lit(0.5)) / (F.col("dfq") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .select(F.col(id_col), (idf * tfnorm).alias("s"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

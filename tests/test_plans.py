@@ -460,3 +460,23 @@ def test_no_unpartitioned_windows_anywhere(spark):
         if nodes:
             bad[name] = nodes
     assert not bad, f"unpartitioned Window nodes in: {bad}"
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25: the query-term isin must push into the token-side scan
+    stage (filter before the tf shuffle), the df/N/avgdl frames join
+    back as broadcasts, and the final top-k is TakeOrderedAndProject —
+    never a global Sort."""
+    plan = plan_of(spark, "ns_text_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 3  # dfreq, n_docs, avgdl
+    # no global sort node: top-k must not materialize a full ordering
+    assert "Sort [bm25" not in plan
+
+
+def test_case_when_stays_in_scan_stage(spark):
+    """p56: the CASE projection is pure expression work — it must not
+    add an exchange beyond the single group-count shuffle."""
+    plan = plan_of(spark, "p56_nl_case_when")
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+    assert "CASE WHEN" in plan

@@ -91,6 +91,7 @@ QUERIES = [
     "p52_nl_moving_median",
     "p54_nl_wordcount",
     "p55_nl_dedup_keep",
+    "ns_text_bm25",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
