@@ -3409,7 +3409,7 @@ _WINDOW: list[str] = [
     "x_join_asof_forward", "p45_nl_asof_nearest",
     # -- (c) freshness: last gated round 1 --
     "p11_and", "p12_or", "p13_between_startswith",
-    "p17_sort_filter_limit", "x_approx_count_distinct", "x_count_distinct",
+    "p17_sort_filter_limit", "x_approx_count_distinct",
     "x_join_anti",
     "x_join_range", "x_join_semi", "x_join_star_broadcast",
     "x_percentiles", "x_pivot",
@@ -3425,7 +3425,7 @@ _WINDOW: list[str] = [
     "ns_dedup_incremental_bucketed", "p52_nl_moving_median",
     "ns_decontaminate_bloom", "p53_nl_percentile",
     "p54_nl_wordcount", "p55_nl_dedup_keep", "p56_nl_case_when",
-    "ns_text_bm25",
+    "ns_text_bm25", "ns_stats_welch_ttest",
     # -- (b') plans changed mid-round-7 (pre-aggregated expand),
     # swapped in for fresh driver rows like group (b); x_rollup itself
     # is already above --

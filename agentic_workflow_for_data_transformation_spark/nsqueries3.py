@@ -405,3 +405,41 @@ def ns_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _text.bm25_topk(_t(spark, sf_dir, "documents"),
                            list(_BM25_TERMS), k=20)
+
+
+_TTEST_SQL = (
+    "WITH m AS (SELECT event_type, "
+    " count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_a, "
+    " CAST(sum(CASE WHEN event_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s_a, "
+    " CAST(sum(CASE WHEN event_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ss_a, "
+    " count(CASE WHEN NOT (event_id % 2 = 0) THEN 1 END) AS n_b, "
+    " CAST(sum(CASE WHEN NOT (event_id % 2 = 0) THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s_b, "
+    " CAST(sum(CASE WHEN NOT (event_id % 2 = 0) THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ss_b "
+    " FROM events GROUP BY 1), "
+    "v AS (SELECT *, "
+    " (ss_a - s_a * s_a / n_a) / (n_a - 1) AS v_a, "
+    " (ss_b - s_b * s_b / n_b) / (n_b - 1) AS v_b FROM m), "
+    "s AS (SELECT *, v_a / n_a + v_b / n_b AS se2 FROM v) "
+    "SELECT event_type, n_a, n_b, "
+    "round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN "
+    " (s_a / n_a - s_b / n_b) / sqrt(se2) END, 6) AS t_stat, "
+    "round(CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0 THEN "
+    " (se2 * se2) / ((v_a / n_a) * (v_a / n_a) / (n_a - 1) "
+    " + (v_b / n_b) * (v_b / n_b) / (n_b - 1)) END, 6) AS df_welch "
+    "FROM s"
+)
+
+
+@register("ns_stats_welch_ttest", _TTEST_SQL)
+def ns_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t-test per event_type between the two
+    event_id-parity cohorts (operators/stats.welch_ttest) — the
+    mean-shift drift detector beside the KS shape test. Six decimal-
+    exact sufficient statistics in ONE map-side-combined aggregate
+    (partition-order independent), closed-form t and Welch-
+    Satterthwaite df in fixed-shape double math, rounded on report.
+    Scale: the exchange carries one 6-number row per group."""
+    from .operators import stats as _stats
+
+    return _stats.welch_ttest(_t(spark, sf_dir, "events"), "event_type",
+                              "value", "event_id")

@@ -229,3 +229,47 @@ def robust_outliers(df: DataFrame, group_col: str, value_col: str,
         F.round(F.max("_mad"), 6).alias("mad"),
         F.sum("_out").cast("long").alias("n_outliers"),
     )
+
+
+def welch_ttest(df: DataFrame, group_col: str, value_col: str,
+                split_col: str, value_decimal: str = "decimal(18,2)") -> DataFrame:
+    """Per-group Welch two-sample t-test between the two halves of a
+    deterministic split (``split_col % 2``) — the unequal-variance
+    drift test a pipeline runs per segment when comparing an A/B
+    cohort or two ingest windows (KS is the distribution-shape
+    sibling; this is the mean-shift one).
+
+    One map-side-combined aggregate computes the six sufficient
+    statistics (n, sum, sum-of-squares per side) with the same
+    decimal-exact discipline as groupwise_ols: sums over DECIMAL are
+    partition-order independent, then the closed-form t and
+    Welch-Satterthwaite df run in doubles with one fixed expression
+    shape, rounded only on report. Groups where either side has < 2
+    rows or both variances are zero report NULL t (no sampling
+    distribution) rather than dividing by zero."""
+    d = F.col(value_col).cast(value_decimal)
+    a = F.col(split_col) % 2 == 0
+    m = df.groupBy(group_col).agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.sum(F.when(a, d)).cast("double").alias("s_a"),
+        F.sum(F.when(a, d * d)).cast("double").alias("ss_a"),
+        F.count(F.when(~a, 1)).alias("n_b"),
+        F.sum(F.when(~a, d)).cast("double").alias("s_b"),
+        F.sum(F.when(~a, d * d)).cast("double").alias("ss_b"),
+    )
+    v_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (F.col("n_a") - 1)
+    v_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (F.col("n_b") - 1)
+    se2 = v_a / F.col("n_a") + v_b / F.col("n_b")
+    t = (F.col("s_a") / F.col("n_a") - F.col("s_b") / F.col("n_b")) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        (v_a / F.col("n_a")) * (v_a / F.col("n_a")) / (F.col("n_a") - 1)
+        + (v_b / F.col("n_b")) * (v_b / F.col("n_b")) / (F.col("n_b") - 1)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return m.select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, df_w), 6).alias("df_welch"),
+    )
