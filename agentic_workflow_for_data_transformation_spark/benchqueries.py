@@ -3107,6 +3107,52 @@ def p56_nl_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "orders", _P56_DESC)
 
 
+_P57_DESC = (
+    "Rename o_orderkey to l_orderkey and "
+    "left join with lineitem on l_orderkey and "
+    "replace missing l_quantity with 0 and then "
+    "group by o_orderpriority and show average l_quantity"
+)
+_P58_DESC = (
+    "Convert o_totalprice to integer and "
+    "select o_orderkey, o_totalprice and "
+    "sort by o_totalprice desc, o_orderkey and keep top 10"
+)
+_ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority"]
+
+
+def _nl_orders_oracle(desc: str) -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(parse_description(desc, columns=_ORDERS_COLS), "orders")
+
+
+@register("p57_nl_fillna", _nl_orders_oracle(_P57_DESC))
+def p57_nl_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL null fill after an outer join: 'replace missing X with 0' —
+    the coalesce-in-place clause every left-join pipeline needs before
+    aggregating (null-extended rows count as 0, not as absent). The
+    spec op carries replace=True so the SQL rendering uses * REPLACE:
+    a bare '*, expr AS name' would leave TWO columns with that name in
+    the oracle engine and later references would silently bind to the
+    ORIGINAL (the bug this phrasing's round-7 test caught). Spark side
+    is withColumn — pure projection, no new exchange."""
+    return _nl(spark, sf_dir, "orders", _P57_DESC,
+               extra_tables=("lineitem",))
+
+
+@register("p58_nl_convert", _nl_orders_oracle(_P58_DESC))
+def p58_nl_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL type conversion: 'convert X to integer' — in-place cast
+    (replace=True spec op). Cross-engine pin: Spark's numeric->integer
+    cast TRUNCATES toward zero while DuckDB's CAST rounds half-up, so
+    sqlgen renders integer casts as CAST(trunc(x) AS BIGINT). Top-k
+    sorts on the converted value with the key as tie-break (truncation
+    creates ties the original doubles didn't have)."""
+    return _nl(spark, sf_dir, "orders", _P58_DESC)
+
+
 @register("p51_nl_first_value", _p51_oracle())
 def p51_nl_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sliding first_value: 'first value ... over last 3 rows' =
@@ -3411,8 +3457,11 @@ _WINDOW: list[str] = [
     "p11_and", "p12_or", "p13_between_startswith",
     "p17_sort_filter_limit", "x_approx_count_distinct",
     "x_join_anti",
-    "x_join_range", "x_join_semi", "x_join_star_broadcast",
-    "x_percentiles", "x_pivot",
+    "x_join_star_broadcast",
+    # jaccard_prefix's frequency join gained the shuffle-hash pin mid
+    # round 7 (plan changed -> fresh driver row, displacing x_join_range)
+    "ns_dedup_jaccard_prefix",
+    "x_pivot",
     "x_rollup", "x_sessionize_batch", "x_skew_salted_agg",
     "x_spec_join_window", "x_time_spine_fill", "x_tpch_q17", "x_tpch_q18",
     "x_tpch_q3", "x_tpch_q5",
@@ -3425,13 +3474,16 @@ _WINDOW: list[str] = [
     "ns_dedup_incremental_bucketed", "p52_nl_moving_median",
     "ns_decontaminate_bloom", "p53_nl_percentile",
     "p54_nl_wordcount", "p55_nl_dedup_keep", "p56_nl_case_when",
-    "ns_text_bm25", "ns_stats_welch_ttest",
+    "ns_text_bm25", "ns_stats_welch_ttest", "p57_nl_fillna",
+    "p58_nl_convert",
     # -- (b') plans changed mid-round-7 (pre-aggregated expand),
     # swapped in for fresh driver rows like group (b); x_rollup itself
     # is already above --
     "x_cube", "x_rollup_priority_status",
-    # -- (c) freshness: last gated round 2 --
-    "ns_sim_topk_ivf", "ns_sim_topk_multi",
+    # -- (c) freshness: last gated round 2 (topk_multi displaced by
+    # the late ns_embed_pq registration; its shape stays covered by
+    # topk_ivf and the local report) --
+    "ns_sim_topk_ivf", "ns_embed_pq",
 ]
 
 

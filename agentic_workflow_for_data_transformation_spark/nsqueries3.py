@@ -443,3 +443,29 @@ def ns_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _stats.welch_ttest(_t(spark, sf_dir, "events"), "event_type",
                               "value", "event_id")
+
+
+_PQ_SQL = (
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "g AS (SELECT unnest(generate_series(0, 3)) AS sub), "
+    "subs AS (SELECT vec_id, sub, v[(sub*16+1):(sub*16+16)] AS sv FROM d, g), "
+    "cents AS (SELECT vec_id AS cent, sub, sv AS cv FROM subs WHERE vec_id < 8), "
+    "scored AS (SELECT vec_id, s.sub, cent, round(list_distance(sv, cv), 6) AS dist, "
+    " row_number() OVER (PARTITION BY vec_id, s.sub ORDER BY round(list_distance(sv, cv), 6), cent) AS rn "
+    " FROM subs s JOIN cents c ON s.sub = c.sub) "
+    "SELECT vec_id, sub, cent, dist FROM scored WHERE rn = 1"
+)
+
+
+@register("ns_embed_pq", _PQ_SQL)
+def ns_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codes (operators/similarity.product_quantize):
+    m=4 subspaces x 16 dims, k=8 seeded-exemplar centroids per
+    subspace; one row per (vector, subspace) with the nearest centroid
+    and its rounded L2 distance. Slice-before-explode keeps only
+    subvectors on the wire; the k*m codebook broadcasts; the argmin is
+    a min(struct) aggregate — one corpus-sized exchange."""
+    from .operators import similarity as _sim
+
+    return _sim.product_quantize(_t(spark, sf_dir, "embeddings"),
+                                 m=4, k=8, dim=64)

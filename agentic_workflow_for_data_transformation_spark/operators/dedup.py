@@ -669,7 +669,13 @@ def jaccard_prefix_pairs(df: DataFrame, id_col: str = "doc_id",
         )
     freq = e.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
     ranked = (
-        e.join(freq, "s")
+        # the frequency side has one row per DISTINCT shingle — it
+        # grows with the corpus, so it must never be broadcast (AQE's
+        # mid-checkpoint size estimate picked broadcast on the 500k-doc
+        # Zipf probe and OOM'd the driver); the shuffle-hash hint keys
+        # both sides on the 60-bit hash, which the groupBy has already
+        # partitioned, so only the token stream moves
+        e.join(freq.hint("shuffle_hash"), "s")
         .withColumn(
             "rn",
             F.row_number().over(

@@ -719,3 +719,71 @@ def knn_join_bucketed(df: DataFrame, id_col: str = "vec_id",
         .select(F.col("a_id").alias("vec_id"), "label",
                 F.col("b_id").alias("nn_vec_id"), "cos_sim")
     )
+
+
+def l2_distance(a: F.Column, b: F.Column) -> F.Column:
+    """Euclidean distance as one deterministic left-fold (matches the
+    sequential sum inside DuckDB's list_distance, so rounded values
+    agree across engines)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def product_quantize(df: DataFrame, m: int = 4, k: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int | None = None) -> DataFrame:
+    """Product quantization (Jégou et al., PAMI 2011): split each
+    vector into ``m`` subvectors, assign each to its nearest of ``k``
+    per-subspace centroids, report the code word and the per-vector
+    reconstruction error — the compression step an ANN serving tier
+    runs so 100 TB of float32 embeddings become m bytes per vector.
+
+    Codebook: the subvectors of the first ``k`` vectors (id < k) — a
+    seeded-exemplar codebook, deterministic with no training loop (the
+    kmeans_assign operator is the iterative sibling; PQ quality here
+    is evaluated by the reported distortion, not claimed optimal).
+
+    Scale shape: the codebook is a k*m-row frame broadcast to every
+    executor; the corpus explodes to m rows per vector (slice BEFORE
+    explode so only subvector arrays travel), the argmin per
+    (vector, subspace) is one min_by aggregate keyed on the id — a
+    single corpus-sized exchange carrying (id, sub, 16 floats). The
+    per-vector code assembly is a second small aggregate on the same
+    key, so AQE coalesces the two into one partitioning.
+
+    Determinism: distances are the same left-fold shape both engines
+    round to 6; ties break on the lower centroid id via min(struct).
+
+    Returns the code table in relational (exploded) form — one row per
+    (vector, subspace) with the winning centroid and its distance —
+    so results stay array-free and hash-comparable; downstream packs
+    codes with collect_list when it wants the m-byte word."""
+    sub_w = (dim or probe_dim(df, vec_col)) // m
+    v = as_double_array(F.col(vec_col))
+    subs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(v, i * sub_w + 1, sub_w) for i in range(m)])
+        ).alias("sub", "sv"),
+    )
+    cents = (
+        subs.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("cent"), "sub", F.col("sv").alias("cv"))
+    )
+    d = F.round(l2_distance(F.col("sv"), F.col("cv")), 6)
+    return (
+        subs.join(F.broadcast(cents), "sub")
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct(d.alias("d"), F.col("cent"))).alias("best"))
+        .select(
+            id_col,
+            "sub",
+            F.col("best")["cent"].alias("cent"),
+            F.col("best")["d"].alias("dist"),
+        )
+    )

@@ -30,7 +30,8 @@ class ParseError(ValueError):
 
 _CLAUSE_KEYWORDS = (
     r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate"
-    r"|join|broadcast|for|sessionize|pivot|rollup"
+    r"|join|broadcast|for|sessionize|pivot|rollup|convert"
+    r"|replace\s+missing"
     # multi-word forms require their full token so a predicate conjunct
     # that merely BEGINS with a join-type word ("... and left > 2")
     # stays a conjunction instead of splitting as a clause
@@ -292,6 +293,23 @@ _CASE_ELSE = re.compile(
     re.IGNORECASE,
 )
 _RENAME = re.compile(r"^rename\s+(?:column\s+)?(\w+)\s+to\s+(\w+)\s*$", re.IGNORECASE)
+# "replace missing l_quantity with 0" -> coalesce in place (the
+# post-outer-join null fill); "convert o_totalprice to integer" ->
+# in-place cast. Both are with_column ops over the same name, so the
+# column keeps its position and downstream clauses see the new value.
+_FILL_MISSING = re.compile(
+    r"^replace\s+missing\s+(\w+)\s+with\s+('[^']*'|-?\d+(?:\.\d+)?)\s*$",
+    re.IGNORECASE,
+)
+_CONVERT = re.compile(
+    r"^convert\s+(\w+)\s+to\s+(integer|long|double|float|string|text|date|timestamp)\s*$",
+    re.IGNORECASE,
+)
+_CONVERT_TYPES = {
+    "integer": "long", "long": "long", "double": "double", "float": "double",
+    "string": "string", "text": "string", "date": "date",
+    "timestamp": "timestamp",
+}
 _DROP = re.compile(r"^drop\s+(?:column\s+)?(\w+)(?:\s+column)?\s*$", re.IGNORECASE)
 # multi-key: "sort by age desc, name" — each comma part is col [dir]
 _SORT = re.compile(r"^sort\s+by\s+(.+)$", re.IGNORECASE)
@@ -875,6 +893,14 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "with_column", "name": m.group(1), "expr": {"case": case}}
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}
+    if m := _FILL_MISSING.match(clause):
+        col = m.group(1)
+        return {"op": "with_column", "name": col, "replace": True,
+                "expr": {"coalesce": [{"col": col}, _case_literal(m.group(2))]}}
+    if m := _CONVERT.match(clause):
+        col = m.group(1)
+        return {"op": "with_column", "name": col, "replace": True,
+                "expr": {"cast": [{"col": col}, _CONVERT_TYPES[m.group(2).lower()]]}}
     if m := _RENAME.match(clause):
         return {"op": "rename", "renames": {m.group(1): m.group(2)}}
     if m := _DROP.match(clause):

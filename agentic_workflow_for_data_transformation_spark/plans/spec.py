@@ -14,7 +14,10 @@ Relational ops (reference-parity surface, SURVEY.md section 2.2-2.5):
 
   {"op": "filter", "expr": <bool-expr>}
   {"op": "select", "cols": ["name", "age"]}
-  {"op": "with_column", "name": "is_adult", "expr": <expr>}
+  {"op": "with_column", "name": "is_adult", "expr": <expr>,
+   "replace": bool?}   # replace=True: 'name' already exists and is
+                       # updated in place (SQL renders * REPLACE);
+                       # default False appends a new column
   {"op": "rename", "renames": {"name": "full_name"}}
   {"op": "drop", "cols": ["city"]}
   {"op": "sort", "keys": [{"col": "age", "asc": false}, ...]}
@@ -240,6 +243,8 @@ def validate_op(op: Any) -> None:
         if not isinstance(op.get("name"), str):
             _err(f"with_column needs 'name': {op!r}")
         validate_expr(op.get("expr"))
+        if "replace" in op and not isinstance(op["replace"], bool):
+            _err(f"with_column 'replace' must be a bool: {op!r}")
     elif kind == "rename":
         r = op.get("renames")
         if not (isinstance(r, dict) and r and all(isinstance(k, str) and isinstance(v, str) for k, v in r.items())):

@@ -92,6 +92,10 @@ def expr_to_sql(expr: Any) -> str:
     if op == "round":
         return f"round({expr_to_sql(args[0])}, {args[1]})"
     if op == "cast":
+        if args[1] in ("long", "int", "bigint", "integer"):
+            # Spark's numeric->integer cast TRUNCATES toward zero while
+            # DuckDB's rounds half-up; pin Spark semantics with trunc()
+            return f"CAST(trunc({expr_to_sql(args[0])}) AS BIGINT)"
         return f"CAST({expr_to_sql(args[0])} AS {args[1]})"
     if op in ("lower", "upper", "trim", "length"):
         return f"{op}({expr_to_sql(args)})"
@@ -145,7 +149,15 @@ def spec_to_sql(spec: dict, table: str) -> str:
         elif kind == "select":
             sql = wrap(", ".join(_q(c) for c in op["cols"]))
         elif kind == "with_column":
-            sql = wrap(f"*, {expr_to_sql(op['expr'])} AS {_q(op['name'])}")
+            if op.get("replace"):
+                # in-place update of an existing column: a bare
+                # "*, expr AS name" would leave TWO columns named
+                # 'name' in DuckDB and later references silently bind
+                # to the ORIGINAL — * REPLACE keeps one, in place,
+                # matching Spark withColumn-on-existing semantics
+                sql = wrap(f"* REPLACE ({expr_to_sql(op['expr'])} AS {_q(op['name'])})")
+            else:
+                sql = wrap(f"*, {expr_to_sql(op['expr'])} AS {_q(op['name'])}")
         elif kind == "rename":
             ren = op["renames"]
             sql = wrap(

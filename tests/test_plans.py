@@ -480,3 +480,13 @@ def test_case_when_stays_in_scan_stage(spark):
     plan = plan_of(spark, "p56_nl_case_when")
     assert plan.count("Exchange") <= 2  # partial->final agg only
     assert "CASE WHEN" in plan
+
+
+def test_product_quantize_plan_shape(spark):
+    """PQ: the codebook side must broadcast (k*m rows), subvector
+    slicing happens before the explode (no full-width vectors past the
+    scan), and the argmin is an aggregate — no window, no quadratic
+    join on vec_id."""
+    plan = plan_of(spark, "ns_embed_pq")
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan

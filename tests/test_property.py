@@ -745,3 +745,32 @@ def test_random_case_matches_duckdb(spark_module, expr, t1, t2, with_else):
     got = _spark_rows(compile_spec(spark_module, spec))
     want = _duck(spec_to_sql(spec, "people"))
     assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(expr=predicate, fill=st.integers(min_value=-5, max_value=99))
+def test_random_replace_in_place_matches_duckdb(spark_module, expr, fill):
+    """with_column replace=True (the fillna/convert path): the updated
+    column must be THE column downstream clauses see — in SQL a bare
+    '*, expr AS name' leaves a duplicate and later references bind to
+    the original (the round-7 sqlgen bug). Pipeline re-reads the
+    replaced column in a filter and an aggregate to pin the binding."""
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "with_column", "name": "age", "replace": True,
+             "expr": {"case": {"when": [[{"lt": ["age", fill]}, {"lit": fill}]],
+                               "else": {"col": "age"}}}},
+            {"op": "filter", "expr": {"ge": ["age", fill]}},
+            {"op": "groupby_agg", "keys": ["city"],
+             "aggs": [{"fn": "sum", "col": "age", "alias": "s",
+                       "cast": "decimal(18,2)"}]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want

@@ -1005,3 +1005,60 @@ def test_validate_case_expr():
         with pytest.raises(SpecError):
             validate_spec({"ops": [{"op": "with_column", "name": "t",
                                     "expr": bad}]})
+
+
+def test_parse_fill_missing_and_convert():
+    import pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        ParseError,
+        parse_description,
+    )
+
+    cols = ["o_orderkey", "o_totalprice", "l_quantity"]
+    spec = parse_description("Replace missing l_quantity with 0.", columns=cols)
+    assert spec["ops"] == [{
+        "op": "with_column", "name": "l_quantity", "replace": True,
+        "expr": {"coalesce": [{"col": "l_quantity"}, {"lit": 0}]},
+    }]
+    spec = parse_description("Replace missing o_orderstatus with 'N/A'.",
+                             columns=cols)
+    assert spec["ops"][0]["expr"]["coalesce"][1] == {"lit": "N/A"}
+    spec = parse_description("Convert o_totalprice to integer.", columns=cols)
+    assert spec["ops"] == [{
+        "op": "with_column", "name": "o_totalprice", "replace": True,
+        "expr": {"cast": [{"col": "o_totalprice"}, "long"]},
+    }]
+    # clause-split safety: both forms reachable mid-pipeline after "and"
+    spec = parse_description(
+        "Filter rows where o_totalprice > 10 and convert o_totalprice to "
+        "integer and replace missing l_quantity with 1.",
+        columns=cols,
+    )
+    assert [o["op"] for o in spec["ops"]] == ["filter", "with_column",
+                                              "with_column"]
+    with pytest.raises(ParseError):
+        parse_description("Convert o_totalprice to money.", columns=cols)
+
+
+def test_sqlgen_replace_in_place_column():
+    """replace=True must render * REPLACE — the bare '*, expr AS name'
+    form leaves a duplicate column and DuckDB binds later references
+    to the ORIGINAL (silent wrong results, caught round 7)."""
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    spec = {"ops": [
+        {"op": "with_column", "name": "v", "replace": True,
+         "expr": {"coalesce": [{"col": "v"}, {"lit": 0}]}},
+        {"op": "groupby_agg", "keys": [],
+         "aggs": [{"fn": "sum", "col": "v", "alias": "s",
+                   "cast": "decimal(18,2)"}]},
+    ]}
+    sql = spec_to_sql(spec, "t")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1.0), (NULL), (2.0)) AS v(v)")
+    got = con.execute(sql).fetchone()[0]
+    assert float(got) == 3.0
+    assert "REPLACE" in sql

@@ -92,6 +92,8 @@ QUERIES = [
     "p54_nl_wordcount",
     "p55_nl_dedup_keep",
     "ns_text_bm25",
+    "ns_stats_welch_ttest",
+    "ns_embed_pq",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
@@ -251,9 +253,15 @@ def run_dir(sf_dir: str, sf: float, names: list[str]) -> dict[str, float]:
     t = min(dormant_interval_time(spark, sf), dormant_interval_time(spark, sf))
     out["x_join_interval_dormant (synthetic)"] = round(t, 3)
     print(f"  x_join_interval_dormant: {t:.2f}s", flush=True)
-    t = zipf_prefix_time(spark, sf)
-    out["ns_dedup_jaccard_prefix_zipf (synthetic)"] = round(t, 3)
-    print(f"  ns_dedup_jaccard_prefix_zipf: {t:.2f}s", flush=True)
+    # capped at sf3 (500k Zipf docs): the exact prefix join's candidate
+    # set at sf10 outgrows this box's 12g driver even with the
+    # shuffle-hash pin (r7 finding) — 0.1/1/3 fit the exponent
+    if sf <= 3:
+        t = zipf_prefix_time(spark, sf)
+        out["ns_dedup_jaccard_prefix_zipf (synthetic)"] = round(t, 3)
+        print(f"  ns_dedup_jaccard_prefix_zipf: {t:.2f}s", flush=True)
+    else:
+        print("  ns_dedup_jaccard_prefix_zipf: skipped (capped at sf3)", flush=True)
     spark.stop()
     return out
 

@@ -140,6 +140,22 @@ HEADLINE: list[tuple[str, str]] = [
         "screen-then-verify with the exact operator over the flagged "
         "sliver.",
     ),
+    (
+        "ns_text_bm25",
+        "BM25 retrieval: the query-term isin filters the token stream "
+        "INSIDE the scan stage (before the tf shuffle), df/N/avgdl are "
+        "term- or 1-row-cardinality broadcasts, and the top-k is "
+        "TakeOrderedAndProject — the corpus-sized exchanges carry only "
+        "(doc_id, dl) and the query-term sliver.",
+    ),
+    (
+        "ns_embed_pq",
+        "Product quantization: subvectors are sliced BEFORE the explode "
+        "(full-width vectors never leave the scan), the k*m codebook "
+        "broadcasts, and the per-(vector, subspace) argmin is a "
+        "min(struct) aggregate — one corpus-sized exchange, no window, "
+        "no quadratic join.",
+    ),
 ]
 
 
