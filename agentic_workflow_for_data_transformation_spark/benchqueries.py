@@ -3462,8 +3462,9 @@ _WINDOW: list[str] = [
     # round 7 (plan changed -> fresh driver row, displacing x_join_range)
     "ns_dedup_jaccard_prefix",
     "x_pivot",
-    "x_rollup", "x_sessionize_batch", "x_skew_salted_agg",
-    "x_spec_join_window", "x_time_spine_fill", "x_tpch_q17", "x_tpch_q18",
+    "x_rollup", "x_sessionize_batch", "ns_stats_count_min",
+    "x_spec_join_window", "x_time_spine_fill", "ns_corpus_token_budget",
+    "x_tpch_q18",
     "x_tpch_q3", "x_tpch_q5",
     "x_window_lag_running", "x_window_topk_per_group",
     # -- (a') registered later in round 7, swapped in at registration

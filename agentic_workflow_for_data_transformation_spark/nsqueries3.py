@@ -469,3 +469,57 @@ def ns_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _sim.product_quantize(_t(spark, sf_dir, "embeddings"),
                                  m=4, k=8, dim=64)
+
+
+_CMS_SQL = (
+    "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), "
+    "tf AS (SELECT w, count(*) AS c FROM toks GROUP BY 1), "
+    "rs AS (SELECT unnest(generate_series(0, 3)) AS r), "
+    "sk AS (SELECT r, ('0x' || substr(md5(w || '|' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 256 AS cell, "
+    " CAST(sum(c) AS BIGINT) AS cellsum FROM tf, rs GROUP BY 1, 2), "
+    "top AS (SELECT w, c AS exact FROM tf ORDER BY c DESC, w LIMIT 10), "
+    "pr AS (SELECT w, exact, r, ('0x' || substr(md5(w || '|' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 256 AS cell "
+    " FROM top, rs) "
+    "SELECT w, exact, min(cellsum) AS cm_estimate "
+    "FROM pr JOIN sk USING (r, cell) GROUP BY 1, 2"
+)
+
+
+@register("ns_stats_count_min", _CMS_SQL)
+def ns_stats_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed at the
+    top-10 exact tokens (operators/stats.count_min_estimates) — the
+    fixed-memory heavy-hitter estimator, with its one-sided
+    overestimate (est >= exact) shown against ground truth. The hash
+    family is the portable md5-60bit, so the sketch is deterministic
+    and fully SQL-oracle-checkable; the sketch aggregate exchanges at
+    most depth*width rows no matter the corpus size."""
+    from .operators import stats as _stats
+
+    return _stats.count_min_estimates(_t(spark, sf_dir, "documents"))
+
+
+_BUDGET_SQL = (
+    "WITH t AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    " ('0x' || substr(md5('budget|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS _ord "
+    " FROM documents), "
+    "r AS (SELECT lang, doc_id, n_tokens, "
+    " CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY _ord, doc_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_tokens FROM t) "
+    "SELECT lang, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, running_tokens "
+    "FROM r WHERE running_tokens <= 4000"
+)
+
+
+@register("ns_corpus_token_budget", _BUDGET_SQL)
+def ns_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus fill (operators/corpus.select_token_budget):
+    4000 tokens per language in deterministic md5-draw order — the
+    selection step that turns per-language token targets into a
+    document set, with the ingest-order bias removed. One per-group
+    cumulative window; strict <= makes budgets hard caps."""
+    from .operators import corpus as _corpus
+
+    return _corpus.select_token_budget(
+        _t(spark, sf_dir, "documents"), budget_tokens=4000
+    )

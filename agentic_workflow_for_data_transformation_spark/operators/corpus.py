@@ -511,3 +511,42 @@ def contamination_scores(corpus: DataFrame, benchmark: DataFrame,
             "contamination", F.round(F.col("n_hit") / F.col("n_grams"), 6)
         )
     )
+
+
+def select_token_budget(df: DataFrame, budget_tokens: int,
+                        group_col: str = "lang", id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Budgeted corpus fill: take documents per group in a
+    deterministic shuffled order until each group's token budget is
+    spent — the selection step that turns "2B tokens of French, 1B of
+    German" mix targets into an actual document set. The md5 draw
+    order de-correlates selection from ingest order (a head-N in file
+    order oversamples whatever crawled first); the first document that
+    OVERFLOWS the budget is excluded (strict <=), so budgets are hard
+    caps.
+
+    Scale shape: token counts are a map-side projection; the running
+    total is one window per group key (groups are the partition, so
+    the sort is per-group, never global); output carries (group, id,
+    tokens, running) — the full text rejoins downstream by id only if
+    needed."""
+    from pyspark.sql import Window
+
+    from .dedup import _hash60
+
+    toks = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+        _hash60(F.concat(F.lit("budget|"), F.col(id_col).cast("string"))).alias("_ord"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("running_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("running_tokens") <= budget_tokens)
+        .select(group_col, id_col, "n_tokens", "running_tokens")
+    )

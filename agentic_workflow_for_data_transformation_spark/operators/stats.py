@@ -273,3 +273,54 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
         F.round(F.when(ok, t), 6).alias("t_stat"),
         F.round(F.when(ok, df_w), 6).alias("df_welch"),
     )
+
+
+def count_min_estimates(df: DataFrame, text_col: str = "text",
+                        depth: int = 4, width: int = 256,
+                        k: int = 10) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) built
+    over the corpus token stream, evaluated against exact counts for
+    the top-k tokens — the sketch a streaming pipeline keeps when the
+    key space is too large for an exact map, with its one-sided
+    overestimate shown next to ground truth (est >= exact always; the
+    gap is the collision mass, bounded by 2N/width w.h.p. per row).
+
+    The sketch is DETERMINISTIC given the hash family — no RNG — so
+    this has an exact SQL oracle: row r hashes a token to
+    md5-60bit(token|r) % width, each of the depth x width cells sums
+    the counts hashing into it (a mergeable monoid, one aggregate),
+    and the estimate is min over rows of the addressed cells.
+
+    Scale shape: tokens reduce to (token, count) map-side; the sketch
+    aggregate exchanges at most depth*width fixed rows regardless of
+    corpus size; the top-k probe joins k*depth addressed cells back
+    by (row, cell) against the broadcast sketch."""
+    from .dedup import _hash60
+
+    tf = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    cell = F.pmod(_hash60(F.concat(F.col("w"), F.lit("|"), F.col("r"))),
+                  F.lit(width))
+    sketch = (
+        tf.select(F.col("w"), F.col("c"), rows)
+        .select("c", "r", cell.alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.sum("c").alias("cellsum"))
+    )
+    top = (
+        tf.orderBy(F.col("c").desc(), F.col("w"))
+        .limit(k)
+        .select("w", F.col("c").alias("exact"))
+    )
+    probes = top.select("w", "exact", rows).select(
+        "w", "exact", F.col("r"), cell.alias("cell")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("w", "exact")
+        .agg(F.min("cellsum").alias("cm_estimate"))
+    )

@@ -990,3 +990,77 @@ def test_audio_voiced_segments_merges_frames(spark):
         (1, 2, 3, 2, 250_000_000),
         (1, 5, 5, 1, 200_000_000),
     ]
+
+
+def test_welch_ttest_degenerate_sides(spark):
+    """Groups where one parity side has <2 rows (or variance collapses
+    entirely) must report NULL t/df, never a division error."""
+    from agentic_workflow_for_data_transformation_spark.operators.stats import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 2, 2.0), ("a", 1, 3.0), ("a", 3, 4.0),
+         ("b", 0, 5.0), ("b", 1, 6.0),      # one row per side
+         ("c", 0, 7.0), ("c", 2, 7.0), ("c", 1, 7.0), ("c", 3, 7.0)],  # zero var
+        "g string, id int, v double",
+    )
+    rows = {r["g"]: r for r in welch_ttest(df, "g", "v", "id").collect()}
+    assert rows["a"]["t_stat"] is not None
+    assert rows["b"]["t_stat"] is None and rows["b"]["df_welch"] is None
+    assert rows["c"]["t_stat"] is None  # se2 == 0
+    assert rows["a"]["n_a"] == 2 and rows["a"]["n_b"] == 2
+
+
+def test_bm25_zero_match_docs_absent(spark):
+    """Documents containing none of the query terms must not appear
+    (BM25 scores only matching docs); scores are positive and the
+    doc with more matching terms outranks the single-term doc."""
+    from agentic_workflow_for_data_transformation_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha delta"),
+         (3, "epsilon zeta"), (4, "beta alpha")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in
+           bm25_topk(df, ["alpha", "beta"], k=10).collect()}
+    assert 3 not in out
+    assert set(out) == {1, 2, 4}
+    assert all(v > 0 for v in out.values())
+    assert out[4] > out[2]  # two query terms beat repeated one
+
+
+def test_product_quantize_exemplars_self_assign(spark):
+    """Codebook vectors must assign to THEMSELVES with distance 0 in
+    every subspace (the seeded-exemplar invariant)."""
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        product_quantize,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = product_quantize(df, m=4, k=8, dim=16)
+    own = out.filter("vec_id < 8").collect()
+    assert len(own) == 8 * 4
+    assert all(r["cent"] == r["vec_id"] and r["dist"] == 0.0 for r in own)
+    rest = out.filter("vec_id >= 8")
+    assert rest.count() == 12 * 4
+
+
+def test_select_token_budget_hard_cap(spark):
+    """The first overflowing doc is excluded: per-group token sums
+    never exceed the budget, and a doc longer than the whole budget
+    can only be taken if it drew first AND fits."""
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", "tok " * (i + 1)) for i in range(30)],
+        "doc_id long, lang string, text string",
+    )
+    out = select_token_budget(df, budget_tokens=50).collect()
+    assert sum(r["n_tokens"] for r in out) <= 50
+    assert max(r["running_tokens"] for r in out) <= 50

@@ -490,3 +490,19 @@ def test_product_quantize_plan_shape(spark):
     plan = plan_of(spark, "ns_embed_pq")
     assert "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+def test_count_min_sketch_bounded_exchange(spark):
+    """CMS: the sketch aggregate must exchange at most depth*width
+    rows (fixed regardless of corpus size) and the probe joins against
+    a BROADCAST sketch — no corpus-sized join."""
+    plan = plan_of(spark, "ns_stats_count_min")
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan  # the exact top-k probe side
+
+
+def test_token_budget_no_global_sort(spark):
+    """Budget fill: the cumulative token window partitions by the
+    group key — no unpartitioned window, no global sort of the corpus."""
+    plan = plan_of(spark, "ns_corpus_token_budget")
+    assert "SinglePartition" not in plan

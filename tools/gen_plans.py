@@ -149,6 +149,13 @@ HEADLINE: list[tuple[str, str]] = [
         "(doc_id, dl) and the query-term sliver.",
     ),
     (
+        "ns_stats_count_min",
+        "Count-min sketch: tokens reduce map-side to (token, count); "
+        "the sketch aggregate exchanges at most depth*width fixed rows "
+        "regardless of corpus size; the top-k probe joins against the "
+        "BROADCAST 1024-row sketch — no corpus-sized join anywhere.",
+    ),
+    (
         "ns_embed_pq",
         "Product quantization: subvectors are sliced BEFORE the explode "
         "(full-width vectors never leave the scan), the k*m codebook "
