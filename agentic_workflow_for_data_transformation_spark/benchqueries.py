@@ -3107,6 +3107,34 @@ def p56_nl_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "orders", _P56_DESC)
 
 
+_P59_DESC = (
+    "Filter rows where lang == 'en' and "
+    "search for 'vector stream window' and show top 5 matches"
+)
+
+
+def _p59_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P59_DESC, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        "documents",
+    )
+
+
+@register("p59_nl_search", _p59_oracle())
+def p59_nl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL lexical search: "search for '<terms>' and show top N
+    matches" — BM25 as a first-class spec op, composable with the rest
+    of the grammar (here: a language filter narrows the corpus BEFORE
+    scoring, so df/N/avgdl are per-slice as a search engine would
+    compute them). Same plan as ns_text_bm25: term filter inside the
+    scan stage, broadcast statistics, TakeOrderedAndProject."""
+    return _nl(spark, sf_dir, "documents", _P59_DESC)
+
+
 _P57_DESC = (
     "Rename o_orderkey to l_orderkey and "
     "left join with lineitem on l_orderkey and "
@@ -3466,7 +3494,7 @@ _WINDOW: list[str] = [
     "x_spec_join_window", "x_time_spine_fill", "ns_corpus_token_budget",
     "x_tpch_q18",
     "x_tpch_q3", "x_tpch_q5",
-    "x_window_lag_running", "x_window_topk_per_group",
+    "x_window_topk_per_group",
     # -- (a') registered later in round 7, swapped in at registration
     # time (displacing the duplicate-shape ns_multimodal_meta and
     # ns_multimodal_frames freshness picks; p56 displaced the
@@ -3476,7 +3504,7 @@ _WINDOW: list[str] = [
     "ns_decontaminate_bloom", "p53_nl_percentile",
     "p54_nl_wordcount", "p55_nl_dedup_keep", "p56_nl_case_when",
     "ns_text_bm25", "ns_stats_welch_ttest", "p57_nl_fillna",
-    "p58_nl_convert",
+    "p58_nl_convert", "p59_nl_search",
     # -- (b') plans changed mid-round-7 (pre-aggregated expand),
     # swapped in for fresh driver rows like group (b); x_rollup itself
     # is already above --

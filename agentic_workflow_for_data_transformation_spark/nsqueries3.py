@@ -369,9 +369,14 @@ def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import corpus as _corpus
 
     docs = _t(spark, sf_dir, "documents")
+    # the benchmark side is a FIXED slice (<= 600 docs at any sf):
+    # real decontamination screens a growing crawl against a
+    # fixed-size eval suite, so the scale sweep measures the PROBE's
+    # linear scan, not an ever-growing build (r7: the benchmark-
+    # scales-with-corpus form spent 97s at sf10, build-dominated)
     return _corpus.contaminated_ids_bloom(
         docs.filter(F.col("doc_id") % 97 != 0),
-        docs.filter(F.col("doc_id") % 97 == 0),
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 58200)),
     )
 
 

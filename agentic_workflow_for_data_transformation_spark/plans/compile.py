@@ -429,6 +429,16 @@ def compile_spec(
             df = hash_sample(
                 df, op["fraction"], op["key"], salt=op.get("salt", "sample")
             )
+        elif kind == "bm25":
+            from ..operators.text import bm25_topk
+
+            df = bm25_topk(
+                df,
+                list(op["terms"]),
+                k=op["k"],
+                id_col=op.get("id_col", "doc_id"),
+                text_col=op.get("text_col", "text"),
+            )
         else:  # pragma: no cover — validate_spec rejects these
             raise SpecError(f"unknown op {kind!r}")
     return df

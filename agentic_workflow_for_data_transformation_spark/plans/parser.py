@@ -30,7 +30,7 @@ class ParseError(ValueError):
 
 _CLAUSE_KEYWORDS = (
     r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate"
-    r"|join|broadcast|for|sessionize|pivot|rollup|convert"
+    r"|join|broadcast|for|sessionize|pivot|rollup|convert|search"
     r"|replace\s+missing"
     # multi-word forms require their full token so a predicate conjunct
     # that merely BEGINS with a join-type word ("... and left > 2")
@@ -320,6 +320,13 @@ _LIMIT = re.compile(r"^keep\s+top\s+(\d+)(?:\s+rows?)?\s*$", re.IGNORECASE)
 _FILTER = re.compile(r"^(?:filter|select)\s+(?:rows\s+)?(?:where\s+)?(.*)$", re.IGNORECASE)
 _SELECT_COLS = re.compile(r"^select\s+(?:columns?\s+)?(.*)$", re.IGNORECASE)
 # north-star clause forms (SURVEY.md section 2.9 surface)
+# "search for 'vector stream' and show top 10 matches" -> BM25 lexical
+# top-k over the text column (terms split on whitespace; default k=10)
+_SEARCH = re.compile(
+    r"^search\s+for\s+'([^']+)'"
+    r"(?:\s+and\s+show\s+top\s+(\d+)(?:\s+matches)?)?\s*$",
+    re.IGNORECASE,
+)
 _SAMPLE = re.compile(
     r"^sample\s+(\d+(?:\.\d+)?)\s*(?:%|percent)\s+of\s+rows\s+by\s+(\w+)\s*$",
     re.IGNORECASE,
@@ -893,6 +900,12 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "with_column", "name": m.group(1), "expr": {"case": case}}
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}
+    if m := _SEARCH.match(clause):
+        terms = m.group(1).split()
+        if not terms:
+            raise ParseError(f"search needs at least one term: {clause!r}")
+        return {"op": "bm25", "terms": terms,
+                "k": int(m.group(2)) if m.group(2) else 10}
     if m := _FILL_MISSING.match(clause):
         col = m.group(1)
         return {"op": "with_column", "name": col, "replace": True,
@@ -1017,6 +1030,8 @@ def _strip_unavailable_tiebreaks(ops: list[dict], columns: list[str] | None) -> 
             cols.add(op["name"])
         elif kind == "groupby_agg":
             cols = set(op["keys"]) | {a["alias"] for a in op["aggs"]}
+        elif kind == "bm25":
+            cols = {op.get("id_col", "doc_id"), "bm25"}
         elif kind == "sessionize":
             cols.add("session_id")
         # filter/sort/limit/distinct/sample keep the column set;

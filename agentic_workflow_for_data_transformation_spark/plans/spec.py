@@ -48,6 +48,8 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
               "ntile"|"percent_rank"|"cume_dist"|"first_value"|...,
               "col": ...?, "alias": ..., "n": 4?}]}   # n: ntile buckets
   {"op": "sample", "fraction": 0.1, "key": "doc_id", "salt": "sample"?}
+  {"op": "bm25", "terms": ["vector", "stream"], "k": 10,
+   "id_col": "doc_id"?, "text_col": "text"?}   # lexical top-k search
       # deterministic hash sample (operators/sampling.py): a pure
       # filter, reproducible across engines and partitionings
   {"op": "pivot", "keys": ["k"], "col": "status", "values": ["F", "O"],
@@ -396,6 +398,16 @@ def validate_op(op: Any) -> None:
             _err(f"mode needs non-empty string 'keys': {op!r}")
         if not isinstance(op.get("col"), str):
             _err(f"mode needs string 'col': {op!r}")
+    elif kind == "bm25":
+        terms = op.get("terms")
+        if not (isinstance(terms, list) and terms
+                and all(isinstance(t, str) and t for t in terms)):
+            _err(f"bm25 needs a non-empty string 'terms' list: {op!r}")
+        if not (isinstance(op.get("k"), int) and op["k"] >= 1):
+            _err(f"bm25 needs a positive int 'k': {op!r}")
+        for f in ("id_col", "text_col"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"bm25 '{f}' must be a string: {op!r}")
     elif kind == "sample":
         frac = op.get("fraction")
         if not (isinstance(frac, int | float) and 0 <= frac <= 1):

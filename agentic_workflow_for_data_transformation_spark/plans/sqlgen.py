@@ -207,6 +207,29 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "bm25":
+            # mirrors operators/text.bm25_topk term-for-term (k1=1.2,
+            # b=0.75 -> the 2.2 / 0.25 / 0.75 literals): identical
+            # IEEE expression shapes per term, per-doc sum rounded to
+            # 6, doc-id tie-break at the k boundary
+            idc = _q(op.get("id_col", "doc_id"))
+            txt = _q(op.get("text_col", "text"))
+            terms = ", ".join(_lit_sql(t) for t in op["terms"])
+            sql = (
+                f"WITH src AS ({sql}), "
+                f"w AS (SELECT {idc} AS _id, unnest(string_split({txt}, ' ')) AS w FROM src), "
+                "dl AS (SELECT _id, count(*) AS dl FROM w GROUP BY 1), "
+                "n AS (SELECT count(*) AS n_docs FROM src), "
+                "ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
+                f"tf AS (SELECT _id, w, count(*) AS tf FROM w WHERE w IN ({terms}) GROUP BY 1, 2), "
+                "dfreq AS (SELECT w, count(*) AS dfq FROM tf GROUP BY 1), "
+                "s AS (SELECT _id, "
+                " ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5)) * "
+                " ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s "
+                " FROM tf JOIN dfreq USING (w) JOIN dl USING (_id) CROSS JOIN n CROSS JOIN ad) "
+                f"SELECT _id AS {idc}, round(sum(s), 6) AS bm25 FROM s GROUP BY 1 "
+                f"ORDER BY bm25 DESC, {idc} LIMIT {int(op['k'])}"
+            )
         elif kind == "window":
             parts = ", ".join(_q(c) for c in op.get("partition_by", []))
             order = ", ".join(

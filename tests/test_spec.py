@@ -1062,3 +1062,43 @@ def test_sqlgen_replace_in_place_column():
     got = con.execute(sql).fetchone()[0]
     assert float(got) == 3.0
     assert "REPLACE" in sql
+
+
+def test_parse_search_bm25():
+    import pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        ParseError,
+        parse_description,
+    )
+
+    spec = parse_description("Search for 'vector stream' and show top 7 matches.")
+    assert spec["ops"] == [{"op": "bm25", "terms": ["vector", "stream"], "k": 7}]
+    spec = parse_description("Search for 'alpha'.")
+    assert spec["ops"][0]["k"] == 10  # default k
+    # composes after other clauses (clause keyword registered)
+    spec = parse_description(
+        "Filter rows where lang == 'en' and search for 'beta gamma'."
+    )
+    assert [o["op"] for o in spec["ops"]] == ["filter", "bm25"]
+    with pytest.raises(ParseError):
+        parse_description("Search for ''.")
+
+
+def test_validate_bm25_op():
+    import pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+
+    validate_spec({"ops": [{"op": "bm25", "terms": ["a"], "k": 1}]})
+    for bad in (
+        {"op": "bm25", "terms": [], "k": 5},
+        {"op": "bm25", "terms": ["a"], "k": 0},
+        {"op": "bm25", "terms": [1], "k": 5},
+        {"op": "bm25", "terms": ["a"], "k": 5, "id_col": 3},
+    ):
+        with pytest.raises(SpecError):
+            validate_spec({"ops": [bad]})
