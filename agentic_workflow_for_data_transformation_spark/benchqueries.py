@@ -3489,7 +3489,7 @@ _WINDOW: list[str] = [
     # jaccard_prefix's frequency join gained the shuffle-hash pin mid
     # round 7 (plan changed -> fresh driver row, displacing x_join_range)
     "ns_dedup_jaccard_prefix",
-    "x_pivot",
+    "ns_text_zipf_fit",
     "x_rollup", "x_sessionize_batch", "ns_stats_count_min",
     "x_spec_join_window", "x_time_spine_fill", "ns_corpus_token_budget",
     "x_tpch_q18",

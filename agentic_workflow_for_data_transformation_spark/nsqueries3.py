@@ -528,3 +528,36 @@ def ns_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus.select_token_budget(
         _t(spark, sf_dir, "documents"), budget_tokens=4000
     )
+
+
+_ZIPF_SQL = (
+    "WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "tf AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2), "
+    "xy AS (SELECT lang, "
+    " CAST(round(ln(CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x, "
+    " CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y FROM tf), "
+    "m AS (SELECT lang, count(*) AS n_types, "
+    " CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+    " CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy, "
+    " CAST(sum(y * y) AS DOUBLE) AS syy FROM xy GROUP BY 1) "
+    "SELECT lang, n_types, "
+    "round(CASE WHEN n_types >= 2 AND (n_types * sxx - sx * sx) != 0 THEN "
+    " (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) END, 6) AS zipf_slope, "
+    "round(CASE WHEN n_types >= 2 AND (n_types * sxx - sx * sx) != 0 "
+    " AND (n_types * syy - sy * sy) != 0 THEN "
+    " ((n_types * sxy - sx * sy) * (n_types * sxy - sx * sy)) / "
+    " ((n_types * sxx - sx * sx) * (n_types * syy - sy * sy)) END, 6) AS r2 "
+    "FROM m"
+)
+
+
+@register("ns_text_zipf_fit", _ZIPF_SQL)
+def ns_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf exponent (operators/text.zipf_fit): OLS of
+    ln(freq) on ln(rank) with r^2 — natural text slopes near -1,
+    templated/synthetic corpora flatten or cliff. Regressors round to
+    6 then sum as DECIMAL (exact moments), slope in fixed-shape double
+    math. One explode, one per-group rank window, one aggregate."""
+    from .operators import text as _text
+
+    return _text.zipf_fit(_t(spark, sf_dir, "documents"))

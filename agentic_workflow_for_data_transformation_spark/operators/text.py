@@ -502,3 +502,58 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 20,
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def zipf_fit(df: DataFrame, group_col: str = "lang",
+             text_col: str = "text") -> DataFrame:
+    """Per-group Zipf exponent: OLS slope of ln(freq) on ln(rank) over
+    the group's token frequency table — the corpus-health diagnostic
+    that separates natural text (slope near -1) from templated or
+    synthetic output (flat or cliff-shaped rank curves). Reported with
+    the fit's r^2 so a bad fit is visible, not hidden in the slope.
+
+    Determinism: ln() of identical doubles is engine-stable, but float
+    SUMS are not — so both regressors round to 6 places and cast to
+    DECIMAL before the five moment sums (exact, partition-order
+    independent; same discipline as stats.groupwise_ols), and the
+    closed-form slope runs in doubles with one fixed expression shape.
+
+    Scale shape: one explode -> (group, token) count -> per-group rank
+    window (partitioned by group, never global) -> one moment
+    aggregate; the exchanges carry (group, token-hash-sized) rows."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(group_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.col("c").desc(), F.col("w"))
+    )
+    x = F.round(F.log(rnk.cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(18,6)")
+    m = (
+        tf.select(F.col(group_col), x.alias("x"), y.alias("y"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        )
+    )
+    den_x = F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n_types") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ok = (F.col("n_types") >= 2) & (den_x != 0)
+    slope = F.when(ok, num / den_x)
+    r2 = F.when(ok & (den_y != 0), (num * num) / (den_x * den_y))
+    return m.select(
+        group_col,
+        "n_types",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -94,6 +94,9 @@ QUERIES = [
     "ns_text_bm25",
     "ns_stats_welch_ttest",
     "ns_embed_pq",
+    "ns_stats_count_min",
+    "ns_corpus_token_budget",
+    "p59_nl_search",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
