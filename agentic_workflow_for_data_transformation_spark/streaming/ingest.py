@@ -114,3 +114,31 @@ def read_documents_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     the same directory (one footer read, no inference scan)."""
     schema = spark.read.parquet(src_dir).schema
     return spark.readStream.schema(schema).parquet(src_dir)
+
+
+def streaming_count_min(docs: DataFrame, depth: int = 4, width: int = 256,
+                        text_col: str = "text") -> DataFrame:
+    """Count-min sketch maintained over an UNBOUNDED document stream —
+    the canonical bounded-state heavy-hitter tracker: whatever the
+    corpus size, streaming state is exactly depth x width counter
+    cells (the CMS cell grid is a commutative monoid, so Spark's
+    incremental aggregation maintains it exactly; no watermark needed
+    because the state never grows). Query with outputMode('complete')
+    — the result table IS the sketch, and estimates for any key are
+    min over rows of the addressed cells, identical to the batch
+    operator (operators/stats.count_min_estimates): same md5-60bit
+    hash family, so a stream-maintained sketch and a batch-built one
+    over the same documents are cell-for-cell EQUAL (pinned by
+    tests/test_streaming.py)."""
+    from ..operators.dedup import _hash60
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    cell = F.pmod(_hash60(F.concat(F.col("w"), F.lit("|"), F.col("r"))),
+                  F.lit(width))
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .select("w", rows)
+        .select("r", cell.alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("cellsum"))
+    )

@@ -623,3 +623,52 @@ def test_stream_ingest_dedup_against_archive(spark, sf_dir, tmp_path):
     )
     assert n2 == 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_count_min_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """The stream-maintained CMS must be cell-for-cell EQUAL to the
+    batch-built sketch over the same documents (the cell grid is a
+    commutative monoid — arrival order and batch boundaries cannot
+    matter), and streaming state is bounded at depth*width rows."""
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+    from agentic_workflow_for_data_transformation_spark.streaming.ingest import (
+        read_documents_stream,
+        streaming_count_min,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    src = tmp_path / "src"
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_count_min(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["r"], r["cell"]): r["cellsum"]
+        for r in spark.table("cms_stream").collect()
+    }
+    want = {
+        (r["r"], r["cell"]): r["cellsum"]
+        for r in streaming_count_min(docs).collect()
+    }
+    assert got == want and len(got) > 0
+    assert len(got) <= 4 * 256  # bounded state: the cell grid
