@@ -774,3 +774,38 @@ def test_random_replace_in_place_matches_duckdb(spark_module, expr, fill):
     got = _spark_rows(compile_spec(spark_module, spec))
     want = _duck(spec_to_sql(spec, "people"))
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    terms=st.lists(
+        st.sampled_from(["alice", "bob", "paris", "tokyo", "berlin", "zzz"]),
+        min_size=1, max_size=3, unique=True,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_random_bm25_matches_duckdb(spark_module, expr, terms, k):
+    """BM25 spec op under random upstream filters, term sets (including
+    all-miss terms), and k: per-slice statistics, the rounded per-doc
+    sum, and the doc-id tie-break at the k boundary must agree. The
+    synthesized text column repeats the name so tf>1 saturation paths
+    execute."""
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "with_column", "name": "txt",
+             "expr": {"concat": [{"lower": {"col": "name"}}, {"lit": " "},
+                                 {"lower": {"col": "city"}}, {"lit": " "},
+                                 {"lower": {"col": "name"}}]}},
+            {"op": "bm25", "terms": terms, "k": k,
+             "id_col": "age", "text_col": "txt"},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
