@@ -1028,7 +1028,7 @@ def x_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x_percentiles",
+    "ns_graph_triangles",
     "SELECT o_orderpriority, "
     "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
     "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 "

@@ -561,3 +561,37 @@ def ns_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text as _text
 
     return _text.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def _triangles_sql() -> str:
+    from .nsqueries import _VERIFIED_CTES
+
+    return (
+        f"WITH {_VERIFIED_CTES}, "
+        "p0 AS (SELECT doc_a, doc_b FROM cand JOIN jac USING (doc_a, doc_b) "
+        " WHERE jaccard >= 0.5), "
+        "t AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z "
+        " FROM p0 e1 JOIN p0 e2 ON e2.doc_a = e1.doc_b "
+        " JOIN p0 e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b), "
+        "nd AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t "
+        " UNION ALL SELECT z FROM t) "
+        "SELECT node, count(*) AS n_triangles FROM nd GROUP BY 1"
+    )
+
+
+@register("ns_graph_triangles", _triangles_sql())
+def ns_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the verified near-dup pair graph
+    (operators/graph.triangle_counts): degree orientation bounds every
+    out-neighborhood at O(sqrt(m)), so the wedge join never explodes
+    on a hub — vs the naive neighborhood self-join whose hottest key
+    costs deg^2. Docs in many triangles sit in tight duplicate
+    cliques; chain-shaped borderline matches score 0. The oracle is
+    the naive ordered 3-way join (orientation-independent count)."""
+    from .nsqueries import _dedup_cached
+    from .operators import graph as _graph
+
+    pairs = _dedup_cached(spark, sf_dir, "pairs")
+    return _graph.triangle_counts(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )

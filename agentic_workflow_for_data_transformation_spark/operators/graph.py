@@ -82,3 +82,72 @@ def pagerank_integer(edges: DataFrame, src_col: str = "src",
             .localCheckpoint()
         )
     return r
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    cohesion statistic behind clustering coefficients and community
+    detection (on the near-dup pair graph: a doc in many triangles
+    sits in a tight duplicate clique, not a chain of borderline
+    matches).
+
+    Algorithm: degree orientation (Cohen 2009) — orient every edge
+    from the (degree, id)-smaller endpoint to the larger, turning the
+    graph into a DAG where every out-neighborhood is O(sqrt(m)); then
+    one wedge self-join on the source and one closing equi-join. This
+    bounds the join fan-out by the ORIENTED out-degree, so the hottest
+    hub in a skewed graph no longer produces deg^2 wedge rows — the
+    100 TB shape, vs the naive per-node neighborhood join.
+
+    Counting is exact and orientation-independent (each triangle has
+    exactly one source under a total order), so the oracle can use the
+    naive ordered 3-way join. Output: (node, n_triangles) for nodes in
+    at least one triangle."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    # wedges u->v, u->w with v before w in the SAME (deg, id) order the
+    # orientation used, so the closing edge, if present, is v->w
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (
+            (F.col("o1.dv") < F.col("o2.dv"))
+            | ((F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v")))
+        ),
+    ).select(
+        F.col("o1.u").alias("x"), F.col("o1.v").alias("y"), F.col("o2.v").alias("z")
+    )
+    closing = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

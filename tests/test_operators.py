@@ -1064,3 +1064,18 @@ def test_select_token_budget_hard_cap(spark):
     out = select_token_budget(df, budget_tokens=50).collect()
     assert sum(r["n_tokens"] for r in out) <= 50
     assert max(r["running_tokens"] for r in out) <= 50
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant chain: every K4 node is in C(3,2)=3 triangles,
+    chain nodes in none; direction and duplicate edges are normalized
+    away before orientation."""
+    from agentic_workflow_for_data_transformation_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 4), (4, 5), (1, 0), (2, 1)]  # dupes reversed + chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

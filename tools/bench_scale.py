@@ -97,6 +97,7 @@ QUERIES = [
     "ns_stats_count_min",
     "ns_corpus_token_budget",
     "p59_nl_search",
+    "ns_graph_triangles",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
