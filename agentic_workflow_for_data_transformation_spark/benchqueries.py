@@ -1028,7 +1028,7 @@ def x_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ns_graph_triangles",
+    "x_percentiles",
     "SELECT o_orderpriority, "
     "round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
     "round(quantile_cont(o_totalprice, 0.9), 4) AS p90 "
@@ -3484,7 +3484,7 @@ _WINDOW: list[str] = [
     # -- (c) freshness: last gated round 1 --
     "p11_and", "p12_or", "p13_between_startswith",
     "p17_sort_filter_limit", "x_approx_count_distinct",
-    "x_join_anti",
+    "ns_graph_triangles",
     "x_join_star_broadcast",
     # jaccard_prefix's frequency join gained the shuffle-hash pin mid
     # round 7 (plan changed -> fresh driver row, displacing x_join_range)
