@@ -3512,7 +3512,7 @@ _WINDOW: list[str] = [
     # -- (c) freshness: last gated round 2 (topk_multi displaced by
     # the late ns_embed_pq registration; its shape stays covered by
     # topk_ivf and the local report) --
-    "ns_sim_topk_ivf", "ns_embed_pq",
+    "ns_sim_topk_pq", "ns_embed_pq",
 ]
 
 

@@ -595,3 +595,35 @@ def ns_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.triangle_counts(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
+
+
+_PQ_ADC_SQL = (
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "g AS (SELECT unnest(generate_series(0, 3)) AS sub), "
+    "subs AS (SELECT vec_id, sub, v[(sub*16+1):(sub*16+16)] AS sv FROM d, g), "
+    "cents AS (SELECT vec_id AS cent, sub, sv AS cv FROM subs WHERE vec_id < 8), "
+    "scored AS (SELECT vec_id, s.sub, cent, "
+    " row_number() OVER (PARTITION BY vec_id, s.sub ORDER BY round(list_distance(sv, cv), 6), cent) AS rn "
+    " FROM subs s JOIN cents c ON s.sub = c.sub), "
+    "codes AS (SELECT vec_id, sub, cent FROM scored WHERE rn = 1), "
+    "q AS (SELECT sub, sv AS qv FROM subs WHERE vec_id = 42), "
+    "lut AS (SELECT c.sub, c.cent, round(list_distance(qv, cv), 6) AS qd "
+    " FROM cents c JOIN q ON c.sub = q.sub) "
+    "SELECT vec_id, round(sum(qd * qd), 6) AS adc_dist "
+    "FROM codes JOIN lut USING (sub, cent) WHERE vec_id <> 42 "
+    "GROUP BY 1 ORDER BY adc_dist, vec_id LIMIT 10"
+)
+
+
+@register("ns_sim_topk_pq", _PQ_ADC_SQL)
+def ns_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/similarity.topk_pq_adc):
+    the compressed serving path of the ANN family — the query stays
+    full-precision, candidates are scored from their m-byte PQ codes
+    via a broadcast k*m lookup table, so the scan reads codes, not
+    vectors. Approximate BY DESIGN (quantization error bounds recall);
+    the exact harness next to it is ns_sim_topk_bruteforce."""
+    from .operators import similarity as _sim
+
+    return _sim.topk_pq_adc(_t(spark, sf_dir, "embeddings"), query_id=42,
+                            k=10, dim=64)

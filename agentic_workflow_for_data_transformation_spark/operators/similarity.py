@@ -787,3 +787,55 @@ def product_quantize(df: DataFrame, m: int = 4, k: int = 8,
             F.col("best")["d"].alias("dist"),
         )
     )
+
+
+def topk_pq_adc(df: DataFrame, query_id: int, k: int = 10, m: int = 4,
+                n_cents: int = 8, id_col: str = "vec_id",
+                vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC — Jégou et al.
+    2011 §IV): the query stays full-precision, the corpus is its
+    product-quantization CODES, and each candidate's distance is the
+    sum over subspaces of a k*m lookup table — the compressed serving
+    path that scans m bytes per vector instead of d floats.
+
+    Scale shape: the code table comes from product_quantize (one
+    corpus exchange); the query's per-(subspace, centroid) distance
+    table is k*m rows computed from broadcast frames and broadcast
+    back, so the scoring join adds NO corpus shuffle beyond the code
+    aggregate; top-k is TakeOrderedAndProject on the rounded score.
+
+    Determinism: per-cell distances round to 6 before the m-term sum,
+    which rounds again; ties at the k boundary break on the id."""
+    sub_w = (dim or probe_dim(df, vec_col)) // m
+    v = as_double_array(F.col(vec_col))
+    subs = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(v, i * sub_w + 1, sub_w) for i in range(m)])
+        ).alias("sub", "sv"),
+    )
+    cents = (
+        subs.filter(F.col(id_col) < n_cents)
+        .select(F.col(id_col).alias("cent"), "sub", F.col("sv").alias("cv"))
+    )
+    qsubs = subs.filter(F.col(id_col) == query_id).select(
+        "sub", F.col("sv").alias("qv")
+    )
+    lut = (
+        cents.join(F.broadcast(qsubs), "sub")
+        .select(
+            "sub",
+            "cent",
+            F.round(l2_distance(F.col("qv"), F.col("cv")), 6).alias("qd"),
+        )
+    )
+    codes = product_quantize(df, m=m, k=n_cents, id_col=id_col,
+                             vec_col=vec_col, dim=dim)
+    return (
+        codes.join(F.broadcast(lut), ["sub", "cent"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("qd") * F.col("qd")), 6).alias("adc_dist"))
+        .filter(F.col(id_col) != query_id)
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

@@ -506,3 +506,13 @@ def test_token_budget_no_global_sort(spark):
     group key — no unpartitioned window, no global sort of the corpus."""
     plan = plan_of(spark, "ns_corpus_token_budget")
     assert "SinglePartition" not in plan
+
+
+def test_pq_adc_scores_codes_not_vectors(spark):
+    """ADC: the scoring join reads the code table against a BROADCAST
+    k*m lookup — no corpus-sized join, no window, top-k as
+    TakeOrderedAndProject on the rounded score."""
+    plan = plan_of(spark, "ns_sim_topk_pq")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
