@@ -3485,7 +3485,7 @@ _WINDOW: list[str] = [
     "p11_and", "p12_or", "p13_between_startswith",
     "p17_sort_filter_limit", "x_approx_count_distinct",
     "ns_graph_triangles",
-    "x_join_star_broadcast",
+    "ns_sim_recall_pq",
     # jaccard_prefix's frequency join gained the shuffle-hash pin mid
     # round 7 (plan changed -> fresh driver row, displacing x_join_range)
     "ns_dedup_jaccard_prefix",

@@ -839,3 +839,36 @@ def topk_pq_adc(df: DataFrame, query_id: int, k: int = 10, m: int = 4,
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def pq_recall_vs_exact(df: DataFrame, query_id: int, k: int = 10, m: int = 4,
+                       n_cents: int = 8, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       dim: int | None = None) -> DataFrame:
+    """Recall@k of the PQ/ADC path against the exact L2 top-k (same
+    metric — ADC approximates Euclidean distance, so cosine ground
+    truth would conflate metric mismatch with quantization loss).
+    The measurement that decides whether m/k codebook sizing is good
+    enough to serve. One row: (query_id, n_hits, recall)."""
+    adc = topk_pq_adc(df, query_id, k=k, m=m, n_cents=n_cents,
+                      id_col=id_col, vec_col=vec_col, dim=dim).select(id_col)
+    rows = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    q = F.broadcast(
+        rows.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    )
+    exact = (
+        rows.filter(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(l2_distance(F.col("v"), F.col("qv")), 6).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col(id_col))
+        .limit(k)
+        .select(id_col)
+    )
+    return adc.join(exact, id_col).agg(
+        F.lit(query_id).cast("long").alias("query_id"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
+    )
