@@ -98,6 +98,7 @@ QUERIES = [
     "ns_corpus_token_budget",
     "p59_nl_search",
     "ns_graph_triangles",
+    "ns_sim_topk_pq",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
