@@ -125,7 +125,39 @@ def main() -> None:
         "event_type string, type_code int",
     )
 
+    # count-min sketch over a synthesized token stream (8 md5-derived
+    # pseudo-words per doc): the bounded-state heavy-hitter path —
+    # state is exactly 4x256 cells however long the stream runs, so
+    # the measured ceiling is pure explode+hash+aggregate throughput,
+    # not state growth. Measured FIRST: after the 2M/s dedup rungs the
+    # session carries enough state/GC debris that the first CMS
+    # batches stall past the window and the row reads n/a. Offered at
+    # rate/10 in DOCUMENT rows: each doc fans out 8 tokens x 4 sketch
+    # rows with an md5+pmod each (32 hash ops/row).
+    from agentic_workflow_for_data_transformation_spark.streaming.ingest import (
+        streaming_count_min,
+    )
+
+    docs = rate_events(spark, args.rate // 10).select(
+        F.concat_ws(
+            " ",
+            *[
+                F.substring(F.md5(F.concat(F.col("event_id").cast("string"),
+                                           F.lit(str(i)))), 1, 4)
+                for i in range(8)
+            ],
+        ).alias("text")
+    )
+    cms_row = measure(
+        "streaming_count_min (8-token docs at rate/10; bounded 4x256-cell state)",
+        streaming_count_min(docs),
+        "update",
+        args.seconds,
+    )
+
+
     results = [
+        cms_row,
         measure("source_to_sink (projection only)", ev, "append", args.seconds),
         measure(
             "windowed_aggregate (1 min tumbling, 2 min watermark)",
@@ -237,7 +269,10 @@ def main() -> None:
         "keeps up (sustained >= 95% of offered) is this 32-thread node's",
         "dedup capacity. State inserts are per-partition single-threaded,",
         "so a real cluster scales the ceiling linearly by spreading the",
-        "state-store partitions across executors.",
+        "state-store partitions across executors. Run-to-run variance on",
+        "a shared box is ~20-30% around the knee (r5-r7 runs measured the",
+        "1.5M rung both keeping up and not) — read the ceiling as the",
+        "sustained column's plateau, not the exact keeps-up boundary.",
         "",
         "| offered rows/s | sustained rows/s | keeps up | max state rows |",
         "|---|---|---|---|",
