@@ -3181,6 +3181,35 @@ def p58_nl_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "orders", _P58_DESC)
 
 
+_P60_DESC = (
+    "Rename o_orderkey to l_orderkey and "
+    "left join with lineitem on l_orderkey and then "
+    "group by o_orderpriority and show count rows, "
+    "count missing l_quantity and maximum o_totalprice"
+)
+
+
+def _p60_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P60_DESC, columns=_ORDERS_COLS), "orders"
+    )
+
+
+@register("p60_nl_count_missing", _p60_oracle())
+def p60_nl_count_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL completeness audit: 'count missing X' — the count_nulls
+    aggregate (count of CASE WHEN x IS NULL), here counting orders a
+    left join failed to match, alongside count rows and a max in ONE
+    aggregation pass. The everyday data-quality question ('how many
+    rows lack a value per segment?') reached from plain English; the
+    Spark side is F.count(F.when(isNull)) — integer-exact, no
+    determinism caveats."""
+    return _nl(spark, sf_dir, "orders", _P60_DESC,
+               extra_tables=("lineitem",))
+
+
 @register("p51_nl_first_value", _p51_oracle())
 def p51_nl_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sliding first_value: 'first value ... over last 3 rows' =
@@ -3493,7 +3522,7 @@ _WINDOW: list[str] = [
     "ns_corpus_interleave", "p42_nl_global_row_number", "x_join_asof",
     "x_join_asof_forward", "p45_nl_asof_nearest",
     # -- (c) freshness: last gated round 1 --
-    "p11_and", "p12_or", "p13_between_startswith",
+    "p11_and", "p12_or", "p60_nl_count_missing",
     "p17_sort_filter_limit", "x_approx_count_distinct",
     "ns_graph_triangles",
     "ns_sim_recall_pq",

@@ -51,6 +51,8 @@ _AGG_BUILDERS: dict[str, Callable[[str], Column]] = {
     # quantile_cont(0.5) definition; value depends only on the two
     # middle order statistics, so it is partition-order independent)
     "median": F.median,
+    # completeness audit: count(CASE WHEN x IS NULL THEN 1 END) in SQL
+    "count_nulls": lambda c: F.count(F.when(F.col(c).isNull(), F.lit(1))),
 }
 
 

@@ -411,6 +411,7 @@ _GROUP_MULTI = re.compile(
 )
 _AGG_PHRASE = re.compile(
     r"^(?:(count)\s+rows|(count\s+distinct)\s+(\w+)"
+    r"|count\s+(?:missing|null)\s+(\w+)"
     r"|(total|sum\s+of|average|minimum|maximum|median)\s+(\w+))\s*$",
     re.IGNORECASE,
 )
@@ -525,9 +526,14 @@ def _parse_agg_phrase(phrase: str, columns: list[str] | None) -> dict | None:
         col = _resolve_col(m.group(3), columns)
         return {"fn": "count_distinct", "col": col,
                 "alias": f"{col}_distinct_count"}
-    word = re.sub(r"\s+", " ", m.group(4).lower())
+    if m.group(4):
+        # "count missing x" / "count null x" — the completeness audit
+        col = _resolve_col(m.group(4), columns)
+        return {"fn": "count_nulls", "col": col,
+                "alias": f"{col}_null_count"}
+    word = re.sub(r"\s+", " ", m.group(5).lower())
     fn = _GLOBAL_AGG_WORDS[word]
-    col = _resolve_col(m.group(5), columns)
+    col = _resolve_col(m.group(6), columns)
     alias = f"average_{col}" if fn == "avg" else f"{fn}_{col}"
     return {"fn": fn, "col": col, "alias": alias}
 

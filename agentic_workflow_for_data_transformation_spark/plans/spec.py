@@ -99,7 +99,7 @@ from __future__ import annotations
 from typing import Any
 
 AGG_FNS = {"count", "avg", "sum", "min", "max", "count_distinct", "listagg",
-           "median", "percentile"}
+           "median", "percentile", "count_nulls"}
 # pivot cells can't be count_distinct (no portable FILTER rendering
 # that matches Spark's pivot null semantics)
 PIVOT_AGG_FNS = {"count", "avg", "sum", "min", "max"}

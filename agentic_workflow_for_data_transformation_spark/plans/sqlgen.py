@@ -351,6 +351,11 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 if fn == "count_distinct":
                     aggs.append(f"count(DISTINCT {_q(col)}) AS {alias}")
                     continue
+                if fn == "count_nulls":
+                    aggs.append(
+                        f"count(CASE WHEN {_q(col)} IS NULL THEN 1 END) AS {alias}"
+                    )
+                    continue
                 if fn == "listagg":
                     # ordered inside the aggregate = the compiler's
                     # array_sort(collect_list()) determinism
@@ -403,6 +408,11 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 fn, col, alias = a["fn"], a["col"], _q(a["alias"])
                 if fn == "count_distinct":
                     aggs.append(f"count(DISTINCT {_q(col)}) AS {alias}")
+                    continue
+                if fn == "count_nulls":
+                    aggs.append(
+                        f"count(CASE WHEN {_q(col)} IS NULL THEN 1 END) AS {alias}"
+                    )
                     continue
                 if fn == "listagg":
                     aggs.append(

@@ -1102,3 +1102,28 @@ def test_validate_bm25_op():
     ):
         with pytest.raises(SpecError):
             validate_spec({"ops": [bad]})
+
+
+def test_parse_count_missing():
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        parse_description,
+    )
+
+    cols = ["o_orderpriority", "l_quantity", "o_totalprice"]
+    spec = parse_description(
+        "Group by o_orderpriority and show count rows, "
+        "count missing l_quantity and maximum o_totalprice.",
+        columns=cols,
+    )
+    aggs = spec["ops"][0]["aggs"]
+    assert {"fn": "count_nulls", "col": "l_quantity",
+            "alias": "l_quantity_null_count"} in aggs
+    # 'count null x' synonym (multi-agg form: the grammar routes
+    # single-aggregate phrasings through dedicated single rules, and
+    # count-missing is deliberately multi-agg-only)
+    spec = parse_description(
+        "Group by o_orderpriority and show count rows, "
+        "count null l_quantity.",
+        columns=cols,
+    )
+    assert spec["ops"][0]["aggs"][1]["fn"] == "count_nulls"
