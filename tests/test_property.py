@@ -809,3 +809,35 @@ def test_random_bm25_matches_duckdb(spark_module, expr, terms, k):
     got = _spark_rows(compile_spec(spark_module, spec))
     want = _duck(spec_to_sql(spec, "people"))
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(expr=predicate, keys=st.sampled_from([[], ["city"]]))
+def test_random_count_nulls_matches_duckdb(people_nulls, expr, keys):
+    """count_nulls over a table WITH nulls and random filters: the
+    null count plus count rows and count(col) must reconcile
+    (nulls + non-null = rows) and hash-match the CASE-WHEN oracle,
+    including groups whose key is itself NULL."""
+    spec = {"ops": [
+        {"op": "filter", "expr": expr},
+        {"op": "groupby_agg", "keys": keys,
+         "aggs": [
+            {"fn": "count", "col": "*", "alias": "n"},
+            {"fn": "count", "col": "age", "alias": "n_age"},
+            {"fn": "count_nulls", "col": "age", "alias": "n_null"},
+         ]},
+    ]}
+    got_pdf = compile_spec(people_nulls, spec).toPandas()
+    assert ((got_pdf["n_age"] + got_pdf["n_null"]) == got_pdf["n"]).all()
+    got = _null_rows(got_pdf)
+    con = duckdb.connect()
+    con.register("people_n", PEOPLE_NULL_PDF)
+    try:
+        want = _null_rows(con.execute(spec_to_sql(spec, "people_n")).df())
+    finally:
+        con.close()
+    assert got == want
