@@ -3210,6 +3210,38 @@ def p60_nl_count_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
                extra_tables=("lineitem",))
 
 
+_P61_DESC = (
+    "Rename l_partkey to p_partkey and join with part on p_partkey "
+    "and fit l_extendedprice on l_quantity per p_brand"
+)
+
+
+def _p61_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P61_DESC,
+            columns=["l_orderkey", "l_partkey", "l_quantity",
+                     "l_extendedprice"],
+        ),
+        "lineitem",
+    )
+
+
+@register("p61_nl_fit_ols", _p61_oracle())
+def p61_nl_fit_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL regression: 'fit Y on X per K' — per-group OLS
+    (slope/intercept/r2) as a first-class spec op riding on
+    operators/stats.groupwise_ols: five decimal-exact moments in ONE
+    map-side-combined aggregate, closed forms in a fixed double shape,
+    rounded on report. Composes with the join grammar (the rename
+    aligns the key; the fit runs over the joined frame) — the
+    fit-a-line-per-segment ask in plain English."""
+    return _nl(spark, sf_dir, "lineitem", _P61_DESC,
+               extra_tables=("part",))
+
+
 @register("p51_nl_first_value", _p51_oracle())
 def p51_nl_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sliding first_value: 'first value ... over last 3 rows' =
@@ -3522,7 +3554,7 @@ _WINDOW: list[str] = [
     "ns_corpus_interleave", "p42_nl_global_row_number", "x_join_asof",
     "x_join_asof_forward", "p45_nl_asof_nearest",
     # -- (c) freshness: last gated round 1 --
-    "p11_and", "p12_or", "p60_nl_count_missing",
+    "p61_nl_fit_ols", "p12_or", "p60_nl_count_missing",
     "p17_sort_filter_limit", "x_approx_count_distinct",
     "ns_graph_triangles",
     "ns_sim_recall_pq",

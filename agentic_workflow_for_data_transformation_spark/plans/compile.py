@@ -431,6 +431,17 @@ def compile_spec(
             df = hash_sample(
                 df, op["fraction"], op["key"], salt=op.get("salt", "sample")
             )
+        elif kind == "ols":
+            from ..operators.stats import groupwise_ols
+
+            df = groupwise_ols(
+                df,
+                group_col=op["key"],
+                x_col=op["x"],
+                y_col=op["y"],
+                x_decimal=op.get("x_decimal", "decimal(12,2)"),
+                y_decimal=op.get("y_decimal", "decimal(18,2)"),
+            )
         elif kind == "bm25":
             from ..operators.text import bm25_topk
 

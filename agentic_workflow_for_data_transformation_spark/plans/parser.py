@@ -30,7 +30,7 @@ class ParseError(ValueError):
 
 _CLAUSE_KEYWORDS = (
     r"(?:select|keep|filter|sort|drop|rename|add|group|sample|deduplicate"
-    r"|join|broadcast|for|sessionize|pivot|rollup|convert|search"
+    r"|join|broadcast|for|sessionize|pivot|rollup|convert|search|fit"
     r"|replace\s+missing"
     # multi-word forms require their full token so a predicate conjunct
     # that merely BEGINS with a join-type word ("... and left > 2")
@@ -320,6 +320,11 @@ _LIMIT = re.compile(r"^keep\s+top\s+(\d+)(?:\s+rows?)?\s*$", re.IGNORECASE)
 _FILTER = re.compile(r"^(?:filter|select)\s+(?:rows\s+)?(?:where\s+)?(.*)$", re.IGNORECASE)
 _SELECT_COLS = re.compile(r"^select\s+(?:columns?\s+)?(.*)$", re.IGNORECASE)
 # north-star clause forms (SURVEY.md section 2.9 surface)
+# "fit l_extendedprice on l_quantity per p_brand" -> per-group OLS
+# (slope/intercept/r2 from decimal-exact moments)
+_FIT_OLS = re.compile(
+    r"^fit\s+(\w+)\s+on\s+(\w+)\s+per\s+(\w+)\s*$", re.IGNORECASE
+)
 # "search for 'vector stream' and show top 10 matches" -> BM25 lexical
 # top-k over the text column (terms split on whitespace; default k=10)
 _SEARCH = re.compile(
@@ -906,6 +911,10 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "with_column", "name": m.group(1), "expr": {"case": case}}
     if m := _ADD_COLUMN.match(clause):
         return {"op": "with_column", "name": m.group(1), "expr": parse_predicate(m.group(2))}
+    if m := _FIT_OLS.match(clause):
+        return {"op": "ols", "key": m.group(3),
+                "y": _resolve_col(m.group(1), columns),
+                "x": _resolve_col(m.group(2), columns)}
     if m := _SEARCH.match(clause):
         terms = m.group(1).split()
         if not terms:
@@ -1038,6 +1047,8 @@ def _strip_unavailable_tiebreaks(ops: list[dict], columns: list[str] | None) -> 
             cols = set(op["keys"]) | {a["alias"] for a in op["aggs"]}
         elif kind == "bm25":
             cols = {op.get("id_col", "doc_id"), "bm25"}
+        elif kind == "ols":
+            cols = {op["key"], "n", "slope", "intercept", "r2"}
         elif kind == "sessionize":
             cols.add("session_id")
         # filter/sort/limit/distinct/sample keep the column set;

@@ -50,6 +50,11 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "sample", "fraction": 0.1, "key": "doc_id", "salt": "sample"?}
   {"op": "bm25", "terms": ["vector", "stream"], "k": 10,
    "id_col": "doc_id"?, "text_col": "text"?}   # lexical top-k search
+  {"op": "ols", "key": "k", "x": "xcol", "y": "ycol",
+   "x_decimal": "decimal(12,2)"?, "y_decimal": "decimal(18,2)"?}
+      # per-group least-squares fit (operators/stats.groupwise_ols):
+      # five decimal-exact moments in one aggregate, closed-form
+      # slope/intercept/r2 rounded to 6
       # deterministic hash sample (operators/sampling.py): a pure
       # filter, reproducible across engines and partitionings
   {"op": "pivot", "keys": ["k"], "col": "status", "values": ["F", "O"],
@@ -398,6 +403,15 @@ def validate_op(op: Any) -> None:
             _err(f"mode needs non-empty string 'keys': {op!r}")
         if not isinstance(op.get("col"), str):
             _err(f"mode needs string 'col': {op!r}")
+    elif kind == "ols":
+        if not isinstance(op.get("key"), str):
+            _err(f"ols needs a string 'key': {op!r}")
+        for f in ("x", "y"):
+            if not isinstance(op.get(f), str):
+                _err(f"ols needs string '{f}': {op!r}")
+        for f in ("x_decimal", "y_decimal"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"ols '{f}' must be a typename string: {op!r}")
     elif kind == "bm25":
         terms = op.get("terms")
         if not (isinstance(terms, list) and terms

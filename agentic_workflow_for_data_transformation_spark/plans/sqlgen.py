@@ -207,6 +207,31 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "ols":
+            # mirrors operators/stats.groupwise_ols: decimal-exact
+            # moment sums (partition-order independent), closed forms
+            # in one fixed double shape, rounded on report
+            key, x, y = _q(op["key"]), _q(op["x"]), _q(op["y"])
+            xd = op.get("x_decimal", "decimal(12,2)")
+            yd = op.get("y_decimal", "decimal(18,2)")
+            den_x = "(n * sxx - sx * sx)"
+            den_y = "(n * syy - sy * sy)"
+            num = "(n * sxy - sx * sy)"
+            sql = (
+                f"WITH j AS (SELECT {key} AS _k, CAST({x} AS {xd}) AS x, "
+                f" CAST({y} AS {yd}) AS y FROM ({sql})), "
+                "m AS (SELECT _k, count(*) AS n, "
+                " CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy, "
+                " CAST(sum(x * x) AS DOUBLE) AS sxx, "
+                " CAST(sum(x * y) AS DOUBLE) AS sxy, "
+                " CAST(sum(y * y) AS DOUBLE) AS syy FROM j GROUP BY _k) "
+                f"SELECT _k AS {key}, n, "
+                f"round(CASE WHEN {den_x} <> 0 THEN {num} / {den_x} END, 6) AS slope, "
+                f"round(CASE WHEN {den_x} <> 0 THEN (sy - ({num} / {den_x}) * sx) / n END, 6) AS intercept, "
+                f"round(CASE WHEN {den_x} <> 0 AND {den_y} <> 0 "
+                f" THEN ({num} * {num}) / ({den_x} * {den_y}) END, 6) AS r2 "
+                "FROM m"
+            )
         elif kind == "bm25":
             # mirrors operators/text.bm25_topk term-for-term (k1=1.2,
             # b=0.75 -> the 2.2 / 0.25 / 0.75 literals): identical

@@ -1127,3 +1127,31 @@ def test_parse_count_missing():
         columns=cols,
     )
     assert spec["ops"][0]["aggs"][1]["fn"] == "count_nulls"
+
+
+def test_parse_fit_ols():
+    import pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.parser import (
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+
+    cols = ["p_brand", "l_quantity", "l_extendedprice"]
+    spec = parse_description(
+        "Fit l_extendedprice on l_quantity per p_brand.", columns=cols
+    )
+    assert spec["ops"] == [{
+        "op": "ols", "key": "p_brand",
+        "y": "l_extendedprice", "x": "l_quantity",
+    }]
+    for bad in (
+        {"op": "ols", "key": "k", "x": "a"},            # missing y
+        {"op": "ols", "key": 3, "x": "a", "y": "b"},    # non-string key
+        {"op": "ols", "key": "k", "x": "a", "y": "b", "x_decimal": 12},
+    ):
+        with pytest.raises(SpecError):
+            validate_spec({"ops": [bad]})
