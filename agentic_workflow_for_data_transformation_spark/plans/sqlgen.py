@@ -8,15 +8,19 @@ correctness checking *structural*: any spec — including randomly
 generated ones (tests/test_property.py, hypothesis) — gets a free
 oracle, instead of only the hand-written queries having one.
 
-Coverage: the relational core (filter/select/with_column/rename/drop/
-sort/limit/distinct/sample/groupby_agg), join (all spec join types;
-semi/anti via DuckDB's SEMI/ANTI JOIN) and union (rendered as UNION
-[ALL] BY NAME — the exact positional-independence semantics of
-unionByName) when the right side is a table NAME, window (ranking,
-lag/lead, ordered aggregates — Spark's default RANGE frame is the SQL
-default, so no frame clause is emitted), and the full expression
-vocabulary. SqlGenError marks inline-DataFrame right sides
-unsupported rather than emitting something wrong.
+Coverage: the relational core (filter/select/with_column — including
+in-place replace via * REPLACE — rename/drop/sort/limit/distinct/
+dedup/explode/sample/groupby_agg with count_nulls/median/percentile/
+listagg), join (all spec join types; semi/anti via DuckDB's SEMI/ANTI
+JOIN) and union (rendered as UNION [ALL] BY NAME — the exact
+positional-independence semantics of unionByName) when the right side
+is a table NAME, window (ranking family incl. ntile/percent_rank/
+cume_dist/first_value, lag/lead, ordered and sliding-frame
+aggregates), pivot/rollup, as-of join (LATERAL with tolerance),
+sessionize, the analytics ops (bm25 search, per-group OLS fit), and
+the full expression vocabulary (incl. CASE). SqlGenError marks
+inline-DataFrame right sides unsupported rather than emitting
+something wrong.
 """
 
 from __future__ import annotations
