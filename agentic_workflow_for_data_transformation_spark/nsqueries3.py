@@ -414,10 +414,10 @@ def ns_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TTEST_SQL = (
     "WITH m AS (SELECT event_type, "
-    " count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_a, "
+    " count(CASE WHEN event_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS n_a, "
     " CAST(sum(CASE WHEN event_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s_a, "
     " CAST(sum(CASE WHEN event_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ss_a, "
-    " count(CASE WHEN NOT (event_id % 2 = 0) THEN 1 END) AS n_b, "
+    " count(CASE WHEN NOT (event_id % 2 = 0) THEN CAST(value AS DECIMAL(18,2)) END) AS n_b, "
     " CAST(sum(CASE WHEN NOT (event_id % 2 = 0) THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s_b, "
     " CAST(sum(CASE WHEN NOT (event_id % 2 = 0) THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS ss_b "
     " FROM events GROUP BY 1), "

@@ -249,11 +249,16 @@ def welch_ttest(df: DataFrame, group_col: str, value_col: str,
     distribution) rather than dividing by zero."""
     d = F.col(value_col).cast(value_decimal)
     a = F.col(split_col) % 2 == 0
+    # n counts NON-NULL values (count over the value expression, not a
+    # literal) so it matches the rows the sums actually include — a
+    # count(when(a, 1)) would inflate n on NULL-bearing value columns,
+    # skewing mean/variance (possibly negative -> NaN t); round-8
+    # advisor finding
     m = df.groupBy(group_col).agg(
-        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(a, d)).alias("n_a"),
         F.sum(F.when(a, d)).cast("double").alias("s_a"),
         F.sum(F.when(a, d * d)).cast("double").alias("ss_a"),
-        F.count(F.when(~a, 1)).alias("n_b"),
+        F.count(F.when(~a, d)).alias("n_b"),
         F.sum(F.when(~a, d)).cast("double").alias("s_b"),
         F.sum(F.when(~a, d * d)).cast("double").alias("ss_b"),
     )

@@ -199,10 +199,17 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
             # bounded ROWS frame the buffered state is O(frame) per
             # row; the cumulative form buffers the running prefix —
             # prefer 'over last N rows' phrasings on big groups.
+            # The cumulative (no rows_preceding) form deliberately
+            # keeps Spark's DEFAULT ordered frame — RANGE unbounded..
+            # current, which includes order-by PEERS — because that is
+            # also DuckDB's default for median() OVER, AND it is the
+            # only tie-deterministic choice: a ROWS frame over tied
+            # order keys admits whichever tied row a partition happens
+            # to deliver first (round-8 advisor finding).
             win = (
                 w.rowsBetween(-e["rows_preceding"], Window.currentRow)
                 if "rows_preceding" in e
-                else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                else w
             )
             arr = F.array_sort(F.collect_list(e["col"]).over(win))
             n = F.size(arr)
@@ -306,6 +313,47 @@ def _resolve_right(right: Any, tables: dict[str, DataFrame]) -> DataFrame:
     return tables[right]
 
 
+def _reject_string_int_cast(df: DataFrame, expr: Any) -> None:
+    """Integer casts are only portable over NUMERIC inputs: the engine
+    truncates (sqlgen pins DuckDB to the same trunc()), but a STRING
+    input diverges — Spark's cast('3.7' as long) is NULL while
+    DuckDB's implicit string->double->trunc yields 3 (round-8 advisor
+    finding). Reject cast-to-integer whose inner expression is a bare
+    string-typed column; the portable phrasing is convert-to-double
+    first."""
+    from pyspark.sql import types as T
+
+    if not (isinstance(expr, dict) and len(expr) == 1):
+        return
+    [(op, args)] = expr.items()
+    if op == "cast" and args[1] in ("long", "int", "bigint", "integer"):
+        inner = args[0]
+        name = inner if isinstance(inner, str) else (
+            inner.get("col") if isinstance(inner, dict) else None
+        )
+        if (
+            isinstance(name, str)
+            and name in df.columns
+            and isinstance(df.schema[name].dataType, T.StringType)
+        ):
+            raise SpecError(
+                f"cast of text column {name!r} to integer is not "
+                "portable (engines disagree on non-integral strings); "
+                "convert to double first"
+            )
+    if op == "case":
+        for cond, val in args.get("when", []):
+            _reject_string_int_cast(df, cond)
+            _reject_string_int_cast(df, val)
+        if "else" in args:
+            _reject_string_int_cast(df, args["else"])
+    elif isinstance(args, list):
+        for a in args:
+            _reject_string_int_cast(df, a)
+    elif isinstance(args, dict):
+        _reject_string_int_cast(df, args)
+
+
 def compile_spec(
     df: DataFrame,
     spec: dict,
@@ -323,6 +371,7 @@ def compile_spec(
         elif kind == "select":
             df = df.select(*op["cols"])
         elif kind == "with_column":
+            _reject_string_int_cast(df, op["expr"])
             df = df.withColumn(op["name"], compile_expr(op["expr"]))
         elif kind == "rename":
             for old, new in op["renames"].items():

@@ -257,6 +257,8 @@ def read_union_evolving(spark: SparkSession, paths: list[str | Path]) -> DataFra
 
     Each directory keeps its own pushdown-capable scan; the union is
     plan-level (no shuffle, no materialization)."""
+    if not paths:
+        raise ValueError("read_union_evolving needs at least one path")
     dfs = [spark.read.parquet(str(p)) for p in paths]
     out = dfs[0]
     for d in dfs[1:]:

@@ -127,3 +127,14 @@ def test_read_union_evolving_null_fills_drifted_schema(spark, tmp_path):
     # plan-level union: two pushdown-capable scans, no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_read_union_evolving_empty_paths_raises(spark):
+    """An empty path list is a caller bug — fail with a clear message
+    instead of an IndexError deep in the reader."""
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.sources.io import read_union_evolving
+
+    with _pytest.raises(ValueError, match="at least one path"):
+        read_union_evolving(spark, [])

@@ -1079,3 +1079,25 @@ def test_triangle_counts_known_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_welch_ttest_null_values_not_counted(spark):
+    """Round-8 advisor finding: n must count NON-NULL values per side,
+    not rows — a NULL-bearing value column otherwise inflates n,
+    skewing the mean and making the variance (possibly negative) and
+    Welch df statistically wrong. With the NULLs ignored, group 'a'
+    here is identical to the same data with the NULL rows deleted."""
+    from agentic_workflow_for_data_transformation_spark.operators.stats import welch_ttest
+
+    with_nulls = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 2, 2.0), ("a", 4, None), ("a", 6, None),
+         ("a", 1, 3.0), ("a", 3, 4.0), ("a", 5, None)],
+        "g string, id int, v double",
+    )
+    clean = with_nulls.filter("v IS NOT NULL")
+    got = welch_ttest(with_nulls, "g", "v", "id").collect()[0]
+    want = welch_ttest(clean, "g", "v", "id").collect()[0]
+    assert got["n_a"] == want["n_a"] == 2
+    assert got["n_b"] == want["n_b"] == 2
+    assert got["t_stat"] == want["t_stat"]
+    assert got["df_welch"] == want["df_welch"]

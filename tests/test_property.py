@@ -841,3 +841,40 @@ def test_random_count_nulls_matches_duckdb(people_nulls, expr, keys):
     finally:
         con.close()
     assert got == want
+
+
+def test_cumulative_median_tied_order_keys_match_duckdb(spark):
+    """Round-8 advisor finding: cumulative window median over a TIED
+    order column. The compiler keeps Spark's default ordered frame
+    (RANGE unbounded..current — peers included) precisely because (a)
+    it is also DuckDB's default for median() OVER and (b) it is the
+    only tie-DETERMINISTIC frame: a ROWS frame over ties admits
+    whichever tied row a partition delivers first. Ties 10,20,40,30
+    at keys 1,2,2,3 must give the RANGE answer (10, 20, 20, 20)."""
+    pdf = pd.DataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 2, 40.0), ("a", 3, 30.0),
+         ("b", 1, 5.0), ("b", 1, 7.0), ("b", 2, 9.0)],
+        columns=["g", "k", "v"],
+    )
+    spec = {
+        "ops": [
+            {"op": "window", "partition_by": ["g"],
+             "order_by": [{"col": "k", "asc": True}],
+             "exprs": [{"fn": "median", "col": "v", "alias": "m"}]},
+            {"op": "select", "cols": ["g", "k", "v", "m"]},
+        ]
+    }
+    df = spark.createDataFrame(pdf)
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    con = duckdb.connect()
+    try:
+        con.register("tied", pdf)
+        want = sorted(
+            tuple(r) for r in con.execute(spec_to_sql(spec, "tied")).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+    by_gk = {(g, k, v): m for g, k, v, m in got}
+    assert by_gk[("a", 2, 20.0)] == 20.0 and by_gk[("a", 2, 40.0)] == 20.0
+    assert by_gk[("b", 1, 5.0)] == 6.0 and by_gk[("b", 1, 7.0)] == 6.0

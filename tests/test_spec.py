@@ -1155,3 +1155,31 @@ def test_parse_fit_ols():
     ):
         with pytest.raises(SpecError):
             validate_spec({"ops": [bad]})
+
+
+def test_string_int_cast_rejected(spark, people):
+    """Round-8 advisor finding: cast-to-integer over a TEXT column is
+    not portable (Spark nulls non-integral strings, DuckDB's implicit
+    string->double->trunc yields a value) — the compiler rejects it
+    with a actionable message; numeric sources still cast fine."""
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans import compile_spec
+    from agentic_workflow_for_data_transformation_spark.plans.spec import SpecError
+
+    bad = {"ops": [{"op": "with_column", "name": "n",
+                    "expr": {"cast": ["name", "long"]}}]}
+    with _pytest.raises(SpecError, match="convert to double first"):
+        compile_spec(people, bad)
+    # nested inside arithmetic / case is caught too
+    nested = {"ops": [{"op": "with_column", "name": "n",
+                       "expr": {"add": [{"cast": ["city", "int"]}, 1]}}]}
+    with _pytest.raises(SpecError):
+        compile_spec(people, nested)
+    ok = {"ops": [{"op": "with_column", "name": "n",
+                   "expr": {"cast": ["age", "long"]}}]}
+    assert "n" in compile_spec(people, ok).columns
+    # string -> double stays allowed (that IS the portable path)
+    ok2 = {"ops": [{"op": "with_column", "name": "n",
+                    "expr": {"cast": ["name", "double"]}}]}
+    assert "n" in compile_spec(people, ok2).columns
