@@ -1101,3 +1101,79 @@ def test_welch_ttest_null_values_not_counted(spark):
     assert got["n_b"] == want["n_b"] == 2
     assert got["t_stat"] == want["t_stat"]
     assert got["df_welch"] == want["df_welch"]
+
+
+def test_train_pq_codebook_beats_exemplar_and_is_deterministic(spark):
+    """The round-8 trained codebook must (a) produce strictly lower
+    total quantization distortion than the seeded-exemplar baseline
+    on the same data and (b) be bit-reproducible run-to-run (fixed
+    init, fixed iterations, decimal-exact means) — the property that
+    keeps the unrolled SQL oracle exact."""
+    import random
+
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        product_quantize,
+        train_pq_codebook,
+    )
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def distortion(codebook):
+        out = product_quantize(df, m=4, k=8, dim=16, codebook=codebook)
+        return out.agg({"dist": "sum"}).collect()[0][0]
+
+    cb = train_pq_codebook(df, m=4, k=8, n_iter=3, dim=16)
+    assert distortion(cb) < distortion(None)
+    again = train_pq_codebook(df, m=4, k=8, n_iter=3, dim=16)
+    a = sorted(map(tuple, cb.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_train_pq_codebook_sample_bound(spark):
+    """sample_n caps the trainer's input (the 100 TB discipline:
+    training cost decouples from corpus size) — the codebook trained
+    on the full set of low ids equals the sample_n codebook when they
+    select the same rows."""
+    import random
+
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        train_pq_codebook,
+    )
+
+    rnd = random.Random(13)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full_low = train_pq_codebook(
+        df.filter("vec_id < 20"), m=2, k=4, n_iter=2, dim=8
+    )
+    sampled = train_pq_codebook(df, m=2, k=4, n_iter=2, dim=8, sample_n=20)
+    assert sorted(map(tuple, full_low.collect())) == sorted(
+        map(tuple, sampled.collect())
+    )
+
+
+def test_trained_pq_recall_clears_serving_bar(spark):
+    """The round-7 verdict's gate for trained codebooks: the PQ/ADC
+    path with the registered m=32 x k=128 x 2-iteration codebook must
+    reach recall@10 >= 0.7 on the sf0.01 fixture (the seeded-exemplar
+    codebook measured 0.1). Checked on the registered query id plus a
+    second probe so a lucky single query can't pass alone."""
+    import agentic_workflow_for_data_transformation_spark.benchqueries  # noqa: F401 (full registry first: nsqueries3 alone is a partial circular import)
+    from agentic_workflow_for_data_transformation_spark.nsqueries3 import (
+        _pq_codebook_cached,
+    )
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        pq_recall_vs_exact,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = _pq_codebook_cached(spark, sf_dir)
+    for q in (42, 314):
+        r = pq_recall_vs_exact(
+            df, query_id=q, k=10, m=32, n_cents=128, dim=64, codebook=cb
+        ).collect()[0]
+        assert r["recall"] >= 0.7, (q, r)
