@@ -963,3 +963,122 @@ def pq_recall_vs_exact(df: DataFrame, query_id: int, k: int = 10, m: int = 4,
         F.count(F.lit(1)).alias("n_hits"),
         F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("recall"),
     )
+
+
+def ivf_residuals(df: DataFrame, n_cells: int = 8, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  dim: int | None = None) -> DataFrame:
+    """Coarse-quantizer assignment for IVFADC (Jégou et al., PAMI 2011
+    §IV-A): every vector goes to its nearest-by-L2 coarse centroid
+    (the n_cells lowest-id vectors — the deterministic seed; a real
+    deployment refines them offline, the query-time plan is
+    identical), and what the fine quantizer sees is the RESIDUAL
+    v - centroid — residuals cluster far tighter than raw vectors, so
+    the same PQ codebook budget buys much less distortion.
+
+    Emits (id, cell, rv). One broadcast of n_cells full vectors, one
+    argmin via min(struct) — no window, no corpus self-join; the
+    residual subtraction is exact IEEE (identical shape in the SQL
+    oracle), so nothing here needs rounding."""
+    dim = probe_dim(df, vec_col, dim)
+    v = as_double_array(F.col(vec_col))
+    rows = df.select(F.col(id_col), v.alias("v"))
+    cents = F.broadcast(
+        rows.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).cast("long").alias("cell"), F.col("v").alias("cv")
+        )
+    )
+    d = F.round(l2_distance(F.col("v"), F.col("cv")), 6)
+    return (
+        rows.crossJoin(cents)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(d.alias("d"), F.col("cell"),
+                            F.col("v").alias("v"),
+                            F.col("cv").alias("cv"))).alias("best"))
+        .select(
+            F.col(id_col),
+            F.col("best")["cell"].alias("cell"),
+            F.zip_with(F.col("best")["v"], F.col("best")["cv"],
+                       lambda x, y: x - y).alias("rv"),
+        )
+    )
+
+
+def topk_ivfpq_adc(df: DataFrame, query_id: int, k: int = 10,
+                   n_cells: int = 8, n_probe: int = 2, m: int = 32,
+                   n_cents: int = 128, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int | None = None,
+                   residuals: DataFrame | None = None,
+                   codebook: DataFrame | None = None) -> DataFrame:
+    """IVF + PQ asymmetric-distance top-k — the full IVFADC serving
+    stack (Jégou et al. 2011 §IV): the coarse quantizer prunes the
+    scan to the ``n_probe`` cells nearest the query, and within those
+    inverted lists candidates are scored from their RESIDUAL PQ codes
+    via per-cell lookup tables (the query's residual differs per
+    probed cell, so each probed cell gets its own k*m LUT).
+
+    Scale shape: everything query-side (coarse centroids, probe list,
+    LUTs) is broadcast; the corpus-side work is the one-off residual
+    encode (same exchange discipline as product_quantize) and then a
+    code-table scan FILTERED to the probed cells — at scale, write
+    the code table partitioned by cell and the probe is file-level
+    pruning, scanning n_probe/n_cells of the codes and none of the
+    vectors. Pass ``residuals``/``codebook`` to reuse the session's
+    trained artifacts (training is offline in a real deployment).
+
+    Determinism: the same round-6/tie-on-id discipline as the flat
+    ADC path, applied per probed cell."""
+    dim = probe_dim(df, vec_col, dim)
+    if residuals is None:
+        residuals = ivf_residuals(df, n_cells=n_cells, id_col=id_col,
+                                  vec_col=vec_col, dim=dim)
+    if codebook is None:
+        codebook = train_pq_codebook(residuals, m=m, k=n_cents, n_iter=2,
+                                     id_col=id_col, vec_col="rv", dim=dim)
+    sub_w = dim // m
+    # corpus side: residual PQ codes, carrying each vector's cell
+    codes = product_quantize(residuals, m=m, k=n_cents, id_col=id_col,
+                             vec_col="rv", dim=dim, codebook=codebook)
+    cells = residuals.select(F.col(id_col), "cell")
+    codes = codes.join(cells, id_col)
+    # query side: nearest n_probe coarse cells by L2, then one LUT per
+    # probed cell over the query's residual TO THAT CELL
+    v = as_double_array(F.col(vec_col))
+    rows = df.select(F.col(id_col), v.alias("v"))
+    cents = rows.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("long").alias("cell"), F.col("v").alias("cv")
+    )
+    probe = (
+        rows.filter(F.col(id_col) == query_id)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "cell",
+            F.round(l2_distance(F.col("v"), F.col("cv")), 6).alias("cd"),
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y).alias("qrv"),
+        )
+        .orderBy(F.col("cd").asc(), F.col("cell"))
+        .limit(n_probe)
+    )
+    qsubs = probe.select(
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice(F.col("qrv"), i * sub_w + 1, sub_w)
+                      for i in range(m)])
+        ).alias("sub", "qv"),
+    )
+    lut = (
+        qsubs.join(codebook.withColumnRenamed("cv", "ccv"), "sub")
+        .select(
+            "cell", "sub", "cent",
+            F.round(l2_distance(F.col("qv"), F.col("ccv")), 6).alias("qd"),
+        )
+    )
+    return (
+        codes.join(F.broadcast(lut), ["cell", "sub", "cent"])
+        .groupBy(id_col, "cell")
+        .agg(F.round(F.sum(F.col("qd") * F.col("qd")), 6).alias("adc_dist"))
+        .filter(F.col(id_col) != query_id)
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .select(id_col, "cell", "adc_dist")
+        .limit(k)
+    )

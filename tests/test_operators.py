@@ -1177,3 +1177,33 @@ def test_trained_pq_recall_clears_serving_bar(spark):
             df, query_id=q, k=10, m=32, n_cents=128, dim=64, codebook=cb
         ).collect()[0]
         assert r["recall"] >= 0.7, (q, r)
+
+
+def test_ivfpq_scores_only_probed_cells(spark):
+    """IVFADC pruning invariant: every scored candidate's cell is one
+    of the n_probe cells nearest the query — vectors in unprobed
+    inverted lists are never scored (that's the scan saving). Also
+    pins the residual invariant: a coarse-centroid vector's residual
+    is all zeros."""
+    import random
+
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        ivf_residuals,
+        topk_ivfpq_adc,
+    )
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = ivf_residuals(df, n_cells=4, dim=8)
+    own = {r["vec_id"]: r for r in res.filter("vec_id < 4").collect()}
+    for i in range(4):
+        assert own[i]["cell"] == i
+        assert all(x == 0.0 for x in own[i]["rv"])
+    out = topk_ivfpq_adc(df, query_id=9, k=5, n_cells=4, n_probe=2, m=4,
+                         n_cents=8, dim=8)
+    got = out.collect()
+    assert 1 <= len(got) <= 5
+    assert len({r["cell"] for r in got}) <= 2
+    dists = [r["adc_dist"] for r in got]
+    assert dists == sorted(dists)
