@@ -703,15 +703,41 @@ def x_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_approx_count_distinct", None)  # approximate: rows-only check
+@register(
+    "x_approx_count_distinct",
+    # bounds-style oracle (round-8): the HLL estimate itself has no
+    # SQL equivalent, but its accuracy CONTRACT does — the query emits
+    # the exact count plus a within-bound boolean, and the oracle
+    # asserts the boolean is TRUE. A sketch drifting past 5x its rsd
+    # now hash-MISMATCHES instead of hiding behind err:no_oracle.
+    "SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs, "
+    "TRUE AS within_rsd_bound FROM orders GROUP BY 1",
+)
 def x_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count: the 100 TB path when exactness
-    isn't required — no per-key shuffle of distinct values, just
-    mergeable sketches (no exact SQL oracle by construction)."""
+    """HyperLogLog++ distinct-count accuracy harness: the 100 TB path
+    when exactness isn't required — no per-key shuffle of distinct
+    values, just mergeable sketches. The estimate is engine-specific,
+    so what's hash-checked is the GUARANTEE: |approx - exact| <=
+    5*rsd*exact per group (HLL++ at rsd=0.02 is deterministic, not a
+    random draw; observed error at sf0.01 is well under 2 rsd — same
+    headroom as the pytest gate). The exact twin runs beside the
+    sketch in one aggregate here because this is the harness; a
+    production scan keeps only the sketch column."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(F.col("approx") - F.col("exact_custs"))
+                <= F.col("exact_custs") * F.lit(0.1)
+            ).alias("within_rsd_bound"),
+        )
     )
 
 
@@ -2194,25 +2220,50 @@ def x_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_approx_percentiles", None)  # sketch: bounded by pytest, not SQL
+@register(
+    "x_approx_percentiles",
+    # bounds-style oracle (round-8): the KLL-style sketch's rank-error
+    # contract IS SQL-expressible — each approx percentile must land
+    # between the exact percentiles two quantile points either side
+    # (rank error at accuracy=10k is ~n/10k rows; the +-0.02 window is
+    # hundreds of ranks at these group sizes). The oracle asserts the
+    # booleans; a sketch past its bound hash-mismatches.
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+    "TRUE AS p50_in_bound, TRUE AS p90_in_bound FROM orders GROUP BY 1",
+)
 def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch percentiles (approx_percentile, accuracy 10k):
-    the 100 TB path when per-group sorts are too expensive — partial
-    sketches merge associatively, so the shuffle carries fixed-size
-    summaries, not rows. The exact twin (x_percentiles) is the oracle-
-    checkable form; this one is rank-error bounded by a pytest gate
-    (tests/test_operators.py) the way x_approx_count_distinct is."""
-    return (
+    """Mergeable-sketch percentile accuracy harness (approx_percentile,
+    accuracy 10k): the 100 TB path when per-group sorts are too
+    expensive — partial sketches merge associatively, so the shuffle
+    carries fixed-size summaries, not rows. The sketch values are
+    engine-specific; what's hash-checked is the rank-error GUARANTEE:
+    p50 within [exact p48, exact p52], p90 within [exact p88, exact
+    p92] (the sketch is deterministic given its input, so the check
+    is stable). The exact twin x_percentiles carries the values."""
+    agg = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 10000)").alias("pcts")
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9), 10000)"
+            ).alias("pcts"),
+            F.expr(
+                "percentile(o_totalprice, array(0.48, 0.52, 0.88, 0.92))"
+            ).alias("ex"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
-        .select(
-            "o_orderpriority",
-            F.col("pcts")[0].alias("p50_approx"),
-            F.col("pcts")[1].alias("p90_approx"),
-        )
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        (
+            (F.col("pcts")[0] >= F.col("ex")[0])
+            & (F.col("pcts")[0] <= F.col("ex")[1])
+        ).alias("p50_in_bound"),
+        (
+            (F.col("pcts")[1] >= F.col("ex")[2])
+            & (F.col("pcts")[1] <= F.col("ex")[3])
+        ).alias("p90_in_bound"),
     )
 
 

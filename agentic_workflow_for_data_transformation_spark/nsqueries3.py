@@ -352,7 +352,20 @@ def ns_dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("ns_decontaminate_bloom", None)  # probabilistic: bounded by pytest
+def _bloom_guarantee_sql() -> str:
+    from .nsqueries import _SHINGLE_CTE
+
+    return (
+        f"WITH {_SHINGLE_CTE}, "
+        "bm AS (SELECT DISTINCT s FROM e WHERE doc_id % 97 = 0 AND doc_id < 58200), "
+        "exact AS (SELECT DISTINCT doc_id FROM e WHERE doc_id % 97 <> 0 "
+        "AND s IN (SELECT s FROM bm)) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_exact_contaminated, "
+        "CAST(0 AS BIGINT) AS n_missed_by_bloom FROM exact"
+    )
+
+
+@register("ns_decontaminate_bloom", _bloom_guarantee_sql())
 def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-screen decontamination: benchmark shingles fold into one
     natively-built Bloom bitset (xxhash64 double hashing, bit_or word
@@ -363,9 +376,12 @@ def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated doc; ~2% clean docs over-flagged at the default
     sizing) — the screen-then-verify front half, with exact
     contaminated_ids as the verify pass over the flagged sliver.
-    Rows-only driver check by design (no SQL oracle can reproduce the
-    FP bits); the no-false-negative guarantee and FP bound are pinned
-    in tests/test_corpus.py."""
+    Round-8: registered as the GUARANTEE harness
+    (corpus.bloom_guarantee_check) so the driver gate hash-checks the
+    one-sided contract — n_missed_by_bloom must be exactly 0 and the
+    exact contaminated count must match SQL — instead of recording an
+    err:no_oracle row; the FP-rate bound stays pinned in
+    tests/test_corpus.py."""
     from .operators import corpus as _corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -374,7 +390,7 @@ def ns_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-size eval suite, so the scale sweep measures the PROBE's
     # linear scan, not an ever-growing build (r7: the benchmark-
     # scales-with-corpus form spent 97s at sf10, build-dominated)
-    return _corpus.contaminated_ids_bloom(
+    return _corpus.bloom_guarantee_check(
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 58200)),
     )

@@ -550,3 +550,34 @@ def select_token_budget(df: DataFrame, budget_tokens: int,
         .filter(F.col("running_tokens") <= budget_tokens)
         .select(group_col, id_col, "n_tokens", "running_tokens")
     )
+
+
+def bloom_guarantee_check(corpus: DataFrame, benchmark: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n: int = 3) -> DataFrame:
+    """One-row harness for the Bloom screen's one-sided guarantee
+    (round-8: the bounds-style oracle replacing the rows-only driver
+    check): every EXACTLY contaminated document must be flagged by
+    :func:`contaminated_ids_bloom` — build and probe evaluate the same
+    bit positions, so ``n_missed_by_bloom`` is 0 by construction, and
+    the SQL oracle asserts exactly that (the exact contaminated count
+    is SQL-computable; the FP sliver is not and stays out of the
+    output). A broken hash family, sizing bug, or probe/build drift
+    flips the 0 and hash-mismatches the driver gate.
+
+    Cost note: this harness runs the exact shingle probe BESIDE the
+    screen (it is the verify pass of screen-then-verify applied to the
+    whole corpus); production runs the screen alone on the 100 TB side
+    and the exact pass on the flagged sliver only."""
+    flagged = contaminated_ids_bloom(corpus, benchmark, id_col=id_col,
+                                     text_col=text_col, n=n)
+    exact = contaminated_ids(corpus, benchmark, id_col=id_col,
+                             text_col=text_col, n=n)
+    return (
+        exact.join(flagged.withColumn("_fl", F.lit(1)), id_col, "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact_contaminated"),
+            F.count(F.when(F.col("_fl").isNull(), 1)).cast("long")
+            .alias("n_missed_by_bloom"),
+        )
+    )

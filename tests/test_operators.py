@@ -159,17 +159,16 @@ def test_duplicate_clusters_cover_all_docs(spark, sf_dir):
 
 
 def test_approx_count_distinct_within_rsd_bound(spark):
-    """x_approx_count_distinct has no exact SQL oracle (HLL sketches are
-    engine-specific by construction); this is its deterministic guard:
-    per group, |approx - exact| / exact must stay within a few rsd
-    (rsd=0.02; 5x gives deterministic headroom — HLL++ is not a random
-    draw, the observed max at sf0.01 is well under 2 rsd)."""
+    """The registered x_approx_count_distinct harness (round-8
+    bounds-style oracle) must report exact counts matching a direct
+    recompute and every within_rsd_bound TRUE (HLL++ is deterministic
+    for fixed input, so this is a hard gate)."""
     from agentic_workflow_for_data_transformation_spark.benchqueries import queries
     from pyspark.sql import functions as F
 
     sf_dir = "/root/testdata/sf0.01"
-    approx = {
-        r["o_orderpriority"]: r["approx_custs"]
+    rows = {
+        r["o_orderpriority"]: r
         for r in queries()["x_approx_count_distinct"](spark, sf_dir).collect()
     }
     from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
@@ -181,10 +180,10 @@ def test_approx_count_distinct_within_rsd_bound(spark):
         .agg(F.countDistinct("o_custkey").alias("exact"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for key, ex in exact.items():
-        rel_err = abs(approx[key] - ex) / ex
-        assert rel_err <= 5 * 0.02, f"{key}: approx={approx[key]} exact={ex} rel_err={rel_err:.4f}"
+        assert rows[key]["exact_custs"] == ex
+        assert rows[key]["within_rsd_bound"] is True, key
 
 
 def test_redact_text_masks_emails_and_numbers(spark):
@@ -268,64 +267,61 @@ def test_repetition_ratio_detects_boilerplate(spark):
 
 
 def test_approx_count_distinct_within_rsd(spark):
-    """x_approx_count_distinct has no exact SQL oracle by construction
-    (HyperLogLog++); bound it deterministically instead: per-group
-    relative error vs the exact distinct count must stay within the
-    configured rsd (0.02). Spark's HLL++ is deterministic for fixed
-    input, so this is a hard gate, not a flaky probabilistic one."""
+    """The raw HLL++ sketch itself (independent of the registered
+    harness): per-group relative error vs the exact distinct count
+    must stay within the configured rsd (0.02). Spark's HLL++ is
+    deterministic for fixed input, so this is a hard gate, not a
+    flaky probabilistic one."""
     import pyspark.sql.functions as F
 
     from agentic_workflow_for_data_transformation_spark import benchqueries
     from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
 
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r["o_orderpriority"]: r["approx_custs"]
-        for r in benchqueries.queries()["x_approx_count_distinct"](spark, sf).collect()
-    }
-    exact = {
-        r["o_orderpriority"]: r["n"]
-        for r in read_parquet_table(spark, sf, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("n"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for k, n in exact.items():
-        rel_err = abs(approx[k] - n) / n
-        assert rel_err <= 0.02, f"{k}: approx={approx[k]} exact={n} err={rel_err:.4f}"
-
-
-def test_approx_percentiles_within_bound(spark):
-    """x_approx_percentiles is sketch-based (no SQL oracle); bound it
-    against the exact per-group percentiles: relative value error
-    under 2% at accuracy=10000 on sf0.01 (deterministic — Spark's
-    approx_percentile is a deterministic algorithm for fixed input)."""
-    import pyspark.sql.functions as F
-
-    from agentic_workflow_for_data_transformation_spark import benchqueries
-    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
-
-    sf = "/root/testdata/sf0.01"
-    approx = {
-        r["o_orderpriority"]: (r["p50_approx"], r["p90_approx"])
-        for r in benchqueries.queries()["x_approx_percentiles"](spark, sf).collect()
-    }
-    exact = {
-        r["o_orderpriority"]: (r["p50"], r["p90"])
+    rows = {
+        r["o_orderpriority"]: (r["approx"], r["n"])
         for r in read_parquet_table(spark, sf, "orders")
         .groupBy("o_orderpriority")
         .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("n"),
+        )
+        .collect()
+    }
+    for k, (approx, n) in rows.items():
+        rel_err = abs(approx - n) / n
+        assert rel_err <= 0.02, f"{k}: approx={approx} exact={n} err={rel_err:.4f}"
+
+
+def test_approx_percentiles_within_bound(spark):
+    """The raw percentile sketch: relative value error under 2% at
+    accuracy=10000 on sf0.01 (deterministic — Spark's
+    approx_percentile is a deterministic algorithm for fixed input);
+    plus the registered harness's rank-error booleans all TRUE."""
+    import pyspark.sql.functions as F
+
+    from agentic_workflow_for_data_transformation_spark import benchqueries
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+
+    sf = "/root/testdata/sf0.01"
+    raw = {
+        r["o_orderpriority"]: (r["a50"], r["a90"], r["p50"], r["p90"])
+        for r in read_parquet_table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("a50"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("a90"),
             F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
             F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, (e50, e90) in exact.items():
-        a50, a90 = approx[k]
+    for k, (a50, a90, e50, e90) in raw.items():
         assert abs(a50 - e50) / e50 <= 0.02, f"{k} p50: {a50} vs {e50}"
         assert abs(a90 - e90) / e90 <= 0.02, f"{k} p90: {a90} vs {e90}"
+    # the registered harness must report every bound satisfied
+    for r in benchqueries.queries()["x_approx_percentiles"](spark, sf).collect():
+        assert r["p50_in_bound"] is True and r["p90_in_bound"] is True, r
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
