@@ -501,6 +501,43 @@ def compile_spec(
                 id_col=op.get("id_col", "doc_id"),
                 text_col=op.get("text_col", "text"),
             )
+        elif kind == "neardup":
+            # greedy keep-first fuzzy dedup: a doc is dropped iff a
+            # verified near-duplicate with a LOWER id exists. The LSH
+            # chain (banding candidates -> exact Jaccard on survivors)
+            # keeps the pair space ~linear; the final anti join
+            # touches the corpus once with a tiny broadcast-able set
+            from ..operators.dedup import lsh_verified_pairs
+
+            idc = op.get("id_col", "doc_id")
+            pairs = lsh_verified_pairs(
+                df, id_col=idc, threshold=op["threshold"],
+            )
+            drop = pairs.select(F.col("doc_b").alias(idc)).distinct()
+            df = df.join(drop, idc, "left_anti")
+        elif kind == "decontaminate":
+            from ..operators.corpus import contaminated_ids
+
+            right = op["right"]
+            if right not in tables:
+                raise SpecError(f"unknown table {right!r} for decontaminate")
+            idc = op.get("id_col", "doc_id")
+            bad = contaminated_ids(
+                df, tables[right], id_col=idc,
+                text_col=op.get("text_col", "text"),
+            )
+            df = df.join(bad, idc, "left_anti")
+        elif kind == "pack":
+            from ..operators.corpus import pack_sequences
+
+            df = pack_sequences(
+                df,
+                budget=op["budget"],
+                group_size=op.get("group_size", 1024),
+                id_col=op.get("id_col", "doc_id"),
+                lang_col=op.get("lang_col", "lang"),
+                text_col=op.get("text_col", "text"),
+            )
         else:  # pragma: no cover — validate_spec rejects these
             raise SpecError(f"unknown op {kind!r}")
     return df

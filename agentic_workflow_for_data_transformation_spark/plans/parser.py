@@ -37,6 +37,9 @@ _CLAUSE_KEYWORDS = (
     # stays a conjunction instead of splitting as a clause
     r"|append\s+(?:distinct\s+)?rows"
     r"|remove\s+duplicates?"
+    r"|remove\s+(?:near[- ])?duplicate"
+    r"|drop\s+documents"
+    r"|pack\s+documents"
     r"|split\s+\w+\s+into\s+words"
     r"|(?:inner|left|right|full|cross)\s+join)"
 )
@@ -342,6 +345,29 @@ _DEDUP = re.compile(
     r"(?:\s+keeping\s+the\s+(lowest|highest)\s+(\w+))?$",
     re.IGNORECASE,
 )
+# corpus-pipeline phrasings (round-8: the LLM-data operators join the
+# NL surface). "remove duplicate documents keeping the first" = exact
+# dedup on text keeping the lowest doc_id; "remove near-duplicate
+# documents above 0.8 similarity" = the LSH chain + greedy keep-first;
+# "drop documents that appear in <table>" = 3-gram decontamination;
+# "pack documents into sequences of 512 tokens" = sequence packing.
+_DEDUP_DOCS = re.compile(
+    r"^remove\s+duplicate\s+documents(?:\s+keeping\s+the\s+first)?\s*$",
+    re.IGNORECASE,
+)
+_NEARDUP = re.compile(
+    r"^remove\s+near[- ]duplicate\s+documents?\s+above\s+"
+    r"(0?\.\d+|1(?:\.0+)?)\s+similarity\s*$",
+    re.IGNORECASE,
+)
+_DECONTAM = re.compile(
+    r"^drop\s+documents\s+that\s+appear\s+in\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_PACK = re.compile(
+    r"^pack\s+documents\s+into\s+sequences\s+of\s+(\d+)\s+tokens\s*$",
+    re.IGNORECASE,
+)
 # "split text into words and count each word [showing top 50]" — the
 # explode + groupby-count shape (word count); the optional top-k sorts
 # on (count desc, word asc) so the boundary is a total order
@@ -565,6 +591,18 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
                 {"op": "limit", "n": int(m.group(2))},
             ]
         return ops
+    if _DEDUP_DOCS.match(clause):
+        # exact dedup of the documents table: key on the text, keep
+        # the lowest doc_id — the deterministic keyed-dedup op, so the
+        # oracle renders for free
+        return {"op": "dedup", "keys": [_resolve_col("text", columns)],
+                "keep_col": _resolve_col("doc_id", columns), "keep": "min"}
+    if m := _NEARDUP.match(clause):
+        return {"op": "neardup", "threshold": float(m.group(1))}
+    if m := _DECONTAM.match(clause):
+        return {"op": "decontaminate", "right": m.group(1)}
+    if m := _PACK.match(clause):
+        return {"op": "pack", "budget": int(m.group(1))}
     if m := _DEDUP.match(clause):
         if m.group(2):
             # "keeping the lowest/highest <col>" makes the kept row

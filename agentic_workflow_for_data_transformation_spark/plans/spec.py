@@ -55,6 +55,19 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # per-group least-squares fit (operators/stats.groupwise_ols):
       # five decimal-exact moments in one aggregate, closed-form
       # slope/intercept/r2 rounded to 6
+  {"op": "neardup", "threshold": 0.8, "id_col": "doc_id"?,
+   "text_col": "text"?}
+      # fuzzy dedup filter (operators/dedup.lsh_verified_pairs):
+      # drop every doc with a verified near-duplicate at a LOWER id
+      # (greedy keep-first; cluster-keep-one is the dedup_apply API)
+  {"op": "decontaminate", "right": "benchmark_table",
+   "id_col": "doc_id"?, "text_col": "text"?}
+      # drop docs sharing any word 3-gram with the right table
+      # (operators/corpus.contaminated_ids + anti join)
+  {"op": "pack", "budget": 512, "group_size": 1024?,
+   "id_col": "doc_id"?, "lang_col": "lang"?, "text_col": "text"?}
+      # sequence packing (operators/corpus.pack_sequences): output is
+      # the packed-sequence summary table, not the input rows
       # deterministic hash sample (operators/sampling.py): a pure
       # filter, reproducible across engines and partitionings
   {"op": "pivot", "keys": ["k"], "col": "status", "values": ["F", "O"],
@@ -430,6 +443,30 @@ def validate_op(op: Any) -> None:
             _err(f"sample needs a string 'key' column: {op!r}")
         if "salt" in op and not isinstance(op["salt"], str):
             _err(f"sample 'salt' must be a string: {op!r}")
+    elif kind == "neardup":
+        t = op.get("threshold")
+        if not (isinstance(t, int | float) and not isinstance(t, bool)
+                and 0 < t <= 1):
+            _err(f"neardup needs 'threshold' in (0, 1]: {op!r}")
+        for f in ("id_col", "text_col"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"neardup '{f}' must be a string: {op!r}")
+    elif kind == "decontaminate":
+        if not isinstance(op.get("right"), str):
+            _err(f"decontaminate needs a string 'right' table name: {op!r}")
+        for f in ("id_col", "text_col"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"decontaminate '{f}' must be a string: {op!r}")
+    elif kind == "pack":
+        if not (isinstance(op.get("budget"), int) and op["budget"] >= 1):
+            _err(f"pack needs a positive int 'budget': {op!r}")
+        if "group_size" in op and not (
+            isinstance(op["group_size"], int) and op["group_size"] >= 1
+        ):
+            _err(f"pack 'group_size' must be a positive int: {op!r}")
+        for f in ("id_col", "lang_col", "text_col"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"pack '{f}' must be a string: {op!r}")
     else:
         _err(f"unknown op {kind!r}")
 

@@ -463,6 +463,94 @@ def spec_to_sql(spec: dict, table: str) -> str:
             sql = wrap(
                 keys + ", " + ", ".join(aggs), f"GROUP BY ROLLUP({keys})"
             )
+        elif kind == "neardup":
+            # mirrors operators/dedup.lsh_verified_pairs + the greedy
+            # keep-first anti join, term for term (same chain as the
+            # nsqueries _VERIFIED_CTES oracles, rendered over the
+            # wrapped subquery): word 3-gram shingles, 16 md5-based
+            # minhashes mod 2^31-1, 4-band LSH candidates, exact
+            # Jaccard on candidates only, drop the doc_b side
+            idc = _q(op.get("id_col", "doc_id"))
+            txt = _q(op.get("text_col", "text"))
+            t = op["threshold"]
+            m31 = 2147483647
+            base = f"(('0x' || substr(md5(s), 1, 15))::BIGINT % {m31})"
+            mins = ", ".join(
+                f"min(({2 * i + 1} * {base} + {i * 12345 + 7}) % {m31}) AS h{i}"
+                for i in range(16)
+            )
+            band_selects = " UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band_idx, md5("
+                + " || '|' || ".join(f"h{b * 4 + r}::VARCHAR" for r in range(4))
+                + ") AS band_key FROM nsig"
+                for b in range(4)
+            )
+            sql = (
+                f"WITH nsrc AS ({sql}), "
+                f"nw AS (SELECT {idc} AS doc_id, string_split({txt}, ' ') AS ws FROM nsrc), "
+                "nsh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN "
+                "list_distinct(list_transform(range(1, len(ws)-1), "
+                "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) "
+                "ELSE CAST([] AS VARCHAR[]) END AS sh FROM nw), "
+                "ne AS (SELECT doc_id, unnest(sh) AS s FROM nsh), "
+                f"nsig AS (SELECT doc_id, {mins} FROM ne GROUP BY doc_id), "
+                f"nbuckets AS ({band_selects}), "
+                "ncand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+                "FROM nbuckets x JOIN nbuckets y ON x.band_idx = y.band_idx "
+                "AND x.band_key = y.band_key AND x.doc_id < y.doc_id), "
+                "ninter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+                "count(*) AS n_inter FROM ne a JOIN ne b ON a.s = b.s "
+                "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+                "nsizes AS (SELECT doc_id, len(sh) AS sz FROM nsh), "
+                "njac AS (SELECT doc_a, doc_b, "
+                "round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) AS jaccard "
+                "FROM ninter JOIN nsizes sa ON doc_a = sa.doc_id "
+                "JOIN nsizes sb ON doc_b = sb.doc_id), "
+                f"ndrop AS (SELECT DISTINCT doc_b AS {idc} FROM ncand "
+                f"JOIN njac USING (doc_a, doc_b) WHERE jaccard >= {t!r}) "
+                f"SELECT * FROM nsrc ANTI JOIN ndrop USING ({idc})"
+            )
+        elif kind == "decontaminate":
+            right = op["right"]
+            if not isinstance(right, str):
+                raise SqlGenError("decontaminate right side must be a table name")
+            idc = _q(op.get("id_col", "doc_id"))
+            txt = _q(op.get("text_col", "text"))
+            shingle = (
+                "CASE WHEN len(ws) >= 3 THEN "
+                "list_distinct(list_transform(range(1, len(ws)-1), "
+                "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) "
+                "ELSE CAST([] AS VARCHAR[]) END"
+            )
+            sql = (
+                f"WITH dsrc AS ({sql}), "
+                f"dw AS (SELECT {idc} AS doc_id, string_split({txt}, ' ') AS ws FROM dsrc), "
+                f"dsh AS (SELECT doc_id, {shingle} AS sh FROM dw), "
+                "de AS (SELECT doc_id, unnest(sh) AS s FROM dsh), "
+                f"bw AS (SELECT string_split({txt}, ' ') AS ws FROM {right}), "
+                f"bsh AS (SELECT {shingle} AS sh FROM bw), "
+                "bm AS (SELECT DISTINCT unnest(sh) AS s FROM bsh), "
+                "bad AS (SELECT DISTINCT doc_id AS "
+                f"{idc} FROM de WHERE s IN (SELECT s FROM bm)) "
+                f"SELECT * FROM dsrc ANTI JOIN bad USING ({idc})"
+            )
+        elif kind == "pack":
+            idc = _q(op.get("id_col", "doc_id"))
+            lng = _q(op.get("lang_col", "lang"))
+            txt = _q(op.get("text_col", "text"))
+            budget, gsz = op["budget"], op.get("group_size", 1024)
+            sql = (
+                f"WITH pt AS (SELECT {idc} AS doc_id, {lng} AS lang, "
+                f"CAST(len(string_split({txt}, ' ')) AS BIGINT) AS n_tokens, "
+                f"CAST(floor({idc} / {float(gsz)!r}) AS BIGINT) AS grp FROM ({sql})), "
+                "pc AS (SELECT *, SUM(n_tokens) OVER "
+                "(PARTITION BY lang, grp ORDER BY doc_id) AS cum FROM pt) "
+                f"SELECT lang AS {lng}, grp, "
+                f"CAST(floor((cum - n_tokens) / {float(budget)!r}) AS BIGINT) AS seq_id, "
+                "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens, "
+                "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+                "FROM pc GROUP BY 1, 2, 3"
+            )
         elif kind == "mode":
             keys = ", ".join(_q(k) for k in op["keys"])
             col = _q(op["col"])

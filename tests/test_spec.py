@@ -1183,3 +1183,76 @@ def test_string_int_cast_rejected(spark, people):
     ok2 = {"ops": [{"op": "with_column", "name": "n",
                     "expr": {"cast": ["name", "double"]}}]}
     assert "n" in compile_spec(people, ok2).columns
+
+
+def test_parser_corpus_pipeline_clauses():
+    """Round-8: the LLM-corpus operators' NL phrasings parse to their
+    spec ops, and compose with the filter grammar."""
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    spec = parse_description(
+        "Remove duplicate documents keeping the first", columns=cols
+    )
+    assert spec["ops"] == [{"op": "dedup", "keys": ["text"],
+                            "keep_col": "doc_id", "keep": "min"}]
+
+    spec = parse_description(
+        "Filter rows where lang == 'en' and "
+        "remove near-duplicate documents above 0.8 similarity",
+        columns=cols,
+    )
+    assert spec["ops"][0]["op"] == "filter"
+    assert spec["ops"][1] == {"op": "neardup", "threshold": 0.8}
+
+    spec = parse_description(
+        "Drop documents that appear in benchmark", columns=cols
+    )
+    assert spec["ops"] == [{"op": "decontaminate", "right": "benchmark"}]
+
+    spec = parse_description(
+        "Pack documents into sequences of 512 tokens", columns=cols
+    )
+    assert spec["ops"] == [{"op": "pack", "budget": 512}]
+
+
+def test_corpus_spec_ops_validate_and_render():
+    """The new spec ops validate strictly and every one renders SQL."""
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    for ops in ([{"op": "neardup", "threshold": 0.7}],
+                [{"op": "decontaminate", "right": "bench"}],
+                [{"op": "pack", "budget": 256, "group_size": 64}]):
+        sql = spec_to_sql(validate_spec({"ops": ops}), "documents")
+        assert "SELECT" in sql
+    with _pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "neardup", "threshold": 0.0}]})
+    with _pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "neardup", "threshold": True}]})
+    with _pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "decontaminate"}]})
+    with _pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "pack", "budget": 0}]})
+
+
+def test_neardup_compile_drops_later_near_duplicate(spark):
+    """Greedy keep-first semantics on a planted fixture: the
+    one-word-off near-dup with the HIGHER id is dropped, the earlier
+    twin and the unrelated doc survive."""
+    from agentic_workflow_for_data_transformation_spark.plans import compile_spec
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = "the quick brown fox jumps over the lazy cat and runs far away today"
+    df = spark.createDataFrame(
+        [(1, base), (2, near),
+         (3, "completely different words about spark engines and data pipelines")],
+        ["doc_id", "text"],
+    )
+    out = compile_spec(df, {"ops": [{"op": "neardup", "threshold": 0.5}]})
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
