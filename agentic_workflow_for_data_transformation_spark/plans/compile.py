@@ -206,6 +206,14 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
             # only tie-deterministic choice: a ROWS frame over tied
             # order keys admits whichever tied row a partition happens
             # to deliver first (round-8 advisor finding).
+            # Round-8 scale audit: an N-lag-columns formulation of the
+            # sliding frame was built and A/B-measured as the "wide
+            # frame scale path" ask — and LOST to collect_list at every
+            # scale (sf1: 1.9 vs 1.5 s; sf10 solo: 5.4 vs 4.5 s; N
+            # OffsetWindowFunction frame processors cost more than one
+            # buffered frame at small N). The 18.8 s sf10 number that
+            # prompted the ask was end-of-round load inflation — solo
+            # collect_list measures 4.5 s. Keeping the simpler plan.
             win = (
                 w.rowsBetween(-e["rows_preceding"], Window.currentRow)
                 if "rows_preceding" in e
