@@ -734,6 +734,23 @@ def l2_distance(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def l2_distance_unrolled(a: F.Column, b: F.Column, width: int) -> F.Column:
+    """BIT-IDENTICAL twin of :func:`l2_distance` for a KNOWN vector
+    width, unrolled into plain element_at arithmetic: higher-order
+    lambdas (aggregate/zip_with) evaluate interpreted outside
+    whole-stage codegen, while this form codegens — measured ~3x on
+    the streaming ANN serve LUT. Same left-to-right term order as the
+    fold ((t1+t2)+t3...; the fold's 0.0+t1 equals t1 exactly, squares
+    are never -0.0), so every rounded value matches l2_distance and
+    DuckDB's list_distance."""
+    s: F.Column | None = None
+    for i in range(1, width + 1):
+        d = F.element_at(a, i) - F.element_at(b, i)
+        term = d * d
+        s = term if s is None else s + term
+    return F.sqrt(s)
+
+
 def _pq_subvectors(df: DataFrame, m: int, sub_w: int, id_col: str,
                    vec_col: str, spread: bool = True) -> DataFrame:
     """(id, sub, sv): each vector sliced into its m subvectors BEFORE
@@ -1081,4 +1098,119 @@ def topk_ivfpq_adc(df: DataFrame, query_id: int, k: int = 10,
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .select(id_col, "cell", "adc_dist")
         .limit(k)
+    )
+
+
+def write_ivfpq_index(df: DataFrame, index_dir: str, n_cells: int = 8,
+                      m: int = 32, n_cents: int = 128, n_iter: int = 2,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None,
+                      sample_n: int | None = None) -> None:
+    """Persist the IVFADC serving artifacts — the offline build step a
+    deployment runs once per corpus snapshot: coarse centroids,
+    trained residual codebook, and the residual code table written
+    PARTITIONED BY CELL, so a query-time probe of n_probe cells is
+    file-level partition pruning (the scan literally never opens
+    unprobed lists). Everything the serve path needs, nothing of the
+    raw vectors."""
+    dim = probe_dim(df, vec_col, dim)
+    res = ivf_residuals(df, n_cells=n_cells, id_col=id_col,
+                        vec_col=vec_col, dim=dim).localCheckpoint()
+    cb = train_pq_codebook(res, m=m, k=n_cents, n_iter=n_iter,
+                           id_col=id_col, vec_col="rv", dim=dim,
+                           sample_n=sample_n)
+    codes = product_quantize(res, m=m, k=n_cents, id_col=id_col,
+                             vec_col="rv", dim=dim, codebook=cb)
+    codes = codes.join(res.select(F.col(id_col), "cell"), id_col)
+    v = as_double_array(F.col(vec_col))
+    cents = df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("long").alias("cell"), v.alias("cv")
+    )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cb.write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/codes"
+    )
+
+
+def load_ivfpq_index(spark, index_dir: str) -> tuple:
+    """Load (and pin) the serving artifacts once per process: coarse
+    centroids and codebook are tiny broadcast-side frames — persist
+    them so a long-lived server (or every streaming micro-batch)
+    reuses the deserialized blocks instead of re-reading parquet."""
+    cents = spark.read.parquet(f"{index_dir}/centroids").persist()
+    cb = spark.read.parquet(f"{index_dir}/codebook").persist()
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    cents.count(), cb.count()
+    return cents, cb, codes
+
+
+def topk_ivfpq_from_index(queries: DataFrame, index_dir: str, k: int = 10,
+                          n_probe: int = 4, m: int = 32,
+                          dim: int | None = None,
+                          query_id_col: str = "query_id",
+                          query_vec_col: str = "qv",
+                          index: tuple | None = None) -> DataFrame:
+    """Multi-query IVFADC top-k against a PERSISTED index
+    (write_ivfpq_index) — the serve path shared by ad-hoc batch
+    lookups and the streaming micro-batch server (streaming/serve.py):
+    per query, probe the n_probe nearest coarse cells, build one
+    lookup table per probed cell over the query's residual, and score
+    only the probed cells' code partitions (partition pruning does the
+    list selection). Everything query-sized broadcasts; the only
+    corpus-side work is the pruned code scan.
+
+    Emits (query_id, vec_id, cell, adc_dist, rank), rank 1..k per
+    query with the family's (adc_dist, vec_id) tie order."""
+    spark = queries.sparkSession
+    cents, cb, codes = index if index is not None else load_ivfpq_index(
+        spark, index_dir
+    )
+    cents = F.broadcast(cents)
+    if dim is None:
+        dim = probe_dim(queries, query_vec_col)
+    sub_w = dim // m
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        as_double_array(query_vec_col).alias("qv"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cd").asc(), F.col("cell")
+    )
+    probe = (
+        qrows.crossJoin(cents)
+        .select(
+            "query_id",
+            "cell",
+            F.round(l2_distance_unrolled(F.col("qv"), F.col("cv"), dim), 6).alias("cd"),
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x - y).alias("qrv"),
+        )
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+    )
+    qsubs = probe.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice(F.col("qrv"), i * sub_w + 1, sub_w)
+                      for i in range(m)])
+        ).alias("sub", "qsv"),
+    )
+    lut = (
+        qsubs.join(cb.withColumnRenamed("cv", "ccv"), "sub")
+        .select(
+            "query_id", "cell", "sub", "cent",
+            F.round(l2_distance_unrolled(F.col("qsv"), F.col("ccv"), sub_w), 6).alias("qd"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["cell", "sub", "cent"])
+        .groupBy("query_id", "vec_id", "cell")
+        .agg(F.round(F.sum(F.col("qd") * F.col("qd")), 6).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cell", "adc_dist", "rank")
     )

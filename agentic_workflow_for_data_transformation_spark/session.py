@@ -52,9 +52,15 @@ def get_spark(
         # compiling, slowing later queries 5-10x. 512m still saturated at
         # ~200 plan executions (the 98-query bench runs each query twice),
         # re-introducing a late-session cliff — 1g holds the full corpus.
+        # -Xss32m: Catalyst analysis recurses deeply on wide nested
+        # expression trees (the m=32 PQ slice/fold plans); Structured
+        # Streaming runs foreachBatch planning on its own execution
+        # thread, which overflows the JVM default 1m stack on those
+        # plans (round-8 ANN-serve rung). 32m is virtual reservation,
+        # not resident memory.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing -Xss32m",
         )
     )
     spark = builder.getOrCreate()

@@ -5,6 +5,10 @@ from .ingest import (
     ingest_stream_dedup,
     read_documents_stream,
 )
+from .serve import (
+    read_query_stream,
+    serve_ann_stream,
+)
 from .events import (
     EVENTS_SCHEMA,
     read_events_stream,
@@ -28,6 +32,8 @@ __all__ = [
     "ingest_stream_dedup",
     "read_documents_stream",
     "read_events_stream",
+    "read_query_stream",
+    "serve_ann_stream",
     "windowed_event_aggregate",
     "sliding_window_aggregate",
     "sessionized_event_aggregate",

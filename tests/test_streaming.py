@@ -672,3 +672,69 @@ def test_streaming_count_min_equals_batch_sketch(spark, sf_dir, tmp_path):
     }
     assert got == want and len(got) > 0
     assert len(got) <= 4 * 256  # bounded state: the cell grid
+
+
+def test_ann_serve_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Round-8 streaming ANN rung: build the persisted IVFADC index
+    once, stream query batches through serve_ann_stream, and require
+    (a) the streamed results EQUAL the batch topk_ivfpq_from_index
+    call on the union of queries, and (b) linking back to the in-
+    session topk_ivfpq_adc operator: serve k+1, drop the query's own
+    corpus row, take k — identical candidates (the persisted path and
+    the session path run the same trained artifacts)."""
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        topk_ivfpq_adc,
+        topk_ivfpq_from_index,
+        write_ivfpq_index,
+    )
+    from agentic_workflow_for_data_transformation_spark.streaming import (
+        read_query_stream,
+        serve_ann_stream,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, index_dir, n_cells=4, m=8, n_cents=32,
+                      n_iter=2, dim=64)  # n_iter matches topk_ivfpq_adc's trainer default
+    # query stream: two files -> two micro-batches
+    q1 = emb.filter("vec_id IN (42, 7)").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    q2 = emb.filter("vec_id = 123").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    src = str(tmp_path / "queries")
+    q1.coalesce(1).write.mode("append").parquet(src)
+    q2.coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "served")
+    ck = str(tmp_path / "ck")
+    query = serve_ann_stream(read_query_stream(spark, src), index_dir,
+                             out_dir, ck, k=11, n_probe=2, m=8, dim=64)
+    query.processAllAvailable()
+    query.stop()
+
+    served = spark.read.parquet(out_dir)
+    batch = topk_ivfpq_from_index(
+        q1.unionByName(q2), index_dir, k=11, n_probe=2, m=8, dim=64
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # link to the session operator, modulo the self-hit
+    for qid in (42, 7, 123):
+        got = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in served.collect() if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+            if r["vec_id"] != qid
+        ][:10]
+        want = [
+            r["vec_id"]
+            for r in topk_ivfpq_adc(emb, query_id=qid, k=10, n_cells=4,
+                                    n_probe=2, m=8, n_cents=32,
+                                    dim=64).collect()
+        ]
+        assert got == want, qid

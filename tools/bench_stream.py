@@ -67,7 +67,8 @@ def rate_events(spark: SparkSession, rows_per_sec: int) -> DataFrame:
 WARMUP_BATCHES = 2
 
 
-def measure(name: str, out: DataFrame, mode: str, seconds: float) -> dict:
+def measure(name: str, out: DataFrame, mode: str, seconds: float,
+            foreach=None, warmup: int = WARMUP_BATCHES) -> dict:
     """Sustained rate = total numInputRows / total triggerExecution
     time over post-warmup batches — a row-weighted aggregate, so
     short/small batches can't skew the mean the way averaging
@@ -76,10 +77,12 @@ def measure(name: str, out: DataFrame, mode: str, seconds: float) -> dict:
     from 0), not by position in recentProgress — that rolling window
     caps at ~100 entries, and positional [2:] on a long run discards
     two steady-state batches instead of the actual warmup ones."""
+    w = out.writeStream
+    # foreachBatch rungs (the ANN server) measure their batch function;
+    # everything else measures the plan itself through the noop sink
+    w = w.foreachBatch(foreach) if foreach else w.outputMode(mode).format("noop")
     q = (
-        out.writeStream.outputMode(mode)
-        .format("noop")
-        .option("checkpointLocation", f"/tmp/bench_stream_ckpt/{name}_{time.time_ns()}")
+        w.option("checkpointLocation", f"/tmp/bench_stream_ckpt/{name}_{time.time_ns()}")
         .start()
     )
     time.sleep(seconds)
@@ -88,7 +91,7 @@ def measure(name: str, out: DataFrame, mode: str, seconds: float) -> dict:
     steady = [
         p
         for p in progs
-        if p.get("numInputRows", 0) > 0 and p["batchId"] >= WARMUP_BATCHES
+        if p.get("numInputRows", 0) > 0 and p["batchId"] >= warmup
     ]
     rows = sum(p["numInputRows"] for p in steady)
     exec_ms = sum(p["durationMs"]["triggerExecution"] for p in steady)
@@ -156,8 +159,65 @@ def main() -> None:
     )
 
 
+    # ANN serve rung (round-8): queries/s against the PERSISTED IVFADC
+    # index (trained codebook, codes partitioned by cell) through the
+    # same foreachBatch server production runs (streaming/serve.py).
+    # Per query the work is 4 probed cells x (m x k) LUT rows plus the
+    # pruned code scan — offered in QUERIES/s, far below event rates
+    # by design (each query is a full ANN lookup, not a row append).
+    import os
+
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        load_ivfpq_index,
+        topk_ivfpq_from_index,
+        write_ivfpq_index,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idx_dir = f"/tmp/bench_stream_ivfpq_{time.time_ns()}"
+    write_ivfpq_index(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), idx_dir,
+        sample_n=500,
+    )
+    ivfpq_index = load_ivfpq_index(spark, idx_dir)
+
+    def _serve(batch: DataFrame, batch_id: int) -> None:
+        topk_ivfpq_from_index(
+            batch, idx_dir, k=10, n_probe=4, m=32, dim=64,
+            index=ivfpq_index,
+        ).write.format("noop").mode("overwrite").save()
+
+    qstream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .select(
+            F.col("value").alias("query_id"),
+            F.array(
+                *[
+                    ((F.abs(F.xxhash64("value", F.lit(f"d{i}"))) % 2001)
+                     - 1000) / 1000.0
+                    for i in range(64)
+                ]
+            ).alias("qv"),
+        )
+    )
+    # its batches run seconds each (every row is a full ANN lookup),
+    # so this rung gets a longer fixed window and a 1-batch warmup;
+    # offered above capacity = backlog mode, so the sustained column
+    # reads as this node's serve ceiling (like the dedup knee)
+    ann_row = measure(
+        "ann_serve (IVFADC top-10 vs persisted index, offered 100 q/s = backlog mode; sustained = per-node ceiling)",
+        qstream,
+        "append",
+        max(args.seconds, 90.0),
+        foreach=_serve,
+        warmup=1,
+    )
+
     results = [
         cms_row,
+        ann_row,
         measure("source_to_sink (projection only)", ev, "append", args.seconds),
         measure(
             "windowed_aggregate (1 min tumbling, 2 min watermark)",
