@@ -3659,83 +3659,72 @@ def x_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-mix applied sampling.
 # --------------------------------------------------------------------------
 _WINDOW: list[str] = [
-    # Round-7 rotation (VERDICT r6 #2). Composition:
-    #   (a) the 7 never-gated queries — the 3 late round-6 adds the r6
-    #       window froze out (p46 asof tolerance, p47 median, audio
-    #       segments) plus the 4 new round-7 NL window-vocabulary
-    #       queries (p48 ntile, p49 percent_rank, p50 cume_dist, p51
-    #       sliding first_value). Gating these closes the cumulative
-    #       driver ledger at N/N for every query registered BEFORE
-    #       this round; any query registered later in round 7 is
-    #       swapped into this list at registration time (the r6 lesson:
-    #       keep registrations ahead of the window freeze).
-    #   (b) 8 queries whose PLANS changed this round and need fresh
-    #       driver rows: x_tpch_q15 (broadcast scalar-max instead of
-    #       the empty-partition window), ns_corpus_mix_weights /
-    #       ns_corpus_mix_apply / ns_corpus_interleave (pmod window
-    #       keys replacing folded-away lit(1)), p42 (two-phase offsets
-    #       pmod key), x_join_asof / x_join_asof_forward /
-    #       p45_nl_asof_nearest (struct-packed running fill).
-    #   (c) freshness picks, all last gated in ROUND 1 — most of the
-    #       original 29 were progressively displaced by this round's
-    #       NEW registrations (p56-p59, bm25, welch ttest, count-min,
-    #       token budget, zipf fit, triangles, PQ codes/search/recall),
-    #       which take priority because a never-gated query has no
-    #       driver row at all while a displaced round-1 row stays
-    #       covered by CORRECTNESS_LOCAL.json.
-    # FINAL ACCOUNTING (checked mechanically, see the round-7 session
-    # log): all 26 queries never gated in rounds 1-6 are in this list,
-    # so the cumulative driver ledger closes at 221/221 after this
-    # round's gate. Everything else stays covered by the freshness-
-    # gated local report (tools/check_oracle.py), whose staleness
-    # fails pytest. x_approx_count_distinct is sketch-only (no oracle)
-    # and records its rows-only row here by design; the Bloom screen
-    # and approx-percentiles are the other two rows-only entries.
-    # EDITING NOTE: swap slots by editing THIS list only — a bare
-    # '"name",' string also matches the @register(...) name line of
-    # that query (identical text), which silently renames the
-    # registration (it happened twice this round; the freshness gate
-    # caught both).
-    # -- (a) never-gated --
-    "p46_nl_asof_tolerance", "p47_nl_median", "ns_multimodal_audio_segments",
-    "p48_nl_ntile", "p49_nl_percent_rank", "p50_nl_cume_dist",
-    "p51_nl_first_value",
-    # -- (b) plans changed in round 7 --
-    "x_tpch_q15", "ns_corpus_mix_weights", "ns_corpus_mix_apply",
-    "ns_corpus_interleave", "p42_nl_global_row_number", "x_join_asof",
-    "x_join_asof_forward", "p45_nl_asof_nearest",
+    # Round-8 rotation (VERDICT r7 #4). The cumulative driver ledger
+    # closed at 223/223 in round 7, so this window is composed of:
+    #   (a) the 5 NEW round-8 registrations (never gated): the
+    #       composed IVF+PQ serving stack and the four NL corpus-op
+    #       queries;
+    #   (b) the 7 queries whose SEMANTICS, ORACLE, or PLAN changed in
+    #       round 8 and need fresh driver rows: the two PQ queries now
+    #       run TRAINED codebooks (new unrolled-Lloyd oracles); the
+    #       HLL / percentile-sketch / Bloom queries now emit
+    #       bounds-style outputs with exact oracles (zero no_oracle
+    #       rows remain); welch_ttest counts non-null values; and
+    #       ns_embed_pq's plan gained the (id, sub) spread exchange;
+    #   (c) 38 freshness picks — every one last gated in ROUND 1 (the
+    #       oldest driver rows in the ledger), recomputed mechanically
+    #       from the committed CORRECTNESS_r0*.json files.
+    # EDITING NOTE (r7 lesson): swap slots by editing THIS list only —
+    # a bare '"name",' string also matches that query's @register(...)
+    # line (identical text) and a careless sed silently renames the
+    # registration; the freshness gate catches it, but line-target
+    # edits here avoid the round-trip.
+    # -- (a) new in round 8, never gated --
+    "ns_sim_topk_ivfpq", "p62_nl_dedup_docs", "p63_nl_neardup",
+    "p64_nl_decontaminate", "p65_nl_pack",
+    # -- (b) semantics/oracle/plan changed in round 8 --
+    "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
+    "x_approx_count_distinct", "x_approx_percentiles",
+    "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # -- (c) freshness: last gated round 1 --
-    "p61_nl_fit_ols", "p12_or", "p60_nl_count_missing",
-    "p17_sort_filter_limit", "x_approx_count_distinct",
-    "ns_graph_triangles",
-    "ns_sim_recall_pq",
-    # jaccard_prefix's frequency join gained the shuffle-hash pin mid
-    # round 7 (plan changed -> fresh driver row, displacing x_join_range)
-    "ns_dedup_jaccard_prefix",
-    "ns_text_zipf_fit",
-    "x_rollup", "x_sessionize_batch", "ns_stats_count_min",
-    "x_spec_join_window", "x_time_spine_fill", "ns_corpus_token_budget",
-    "x_tpch_q18",
-    "x_tpch_q3", "x_tpch_q5",
-    "x_window_topk_per_group",
-    # -- (a') registered later in round 7, swapped in at registration
-    # time (displacing the duplicate-shape ns_multimodal_meta and
-    # ns_multimodal_frames freshness picks; p56 displaced the
-    # x_tpch_q6 freshness pick — q6's scan-agg shape stays covered by
-    # the other TPC-H rows and the local report) --
-    "ns_dedup_incremental_bucketed", "p52_nl_moving_median",
-    "ns_decontaminate_bloom", "p53_nl_percentile",
-    "p54_nl_wordcount", "p55_nl_dedup_keep", "p56_nl_case_when",
-    "ns_text_bm25", "ns_stats_welch_ttest", "p57_nl_fillna",
-    "p58_nl_convert", "p59_nl_search",
-    # -- (b') plans changed mid-round-7 (pre-aggregated expand),
-    # swapped in for fresh driver rows like group (b); x_rollup itself
-    # is already above --
-    "x_cube", "x_rollup_priority_status",
-    # -- (c) freshness: last gated round 2 (topk_multi displaced by
-    # the late ns_embed_pq registration; its shape stays covered by
-    # topk_ivf and the local report) --
-    "ns_sim_topk_pq", "ns_embed_pq",
+    "p03_filter_le",
+    "p11_and",
+    "p13_between_startswith",
+    "x_count_distinct",
+    "x_distinct_pairs",
+    "x_except",
+    "x_intersect",
+    "x_join_anti",
+    "x_join_range",
+    "x_join_semi",
+    "x_join_star_broadcast",
+    "x_json_extract_agg",
+    "x_percentiles",
+    "x_pivot",
+    "x_regex_extract",
+    "x_skew_salted_agg",
+    "x_tpch_q17",
+    "x_tpch_q6",
+    "x_union_distinct",
+    "x_window_lag_running",
+    "ns_sim_topk_ivf",
+    "ns_sim_topk_multi",
+    "ns_multimodal_frames",
+    "ns_multimodal_meta",
+    "ns_sample_hash",
+    "ns_sample_split",
+    "ns_sample_stratified",
+    "ns_shuffle_sharded",
+    "ns_sim_topk_bruteforce",
+    "ns_sim_topk_lsh",
+    "ns_sim_topk_partitioned",
+    "ns_text_hashvec",
+    "ns_text_tokens",
+    "p02_filter_eq_str",
+    "p07_startswith",
+    "p08_rename",
+    "p09_drop",
+    "ns_centroids_per_label",
 ]
 
 
