@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans import compile_spec, parse_description, validate_spec
@@ -62,14 +63,34 @@ class TransformState:
 
 
 _SPEC_PROMPT = """You translate a natural-language data transformation into a JSON spec.
-The spec is {{"ops": [...]}} with ops: filter(expr), select(cols),
-with_column(name, expr), rename(renames), drop(cols), sort(keys),
-limit(n), groupby_agg(keys, aggs, having), distinct(cols?),
-sample(fraction, key), window(partition_by, order_by, exprs),
-join(right, on, how, broadcast), union(right, distinct). Expressions
-are nested 1-key dicts: col/lit/gt/ge/lt/le/eq/ne/between/isin/
-startswith/contains/and/or/not/add/sub/mul/div/round/cast/is_null/
-is_not_null/lower/upper/trim/length/concat/coalesce.
+The spec is {{"ops": [...]}}. EVERY op is a dict with an "op" field
+naming the operator plus that operator's arguments. Examples of each:
+  {{"op": "filter", "expr": {{"gt": ["age", 30]}}}}
+  {{"op": "select", "cols": ["name", "age"]}}
+  {{"op": "with_column", "name": "is_adult", "expr": {{"ge": ["age", 18]}}}}
+  {{"op": "rename", "renames": {{"name": "full_name"}}}}
+  {{"op": "drop", "cols": ["city"]}}
+  {{"op": "sort", "keys": [{{"col": "age", "asc": false}}]}}
+  {{"op": "limit", "n": 3}}
+  {{"op": "groupby_agg", "keys": ["city"],
+    "aggs": [{{"fn": "avg", "col": "age", "alias": "average_age"}}],
+    "having": {{"gt": ["average_age", 30]}}}}
+  {{"op": "distinct"}}
+Aggregate fns: count (col "*" allowed), avg, sum, min, max, median,
+count_distinct. Expressions are nested 1-key dicts (a bare string is a
+column reference, a bare number/bool a literal): col/lit/gt/ge/lt/le/
+eq/ne/between/isin/startswith/contains/and/or/not/add/sub/mul/div/
+round/cast/is_null/is_not_null/lower/upper/trim/length/concat/coalesce.
+IMPORTANT: inside an expression a bare string ALWAYS means a COLUMN
+reference — a string VALUE must be wrapped as {{"lit": "..."}}; e.g.
+{{"eq": ["city", {{"lit": "New York"}}]}},
+{{"and": [{{"gt": ["age", 30]}}, {{"isin": ["city", ["Boston",
+"Chicago"]]}}]}} (isin's value list is raw values, no lit needed),
+{{"startswith": ["name", "J"]}} (pattern is a raw value),
+{{"between": ["age", 30, 45]}},
+{{"not": {{"eq": ["city", {{"lit": "LA"}}]}}}}.
+Keep the ops in the order the description implies. Filters keep all
+columns unless a select/drop says otherwise.
 Reply with ONLY the JSON.
 
 Columns available: {columns}
@@ -232,9 +253,25 @@ def critic_agent(
         if violations:
             return False, f"{violations} rows violate predicate {expr}"
     if llm is not None:
+        # Advisory veto only — it can reject, never approve a failed
+        # deterministic check. Prompt framing matters (first live run,
+        # round 8): the sample is the RESULT of the plan, so the model
+        # must not expect to see pre-transform columns, and a
+        # header-only sample is a legitimate empty result; without
+        # those two sentences a live model vetoed correct renames and
+        # empty filters.
         verdict = llm(
-            "First line strictly YES or NO: does this output satisfy the plan?\n"
-            f"plan: {json.dumps(spec)}\nsample: {out_df.limit(5).toPandas().to_csv(index=False)}"
+            "First line strictly YES or NO: is this output CONSISTENT "
+            "with the plan?\n"
+            "The sample below is the plan's OUTPUT (already "
+            "transformed — renames/drops/filters have ALREADY been "
+            "applied). A header-only sample means the filter matched "
+            "zero rows, which is a valid result. Answer NO only if "
+            "the output clearly CONTRADICTS the plan; when unsure, "
+            "answer YES.\n"
+            f"plan: {json.dumps(spec)}\n"
+            f"output rows: {actual_n}\n"
+            f"sample: {out_df.limit(5).toPandas().to_csv(index=False)}"
         )
         if verdict.strip().upper().startswith("NO"):
             return False, f"llm critic rejected: {verdict.splitlines()[0]}"
@@ -287,7 +324,12 @@ def run_transform(
                 df, state.spec, description, out_dir
             )
             ok, reason = critic_agent(spark, df, state.spec, state.output_path, llm=llm)
-        except (ParseError, SpecError, json.JSONDecodeError) as e:
+        except (ParseError, SpecError, json.JSONDecodeError, AnalysisException) as e:
+            # AnalysisException joins the planning-failure class for
+            # the U4 fallback: an LLM spec that validates structurally
+            # can still reference a non-existent column (first live
+            # run: bare-string literals read as column refs), and the
+            # error text is exactly the feedback the re-plan needs.
             state.messages.append(f"attempt {attempt + 1}: planning failed: {e}")
             if llm is None:
                 raise  # deterministic path: retrying identical input is pointless

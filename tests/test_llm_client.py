@@ -17,7 +17,64 @@ from agentic_workflow_for_data_transformation_spark.agents.llm import (
 
 def test_client_from_env_is_none_without_key(monkeypatch):
     monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    monkeypatch.delenv("ANTHROPIC_API_KEY", raising=False)
     assert client_from_env() is None
+
+
+def test_client_from_env_prefers_openai_then_anthropic(monkeypatch):
+    """Binding choice: OpenAI-compatible when its key is set (the
+    reference's stack), else the Anthropic Messages binding."""
+    monkeypatch.setenv("OPENAI_API_KEY", "k1")
+    monkeypatch.setenv("ANTHROPIC_API_KEY", "k2")
+    assert client_from_env() is not None  # openai branch constructs
+    monkeypatch.delenv("OPENAI_API_KEY")
+    assert client_from_env() is not None  # anthropic branch constructs
+
+
+def test_anthropic_client_request_shape(monkeypatch):
+    """The Anthropic binding posts the public Messages API shape
+    (v1/messages, x-api-key + anthropic-version headers) and joins
+    text blocks from the response."""
+    import json as _json
+
+    from agentic_workflow_for_data_transformation_spark.agents.llm import anthropic_chat_client
+
+    captured = {}
+
+    class _Resp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        @staticmethod
+        def read():
+            return _json.dumps(
+                {"content": [{"type": "text", "text": "hi"},
+                             {"type": "tool_use"},
+                             {"type": "text", "text": " there"}]}
+            ).encode()
+
+    def fake_urlopen(req, timeout):
+        captured["url"] = req.full_url
+        captured["headers"] = dict(req.header_items())
+        captured["body"] = _json.loads(req.data)
+        import io
+        return _Resp()
+
+    monkeypatch.setattr(
+        "urllib.request.urlopen", fake_urlopen
+    )
+    c = anthropic_chat_client(api_key="k", base_url="https://x.example",
+                              model="m")
+    out = c("prompt!")
+    assert out == "hi there"
+    assert captured["url"] == "https://x.example/v1/messages"
+    assert captured["headers"].get("X-api-key") == "k"
+    assert any(k.lower() == "anthropic-version" for k in captured["headers"])
+    assert captured["body"]["messages"] == [{"role": "user", "content": "prompt!"}]
+    assert captured["body"]["temperature"] == 0.0
 
 
 def test_client_requires_key(monkeypatch):
@@ -62,8 +119,8 @@ def test_client_request_shape(monkeypatch):
 
 
 @pytest.mark.skipif(
-    not os.environ.get("OPENAI_API_KEY"),
-    reason="live LLM integration: set OPENAI_API_KEY to run",
+    not (os.environ.get("OPENAI_API_KEY") or os.environ.get("ANTHROPIC_API_KEY")),
+    reason="live LLM integration: set OPENAI_API_KEY or ANTHROPIC_API_KEY to run",
 )
 def test_live_planner_fallback_roundtrip(spark, people, tmp_path):
     """Full orchestrator loop against a real model: a description the
@@ -82,8 +139,8 @@ def test_live_planner_fallback_roundtrip(spark, people, tmp_path):
 
 
 needs_live_llm = pytest.mark.skipif(
-    not os.environ.get("OPENAI_API_KEY"),
-    reason="live LLM integration: set OPENAI_API_KEY to run",
+    not (os.environ.get("OPENAI_API_KEY") or os.environ.get("ANTHROPIC_API_KEY")),
+    reason="live LLM integration: set OPENAI_API_KEY or ANTHROPIC_API_KEY to run",
 )
 
 
