@@ -3382,6 +3382,30 @@ def p64_nl_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P66_DESC = "Find the 10 most similar vectors to vector 42"
+
+
+def _p66_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P66_DESC, columns=["vec_id", "embedding", "label"]),
+        "embeddings",
+    )
+
+
+@register("p66_nl_ann", _p66_oracle())
+def p66_nl_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL similarity search: 'find the K most similar vectors to
+    vector N' — exact cosine top-k (similarity.topk_cosine_bruteforce)
+    as a spec op: the broadcast-query scan + TakeOrderedAndProject
+    baseline of the ANN family, now reachable from plain English the
+    way search (p59) and regression (p61) are. The approximate tiers
+    (sign-LSH, IVF, PQ, IVFADC) stay API registrations — picking an
+    index is a deployment decision, not an NL phrasing."""
+    return _nl(spark, sf_dir, "embeddings", _P66_DESC)
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N
@@ -3681,7 +3705,7 @@ _WINDOW: list[str] = [
     # edits here avoid the round-trip.
     # -- (a) new in round 8, never gated --
     "ns_sim_topk_ivfpq", "p62_nl_dedup_docs", "p63_nl_neardup",
-    "p64_nl_decontaminate", "p65_nl_pack",
+    "p64_nl_decontaminate", "p65_nl_pack", "p66_nl_ann",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
@@ -3724,7 +3748,6 @@ _WINDOW: list[str] = [
     "p07_startswith",
     "p08_rename",
     "p09_drop",
-    "ns_centroids_per_label",
 ]
 
 

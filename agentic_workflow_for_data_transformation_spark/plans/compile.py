@@ -509,6 +509,14 @@ def compile_spec(
                 id_col=op.get("id_col", "doc_id"),
                 text_col=op.get("text_col", "text"),
             )
+        elif kind == "ann_topk":
+            from ..operators.similarity import topk_cosine_bruteforce
+
+            df = topk_cosine_bruteforce(
+                df, query_id=op["query_id"], k=op["k"],
+                id_col=op.get("id_col", "vec_id"),
+                vec_col=op.get("vec_col", "embedding"),
+            )
         elif kind == "neardup":
             # greedy keep-first fuzzy dedup: a doc is dropped iff a
             # verified near-duplicate with a LOWER id exists. The LSH

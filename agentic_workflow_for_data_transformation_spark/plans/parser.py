@@ -40,6 +40,7 @@ _CLAUSE_KEYWORDS = (
     r"|remove\s+(?:near[- ])?duplicate"
     r"|drop\s+documents"
     r"|pack\s+documents"
+    r"|find\s+(?:the\s+)?\d+"
     r"|split\s+\w+\s+into\s+words"
     r"|(?:inner|left|right|full|cross)\s+join)"
 )
@@ -368,6 +369,13 @@ _PACK = re.compile(
     r"^pack\s+documents\s+into\s+sequences\s+of\s+(\d+)\s+tokens\s*$",
     re.IGNORECASE,
 )
+# "find the 10 most similar vectors to vector 42" / "find 5 nearest
+# neighbors of vector 7" — exact cosine top-k (similarity search)
+_ANN = re.compile(
+    r"^find\s+(?:the\s+)?(\d+)\s+(?:most\s+similar|nearest|closest)\s+"
+    r"(?:vectors?|neighbou?rs?|embeddings?)\s+(?:to|of)\s+vector\s+(\d+)\s*$",
+    re.IGNORECASE,
+)
 # "split text into words and count each word [showing top 50]" — the
 # explode + groupby-count shape (word count); the optional top-k sorts
 # on (count desc, word asc) so the boundary is a total order
@@ -603,6 +611,9 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "decontaminate", "right": m.group(1)}
     if m := _PACK.match(clause):
         return {"op": "pack", "budget": int(m.group(1))}
+    if m := _ANN.match(clause):
+        return {"op": "ann_topk", "k": int(m.group(1)),
+                "query_id": int(m.group(2))}
     if m := _DEDUP.match(clause):
         if m.group(2):
             # "keeping the lowest/highest <col>" makes the kept row

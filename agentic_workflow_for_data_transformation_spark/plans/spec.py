@@ -55,6 +55,10 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # per-group least-squares fit (operators/stats.groupwise_ols):
       # five decimal-exact moments in one aggregate, closed-form
       # slope/intercept/r2 rounded to 6
+  {"op": "ann_topk", "query_id": 42, "k": 10, "id_col": "vec_id"?,
+   "vec_col": "embedding"?}
+      # similarity search (operators/similarity.topk_cosine_bruteforce):
+      # exact cosine top-k to the row with the given id
   {"op": "neardup", "threshold": 0.8, "id_col": "doc_id"?,
    "text_col": "text"?}
       # fuzzy dedup filter (operators/dedup.lsh_verified_pairs):
@@ -443,6 +447,14 @@ def validate_op(op: Any) -> None:
             _err(f"sample needs a string 'key' column: {op!r}")
         if "salt" in op and not isinstance(op["salt"], str):
             _err(f"sample 'salt' must be a string: {op!r}")
+    elif kind == "ann_topk":
+        if not isinstance(op.get("query_id"), int) or isinstance(op.get("query_id"), bool):
+            _err(f"ann_topk needs an int 'query_id': {op!r}")
+        if not (isinstance(op.get("k"), int) and op["k"] >= 1):
+            _err(f"ann_topk needs a positive int 'k': {op!r}")
+        for f in ("id_col", "vec_col"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"ann_topk '{f}' must be a string: {op!r}")
     elif kind == "neardup":
         t = op.get("threshold")
         if not (isinstance(t, int | float) and not isinstance(t, bool)

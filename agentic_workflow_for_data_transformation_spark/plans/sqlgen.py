@@ -463,6 +463,19 @@ def spec_to_sql(spec: dict, table: str) -> str:
             sql = wrap(
                 keys + ", " + ", ".join(aggs), f"GROUP BY ROLLUP({keys})"
             )
+        elif kind == "ann_topk":
+            # mirrors similarity.topk_cosine_bruteforce: list cosine
+            # rounded to 6, id tie-break at the k boundary
+            idc = _q(op.get("id_col", "vec_id"))
+            vec = _q(op.get("vec_col", "embedding"))
+            qid, k = int(op["query_id"]), int(op["k"])
+            sql = (
+                f"WITH asrc AS ({sql}), "
+                f"q AS (SELECT {vec}::DOUBLE[] AS qv FROM asrc WHERE {idc} = {qid}) "
+                f"SELECT {idc}, round(list_cosine_similarity({vec}::DOUBLE[], qv), 6) AS cos_sim "
+                f"FROM asrc, q WHERE {idc} <> {qid} "
+                f"ORDER BY cos_sim DESC, {idc} LIMIT {k}"
+            )
         elif kind == "neardup":
             # mirrors operators/dedup.lsh_verified_pairs + the greedy
             # keep-first anti join, term for term (same chain as the

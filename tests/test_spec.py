@@ -1256,3 +1256,28 @@ def test_neardup_compile_drops_later_near_duplicate(spark):
     )
     out = compile_spec(df, {"ops": [{"op": "neardup", "threshold": 0.5}]})
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_parser_ann_topk_clause(spark, people):
+    """'find the K most similar vectors to vector N' parses to the
+    ann_topk spec op, compiles to the cosine top-k plan, and composes
+    with a preceding filter."""
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    spec = parse_description("Find the 3 nearest neighbors of vector 0")
+    assert spec["ops"] == [{"op": "ann_topk", "k": 3, "query_id": 0}]
+    assert "list_cosine_similarity" in spec_to_sql(spec, "embeddings")
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = compile_spec(vecs, spec)
+    got = [r["vec_id"] for r in out.collect()]
+    assert got[0] == 1 and len(got) == 3 and 0 not in got
