@@ -863,3 +863,29 @@ def ns_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, m=_PQ_M, n_cents=_PQ_K,
         dim=64, residuals=res, codebook=cb,
     )
+
+
+@register(
+    "ns_dedup_lines",
+    "WITH lw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "lsegs AS (SELECT doc_id, list_transform("
+    "range(0, CAST(ceil(len(ws)/8.0) AS BIGINT)), "
+    "i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' ')) AS segs FROM lw), "
+    "lex AS (SELECT doc_id, unnest(segs) AS seg, "
+    "generate_subscripts(segs, 1) AS pos FROM lsegs), "
+    "lrk AS (SELECT *, row_number() OVER "
+    "(PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM lex) "
+    "SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_dedup, "
+    "CAST(count(*) AS BIGINT) AS n_kept "
+    "FROM lrk WHERE rn = 1 GROUP BY doc_id",
+)
+def ns_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup with document rebuild
+    (operators/dedup.line_dedup): fixed 8-word segments stand in for
+    lines (the synthetic corpus is newline-free), each distinct
+    segment survives only at its first (doc_id, pos) occurrence
+    corpus-wide, and documents are reassembled from their surviving
+    segments in order. Two keyed shuffles total — by segment content
+    for the global first-occurrence rank, by doc_id for the ordered
+    rebuild — the canonical distributed line-dedup plan."""
+    return dedup.line_dedup(_t(spark, sf_dir, "documents"))

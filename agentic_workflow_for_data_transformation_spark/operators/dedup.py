@@ -867,3 +867,57 @@ def duplicated_span_ranges(df: DataFrame, id_col: str = "doc_id",
         )
         .drop("_isl", "_brk")
     )
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", seg_words: int = 8) -> DataFrame:
+    """C4-style corpus-level line deduplication with document rebuild
+    (Raffel et al. 2020 keep one occurrence of every three-sentence
+    span; fineweb dedups whole lines). The synthetic corpus has no
+    newlines, so the "line" unit is a fixed ``seg_words``-word segment:
+    split each document into consecutive segments, keep only the FIRST
+    occurrence of each distinct segment corpus-wide (first = lowest
+    (doc_id, position)), then reassemble every document from its
+    surviving segments in original order. Documents whose every
+    segment already appeared elsewhere vanish from the output.
+
+    Scale shape (the canonical distributed line-dedup plan): one
+    explode (rows = corpus_words / seg_words), ONE shuffle hash-
+    partitioned by segment CONTENT for the first-occurrence
+    row_number, one shuffle back on doc_id for the ordered rebuild.
+    No joins, no driver state; the exchange carries (segment, doc_id,
+    pos) — at 100 TB swap the raw segment string for its md5 in the
+    rank exchange if segments are long (here they are <=8 words).
+
+    Reference scope note: the reference engine
+    (agentic_workflow_transformation.py:341-361) has no dedup at all;
+    this is part of the SURVEY section 2.9 LLM-pipeline surface.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(ws, i * seg_words + 1, seg_words), " "
+        ),
+    )
+    ex = (
+        df.select(F.col(id_col), segs.alias("_segs"))
+        .select(id_col, F.posexplode("_segs").alias("_p0", "seg"))
+        # 1-based positions to match SQL generate_subscripts oracles
+        .select(id_col, (F.col("_p0") + 1).alias("pos"), "seg")
+    )
+    w = Window.partitionBy("seg").orderBy(id_col, "pos")
+    kept = ex.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )

@@ -1203,3 +1203,37 @@ def test_ivfpq_scores_only_probed_cells(spark):
     assert len({r["cell"] for r in got}) <= 2
     dists = [r["adc_dist"] for r in got]
     assert dists == sorted(dists)
+
+
+def test_line_dedup_rebuild(spark):
+    # 4-word segments: doc 1 = [A B], doc 2 repeats A (dropped) and
+    # adds C; doc 3 is ALL already-seen segments -> vanishes entirely
+    seg_a = "alpha beta gamma delta"
+    seg_b = "epsilon zeta eta theta"
+    seg_c = "iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg_a} {seg_b}"),
+            (2, f"{seg_a} {seg_c}"),
+            (3, f"{seg_b} {seg_a}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"])
+        for r in dedup.line_dedup(df, seg_words=4).collect()
+    }
+    assert out[1] == (f"{seg_a} {seg_b}", 2)
+    assert out[2] == (seg_c, 1)  # repeated seg_a excised, order kept
+    assert 3 not in out  # every segment already seen corpus-wide
+
+
+def test_line_dedup_keeps_first_occurrence_position_order(spark):
+    # within one doc a repeated segment survives only at its FIRST
+    # position, and the rebuild preserves original segment order
+    df = spark.createDataFrame(
+        [(7, "a b c d x y z w a b c d")], ["doc_id", "text"]
+    )
+    row = dedup.line_dedup(df, seg_words=4).collect()[0]
+    assert row["text_dedup"] == "a b c d x y z w"
+    assert row["n_kept"] == 2
