@@ -3406,6 +3406,37 @@ def p66_nl_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "embeddings", _P66_DESC)
 
 
+_P67_DESC = (
+    "Extract the number k from props and filter rows where k > 80 "
+    "and select event_id, event_type, k"
+)
+
+
+def _p67_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P67_DESC,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+        "events",
+    )
+
+
+@register("p67_nl_json_extract", _p67_oracle())
+def p67_nl_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL semi-structured extraction: 'extract the number k from
+    props' — the json_get expression op (get_json_object JVM-side /
+    json_extract_string in the oracle) surfaced as an English clause,
+    composing with the filter and projection grammar. 'number' casts
+    the JSON text scalar to DOUBLE (the portable numeric form; string
+    -> integer casts are engine-divergent and stay rejected). The
+    extraction is a pure per-row expression inside whole-stage
+    codegen: no shuffle, no UDF, filter pushes to the scan."""
+    return _nl(spark, sf_dir, "events", _P67_DESC)
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N

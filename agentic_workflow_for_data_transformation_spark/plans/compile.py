@@ -106,6 +106,11 @@ def compile_expr(expr: Any) -> Column:
     if op == "trunc":
         # time-bucket key: identical semantics to ANSI date_trunc
         return F.date_trunc(args[0], compile_expr(args[1]))
+    if op == "json_get":
+        # scalar JSON field as text — get_json_object runs JVM-side;
+        # DuckDB mirror is json_extract_string (both return NULL for
+        # a missing field or malformed JSON)
+        return F.get_json_object(compile_expr(args[0]), "$." + args[1])
     if op == "concat":
         return F.concat(*[compile_expr(a) for a in args])
     if op == "coalesce":

@@ -309,6 +309,15 @@ _CONVERT = re.compile(
     r"^convert\s+(\w+)\s+to\s+(integer|long|double|float|string|text|date|timestamp)\s*$",
     re.IGNORECASE,
 )
+# "extract the number k from props" / "extract the text field name
+# from props as author" -> json_get with_column ('number' casts the
+# text scalar to double — the portable numeric form; integer casts of
+# strings are rejected by compile as engine-divergent)
+_JSON_GET = re.compile(
+    r"^extract\s+the\s+(number|text)\s+(?:field\s+)?(\w+)\s+from\s+(\w+)"
+    r"(?:\s+as\s+(\w+))?\s*$",
+    re.IGNORECASE,
+)
 _CONVERT_TYPES = {
     "integer": "long", "long": "long", "double": "double", "float": "double",
     "string": "string", "text": "string", "date": "date",
@@ -605,6 +614,16 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         # oracle renders for free
         return {"op": "dedup", "keys": [_resolve_col("text", columns)],
                 "keep_col": _resolve_col("doc_id", columns), "keep": "min"}
+    if m := _JSON_GET.match(clause):
+        kind_, field, src, alias = m.groups()
+        expr: dict = {"json_get": [_resolve_col(src, columns), field]}
+        if kind_.lower() == "number":
+            expr = {"cast": [expr, "double"]}
+        name = alias or field
+        op = {"op": "with_column", "name": name, "expr": expr}
+        if columns and name in columns:
+            op["replace"] = True
+        return op
     if m := _NEARDUP.match(clause):
         return {"op": "neardup", "threshold": float(m.group(1))}
     if m := _DECONTAM.match(clause):

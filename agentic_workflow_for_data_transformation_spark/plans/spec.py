@@ -109,6 +109,10 @@ code strings, so nothing user- or LLM-supplied is ever executed):
   {"lower": e} {"upper": e} {"trim": e} {"length": e}
   {"concat": [e, ...]}                # string concatenation
   {"coalesce": [e, ...]}
+  {"json_get": [e, "field"]}          # scalar field of a JSON string
+                                      # column, as text (cast to use
+                                      # numerically); field is a bare
+                                      # identifier, never a raw path
   {"case": {"when": [[cond, val], ...], "else": val?}}   # first match wins;
                                       # no else -> NULL (ANSI CASE)
 
@@ -171,6 +175,17 @@ def validate_expr(expr: Any) -> None:
     elif op == "cast":
         if not (isinstance(args, list) and len(args) == 2 and isinstance(args[1], str)):
             _err(f"cast takes [expr, typename]: {expr!r}")
+        validate_expr(args[0])
+    elif op == "json_get":
+        # the field is a closed identifier, not a JSONPath — nothing
+        # user-supplied ever reaches the path string verbatim
+        if not (
+            isinstance(args, list)
+            and len(args) == 2
+            and isinstance(args[1], str)
+            and args[1].isidentifier()
+        ):
+            _err(f"json_get takes [expr, field_identifier]: {expr!r}")
         validate_expr(args[0])
     elif op == "between":
         if not (isinstance(args, list) and len(args) == 3):

@@ -103,6 +103,10 @@ def expr_to_sql(expr: Any) -> str:
         return f"CAST({expr_to_sql(args[0])} AS {args[1]})"
     if op in ("lower", "upper", "trim", "length"):
         return f"{op}({expr_to_sql(args)})"
+    if op == "json_get":
+        # field is validator-pinned to an identifier, so inlining it
+        # into the path literal is safe
+        return f"json_extract_string({expr_to_sql(args[0])}, '$.{args[1]}')"
     if op in ("concat", "coalesce"):
         inner = ", ".join(expr_to_sql(a) for a in args)
         return f"{op}({inner})"

@@ -1281,3 +1281,75 @@ def test_parser_ann_topk_clause(spark, people):
     out = compile_spec(vecs, spec)
     got = [r["vec_id"] for r in out.collect()]
     assert got[0] == 1 and len(got) == 3 and 0 not in got
+
+
+def test_json_get_expr_validates_compiles_and_renders(spark):
+    """json_get: validator pins the field to a bare identifier, the
+    compiler runs get_json_object JVM-side, sqlgen mirrors it as
+    json_extract_string — both return NULL for missing fields."""
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans import compile_spec
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_expr,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        expr_to_sql,
+    )
+
+    validate_expr({"json_get": ["props", "k"]})
+    for bad in (
+        {"json_get": ["props", "$.k"]},       # raw JSONPath
+        {"json_get": ["props", "a b"]},       # not an identifier
+        {"json_get": ["props"]},              # arity
+    ):
+        with _pytest.raises(SpecError):
+            validate_expr(bad)
+
+    assert (
+        expr_to_sql({"json_get": ["props", "k"]})
+        == "json_extract_string(\"props\", '$.k')"
+    )
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, '{"other": 1}'), (3, "not json")],
+        ["id", "props"],
+    )
+    spec = {
+        "ops": [
+            {
+                "op": "with_column",
+                "name": "k",
+                "expr": {"cast": [{"json_get": ["props", "k"]}, "double"]},
+            }
+        ]
+    }
+    out = {r["id"]: r["k"] for r in compile_spec(df, spec).collect()}
+    assert out == {1: 7.0, 2: None, 3: None}
+
+
+def test_parse_json_extract_clause():
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    cols = ["event_id", "props"]
+    spec = parse_description("Extract the number k from props", columns=cols)
+    assert spec["ops"] == [
+        {
+            "op": "with_column",
+            "name": "k",
+            "expr": {"cast": [{"json_get": ["props", "k"]}, "double"]},
+        }
+    ]
+    # text form, aliased onto an EXISTING column -> in-place replace
+    spec = parse_description(
+        "Extract the text field k from props as props", columns=cols
+    )
+    assert spec["ops"] == [
+        {
+            "op": "with_column",
+            "name": "props",
+            "expr": {"json_get": ["props", "k"]},
+            "replace": True,
+        }
+    ]
