@@ -3437,6 +3437,25 @@ def p67_nl_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P67_DESC)
 
 
+_P68_DESC = (
+    "Split into 90/5/5 train/val/test by doc_id and "
+    "select doc_id, lang, split"
+)
+
+
+@register("p68_nl_split", _docs_nl_oracle(_P68_DESC))
+def p68_nl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL dataset splitting: 'split into 90/5/5 train/val/test by
+    doc_id' — the N-way deterministic hash split
+    (sampling.with_hash_split) as one English clause. Assignment is a
+    pure per-row expression over the row's own key (md5 draw vs
+    shared integer cutoffs), so it is stable under appends and
+    repartitioning and needs no shuffle, no sampling pass, and no
+    driver state — the property a 100 TB corpus split actually
+    requires (re-running on grown data never reassigns old rows)."""
+    return _nl(spark, sf_dir, "documents", _P68_DESC)
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N

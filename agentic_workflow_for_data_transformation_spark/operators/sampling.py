@@ -49,6 +49,37 @@ def with_train_test_split(df: DataFrame, key_col: str, test_fraction: float = 0.
     return df.withColumn(out, F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
 
 
+def split_thresholds(weights: list[float]) -> list[int]:
+    """Cumulative draw-bucket cutoffs for an N-way weighted split.
+    Shared by the DataFrame compiler AND the SQL oracle renderer so
+    both engines compare the draw against the SAME integers (a
+    float-accumulation difference of one bucket would reassign rows)."""
+    total = float(sum(weights))
+    out, cum = [], 0.0
+    for w in weights[:-1]:
+        cum += w / total
+        out.append(int(cum * DRAW_BUCKETS))
+    return out
+
+
+def with_hash_split(df: DataFrame, key_col: str, weights: list[float],
+                    labels: list[str], salt: str = "split",
+                    out: str = "split") -> DataFrame:
+    """N-way deterministic split (train/val/test and friends) by key
+    hash: row i gets labels[j] where j is the first cumulative-weight
+    cutoff its draw falls under. Assignment depends only on the row's
+    own key — stable under appends, repartitioning, and engine choice
+    (the draw is the md5-based 60-bit prefix, portable to SQL). A pure
+    per-row expression: no shuffle, no sampling pass, no driver state."""
+    draw = hash_draw(F.col(key_col), salt)
+    expr = None
+    for cut, lab in zip(split_thresholds(weights), labels[:-1]):
+        cond = draw < cut
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    expr = F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    return df.withColumn(out, expr)
+
+
 def balanced_sample_per_label(df: DataFrame, label_col: str, n_per_label: int,
                               key_col: str, salt: str = "balance") -> DataFrame:
     """Class-balanced downsample: at most ``n_per_label`` rows per

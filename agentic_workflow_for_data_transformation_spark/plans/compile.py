@@ -493,6 +493,13 @@ def compile_spec(
             df = hash_sample(
                 df, op["fraction"], op["key"], salt=op.get("salt", "sample")
             )
+        elif kind == "split_assign":
+            from ..operators.sampling import with_hash_split
+
+            df = with_hash_split(
+                df, op["key"], list(op["weights"]), list(op["labels"]),
+                out=op.get("alias", "split"),
+            )
         elif kind == "ols":
             from ..operators.stats import groupwise_ols
 

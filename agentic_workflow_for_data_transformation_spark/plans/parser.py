@@ -349,6 +349,13 @@ _SAMPLE = re.compile(
     r"^sample\s+(\d+(?:\.\d+)?)\s*(?:%|percent)\s+of\s+rows\s+by\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+# "split into 90/5/5 train/val/test by doc_id" -> deterministic N-way
+# hash split; weight and label lists must be the same length
+_SPLIT_ASSIGN = re.compile(
+    r"^split\s+into\s+(\d+(?:\.\d+)?(?:/\d+(?:\.\d+)?)+)\s+"
+    r"(\w+(?:/\w+)+)\s+by\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _DEDUP = re.compile(
     r"^(?:deduplicate|drop\s+duplicates?|remove\s+duplicates?)(?:\s+rows)?"
     r"(?:\s+by\s+(.+?))?"
@@ -614,6 +621,19 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         # oracle renders for free
         return {"op": "dedup", "keys": [_resolve_col("text", columns)],
                 "keep_col": _resolve_col("doc_id", columns), "keep": "min"}
+    if m := _SPLIT_ASSIGN.match(clause):
+        weights = [float(w) for w in m.group(1).split("/")]
+        labels = m.group(2).split("/")
+        if len(labels) != len(weights):
+            raise ParseError(
+                f"split needs one label per weight: {clause!r}"
+            )
+        return {
+            "op": "split_assign",
+            "key": _resolve_col(m.group(3), columns),
+            "weights": weights,
+            "labels": labels,
+        }
     if m := _JSON_GET.match(clause):
         kind_, field, src, alias = m.groups()
         expr: dict = {"json_get": [_resolve_col(src, columns), field]}

@@ -48,6 +48,9 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
               "ntile"|"percent_rank"|"cume_dist"|"first_value"|...,
               "col": ...?, "alias": ..., "n": 4?}]}   # n: ntile buckets
   {"op": "sample", "fraction": 0.1, "key": "doc_id", "salt": "sample"?}
+  {"op": "split_assign", "key": "doc_id", "weights": [90, 5, 5],
+   "labels": ["train", "val", "test"], "alias": "split"?}
+      # deterministic N-way split by key hash; pure per-row expression
   {"op": "bm25", "terms": ["vector", "stream"], "k": 10,
    "id_col": "doc_id"?, "text_col": "text"?}   # lexical top-k search
   {"op": "ols", "key": "k", "x": "xcol", "y": "ycol",
@@ -462,6 +465,28 @@ def validate_op(op: Any) -> None:
             _err(f"sample needs a string 'key' column: {op!r}")
         if "salt" in op and not isinstance(op["salt"], str):
             _err(f"sample 'salt' must be a string: {op!r}")
+    elif kind == "split_assign":
+        if not isinstance(op.get("key"), str):
+            _err(f"split_assign needs a string 'key' column: {op!r}")
+        ws, ls = op.get("weights"), op.get("labels")
+        if not (
+            isinstance(ws, list)
+            and ws
+            and all(isinstance(w, int | float) and w > 0 for w in ws)
+        ):
+            _err(f"split_assign needs positive 'weights': {op!r}")
+        if not (
+            isinstance(ls, list)
+            and len(ls) == len(ws)
+            and all(isinstance(x, str) and x for x in ls)
+            and len(set(ls)) == len(ls)
+        ):
+            _err(
+                "split_assign needs distinct string 'labels', one per "
+                f"weight: {op!r}"
+            )
+        if "alias" in op and not isinstance(op["alias"], str):
+            _err(f"split_assign 'alias' must be a string: {op!r}")
     elif kind == "ann_topk":
         if not isinstance(op.get("query_id"), int) or isinstance(op.get("query_id"), bool):
             _err(f"ann_topk needs an int 'query_id': {op!r}")

@@ -215,6 +215,28 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "split_assign":
+            # mirrors operators/sampling.with_hash_split: same 60-bit
+            # md5 draw, same integer cutoffs (split_thresholds is the
+            # single source of truth for both engines)
+            from ..operators.sampling import split_thresholds
+
+            key = _q(op["key"])
+            draw = (
+                f"(('0x' || substr(md5('split|' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+                f" % 1000000)"
+            )
+            labels = list(op["labels"])
+            branches = " ".join(
+                f"WHEN {draw} < {cut} THEN {_lit_sql(lab)}"
+                for cut, lab in zip(split_thresholds(list(op["weights"])), labels[:-1])
+            )
+            case = (
+                f"(CASE {branches} ELSE {_lit_sql(labels[-1])} END)"
+                if branches
+                else _lit_sql(labels[-1])
+            )
+            sql = wrap(f"*, {case} AS {_q(op.get('alias', 'split'))}")
         elif kind == "ols":
             # mirrors operators/stats.groupwise_ols: decimal-exact
             # moment sums (partition-order independent), closed forms

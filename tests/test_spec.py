@@ -1353,3 +1353,60 @@ def test_parse_json_extract_clause():
             "replace": True,
         }
     ]
+
+
+def test_split_assign_validates_compiles_and_renders(spark, people):
+    """N-way hash split: validator demands matched distinct labels,
+    compiler and sqlgen share split_thresholds so both engines cut at
+    the same integers, every row gets exactly one label."""
+    import duckdb
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    spec = parse_description(
+        "Split into 60/20/20 train/val/test by age", columns=["name", "age"]
+    )
+    assert spec["ops"] == [
+        {
+            "op": "split_assign",
+            "key": "age",
+            "weights": [60.0, 20.0, 20.0],
+            "labels": ["train", "val", "test"],
+        }
+    ]
+    for bad in (
+        {"op": "split_assign", "key": "age", "weights": [1, -1],
+         "labels": ["a", "b"]},
+        {"op": "split_assign", "key": "age", "weights": [1, 1],
+         "labels": ["a", "a"]},
+        {"op": "split_assign", "key": "age", "weights": [1, 1],
+         "labels": ["a"]},
+    ):
+        with _pytest.raises(SpecError):
+            validate_spec({"ops": [bad]})
+
+    got = {
+        r["name"]: r["split"] for r in compile_spec(people, spec).collect()
+    }
+    assert set(got.values()) <= {"train", "val", "test"}
+    assert len(got) == 10
+
+    pdf = people.toPandas()
+    con = duckdb.connect()
+    con.register("people", pdf)
+    oracle = {
+        r[0]: r[1]
+        for r in con.sql(
+            "SELECT name, split FROM (" + spec_to_sql(spec, "people") + ")"
+        ).fetchall()
+    }
+    assert oracle == got
