@@ -889,3 +889,44 @@ def ns_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the global first-occurrence rank, by doc_id for the ordered
     rebuild — the canonical distributed line-dedup plan."""
     return dedup.line_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_resample_interpolate",
+    "WITH rb AS (SELECT user_id, "
+    "CAST(floor(epoch(ts)/21600) AS BIGINT)*21600 AS epoch_s, "
+    "arg_min(value, event_id) AS v FROM events GROUP BY 1, 2), "
+    "rspan AS (SELECT user_id, min(epoch_s) AS e0, max(epoch_s) AS e1 "
+    "FROM rb GROUP BY 1), "
+    "rgrid AS (SELECT user_id, unnest(range(e0, e1+1, 21600)) AS epoch_s "
+    "FROM rspan), "
+    "rj AS (SELECT g.user_id, g.epoch_s, rb.v FROM rgrid g "
+    "LEFT JOIN rb USING (user_id, epoch_s)), "
+    "rf AS (SELECT user_id, epoch_s, v, "
+    "last_value(v IGNORE NULLS) OVER wb AS pv, "
+    "last_value(CASE WHEN v IS NOT NULL THEN epoch_s END IGNORE NULLS) "
+    "OVER wb AS pe, "
+    "first_value(v IGNORE NULLS) OVER wf AS nv, "
+    "first_value(CASE WHEN v IS NOT NULL THEN epoch_s END IGNORE NULLS) "
+    "OVER wf AS ne FROM rj WINDOW "
+    "wb AS (PARTITION BY user_id ORDER BY epoch_s "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+    "wf AS (PARTITION BY user_id ORDER BY epoch_s "
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+    "SELECT user_id, epoch_s, "
+    "round(CASE WHEN v IS NOT NULL THEN v "
+    "WHEN pv IS NOT NULL AND nv IS NOT NULL "
+    "THEN pv + (nv - pv) * ((epoch_s - pe) * 1.0 / (ne - pe)) "
+    "ELSE coalesce(pv, nv) END, 6) AS value_interp, "
+    "(v IS NOT NULL) AS is_observed FROM rf",
+)
+def x_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + linear gap interpolation
+    (operators/timeseries.resample_interpolate): each user's irregular
+    event series lands on a 6-hour epoch grid, holes filled by linear
+    interpolation between the nearest observed buckets. The four fill
+    windows share ONE (user_id, epoch_s) exchange; grid size is
+    bounded by wall-clock span, not event count."""
+    from .operators.timeseries import resample_interpolate
+
+    return resample_interpolate(_t(spark, sf_dir, "events"))

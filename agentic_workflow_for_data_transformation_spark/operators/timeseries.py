@@ -1,0 +1,107 @@
+"""Time-series regularization operators (SURVEY.md section 2.9).
+
+The reference engine (agentic_workflow_transformation.py:341-361) has
+no temporal surface at all; these are the gap-fill primitives an
+event-stream feature pipeline needs before any fixed-step model sees
+the data: resample an irregular series onto a regular epoch grid and
+linearly interpolate the holes.
+
+Everything is built from exact-arithmetic primitives so the operators
+carry DuckDB oracles: grid points are BIGINT epoch seconds (never
+engine-local timestamps), the observed sample per bucket is an arg-min
+(a real row value, not a float aggregate), and the interpolation
+expression has the identical IEEE shape on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    step_s: int = 21_600,
+) -> DataFrame:
+    """Resample an irregular per-key series onto a regular ``step_s``-
+    second grid and linearly interpolate the gaps.
+
+    Semantics per key:
+    - bucket observed rows to ``floor(epoch/step)*step``; the bucket's
+      sample is the value of its EARLIEST event (arg-min by ``id_col``
+      — deterministic, exact, no float aggregation);
+    - build the full grid from the key's first to last bucket;
+    - grid points with no observation get the linear interpolation
+      between the nearest observed buckets; points before the first /
+      after the last observation clamp to the nearest one (with a
+      whole-key grid both edges are observed, so the clamp only fires
+      if callers pass a pre-sliced grid).
+
+    Output: (key, epoch_s, value_interp rounded to 6, is_observed).
+
+    Scale shape: one hash aggregate for the buckets, a per-key explode
+    for the grid (rows = span/step per key — bounded by wall-clock
+    span, not event count), one keyed left join, and FOUR window
+    expressions that all share the single (key, epoch) exchange &
+    sort — Spark plans one Window node, no extra shuffles. No driver
+    state; keys are independent, so 1000 executors scale linearly.
+    """
+    step = int(step_s)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    buckets = (
+        df.select(
+            F.col(key_col),
+            (F.floor(epoch / step) * step).cast("long").alias("epoch_s"),
+            F.col(val_col),
+            F.col(id_col),
+        )
+        .groupBy(key_col, "epoch_s")
+        .agg(F.min_by(val_col, id_col).alias("_v"))
+    )
+    grid = (
+        buckets.groupBy(key_col)
+        .agg(F.min("epoch_s").alias("_e0"), F.max("epoch_s").alias("_e1"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("_e0"), F.col("_e1"), F.lit(step))
+            ).alias("epoch_s"),
+        )
+    )
+    j = grid.join(buckets, [key_col, "epoch_s"], "left")
+    w = Window.partitionBy(key_col).orderBy("epoch_s")
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_e = F.when(F.col("_v").isNotNull(), F.col("epoch_s"))
+    f = j.select(
+        key_col,
+        "epoch_s",
+        "_v",
+        F.last("_v", ignorenulls=True).over(back).alias("_pv"),
+        F.last(obs_e, ignorenulls=True).over(back).alias("_pe"),
+        F.first("_v", ignorenulls=True).over(fwd).alias("_nv"),
+        F.first(obs_e, ignorenulls=True).over(fwd).alias("_ne"),
+    )
+    # identical expression shape to the SQL oracle: (e-pe)*1.0/(ne-pe)
+    # then fused into pv + (nv-pv)*frac — bit-exact across engines
+    frac = (F.col("epoch_s") - F.col("_pe")) * F.lit(1.0) / (
+        F.col("_ne") - F.col("_pe")
+    )
+    interp = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac,
+        )
+        .otherwise(F.coalesce(F.col("_pv"), F.col("_nv")))
+    )
+    return f.select(
+        key_col,
+        "epoch_s",
+        F.round(interp, 6).alias("value_interp"),
+        F.col("_v").isNotNull().alias("is_observed"),
+    )

@@ -1237,3 +1237,32 @@ def test_line_dedup_keeps_first_occurrence_position_order(spark):
     row = dedup.line_dedup(df, seg_words=4).collect()[0]
     assert row["text_dedup"] == "a b c d x y z w"
     assert row["n_kept"] == 2
+
+
+def test_resample_interpolate_fills_gaps_linearly(spark):
+    from datetime import datetime
+
+    from agentic_workflow_for_data_transformation_spark.operators.timeseries import (
+        resample_interpolate,
+    )
+
+    # key 1: observations at hours 0 and 3 (step=1h) -> hours 1, 2
+    # interpolate at 1/3 and 2/3 of the way; two events share hour 0
+    # and the EARLIEST (event_id 1) wins the bucket
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 1, 0.0),
+        (2, datetime(2024, 1, 1, 0, 50), 1, 99.0),  # same bucket, later id
+        (3, datetime(2024, 1, 1, 3, 10), 1, 3.0),
+        (4, datetime(2024, 1, 1, 5, 0), 2, 7.0),  # single-point key
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = {
+        (r["user_id"], r["epoch_s"]): (r["value_interp"], r["is_observed"])
+        for r in resample_interpolate(df, step_s=3600).collect()
+    }
+    base = int(datetime(2024, 1, 1).timestamp())
+    assert out[(1, base)] == (0.0, True)
+    assert out[(1, base + 3600)] == (1.0, False)
+    assert out[(1, base + 7200)] == (2.0, False)
+    assert out[(1, base + 10800)] == (3.0, True)
+    assert len([k for k in out if k[0] == 2]) == 1  # no gaps, no fills
