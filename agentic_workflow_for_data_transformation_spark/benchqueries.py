@@ -3456,6 +3456,51 @@ def p68_nl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P68_DESC)
 
 
+_P69_DESC = (
+    "Detect the language of each document and "
+    "select doc_id, lang, pred_lang"
+)
+_P70_DESC = (
+    "Count tokens in each document and filter rows where n_tokens > 60 "
+    "and select doc_id, n_words, n_tokens"
+)
+_P71_DESC = (
+    "Score the quality of each document and "
+    "select doc_id, n_words, quality_score"
+)
+
+
+@register("p69_nl_langid", _docs_nl_oracle(_P69_DESC))
+def p69_nl_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL language ID: 'detect the language of each document' —
+    text.with_lang_id (stopword-vote argmax, deterministic ties,
+    'und' fallback) as one English clause. Pure per-row array
+    expressions inside whole-stage codegen; composes with the filter
+    and projection grammar."""
+    return _nl(spark, sf_dir, "documents", _P69_DESC)
+
+
+@register("p70_nl_token_counts", _docs_nl_oracle(_P70_DESC))
+def p70_nl_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL tokenization stats: 'count tokens in each document' —
+    text.with_token_counts (whitespace words + BPE-ish regex tokens)
+    behind one clause, with the token-count threshold expressed in the
+    same description. No shuffle; the filter runs on the derived
+    column in the same codegen stage."""
+    return _nl(spark, sf_dir, "documents", _P70_DESC)
+
+
+@register("p71_nl_quality", _docs_nl_oracle(_P71_DESC))
+def p71_nl_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL quality scoring: 'score the quality of each document' —
+    text.with_quality_score's five typed columns (length, mean word
+    length, stopword ratio, non-alnum ratio, composite score) from one
+    English clause. The oracle re-renders the exact rounded-ratio
+    composite, so the NL layer inherits the text family's
+    hash-exactness."""
+    return _nl(spark, sf_dir, "documents", _P71_DESC)
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N

@@ -493,6 +493,22 @@ def compile_spec(
             df = hash_sample(
                 df, op["fraction"], op["key"], salt=op.get("salt", "sample")
             )
+        elif kind == "langid":
+            from ..operators.text import with_lang_id
+
+            df = with_lang_id(df, text_col=op.get("text_col", "text"))
+        elif kind == "token_counts":
+            from ..operators.text import with_token_counts
+
+            df = with_token_counts(df, text_col=op.get("text_col", "text"))
+            # F.size is INT; the oracle (and the column contract) is BIGINT
+            df = df.withColumn("n_words", F.col("n_words").cast("long"))
+            df = df.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        elif kind == "quality_score":
+            from ..operators.text import with_quality_score
+
+            df = with_quality_score(df, text_col=op.get("text_col", "text"))
+            df = df.withColumn("n_words", F.col("n_words").cast("long"))
         elif kind == "split_assign":
             from ..operators.sampling import with_hash_split
 

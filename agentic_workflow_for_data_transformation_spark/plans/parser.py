@@ -349,6 +349,19 @@ _SAMPLE = re.compile(
     r"^sample\s+(\d+(?:\.\d+)?)\s*(?:%|percent)\s+of\s+rows\s+by\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+# text-analysis projections over the document table: each adds typed
+# per-row columns with no shuffle (SURVEY section 2.9 text family)
+_LANGID = re.compile(
+    r"^detect\s+the\s+language\s+of\s+each\s+(?:document|row)\s*$",
+    re.IGNORECASE,
+)
+_TOKEN_COUNTS = re.compile(
+    r"^count\s+tokens\s+in\s+each\s+(?:document|row)\s*$", re.IGNORECASE
+)
+_QUALITY = re.compile(
+    r"^score\s+(?:the\s+)?quality\s+of\s+each\s+(?:document|row)\s*$",
+    re.IGNORECASE,
+)
 # "split into 90/5/5 train/val/test by doc_id" -> deterministic N-way
 # hash split; weight and label lists must be the same length
 _SPLIT_ASSIGN = re.compile(
@@ -621,6 +634,12 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         # oracle renders for free
         return {"op": "dedup", "keys": [_resolve_col("text", columns)],
                 "keep_col": _resolve_col("doc_id", columns), "keep": "min"}
+    if _LANGID.match(clause):
+        return {"op": "langid"}
+    if _TOKEN_COUNTS.match(clause):
+        return {"op": "token_counts"}
+    if _QUALITY.match(clause):
+        return {"op": "quality_score"}
     if m := _SPLIT_ASSIGN.match(clause):
         weights = [float(w) for w in m.group(1).split("/")]
         labels = m.group(2).split("/")

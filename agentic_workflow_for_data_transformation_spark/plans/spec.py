@@ -51,6 +51,12 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "split_assign", "key": "doc_id", "weights": [90, 5, 5],
    "labels": ["train", "val", "test"], "alias": "split"?}
       # deterministic N-way split by key hash; pure per-row expression
+  {"op": "langid", "text_col": "text"?}       # adds pred_lang
+  {"op": "token_counts", "text_col": "text"?} # adds n_words, n_tokens
+  {"op": "quality_score", "text_col": "text"?}
+      # adds n_words, avg_word_len, stopword_ratio, nonalnum_ratio,
+      # quality_score — the per-document text-analysis projections,
+      # all pure per-row expressions (no shuffle, no UDF)
   {"op": "bm25", "terms": ["vector", "stream"], "k": 10,
    "id_col": "doc_id"?, "text_col": "text"?}   # lexical top-k search
   {"op": "ols", "key": "k", "x": "xcol", "y": "ycol",
@@ -465,6 +471,9 @@ def validate_op(op: Any) -> None:
             _err(f"sample needs a string 'key' column: {op!r}")
         if "salt" in op and not isinstance(op["salt"], str):
             _err(f"sample 'salt' must be a string: {op!r}")
+    elif kind in ("langid", "token_counts", "quality_score"):
+        if "text_col" in op and not isinstance(op["text_col"], str):
+            _err(f"{kind} 'text_col' must be a string: {op!r}")
     elif kind == "split_assign":
         if not isinstance(op.get("key"), str):
             _err(f"split_assign needs a string 'key' column: {op!r}")

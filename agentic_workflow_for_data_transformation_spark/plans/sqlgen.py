@@ -215,6 +215,70 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "langid":
+            # mirrors operators/text.with_lang_id: stopword-vote
+            # argmax, ties break by language code order, 'und' when no
+            # list scores (same chain as the ns_text_langid oracle,
+            # rendered over the wrapped subquery)
+            from ..operators.text import STOPWORDS
+
+            txt = _q(op.get("text_col", "text"))
+            hits = {
+                lang: (
+                    "len(list_filter(__ws, w -> lower(w) IN ("
+                    + ", ".join(_lit_sql(s) for s in stops)
+                    + ")))"
+                )
+                for lang, stops in STOPWORDS.items()
+            }
+            langs = sorted(STOPWORDS)
+            best = f"greatest({', '.join(hits[lang] for lang in langs)})"
+            case = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(
+                f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in langs
+            ) + " END"
+            sql = (
+                f"SELECT * EXCLUDE (__ws), {case} AS pred_lang FROM "
+                f"(SELECT *, string_split({txt}, ' ') AS __ws FROM ({sql}))"
+            )
+        elif kind == "token_counts":
+            from ..operators.text import TOKEN_REGEX
+
+            txt = _q(op.get("text_col", "text"))
+            sql = wrap(
+                f"*, CAST(len(string_split({txt}, ' ')) AS BIGINT) AS n_words, "
+                f"CAST(len(regexp_extract_all(lower({txt}), "
+                f"{_lit_sql(TOKEN_REGEX)})) AS BIGINT) AS n_tokens"
+            )
+        elif kind == "quality_score":
+            # mirrors operators/text.with_quality_score term for term
+            # (the ns_text_quality oracle's chain over the wrapped
+            # subquery); the composite reuses the ROUNDED ratios, as
+            # the engine does
+            from ..operators.text import STOPWORDS
+
+            txt = _q(op.get("text_col", "text"))
+            stops = ", ".join(_lit_sql(s) for s in STOPWORDS["en"])
+            nw = "len(__ws)"
+            nc = f"length({txt})"
+            stop_r = (
+                f"round(len(list_filter(__ws, w -> lower(w) IN ({stops})))"
+                f" / {nw}, 6)"
+            )
+            na_r = (
+                f"round(len(regexp_extract_all({txt}, '[^A-Za-z0-9 ]'))"
+                f" / greatest({nc}, 1), 6)"
+            )
+            sql = (
+                f"SELECT * EXCLUDE (__ws), "
+                f"CAST({nw} AS BIGINT) AS n_words, "
+                f"round(({nc} - ({nw} - 1)) / {nw}, 6) AS avg_word_len, "
+                f"{stop_r} AS stopword_ratio, "
+                f"{na_r} AS nonalnum_ratio, "
+                f"round(least(1.0, {nw} / 50.0) * 0.5 "
+                f"+ (1.0 - least(1.0, {na_r} * 10)) * 0.3 "
+                f"+ least(1.0, {stop_r} * 5) * 0.2, 6) AS quality_score FROM "
+                f"(SELECT *, string_split({txt}, ' ') AS __ws FROM ({sql}))"
+            )
         elif kind == "split_assign":
             # mirrors operators/sampling.with_hash_split: same 60-bit
             # md5 draw, same integer cutoffs (split_thresholds is the

@@ -1410,3 +1410,47 @@ def test_split_assign_validates_compiles_and_renders(spark, people):
         ).fetchall()
     }
     assert oracle == got
+
+
+def test_text_analysis_spec_ops_parse_and_compile(spark):
+    """langid / token_counts / quality_score as NL clauses: typed
+    columns appear, values match the operators they route to."""
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "der hund und die katze ist")],
+        ["doc_id", "text"],
+    )
+    spec = parse_description(
+        "Detect the language of each document", columns=df.columns
+    )
+    assert spec["ops"] == [{"op": "langid"}]
+    out = {r["doc_id"]: r["pred_lang"] for r in compile_spec(df, spec).collect()}
+    assert out == {1: "en", 2: "de"}
+
+    spec = parse_description(
+        "Count tokens in each document and select doc_id, n_words, n_tokens",
+        columns=df.columns,
+    )
+    rows = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in compile_spec(df, spec).collect()}
+    assert rows[1] == (5, 5)
+
+    spec = parse_description(
+        "Score the quality of each document", columns=df.columns
+    )
+    got = compile_spec(df, spec)
+    assert {"n_words", "avg_word_len", "stopword_ratio", "nonalnum_ratio",
+            "quality_score"} <= set(got.columns)
+    # every rendering stays inside the closed SQL vocabulary
+    for d in (
+        "Detect the language of each document",
+        "Count tokens in each document",
+        "Score the quality of each document",
+    ):
+        sql = spec_to_sql(parse_description(d, columns=df.columns), "documents")
+        assert "EXCLUDE" in sql or "n_tokens" in sql
