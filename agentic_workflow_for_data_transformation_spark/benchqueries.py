@@ -3801,6 +3801,9 @@ _WINDOW: list[str] = [
     # -- (a) new in round 8, never gated --
     "ns_sim_topk_ivfpq", "p62_nl_dedup_docs", "p63_nl_neardup",
     "p64_nl_decontaminate", "p65_nl_pack", "p66_nl_ann",
+    "ns_dedup_lines", "p67_nl_json_extract", "p68_nl_split",
+    "x_resample_interpolate", "p69_nl_langid", "p70_nl_token_counts",
+    "p71_nl_quality",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
@@ -3835,14 +3838,7 @@ _WINDOW: list[str] = [
     "ns_sample_stratified",
     "ns_shuffle_sharded",
     "ns_sim_topk_bruteforce",
-    "ns_sim_topk_lsh",
-    "ns_sim_topk_partitioned",
-    "ns_text_hashvec",
-    "ns_text_tokens",
-    "p02_filter_eq_str",
     "p07_startswith",
-    "p08_rename",
-    "p09_drop",
 ]
 
 
