@@ -3838,7 +3838,7 @@ _WINDOW: list[str] = [
     "ns_sample_stratified",
     "ns_shuffle_sharded",
     "ns_sim_topk_bruteforce",
-    "p07_startswith",
+    "x_winsorize_group",
 ]
 
 

@@ -930,3 +930,37 @@ def x_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import resample_interpolate
 
     return resample_interpolate(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "x_winsorize_group",
+    "WITH wq AS (SELECT event_type, "
+    "quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi "
+    "FROM events GROUP BY 1) "
+    "SELECT event_id, e.event_type, "
+    "round(least(greatest(value, lo), hi), 6) AS value_winsor, "
+    "(value < lo OR value > hi) AS was_clamped "
+    "FROM events e JOIN wq USING (event_type)",
+)
+def x_winsorize_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp each value into its group's
+    [p05, p95] band — the standard outlier-taming step before training
+    on heavy-tailed features. Plan shape: one exact-percentile
+    aggregate over the grouping key (tiny output, broadcast back), one
+    broadcast join, then a pure per-row least/greatest clamp — the
+    fact table is scanned twice but never shuffled on a data-sized
+    key. At 100 TB swap the exact percentile for percentile_approx
+    (mergeable sketch, same broadcast-back shape)."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return ev.join(F.broadcast(q), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 6)
+        .alias("value_winsor"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .alias("was_clamped"),
+    )
