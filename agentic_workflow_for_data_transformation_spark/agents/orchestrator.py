@@ -76,11 +76,32 @@ naming the operator plus that operator's arguments. Examples of each:
     "aggs": [{{"fn": "avg", "col": "age", "alias": "average_age"}}],
     "having": {{"gt": ["average_age", 30]}}}}
   {{"op": "distinct"}}
+Corpus / dataset ops (only when the description asks for them):
+  {{"op": "dedup", "keys": ["text"], "keep_col": "doc_id", "keep": "min"}}
+      (exact duplicate removal keeping the first/lowest id)
+  {{"op": "neardup", "threshold": 0.8}}   (drop near-duplicate docs
+      above a similarity, keeping the earlier one)
+  {{"op": "decontaminate", "right": "benchmark"}}  (drop docs that
+      also appear in the named table)
+  {{"op": "pack", "budget": 512}}  (pack docs into N-token sequences)
+  {{"op": "split_assign", "key": "doc_id", "weights": [90, 5, 5],
+    "labels": ["train", "val", "test"]}}  (deterministic hash split;
+      adds a 'split' column)
+  {{"op": "langid"}}         (adds pred_lang)
+  {{"op": "token_counts"}}   (adds n_words, n_tokens)
+  {{"op": "quality_score"}}  (adds n_words, avg_word_len,
+      stopword_ratio, nonalnum_ratio, quality_score)
+  {{"op": "sample", "fraction": 0.1, "key": "doc_id"}}
+  {{"op": "ann_topk", "query_id": 42, "k": 10}}  (k most similar
+      vectors to the given vector id)
+  {{"op": "bm25", "terms": ["spark", "join"], "k": 10}}  (text search)
 Aggregate fns: count (col "*" allowed), avg, sum, min, max, median,
 count_distinct. Expressions are nested 1-key dicts (a bare string is a
 column reference, a bare number/bool a literal): col/lit/gt/ge/lt/le/
 eq/ne/between/isin/startswith/contains/and/or/not/add/sub/mul/div/
-round/cast/is_null/is_not_null/lower/upper/trim/length/concat/coalesce.
+round/cast/is_null/is_not_null/lower/upper/trim/length/concat/coalesce,
+plus {{"json_get": ["props", "k"]}} — a JSON string column's scalar
+field as text (cast to double for numeric comparisons).
 IMPORTANT: inside an expression a bare string ALWAYS means a COLUMN
 reference — a string VALUE must be wrapped as {{"lit": "..."}}; e.g.
 {{"eq": ["city", {{"lit": "New York"}}]}},
@@ -156,11 +177,13 @@ def escape_hatch_agent(
 
 
 def execution_agent(
-    df: DataFrame, spec: dict, description: str, out_dir: str | Path
+    df: DataFrame, spec: dict, description: str, out_dir: str | Path,
+    tables: dict[str, DataFrame] | None = None,
 ) -> tuple[str, int]:
     """Compile and run the spec; write the uniquely-named CSV sink.
-    Returns (output_path, row_count)."""
-    result = compile_spec(df, spec)
+    Returns (output_path, row_count). ``tables`` feeds the compiler's
+    table map for ops with a named right side (join, decontaminate)."""
+    result = compile_spec(df, spec, tables=tables or {})
     path = unique_output_path(out_dir, description)
     path = write_csv_single(result, path)
     # the compiled DataFrame's count — the critic independently
@@ -200,6 +223,15 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
     renames_total: dict[str, str] = {}
     dropped: set[str] = set()
     selected: set[str] | None = None
+    # ops whose output schema has nothing to do with the input schema:
+    # every earlier filter's columns are gone (live-LLM run, round 8:
+    # a pre-pack filter re-applied to the packed summary raised
+    # UNRESOLVED_COLUMN inside the critic and sent the re-plan loop on
+    # a wild goose chase)
+    replaces_schema = {
+        "pivot", "rollup", "pack", "ann_topk", "bm25",
+        "ols", "mode", "neardup_pairs", "wordcount",
+    }
     for op in spec["ops"]:
         kind = op["op"]
         if kind == "filter":
@@ -210,8 +242,19 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
             dropped.update(op["cols"])
         elif kind == "select":
             selected = set(op["cols"])
+        elif kind == "with_column":
+            # overwriting a column a kept filter references changes
+            # its values; that filter is no longer checkable
+            kept = [(e, c) for (e, c) in kept if op["name"] not in c]
         elif kind == "groupby_agg":
+            # key columns survive with their values intact, so a
+            # filter purely over keys stays checkable
             selected = set(op["keys"]) | {a["alias"] for a in op["aggs"]}
+        elif kind in replaces_schema:
+            kept.clear()
+            renames_total.clear()
+            dropped.clear()
+            selected = None
     out: list[dict] = []
     for expr, cols in kept:
         cols = {renames_total.get(c, c) for c in cols}
@@ -231,6 +274,7 @@ def critic_agent(
     spec: dict,
     output_path: str,
     llm: LLMClient | None = None,
+    tables: dict[str, DataFrame] | None = None,
 ) -> tuple[bool, str]:
     """Deterministic validation (replacing the reference's LLM YES/NO,
     :179-193): (a) output schema == compiled schema; (b) zero rows in
@@ -239,7 +283,7 @@ def critic_agent(
     only — it can veto, never approve a failed deterministic check."""
     from ..plans.compile import compile_expr
 
-    result = compile_spec(df, spec)
+    result = compile_spec(df, spec, tables=tables or {})
     expected_cols = result.columns
     out_df = read_csv(spark, output_path)
     if out_df.columns != expected_cols:
@@ -266,9 +310,13 @@ def critic_agent(
             "The sample below is the plan's OUTPUT (already "
             "transformed — renames/drops/filters have ALREADY been "
             "applied). A header-only sample means the filter matched "
-            "zero rows, which is a valid result. Answer NO only if "
-            "the output clearly CONTRADICTS the plan; when unsure, "
-            "answer YES.\n"
+            "zero rows, which is a valid result. Summary-producing "
+            "ops (groupby_agg, pack, ann_topk, bm25, ols, pivot) "
+            "REPLACE the columns with their own summary schema — for "
+            "those, expect the summary table, not the original rows "
+            "(e.g. pack outputs per-sequence stats, not documents). "
+            "Answer NO only if the output clearly CONTRADICTS the "
+            "plan; when unsure, answer YES.\n"
             f"plan: {json.dumps(spec)}\n"
             f"output rows: {actual_n}\n"
             f"sample: {out_df.limit(5).toPandas().to_csv(index=False)}"
@@ -309,6 +357,7 @@ def run_transform(
     out_dir: str | Path = ".",
     llm: LLMClient | None = None,
     max_retries: int = MAX_RETRIES,
+    tables: dict[str, DataFrame] | None = None,
 ) -> TransformState:
     """The linear pipeline (reference graph :271-285 is linear too):
     plan -> execute -> validate, with the critic's retry loop
@@ -321,9 +370,11 @@ def run_transform(
         try:
             state.spec = planner_agent(desc, columns=df.columns, llm=llm)
             state.output_path, state.row_count = execution_agent(
-                df, state.spec, description, out_dir
+                df, state.spec, description, out_dir, tables=tables
             )
-            ok, reason = critic_agent(spark, df, state.spec, state.output_path, llm=llm)
+            ok, reason = critic_agent(
+                spark, df, state.spec, state.output_path, llm=llm, tables=tables
+            )
         except (ParseError, SpecError, json.JSONDecodeError, AnalysisException) as e:
             # AnalysisException joins the planning-failure class for
             # the U4 fallback: an LLM spec that validates structurally

@@ -126,3 +126,55 @@ def weighted_sample_per_group(df: DataFrame, group_col: str, weight_col: str,
         .filter(F.col("_rn") <= k)
         .drop("_pri", "_rn")
     )
+
+
+def negative_samples(df: DataFrame, id_col: str = "vec_id",
+                     label_col: str = "label", k: int = 3,
+                     pool_size: int = 64, salt: str = "negpool") -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, pick ``k`` negatives (rows with a DIFFERENT
+    label) from a small shared candidate pool, ranked per anchor by
+    md5(anchor|candidate) so each anchor sees its own pseudo-random
+    ordering of the pool.
+
+    The pool is the ``pool_size`` corpus rows with the smallest hash
+    draw — a fixed-size, data-independent subset that broadcasts to
+    every executor. The scan side therefore does anchor x pool work
+    (pool_size is a constant), never anchor x corpus: linear at 100 TB
+    where a per-anchor corpus sample would be a self-join. Anchors
+    whose label dominates the pool may get fewer than k negatives (the
+    usual in-batch-negatives caveat; raise pool_size to shrink it).
+
+    Output: (id, label, negative_id, neg_rank in 1..k).
+    """
+    draw = hash_draw(F.col(id_col), salt)
+    pool = (
+        df.select(
+            F.col(id_col).alias("_cand_id"),
+            F.col(label_col).alias("_cand_label"),
+            draw.alias("_d"),
+        )
+        .orderBy("_d", "_cand_id")
+        .limit(pool_size)
+        .drop("_d")
+    )
+    rank_key = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("|"),
+            F.col("_cand_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(rank_key, F.col("_cand_id"))
+    return (
+        df.select(id_col, label_col)
+        .join(F.broadcast(pool), F.col(label_col) != F.col("_cand_label"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            id_col,
+            label_col,
+            F.col("_cand_id").alias("negative_id"),
+            F.col("_rn").cast("long").alias("neg_rank"),
+        )
+    )

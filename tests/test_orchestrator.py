@@ -123,3 +123,37 @@ def test_cli_sql_explain(spark, tmp_path, capsys):
     plan = capsys.readouterr().out
     assert "Physical Plan" in plan and "HashAggregate" in plan
     assert not (tmp_path / "sql_result.csv").exists()  # no execution
+
+
+def test_filter_exprs_invalidated_by_schema_replacing_ops():
+    """A filter BEFORE a schema-replacing op (pack/pivot/...) must not
+    be re-applied to the replaced output schema; a filter AFTER it
+    must; with_column overwriting a filtered column invalidates that
+    filter (live-LLM finding, round 8)."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        _filter_exprs_on_output,
+    )
+
+    pre = {"gt": ["n_chars", 100]}
+    post = {"gt": ["seq_tokens", 0]}
+    spec = {"ops": [
+        {"op": "filter", "expr": pre},
+        {"op": "pack", "budget": 512},
+        {"op": "filter", "expr": post},
+    ]}
+    assert _filter_exprs_on_output(spec) == [post]
+
+    spec = {"ops": [
+        {"op": "filter", "expr": {"gt": ["age", 30]}},
+        {"op": "with_column", "name": "age", "expr": {"lit": 0},
+         "replace": True},
+    ]}
+    assert _filter_exprs_on_output(spec) == []
+
+    # a groupby keeps key-only filters checkable (regression guard)
+    spec = {"ops": [
+        {"op": "filter", "expr": {"eq": ["city", {"lit": "x"}]}},
+        {"op": "groupby_agg", "keys": ["city"],
+         "aggs": [{"fn": "count", "col": "*", "alias": "n"}]},
+    ]}
+    assert len(_filter_exprs_on_output(spec)) == 1

@@ -99,6 +99,19 @@ QUERIES = [
     "p59_nl_search",
     "ns_graph_triangles",
     "ns_sim_topk_pq",
+    # round-8 additions: trained-codebook / composed ANN serving, the
+    # NL corpus-op chains (the LSH chain behind p63 is the heaviest NL
+    # plan in the registry), segment-level line dedup (two keyed
+    # shuffles), the grid-join resample, and the broadcast-clamp
+    # winsorize
+    "ns_sim_topk_ivfpq",
+    "p63_nl_neardup",
+    "p65_nl_pack",
+    "ns_dedup_lines",
+    "x_resample_interpolate",
+    "x_winsorize_group",
+    "p69_nl_langid",
+    "p71_nl_quality",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
