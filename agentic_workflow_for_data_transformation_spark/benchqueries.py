@@ -3833,7 +3833,7 @@ _WINDOW: list[str] = [
     "ns_sim_topk_multi",
     "ns_multimodal_frames",
     "ns_multimodal_meta",
-    "ns_sample_hash",
+    "ns_sample_negatives",
     "ns_sample_split",
     "ns_sample_stratified",
     "ns_shuffle_sharded",

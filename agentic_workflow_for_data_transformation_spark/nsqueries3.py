@@ -964,3 +964,30 @@ def x_winsorize_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
         .alias("was_clamped"),
     )
+
+
+@register(
+    "ns_sample_negatives",
+    "WITH npool AS (SELECT vec_id AS cand_id, label AS cand_label "
+    "FROM embeddings ORDER BY "
+    "(('0x' || substr(md5('negpool|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000000), "
+    "cand_id LIMIT 64), "
+    "npairs AS (SELECT e.vec_id, e.label, p.cand_id, "
+    "row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+    "md5(CAST(e.vec_id AS VARCHAR) || '|' || CAST(p.cand_id AS VARCHAR)), "
+    "p.cand_id) AS rn "
+    "FROM embeddings e JOIN npool p ON e.label <> p.cand_label) "
+    "SELECT vec_id, label, cand_id AS negative_id, "
+    "CAST(rn AS BIGINT) AS neg_rank FROM npairs WHERE rn <= 3",
+)
+def ns_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (operators/sampling.negative_samples): each anchor draws 3
+    different-label negatives from a fixed 64-row broadcast pool,
+    ranked per anchor by md5(anchor|candidate). Anchor x pool work
+    with a constant pool — linear at 100 TB where per-anchor corpus
+    sampling would be a self-join; assignment is engine- and
+    run-stable (the md5 rank key is the oracle's own)."""
+    from .operators import sampling as _sampling
+
+    return _sampling.negative_samples(_t(spark, sf_dir, "embeddings"))

@@ -68,3 +68,28 @@ def test_sessionize_batch_gap_invariants(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_negative_samples_labels_differ_and_deterministic(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], ["vec_id", "label"]
+    )
+    out = negative_samples(df, k=2, pool_size=8).collect()
+    by_anchor = {}
+    labels = {r["vec_id"]: r["label"] for r in df.collect()}
+    for r in out:
+        assert labels[r["negative_id"]] != r["label"]
+        by_anchor.setdefault(r["vec_id"], []).append(
+            (r["neg_rank"], r["negative_id"])
+        )
+    for anchor, negs in by_anchor.items():
+        ranks = sorted(k for k, _ in negs)
+        assert ranks == list(range(1, len(negs) + 1))
+        assert len(negs) <= 2
+    # deterministic across invocations
+    again = negative_samples(df, k=2, pool_size=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
