@@ -3835,7 +3835,7 @@ _WINDOW: list[str] = [
     "ns_multimodal_meta",
     "ns_sample_negatives",
     "ns_sample_split",
-    "ns_sample_stratified",
+    "x_merge_upsert",
     "ns_shuffle_sharded",
     "ns_sim_topk_bruteforce",
     "x_winsorize_group",

@@ -991,3 +991,60 @@ def ns_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sampling as _sampling
 
     return _sampling.negative_samples(_t(spark, sf_dir, "embeddings"))
+
+
+def _upsert_updates_sql() -> str:
+    # the synthetic change-set: every 7th order re-priced (+100, as
+    # exact DECIMAL then back to DOUBLE) and re-flagged 'U'; every
+    # 13th order re-keyed past the keyspace as a brand-new order
+    return (
+        "SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE) AS o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus, "
+        "o_totalprice, o_orderdate, o_orderpriority FROM orders "
+        "WHERE o_orderkey % 13 = 0"
+    )
+
+
+@register(
+    "x_merge_upsert",
+    "WITH mu AS (" + _upsert_updates_sql() + "), "
+    "mb AS (SELECT o_orderkey AS bk, o_custkey AS b_ck, "
+    "o_orderstatus AS b_st, o_totalprice AS b_tp FROM orders), "
+    "mx AS (SELECT o_orderkey AS uk, o_custkey AS u_ck, "
+    "o_orderstatus AS u_st, o_totalprice AS u_tp FROM mu) "
+    "SELECT coalesce(uk, bk) AS o_orderkey, "
+    "coalesce(u_ck, b_ck) AS o_custkey, "
+    "coalesce(u_st, b_st) AS o_orderstatus, "
+    "coalesce(u_tp, b_tp) AS o_totalprice, "
+    "CASE WHEN bk IS NULL THEN 'inserted' "
+    "WHEN uk IS NULL THEN 'kept' ELSE 'updated' END AS merge_action "
+    "FROM mb FULL OUTER JOIN mx ON bk = uk",
+)
+def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO as a relational op
+    (operators/joins.merge_upsert): one full-outer join on the key,
+    per-column coalesce(update, base), and a merge_action audit
+    column. The registered change-set re-prices every 7th order and
+    inserts every 13th under a fresh key. One keyed shuffle; a
+    bucketed base table would lose even that on its side."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd_reprice = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + 100)
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    upd_new = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return joins.merge_upsert(o, upd_reprice.unionByName(upd_new), "o_orderkey")

@@ -458,3 +458,53 @@ def interval_overlap_join(
         )
         out = m if out is None else out.unionByName(m)
     return out
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Batch MERGE / upsert: updates and base share a schema; a key
+    present in both takes the UPDATE row, a key only in updates is
+    INSERTED, a key only in base is KEPT. Output is the merged table
+    plus a ``merge_action`` column ('updated' / 'inserted' / 'kept').
+
+    This is the lakehouse MERGE INTO re-expressed as one relational
+    op: a single full-outer join on the key, then per-column
+    coalesce(update, base). No table format required — the result is
+    a plain DataFrame the caller writes wherever it wants.
+
+    Scale shape: ONE shuffle (both sides hash-partition on the key;
+    with a bucketed base table the base side's exchange disappears,
+    same layout trick as the dedup digest archive). Updates are
+    usually a small fraction of base — AQE broadcastable — but the
+    full-outer join is correct at any ratio; no driver state.
+    """
+    cols = base.columns
+    if updates.columns != cols:
+        raise ValueError(
+            f"merge_upsert needs matching schemas; base {cols} vs "
+            f"updates {updates.columns}"
+        )
+    b = base.select(
+        F.col(key).alias("_bk"),
+        F.lit(1).alias("_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in cols if c != key],
+    )
+    u = updates.select(
+        F.col(key).alias("_uk"),
+        F.lit(1).alias("_u"),
+        *[F.col(c).alias(f"_u_{c}") for c in cols if c != key],
+    )
+    j = b.join(u, b["_bk"] == u["_uk"], "full_outer")
+    action = (
+        F.when(F.col("_b").isNull(), F.lit("inserted"))
+        .when(F.col("_u").isNull(), F.lit("kept"))
+        .otherwise(F.lit("updated"))
+    )
+    return j.select(
+        F.coalesce("_uk", "_bk").alias(key),
+        *[
+            F.coalesce(f"_u_{c}", f"_b_{c}").alias(c)
+            for c in cols
+            if c != key
+        ],
+        action.alias("merge_action"),
+    )

@@ -409,3 +409,26 @@ def test_asof_join_null_payload_stays_null(spark, direction):
     expected_ts = 110 if direction == "forward" else 90
     assert row["asof_ts"] == expected_ts
     assert row["asof_v"] is None
+
+
+def test_merge_upsert_semantics(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "name", "amt"],
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], ["id", "name", "amt"]
+    )
+    out = {r["id"]: (r["name"], r["amt"], r["merge_action"])
+           for r in merge_upsert(base, updates, "id").collect()}
+    assert out == {
+        1: ("a", 10.0, "kept"),
+        2: ("b2", 21.0, "updated"),
+        3: ("c", 30.0, "kept"),
+        4: ("d", 40.0, "inserted"),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        merge_upsert(base, updates.select("id", "amt", "name"), "id")
