@@ -516,3 +516,52 @@ def test_pq_adc_scores_codes_not_vectors(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_line_dedup_two_keyed_exchanges(spark):
+    """C4-style line dedup: exactly the two keyed shuffles the design
+    claims — hash(seg) for the global first-occurrence window, then
+    hash(doc_id) for the ordered rebuild — and no join anywhere (the
+    rebuild is an aggregate, not a join back to the corpus)."""
+    plan = plan_of(spark, "ns_dedup_lines")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_resample_single_window_exchange(spark):
+    """Resample+interpolate: the four fill expressions (prev/next value
+    and epoch) must share ONE Window node over one (key, epoch) sort —
+    four separate windows would mean four sorts; the bucket side joins
+    back into the grid as a broadcast."""
+    plan = plan_of(spark, "x_resample_interpolate")
+    assert plan.count("Window [") == 1
+    assert "BroadcastExchange" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_winsorize_broadcasts_percentiles(spark):
+    """Winsorize: the per-group [p05, p95] frame is a tiny aggregate
+    that must re-enter as a broadcast join, never a shuffled one —
+    the fact side is scanned, not repartitioned by group."""
+    plan = plan_of(spark, "x_winsorize_group")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_negative_samples_pool_is_broadcast(spark):
+    """Negative sampling: the fixed-size candidate pool must broadcast
+    (anchor x pool is the linear design; a shuffled join would imply
+    anchor x corpus co-partitioning that the op avoids)."""
+    plan = plan_of(spark, "ns_sample_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_upsert_single_keyed_join(spark):
+    """MERGE upsert: one full-outer join on the key and nothing else —
+    no extra exchanges beyond the two join inputs' key partitioning."""
+    plan = plan_of(spark, "x_merge_upsert")
+    assert "FullOuter" in plan
+    assert plan.count("Join") >= 1
+    assert "SinglePartition" not in plan
