@@ -188,3 +188,39 @@ def test_live_escape_hatch_roundtrip(spark, people, tmp_path):
     )
     assert 0 < n < 10
     assert os.path.exists(path)
+
+
+@needs_live_llm
+def test_live_corpus_op_spec_roundtrip(spark, tmp_path):
+    """A corpus-domain paraphrase against a real model (round-8
+    corpus live eval, LLM_EVAL.md): grammar rejects it, the LLM must
+    emit a split_assign/select spec, and the result matches the
+    canonical-phrasing golden row for row."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = (
+        "Split into 90/5/5 train/val/test by doc_id and "
+        "select doc_id, lang, split"
+    )
+    para = "Hash each doc_id into train, val or test at 90/5/5 and show doc_id, lang and split."
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        (r["doc_id"], r["lang"], r["split"])
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path, llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {(int(r["doc_id"]), r["lang"], r["split"]) for r in out.collect()}
+    assert got == golden
