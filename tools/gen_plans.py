@@ -163,6 +163,36 @@ HEADLINE: list[tuple[str, str]] = [
         "min(struct) aggregate — one corpus-sized exchange, no window, "
         "no quadratic join.",
     ),
+    (
+        "ns_dedup_lines",
+        "C4-style line dedup with rebuild: exactly TWO keyed exchanges — "
+        "hash(segment) for the global first-occurrence rank, hash(doc_id) "
+        "for the ordered reassembly — and no join at all; the rebuild is "
+        "an array_sort(collect_list) aggregate, so the corpus text crosses "
+        "the wire once per shuffle and never fans out.",
+    ),
+    (
+        "x_resample_interpolate",
+        "Grid resample + linear interpolation: the observed buckets join "
+        "into the generated epoch grid as a BROADCAST, and all four "
+        "prev/next fill expressions share ONE Window node over one "
+        "(key, epoch) sort — the naive plan is four windows = four sorts; "
+        "grid size is bounded by wall-clock span, not event count.",
+    ),
+    (
+        "x_merge_upsert",
+        "MERGE upsert: one full-outer SortMergeJoin on the key and "
+        "per-column coalesce — no second pass, no driver state; with a "
+        "bucketed base table the base side's exchange disappears "
+        "entirely (the digest-archive layout trick).",
+    ),
+    (
+        "ns_sample_negatives",
+        "Negative sampling: the fixed 64-row candidate pool broadcasts, "
+        "so the corpus side does anchor x constant work in its own scan "
+        "stage — the per-anchor ranking window is the only exchange; a "
+        "per-anchor corpus sample would have been a self-join.",
+    ),
 ]
 
 
