@@ -3501,6 +3501,35 @@ def p71_nl_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P71_DESC)
 
 
+_P72_DESC = (
+    "Winsorize value at 5/95 within each event_type and "
+    "select event_id, event_type, value_winsor, was_clamped"
+)
+
+
+def _p72_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P72_DESC,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+        "events",
+    )
+
+
+@register("p72_nl_winsorize", _p72_oracle())
+def p72_nl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL outlier taming: 'winsorize value at 5/95 within each
+    event_type' — stats.winsorize_group (exact-percentile clamp via a
+    broadcast-back group frame) as one English clause, composing with
+    the projection grammar. The fact side never shuffles on a
+    data-sized key; at 100 TB the exact percentile swaps for
+    percentile_approx with the same plan shape."""
+    return _nl(spark, sf_dir, "events", _P72_DESC)
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N
@@ -3803,13 +3832,12 @@ _WINDOW: list[str] = [
     "p64_nl_decontaminate", "p65_nl_pack", "p66_nl_ann",
     "ns_dedup_lines", "p67_nl_json_extract", "p68_nl_split",
     "x_resample_interpolate", "p69_nl_langid", "p70_nl_token_counts",
-    "p71_nl_quality",
+    "p71_nl_quality", "p72_nl_winsorize",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # -- (c) freshness: last gated round 1 --
-    "p03_filter_le",
     "p11_and",
     "p13_between_startswith",
     "x_count_distinct",

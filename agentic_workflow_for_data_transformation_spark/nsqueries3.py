@@ -951,19 +951,11 @@ def x_winsorize_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table is scanned twice but never shuffled on a data-sized
     key. At 100 TB swap the exact percentile for percentile_approx
     (mergeable sketch, same broadcast-back shape)."""
-    ev = _t(spark, sf_dir, "events")
-    q = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
-    )
-    return ev.join(F.broadcast(q), "event_type").select(
-        "event_id",
-        "event_type",
-        F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 6)
-        .alias("value_winsor"),
-        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
-        .alias("was_clamped"),
-    )
+    from .operators import stats as _stats
+
+    return _stats.winsorize_group(
+        _t(spark, sf_dir, "events"), "value", ["event_type"]
+    ).select("event_id", "event_type", "value_winsor", "was_clamped")
 
 
 @register(

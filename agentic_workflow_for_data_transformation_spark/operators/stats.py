@@ -329,3 +329,27 @@ def count_min_estimates(df: DataFrame, text_col: str = "text",
         .groupBy("w", "exact")
         .agg(F.min("cellsum").alias("cm_estimate"))
     )
+
+
+def winsorize_group(df: DataFrame, col: str, keys: list[str],
+                    lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Per-group winsorization: clamp ``col`` into its group's
+    [lo, hi] exact-percentile band, adding ``<col>_winsor`` (rounded
+    to 6) and ``was_clamped``. Plan shape: one exact-percentile
+    aggregate over the grouping keys (tiny output, broadcast back),
+    one broadcast join, then a pure per-row least/greatest clamp —
+    the fact table never shuffles on a data-sized key. At 100 TB swap
+    the exact percentile for percentile_approx (mergeable sketch,
+    same broadcast-back shape)."""
+    q = df.groupBy(*keys).agg(
+        F.expr(f"percentile({col}, {lo!r})").alias("__lo"),
+        F.expr(f"percentile({col}, {hi!r})").alias("__hi"),
+    )
+    return df.join(F.broadcast(q), keys).select(
+        *df.columns,
+        F.round(
+            F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")), 6
+        ).alias(f"{col}_winsor"),
+        ((F.col(col) < F.col("__lo")) | (F.col(col) > F.col("__hi")))
+        .alias("was_clamped"),
+    )

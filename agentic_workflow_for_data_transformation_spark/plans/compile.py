@@ -493,6 +493,13 @@ def compile_spec(
             df = hash_sample(
                 df, op["fraction"], op["key"], salt=op.get("salt", "sample")
             )
+        elif kind == "winsorize":
+            from ..operators.stats import winsorize_group
+
+            df = winsorize_group(
+                df, op["col"], list(op["keys"]),
+                lo=op.get("lo", 0.05), hi=op.get("hi", 0.95),
+            )
         elif kind == "langid":
             from ..operators.text import with_lang_id
 

@@ -362,6 +362,13 @@ _QUALITY = re.compile(
     r"^score\s+(?:the\s+)?quality\s+of\s+each\s+(?:document|row)\s*$",
     re.IGNORECASE,
 )
+# "winsorize value at 5/95 within each event_type" -> per-group
+# percentile clamp (percentages; 5/95 means the [p05, p95] band)
+_WINSORIZE = re.compile(
+    r"^winsorize\s+(\w+)\s+at\s+(\d+(?:\.\d+)?)/(\d+(?:\.\d+)?)\s+"
+    r"within\s+each\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 # "split into 90/5/5 train/val/test by doc_id" -> deterministic N-way
 # hash split; weight and label lists must be the same length
 _SPLIT_ASSIGN = re.compile(
@@ -634,6 +641,17 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         # oracle renders for free
         return {"op": "dedup", "keys": [_resolve_col("text", columns)],
                 "keep_col": _resolve_col("doc_id", columns), "keep": "min"}
+    if m := _WINSORIZE.match(clause):
+        lo, hi = float(m.group(2)) / 100.0, float(m.group(3)) / 100.0
+        if not lo < hi:
+            raise ParseError(f"winsorize needs lo < hi: {clause!r}")
+        return {
+            "op": "winsorize",
+            "col": _resolve_col(m.group(1), columns),
+            "keys": [_resolve_col(m.group(4), columns)],
+            "lo": lo,
+            "hi": hi,
+        }
     if _LANGID.match(clause):
         return {"op": "langid"}
     if _TOKEN_COUNTS.match(clause):

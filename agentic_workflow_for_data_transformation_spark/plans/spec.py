@@ -51,6 +51,9 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "split_assign", "key": "doc_id", "weights": [90, 5, 5],
    "labels": ["train", "val", "test"], "alias": "split"?}
       # deterministic N-way split by key hash; pure per-row expression
+  {"op": "winsorize", "col": "value", "keys": ["event_type"],
+   "lo": 0.05, "hi": 0.95}
+      # per-group percentile clamp; adds <col>_winsor, was_clamped
   {"op": "langid", "text_col": "text"?}       # adds pred_lang
   {"op": "token_counts", "text_col": "text"?} # adds n_words, n_tokens
   {"op": "quality_score", "text_col": "text"?}
@@ -471,6 +474,19 @@ def validate_op(op: Any) -> None:
             _err(f"sample needs a string 'key' column: {op!r}")
         if "salt" in op and not isinstance(op["salt"], str):
             _err(f"sample 'salt' must be a string: {op!r}")
+    elif kind == "winsorize":
+        if not isinstance(op.get("col"), str):
+            _err(f"winsorize needs a string 'col': {op!r}")
+        ks = op.get("keys")
+        if not (isinstance(ks, list) and ks and all(isinstance(k, str) for k in ks)):
+            _err(f"winsorize needs non-empty string 'keys': {op!r}")
+        lo, hi = op.get("lo", 0.05), op.get("hi", 0.95)
+        if not (
+            isinstance(lo, int | float)
+            and isinstance(hi, int | float)
+            and 0 <= lo < hi <= 1
+        ):
+            _err(f"winsorize needs 0 <= lo < hi <= 1: {op!r}")
     elif kind in ("langid", "token_counts", "quality_score"):
         if "text_col" in op and not isinstance(op["text_col"], str):
             _err(f"{kind} 'text_col' must be a string: {op!r}")

@@ -215,6 +215,23 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "winsorize":
+            # mirrors operators/stats.winsorize_group: exact
+            # interpolated percentiles per group (quantile_cont ==
+            # Spark percentile), clamp rounded to 6
+            col = _q(op["col"])
+            keys = ", ".join(_q(k) for k in op["keys"])
+            lo, hi = op.get("lo", 0.05), op.get("hi", 0.95)
+            sql = (
+                f"WITH wsrc AS ({sql}), "
+                f"wq AS (SELECT {keys}, quantile_cont({col}, {lo!r}) AS __lo, "
+                f"quantile_cont({col}, {hi!r}) AS __hi FROM wsrc GROUP BY {keys}) "
+                f"SELECT wsrc.*, "
+                f"round(least(greatest({col}, __lo), __hi), 6) AS "
+                f"{_q(op['col'] + '_winsor')}, "
+                f"({col} < __lo OR {col} > __hi) AS was_clamped "
+                f"FROM wsrc JOIN wq USING ({keys})"
+            )
         elif kind == "langid":
             # mirrors operators/text.with_lang_id: stopword-vote
             # argmax, ties break by language code order, 'und' when no

@@ -1454,3 +1454,37 @@ def test_text_analysis_spec_ops_parse_and_compile(spark):
     ):
         sql = spec_to_sql(parse_description(d, columns=df.columns), "documents")
         assert "EXCLUDE" in sql or "n_tokens" in sql
+
+
+def test_winsorize_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    spec = parse_description(
+        "Winsorize amt at 10/90 within each grp",
+        columns=["id", "grp", "amt"],
+    )
+    assert spec["ops"] == [
+        {"op": "winsorize", "col": "amt", "keys": ["grp"],
+         "lo": 0.1, "hi": 0.9}
+    ]
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 11)], ["id", "grp", "amt"]
+    )
+    out = {r["id"]: (r["amt_winsor"], r["was_clamped"])
+           for r in compile_spec(df, spec).collect()}
+    # p10 of 1..10 = 1.9, p90 = 9.1 (interpolated)
+    assert out[1] == (1.9, True)
+    assert out[10] == (9.1, True)
+    assert out[5] == (5.0, False)
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {r[0]: (r[3], r[4])
+              for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
+    assert oracle == out
