@@ -3530,6 +3530,34 @@ def p72_nl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P72_DESC)
 
 
+_P73_DESC = (
+    "Resample value every 6 hours per user_id with linear interpolation"
+)
+
+
+def _p73_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P73_DESC,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ),
+        "events",
+    )
+
+
+@register("p73_nl_resample", _p73_oracle())
+def p73_nl_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL time-series regularization: 'resample value every 6 hours
+    per user_id with linear interpolation' —
+    timeseries.resample_interpolate behind one clause. The grid is
+    bounded by wall-clock span; the four fill windows share one
+    (key, epoch) exchange; the oracle re-renders the identical IEEE
+    interpolation shape so the NL layer inherits hash-exactness."""
+    return _nl(spark, sf_dir, "events", _P73_DESC)
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N
@@ -3832,13 +3860,12 @@ _WINDOW: list[str] = [
     "p64_nl_decontaminate", "p65_nl_pack", "p66_nl_ann",
     "ns_dedup_lines", "p67_nl_json_extract", "p68_nl_split",
     "x_resample_interpolate", "p69_nl_langid", "p70_nl_token_counts",
-    "p71_nl_quality", "p72_nl_winsorize",
+    "p71_nl_quality", "p72_nl_winsorize", "p73_nl_resample",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # -- (c) freshness: last gated round 1 --
-    "p11_and",
     "p13_between_startswith",
     "x_count_distinct",
     "x_distinct_pairs",

@@ -493,6 +493,17 @@ def compile_spec(
             df = hash_sample(
                 df, op["fraction"], op["key"], salt=op.get("salt", "sample")
             )
+        elif kind == "resample":
+            from ..operators.timeseries import resample_interpolate
+
+            df = resample_interpolate(
+                df,
+                key_col=op["key"],
+                ts_col=op.get("ts", "ts"),
+                val_col=op.get("val", "value"),
+                id_col=op.get("id", "event_id"),
+                step_s=int(op["step_hours"] * 3600),
+            )
         elif kind == "winsorize":
             from ..operators.stats import winsorize_group
 

@@ -362,6 +362,14 @@ _QUALITY = re.compile(
     r"^score\s+(?:the\s+)?quality\s+of\s+each\s+(?:document|row)\s*$",
     re.IGNORECASE,
 )
+# "resample value every 6 hours per user_id with linear interpolation"
+# -> regular-grid resample; the value/ts/id columns default to the
+# events-table names, the value column is named explicitly
+_RESAMPLE = re.compile(
+    r"^resample\s+(\w+)\s+every\s+(\d+(?:\.\d+)?)\s+hours?\s+per\s+(\w+)"
+    r"(?:\s+with\s+linear\s+interpolation)?\s*$",
+    re.IGNORECASE,
+)
 # "winsorize value at 5/95 within each event_type" -> per-group
 # percentile clamp (percentages; 5/95 means the [p05, p95] band)
 _WINSORIZE = re.compile(
@@ -641,6 +649,13 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         # oracle renders for free
         return {"op": "dedup", "keys": [_resolve_col("text", columns)],
                 "keep_col": _resolve_col("doc_id", columns), "keep": "min"}
+    if m := _RESAMPLE.match(clause):
+        return {
+            "op": "resample",
+            "val": _resolve_col(m.group(1), columns),
+            "step_hours": float(m.group(2)),
+            "key": _resolve_col(m.group(3), columns),
+        }
     if m := _WINSORIZE.match(clause):
         lo, hi = float(m.group(2)) / 100.0, float(m.group(3)) / 100.0
         if not lo < hi:

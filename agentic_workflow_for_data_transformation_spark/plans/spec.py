@@ -54,6 +54,10 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "winsorize", "col": "value", "keys": ["event_type"],
    "lo": 0.05, "hi": 0.95}
       # per-group percentile clamp; adds <col>_winsor, was_clamped
+  {"op": "resample", "key": "user_id", "step_hours": 6,
+   "ts": "ts"?, "val": "value"?, "id": "event_id"?}
+      # regular-grid resample + linear interpolation; output is
+      # (key, epoch_s, value_interp, is_observed)
   {"op": "langid", "text_col": "text"?}       # adds pred_lang
   {"op": "token_counts", "text_col": "text"?} # adds n_words, n_tokens
   {"op": "quality_score", "text_col": "text"?}
@@ -474,6 +478,15 @@ def validate_op(op: Any) -> None:
             _err(f"sample needs a string 'key' column: {op!r}")
         if "salt" in op and not isinstance(op["salt"], str):
             _err(f"sample 'salt' must be a string: {op!r}")
+    elif kind == "resample":
+        if not isinstance(op.get("key"), str):
+            _err(f"resample needs a string 'key' column: {op!r}")
+        sh = op.get("step_hours")
+        if not (isinstance(sh, int | float) and not isinstance(sh, bool) and sh > 0):
+            _err(f"resample needs a positive 'step_hours': {op!r}")
+        for f in ("ts", "val", "id"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"resample '{f}' must be a string: {op!r}")
     elif kind == "winsorize":
         if not isinstance(op.get("col"), str):
             _err(f"winsorize needs a string 'col': {op!r}")

@@ -215,6 +215,44 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "resample":
+            # mirrors operators/timeseries.resample_interpolate: BIGINT
+            # epoch buckets, arg_min observed sample, IGNORE NULLS fill
+            # windows, identical IEEE interpolation shape
+            key = _q(op["key"])
+            ts = _q(op.get("ts", "ts"))
+            val = _q(op.get("val", "value"))
+            idc = _q(op.get("id", "event_id"))
+            step = int(op["step_hours"] * 3600)
+            sql = (
+                f"WITH rsrc AS ({sql}), "
+                f"rb AS (SELECT {key} AS rkey, "
+                f"CAST(floor(epoch({ts})/{step}) AS BIGINT)*{step} AS epoch_s, "
+                f"arg_min({val}, {idc}) AS v FROM rsrc GROUP BY 1, 2), "
+                "rspan AS (SELECT rkey, min(epoch_s) AS e0, max(epoch_s) AS e1 "
+                "FROM rb GROUP BY 1), "
+                f"rgrid AS (SELECT rkey, unnest(range(e0, e1+1, {step})) AS epoch_s "
+                "FROM rspan), "
+                "rj AS (SELECT g.rkey, g.epoch_s, rb.v FROM rgrid g "
+                "LEFT JOIN rb USING (rkey, epoch_s)), "
+                "rf AS (SELECT rkey, epoch_s, v, "
+                "last_value(v IGNORE NULLS) OVER wb AS pv, "
+                "last_value(CASE WHEN v IS NOT NULL THEN epoch_s END IGNORE NULLS) "
+                "OVER wb AS pe, "
+                "first_value(v IGNORE NULLS) OVER wf AS nv, "
+                "first_value(CASE WHEN v IS NOT NULL THEN epoch_s END IGNORE NULLS) "
+                "OVER wf AS ne FROM rj WINDOW "
+                "wb AS (PARTITION BY rkey ORDER BY epoch_s "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+                "wf AS (PARTITION BY rkey ORDER BY epoch_s "
+                "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+                f"SELECT rkey AS {key}, epoch_s, "
+                "round(CASE WHEN v IS NOT NULL THEN v "
+                "WHEN pv IS NOT NULL AND nv IS NOT NULL "
+                "THEN pv + (nv - pv) * ((epoch_s - pe) * 1.0 / (ne - pe)) "
+                "ELSE coalesce(pv, nv) END, 6) AS value_interp, "
+                "(v IS NOT NULL) AS is_observed FROM rf"
+            )
         elif kind == "winsorize":
             # mirrors operators/stats.winsorize_group: exact
             # interpolated percentiles per group (quantile_cont ==

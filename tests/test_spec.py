@@ -1488,3 +1488,27 @@ def test_winsorize_spec_op_parse_compile_render(spark):
     oracle = {r[0]: (r[3], r[4])
               for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
     assert oracle == out
+
+
+def test_resample_spec_op_parse_and_validate():
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+
+    cols = ["event_id", "ts", "user_id", "value"]
+    spec = parse_description(
+        "Resample value every 6 hours per user_id with linear interpolation",
+        columns=cols,
+    )
+    assert spec["ops"] == [
+        {"op": "resample", "val": "value", "step_hours": 6.0, "key": "user_id"}
+    ]
+    with _pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "resample", "key": "user_id",
+                                "step_hours": 0}]})
+    with _pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "resample", "step_hours": 6}]})
