@@ -878,3 +878,54 @@ def test_cumulative_median_tied_order_keys_match_duckdb(spark):
     by_gk = {(g, k, v): m for g, k, v, m in got}
     assert by_gk[("a", 2, 20.0)] == 20.0 and by_gk[("a", 2, 40.0)] == 20.0
     assert by_gk[("b", 1, 5.0)] == 6.0 and by_gk[("b", 1, 7.0)] == 6.0
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=st.sampled_from([0.0, 0.05, 0.1, 0.25, 0.5]),
+    hi=st.sampled_from([0.6, 0.75, 0.9, 0.95, 1.0]),
+)
+def test_random_winsorize_match_duckdb(spark_module, lo, hi):
+    """Winsorize spec op: Spark percentile() and DuckDB quantile_cont
+    must clamp to the SAME band for any lo < hi over the people ages."""
+    spec = {
+        "ops": [
+            {"op": "winsorize", "col": "age", "keys": ["city"],
+             "lo": lo, "hi": hi},
+            {"op": "select", "cols": ["name", "age_winsor", "was_clamped"]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.5, max_value=20, allow_nan=False),
+        min_size=2, max_size=5,
+    ),
+)
+def test_random_splits_match_duckdb(spark_module, weights):
+    """split_assign: any weight vector must give identical per-row
+    assignments on both engines (shared integer cutoffs)."""
+    labels = [f"s{i}" for i in range(len(weights))]
+    spec = {
+        "ops": [
+            {"op": "split_assign", "key": "name", "weights": weights,
+             "labels": labels},
+            {"op": "select", "cols": ["name", "split"]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
