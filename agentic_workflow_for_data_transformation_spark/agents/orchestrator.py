@@ -91,6 +91,12 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "token_counts"}}   (adds n_words, n_tokens)
   {{"op": "quality_score"}}  (adds n_words, avg_word_len,
       stopword_ratio, nonalnum_ratio, quality_score)
+  {{"op": "winsorize", "col": "value", "keys": ["event_type"],
+    "lo": 0.05, "hi": 0.95}}  (per-group percentile clamp; adds
+      <col>_winsor and was_clamped)
+  {{"op": "resample", "key": "user_id", "step_hours": 6}}  (regular
+      time grid + linear interpolation; outputs key, epoch_s,
+      value_interp, is_observed)
   {{"op": "sample", "fraction": 0.1, "key": "doc_id"}}
   {{"op": "ann_topk", "query_id": 42, "k": 10}}  (k most similar
       vectors to the given vector id)
