@@ -3558,6 +3558,22 @@ def p73_nl_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P73_DESC)
 
 
+_P74_DESC = (
+    "Filter rows where lang == 'en' and "
+    "chunk documents into 32-word chunks every 16 words"
+)
+
+
+@register("p74_nl_chunk", _docs_nl_oracle(_P74_DESC))
+def p74_nl_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL context-window preparation: 'chunk documents into 32-word
+    chunks every 16 words' — corpus.chunk_documents (sliding-window
+    explode, overlapping when stride < size, tail kept) behind one
+    clause, composing with the filter grammar. A pure narrow row
+    expansion: no shuffle, no Python."""
+    return _nl(spark, sf_dir, "documents", _P74_DESC)
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N

@@ -493,6 +493,14 @@ def compile_spec(
             df = hash_sample(
                 df, op["fraction"], op["key"], salt=op.get("salt", "sample")
             )
+        elif kind == "chunk":
+            from ..operators.corpus import chunk_documents
+
+            df = chunk_documents(
+                df, size=op["size"], stride=op["stride"],
+                id_col=op.get("id_col", "doc_id"),
+                text_col=op.get("text_col", "text"),
+            )
         elif kind == "resample":
             from ..operators.timeseries import resample_interpolate
 

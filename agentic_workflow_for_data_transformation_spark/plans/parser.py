@@ -42,6 +42,14 @@ _CLAUSE_KEYWORDS = (
     r"|pack\s+documents"
     r"|find\s+(?:the\s+)?\d+"
     r"|split\s+\w+\s+into\s+words"
+    r"|chunk\s+documents"
+    r"|extract\s+the"
+    r"|detect\s+the\s+language"
+    r"|count\s+tokens"
+    r"|score\s+(?:the\s+)?quality"
+    r"|winsorize"
+    r"|resample"
+    r"|split\s+into\s+\d"
     r"|(?:inner|left|right|full|cross)\s+join)"
 )
 # split " and <clause keyword>" / " and then " but never predicate-level
@@ -362,6 +370,14 @@ _QUALITY = re.compile(
     r"^score\s+(?:the\s+)?quality\s+of\s+each\s+(?:document|row)\s*$",
     re.IGNORECASE,
 )
+# "chunk documents into 32-word chunks every 16 words" -> sliding-
+# window chunking (stride = the every-N phrase; equal stride = no
+# overlap, smaller = overlapping context windows)
+_CHUNK = re.compile(
+    r"^chunk\s+documents\s+into\s+(\d+)-word\s+chunks?"
+    r"(?:\s+every\s+(\d+)\s+words?)?\s*$",
+    re.IGNORECASE,
+)
 # "resample value every 6 hours per user_id with linear interpolation"
 # -> regular-grid resample; the value/ts/id columns default to the
 # events-table names, the value column is named explicitly
@@ -649,6 +665,13 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         # oracle renders for free
         return {"op": "dedup", "keys": [_resolve_col("text", columns)],
                 "keep_col": _resolve_col("doc_id", columns), "keep": "min"}
+    if m := _CHUNK.match(clause):
+        size = int(m.group(1))
+        return {
+            "op": "chunk",
+            "size": size,
+            "stride": int(m.group(2)) if m.group(2) else size,
+        }
     if m := _RESAMPLE.match(clause):
         return {
             "op": "resample",

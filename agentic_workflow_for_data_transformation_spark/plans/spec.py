@@ -58,6 +58,10 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
    "ts": "ts"?, "val": "value"?, "id": "event_id"?}
       # regular-grid resample + linear interpolation; output is
       # (key, epoch_s, value_interp, is_observed)
+  {"op": "chunk", "size": 32, "stride": 16, "id_col": "doc_id"?,
+   "text_col": "text"?}
+      # sliding-window chunking; output (id, chunk_idx, n_chunk_words,
+      # chunk_md5) — a pure narrow explode, no shuffle
   {"op": "langid", "text_col": "text"?}       # adds pred_lang
   {"op": "token_counts", "text_col": "text"?} # adds n_words, n_tokens
   {"op": "quality_score", "text_col": "text"?}
@@ -478,6 +482,14 @@ def validate_op(op: Any) -> None:
             _err(f"sample needs a string 'key' column: {op!r}")
         if "salt" in op and not isinstance(op["salt"], str):
             _err(f"sample 'salt' must be a string: {op!r}")
+    elif kind == "chunk":
+        for f in ("size", "stride"):
+            v = op.get(f)
+            if not (isinstance(v, int) and not isinstance(v, bool) and v >= 1):
+                _err(f"chunk needs a positive int {f!r}: {op!r}")
+        for f in ("id_col", "text_col"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"chunk '{f}' must be a string: {op!r}")
     elif kind == "resample":
         if not isinstance(op.get("key"), str):
             _err(f"resample needs a string 'key' column: {op!r}")

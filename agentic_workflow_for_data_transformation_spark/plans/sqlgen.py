@@ -215,6 +215,26 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "chunk":
+            # mirrors operators/corpus.chunk_documents (the
+            # ns_chunk_documents oracle, parameterized over the
+            # wrapped subquery)
+            idc = _q(op.get("id_col", "doc_id"))
+            txt = _q(op.get("text_col", "text"))
+            size, stride = int(op["size"]), int(op["stride"])
+            sql = (
+                f"WITH cw AS (SELECT {idc} AS doc_id, string_split({txt}, ' ') AS ws "
+                f"FROM ({sql})), "
+                f"cst AS (SELECT doc_id, ws, "
+                f"unnest(generate_series(1, len(ws), {stride})) AS start FROM cw), "
+                f"cc AS (SELECT doc_id, start, "
+                f"list_slice(ws, start, least(start + {size - 1}, len(ws))) AS chunk "
+                "FROM cst) "
+                f"SELECT doc_id AS {idc}, "
+                f"CAST((start - 1) / {stride} AS INTEGER) AS chunk_idx, "
+                "CAST(len(chunk) AS INTEGER) AS n_chunk_words, "
+                "md5(array_to_string(chunk, ' ')) AS chunk_md5 FROM cc"
+            )
         elif kind == "resample":
             # mirrors operators/timeseries.resample_interpolate: BIGINT
             # epoch buckets, arg_min observed sample, IGNORE NULLS fill

@@ -1512,3 +1512,47 @@ def test_resample_spec_op_parse_and_validate():
                                 "step_hours": 0}]})
     with _pytest.raises(SpecError):
         validate_spec({"ops": [{"op": "resample", "step_hours": 6}]})
+
+
+def test_chunk_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["doc_id", "text"]
+    spec = parse_description(
+        "Chunk documents into 4-word chunks every 2 words", columns=cols
+    )
+    assert spec["ops"] == [{"op": "chunk", "size": 4, "stride": 2}]
+    # no stride phrase -> non-overlapping (stride = size)
+    spec2 = parse_description(
+        "Chunk documents into 8-word chunks", columns=cols
+    )
+    assert spec2["ops"] == [{"op": "chunk", "size": 8, "stride": 8}]
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x")], ["doc_id", "text"]
+    )
+    out = compile_spec(df, spec)
+    rows = {(r["doc_id"], r["chunk_idx"]): r["n_chunk_words"]
+            for r in out.collect()}
+    # doc 1: starts 1,3,5 -> sizes 4,4,2; doc 2: one 1-word chunk
+    assert rows == {(1, 0): 4, (1, 1): 4, (1, 2): 2, (2, 0): 1}
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {(r[0], r[1]): r[2]
+              for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
+    assert oracle == rows
+
+    # clause splitter: chunk composes AFTER a filter conjunction
+    spec3 = parse_description(
+        "Filter rows where doc_id > 0 and chunk documents into 4-word "
+        "chunks every 2 words",
+        columns=cols,
+    )
+    assert [o["op"] for o in spec3["ops"]] == ["filter", "chunk"]
