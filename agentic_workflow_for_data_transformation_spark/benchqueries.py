@@ -3877,12 +3877,12 @@ _WINDOW: list[str] = [
     "ns_dedup_lines", "p67_nl_json_extract", "p68_nl_split",
     "x_resample_interpolate", "p69_nl_langid", "p70_nl_token_counts",
     "p71_nl_quality", "p72_nl_winsorize", "p73_nl_resample",
+    "p74_nl_chunk",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # -- (c) freshness: last gated round 1 --
-    "p13_between_startswith",
     "x_count_distinct",
     "x_distinct_pairs",
     "x_except",
