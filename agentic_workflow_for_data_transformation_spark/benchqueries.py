@@ -3574,6 +3574,74 @@ def p74_nl_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P74_DESC)
 
 
+_P75_DESC = "Merge updates into the table on o_orderkey"
+_P75_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def _p75_updates_sql() -> str:
+    # same change-set family as x_merge_upsert, full orders schema
+    return (
+        "(SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS DOUBLE) AS o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, "
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 13 = 0)"
+    )
+
+
+def _p75_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    spec = parse_description(_P75_DESC, columns=_P75_COLS)
+    for op in spec["ops"]:
+        if op["op"] == "merge":
+            # the updates table exists Spark-side via the compiler's
+            # table map; the oracle gets it as an inline subquery, and
+            # the renderer needs the column list the compiler reads
+            # off the schema
+            op["right"] = _p75_updates_sql()
+            op["cols"] = _P75_COLS
+    return spec_to_sql(spec, "orders")
+
+
+@register("p75_nl_merge", _p75_oracle())
+def p75_nl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL MERGE upsert: 'merge updates into the table on o_orderkey' —
+    joins.merge_upsert behind one clause, the updates side resolved
+    from the compiler's table map the way NL decontamination resolves
+    its benchmark. One full-outer keyed join; matched rows take the
+    update, new keys insert, the rest keep, merge_action audits."""
+    o = _t(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") + 100)
+        .cast("double")
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    return compile_spec(
+        o,
+        parse_description(_P75_DESC, columns=o.columns),
+        tables={"updates": upd},
+    )
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N
@@ -3878,12 +3946,12 @@ _WINDOW: list[str] = [
     "x_resample_interpolate", "p69_nl_langid", "p70_nl_token_counts",
     "p71_nl_quality", "p72_nl_winsorize", "p73_nl_resample",
     "p74_nl_chunk",
+    "p75_nl_merge",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # -- (c) freshness: last gated round 1 --
-    "x_count_distinct",
     "x_distinct_pairs",
     "x_except",
     "x_intersect",

@@ -585,6 +585,13 @@ def compile_spec(
             )
             drop = pairs.select(F.col("doc_b").alias(idc)).distinct()
             df = df.join(drop, idc, "left_anti")
+        elif kind == "merge":
+            from ..operators.joins import merge_upsert
+
+            right = op["right"]
+            if right not in tables:
+                raise SpecError(f"unknown table {right!r} for merge")
+            df = merge_upsert(df, tables[right], op["key"])
         elif kind == "decontaminate":
             from ..operators.corpus import contaminated_ids
 

@@ -43,6 +43,7 @@ _CLAUSE_KEYWORDS = (
     r"|find\s+(?:the\s+)?\d+"
     r"|split\s+\w+\s+into\s+words"
     r"|chunk\s+documents"
+    r"|merge\s+\w+\s+into"
     r"|extract\s+the"
     r"|detect\s+the\s+language"
     r"|count\s+tokens"
@@ -425,6 +426,12 @@ _DECONTAM = re.compile(
     r"^drop\s+documents\s+that\s+appear\s+in\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+# "merge updates into the table on o_orderkey" -> MERGE upsert against
+# the named table from the compiler's table map
+_MERGE = re.compile(
+    r"^merge\s+(\w+)\s+into\s+the\s+table\s+on\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _PACK = re.compile(
     r"^pack\s+documents\s+into\s+sequences\s+of\s+(\d+)\s+tokens\s*$",
     re.IGNORECASE,
@@ -721,6 +728,12 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return op
     if m := _NEARDUP.match(clause):
         return {"op": "neardup", "threshold": float(m.group(1))}
+    if m := _MERGE.match(clause):
+        return {
+            "op": "merge",
+            "right": m.group(1),
+            "key": _resolve_col(m.group(2), columns),
+        }
     if m := _DECONTAM.match(clause):
         return {"op": "decontaminate", "right": m.group(1)}
     if m := _PACK.match(clause):

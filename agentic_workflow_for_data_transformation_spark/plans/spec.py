@@ -84,6 +84,9 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # fuzzy dedup filter (operators/dedup.lsh_verified_pairs):
       # drop every doc with a verified near-duplicate at a LOWER id
       # (greedy keep-first; cluster-keep-one is the dedup_apply API)
+  {"op": "merge", "right": "updates_table", "key": "o_orderkey"}
+      # MERGE upsert: matched keys take the update row, new keys
+      # insert, the rest keep; adds merge_action
   {"op": "decontaminate", "right": "benchmark_table",
    "id_col": "doc_id"?, "text_col": "text"?}
       # drop docs sharing any word 3-gram with the right table
@@ -553,6 +556,18 @@ def validate_op(op: Any) -> None:
         for f in ("id_col", "text_col"):
             if f in op and not isinstance(op[f], str):
                 _err(f"neardup '{f}' must be a string: {op!r}")
+    elif kind == "merge":
+        if not isinstance(op.get("right"), str):
+            _err(f"merge needs a string 'right' table name: {op!r}")
+        if not isinstance(op.get("key"), str):
+            _err(f"merge needs a string 'key': {op!r}")
+        if "cols" in op and not (
+            isinstance(op["cols"], list)
+            and all(isinstance(c, str) for c in op["cols"])
+        ):
+            # non-key columns, needed only by the SQL renderer (the
+            # DataFrame compiler reads them off the schema)
+            _err(f"merge 'cols' must be a list of strings: {op!r}")
     elif kind == "decontaminate":
         if not isinstance(op.get("right"), str):
             _err(f"decontaminate needs a string 'right' table name: {op!r}")

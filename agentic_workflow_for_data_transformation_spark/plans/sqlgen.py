@@ -688,6 +688,35 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"JOIN njac USING (doc_a, doc_b) WHERE jaccard >= {t!r}) "
                 f"SELECT * FROM nsrc ANTI JOIN ndrop USING ({idc})"
             )
+        elif kind == "merge":
+            # mirrors operators/joins.merge_upsert: full-outer on the
+            # key, per-column coalesce(update, base), merge_action.
+            # The renderer needs the non-key column list ('cols'); the
+            # oracle generator injects it (the DataFrame compiler
+            # reads the schema instead)
+            right = op["right"]
+            if "cols" not in op:
+                raise SqlGenError("merge SQL rendering needs 'cols'")
+            key = _q(op["key"])
+            cols = [c for c in op["cols"] if c != op["key"]]
+            b_sel = ", ".join(
+                [f"{key} AS __bk"] + [f"{_q(c)} AS __b_{i}" for i, c in enumerate(cols)]
+            )
+            u_sel = ", ".join(
+                [f"{key} AS __uk"] + [f"{_q(c)} AS __u_{i}" for i, c in enumerate(cols)]
+            )
+            out = ", ".join(
+                [f"coalesce(__uk, __bk) AS {key}"]
+                + [f"coalesce(__u_{i}, __b_{i}) AS {_q(c)}" for i, c in enumerate(cols)]
+            )
+            sql = (
+                f"WITH mb AS (SELECT {b_sel} FROM ({sql})), "
+                f"mx AS (SELECT {u_sel} FROM {right}) "
+                f"SELECT {out}, "
+                "CASE WHEN __bk IS NULL THEN 'inserted' "
+                "WHEN __uk IS NULL THEN 'kept' ELSE 'updated' END AS merge_action "
+                "FROM mb FULL OUTER JOIN mx ON __bk = __uk"
+            )
         elif kind == "decontaminate":
             right = op["right"]
             if not isinstance(right, str):

@@ -1556,3 +1556,25 @@ def test_chunk_spec_op_parse_compile_render(spark):
         columns=cols,
     )
     assert [o["op"] for o in spec3["ops"]] == ["filter", "chunk"]
+
+
+def test_merge_spec_op_parse_compile(spark):
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.compile import SpecError
+
+    spec = parse_description(
+        "Merge updates into the table on id", columns=["id", "v"]
+    )
+    assert spec["ops"] == [{"op": "merge", "right": "updates", "key": "id"}]
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    upd = spark.createDataFrame([(2, "b2"), (3, "c")], ["id", "v"])
+    out = {r["id"]: (r["v"], r["merge_action"])
+           for r in compile_spec(base, spec, tables={"updates": upd}).collect()}
+    assert out == {1: ("a", "kept"), 2: ("b2", "updated"), 3: ("c", "inserted")}
+    with _pytest.raises(SpecError):
+        compile_spec(base, spec, tables={})
