@@ -91,6 +91,11 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "token_counts"}}   (adds n_words, n_tokens)
   {{"op": "quality_score"}}  (adds n_words, avg_word_len,
       stopword_ratio, nonalnum_ratio, quality_score)
+  {{"op": "chunk", "size": 32, "stride": 16}}  (sliding word-window
+      chunking; outputs doc_id, chunk_idx, n_chunk_words, chunk_md5)
+  {{"op": "merge", "right": "updates", "key": "id"}}  (MERGE upsert
+      from the named table: matched keys update, new keys insert;
+      adds merge_action)
   {{"op": "winsorize", "col": "value", "keys": ["event_type"],
     "lo": 0.05, "hi": 0.95}}  (per-group percentile clamp; adds
       <col>_winsor and was_clamped)
