@@ -112,6 +112,8 @@ QUERIES = [
     "x_winsorize_group",
     "p69_nl_langid",
     "p71_nl_quality",
+    "x_merge_upsert",
+    "ns_sample_negatives",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
