@@ -3947,12 +3947,12 @@ _WINDOW: list[str] = [
     "p71_nl_quality", "p72_nl_winsorize", "p73_nl_resample",
     "p74_nl_chunk",
     "p75_nl_merge",
+    "ns_text_bpe_merges",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # -- (c) freshness: last gated round 1 --
-    "x_distinct_pairs",
     "x_except",
     "x_intersect",
     "x_join_anti",

@@ -1040,3 +1040,57 @@ def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     return joins.merge_upsert(o, upd_reprice.unionByName(upd_new), "o_orderkey")
+
+
+def _bpe_sql(n_merges: int = 3) -> str:
+    # unrolled-iteration oracle (same pattern as the PageRank and
+    # Lloyd CTE chains): each round picks the argmax pair by scalar
+    # subquery and fuses it with the identical doubled-boundary
+    # replace algebra the engine uses
+    ctes = [
+        "bw AS (SELECT w, count(*) AS wc FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE len(w) > 0 GROUP BY w)",
+        "s0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS s, wc FROM bw)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM ("
+            "SELECT unnest(list_transform(range(1, len(ws)), "
+            "i -> ws[i] || ' ' || ws[i+1])) AS pair, wc "
+            f"FROM (SELECT string_split(s, ' ') AS ws, wc FROM {prev})) "
+            "GROUP BY pair)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT trim(replace(replace("
+            "' ' || replace(s, ' ', '  ') || ' ', "
+            f"' ' || (SELECT replace(pair, ' ', '  ') FROM b{r}) || ' ', "
+            f"' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' '"
+            f"), '  ', ' ')) AS s, wc FROM {prev})"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, pair, replace(pair, ' ', '') AS merged, "
+        f"n AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"WITH {', '.join(ctes)} {unions}"
+
+
+@register("ns_text_bpe_merges", _bpe_sql(3))
+def ns_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first 3 merges
+    (operators/text.bpe_merge_table; Sennrich et al. 2016): the corpus
+    collapses to its word-frequency table in one aggregate, then each
+    round explodes adjacent symbol pairs, aggregates counts, and fuses
+    the argmax pair everywhere via boundary-doubled string replace —
+    greedy non-overlapping semantics identical across engines, ties on
+    the pair string. The per-round driver state is ONE row (the chosen
+    merge), the Lloyd-trainer shape; everything corpus-sized stays in
+    the plan."""
+    from .operators import text as _text
+
+    return _text.bpe_merge_table(_t(spark, sf_dir, "documents"), n_merges=3)

@@ -557,3 +557,84 @@ def zipf_fit(df: DataFrame, group_col: str = "lang",
         F.round(slope, 6).alias("zipf_slope"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def bpe_merge_table(df: DataFrame, n_merges: int = 3,
+                    text_col: str = "text") -> DataFrame:
+    """Train the first ``n_merges`` BPE merges on the corpus (Sennrich
+    et al. 2016): start from characters, repeatedly find the most
+    frequent adjacent symbol pair (weighted by word frequency) and
+    fuse it everywhere. Output: one row per merge —
+    (rank, pair, merged, pair_count) — the head of the merge list a
+    real tokenizer trainer would persist.
+
+    Distributed shape: the corpus collapses to the WORD-FREQUENCY
+    table first (one hash aggregate; the synthetic corpus has ~30
+    distinct words, web corpora ~10^7 — always tiny next to the
+    corpus), so every BPE iteration runs on the vocab table: explode
+    adjacent pairs, one aggregate, one 1-ROW collect for the argmax
+    (the merge must become a literal in the next plan — the same
+    bounded driver state as Lloyd's chosen centroids). Pair fusion is
+    pure string algebra on the spaced symbol form, with boundaries
+    double-spaced during replace so greedy non-overlapping semantics
+    are well-defined and IDENTICAL in Spark and ANSI SQL (verified:
+    'a a a' -> 'aa a' on both engines); ties break on the pair string.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    sym = F.array_join(
+        F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")), " "
+    )
+    cur = words.select(sym.alias("s"), "wc")
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        arr = F.split(F.col("s"), " ")
+        idx = F.when(
+            F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = cur.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat(
+                        F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                    ),
+                )
+            ).alias("pair"),
+            "wc",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, n = best[0]["pair"], int(best[0]["n"])
+        merged = pair.replace(" ", "")
+        merges.append((rank, pair, merged, n))
+        doubled = F.concat(
+            F.lit(" "), F.replace(F.col("s"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        fused = F.trim(
+            F.replace(
+                F.replace(
+                    doubled,
+                    F.lit(" " + pair.replace(" ", "  ") + " "),
+                    F.lit(" " + merged + " "),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+        cur = cur.select(fused.alias("s"), "wc")
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merged string, pair_count bigint"
+    )

@@ -1266,3 +1266,32 @@ def test_resample_interpolate_fills_gaps_linearly(spark):
     assert out[(1, base + 7200)] == (2.0, False)
     assert out[(1, base + 10800)] == (3.0, True)
     assert len([k for k in out if k[0] == 2]) == 1  # no gaps, no fills
+
+
+def test_bpe_merge_table_hand_corpus(spark):
+    # words: low x2, lower x1. Round 1 pairs: 'l o':3, 'o w':3,
+    # 'w e':1, 'e r':1 -> tie at 3 breaks to 'l o'. Round 2: 'lo w':3.
+    # Round 3: 'low e':1 vs 'e r':1 -> tie breaks to 'e r'.
+    from agentic_workflow_for_data_transformation_spark.operators.text import (
+        bpe_merge_table,
+    )
+
+    df = spark.createDataFrame([("low low lower",)], ["text"])
+    rows = [tuple(r) for r in bpe_merge_table(df, n_merges=3).collect()]
+    assert rows == [
+        (1, "l o", "lo", 3),
+        (2, "lo w", "low", 3),
+        (3, "e r", "er", 1),
+    ]
+
+
+def test_bpe_merge_table_overlap_greedy(spark):
+    # 'aaa': pairs 'a a' x2 -> merge greedy left-to-right: 'aa a'
+    # (not 'a aa'); round 2 then sees 'aa a' once
+    from agentic_workflow_for_data_transformation_spark.operators.text import (
+        bpe_merge_table,
+    )
+
+    df = spark.createDataFrame([("aaa",)], ["text"])
+    rows = [tuple(r) for r in bpe_merge_table(df, n_merges=2).collect()]
+    assert rows == [(1, "a a", "aa", 2), (2, "aa a", "aaa", 1)]
