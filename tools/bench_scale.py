@@ -114,6 +114,7 @@ QUERIES = [
     "p71_nl_quality",
     "x_merge_upsert",
     "ns_sample_negatives",
+    "ns_text_bpe_merges",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
