@@ -3642,6 +3642,28 @@ def p75_nl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P76_DESC = "Pick 3 negatives per vector from a pool of 64"
+
+
+def _p76_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(_P76_DESC, columns=["vec_id", "embedding", "label"]),
+        "embeddings",
+    )
+
+
+@register("p76_nl_negatives", _p76_oracle())
+def p76_nl_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL contrastive sampling: 'pick 3 negatives per vector from a
+    pool of 64' — sampling.negative_samples behind one clause: each
+    anchor draws different-label negatives from a fixed broadcast
+    pool, ranked per anchor by md5(anchor|candidate). Anchor x
+    constant work, linear at 100 TB."""
+    return _nl(spark, sf_dir, "embeddings", _P76_DESC)
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N
@@ -3948,12 +3970,12 @@ _WINDOW: list[str] = [
     "p74_nl_chunk",
     "p75_nl_merge",
     "ns_text_bpe_merges",
+    "p76_nl_negatives",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # -- (c) freshness: last gated round 1 --
-    "x_except",
     "x_intersect",
     "x_join_anti",
     "x_join_range",

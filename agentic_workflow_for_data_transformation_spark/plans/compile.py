@@ -493,6 +493,16 @@ def compile_spec(
             df = hash_sample(
                 df, op["fraction"], op["key"], salt=op.get("salt", "sample")
             )
+        elif kind == "negatives":
+            from ..operators.sampling import negative_samples
+
+            df = negative_samples(
+                df,
+                id_col=op.get("id_col", "vec_id"),
+                label_col=op.get("label_col", "label"),
+                k=op.get("k", 3),
+                pool_size=op.get("pool", 64),
+            )
         elif kind == "chunk":
             from ..operators.corpus import chunk_documents
 

@@ -43,6 +43,7 @@ _CLAUSE_KEYWORDS = (
     r"|find\s+(?:the\s+)?\d+"
     r"|split\s+\w+\s+into\s+words"
     r"|chunk\s+documents"
+    r"|pick\s+\d+\s+negatives"
     r"|merge\s+\w+\s+into"
     r"|extract\s+the"
     r"|detect\s+the\s+language"
@@ -371,6 +372,13 @@ _QUALITY = re.compile(
     r"^score\s+(?:the\s+)?quality\s+of\s+each\s+(?:document|row)\s*$",
     re.IGNORECASE,
 )
+# "pick 3 negatives per vector from a pool of 64" -> deterministic
+# contrastive negative sampling (different-label, broadcast pool)
+_NEGATIVES = re.compile(
+    r"^pick\s+(\d+)\s+negatives\s+per\s+vector"
+    r"(?:\s+from\s+a\s+pool\s+of\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
 # "chunk documents into 32-word chunks every 16 words" -> sliding-
 # window chunking (stride = the every-N phrase; equal stride = no
 # overlap, smaller = overlapping context windows)
@@ -672,6 +680,11 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         # oracle renders for free
         return {"op": "dedup", "keys": [_resolve_col("text", columns)],
                 "keep_col": _resolve_col("doc_id", columns), "keep": "min"}
+    if m := _NEGATIVES.match(clause):
+        op = {"op": "negatives", "k": int(m.group(1))}
+        if m.group(2):
+            op["pool"] = int(m.group(2))
+        return op
     if m := _CHUNK.match(clause):
         size = int(m.group(1))
         return {

@@ -62,6 +62,10 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
    "text_col": "text"?}
       # sliding-window chunking; output (id, chunk_idx, n_chunk_words,
       # chunk_md5) — a pure narrow explode, no shuffle
+  {"op": "negatives", "k": 3, "pool": 64, "id_col": "vec_id"?,
+   "label_col": "label"?}
+      # deterministic contrastive negative sampling from a broadcast
+      # pool; output (id, label, negative_id, neg_rank)
   {"op": "langid", "text_col": "text"?}       # adds pred_lang
   {"op": "token_counts", "text_col": "text"?} # adds n_words, n_tokens
   {"op": "quality_score", "text_col": "text"?}
@@ -485,6 +489,14 @@ def validate_op(op: Any) -> None:
             _err(f"sample needs a string 'key' column: {op!r}")
         if "salt" in op and not isinstance(op["salt"], str):
             _err(f"sample 'salt' must be a string: {op!r}")
+    elif kind == "negatives":
+        for f in ("k", "pool"):
+            v = op.get(f, 3 if f == "k" else 64)
+            if not (isinstance(v, int) and not isinstance(v, bool) and v >= 1):
+                _err(f"negatives needs a positive int {f!r}: {op!r}")
+        for f in ("id_col", "label_col"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"negatives '{f}' must be a string: {op!r}")
     elif kind == "chunk":
         for f in ("size", "stride"):
             v = op.get(f)

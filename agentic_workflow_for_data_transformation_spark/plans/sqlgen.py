@@ -215,6 +215,26 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "sample":
             sql = wrap("*", f"WHERE {_sample_sql(op)}")
+        elif kind == "negatives":
+            # mirrors operators/sampling.negative_samples (the
+            # ns_sample_negatives oracle over the wrapped subquery)
+            idc = _q(op.get("id_col", "vec_id"))
+            lab = _q(op.get("label_col", "label"))
+            k, pool = op.get("k", 3), op.get("pool", 64)
+            sql = (
+                f"WITH gsrc AS ({sql}), "
+                f"gpool AS (SELECT {idc} AS cand_id, {lab} AS cand_label "
+                "FROM gsrc ORDER BY "
+                f"(('0x' || substr(md5('negpool|' || CAST({idc} AS VARCHAR)), 1, 15))::BIGINT % 1000000), "
+                f"cand_id LIMIT {pool}), "
+                f"gpairs AS (SELECT e.{idc}, e.{lab}, p.cand_id, "
+                f"row_number() OVER (PARTITION BY e.{idc} ORDER BY "
+                f"md5(CAST(e.{idc} AS VARCHAR) || '|' || CAST(p.cand_id AS VARCHAR)), "
+                "p.cand_id) AS rn "
+                f"FROM gsrc e JOIN gpool p ON e.{lab} <> p.cand_label) "
+                f"SELECT {idc}, {lab}, cand_id AS negative_id, "
+                f"CAST(rn AS BIGINT) AS neg_rank FROM gpairs WHERE rn <= {k}"
+            )
         elif kind == "chunk":
             # mirrors operators/corpus.chunk_documents (the
             # ns_chunk_documents oracle, parameterized over the
