@@ -102,6 +102,9 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "resample", "key": "user_id", "step_hours": 6}}  (regular
       time grid + linear interpolation; outputs key, epoch_s,
       value_interp, is_observed)
+  {{"op": "negatives", "k": 3, "pool": 64}}  (contrastive negative
+      sampling: per anchor, k different-label rows from a fixed pool;
+      outputs id, label, negative_id, neg_rank)
   {{"op": "sample", "fraction": 0.1, "key": "doc_id"}}
   {{"op": "ann_topk", "query_id": 42, "k": 10}}  (k most similar
       vectors to the given vector id)
