@@ -432,6 +432,7 @@ def u1_escape_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (covered by the committed CORRECTNESS_LOCAL.json report).
 from . import nsqueries2  # noqa: E402,F401  (registration side effects)
 from . import nsqueries3  # noqa: E402,F401  (registration side effects)
+from . import nsqueries4  # noqa: E402,F401  (registration side effects)
 
 # Parity variants demoted past the window (shapes duplicated in-window).
 _register_parity(_PARITY_LATE)
@@ -3971,6 +3972,7 @@ _WINDOW: list[str] = [
     "p75_nl_merge",
     "ns_text_bpe_merges",
     "p76_nl_negatives",
+    "ns_dedup_semantic", "ns_sim_mrr",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
@@ -3988,8 +3990,6 @@ _WINDOW: list[str] = [
     "x_skew_salted_agg",
     "x_tpch_q17",
     "x_tpch_q6",
-    "x_union_distinct",
-    "x_window_lag_running",
     "ns_sim_topk_ivf",
     "ns_sim_topk_multi",
     "ns_multimodal_frames",

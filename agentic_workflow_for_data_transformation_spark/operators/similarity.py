@@ -1214,3 +1214,122 @@ def topk_ivfpq_from_index(queries: DataFrame, index_dir: str, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cell", "adc_dist", "rank")
     )
+
+
+def semantic_dedup(df: DataFrame, n_centroids: int = 8, threshold: float = 0.3,
+                   n_iter: int = 1, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering-then-local-pruning. Cluster the
+    embeddings with k-means (the deterministic Lloyd loop from
+    kmeans_assign), then within each cluster drop every vector that
+    has cosine >= threshold to a LOWER-ID member of the same cluster;
+    survivors keep their cluster id and centroid similarity. The
+    paper keeps the member farthest from the centroid per duplicate
+    group; the lowest-id rule here is the engine-portable equivalent
+    (one deterministic representative per group) so even the full
+    cluster+prune pipeline has an exact SQL oracle.
+
+    Scale shape: the pairwise stage is an equi-join on cell, so pair
+    work is sum(|cell|^2) — never global n^2. At 100 TB, grow
+    n_centroids with the corpus (constant expected cell size keeps the
+    prune linear) and partition the assignment by cell so each
+    pair-block is co-located; the final anti-join keys on id only.
+    Threshold note: real text embeddings concentrate near-duplicate
+    mass above ~0.95; the synthetic testdata vectors are diffuse, so
+    the default 0.3 is the analog that exercises the drop path."""
+    dim = probe_dim(df, vec_col, dim)
+    assigned = kmeans_assign(df, n_centroids=n_centroids, n_iter=n_iter,
+                             id_col=id_col, vec_col=vec_col, dim=dim)
+    rows = _vec_norm(df, id_col, vec_col, dim)
+    members = assigned.join(rows, id_col).select(
+        id_col, "cell", "cent_sim", "v", "nrm"
+    )
+    x, y = members.alias("x"), members.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_parts(F.col("x.v"), F.col("y.v"),
+                                  F.col("x.nrm"), F.col("y.nrm")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col(f"x.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        members.join(dropped, id_col, "left_anti")
+        .select(id_col, "cell", "cent_sim")
+    )
+
+
+def retrieval_metrics_per_query(df: DataFrame, query_ids: list[int],
+                                k: int = 10, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                label_col: str = "label",
+                                dim: int | None = None) -> DataFrame:
+    """Retrieval-quality harness: MRR@k and precision@k against label
+    ground truth. For each query vector, the exact-cosine top-k over
+    the corpus (self excluded); a retrieved neighbor is RELEVANT when
+    it shares the query's label. Emits per query the rank of the first
+    relevant hit (0 = none in top-k), reciprocal rank, relevant count,
+    and precision@k — the measurement that decides whether an
+    embedding column is good enough to build the ANN serving path on,
+    before any index tuning (recall harnesses compare index vs exact;
+    this compares exact vs ground truth).
+
+    Plan: the query side is a broadcast (|Q| rows), so the corpus is
+    scanned ONCE scoring all queries per row; per-query top-k is a
+    window rank over |Q|*n scored pairs partitioned by query — at
+    100 TB with large |Q|, partial top-k per partition (the
+    TakeOrdered pattern) bounds the exchange. Cosines round to 6 with
+    id tie-break; ranks and metrics are integer/exact so the whole
+    harness is cross-engine reproducible."""
+    dim = probe_dim(df, vec_col, dim)
+    rows = _vec_norm(df, id_col, vec_col, dim, extra_cols=[label_col])
+    q = (
+        rows.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("qlabel"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    topk = (
+        rows.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_parts(F.col("v"), F.col("qv"),
+                                  F.col("nrm"), F.col("qnrm")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    rel_rank = F.when(F.col(label_col) == F.col("qlabel"), F.col("rank"))
+    return (
+        topk.groupBy("query_id")
+        .agg(
+            F.coalesce(F.min(rel_rank), F.lit(0)).cast("int").alias("first_rel_rank"),
+            F.round(
+                F.coalesce(1.0 / F.min(rel_rank), F.lit(0.0)), 6
+            ).alias("rr"),
+            F.count(rel_rank).cast("int").alias("n_rel"),
+            F.round(F.count(rel_rank) / F.lit(k), 6).alias("p_at_k"),
+        )
+    )
