@@ -106,6 +106,8 @@ Corpus / dataset ops (only when the description asks for them):
       sampling: per anchor, k different-label rows from a fixed pool;
       outputs id, label, negative_id, neg_rank)
   {{"op": "sample", "fraction": 0.1, "key": "doc_id"}}
+  {{"op": "redact"}}  (mask emails + long digit runs in the text
+      column in place; adds n_masked)
   {{"op": "ann_topk", "query_id": 42, "k": 10}}  (k most similar
       vectors to the given vector id)
   {{"op": "bm25", "terms": ["spark", "join"], "k": 10}}  (text search)

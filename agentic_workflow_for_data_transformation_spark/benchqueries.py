@@ -3665,6 +3665,38 @@ def p76_nl_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "embeddings", _P76_DESC)
 
 
+_P77_DESC = (
+    "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
+)
+
+
+@register("p77_nl_sample", _docs_nl_oracle(_P77_DESC))
+def p77_nl_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL deterministic sampling: 'sample 10% of documents by doc_id'
+    — sampling.hash_sample behind one clause. A pure per-row md5-draw
+    filter (never df.sample's engine-private RNG), so the same rows
+    survive on every run, engine, and partitioning; at 100 TB the
+    predicate codegens into the scan stage with no shuffle and no
+    state. The oracle renders the identical draw + integer cutoff."""
+    return _nl(spark, sf_dir, "documents", _P77_DESC)
+
+
+_P78_DESC = (
+    "Redact emails and numbers in each document and "
+    "select doc_id, text, n_masked"
+)
+
+
+@register("p78_nl_redact", _docs_nl_oracle(_P78_DESC))
+def p78_nl_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL PII scrub: 'redact emails and numbers in each document' —
+    text.redact_text behind one clause, masking emails and long digit
+    runs IN PLACE in the text column plus an n_masked audit count
+    (matches against the original text, so replacement-order
+    independent). Pure JVM regex per row: no shuffle, no Python."""
+    return _nl(spark, sf_dir, "documents", _P78_DESC)
+
+
 @register("p65_nl_pack", _docs_nl_oracle(_P65_DESC))
 def p65_nl_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NL sequence packing: 'pack documents into sequences of N
@@ -3972,7 +4004,7 @@ _WINDOW: list[str] = [
     "p75_nl_merge",
     "ns_text_bpe_merges",
     "p76_nl_negatives",
-    "ns_dedup_semantic", "ns_sim_mrr",
+    "ns_dedup_semantic", "ns_sim_mrr", "p77_nl_sample", "p78_nl_redact",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
@@ -3985,8 +4017,6 @@ _WINDOW: list[str] = [
     "x_join_star_broadcast",
     "x_json_extract_agg",
     "x_percentiles",
-    "x_pivot",
-    "x_regex_extract",
     "x_skew_salted_agg",
     "x_tpch_q17",
     "x_tpch_q6",

@@ -533,6 +533,19 @@ def compile_spec(
             from ..operators.text import with_lang_id
 
             df = with_lang_id(df, text_col=op.get("text_col", "text"))
+        elif kind == "redact":
+            from ..operators.text import redact_text
+
+            tcol = op.get("text_col", "text")
+            # in-place: the NL contract is "redact ... in text", so the
+            # text column itself carries the masked version; n_masked
+            # is BIGINT to match the oracle's len() arithmetic
+            df = redact_text(df, text_col=tcol)
+            df = (
+                df.withColumn(tcol, F.col("redacted"))
+                .drop("redacted")
+                .withColumn("n_masked", F.col("n_masked").cast("long"))
+            )
         elif kind == "token_counts":
             from ..operators.text import with_token_counts
 

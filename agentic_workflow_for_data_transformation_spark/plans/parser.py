@@ -51,6 +51,9 @@ _CLAUSE_KEYWORDS = (
     r"|score\s+(?:the\s+)?quality"
     r"|winsorize"
     r"|resample"
+    r"|sample\s+\d"
+    r"|keep\s+\d+(?:\.\d+)?\s*%"
+    r"|redact"
     r"|split\s+into\s+\d"
     r"|(?:inner|left|right|full|cross)\s+join)"
 )
@@ -356,7 +359,8 @@ _SEARCH = re.compile(
     re.IGNORECASE,
 )
 _SAMPLE = re.compile(
-    r"^sample\s+(\d+(?:\.\d+)?)\s*(?:%|percent)\s+of\s+rows\s+by\s+(\w+)\s*$",
+    r"^(?:sample|keep)\s+(\d+(?:\.\d+)?)\s*(?:%|percent)\s+of\s+"
+    r"(?:the\s+)?(?:rows|documents)\s+by\s+(\w+)\s*$",
     re.IGNORECASE,
 )
 # text-analysis projections over the document table: each adds typed
@@ -370,6 +374,13 @@ _TOKEN_COUNTS = re.compile(
 )
 _QUALITY = re.compile(
     r"^score\s+(?:the\s+)?quality\s+of\s+each\s+(?:document|row)\s*$",
+    re.IGNORECASE,
+)
+# "redact emails and numbers in each document" / "redact pii in each
+# row" -> mask emails + long digit runs in the text column in place
+_REDACT = re.compile(
+    r"^redact\s+(?:emails?\s+and\s+(?:long\s+)?numbers?|pii)\s+"
+    r"in\s+each\s+(?:document|row)\s*$",
     re.IGNORECASE,
 )
 # "pick 3 negatives per vector from a pool of 64" -> deterministic
@@ -712,6 +723,8 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         }
     if _LANGID.match(clause):
         return {"op": "langid"}
+    if _REDACT.match(clause):
+        return {"op": "redact"}
     if _TOKEN_COUNTS.match(clause):
         return {"op": "token_counts"}
     if _QUALITY.match(clause):

@@ -66,6 +66,9 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
    "label_col": "label"?}
       # deterministic contrastive negative sampling from a broadcast
       # pool; output (id, label, negative_id, neg_rank)
+  {"op": "redact", "text_col": "text"?}
+      # mask emails + long digit runs in the text column IN PLACE;
+      # adds n_masked (match count against the original text)
   {"op": "langid", "text_col": "text"?}       # adds pred_lang
   {"op": "token_counts", "text_col": "text"?} # adds n_words, n_tokens
   {"op": "quality_score", "text_col": "text"?}
@@ -527,7 +530,7 @@ def validate_op(op: Any) -> None:
             and 0 <= lo < hi <= 1
         ):
             _err(f"winsorize needs 0 <= lo < hi <= 1: {op!r}")
-    elif kind in ("langid", "token_counts", "quality_score"):
+    elif kind in ("langid", "token_counts", "quality_score", "redact"):
         if "text_col" in op and not isinstance(op["text_col"], str):
             _err(f"{kind} 'text_col' must be a string: {op!r}")
     elif kind == "split_assign":

@@ -310,6 +310,22 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"({col} < __lo OR {col} > __hi) AS was_clamped "
                 f"FROM wsrc JOIN wq USING ({keys})"
             )
+        elif kind == "redact":
+            # mirrors operators/text.redact_text (the ns_text_redact
+            # oracle, parameterized): regexes come from the same
+            # module constants, text replaced IN PLACE, n_masked
+            # counted against the original text
+            from ..operators.text import EMAIL_REGEX, LONG_NUM_REGEX
+
+            txt = _q(op.get("text_col", "text"))
+            sql = (
+                f"SELECT * REPLACE (regexp_replace(regexp_replace({txt}, "
+                f"'{EMAIL_REGEX}', '<EMAIL>', 'g'), "
+                f"'{LONG_NUM_REGEX}', '<NUM>', 'g') AS {txt}), "
+                f"CAST(len(regexp_extract_all({txt}, '{EMAIL_REGEX}')) "
+                f"+ len(regexp_extract_all({txt}, '{LONG_NUM_REGEX}')) AS BIGINT) "
+                f"AS n_masked FROM ({sql})"
+            )
         elif kind == "langid":
             # mirrors operators/text.with_lang_id: stopword-vote
             # argmax, ties break by language code order, 'und' when no

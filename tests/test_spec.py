@@ -1578,3 +1578,62 @@ def test_merge_spec_op_parse_compile(spark):
     assert out == {1: ("a", "kept"), 2: ("b2", "updated"), 3: ("c", "inserted")}
     with _pytest.raises(SpecError):
         compile_spec(base, spec, tables={})
+
+
+def test_redact_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["doc_id", "text"]
+    spec = parse_description(
+        "Redact emails and numbers in each document", columns=cols
+    )
+    assert spec["ops"] == [{"op": "redact"}]
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@example.com or call 12345"),
+            (2, "no pii here 123"),
+            (3, "x@y.io and z@w.co plus 999999"),
+        ],
+        cols,
+    )
+    out = {r["doc_id"]: (r["text"], r["n_masked"])
+           for r in compile_spec(df, spec).collect()}
+    assert out[1] == ("mail me at <EMAIL> or call <NUM>", 2)
+    assert out[2] == ("no pii here 123", 0)  # short digit run survives
+    assert out[3] == ("<EMAIL> and <EMAIL> plus <NUM>", 3)
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {r[0]: (r[1], r[2]) for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
+    assert oracle == out
+
+
+def test_sample_nl_broadened_phrasings():
+    from agentic_workflow_for_data_transformation_spark.plans import parse_description
+
+    cols = ["doc_id", "text"]
+    for desc in (
+        "Sample 10% of rows by doc_id",
+        "Sample 10 percent of rows by doc_id",
+        "Keep 12.5% of the documents by doc_id",
+    ):
+        (op,) = parse_description(desc, columns=cols)["ops"]
+        assert op["op"] == "sample" and op["key"] == "doc_id"
+    # composes across the clause splitter with a filter
+    spec = parse_description(
+        "Filter rows where doc_id > 5 and sample 10% of documents by doc_id",
+        columns=cols,
+    )
+    assert [o["op"] for o in spec["ops"]] == ["filter", "sample"]
+    spec = parse_description(
+        "Filter rows where doc_id > 5 and "
+        "redact emails and numbers in each document",
+        columns=cols,
+    )
+    assert [o["op"] for o in spec["ops"]] == ["filter", "redact"]
