@@ -9,14 +9,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F  # noqa: F401 (parity with sibling modules)
 
 from .benchqueries import _t, register
-from .operators import similarity
+from .operators import similarity, text
 
 # One unrolled deterministic Lloyd iteration (same algebra as the
 # ns_kmeans_refined oracle in nsqueries2.py), but the final assignment
-# CTE ``m`` keeps the vector so downstream pairwise stages can reuse it.
+# CTE ``m`` keeps the vector so downstream pairwise stages can reuse
+# it, and the centroid count auto-scales with the input
+# (similarity.auto_cells — the oracle computes the identical
+# greatest(8, ceil(n/512)) from count(*), so the sizing is portable).
 _KMEANS1_M_CTES = (
     "d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-    "c0 AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 8), "
+    "k AS (SELECT greatest(8, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS kc FROM d), "
+    "c0 AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < (SELECT kc FROM k)), "
     "a1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id ORDER BY "
     " round(list_cosine_similarity(v, cv), 6) DESC, cell) AS rn FROM d, c0), "
     "m1 AS (SELECT cell, i, round(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS cval "
@@ -41,11 +45,13 @@ register(
     desc=(
         "SemDeDup (arXiv:2303.09540): k-means cluster the embeddings, then "
         "within each cluster drop every vector with cosine >= 0.3 to a "
-        "lower-id member — pair work bounded by cell, never global n^2."
+        "lower-id member — cell count auto-scales (similarity.auto_cells) "
+        "so pair work stays ~n * cell, never global n^2."
     ),
 )(
     lambda spark, sf_dir: similarity.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), n_centroids=8, threshold=0.3, n_iter=1
+        _t(spark, sf_dir, "embeddings"), n_centroids=None, threshold=0.3,
+        n_iter=1
     )
 )
 
@@ -72,5 +78,60 @@ register(
 )(
     lambda spark, sf_dir: similarity.retrieval_metrics_per_query(
         _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=10
+    )
+)
+
+
+register(
+    "ns_sim_hard_negatives",
+    "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    "a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av FROM d WHERE vec_id < 8), "
+    "s AS (SELECT anchor_id, anchor_label, d.vec_id, d.label, "
+    " round(list_cosine_similarity(d.v, av), 6) AS cos_sim FROM d, a "
+    " WHERE d.label <> anchor_label), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id "
+    " ORDER BY cos_sim DESC, vec_id) AS neg_rank FROM s) "
+    "SELECT anchor_id, anchor_label, vec_id AS negative_id, "
+    "label AS negative_label, cos_sim, CAST(neg_rank AS INTEGER) AS neg_rank "
+    "FROM r WHERE neg_rank <= 5",
+    desc=(
+        "Hard-negative mining: per anchor, the 5 most cosine-similar "
+        "DIFFERENT-label vectors (boundary negatives for contrastive "
+        "training) — anchors broadcast, corpus scanned once; the bucketed "
+        "kNN join is the every-anchor sibling at scale."
+    ),
+)(
+    lambda spark, sf_dir: similarity.hard_negatives_per_anchor(
+        _t(spark, sf_dir, "embeddings"), anchor_ids=list(range(8)), k=5
+    )
+)
+
+
+register(
+    "ns_text_perplexity_buckets",
+    "WITH b AS (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w "
+    " FROM documents), "
+    "ref AS (SELECT w FROM b WHERE source = 'src0'), "
+    "t AS (SELECT CAST(count(*) AS DOUBLE) AS _n, "
+    " CAST(count(DISTINCT w) AS DOUBLE) AS _v FROM ref), "
+    "vocab AS (SELECT w, count(*) AS _cnt FROM ref GROUP BY w), "
+    "sc AS (SELECT doc_id, lang, -ln((coalesce(_cnt, 0) + 1) / (_n + _v)) AS nll "
+    " FROM b LEFT JOIN vocab USING (w) CROSS JOIN t), "
+    "pd AS (SELECT doc_id, lang, count(*) AS n_tokens, "
+    " round(sum(nll) / count(*), 6) AS xent FROM sc GROUP BY 1, 2), "
+    f"cuts AS (SELECT lang, quantile_cont(xent, {1.0 / 3.0!r}) AS q33, "
+    f" quantile_cont(xent, {2.0 / 3.0!r}) AS q67 FROM pd GROUP BY lang) "
+    "SELECT doc_id, lang, n_tokens, xent, "
+    "CASE WHEN xent <= q33 THEN 'head' WHEN xent <= q67 THEN 'middle' "
+    "ELSE 'tail' END AS ppl_bucket FROM pd JOIN cuts USING (lang)",
+    desc=(
+        "CCNet-style perplexity bucketing (arXiv:1911.00359): cross-entropy "
+        "under an add-one unigram LM trained on the src0 reference slice, "
+        "head/middle/tail tertiles per language via broadcast percentile "
+        "cutoffs — no language-sized window sort."
+    ),
+)(
+    lambda spark, sf_dir: text.perplexity_buckets(
+        _t(spark, sf_dir, "documents"), ref_source="src0"
     )
 )

@@ -1216,7 +1216,19 @@ def topk_ivfpq_from_index(queries: DataFrame, index_dir: str, k: int = 10,
     )
 
 
-def semantic_dedup(df: DataFrame, n_centroids: int = 8, threshold: float = 0.3,
+def auto_cells(n: int, target_cell: int = 512, lo: int = 8) -> int:
+    """Centroid count that keeps the EXPECTED k-means cell size
+    constant (~``target_cell`` rows) as the input grows: cells =
+    max(lo, ceil(n / target)). The semantic-dedup analog of auto_bits:
+    with FIXED cells the within-cell pair stage grows n^2/cells; with
+    auto cells it stays ~n * target. Engine-portable (the oracle
+    renders greatest(lo, ceil(count(*)/target)) over the same rows),
+    so auto-sizing preserves hash-matched correctness."""
+    return max(lo, math.ceil(n / float(target_cell)))
+
+
+def semantic_dedup(df: DataFrame, n_centroids: int | None = 8,
+                   threshold: float = 0.3,
                    n_iter: int = 1, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    dim: int | None = None) -> DataFrame:
@@ -1232,13 +1244,16 @@ def semantic_dedup(df: DataFrame, n_centroids: int = 8, threshold: float = 0.3,
     cluster+prune pipeline has an exact SQL oracle.
 
     Scale shape: the pairwise stage is an equi-join on cell, so pair
-    work is sum(|cell|^2) — never global n^2. At 100 TB, grow
-    n_centroids with the corpus (constant expected cell size keeps the
-    prune linear) and partition the assignment by cell so each
-    pair-block is co-located; the final anti-join keys on id only.
+    work is sum(|cell|^2) — never global n^2. ``n_centroids=None``
+    auto-sizes the cell count from the input (auto_cells: constant
+    expected cell size), which keeps the prune ~linear as the corpus
+    grows; at 100 TB also partition the assignment by cell so each
+    pair-block is co-located (the final anti-join keys on id only).
     Threshold note: real text embeddings concentrate near-duplicate
     mass above ~0.95; the synthetic testdata vectors are diffuse, so
     the default 0.3 is the analog that exercises the drop path."""
+    if n_centroids is None:
+        n_centroids = auto_cells(cached_count(df))
     dim = probe_dim(df, vec_col, dim)
     assigned = kmeans_assign(df, n_centroids=n_centroids, n_iter=n_iter,
                              id_col=id_col, vec_col=vec_col, dim=dim)
@@ -1331,5 +1346,61 @@ def retrieval_metrics_per_query(df: DataFrame, query_ids: list[int],
             ).alias("rr"),
             F.count(rel_rank).cast("int").alias("n_rel"),
             F.round(F.count(rel_rank) / F.lit(k), 6).alias("p_at_k"),
+        )
+    )
+
+
+def hard_negatives_per_anchor(df: DataFrame, anchor_ids: list[int],
+                              k: int = 5, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              label_col: str = "label",
+                              dim: int | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k most cosine-similar vectors with a DIFFERENT label — the
+    negatives that sit closest to the decision boundary, which train
+    far faster than the uniform-random draws of sampling
+    negative_samples (the two operators are the easy/hard ends of the
+    same pipeline stage).
+
+    Plan: anchors broadcast (|A| rows), corpus scanned once scoring
+    all anchors per row, per-anchor top-k as a window rank — the same
+    shape as retrieval_metrics_per_query with the relevance predicate
+    inverted. For mining over EVERY anchor at 100 TB, swap the
+    broadcast for the bucketed kNN join (knn_join_bucketed scores only
+    within sign-LSH buckets); this exact form is the fixed-anchor-set
+    serving path and the recall reference for that sibling. Cosines
+    round to 6 with id tie-break: deterministic, oracle-exact."""
+    dim = probe_dim(df, vec_col, dim)
+    rows = _vec_norm(df, id_col, vec_col, dim, extra_cols=[label_col])
+    anchors = (
+        rows.filter(F.col(id_col).isin([int(i) for i in anchor_ids]))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("anrm"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        rows.crossJoin(F.broadcast(anchors))
+        .filter(F.col(label_col) != F.col("anchor_label"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_parts(F.col("v"), F.col("av"),
+                                  F.col("nrm"), F.col("anrm")),
+                6,
+            ),
+        )
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            "anchor_id", "anchor_label",
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            "cos_sim", "neg_rank",
         )
     )

@@ -638,3 +638,66 @@ def bpe_merge_table(df: DataFrame, n_merges: int = 3,
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, merged string, pair_count bigint"
     )
+
+
+def perplexity_buckets(df: DataFrame, ref_source: str = "src0",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       lang_col: str = "lang",
+                       source_col: str = "source") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document by its cross-entropy under
+    a unigram LM trained on a REFERENCE slice (one trusted source),
+    then split each language into head/middle/tail tertiles — the
+    standard curation step that keeps the fluent third of a crawl and
+    demotes the rest. The LM is add-one smoothed:
+    p(w) = (c_ref(w) + 1) / (N_ref + V_ref), unseen words get the same
+    +1 mass, so out-of-domain text scores high, formulaic text low.
+
+    Shape: one token explode; the vocabulary table comes only from the
+    reference slice (persist + broadcast it at 100 TB — it is
+    vocabulary-sized, not corpus-sized; if it outgrows broadcast the
+    token join degrades gracefully to a shuffle on the word). Tertile
+    CUTOFFS are computed per language as exact interpolated
+    percentiles and broadcast back — the winsorize shape — so no
+    language-sized window sort anywhere. xent is rounded to 6 before
+    the cutoff compare; cutoffs interpolate between rounded values, so
+    the bucket decision is engine-exact (percentile == quantile_cont,
+    the established cross-engine contract)."""
+    base = spread_small_input_text(df).select(
+        F.col(id_col), F.col(lang_col), F.col(source_col),
+        F.explode(_word_array(text_col)).alias("w"),
+    )
+    ref = base.filter(F.col(source_col) == ref_source)
+    totals = ref.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.countDistinct("w").cast("double").alias("_v"),
+    )
+    vocab = ref.groupBy("w").agg(F.count(F.lit(1)).alias("_cnt"))
+    scored = (
+        base.join(vocab, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            (-F.log(
+                (F.coalesce(F.col("_cnt"), F.lit(0)) + 1)
+                / (F.col("_n") + F.col("_v"))
+            )).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("xent"),
+    )
+    third, two_thirds = 1.0 / 3.0, 2.0 / 3.0
+    cuts = per_doc.groupBy(lang_col).agg(
+        F.expr(f"percentile(xent, {third!r})").alias("_q33"),
+        F.expr(f"percentile(xent, {two_thirds!r})").alias("_q67"),
+    )
+    return per_doc.join(F.broadcast(cuts), lang_col).select(
+        id_col, lang_col, "n_tokens", "xent",
+        F.when(F.col("xent") <= F.col("_q33"), F.lit("head"))
+        .when(F.col("xent") <= F.col("_q67"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

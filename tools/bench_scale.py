@@ -115,6 +115,15 @@ QUERIES = [
     "x_merge_upsert",
     "ns_sample_negatives",
     "ns_text_bpe_merges",
+    # round-8 third-session additions: SemDeDup (auto-sized cells keep
+    # the within-cell prune linear), the broadcast-anchor retrieval
+    # harnesses, the regex-heavy NL redact, and the reference-slice
+    # perplexity bucketing (token join + broadcast percentile cutoffs)
+    "ns_dedup_semantic",
+    "ns_sim_mrr",
+    "ns_sim_hard_negatives",
+    "p78_nl_redact",
+    "ns_text_perplexity_buckets",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
