@@ -565,3 +565,35 @@ def test_merge_upsert_single_keyed_join(spark):
     assert "FullOuter" in plan
     assert plan.count("Join") >= 1
     assert "SinglePartition" not in plan
+
+
+def test_mrr_and_hard_negatives_broadcast_queries(spark):
+    """Retrieval harnesses: the anchor/query side is a tiny filtered
+    frame that must broadcast so the corpus is scanned exactly once —
+    a shuffled join would co-partition the corpus by nothing useful."""
+    for name in ("ns_sim_mrr", "ns_sim_hard_negatives"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_perplexity_buckets_broadcast_cutoffs(spark):
+    """CCNet bucketing: the per-language tertile cutoffs are a tiny
+    aggregate that must re-enter as a broadcast join (the winsorize
+    shape), and there must be no language-partitioned Window sort —
+    bucket assignment is a per-row CASE against broadcast cutoffs."""
+    plan = plan_of(spark, "ns_text_perplexity_buckets")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_semantic_dedup_pair_stage_is_cell_equijoin(spark):
+    """SemDeDup: the within-cluster prune must be an equi-join on the
+    cell id (pair work bounded by cell size), with the centroid set
+    broadcast into the assignment — never a corpus x corpus
+    SortMergeJoin on anything non-cell, and never a cartesian over
+    data-sized sides."""
+    plan = plan_of(spark, "ns_dedup_semantic")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the only joins on data-sized sides key on the cell / id columns
+    assert "CartesianProduct" not in plan

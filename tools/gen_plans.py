@@ -193,6 +193,21 @@ HEADLINE: list[tuple[str, str]] = [
         "stage — the per-anchor ranking window is the only exchange; a "
         "per-anchor corpus sample would have been a self-join.",
     ),
+    (
+        "ns_dedup_semantic",
+        "SemDeDup: centroids broadcast into the assignment (corpus "
+        "scanned, never repartitioned by anything data-sized); the "
+        "within-cluster prune is an equi-join on the cell id, so pair "
+        "work is sum(cell^2) with auto-sized cells — ~n * cell, not "
+        "n^2; survivors leave through a left-anti join keyed on id.",
+    ),
+    (
+        "ns_sim_hard_negatives",
+        "Hard-negative mining: the anchor set broadcasts, the corpus "
+        "is scanned once scoring every anchor per row, and the only "
+        "exchange is the per-anchor top-k window partitioned by "
+        "anchor_id — the same single-scan shape as the MRR harness.",
+    ),
 ]
 
 
