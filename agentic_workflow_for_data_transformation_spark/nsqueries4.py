@@ -1,7 +1,8 @@
 """Round-8 third-session registrations (registered inside the round-8
 driver window via benchqueries._WINDOW): SemDeDup semantic
-deduplication and the label-ground-truth retrieval-quality harness
-(MRR@k / precision@k).
+deduplication, the label-ground-truth retrieval harnesses (MRR@k /
+precision@k, hard-negative mining), CCNet perplexity bucketing, and
+incremental near-dup dedup against a persisted LSH bucket archive.
 """
 
 from __future__ import annotations
@@ -135,3 +136,46 @@ register(
         _t(spark, sf_dir, "documents"), ref_source="src0"
     )
 )
+
+
+def _reg_incremental_lsh():
+    from pyspark.sql import functions as F
+
+    from .nsqueries import _SHINGLE_CTE, _buckets_sql, _sig_sql
+    from .operators import dedup
+
+    def build(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.incremental_neardup_new_docs(
+            new=docs.filter(F.col("doc_id") % 5 == 0),
+            archive=docs.filter(F.col("doc_id") % 5 != 0),
+            threshold=0.5,
+        )
+
+    register(
+        "ns_dedup_incremental_lsh",
+        f"WITH {_SHINGLE_CTE}, {_sig_sql()}, {_buckets_sql()}, "
+        "cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS arch_id FROM buckets x "
+        " JOIN buckets y ON x.band_idx = y.band_idx AND x.band_key = y.band_key "
+        " AND x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0), "
+        "inter AS (SELECT a.doc_id AS new_id, b.doc_id AS arch_id, count(*) AS n_inter "
+        " FROM e a JOIN e b ON a.s = b.s AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 "
+        " GROUP BY 1, 2), "
+        "sizes AS (SELECT doc_id, len(sh) AS sz FROM sh), "
+        "matched AS (SELECT DISTINCT new_id FROM cand JOIN inter USING (new_id, arch_id) "
+        " JOIN sizes sa ON new_id = sa.doc_id JOIN sizes sb ON arch_id = sb.doc_id "
+        " WHERE round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 6) >= 0.5) "
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        "WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT new_id FROM matched)",
+        desc=(
+            "Incremental NEAR-dup ingest dedup (dedup."
+            "incremental_neardup_new_docs): batch band keys equi-join the "
+            "archive's LSH buckets, exact Jaccard verifies candidates with "
+            "both sides id-restricted, survivors leave via one anti join — "
+            "the fuzzy twin of the exact-digest incremental rung; "
+            "write_lsh_archive persists the bucketed archive side."
+        ),
+    )(build)
+
+
+_reg_incremental_lsh()

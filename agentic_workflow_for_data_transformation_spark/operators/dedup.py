@@ -199,6 +199,29 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return e.groupBy(id_col).agg(*mins)
 
 
+def band_buckets(df: DataFrame, id_col: str = "doc_id",
+                 num_hashes: int = 16, bands: int = 4, n: int = 3,
+                 sig: DataFrame | None = None) -> DataFrame:
+    """Banded LSH bucket keys, one (id, band_idx, band_key) row per
+    band: the joinable artifact of the MinHash pipeline — both the
+    self-join inside minhash_lsh_candidates and the archive side of
+    incremental near-dup dedup are equi-joins on these keys. band_key
+    is the md5 of the band's hash row, so the key is fixed-width and
+    engine-portable."""
+    rows = num_hashes // bands
+    if sig is None:
+        sig = minhash_signatures(df, id_col=id_col, num_hashes=num_hashes, n=n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b*rows + r}") for r in range(rows)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
+    return banded.selectExpr(
+        id_col, f"stack({bands}, {stack_expr}) AS (band_idx, band_key)"
+    )
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            num_hashes: int = 16, bands: int = 4,
                            n: int = 3, sig: DataFrame | None = None) -> DataFrame:
@@ -210,18 +233,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     1-(1-j^4)^4 — ~0.97 for jaccard 0.8, ~0.02 for jaccard 0.2 — the
     classic near-dup filter curve. Cost is one self-join on band keys:
     candidates only, never the full cross product."""
-    rows = num_hashes // bands
-    if sig is None:
-        sig = minhash_signatures(df, id_col=id_col, num_hashes=num_hashes, n=n)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"h{b*rows + r}") for r in range(rows)])).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(id_col, *band_cols)
-    stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
-    buckets = banded.selectExpr(
-        id_col, f"stack({bands}, {stack_expr}) AS (band_idx, band_key)"
-    )
+    buckets = band_buckets(df, id_col=id_col, num_hashes=num_hashes,
+                           bands=bands, n=n, sig=sig)
     x, y = buckets.alias("x"), buckets.alias("y")
     pairs = (
         x.join(
@@ -921,3 +934,105 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
         ).alias("text_dedup"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
+
+
+def write_lsh_archive(df: DataFrame, table: str, path: str,
+                      n_buckets: int = 32, id_col: str = "doc_id",
+                      num_hashes: int = 16, bands: int = 4,
+                      n: int = 3) -> None:
+    """Materialize the historical corpus's banded LSH bucket keys as a
+    BUCKETED table (``bucketBy(n, band_key).sortBy(band_key)``) — the
+    near-dup twin of write_digest_archive. Every future incremental
+    batch joins its own band keys against this table; with the bucket
+    layout the archive side of that equi-join plans no Exchange, so the
+    recurring per-batch cost is one small-side shuffle. The artifact is
+    (id, band_idx, band_key): ~bands rows x ~40 bytes per document —
+    pay the signature computation and the shuffle once at build."""
+    from ..sources.io import write_parquet
+
+    write_parquet(
+        band_buckets(df, id_col=id_col, num_hashes=num_hashes,
+                     bands=bands, n=n),
+        path,
+        buckets=(n_buckets, ["band_key"], table),
+    )
+
+
+def incremental_neardup_new_docs(new: DataFrame, archive: DataFrame,
+                                 archive_buckets: DataFrame | None = None,
+                                 threshold: float = 0.5,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 num_hashes: int = 16, bands: int = 4,
+                                 n: int = 3) -> DataFrame:
+    """Incremental NEAR-duplicate ingest dedup: keep only the new
+    documents with no VERIFIED fuzzy duplicate (exact shingle Jaccard
+    >= threshold) in the historical corpus — the recurring-pipeline
+    step exact-digest incremental dedup (incremental_new_docs) cannot
+    cover, because a crawler re-serves near-identical pages, not
+    byte-identical ones.
+
+    Shape: batch band keys equi-join the archive's band keys
+    (candidates = cross-corpus LSH collisions only, never batch x
+    archive), then exact Jaccard verifies candidates with BOTH sides
+    restricted to candidate documents via broadcast semi-joins —
+    the archive is touched only at its colliding documents, which at
+    100 TB is an id-pruned read, not a scan. Survivors leave through
+    one anti join on id. Pass ``archive_buckets`` (the persisted
+    write_lsh_archive table) to skip re-hashing the archive per batch
+    AND drop the archive-side Exchange; ``archive`` itself is read
+    only for candidate verification text. Intra-batch near-dups are
+    deliberately out of scope — that is the lsh_verified_pairs +
+    greedy-keep-first pass, run once over the batch."""
+    nb = band_buckets(new, id_col=id_col, num_hashes=num_hashes,
+                      bands=bands, n=n)
+    ab = archive_buckets if archive_buckets is not None else band_buckets(
+        archive, id_col=id_col, num_hashes=num_hashes, bands=bands, n=n)
+    x, y = nb.alias("x"), ab.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("new_id"),
+            F.col(f"y.{id_col}").alias("arch_id"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    new_r = new.join(
+        F.broadcast(cand.select(F.col("new_id").alias(id_col)).distinct()),
+        id_col, "left_semi",
+    )
+    arch_r = archive.join(
+        F.broadcast(cand.select(F.col("arch_id").alias(id_col)).distinct()),
+        id_col, "left_semi",
+    )
+    en = shingle_index(new_r, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col).alias("new_id"), _hash60(F.col("s")).alias("s")
+    )
+    ea = shingle_index(arch_r, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col).alias("arch_id"), _hash60(F.col("s")).alias("s")
+    )
+    inter = en.join(ea, "s").groupBy("new_id", "arch_id").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
+    sz_n = en.groupBy("new_id").agg(F.count(F.lit(1)).alias("sz_n"))
+    sz_a = ea.groupBy("arch_id").agg(F.count(F.lit(1)).alias("sz_a"))
+    matched = (
+        cand.join(inter, ["new_id", "arch_id"])
+        .join(sz_n, "new_id")
+        .join(sz_a, "arch_id")
+        .filter(
+            F.round(
+                F.col("n_inter") / (F.col("sz_n") + F.col("sz_a") - F.col("n_inter")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new.join(matched, id_col, "left_anti")

@@ -178,3 +178,52 @@ def test_digest_archive_bucketed_join_skips_archive_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_lsh_archive_parity_and_bucketed_layout(spark, tmp_path):
+    """Incremental NEAR-dup dedup (the fuzzy twin of the digest-archive
+    rung): the persisted bucketBy(band_key) archive must (a) produce
+    IDENTICAL survivors to re-hashing the raw archive per batch, and
+    (b) plan no Exchange above the archive-bucket scan in the
+    candidate join — band keys arrive pre-partitioned from the bucket
+    files."""
+    from agentic_workflow_for_data_transformation_spark.operators import dedup
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, LAYOUT_SF_DIR, "documents")
+    arch = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    table = "lsh_archive_layout_test"
+    dedup.write_lsh_archive(arch, table, str(tmp_path / "lsharch"))
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        archived = dedup.incremental_neardup_new_docs(
+            new, arch, archive_buckets=spark.table(table)
+        )
+        baseline = dedup.incremental_neardup_new_docs(new, arch)
+        # bucket scan feeds the band-key join without re-partitioning:
+        # no Exchange node mentions the archive table
+        plan = archived._jdf.queryExecution().executedPlan()
+
+        def walk(node):
+            yield node
+            cs = node.children()
+            for i in range(cs.size()):
+                yield from walk(cs.apply(i))
+
+        assert not any(
+            n.nodeName() == "Exchange" and table in n.toString()
+            for n in walk(plan)
+        )
+        got = {r["doc_id"] for r in archived.collect()}
+        want = {r["doc_id"] for r in baseline.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)

@@ -124,6 +124,7 @@ QUERIES = [
     "ns_sim_hard_negatives",
     "p78_nl_redact",
     "ns_text_perplexity_buckets",
+    "ns_dedup_incremental_lsh",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
