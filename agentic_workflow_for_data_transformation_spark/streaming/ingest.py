@@ -142,3 +142,99 @@ def streaming_count_min(docs: DataFrame, depth: int = 4, width: int = 256,
         .groupBy("r", "cell")
         .agg(F.count(F.lit(1)).alias("cellsum"))
     )
+
+
+# --------------------------------------------------------------------------
+# NEAR-dup streaming ingest: the fuzzy twin of the digest rung above.
+# Two persisted artifacts instead of one — the bucketed band-key table
+# (candidate join side, Exchange-free) and the accepted-docs parquet
+# store (text for exact-Jaccard verification, read only at candidate
+# ids). Both grow per batch through the same specs.
+# --------------------------------------------------------------------------
+
+
+def ensure_lsh_archive(spark: SparkSession, table: str, path: str,
+                       docs_dir: str, seed: DataFrame | None = None,
+                       n_buckets: int = 32, id_col: str = "doc_id",
+                       text_col: str = "text") -> None:
+    """Create the near-dup archive pair if absent: the bucketed
+    band-key table (dedup.write_lsh_archive) and the accepted-docs
+    store the verifier reads candidate text from — empty, or seeded
+    from the batch backfill that precedes the stream."""
+    if spark.catalog.tableExists(table):
+        return
+    if seed is None:
+        seed = spark.createDataFrame([], f"{id_col} bigint, {text_col} string")
+    _dedup.write_lsh_archive(seed, table, path, n_buckets=n_buckets,
+                             id_col=id_col)
+    seed.write.mode("overwrite").parquet(docs_dir)
+
+
+def neardup_batch_against_archive(batch: DataFrame, table: str,
+                                  docs_dir: str, threshold: float = 0.5,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> DataFrame:
+    """One micro-batch through the near-dup screen: band keys equi-join
+    the bucketed archive (no archive-side Exchange), exact Jaccard
+    verifies candidates against the accepted-docs store restricted to
+    colliding ids — per-trigger work is batch-sized plus the candidate
+    reads, never archive-sized."""
+    spark = batch.sparkSession
+    return _dedup.incremental_neardup_new_docs(
+        batch, spark.read.parquet(docs_dir),
+        archive_buckets=spark.table(table),
+        threshold=threshold, id_col=id_col, text_col=text_col,
+    )
+
+
+def append_band_keys(df: DataFrame, table: str, path: str,
+                     n_buckets: int = 32, id_col: str = "doc_id") -> None:
+    """Append the accepted documents' band keys through the same bucket
+    spec, preserving the shuffle-free candidate join for every future
+    batch."""
+    (
+        _dedup.band_buckets(df, id_col=id_col)
+        .write.mode("append")
+        .option("path", path)
+        .bucketBy(n_buckets, "band_key")
+        .sortBy("band_key")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def ingest_stream_neardup(docs: DataFrame, table: str, path: str,
+                          docs_dir: str, out_dir: str, checkpoint_dir: str,
+                          threshold: float = 0.5, id_col: str = "doc_id",
+                          text_col: str = "text", n_buckets: int = 32):
+    """Streaming near-dup corpus ingest: foreachBatch(screen -> emit ->
+    append docs + band keys). State lives in the two archive artifacts,
+    so restarts recover from checkpoint + tables and a batch job can
+    share them; at-least-once on the sink, and the archive stays
+    correct under replay (a replayed doc matches its own archived copy
+    at Jaccard 1.0 and is dropped). Intra-batch near-dups are out of
+    scope by the same contract as the batch operator — run
+    lsh_verified_pairs + greedy keep-first inside the batch when that
+    matters. Returns the started StreamingQuery."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        fresh = neardup_batch_against_archive(
+            batch, table, docs_dir, threshold=threshold,
+            id_col=id_col, text_col=text_col,
+        ).persist()
+        try:
+            if fresh.limit(1).count() == 0:
+                return
+            fresh.write.mode("append").parquet(out_dir)
+            fresh.select(id_col, text_col).write.mode("append").parquet(docs_dir)
+            append_band_keys(fresh, table, path, n_buckets=n_buckets,
+                             id_col=id_col)
+        finally:
+            fresh.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

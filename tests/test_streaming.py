@@ -738,3 +738,64 @@ def test_ann_serve_stream_matches_batch(spark, sf_dir, tmp_path):
                                     dim=64).collect()
         ]
         assert got == want, qid
+
+
+def test_stream_ingest_neardup_against_lsh_archive(spark, sf_dir, tmp_path):
+    """Streaming NEAR-dup ingest vs the persisted LSH bucket archive +
+    accepted-docs store: the single-batch stream must emit exactly the
+    batch operator's survivors, and a second run over the same source
+    emits nothing (every doc now matches its own archived copy at
+    Jaccard 1.0) — state lives in the two tables, not the stream."""
+    import os
+
+    from agentic_workflow_for_data_transformation_spark.operators import dedup
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+    from agentic_workflow_for_data_transformation_spark.streaming import (
+        ensure_lsh_archive,
+        ingest_stream_neardup,
+        read_documents_stream,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    seed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    incoming = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+
+    src = tmp_path / "src"
+    # one file -> one micro-batch, so stream == one batch-operator call
+    incoming.coalesce(1).write.parquet(str(src))
+
+    table = "lsh_archive_stream_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ensure_lsh_archive(spark, table, str(tmp_path / "arch"),
+                       str(tmp_path / "docs"), seed=seed)
+
+    q = ingest_stream_neardup(
+        read_documents_stream(spark, str(src)), table,
+        str(tmp_path / "arch"), str(tmp_path / "docs"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {
+        r["doc_id"]
+        for r in dedup.incremental_neardup_new_docs(incoming, seed).collect()
+    }
+    assert got == want and len(got) > 0
+
+    q2 = ingest_stream_neardup(
+        read_documents_stream(spark, str(src)), table,
+        str(tmp_path / "arch"), str(tmp_path / "docs"),
+        str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    out2 = tmp_path / "out2"
+    n2 = (
+        spark.read.parquet(str(out2)).count()
+        if out2.exists() and any(f.endswith(".parquet") for f in os.listdir(out2))
+        else 0
+    )
+    assert n2 == 0
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
