@@ -179,3 +179,64 @@ def _reg_incremental_lsh():
 
 
 _reg_incremental_lsh()
+
+
+def _bpe_encode_sql(n_merges: int = 3) -> str:
+    # train CTEs identical to nsqueries3._bpe_sql, but the symbol chain
+    # keeps the word so the final fused form encodes the vocabulary;
+    # per-doc counts join exploded words to the encoded vocab
+    ctes = [
+        "bw AS (SELECT w, count(*) AS wc FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE len(w) > 0 GROUP BY w)",
+        "s0 AS (SELECT w, array_to_string(string_split(w, ''), ' ') AS s, wc FROM bw)",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM ("
+            "SELECT unnest(list_transform(range(1, len(ws)), "
+            "i -> ws[i] || ' ' || ws[i+1])) AS pair, wc "
+            f"FROM (SELECT string_split(s, ' ') AS ws, wc FROM {prev})) "
+            "GROUP BY pair)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT w, trim(replace(replace("
+            "' ' || replace(s, ' ', '  ') || ' ', "
+            f"' ' || (SELECT replace(pair, ' ', '  ') FROM b{r}) || ' ', "
+            f"' ' || (SELECT replace(pair, ' ', '') FROM b{r}) || ' '"
+            f"), '  ', ' ')) AS s, wc FROM {prev})"
+        )
+    ctes.append(
+        f"enc AS (SELECT w, len(string_split(s, ' ')) AS n_tok FROM s{n_merges})"
+    )
+    ctes.append(
+        "dw AS (SELECT doc_id, w FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0)"
+    )
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens "
+        "FROM dw JOIN enc USING (w) GROUP BY doc_id"
+    )
+
+
+register(
+    "ns_text_bpe_encode",
+    _bpe_encode_sql(3),
+    desc=(
+        "BPE encode (text.bpe_encode_token_counts): apply the 3 trained "
+        "merges to the distinct vocabulary via the same boundary-doubled "
+        "replace algebra, then count tokenizer tokens per document — the "
+        "serving half of the BPE trainer; encode work is vocab-sized, "
+        "per-doc counts via one broadcast word join."
+    ),
+)(
+    lambda spark, sf_dir: text.bpe_encode_token_counts(
+        _t(spark, sf_dir, "documents"), n_merges=3
+    )
+)

@@ -701,3 +701,67 @@ def perplexity_buckets(df: DataFrame, ref_source: str = "src0",
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def bpe_encode_token_counts(df: DataFrame, n_merges: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Apply the trained BPE merges and count tokens per document —
+    the serving half of bpe_merge_table (train) and the measurement a
+    token-budget pipeline actually needs: how many TOKENIZER tokens
+    each document costs, not whitespace words. Emits
+    (id, n_words, n_bpe_tokens).
+
+    Distributed shape: merges train exactly as bpe_merge_table (one
+    1-row collect per round — bounded driver state), then encoding
+    runs over the DISTINCT VOCABULARY, never the corpus: each learned
+    pair fuses via the same boundary-doubled replace algebra, so
+    train and encode are one string calculus and the whole pipeline
+    has an unrolled SQL oracle. Per-doc counts come from joining the
+    corpus's exploded words to the (vocabulary-sized, broadcast)
+    encoded table — at web scale where the vocab outgrows broadcast,
+    the same join degrades gracefully to a shuffle on the word."""
+    merges = [
+        r["pair"]
+        for r in bpe_merge_table(df, n_merges=n_merges, text_col=text_col)
+        .collect()
+    ]
+    vocab = (
+        df.select(F.explode(_word_array(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    sym = F.array_join(
+        F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")), " "
+    )
+    enc = vocab.select("w", sym.alias("s"))
+    for pair in merges:
+        merged = pair.replace(" ", "")
+        doubled = F.concat(
+            F.lit(" "), F.replace(F.col("s"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        fused = F.trim(
+            F.replace(
+                F.replace(
+                    doubled,
+                    F.lit(" " + pair.replace(" ", "  ") + " "),
+                    F.lit(" " + merged + " "),
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+        enc = enc.select("w", fused.alias("s"))
+    enc = enc.select("w", F.size(F.split(F.col("s"), " ")).alias("n_tok"))
+    dw = (
+        df.select(F.col(id_col), F.explode(_word_array(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    return (
+        dw.join(F.broadcast(enc), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+        )
+    )

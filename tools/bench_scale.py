@@ -125,6 +125,7 @@ QUERIES = [
     "p78_nl_redact",
     "ns_text_perplexity_buckets",
     "ns_dedup_incremental_lsh",
+    "ns_text_bpe_encode",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
