@@ -108,6 +108,12 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "sample", "fraction": 0.1, "key": "doc_id"}}
   {{"op": "redact"}}  (mask emails + long digit runs in the text
       column in place; adds n_masked)
+  {{"op": "expect", "expectations": [
+      {{"kind": "unique", "col": "id"}},
+      {{"kind": "not_null", "col": "text"}},
+      {{"kind": "accepted_values", "col": "lang", "values": ["en"]}},
+      {{"kind": "min_rows", "n": 100}}]}}  (data-quality report:
+      one row per expectation with violation counts)
   {{"op": "ann_topk", "query_id": 42, "k": 10}}  (k most similar
       vectors to the given vector id)
   {{"op": "bm25", "terms": ["spark", "join"], "k": 10}}  (text search)
@@ -247,6 +253,11 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
     replaces_schema = {
         "pivot", "rollup", "pack", "ann_topk", "bm25",
         "ols", "mode", "neardup_pairs", "wordcount",
+        # expect/chunk/resample/negatives emit their own report or
+        # per-unit schema; merge keeps the schema but REWRITES values
+        # (an earlier filter may legitimately no longer hold on
+        # updated rows) — all five invalidate earlier predicates
+        "expect", "chunk", "resample", "negatives", "merge",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -331,6 +342,10 @@ def critic_agent(
             "REPLACE the columns with their own summary schema — for "
             "those, expect the summary table, not the original rows "
             "(e.g. pack outputs per-sequence stats, not documents). "
+            "An expect op outputs a VALIDATION REPORT: rows with "
+            "passed=false correctly REPORT contract violations in the "
+            "data — a failing report is a consistent output, not a "
+            "wrong transformation. "
             "Answer NO only if the output clearly CONTRADICTS the "
             "plan; when unsure, answer YES.\n"
             f"plan: {json.dumps(spec)}\n"

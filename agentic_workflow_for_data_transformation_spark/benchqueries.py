@@ -3665,6 +3665,24 @@ def p76_nl_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "embeddings", _P76_DESC)
 
 
+_P79_DESC = (
+    "Check that doc_id is unique and text is not null and "
+    "lang is in 'en', 'de' and at least 100 rows"
+)
+
+
+@register("p79_nl_expectations", _docs_nl_oracle(_P79_DESC))
+def p79_nl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL data-quality contract: 'check that doc_id is unique and text
+    is not null and lang is in ... and at least 100 rows' —
+    quality.check_expectations behind one clause. Every per-row check
+    is a conditional sum and uniqueness an exact count-distinct inside
+    ONE aggregate scan; the report explodes from the 1-row frame. The
+    two-language accepted-values list fails on purpose so the fixture
+    exercises non-zero violation counts."""
+    return _nl(spark, sf_dir, "documents", _P79_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4006,7 +4024,7 @@ _WINDOW: list[str] = [
     "p76_nl_negatives",
     "ns_dedup_semantic", "ns_sim_mrr", "p77_nl_sample", "p78_nl_redact",
     "ns_sim_hard_negatives", "ns_text_perplexity_buckets",
-    "ns_dedup_incremental_lsh", "ns_text_bpe_encode",
+    "ns_dedup_incremental_lsh", "ns_text_bpe_encode", "p79_nl_expectations",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
@@ -4016,7 +4034,6 @@ _WINDOW: list[str] = [
     "x_join_anti",
     "x_join_range",
     "x_join_semi",
-    "x_tpch_q17",
     "x_tpch_q6",
     "ns_sim_topk_ivf",
     "ns_sim_topk_multi",

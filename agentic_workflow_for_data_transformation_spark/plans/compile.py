@@ -533,6 +533,10 @@ def compile_spec(
             from ..operators.text import with_lang_id
 
             df = with_lang_id(df, text_col=op.get("text_col", "text"))
+        elif kind == "expect":
+            from ..operators.quality import check_expectations
+
+            df = check_expectations(df, [dict(e) for e in op["expectations"]])
         elif kind == "redact":
             from ..operators.text import redact_text
 

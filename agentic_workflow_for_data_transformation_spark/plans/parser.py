@@ -54,6 +54,7 @@ _CLAUSE_KEYWORDS = (
     r"|sample\s+\d"
     r"|keep\s+\d+(?:\.\d+)?\s*%"
     r"|redact"
+    r"|check\s+that"
     r"|split\s+into\s+\d"
     r"|(?:inner|left|right|full|cross)\s+join)"
 )
@@ -376,6 +377,17 @@ _QUALITY = re.compile(
     r"^score\s+(?:the\s+)?quality\s+of\s+each\s+(?:document|row)\s*$",
     re.IGNORECASE,
 )
+# "check that doc_id is unique and text is not null and lang is in
+# 'en', 'de' and at least 100 rows" -> the declarative data-quality
+# contract (quality.check_expectations); expectations separated by
+# "and", value lists quoted-comma'd so the two never collide
+_EXPECT = re.compile(r"^check\s+that\s+(.+)$", re.IGNORECASE)
+_EXP_UNIQUE = re.compile(r"^(\w+)\s+is\s+unique$", re.IGNORECASE)
+_EXP_NOT_NULL = re.compile(r"^(\w+)\s+is\s+not\s+null$", re.IGNORECASE)
+_EXP_IN = re.compile(
+    r"^(\w+)\s+is\s+in\s+('[^']*'(?:\s*,\s*'[^']*')*)$", re.IGNORECASE
+)
+_EXP_MIN_ROWS = re.compile(r"^at\s+least\s+(\d+)\s+rows?$", re.IGNORECASE)
 # "redact emails and numbers in each document" / "redact pii in each
 # row" -> mask emails + long digit runs in the text column in place
 _REDACT = re.compile(
@@ -725,6 +737,27 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "langid"}
     if _REDACT.match(clause):
         return {"op": "redact"}
+    if m := _EXPECT.match(clause):
+        exps: list[dict] = []
+        for part in re.split(r"\s+and\s+", m.group(1), flags=re.IGNORECASE):
+            part = part.strip()
+            if mm := _EXP_UNIQUE.match(part):
+                exps.append({"kind": "unique",
+                             "col": _resolve_col(mm.group(1), columns)})
+            elif mm := _EXP_NOT_NULL.match(part):
+                exps.append({"kind": "not_null",
+                             "col": _resolve_col(mm.group(1), columns)})
+            elif mm := _EXP_IN.match(part):
+                exps.append({
+                    "kind": "accepted_values",
+                    "col": _resolve_col(mm.group(1), columns),
+                    "values": [v[1:-1] for v in re.findall(r"'[^']*'", mm.group(2))],
+                })
+            elif mm := _EXP_MIN_ROWS.match(part):
+                exps.append({"kind": "min_rows", "n": int(mm.group(1))})
+            else:
+                raise ParseError(f"unknown expectation: {part!r}")
+        return {"op": "expect", "expectations": exps}
     if _TOKEN_COUNTS.match(clause):
         return {"op": "token_counts"}
     if _QUALITY.match(clause):

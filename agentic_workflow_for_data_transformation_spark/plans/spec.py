@@ -69,6 +69,14 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "redact", "text_col": "text"?}
       # mask emails + long digit runs in the text column IN PLACE;
       # adds n_masked (match count against the original text)
+  {"op": "expect", "expectations": [
+      {"kind": "unique", "col": "doc_id"},
+      {"kind": "not_null", "col": "text"},
+      {"kind": "accepted_values", "col": "lang", "values": ["en"]},
+      {"kind": "min_rows", "n": 100}]}
+      # declarative data-quality contract: ONE aggregate pass, output
+      # one report row per expectation (expectation, kind, col,
+      # n_rows, n_violations, passed)
   {"op": "langid", "text_col": "text"?}       # adds pred_lang
   {"op": "token_counts", "text_col": "text"?} # adds n_words, n_tokens
   {"op": "quality_score", "text_col": "text"?}
@@ -533,6 +541,27 @@ def validate_op(op: Any) -> None:
     elif kind in ("langid", "token_counts", "quality_score", "redact"):
         if "text_col" in op and not isinstance(op["text_col"], str):
             _err(f"{kind} 'text_col' must be a string: {op!r}")
+    elif kind == "expect":
+        exps = op.get("expectations")
+        if not (isinstance(exps, list) and exps
+                and all(isinstance(e, dict) for e in exps)):
+            _err(f"expect needs a non-empty list of expectation dicts: {op!r}")
+        for e in exps:
+            ek = e.get("kind")
+            if ek in ("unique", "not_null"):
+                if not isinstance(e.get("col"), str):
+                    _err(f"{ek} expectation needs a string 'col': {e!r}")
+            elif ek == "accepted_values":
+                if not isinstance(e.get("col"), str):
+                    _err(f"accepted_values needs a string 'col': {e!r}")
+                vs = e.get("values")
+                if not (isinstance(vs, list) and vs):
+                    _err(f"accepted_values needs non-empty 'values': {e!r}")
+            elif ek == "min_rows":
+                if not (isinstance(e.get("n"), int) and e["n"] >= 1):
+                    _err(f"min_rows needs a positive int 'n': {e!r}")
+            else:
+                _err(f"unknown expectation kind: {e!r}")
     elif kind == "split_assign":
         if not isinstance(op.get("key"), str):
             _err(f"split_assign needs a string 'key' column: {op!r}")

@@ -310,6 +310,59 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"({col} < __lo OR {col} > __hi) AS was_clamped "
                 f"FROM wsrc JOIN wq USING ({keys})"
             )
+        elif kind == "expect":
+            # mirrors operators/quality.check_expectations (the
+            # ns_quality_expectations oracle shape, parameterized):
+            # one aggregate CTE, one UNION ALL report row per
+            # expectation, NULL-safe violation semantics
+            exps = op["expectations"]
+            aggs = ["count(*) AS n"]
+            for i, e in enumerate(exps):
+                ek, col = e.get("kind"), _q(e.get("col", "*")) if e.get("col") else None
+                if ek == "not_null":
+                    aggs.append(
+                        f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+                    )
+                elif ek == "unique":
+                    aggs.append(f"count(DISTINCT {col}) AS d{i}")
+                    aggs.append(
+                        f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dn{i}"
+                    )
+                elif ek == "accepted_values":
+                    vals = ", ".join(_lit_sql(v) for v in e["values"])
+                    aggs.append(
+                        f"CAST(sum(CASE WHEN {col} IS NULL OR {col} NOT IN ({vals}) "
+                        f"THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+                    )
+            report = []
+            for i, e in enumerate(exps):
+                ek = e["kind"]
+                colname = e.get("col", "*")
+                if ek == "unique":
+                    viol = f"n - d{i} - (CASE WHEN dn{i} > 0 THEN 1 ELSE 0 END)"
+                elif ek == "min_rows":
+                    k = int(e["n"])
+                    viol = f"CASE WHEN n < {k} THEN {k} - n ELSE 0 END"
+                else:
+                    viol = f"v{i}"
+                label = _lit_sql(f"{i}_{ek}_{colname}")
+                if not report:
+                    report.append(
+                        f"SELECT {label} AS expectation, {_lit_sql(ek)} AS kind, "
+                        f"{_lit_sql(colname)} AS col, CAST(n AS BIGINT) AS n_rows, "
+                        f"CAST({viol} AS BIGINT) AS n_violations, "
+                        f"({viol}) = 0 AS passed FROM qexp"
+                    )
+                else:
+                    report.append(
+                        f"SELECT {label}, {_lit_sql(ek)}, {_lit_sql(colname)}, "
+                        f"CAST(n AS BIGINT), CAST({viol} AS BIGINT), "
+                        f"({viol}) = 0 FROM qexp"
+                    )
+            sql = (
+                f"WITH qexp AS (SELECT {', '.join(aggs)} FROM ({sql})) "
+                + " UNION ALL ".join(report)
+            )
         elif kind == "redact":
             # mirrors operators/text.redact_text (the ns_text_redact
             # oracle, parameterized): regexes come from the same

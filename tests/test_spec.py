@@ -1637,3 +1637,59 @@ def test_sample_nl_broadened_phrasings():
         columns=cols,
     )
     assert [o["op"] for o in spec["ops"]] == ["filter", "redact"]
+
+
+def test_expect_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["doc_id", "text", "lang"]
+    spec = parse_description(
+        "Check that doc_id is unique and text is not null and "
+        "lang is in 'en' and at least 5 rows",
+        columns=cols,
+    )
+    assert spec["ops"] == [{
+        "op": "expect",
+        "expectations": [
+            {"kind": "unique", "col": "doc_id"},
+            {"kind": "not_null", "col": "text"},
+            {"kind": "accepted_values", "col": "lang", "values": ["en"]},
+            {"kind": "min_rows", "n": 5},
+        ],
+    }]
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (1, "b", "de"), (2, None, "en")], cols
+    )
+    out = {r["expectation"]: (r["n_violations"], r["passed"])
+           for r in compile_spec(df, spec).collect()}
+    assert out["0_unique_doc_id"] == (1, False)      # two rows share id 1
+    assert out["1_not_null_text"] == (1, False)
+    assert out["2_accepted_values_lang"] == (1, False)
+    assert out["3_min_rows_*"] == (2, False)          # 3 rows < 5
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {r[0]: (r[4], r[5]) for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
+    assert oracle == out
+
+    with _pytest_raises(SpecError):
+        validate_spec({"ops": [{"op": "expect", "expectations": []}]})
+    with _pytest_raises(SpecError):
+        validate_spec({"ops": [{"op": "expect",
+                                "expectations": [{"kind": "nope"}]}]})
+
+
+def _pytest_raises(exc):
+    import pytest as _p
+
+    return _p.raises(exc)
