@@ -4030,6 +4030,7 @@ _WINDOW: list[str] = [
     "ns_dedup_semantic", "ns_sim_mrr", "p77_nl_sample", "p78_nl_redact",
     "ns_sim_hard_negatives", "ns_text_perplexity_buckets",
     "ns_dedup_incremental_lsh", "ns_text_bpe_encode", "p79_nl_expectations",
+    "ns_split_leakage_audit",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
@@ -4039,7 +4040,6 @@ _WINDOW: list[str] = [
     "x_join_anti",
     "x_join_range",
     "x_join_semi",
-    "x_tpch_q6",
     "ns_sim_topk_ivf",
     "ns_sim_topk_multi",
     "ns_multimodal_frames",

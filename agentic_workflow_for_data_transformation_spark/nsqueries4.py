@@ -240,3 +240,44 @@ register(
         _t(spark, sf_dir, "documents"), n_merges=3
     )
 )
+
+
+def _reg_leakage_audit():
+    from .nsqueries import _VERIFIED_CTES
+    from .operators import dedup
+    from .operators.sampling import split_thresholds
+
+    t_train, t_val = split_thresholds([90.0, 5.0, 5.0])
+    draw = ("(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+            " % 1000000)")
+
+    register(
+        "ns_split_leakage_audit",
+        f"WITH {_VERIFIED_CTES}, "
+        "verified AS (SELECT c.doc_a, c.doc_b FROM cand c "
+        " JOIN jac USING (doc_a, doc_b) WHERE jaccard >= 0.5), "
+        "tags AS (SELECT doc_id, CASE "
+        f" WHEN {draw} < {t_train} THEN 'train' "
+        f" WHEN {draw} < {t_val} THEN 'val' "
+        " ELSE 'test' END AS split FROM documents) "
+        "SELECT least(ta.split, tb.split) AS split_a, "
+        "greatest(ta.split, tb.split) AS split_b, "
+        "CAST(count(*) AS BIGINT) AS n_pairs, "
+        "least(ta.split, tb.split) <> greatest(ta.split, tb.split) AS leaked "
+        "FROM verified JOIN tags ta ON doc_a = ta.doc_id "
+        "JOIN tags tb ON doc_b = tb.doc_id GROUP BY 1, 2",
+        desc=(
+            "Train/test leakage audit (dedup.split_leakage_audit): verified "
+            "near-dup pairs joined to their hash-split tags, counted per "
+            "unordered split pair — cross-split rows with n_pairs > 0 ARE "
+            "the contamination finding; LSH-bounded pair work, one tiny "
+            "final aggregate."
+        ),
+    )(
+        lambda spark, sf_dir: dedup.split_leakage_audit(
+            _t(spark, sf_dir, "documents"), threshold=0.5
+        )
+    )
+
+
+_reg_leakage_audit()

@@ -1036,3 +1036,48 @@ def incremental_neardup_new_docs(new: DataFrame, archive: DataFrame,
         .distinct()
     )
     return new.join(matched, id_col, "left_anti")
+
+
+def split_leakage_audit(df: DataFrame, weights: list[float] | None = None,
+                        labels: list[str] | None = None,
+                        threshold: float = 0.5, id_col: str = "doc_id",
+                        text_col: str = "text", key_col: str | None = None,
+                        num_hashes: int = 16, bands: int = 4,
+                        n: int = 3) -> DataFrame:
+    """Train/test LEAKAGE audit: after a deterministic hash split,
+    count the verified near-duplicate pairs that STRADDLE split
+    boundaries — the contamination every eval pipeline must rule out
+    before trusting held-out numbers (a test doc whose near-copy sits
+    in train is a leaked answer, not a measurement). Emits one row per
+    unordered split pair (split_a <= split_b) with the pair count and
+    the leaked count (cross-split only), so 'train|test, n_pairs > 0'
+    IS the finding.
+
+    Shape: the split is the per-row md5-draw expression
+    (sampling.with_hash_split — no shuffle), pairs come from the LSH
+    chain (banding candidates -> exact Jaccard verify, O(candidates)
+    never O(n^2)), and the audit is one tiny aggregate over verified
+    pairs joined to the two rows' split tags. Hash-split stability
+    means the audit's verdict is reproducible on any engine or
+    cluster."""
+    from .sampling import with_hash_split
+
+    weights = weights or [90.0, 5.0, 5.0]
+    labels = labels or ["train", "val", "test"]
+    tagged = with_hash_split(df, key_col or id_col, weights, labels).select(
+        F.col(id_col), F.col("split")
+    )
+    pairs = lsh_verified_pairs(df, id_col=id_col, threshold=threshold,
+                               num_hashes=num_hashes, bands=bands, n=n)
+    ta = tagged.select(F.col(id_col).alias("doc_a"), F.col("split").alias("sa"))
+    tb = tagged.select(F.col(id_col).alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(ta, "doc_a").join(tb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )
