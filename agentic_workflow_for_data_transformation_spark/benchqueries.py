@@ -433,6 +433,7 @@ def u1_escape_hatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import nsqueries2  # noqa: E402,F401  (registration side effects)
 from . import nsqueries3  # noqa: E402,F401  (registration side effects)
 from . import nsqueries4  # noqa: E402,F401  (registration side effects)
+from . import nsqueries5  # noqa: E402,F401  (registration side effects)
 
 # Parity variants demoted past the window (shapes duplicated in-window).
 _register_parity(_PARITY_LATE)
@@ -4031,6 +4032,11 @@ _WINDOW: list[str] = [
     "ns_sim_hard_negatives", "ns_text_perplexity_buckets",
     "ns_dedup_incremental_lsh", "ns_text_bpe_encode", "p79_nl_expectations",
     "ns_split_leakage_audit",
+    # fourth-session additions (rotated in over four (c) freshness
+    # picks — all four rotated-out queries keep their old driver rows
+    # plus full-registry CORRECTNESS_LOCAL coverage)
+    "ns_quality_gopher", "ns_corpus_dsir_weights",
+    "ns_text_token_fertility", "x_source_jsonl_evolving",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
@@ -4041,15 +4047,14 @@ _WINDOW: list[str] = [
     "x_join_range",
     "x_join_semi",
     "ns_sim_topk_ivf",
-    "ns_sim_topk_multi",
     "ns_multimodal_frames",
-    "ns_multimodal_meta",
     "ns_sample_negatives",
-    "ns_sample_split",
     "x_merge_upsert",
-    "ns_shuffle_sharded",
     "ns_sim_topk_bruteforce",
     "x_winsorize_group",
+    # rotated out for the fourth-session additions: ns_multimodal_meta,
+    # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi (each a
+    # duplicate of an in-window plan shape; see round-4 note above)
 ]
 
 

@@ -1,0 +1,167 @@
+"""Round-8 fourth-session registrations: the Gopher heuristic-quality
+rule battery, DSIR hashed-n-gram importance weighting, tokenizer
+fertility per language, and the schema-evolving JSONL source round
+trip. All four carry exact DuckDB oracles (the JSONL query's oracle
+recomputes the aggregate straight from the parquet view the fixture
+derives from, so the round trip itself is what's checked).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .benchqueries import _t, register
+from .operators import corpus, text
+from .sources import io as sio
+
+_GOPHER_STOPLIST = "['the','be','to','of','and','that','have','with']"
+
+register(
+    "ns_quality_gopher",
+    "WITH s AS (SELECT doc_id, text, lang, source, n_chars, "
+    " string_split(text, ' ') AS ws, string_split(text, chr(10)) AS ls FROM documents), "
+    "sig AS (SELECT doc_id, text, lang, source, n_chars, "
+    " CAST(len(ws) AS BIGINT) AS n_words, len(ls) AS nl, "
+    " round((length(text) - (len(ws) - 1)) / CAST(len(ws) AS DOUBLE), 6) AS mean_word_len, "
+    " (length(text) - length(replace(text, '#', ''))) "
+    "   + (length(text) - length(replace(text, '...', ''))) / CAST(3 AS DOUBLE) AS nsym, "
+    " len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) AS nbul, "
+    " len(list_filter(ls, l -> l LIKE '%...')) AS nell, "
+    " len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha, "
+    " CAST(len(list_distinct(list_filter(ws, w -> list_contains("
+    + _GOPHER_STOPLIST + ", lower(w))))) AS BIGINT) AS n_req_stopwords FROM s), "
+    "r AS (SELECT doc_id, text, lang, source, n_chars, n_words, mean_word_len, "
+    " n_req_stopwords, "
+    " round(nsym / n_words, 6) AS symbol_ratio, "
+    " round(nbul / CAST(nl AS DOUBLE), 6) AS bullet_ratio, "
+    " round(nell / CAST(nl AS DOUBLE), 6) AS ellipsis_ratio, "
+    " round(nalpha / CAST(n_words AS DOUBLE), 6) AS alpha_ratio FROM sig) "
+    "SELECT *, "
+    " n_words BETWEEN 50 AND 100000 AS r_word_count, "
+    " mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len, "
+    " symbol_ratio <= 0.1 AS r_symbols, bullet_ratio <= 0.9 AS r_bullets, "
+    " ellipsis_ratio <= 0.3 AS r_ellipsis, alpha_ratio >= 0.8 AS r_alpha, "
+    " n_req_stopwords >= 2 AS r_stopwords, "
+    " (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) "
+    " AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 "
+    " AND alpha_ratio >= 0.8 AND n_req_stopwords >= 2 AS passes_gopher "
+    "FROM r",
+    desc=(
+        "Gopher quality-rule battery (Rae et al. 2021 table A1): word-count "
+        "bounds, mean-word-length band, symbol/bullet/ellipsis ratios, "
+        "alphabetic-word fraction, two-distinct-required-stopwords — one "
+        "shuffle-free codegen'd projection per document."
+    ),
+)(
+    lambda spark, sf_dir: text.gopher_rules(
+        _t(spark, sf_dir, "documents")
+    ).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        F.col("n_req_stopwords").cast("long").alias("n_req_stopwords"),
+        "symbol_ratio", "bullet_ratio", "ellipsis_ratio", "alpha_ratio",
+        "r_word_count", "r_word_len", "r_symbols", "r_bullets",
+        "r_ellipsis", "r_alpha", "r_stopwords", "passes_gopher",
+    )
+)
+
+
+register(
+    "ns_corpus_dsir_weights",
+    "WITH e AS (SELECT doc_id, lang = 'en' AS is_t, "
+    " (('0x' || substr(md5(w), 1, 15))::BIGINT % 16) AS bkt "
+    " FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)), "
+    "c AS (SELECT bkt, CAST(count(*) AS BIGINT) AS r_k, "
+    " CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_k FROM e GROUP BY bkt), "
+    "t AS (SELECT CAST(sum(r_k) AS BIGINT) AS r_tot, CAST(sum(t_k) AS BIGINT) AS t_tot FROM c), "
+    "lr AS (SELECT bkt, CAST(round(ln((t_k + 1) / CAST(t_tot + 16 AS DOUBLE)) "
+    " - ln((r_k + 1) / CAST(r_tot + 16 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lr FROM c, t) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+    " round(CAST(sum(lr) AS DOUBLE), 6) AS log_weight, "
+    " round(CAST(sum(lr) AS DOUBLE) / count(*), 6) AS avg_log_ratio "
+    "FROM e JOIN lr USING (bkt) GROUP BY doc_id",
+    desc=(
+        "DSIR importance weights (arXiv:2302.03169): hashed bag-of-words "
+        "log-likelihood ratio of target (lang='en') vs raw distribution per "
+        "document — one explode feeds both distribution estimates and the "
+        "broadcast scoring join; decimal-exact per-doc sums."
+    ),
+)(
+    lambda spark, sf_dir: corpus.dsir_log_weights(
+        _t(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en", d=16
+    )
+)
+
+
+register(
+    "ns_text_token_fertility",
+    "WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n_words, "
+    r" len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_tokens, "
+    " length(text) AS n_chars FROM documents) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    " CAST(sum(n_words) AS BIGINT) AS total_words, "
+    " CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+    " round(sum(n_tokens) / CAST(sum(n_words) AS DOUBLE), 6) AS tokens_per_word, "
+    " round(sum(n_chars) / CAST(sum(n_tokens) AS DOUBLE), 6) AS chars_per_token "
+    "FROM t GROUP BY lang",
+    desc=(
+        "Tokenizer fertility per language: tokens-per-word and "
+        "chars-per-token from exact integer sums (one scan, one division "
+        "per group) — the over-fragmentation audit run before committing a "
+        "corpus to a tokenizer."
+    ),
+)(
+    lambda spark, sf_dir: text.token_fertility_by_lang(_t(spark, sf_dir, "documents"))
+)
+
+
+def _q_source_jsonl(spark, sf_dir: str):
+    """Build (idempotently, per scale factor) a two-batch JSONL fixture
+    derived from the documents table — batch 0 without the ``source``
+    field, batch 1 with it, i.e. a schema that EVOLVED between dumps —
+    then read both through read_json_evolving and aggregate. The oracle
+    computes the same aggregate straight from the parquet view, so a
+    hash match proves the JSONL write -> evolving read round trip is
+    lossless including the null-fill of the missing column."""
+    # key the fixture on the FULL resolved path, not the basename:
+    # testdata/sf0.1 and scaledata/sf0.1 must not share a fixture
+    import hashlib
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    st = os.stat(src) if os.path.exists(src) else None
+    stamp = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns if st else 0}|{st.st_size if st else 0}"
+    tag = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    base = f"/tmp/spark_graft_jsonl_{tag}"
+    docs = _t(spark, sf_dir, "documents")
+    if not os.path.exists(base + "/_done"):
+        a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+        b = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars", "source"
+        )
+        sio.write_json_dir(a.coalesce(4), base + "/batch0")
+        sio.write_json_dir(b.coalesce(4), base + "/batch1")
+        open(base + "/_done", "w").close()
+    u = sio.read_json_evolving(spark, [base + "/batch0", base + "/batch1"])
+    return u.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("source").cast("long").alias("n_with_source"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+register(
+    "x_source_jsonl_evolving",
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    " CAST(count(CASE WHEN doc_id % 2 = 1 THEN source END) AS BIGINT) AS n_with_source, "
+    " CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY lang",
+    desc=(
+        "Schema-evolving JSONL source round trip: two JSONL batches (the "
+        "second gained a column) written from documents, read back via "
+        "by-name union with missing-column null-fill, aggregated; oracle "
+        "recomputes from the parquet view so the trip itself is checked."
+    ),
+)(_q_source_jsonl)

@@ -581,3 +581,76 @@ def bloom_guarantee_check(corpus: DataFrame, benchmark: DataFrame,
             .alias("n_missed_by_bloom"),
         )
     )
+
+
+def dsir_log_weights(corpus: DataFrame, target_pred,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     d: int = 16) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every corpus document by how target-like its hashed
+    bag-of-words features are. Each word hashes into one of ``d``
+    buckets (the portable 60-bit md5 hash, so the bucketing is
+    engine-exact); the target distribution is estimated from the rows
+    matching ``target_pred`` (a boolean Column), the raw distribution
+    from the whole corpus, both add-one smoothed; a document's log
+    importance weight is the sum over its words of
+    ln(p_target(bucket) / p_raw(bucket)). Downstream, importance
+    resampling keeps documents proportionally to exp(weight) — the
+    published recipe for selecting pretraining data that matches a
+    high-quality target domain.
+
+    Scale shape: two passes over the exploded corpus — the estimate
+    pass computes BOTH distributions in one d-row aggregate (the
+    target side is a conditional sum, not a separate scan) and
+    collapses map-side to d rows before its exchange; the scoring pass
+    joins the broadcast d-row log-ratio table and partial-aggregates
+    per document, so the only data-sized exchange carries
+    (doc_id, decimal partial sum). Determinism: each bucket's log-ratio is one fixed
+    IEEE-double expression rounded to 9 digits, and the per-doc sum
+    runs over DECIMAL(18,9) so it is partition-order independent;
+    the reported weight rounds to 6."""
+    from .dedup import _hash60, spread_small_input
+
+    e = (
+        spread_small_input(corpus)
+        .select(
+            F.col(id_col),
+            target_pred.alias("_is_target"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .withColumn("bkt", _hash60(F.col("w")) % d)
+    )
+    counts = e.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("r_k"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).cast("long").alias("t_k"),
+    )
+    totals = counts.agg(
+        F.sum("r_k").cast("long").alias("r_tot"),
+        F.sum("t_k").cast("long").alias("t_tot"),
+    )
+    # ln((t_k+1)/(t_tot+d)) - ln((r_k+1)/(r_tot+d)), one expression
+    # shape in both engines, rounded to 9 before the decimal-sum
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bkt",
+        F.round(
+            F.log((F.col("t_k") + 1) / (F.col("t_tot") + F.lit(d)))
+            - F.log((F.col("r_k") + 1) / (F.col("r_tot") + F.lit(d))),
+            9,
+        ).cast("decimal(18,9)").alias("lr"),
+    )
+    return (
+        e.join(F.broadcast(ratios), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr").alias("_lw"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            F.round(F.col("_lw").cast("double"), 6).alias("log_weight"),
+            # divide AFTER the double cast: decimal/long division scale
+            # rules differ across engines, one double division does not
+            F.round(F.col("_lw").cast("double") / F.col("n_feats"), 6).alias("avg_log_ratio"),
+        )
+    )

@@ -765,3 +765,126 @@ def bpe_encode_token_counts(df: DataFrame, n_merges: int = 3,
             F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+# Gopher rule battery (Rae et al. 2021, arXiv:2112.11446, table A1):
+# the published heuristic document-quality rules a web-scale corpus is
+# filtered with before training. The required-stopword set is the
+# paper's: a document must contain at least two DISTINCT of these.
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_word_len: float = 3.0, max_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_alpha_ratio: float = 0.8,
+                 min_stopwords: int = 2) -> DataFrame:
+    """Gopher repetition-free quality rules, one codegen'd projection:
+    word-count bounds, mean-word-length band, symbol-to-word ratio
+    ('#' and '...' count as symbols), bullet-started and
+    ellipsis-ended line ratios, fraction of words containing an
+    alphabetic character, and the two-distinct-required-stopwords
+    rule. Emits the signal columns, one boolean per rule, and
+    ``passes_gopher``.
+
+    Scale shape: pure per-row string expressions (split / translate /
+    replace / list lambdas) — no shuffle, no UDF, runs inside
+    whole-stage codegen at any corpus size; signals are materialized
+    once and the rule booleans derive from plain column refs (same
+    two-step discipline as with_quality_score). Every expression is
+    engine-portable, so the whole battery has an exact SQL oracle."""
+    ws = _word_array(text_col)
+    n_chars = F.length(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+    base = (
+        df.withColumn("n_words", F.size(ws))
+        .withColumn("_n_lines", F.size(lines))
+        .withColumn(
+            # single-spaced mean word length: (chars - separators) / words
+            "mean_word_len",
+            F.round((n_chars - (F.size(ws) - 1)) / F.size(ws), 6),
+        )
+        .withColumn(
+            # '#' occurrences + '...' occurrences (each run of 3 dots)
+            "_n_symbols",
+            (n_chars - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit(""))))
+            + (n_chars - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))) / F.lit(3),
+        )
+        .withColumn(
+            "_n_bullet_lines",
+            F.size(F.filter(lines, lambda ln: ln.startswith("- ") | ln.startswith("* "))),
+        )
+        .withColumn(
+            "_n_ellipsis_lines",
+            F.size(F.filter(lines, lambda ln: ln.endswith("..."))),
+        )
+        .withColumn(
+            "_n_alpha_words",
+            F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))),
+        )
+        .withColumn(
+            "n_req_stopwords",
+            F.size(
+                F.array_distinct(
+                    F.filter(ws, lambda w: F.lower(w).isin(*GOPHER_REQUIRED_STOPWORDS))
+                )
+            ),
+        )
+    )
+    base = (
+        base.withColumn("symbol_ratio", F.round(F.col("_n_symbols") / F.col("n_words"), 6))
+        .withColumn("bullet_ratio", F.round(F.col("_n_bullet_lines") / F.col("_n_lines"), 6))
+        .withColumn("ellipsis_ratio", F.round(F.col("_n_ellipsis_lines") / F.col("_n_lines"), 6))
+        .withColumn("alpha_ratio", F.round(F.col("_n_alpha_words") / F.col("n_words"), 6))
+    )
+    rules = base.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("r_word_count"),
+        F.col("mean_word_len").between(min_word_len, max_word_len).alias("r_word_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("r_symbols"),
+        (F.col("bullet_ratio") <= max_bullet_ratio).alias("r_bullets"),
+        (F.col("ellipsis_ratio") <= max_ellipsis_ratio).alias("r_ellipsis"),
+        (F.col("alpha_ratio") >= min_alpha_ratio).alias("r_alpha"),
+        (F.col("n_req_stopwords") >= min_stopwords).alias("r_stopwords"),
+    ).drop("_n_lines", "_n_symbols", "_n_bullet_lines", "_n_ellipsis_lines", "_n_alpha_words")
+    passes = (
+        F.col("r_word_count") & F.col("r_word_len") & F.col("r_symbols")
+        & F.col("r_bullets") & F.col("r_ellipsis") & F.col("r_alpha")
+        & F.col("r_stopwords")
+    )
+    return rules.withColumn("passes_gopher", passes)
+
+
+def token_fertility_by_lang(df: DataFrame, lang_col: str = "lang",
+                            text_col: str = "text") -> DataFrame:
+    """Tokenizer-fertility audit per language: tokens-per-word and
+    chars-per-token over the regex tokenizer (TOKEN_REGEX, the same
+    BPE-ish stand-in with_token_counts uses). The standard check that
+    a tokenizer doesn't over-fragment some languages before committing
+    a 100 TB corpus to it.
+
+    Determinism discipline: the per-group division runs ONCE over
+    exact integer sums (not an avg of per-row double ratios, which
+    would be partition-order dependent) — one scan, one
+    partial-aggregated exchange on the language key."""
+    t = with_token_counts(df, text_col=text_col)
+    return (
+        t.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.length(F.col(text_col))).cast("long").alias("total_chars"),
+        )
+        .select(
+            lang_col,
+            "n_docs",
+            "total_words",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("total_words"), 6).alias("tokens_per_word"),
+            F.round(F.col("total_chars") / F.col("total_tokens"), 6).alias("chars_per_token"),
+        )
+    )

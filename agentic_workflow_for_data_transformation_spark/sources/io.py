@@ -264,3 +264,22 @@ def read_union_evolving(spark: SparkSession, paths: list[str | Path]) -> DataFra
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def read_json_evolving(spark: SparkSession, paths: list[str | Path],
+                       schema=None) -> DataFrame:
+    """Schema-evolving JSON-lines reader: union JSONL directories whose
+    object shapes drifted across batches (a field added mid-stream),
+    null-filling what an early batch lacks — the JSONL twin of
+    read_union_evolving. Corpus interchange (C4 / FineWeb / RedPajama
+    style) ships as JSONL shards, and shard schemas DO drift across
+    dump dates, so by-name union with missing-column fill is the only
+    safe combinator. With an explicit ``schema`` the inference pass is
+    skipped and missing fields arrive null directly."""
+    if not paths:
+        raise ValueError("read_json_evolving needs at least one path")
+    dfs = [read_json(spark, str(p), schema=schema) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

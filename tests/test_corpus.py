@@ -232,3 +232,91 @@ def test_bloom_decontamination_one_sided(spark):
     n_corpus = corpus_side.count()
     # FP head-room: extra flags stay a small sliver of the CLEAN docs
     assert len(flagged - exact) <= max(5, 0.05 * (n_corpus - len(exact)))
+
+
+# ------------------------------------------------------- gopher rules
+
+
+def test_gopher_rules_flags_each_rule_independently(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import text as t
+
+    long_good = " ".join(["the", "cat", "sat", "onto", "with"] * 12)  # 60 words
+    short = "the cat sat with mat"  # 5 words -> fails word count
+    no_stop = " ".join(["zig", "zag", "fizz", "buzz"] * 15)  # no required stopwords
+    symbols = " ".join(["the", "with", "###", "#tag"] * 15)  # heavy '#'
+    rows = [
+        (1, "en", long_good),
+        (2, "en", short),
+        (3, "en", no_stop),
+        (4, "en", symbols),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in t.gopher_rules(_docs(spark, rows)).collect()
+    }
+    assert out[1]["passes_gopher"]
+    assert not out[2]["r_word_count"] and not out[2]["passes_gopher"]
+    assert not out[3]["r_stopwords"] and not out[3]["passes_gopher"]
+    assert not out[4]["r_symbols"] and not out[4]["passes_gopher"]
+    # rules that should still hold on the failing docs
+    assert out[2]["r_alpha"] and out[3]["r_word_count"]
+
+
+def test_gopher_rules_bullet_and_ellipsis_lines(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import text as t
+
+    body = " ".join(["the", "word", "with", "of"] * 15)
+    bullets = "\n".join(["- item one here"] * 9 + [body])  # 90% bullet lines
+    dots = "\n".join([body] + ["trailing words..."] * 9)  # 90% ellipsis lines
+    rows = [(1, "en", bullets), (2, "en", dots)]
+    out = {r["doc_id"]: r for r in t.gopher_rules(_docs(spark, rows)).collect()}
+    assert out[1]["bullet_ratio"] == 0.9 and out[1]["r_bullets"]  # <= 0.9 passes
+    assert out[2]["ellipsis_ratio"] == 0.9 and not out[2]["r_ellipsis"]
+
+
+# --------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    # target docs speak 'alpha beta', raw background speaks 'gamma delta'
+    rows = [(i, "en", "alpha beta alpha beta alpha") for i in range(5)] + [
+        (i, "de", "gamma delta gamma delta gamma") for i in range(5, 10)
+    ] + [(10, "de", "alpha beta alpha beta alpha")]  # de doc with en-like text
+    out = corpus.dsir_log_weights(
+        _docs(spark, rows), target_pred=F.col("lang") == "en", d=16
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in out.collect()}
+    # every target-vocab doc outscores every background-vocab doc,
+    # including the background-labeled doc with target-like content
+    assert min(w[i] for i in [0, 10]) > max(w[i] for i in range(5, 10))
+    assert w[10] == w[0]  # weight depends only on content, not the label
+    # n_feats = word count
+    nf = {r["doc_id"]: r["n_feats"] for r in out.collect()}
+    assert nf[0] == 5
+
+
+def test_dsir_weights_uniform_when_target_is_everything(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(1, "en", "a b c"), (2, "en", "d e f g")]
+    out = corpus.dsir_log_weights(
+        _docs(spark, rows), target_pred=F.lit(True), d=16
+    ).collect()
+    # p_target == p_raw for every bucket -> all log-ratios are 0
+    assert all(r["log_weight"] == 0.0 for r in out)
+
+
+# ------------------------------------------------- token fertility
+
+
+def test_token_fertility_exact_on_tiny_corpus(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import text as t
+
+    rows = [(1, "en", "don't stop"), (2, "en", "ok go"), (3, "fr", "oui oui")]
+    out = {r["lang"]: r for r in t.token_fertility_by_lang(_docs(spark, rows)).collect()}
+    # "don't stop" -> tokens: don ' t stop = 4; "ok go" -> 2; words 2+2
+    assert out["en"]["total_words"] == 4 and out["en"]["total_tokens"] == 6
+    assert out["en"]["tokens_per_word"] == 1.5
+    assert out["fr"]["tokens_per_word"] == 1.0

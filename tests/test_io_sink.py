@@ -138,3 +138,27 @@ def test_read_union_evolving_empty_paths_raises(spark):
 
     with _pytest.raises(ValueError, match="at least one path"):
         read_union_evolving(spark, [])
+
+
+def test_read_json_evolving_null_fills_missing_column(spark, tmp_path):
+    from agentic_workflow_for_data_transformation_spark.sources.io import (
+        read_json_evolving,
+        write_json_dir,
+    )
+
+    old = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    new = spark.createDataFrame(
+        [(2, "de", "src1")], "doc_id long, lang string, source string"
+    )
+    write_json_dir(old, tmp_path / "b0")
+    write_json_dir(new, tmp_path / "b1")
+    got = {
+        r["doc_id"]: (r["lang"], r["source"])
+        for r in read_json_evolving(spark, [tmp_path / "b0", tmp_path / "b1"]).collect()
+    }
+    assert got == {1: ("en", None), 2: ("de", "src1")}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_json_evolving(spark, [])
