@@ -108,6 +108,11 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "sample", "fraction": 0.1, "key": "doc_id"}}
   {{"op": "redact"}}  (mask emails + long digit runs in the text
       column in place; adds n_masked)
+  {{"op": "gopher"}}  (Gopher quality-rule battery: adds the signal
+      columns, one boolean per rule, and passes_gopher)
+  {{"op": "dsir", "target_col": "lang", "target_val": "en"}}
+      (DSIR importance weights vs the target slice; REPLACES the
+      schema with doc_id, n_feats, log_weight, avg_log_ratio)
   {{"op": "expect", "expectations": [
       {{"kind": "unique", "col": "id"}},
       {{"kind": "not_null", "col": "text"}},
@@ -258,6 +263,8 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # (an earlier filter may legitimately no longer hold on
         # updated rows) — all five invalidate earlier predicates
         "expect", "chunk", "resample", "negatives", "merge",
+        # dsir replaces the schema with (id, n_feats, log_weight, ...)
+        "dsir",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -338,10 +345,13 @@ def critic_agent(
             "transformed — renames/drops/filters have ALREADY been "
             "applied). A header-only sample means the filter matched "
             "zero rows, which is a valid result. Summary-producing "
-            "ops (groupby_agg, pack, ann_topk, bm25, ols, pivot) "
+            "ops (groupby_agg, pack, ann_topk, bm25, ols, pivot, dsir) "
             "REPLACE the columns with their own summary schema — for "
             "those, expect the summary table, not the original rows "
-            "(e.g. pack outputs per-sequence stats, not documents). "
+            "(e.g. pack outputs per-sequence stats, not documents; "
+            "dsir outputs one importance-weight row per document — "
+            "doc_id, n_feats, log_weight, avg_log_ratio — and "
+            "negative log weights are normal log-likelihood ratios). "
             "An expect op outputs a VALIDATION REPORT: rows with "
             "passed=false correctly REPORT contract violations in the "
             "data — a failing report is a consistent output, not a "

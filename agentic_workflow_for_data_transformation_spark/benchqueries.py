@@ -3684,6 +3684,40 @@ def p79_nl_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P79_DESC)
 
 
+_P80_DESC = (
+    "Apply the gopher quality rules to each document and "
+    "select doc_id, lang, n_words, mean_word_len, alpha_ratio, "
+    "n_req_stopwords, r_word_count, r_word_len, r_stopwords, passes_gopher"
+)
+
+
+@register("p80_nl_gopher", _docs_nl_oracle(_P80_DESC))
+def p80_nl_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL heuristic quality filtering: 'apply the gopher quality rules
+    to each document' — text.gopher_rules (the published Rae et al.
+    2021 rule battery) behind one clause, composing with the
+    projection grammar. Pure per-row string expressions inside
+    whole-stage codegen, no shuffle; the oracle re-renders every rule
+    from the same GOPHER_BOUNDS constants so thresholds cannot
+    drift between engines."""
+    return _nl(spark, sf_dir, "documents", _P80_DESC)
+
+
+_P81_DESC = "Weight documents by importance to lang 'en'"
+
+
+@register("p81_nl_dsir", _docs_nl_oracle(_P81_DESC))
+def p81_nl_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL data selection: 'weight documents by importance to lang
+    <value>' — corpus.dsir_log_weights (DSIR, arXiv:2302.03169)
+    behind one clause: hashed bag-of-words log-likelihood ratio of the
+    target slice vs the whole corpus, per document. The estimate pass
+    collapses map-side to 16 rows; the scoring join is broadcast; the
+    per-doc sum is decimal-exact. The oracle unrolls the identical
+    three-CTE chain."""
+    return _nl(spark, sf_dir, "documents", _P81_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4037,6 +4071,7 @@ _WINDOW: list[str] = [
     # plus full-registry CORRECTNESS_LOCAL coverage)
     "ns_quality_gopher", "ns_corpus_dsir_weights",
     "ns_text_token_fertility", "x_source_jsonl_evolving",
+    "p80_nl_gopher", "p81_nl_dsir",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
@@ -4046,15 +4081,15 @@ _WINDOW: list[str] = [
     "x_join_anti",
     "x_join_range",
     "x_join_semi",
-    "ns_sim_topk_ivf",
     "ns_multimodal_frames",
     "ns_sample_negatives",
     "x_merge_upsert",
-    "ns_sim_topk_bruteforce",
     "x_winsorize_group",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
-    # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi (each a
-    # duplicate of an in-window plan shape; see round-4 note above)
+    # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
+    # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an
+    # in-window plan shape — the ANN top-k family is represented by
+    # the ivfpq/pq/recall trio in section (a); see round-4 note above)
 ]
 
 

@@ -773,6 +773,21 @@ def bpe_encode_token_counts(df: DataFrame, n_merges: int = 3,
 # paper's: a document must contain at least two DISTINCT of these.
 GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+# single source of truth for the rule bounds — gopher_rules' keyword
+# defaults AND the sqlgen oracle renderer both read these, so the two
+# engines can never drift on a threshold
+GOPHER_BOUNDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_word_len": 3.0,
+    "max_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_ratio": 0.9,
+    "max_ellipsis_ratio": 0.3,
+    "min_alpha_ratio": 0.8,
+    "min_stopwords": 2,
+}
+
 
 def gopher_rules(df: DataFrame, text_col: str = "text",
                  min_words: int = 50, max_words: int = 100_000,

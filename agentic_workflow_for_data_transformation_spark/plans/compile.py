@@ -562,6 +562,24 @@ def compile_spec(
 
             df = with_quality_score(df, text_col=op.get("text_col", "text"))
             df = df.withColumn("n_words", F.col("n_words").cast("long"))
+        elif kind == "gopher":
+            from ..operators.text import gopher_rules
+
+            df = gopher_rules(df, text_col=op.get("text_col", "text"))
+            # F.size is INT; the oracle (and the column contract) is BIGINT
+            df = df.withColumn("n_words", F.col("n_words").cast("long"))
+            df = df.withColumn(
+                "n_req_stopwords", F.col("n_req_stopwords").cast("long")
+            )
+        elif kind == "dsir":
+            from ..operators.corpus import dsir_log_weights
+
+            df = dsir_log_weights(
+                df,
+                target_pred=F.col(op["target_col"]) == op["target_val"],
+                id_col=op.get("id_col", "doc_id"),
+                text_col=op.get("text_col", "text"),
+            )
         elif kind == "split_assign":
             from ..operators.sampling import with_hash_split
 

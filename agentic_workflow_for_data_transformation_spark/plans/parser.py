@@ -54,6 +54,8 @@ _CLAUSE_KEYWORDS = (
     r"|sample\s+\d"
     r"|keep\s+\d+(?:\.\d+)?\s*%"
     r"|redact"
+    r"|apply\s+(?:the\s+)?gopher"
+    r"|weight\s+(?:the\s+)?(?:documents|rows)"
     r"|check\s+that"
     r"|split\s+into\s+\d"
     r"|(?:inner|left|right|full|cross)\s+join)"
@@ -90,6 +92,8 @@ def _value(tok: str) -> Any:
         return {"lit": tok}  # ISO date[time] literal, compiled as a cast
     if _is_number(tok):
         return {"lit": float(tok) if "." in tok else int(tok)}
+    if tok.lower() in ("true", "false"):  # boolean literal, not a column
+        return {"lit": tok.lower() == "true"}
     return {"col": tok}
 
 
@@ -393,6 +397,21 @@ _EXP_MIN_ROWS = re.compile(r"^at\s+least\s+(\d+)\s+rows?$", re.IGNORECASE)
 _REDACT = re.compile(
     r"^redact\s+(?:emails?\s+and\s+(?:long\s+)?numbers?|pii)\s+"
     r"in\s+each\s+(?:document|row)\s*$",
+    re.IGNORECASE,
+)
+# "apply the gopher quality rules to each document" -> the published
+# heuristic rule battery (text.gopher_rules): per-rule booleans +
+# passes_gopher, all paper-default thresholds
+_GOPHER = re.compile(
+    r"^apply\s+(?:the\s+)?gopher\s+quality\s+rules\s+to\s+each\s+"
+    r"(?:document|row)\s*$",
+    re.IGNORECASE,
+)
+# "weight documents by importance to lang 'en'" -> DSIR hashed-n-gram
+# importance weights against the target slice <col> = '<value>'
+_DSIR = re.compile(
+    r"^weight\s+(?:the\s+)?(?:documents|rows)\s+by\s+importance\s+to\s+"
+    r"(\w+)\s+'([^']*)'\s*$",
     re.IGNORECASE,
 )
 # "pick 3 negatives per vector from a pool of 64" -> deterministic
@@ -737,6 +756,14 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "langid"}
     if _REDACT.match(clause):
         return {"op": "redact"}
+    if _GOPHER.match(clause):
+        return {"op": "gopher"}
+    if m := _DSIR.match(clause):
+        return {
+            "op": "dsir",
+            "target_col": _resolve_col(m.group(1), columns),
+            "target_val": m.group(2),
+        }
     if m := _EXPECT.match(clause):
         exps: list[dict] = []
         for part in re.split(r"\s+and\s+", m.group(1), flags=re.IGNORECASE):
@@ -1284,6 +1311,16 @@ def _strip_unavailable_tiebreaks(ops: list[dict], columns: list[str] | None) -> 
             cols = {op.get("id_col", "doc_id"), "bm25"}
         elif kind == "ols":
             cols = {op["key"], "n", "slope", "intercept", "r2"}
+        elif kind == "gopher":
+            cols |= {
+                "n_words", "mean_word_len", "n_req_stopwords",
+                "symbol_ratio", "bullet_ratio", "ellipsis_ratio",
+                "alpha_ratio", "r_word_count", "r_word_len", "r_symbols",
+                "r_bullets", "r_ellipsis", "r_alpha", "r_stopwords",
+                "passes_gopher",
+            }
+        elif kind == "dsir":
+            cols = {"doc_id", "n_feats", "log_weight", "avg_log_ratio"}
         elif kind == "sessionize":
             cols.add("session_id")
         # filter/sort/limit/distinct/sample keep the column set;

@@ -83,6 +83,16 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # adds n_words, avg_word_len, stopword_ratio, nonalnum_ratio,
       # quality_score — the per-document text-analysis projections,
       # all pure per-row expressions (no shuffle, no UDF)
+  {"op": "gopher", "text_col": "text"?}
+      # Gopher quality-rule battery (operators/text.gopher_rules):
+      # adds the signal columns, one boolean per published rule, and
+      # passes_gopher — per-row expressions, no shuffle
+  {"op": "dsir", "target_col": "lang", "target_val": "en",
+   "id_col": "doc_id"?, "text_col": "text"?}
+      # DSIR importance weights (operators/corpus.dsir_log_weights):
+      # REPLACES the schema with (id_col, n_feats, log_weight,
+      # avg_log_ratio) — hashed bag-of-words target-vs-raw
+      # log-likelihood ratio per document
   {"op": "bm25", "terms": ["vector", "stream"], "k": 10,
    "id_col": "doc_id"?, "text_col": "text"?}   # lexical top-k search
   {"op": "ols", "key": "k", "x": "xcol", "y": "ycol",
@@ -538,9 +548,17 @@ def validate_op(op: Any) -> None:
             and 0 <= lo < hi <= 1
         ):
             _err(f"winsorize needs 0 <= lo < hi <= 1: {op!r}")
-    elif kind in ("langid", "token_counts", "quality_score", "redact"):
+    elif kind in ("langid", "token_counts", "quality_score", "redact", "gopher"):
         if "text_col" in op and not isinstance(op["text_col"], str):
             _err(f"{kind} 'text_col' must be a string: {op!r}")
+    elif kind == "dsir":
+        if not isinstance(op.get("target_col"), str):
+            _err(f"dsir needs a string 'target_col': {op!r}")
+        if not isinstance(op.get("target_val"), str):
+            _err(f"dsir needs a string 'target_val': {op!r}")
+        for k in ("id_col", "text_col"):
+            if k in op and not isinstance(op[k], str):
+                _err(f"dsir '{k}' must be a string: {op!r}")
     elif kind == "expect":
         exps = op.get("expectations")
         if not (isinstance(exps, list) and exps

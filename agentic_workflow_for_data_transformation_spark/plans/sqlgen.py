@@ -443,6 +443,83 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"+ least(1.0, {stop_r} * 5) * 0.2, 6) AS quality_score FROM "
                 f"(SELECT *, string_split({txt}, ' ') AS __ws FROM ({sql}))"
             )
+        elif kind == "gopher":
+            # mirrors operators/text.gopher_rules term for term; the
+            # rule thresholds come from the SAME GOPHER_BOUNDS dict the
+            # engine defaults read, and the rule booleans compare the
+            # ROUNDED ratio columns, as the engine does
+            from ..operators.text import GOPHER_BOUNDS as GB
+            from ..operators.text import GOPHER_REQUIRED_STOPWORDS
+
+            txt = _q(op.get("text_col", "text"))
+            stops = ", ".join(_lit_sql(s) for s in GOPHER_REQUIRED_STOPWORDS)
+            nw = "len(__ws)"
+            nc = f"length({txt})"
+            sig = (
+                f"SELECT * EXCLUDE (__ws, __ls), "
+                f"CAST({nw} AS BIGINT) AS n_words, "
+                f"round(({nc} - ({nw} - 1)) / CAST({nw} AS DOUBLE), 6) AS mean_word_len, "
+                f"({nc} - length(replace({txt}, '#', ''))) "
+                f" + ({nc} - length(replace({txt}, '...', ''))) / CAST(3 AS DOUBLE) AS __nsym, "
+                f"len(__ls) AS __nl, "
+                f"len(list_filter(__ls, l -> l LIKE '- %' OR l LIKE '* %')) AS __nbul, "
+                f"len(list_filter(__ls, l -> l LIKE '%...')) AS __nell, "
+                f"len(list_filter(__ws, w -> regexp_matches(w, '[A-Za-z]'))) AS __nalpha, "
+                f"CAST(len(list_distinct(list_filter(__ws, w -> lower(w) IN ({stops})))) AS BIGINT) "
+                f"AS n_req_stopwords FROM "
+                f"(SELECT *, string_split({txt}, ' ') AS __ws, "
+                f"string_split({txt}, chr(10)) AS __ls FROM ({sql}))"
+            )
+            ratios = (
+                "SELECT * EXCLUDE (__nsym, __nl, __nbul, __nell, __nalpha), "
+                "round(__nsym / n_words, 6) AS symbol_ratio, "
+                "round(__nbul / CAST(__nl AS DOUBLE), 6) AS bullet_ratio, "
+                "round(__nell / CAST(__nl AS DOUBLE), 6) AS ellipsis_ratio, "
+                "round(__nalpha / CAST(n_words AS DOUBLE), 6) AS alpha_ratio "
+                f"FROM ({sig})"
+            )
+            rules = {
+                "r_word_count": f"n_words BETWEEN {GB['min_words']} AND {GB['max_words']}",
+                "r_word_len": f"mean_word_len BETWEEN {GB['min_word_len']} AND {GB['max_word_len']}",
+                "r_symbols": f"symbol_ratio <= {GB['max_symbol_ratio']}",
+                "r_bullets": f"bullet_ratio <= {GB['max_bullet_ratio']}",
+                "r_ellipsis": f"ellipsis_ratio <= {GB['max_ellipsis_ratio']}",
+                "r_alpha": f"alpha_ratio >= {GB['min_alpha_ratio']}",
+                "r_stopwords": f"n_req_stopwords >= {GB['min_stopwords']}",
+            }
+            rule_cols = ", ".join(f"({e}) AS {n}" for n, e in rules.items())
+            passes = " AND ".join(f"({e})" for e in rules.values())
+            sql = (
+                f"SELECT *, {rule_cols}, ({passes}) AS passes_gopher "
+                f"FROM ({ratios})"
+            )
+        elif kind == "dsir":
+            # mirrors operators/corpus.dsir_log_weights: same 60-bit
+            # md5 bucketing (d=16), same add-one smoothing, per-bucket
+            # log-ratio rounded to 9 then decimal-summed per document
+            idc = _q(op.get("id_col", "doc_id"))
+            txt = _q(op.get("text_col", "text"))
+            tcol = _q(op["target_col"])
+            tval = _lit_sql(op["target_val"])
+            sql = (
+                f"WITH __src AS ({sql}), "
+                f"e AS (SELECT {idc}, {tcol} = {tval} AS is_t, "
+                "(('0x' || substr(md5(w), 1, 15))::BIGINT % 16) AS bkt "
+                f"FROM (SELECT {idc}, {tcol}, "
+                f"unnest(string_split({txt}, ' ')) AS w FROM __src)), "
+                "c AS (SELECT bkt, CAST(count(*) AS BIGINT) AS r_k, "
+                "CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_k "
+                "FROM e GROUP BY bkt), "
+                "t AS (SELECT CAST(sum(r_k) AS BIGINT) AS r_tot, "
+                "CAST(sum(t_k) AS BIGINT) AS t_tot FROM c), "
+                "lr AS (SELECT bkt, CAST(round(ln((t_k + 1) / CAST(t_tot + 16 AS DOUBLE)) "
+                "- ln((r_k + 1) / CAST(r_tot + 16 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lr "
+                "FROM c, t) "
+                f"SELECT {idc}, CAST(count(*) AS BIGINT) AS n_feats, "
+                "round(CAST(sum(lr) AS DOUBLE), 6) AS log_weight, "
+                "round(CAST(sum(lr) AS DOUBLE) / count(*), 6) AS avg_log_ratio "
+                f"FROM e JOIN lr USING (bkt) GROUP BY {idc}"
+            )
         elif kind == "split_assign":
             # mirrors operators/sampling.with_hash_split: same 60-bit
             # md5 draw, same integer cutoffs (split_thresholds is the

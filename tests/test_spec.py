@@ -1693,3 +1693,100 @@ def _pytest_raises(exc):
     import pytest as _p
 
     return _p.raises(exc)
+
+
+def test_gopher_spec_op_parse_compile_render(spark):
+    """'apply the gopher quality rules to each document' -> gopher op:
+    rule booleans appear, engine and rendered SQL agree on a tiny
+    fixture with one passing and one failing document."""
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    good = " ".join(["the", "cat", "sat", "with", "of"] * 12)
+    rows = [(1, good), (2, "too short")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spec = parse_description(
+        "Apply the gopher quality rules to each document and "
+        "select doc_id, n_words, passes_gopher",
+        columns=df.columns,
+    )
+    assert spec["ops"][0] == {"op": "gopher"}
+    got = {r["doc_id"]: (r["n_words"], r["passes_gopher"])
+           for r in compile_spec(df, spec).collect()}
+    assert got == {1: (60, True), 2: (2, False)}
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(spec_to_sql(spec, "documents")).fetchall()
+    }
+    assert oracle == got
+
+
+def test_dsir_spec_op_parse_compile_render(spark):
+    """'weight documents by importance to lang <v>' -> dsir op with a
+    replaced schema; engine and rendered SQL agree to the hash."""
+    import duckdb
+    import pandas as pd
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    rows = [
+        (1, "en", "alpha beta alpha"),
+        (2, "en", "alpha beta gamma"),
+        (3, "de", "gamma delta gamma delta"),
+        (4, "de", "alpha beta alpha"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    spec = parse_description(
+        "Weight documents by importance to lang 'en'", columns=df.columns
+    )
+    assert spec["ops"] == [
+        {"op": "dsir", "target_col": "lang", "target_val": "en"}
+    ]
+    out = compile_spec(df, spec)
+    assert set(out.columns) == {"doc_id", "n_feats", "log_weight", "avg_log_ratio"}
+    got = {r["doc_id"]: (r["n_feats"], r["log_weight"]) for r in out.collect()}
+    # same content -> same weight regardless of label
+    assert got[1] == got[4]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "lang", "text"]))
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            "SELECT doc_id, n_feats, log_weight FROM ("
+            + spec_to_sql(spec, "documents") + ")"
+        ).fetchall()
+    }
+    assert oracle == got
+
+
+def test_gopher_composes_with_filter_clause(spark):
+    """The rule booleans are filterable downstream in the same
+    description — the 'keep only passing documents' pipeline shape."""
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+
+    good = " ".join(["the", "cat", "sat", "with", "of"] * 12)
+    df = spark.createDataFrame([(1, good), (2, "too short")], ["doc_id", "text"])
+    spec = parse_description(
+        "Apply the gopher quality rules to each document and "
+        "filter rows where passes_gopher == true and select doc_id",
+        columns=df.columns,
+    )
+    assert [r["doc_id"] for r in compile_spec(df, spec).collect()] == [1]
