@@ -4072,15 +4072,14 @@ _WINDOW: list[str] = [
     "ns_quality_gopher", "ns_corpus_dsir_weights",
     "ns_text_token_fertility", "x_source_jsonl_evolving",
     "p80_nl_gopher", "p81_nl_dsir",
+    "ns_corpus_dsir_sample", "x_source_orc_partitioned",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # -- (c) freshness: last gated round 1 --
-    "x_intersect",
     "x_join_anti",
     "x_join_range",
-    "x_join_semi",
     "ns_multimodal_frames",
     "ns_sample_negatives",
     "x_merge_upsert",
@@ -4089,7 +4088,10 @@ _WINDOW: list[str] = [
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an
     # in-window plan shape — the ANN top-k family is represented by
-    # the ivfpq/pq/recall trio in section (a); see round-4 note above)
+    # the ivfpq/pq/recall trio in section (a)), x_intersect and
+    # x_join_semi (set-op/join shapes adjacent to the in-window
+    # x_join_anti; round-1 driver rows stand, local report covers);
+    # see round-4 note above
 ]
 
 

@@ -165,3 +165,113 @@ register(
         "recomputes from the parquet view so the trip itself is checked."
     ),
 )(_q_source_jsonl)
+
+
+# the dsir CTE chain, shared by the weights query's oracle and the
+# composed importance-sampling oracle below (templated on nothing —
+# target lang 'en', d=16, documents table)
+_DSIR_CTES = (
+    "e AS (SELECT doc_id, lang = 'en' AS is_t, "
+    " (('0x' || substr(md5(w), 1, 15))::BIGINT % 16) AS bkt "
+    " FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)), "
+    "c AS (SELECT bkt, CAST(count(*) AS BIGINT) AS r_k, "
+    " CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_k FROM e GROUP BY bkt), "
+    "t AS (SELECT CAST(sum(r_k) AS BIGINT) AS r_tot, CAST(sum(t_k) AS BIGINT) AS t_tot FROM c), "
+    "lr AS (SELECT bkt, CAST(round(ln((t_k + 1) / CAST(t_tot + 16 AS DOUBLE)) "
+    " - ln((r_k + 1) / CAST(r_tot + 16 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lr FROM c, t), "
+    "w AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+    " round(CAST(sum(lr) AS DOUBLE), 6) AS log_weight, "
+    " round(CAST(sum(lr) AS DOUBLE) / count(*), 6) AS avg_log_ratio "
+    " FROM e JOIN lr USING (bkt) GROUP BY doc_id)"
+)
+
+
+def _q_dsir_sample(spark, sf_dir: str):
+    """DSIR end-to-end: importance weights -> importance RESAMPLING.
+    Per language, keep 10 documents without replacement with inclusion
+    probability proportional to exp(avg log-likelihood ratio) — the
+    Efraimidis-Spirakis priority u^(1/weight) over the deterministic
+    per-doc hash draw, i.e. the published DSIR recipe's selection step
+    made reproducible. The weights chain reuses dsir_log_weights
+    unchanged; the join back to the corpus is on doc_id (at 100 TB the
+    weight table is doc-count-sized, co-partitioned by the same key)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = corpus.dsir_log_weights(docs, target_pred=F.col("lang") == "en", d=16)
+    j = docs.select("doc_id", "lang").join(w, "doc_id").withColumn(
+        "samp_weight", F.exp(F.col("avg_log_ratio"))
+    )
+    from .operators import sampling
+
+    sel = sampling.weighted_sample_per_group(
+        j, group_col="lang", weight_col="samp_weight", k=10,
+        key_col="doc_id", salt="dsir",
+    )
+    return sel.select("doc_id", "lang", "n_feats", "log_weight")
+
+
+register(
+    "ns_corpus_dsir_sample",
+    f"WITH {_DSIR_CTES}, "
+    "jw AS (SELECT d.doc_id, d.lang, w.n_feats, w.log_weight, "
+    " exp(w.avg_log_ratio) AS samp_weight FROM documents d JOIN w ON d.doc_id = w.doc_id), "
+    "p AS (SELECT *, pow((('0x' || substr(md5('dsir|' || doc_id), 1, 15))::BIGINT + 1) "
+    " / 1152921504606846976.0, 1.0 / samp_weight) AS pri FROM jw), "
+    "r AS (SELECT doc_id, lang, n_feats, log_weight, row_number() OVER "
+    " (PARTITION BY lang ORDER BY pri DESC, doc_id ASC) AS rn FROM p) "
+    "SELECT doc_id, lang, n_feats, log_weight FROM r WHERE rn <= 10",
+    desc=(
+        "DSIR importance RESAMPLING: the weights chain composed with "
+        "per-language Efraimidis-Spirakis selection at probability "
+        "proportional to exp(avg log-likelihood ratio) — fully "
+        "deterministic, the complete published DSIR recipe end-to-end."
+    ),
+)(_q_dsir_sample)
+
+
+def _q_source_orc(spark, sf_dir: str):
+    """Partition-pruned ORC source round trip: events land (idempotent
+    stamped fixture) as a hive-partitioned ORC layout keyed on
+    event_type; the query reads ONLY two partitions back (the filter
+    prunes directories at planning time, pinned in test_plans) and
+    aggregates. The oracle recomputes from the parquet view, so the
+    ORC write -> partitioned read -> prune path is what's checked.
+    Timestamps stay out of the round trip on purpose: value/ids are
+    binary-exact in ORC, and the determinism contract stays trivial."""
+    import hashlib
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src) if os.path.exists(src) else None
+    stamp = f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns if st else 0}|{st.st_size if st else 0}"
+    base = f"/tmp/spark_graft_orc_{hashlib.md5(stamp.encode()).hexdigest()[:12]}"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    if not os.path.exists(base + "/_done"):
+        sio.write_orc_dir(ev.repartition(4), base + "/data",
+                          partition_by=["event_type"])
+        open(base + "/_done", "w").close()
+    back = sio.read_orc(spark, base + "/data")
+    return (
+        back.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+register(
+    "x_source_orc_partitioned",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    " CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    " CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+    "FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type",
+    desc=(
+        "Hive-partitioned ORC source round trip: events written "
+        "partitionBy(event_type), read back with an IN filter that "
+        "prunes to 2 of 5 partition directories at planning time; "
+        "oracle recomputes from the parquet view."
+    ),
+)(_q_source_orc)

@@ -597,3 +597,42 @@ def test_semantic_dedup_pair_stage_is_cell_equijoin(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the only joins on data-sized sides key on the cell / id columns
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark):
+    # the whole rule battery must be one codegen'd projection over the
+    # scan: no Exchange anywhere, no window, no join — at 100 TB the
+    # filter costs exactly the ingest scan
+    plan = plan_of(spark, "ns_quality_gopher")
+    assert "Exchange" not in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    # the 16-row log-ratio table must broadcast into the scoring pass;
+    # a shuffled join here would repartition the exploded corpus by
+    # bucket (16 keys = guaranteed skew) for no reason
+    plan = plan_of(spark, "ns_corpus_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # both aggregates partial-combine map-side before their exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_jsonl_evolving_union_is_plan_level(spark):
+    # by-name union of the two JSONL batches must be a plan-level Union
+    # (each batch keeps its own scan); the only exchange is the
+    # aggregate's, and it is partial-combined map-side
+    plan = plan_of(spark, "x_source_jsonl_evolving")
+    assert "Union" in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_orc_partitioned_read_prunes_partitions(spark):
+    # the event_type IN filter must prune the hive partition layout at
+    # planning time: the scan's partition filters carry event_type and
+    # the data filters do NOT re-apply it per row
+    df = queries()["x_source_orc_partitioned"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]

@@ -93,3 +93,19 @@ def test_negative_samples_labels_differ_and_deterministic(spark):
     # deterministic across invocations
     again = negative_samples(df, k=2, pool_size=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_dsir_sample_is_weighted_and_deterministic(spark):
+    """The composed DSIR selection keeps <= k docs per language, is
+    rerun-stable, and target-language docs win more slots than their
+    uniform share (they carry exp(positive log-ratio) weights)."""
+    from agentic_workflow_for_data_transformation_spark import benchqueries
+
+    q = benchqueries.queries()["ns_corpus_dsir_sample"]
+    a = {(r["doc_id"], r["lang"]) for r in q(spark, "/root/testdata/sf0.001").collect()}
+    b = {(r["doc_id"], r["lang"]) for r in q(spark, "/root/testdata/sf0.001").collect()}
+    assert a == b and a
+    import collections
+
+    per_lang = collections.Counter(lang for _, lang in a)
+    assert all(n <= 10 for n in per_lang.values())

@@ -108,6 +108,16 @@ QUERIES = [
     "p63_nl_neardup",
     "p65_nl_pack",
     "ns_dedup_lines",
+    # round-8 fourth-session additions: the Gopher rule battery (pure
+    # projection), DSIR weighting (two exploded passes + broadcast
+    # scoring join), token fertility (one aggregate), and the JSONL
+    # round trip (write fixture + evolving read + aggregate)
+    "ns_quality_gopher",
+    "ns_corpus_dsir_weights",
+    "ns_text_token_fertility",
+    "x_source_jsonl_evolving",
+    "ns_corpus_dsir_sample",
+    "x_source_orc_partitioned",
     "x_resample_interpolate",
     "x_winsorize_group",
     "p69_nl_langid",
@@ -268,7 +278,8 @@ def zipf_prefix_time(spark, sf: float) -> float:
     return min(t1, _time.perf_counter() - t0)
 
 
-def run_dir(sf_dir: str, sf: float, names: list[str]) -> dict[str, float]:
+def run_dir(sf_dir: str, sf: float, names: list[str],
+            synthetics: bool = True) -> dict[str, float]:
     spark = get_spark(app_name=f"bench_scale_{Path(sf_dir).name}")
     warmup(spark)
     reg = benchqueries.queries()
@@ -280,6 +291,9 @@ def run_dir(sf_dir: str, sf: float, names: list[str]) -> dict[str, float]:
         cold, steady = time_query(spark, reg[name], sf_dir)
         out[name] = round(steady, 3)
         print(f"  {name}: {out[name]:.2f}s (cold {cold:.2f}s)", flush=True)
+    if not synthetics:
+        spark.stop()
+        return out
     # synthetic adversarial row (not a registry query): dormant-key
     # interval join — min of 2 runs, same pause discipline as benchutil
     t = min(dormant_interval_time(spark, sf), dormant_interval_time(spark, sf))
@@ -313,19 +327,40 @@ def main() -> None:
     ap.add_argument("--dirs", default="scaledata/sf0.1,scaledata/sf1")
     ap.add_argument("--sfs", default="0.1,1")
     ap.add_argument("--skip", default="")
+    ap.add_argument(
+        "--only", default="",
+        help="measure ONLY these queries and MERGE their rows into the "
+        "committed BENCH_SCALE.json, re-rendering the markdown from the "
+        "merged timings — the incremental path when registering new "
+        "queries (the full sweep is hours; new rows shouldn't cost that)",
+    )
     args = ap.parse_args()
 
     dirs = args.dirs.split(",")
     sfs = [float(s) for s in args.sfs.split(",")]
     assert len(dirs) == len(sfs) >= 2
     skip = set(filter(None, args.skip.split(",")))
-    names = [n for n in QUERIES if n not in skip]
+    only = [n for n in args.only.split(",") if n]
+    names = [n for n in QUERIES if n not in skip and (not only or n in only)]
+
+    prev: dict = {}
+    if only:
+        prev = json.loads((ROOT / "BENCH_SCALE.json").read_text())
+        assert prev["sfs"] == sfs and prev["dirs"] == dirs, (
+            "--only merges into the committed sweep: sfs/dirs must match "
+            f"({prev['sfs']}/{prev['dirs']})"
+        )
 
     per_dir: list[dict[str, float]] = []
-    for d, sf in zip(dirs, sfs):
+    for i, (d, sf) in enumerate(zip(dirs, sfs)):
         print(f"== {d} ==", flush=True)
-        per_dir.append(run_dir(d, sf, names))
-    names = names + [
+        new = run_dir(d, sf, names, synthetics=not only)
+        if only:
+            merged = dict(prev["timings"][i])
+            merged.update(new)
+            new = merged
+        per_dir.append(new)
+    names = [n for n in QUERIES if n not in skip] + [
         "x_join_interval_dormant (synthetic)",
         "ns_dedup_jaccard_prefix_zipf (synthetic)",
     ]

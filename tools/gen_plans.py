@@ -208,6 +208,30 @@ HEADLINE: list[tuple[str, str]] = [
         "exchange is the per-anchor top-k window partitioned by "
         "anchor_id — the same single-scan shape as the MRR harness.",
     ),
+    (
+        "ns_quality_gopher",
+        "Gopher rule battery: a single Project over the scan — every "
+        "signal (split/translate/replace/list-lambda) and every rule "
+        "boolean is a per-row expression inside one WholeStageCodegen "
+        "span; zero exchanges, so at 100 TB the filter costs exactly "
+        "the ingest scan you were already paying.",
+    ),
+    (
+        "ns_corpus_dsir_weights",
+        "DSIR importance weights: the estimate pass partial-aggregates "
+        "each partition to 16 (bucket, count) rows before its exchange; "
+        "the 16-row log-ratio table BROADCASTS into the scoring pass, "
+        "whose per-doc aggregate is the only data-sized exchange — and "
+        "it carries (doc_id, decimal partial sum), never the words.",
+    ),
+    (
+        "x_source_jsonl_evolving",
+        "Schema-evolving JSONL union: each batch keeps its own scan "
+        "(no materialized union); the missing column arrives as a "
+        "null literal in the early batch's Project, and the aggregate "
+        "partial-combines map-side — the union is plan-level, so "
+        "adding a dump-date batch never rewrites old data.",
+    ),
 ]
 
 
