@@ -609,12 +609,25 @@ def dsir_log_weights(corpus: DataFrame, target_pred,
     IEEE-double expression rounded to 9 digits, and the per-doc sum
     runs over DECIMAL(18,9) so it is partition-order independent;
     the reported weight rounds to 6."""
+    ratios = dsir_ratio_table(corpus, target_pred, text_col=text_col, d=d)
+    return dsir_score_against_ratios(
+        corpus, ratios, id_col=id_col, text_col=text_col, d=d
+    )
+
+
+def dsir_ratio_table(corpus: DataFrame, target_pred, text_col: str = "text",
+                     d: int = 16) -> DataFrame:
+    """The DSIR ESTIMATE half: the d-row (bkt, lr) log-likelihood-ratio
+    table, add-one smoothed, rounded to 9 digits and carried as
+    DECIMAL(18,9). Factored out so the table can be PERSISTED and
+    reused by the streaming scorer — estimate once over the reference
+    corpus, then score every future ingest batch against the same
+    fixed table (the production DSIR serving shape)."""
     from .dedup import _hash60, spread_small_input
 
     e = (
         spread_small_input(corpus)
         .select(
-            F.col(id_col),
             target_pred.alias("_is_target"),
             F.explode(F.split(F.col(text_col), " ")).alias("w"),
         )
@@ -630,13 +643,33 @@ def dsir_log_weights(corpus: DataFrame, target_pred,
     )
     # ln((t_k+1)/(t_tot+d)) - ln((r_k+1)/(r_tot+d)), one expression
     # shape in both engines, rounded to 9 before the decimal-sum
-    ratios = counts.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         "bkt",
         F.round(
             F.log((F.col("t_k") + 1) / (F.col("t_tot") + F.lit(d)))
             - F.log((F.col("r_k") + 1) / (F.col("r_tot") + F.lit(d))),
             9,
         ).cast("decimal(18,9)").alias("lr"),
+    )
+
+
+def dsir_score_against_ratios(docs: DataFrame, ratios: DataFrame,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              d: int = 16) -> DataFrame:
+    """The DSIR SCORING half: per-document log weight against an
+    ALREADY-ESTIMATED (bkt, lr) table. Stateless per document given
+    the broadcast table, so the identical plan scores a batch corpus
+    or a streaming micro-batch (streaming/ingest.dsir_score_stream) —
+    batch and stream can never drift because they share this code."""
+    from .dedup import _hash60, spread_small_input
+
+    e = (
+        spread_small_input(docs)
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .withColumn("bkt", _hash60(F.col("w")) % d)
     )
     return (
         e.join(F.broadcast(ratios), "bkt")

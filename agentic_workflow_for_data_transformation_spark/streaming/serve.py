@@ -63,3 +63,46 @@ def serve_ann_stream(queries: DataFrame, index_dir: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_dsir_ratios(corpus: DataFrame, target_pred, path: str,
+                      text_col: str = "text", d: int = 16) -> None:
+    """Estimate the DSIR log-ratio table once over a reference corpus
+    and persist it (d rows) — the stream scorer's fixed state, swapped
+    by path like the ANN index, never by stream surgery."""
+    from ..operators.corpus import dsir_ratio_table
+
+    dsir_ratio_table(corpus, target_pred, text_col=text_col, d=d) \
+        .write.mode("overwrite").parquet(path)
+
+
+def score_dsir_stream(docs: DataFrame, ratios_path: str, out_dir: str,
+                      checkpoint_dir: str, id_col: str = "doc_id",
+                      text_col: str = "text", d: int = 16):
+    """Streaming DSIR quality gate: every ingest micro-batch gets its
+    importance weights against the PERSISTED ratio table through the
+    exact plan the batch scorer uses (operators/corpus.
+    dsir_score_against_ratios — foreachBatch IS the batch path, so
+    stream/batch parity is by construction). Per-trigger work is
+    batch-sized: the d-row table broadcasts, the per-doc aggregate
+    never crosses micro-batches (a document's weight depends only on
+    its own words), so the stream needs no watermark and no state
+    store. Returns the started StreamingQuery."""
+    from ..operators.corpus import dsir_score_against_ratios
+
+    # load once per server, not once per micro-batch
+    ratios = docs.sparkSession.read.parquet(ratios_path)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return
+        dsir_score_against_ratios(
+            batch, ratios, id_col=id_col, text_col=text_col, d=d
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -799,3 +799,64 @@ def test_stream_ingest_neardup_against_lsh_archive(spark, sf_dir, tmp_path):
     )
     assert n2 == 0
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_dsir_stream_scores_match_batch(spark, sf_dir, tmp_path):
+    """Streaming DSIR quality gate vs the batch operator: estimate the
+    ratio table once from the full corpus, persist it, stream the same
+    documents through score_dsir_stream, and require the union of the
+    micro-batch outputs to EQUAL the batch dsir_log_weights rows —
+    parity is by construction (foreachBatch runs the identical scoring
+    plan), this pins it. Also: gopher_rules runs UNCHANGED on the raw
+    stream (stateless narrow op), extending the zero-rewrite property
+    to the heuristic quality gate."""
+    from pyspark.sql import functions as F
+
+    from agentic_workflow_for_data_transformation_spark.operators import corpus, text
+    from agentic_workflow_for_data_transformation_spark.sources import read_parquet_table
+    from agentic_workflow_for_data_transformation_spark.streaming.serve import (
+        score_dsir_stream,
+        write_dsir_ratios,
+    )
+
+    batch_docs = read_parquet_table(spark, sf_dir, "documents")
+    ratios_path = str(tmp_path / "dsir_ratios")
+    write_dsir_ratios(batch_docs, F.col("lang") == "en", ratios_path)
+
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out_dir = str(tmp_path / "scored")
+    q = score_dsir_stream(
+        stream_docs, ratios_path, out_dir, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        tuple(r)
+        for r in corpus.dsir_log_weights(
+            batch_docs, target_pred=F.col("lang") == "en"
+        ).collect()
+    }
+    assert got == want and got
+
+    # the stateless heuristic gate runs unchanged on the stream
+    g = text.gopher_rules(stream_docs).select("doc_id", "passes_gopher")
+    assert g.isStreaming
+    qq = (
+        g.writeStream.outputMode("append").format("memory")
+        .queryName("gopher_stream").start()
+    )
+    qq.processAllAvailable()
+    qq.stop()
+    sgot = {tuple(r) for r in spark.table("gopher_stream").collect()}
+    swant = {
+        tuple(r)
+        for r in text.gopher_rules(batch_docs)
+        .select("doc_id", "passes_gopher").collect()
+    }
+    assert sgot == swant and sgot

@@ -215,8 +215,58 @@ def main() -> None:
         warmup=1,
     )
 
+    # DSIR stream-scoring rung (round-8 fourth session): document
+    # micro-batches scored against the PERSISTED 16-row log-ratio
+    # table through the same foreachBatch server production runs
+    # (streaming/serve.score_dsir_stream's batch function). Offered in
+    # DOCUMENT rows at rate/10 (each doc fans out 8 tokens through the
+    # hash + broadcast join + per-doc aggregate).
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        dsir_ratio_table,
+        dsir_score_against_ratios,
+    )
+
+    ref = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3 == 0).alias("is_t"),
+        F.concat_ws(
+            " ",
+            *[
+                F.substring(F.md5(F.concat(F.col("id").cast("string"),
+                                           F.lit(f"r{i}"))), 1, 4)
+                for i in range(8)
+            ],
+        ).alias("text"),
+    )
+    dsir_ratios = dsir_ratio_table(ref, F.col("is_t")).persist()
+    dsir_ratios.count()
+    dsir_docs = rate_events(spark, args.rate // 10).select(
+        F.col("event_id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.substring(F.md5(F.concat(F.col("event_id").cast("string"),
+                                           F.lit(str(i)))), 1, 4)
+                for i in range(8)
+            ],
+        ).alias("text"),
+    )
+
+    def _dsir_score(batch: DataFrame, batch_id: int) -> None:
+        dsir_score_against_ratios(batch, dsir_ratios) \
+            .write.format("noop").mode("overwrite").save()
+
+    dsir_row = measure(
+        "dsir_score (8-token docs at rate/10 vs persisted ratio table; stateless)",
+        dsir_docs,
+        "append",
+        args.seconds,
+        foreach=_dsir_score,
+    )
+
     results = [
         cms_row,
+        dsir_row,
         ann_row,
         measure("source_to_sink (projection only)", ev, "append", args.seconds),
         measure(
