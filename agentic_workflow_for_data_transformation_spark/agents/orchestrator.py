@@ -113,6 +113,9 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "dsir", "target_col": "lang", "target_val": "en"}}
       (DSIR importance weights vs the target slice; REPLACES the
       schema with doc_id, n_feats, log_weight, avg_log_ratio)
+  {{"op": "fertility", "key": "lang"}}  (tokenizer fertility audit;
+      REPLACES the schema with key, n_docs, total_words, total_tokens,
+      tokens_per_word, chars_per_token)
   {{"op": "expect", "expectations": [
       {{"kind": "unique", "col": "id"}},
       {{"kind": "not_null", "col": "text"}},
@@ -263,8 +266,8 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # (an earlier filter may legitimately no longer hold on
         # updated rows) — all five invalidate earlier predicates
         "expect", "chunk", "resample", "negatives", "merge",
-        # dsir replaces the schema with (id, n_feats, log_weight, ...)
-        "dsir",
+        # dsir/fertility replace the schema with their own summaries
+        "dsir", "fertility",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -345,7 +348,8 @@ def critic_agent(
             "transformed — renames/drops/filters have ALREADY been "
             "applied). A header-only sample means the filter matched "
             "zero rows, which is a valid result. Summary-producing "
-            "ops (groupby_agg, pack, ann_topk, bm25, ols, pivot, dsir) "
+            "ops (groupby_agg, pack, ann_topk, bm25, ols, pivot, dsir, "
+            "fertility) "
             "REPLACE the columns with their own summary schema — for "
             "those, expect the summary table, not the original rows "
             "(e.g. pack outputs per-sequence stats, not documents; "

@@ -3718,6 +3718,19 @@ def p81_nl_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P81_DESC)
 
 
+_P82_DESC = "Compute token fertility per lang"
+
+
+@register("p82_nl_fertility", _docs_nl_oracle(_P82_DESC))
+def p82_nl_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL tokenizer audit: 'compute token fertility per <key>' —
+    text.token_fertility_by_lang behind one clause (schema-replacing,
+    like ols/dsir). Exact integer sums feed one fixed double division
+    per group, so the oracle is hash-exact; one scan, one
+    partial-aggregated exchange on the group key."""
+    return _nl(spark, sf_dir, "documents", _P82_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4073,13 +4086,12 @@ _WINDOW: list[str] = [
     "ns_text_token_fertility", "x_source_jsonl_evolving",
     "p80_nl_gopher", "p81_nl_dsir",
     "ns_corpus_dsir_sample", "x_source_orc_partitioned",
+    "p82_nl_fertility", "x_frequent_items",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # -- (c) freshness: last gated round 1 --
-    "x_join_anti",
-    "x_join_range",
     "ns_multimodal_frames",
     "ns_sample_negatives",
     "x_merge_upsert",

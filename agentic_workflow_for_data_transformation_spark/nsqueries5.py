@@ -275,3 +275,48 @@ register(
         "oracle recomputes from the parquet view."
     ),
 )(_q_source_orc)
+
+
+def _q_frequent_items(spark, sf_dir: str):
+    """Frequent-items sketch accuracy harness (Karp et al. single-pass
+    heavy hitters, Spark's df.stat.freqItems): the 100 TB path for
+    'which values dominate this column' without a full group-by when
+    only the candidate SET is needed. The candidate list is
+    order-unstable and may contain false positives, so what's
+    hash-checked is the one-sided GUARANTEE: every value with true
+    frequency > support * n MUST appear among the candidates
+    (found_by_sketch is TRUE on every emitted row, same contract shape
+    as the Bloom screen and the HLL rsd bound). The exact counts run
+    beside the sketch here because this is the harness."""
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    tot = exact.agg(F.sum("true_count").cast("long").alias("n"))
+    cand = ev.stat.freqItems(["event_type"], support=0.1)
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("true_count") > 0.1 * F.col("n"))
+        .crossJoin(F.broadcast(cand))
+        .select(
+            "event_type",
+            "true_count",
+            F.array_contains(
+                F.col("event_type_freqItems"), F.col("event_type")
+            ).alias("found_by_sketch"),
+        )
+    )
+
+
+register(
+    "x_frequent_items",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS true_count, "
+    "TRUE AS found_by_sketch FROM events GROUP BY event_type "
+    "HAVING count(*) > 0.1 * (SELECT count(*) FROM events)",
+    desc=(
+        "Single-pass frequent-items sketch with a one-sided guarantee "
+        "oracle: every value above the support threshold must be among "
+        "the sketch's candidates — a miss hash-mismatches instead of "
+        "hiding behind err:no_oracle."
+    ),
+)(_q_frequent_items)

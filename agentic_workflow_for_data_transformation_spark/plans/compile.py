@@ -580,6 +580,12 @@ def compile_spec(
                 id_col=op.get("id_col", "doc_id"),
                 text_col=op.get("text_col", "text"),
             )
+        elif kind == "fertility":
+            from ..operators.text import token_fertility_by_lang
+
+            df = token_fertility_by_lang(
+                df, lang_col=op["key"], text_col=op.get("text_col", "text")
+            )
         elif kind == "split_assign":
             from ..operators.sampling import with_hash_split
 

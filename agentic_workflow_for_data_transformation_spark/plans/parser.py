@@ -56,6 +56,7 @@ _CLAUSE_KEYWORDS = (
     r"|redact"
     r"|apply\s+(?:the\s+)?gopher"
     r"|weight\s+(?:the\s+)?(?:documents|rows)"
+    r"|compute\s+token\s+fertility"
     r"|check\s+that"
     r"|split\s+into\s+\d"
     r"|(?:inner|left|right|full|cross)\s+join)"
@@ -414,6 +415,12 @@ _DSIR = re.compile(
     r"(\w+)\s+'([^']*)'\s*$",
     re.IGNORECASE,
 )
+# "compute token fertility per lang" -> tokens-per-word /
+# chars-per-token audit grouped on the named column
+_FERTILITY = re.compile(
+    r"^compute\s+token\s+fertility\s+per\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 # "pick 3 negatives per vector from a pool of 64" -> deterministic
 # contrastive negative sampling (different-label, broadcast pool)
 _NEGATIVES = re.compile(
@@ -764,6 +771,8 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "target_col": _resolve_col(m.group(1), columns),
             "target_val": m.group(2),
         }
+    if m := _FERTILITY.match(clause):
+        return {"op": "fertility", "key": _resolve_col(m.group(1), columns)}
     if m := _EXPECT.match(clause):
         exps: list[dict] = []
         for part in re.split(r"\s+and\s+", m.group(1), flags=re.IGNORECASE):
@@ -1321,6 +1330,9 @@ def _strip_unavailable_tiebreaks(ops: list[dict], columns: list[str] | None) -> 
             }
         elif kind == "dsir":
             cols = {"doc_id", "n_feats", "log_weight", "avg_log_ratio"}
+        elif kind == "fertility":
+            cols = {op["key"], "n_docs", "total_words", "total_tokens",
+                    "tokens_per_word", "chars_per_token"}
         elif kind == "sessionize":
             cols.add("session_id")
         # filter/sort/limit/distinct/sample keep the column set;

@@ -93,6 +93,11 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # REPLACES the schema with (id_col, n_feats, log_weight,
       # avg_log_ratio) — hashed bag-of-words target-vs-raw
       # log-likelihood ratio per document
+  {"op": "fertility", "key": "lang", "text_col": "text"?}
+      # tokenizer fertility audit (operators/text.
+      # token_fertility_by_lang): REPLACES the schema with (key,
+      # n_docs, total_words, total_tokens, tokens_per_word,
+      # chars_per_token) — exact integer sums, one division per group
   {"op": "bm25", "terms": ["vector", "stream"], "k": 10,
    "id_col": "doc_id"?, "text_col": "text"?}   # lexical top-k search
   {"op": "ols", "key": "k", "x": "xcol", "y": "ycol",
@@ -559,6 +564,11 @@ def validate_op(op: Any) -> None:
         for k in ("id_col", "text_col"):
             if k in op and not isinstance(op[k], str):
                 _err(f"dsir '{k}' must be a string: {op!r}")
+    elif kind == "fertility":
+        if not isinstance(op.get("key"), str):
+            _err(f"fertility needs a string 'key': {op!r}")
+        if "text_col" in op and not isinstance(op["text_col"], str):
+            _err(f"fertility 'text_col' must be a string: {op!r}")
     elif kind == "expect":
         exps = op.get("expectations")
         if not (isinstance(exps, list) and exps

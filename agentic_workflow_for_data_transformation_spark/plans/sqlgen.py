@@ -520,6 +520,24 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 "round(CAST(sum(lr) AS DOUBLE) / count(*), 6) AS avg_log_ratio "
                 f"FROM e JOIN lr USING (bkt) GROUP BY {idc}"
             )
+        elif kind == "fertility":
+            # mirrors operators/text.token_fertility_by_lang: exact
+            # integer sums, one double division per group
+            from ..operators.text import TOKEN_REGEX
+
+            key = _q(op["key"])
+            txt = _q(op.get("text_col", "text"))
+            sql = (
+                f"WITH __t AS (SELECT {key}, len(string_split({txt}, ' ')) AS n_words, "
+                f"len(regexp_extract_all(lower({txt}), {_lit_sql(TOKEN_REGEX)})) AS n_tokens, "
+                f"length({txt}) AS n_chars FROM ({sql})) "
+                f"SELECT {key}, CAST(count(*) AS BIGINT) AS n_docs, "
+                "CAST(sum(n_words) AS BIGINT) AS total_words, "
+                "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+                "round(sum(n_tokens) / CAST(sum(n_words) AS DOUBLE), 6) AS tokens_per_word, "
+                "round(sum(n_chars) / CAST(sum(n_tokens) AS DOUBLE), 6) AS chars_per_token "
+                f"FROM __t GROUP BY {key}"
+            )
         elif kind == "split_assign":
             # mirrors operators/sampling.with_hash_split: same 60-bit
             # md5 draw, same integer cutoffs (split_thresholds is the

@@ -1790,3 +1790,32 @@ def test_gopher_composes_with_filter_clause(spark):
         columns=df.columns,
     )
     assert [r["doc_id"] for r in compile_spec(df, spec).collect()] == [1]
+
+
+def test_fertility_spec_op_parse_compile_render(spark):
+    """'compute token fertility per <key>' -> schema-replacing
+    fertility op; engine and rendered SQL agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    rows = [(1, "en", "don't stop"), (2, "en", "ok go"), (3, "fr", "oui oui")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    spec = parse_description("Compute token fertility per lang", columns=df.columns)
+    assert spec["ops"] == [{"op": "fertility", "key": "lang"}]
+    out = compile_spec(df, spec)
+    assert set(out.columns) == {
+        "lang", "n_docs", "total_words", "total_tokens",
+        "tokens_per_word", "chars_per_token",
+    }
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "lang", "text"]))
+    oracle = {tuple(r) for r in con.sql(spec_to_sql(spec, "documents")).fetchall()}
+    assert got == oracle
+    assert dict((r[0], r[4]) for r in got)["en"] == 1.5  # don ' t stop / 4 words
