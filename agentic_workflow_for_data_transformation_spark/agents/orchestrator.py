@@ -341,30 +341,39 @@ def critic_agent(
         # header-only sample is a legitimate empty result; without
         # those two sentences a live model vetoed correct renames and
         # empty filters.
+        # the reading rules come AFTER the data and the decision rule
+        # is the LAST thing the model reads: with the rules buried
+        # mid-prompt a live model re-regressed into vetoing a correct
+        # rename ("header already shows full_name") — the exact
+        # failure the rules exist to prevent
         verdict = llm(
-            "First line strictly YES or NO: is this output CONSISTENT "
-            "with the plan?\n"
-            "The sample below is the plan's OUTPUT (already "
-            "transformed — renames/drops/filters have ALREADY been "
-            "applied). A header-only sample means the filter matched "
-            "zero rows, which is a valid result. Summary-producing "
-            "ops (groupby_agg, pack, ann_topk, bm25, ols, pivot, dsir, "
-            "fertility) "
-            "REPLACE the columns with their own summary schema — for "
-            "those, expect the summary table, not the original rows "
-            "(e.g. pack outputs per-sequence stats, not documents; "
-            "dsir outputs one importance-weight row per document — "
-            "doc_id, n_feats, log_weight, avg_log_ratio — and "
-            "negative log weights are normal log-likelihood ratios). "
-            "An expect op outputs a VALIDATION REPORT: rows with "
-            "passed=false correctly REPORT contract violations in the "
-            "data — a failing report is a consistent output, not a "
-            "wrong transformation. "
-            "Answer NO only if the output clearly CONTRADICTS the "
-            "plan; when unsure, answer YES.\n"
+            "You will judge whether a transformation output is "
+            "consistent with its plan.\n"
             f"plan: {json.dumps(spec)}\n"
             f"output rows: {actual_n}\n"
-            f"sample: {out_df.limit(5).toPandas().to_csv(index=False)}"
+            f"sample: {out_df.limit(5).toPandas().to_csv(index=False)}\n"
+            "How to read the sample — it is the plan's FINISHED OUTPUT; "
+            "every op has ALREADY run:\n"
+            "- rename a->b: the header showing b (and no a) is exactly "
+            "correct; you will never see the pre-rename header.\n"
+            "- select/drop: columns not selected are ABSENT — their "
+            "absence is correct, not missing data.\n"
+            "- filter: rows are already filtered; a header-only sample "
+            "means the filter matched zero rows, a valid result.\n"
+            "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
+            "pivot, dsir, fertility) REPLACE the columns with their own "
+            "summary schema (e.g. pack -> per-sequence stats; dsir -> "
+            "doc_id, n_feats, log_weight, avg_log_ratio per document, "
+            "where negative log weights are normal likelihood ratios).\n"
+            "- expect outputs a VALIDATION REPORT: rows with "
+            "passed=false correctly REPORT violations in the data; a "
+            "failing report is a consistent output.\n"
+            "Decision rule: answer NO only if the output clearly "
+            "CONTRADICTS the plan (wrong columns for the ops listed, "
+            "values violating a stated predicate). If everything is "
+            "explainable by the rules above, or you are unsure, answer "
+            "YES.\n"
+            "First line of your reply: strictly YES or NO."
         )
         if verdict.strip().upper().startswith("NO"):
             return False, f"llm critic rejected: {verdict.splitlines()[0]}"

@@ -4042,12 +4042,15 @@ def x_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW: list[str] = [
     # Round-8 rotation (VERDICT r7 #4). The cumulative driver ledger
     # closed at 223/223 in round 7, so this window is composed of:
-    #   (a) the 31 NEW round-8 registrations (never gated): the
+    #   (a) the NEW round-8 registrations (never gated): the
     #       composed IVF+PQ serving stack, the NL corpus/dataset/text
-    #       phrasings p62-p79, SemDeDup, the retrieval-quality and
+    #       phrasings p62-p82, SemDeDup, the retrieval-quality and
     #       hard-negative harnesses, CCNet perplexity bucketing,
     #       incremental near-dup dedup vs the persisted LSH archive,
-    #       and BPE train + encode;
+    #       BPE train + encode, and the fourth session's additions:
+    #       Gopher rule battery, DSIR weights + end-to-end resampling,
+    #       token fertility, evolving JSONL + partitioned ORC sources,
+    #       and the frequent-items guarantee harness;
     #   (b) the 7 queries whose SEMANTICS, ORACLE, or PLAN changed in
     #       round 8 and need fresh driver rows: the two PQ queries now
     #       run TRAINED codebooks (new unrolled-Lloyd oracles); the
@@ -4055,11 +4058,13 @@ _WINDOW: list[str] = [
     #       bounds-style outputs with exact oracles (zero no_oracle
     #       rows remain); welch_ttest counts non-null values; and
     #       ns_embed_pq's plan gained the (id, sub) spread exchange;
-    #   (c) 12 freshness picks — every one last gated in ROUND 1 (the
-    #       oldest driver rows in the ledger), recomputed mechanically
-    #       from the committed CORRECTNESS_r0*.json files; the other
-    #       round-1 picks rotated out as (a) grew — all stay covered
-    #       by the committed full-registry CORRECTNESS_LOCAL.json.
+    #   (c) freshness picks last gated in ROUND 1 (the oldest driver
+    #       rows in the ledger), recomputed mechanically from the
+    #       committed CORRECTNESS_r0*.json files; most round-1 picks
+    #       rotated out as (a) grew across the round's sessions — all
+    #       stay covered by the committed full-registry
+    #       CORRECTNESS_LOCAL.json, regenerated registry-wide at the
+    #       end of the fourth session.
     # EDITING NOTE (r7 lesson): swap slots by editing THIS list only —
     # a bare '"name",' string also matches that query's @register(...)
     # line (identical text) and a careless sed silently renames the

@@ -36,7 +36,7 @@ class Cassette:
         if prompt.startswith("The transformation could not be expressed"):
             self.calls.append("pandas")
             return self.pandas_responses.pop(0)
-        if prompt.startswith("First line strictly YES or NO"):
+        if prompt.startswith("You will judge whether a transformation"):
             self.calls.append("critic")
             return self.verdicts.pop(0) if self.verdicts else "YES"
         raise AssertionError(f"unexpected prompt: {prompt[:80]}")

@@ -929,3 +929,48 @@ def test_random_splits_match_duckdb(spark_module, weights):
     got = _spark_rows(compile_spec(spark_module, spec))
     want = _duck(spec_to_sql(spec, "people"))
     assert got == want
+
+
+# random word-salad documents mixing required stopwords, symbols,
+# bullets, ellipses and plain words — the gopher battery's whole
+# signal space, rendered to both engines
+_gopher_words = st.sampled_from(
+    ["the", "of", "with", "cat", "sat", "zig", "###", "a...b", "word"]
+)
+_gopher_lines = st.lists(
+    st.lists(_gopher_words, min_size=1, max_size=30).map(" ".join).flatmap(
+        lambda body: st.sampled_from(
+            [body, "- " + body, "* " + body, body + "..."]
+        )
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_gopher_lines, min_size=1, max_size=5))
+def test_random_gopher_docs_match_duckdb(spark_module, docs):
+    """Every gopher signal and rule boolean must agree bit-for-bit
+    between the Spark battery and the sqlgen rendering over random
+    multi-line documents exercising bullets, ellipses, symbols, and
+    the required-stopword set."""
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    # spark_module is the session-scoped people DataFrame; its session
+    # builds the ad-hoc documents frame
+    df = spark_module.sparkSession.createDataFrame(rows, ["doc_id", "text"])
+    spec = {"ops": [{"op": "gopher"}]}
+    got = _spark_rows(compile_spec(df, spec))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in con.sql(spec_to_sql(spec, "documents")).fetchall()
+    )
+    con.close()
+    assert got == want
