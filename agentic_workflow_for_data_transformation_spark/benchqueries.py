@@ -4091,13 +4091,14 @@ _WINDOW: list[str] = [
     "ns_text_token_fertility", "x_source_jsonl_evolving",
     "p80_nl_gopher", "p81_nl_dsir",
     "ns_corpus_dsir_sample", "x_source_orc_partitioned",
-    "p82_nl_fertility", "x_frequent_items",
+    "p82_nl_fertility", "x_frequent_items", "ns_quality_gopher_rep",
     # -- (b) semantics/oracle/plan changed in round 8 --
     "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
-    # -- (c) freshness: last gated round 1 --
-    "ns_multimodal_frames",
+    # (the (c) freshness picks all rotated out as (a) grew; every
+    # rotated-out query keeps its old driver row plus a fresh row in
+    # the registry-wide CORRECTNESS_LOCAL.json)
     "ns_sample_negatives",
     "x_merge_upsert",
     "x_winsorize_group",

@@ -320,3 +320,63 @@ register(
         "hiding behind err:no_oracle."
     ),
 )(_q_frequent_items)
+
+
+def _gopher_rep_sql() -> str:
+    from .operators.text import GOPHER_REP_BOUNDS as GB
+
+    rules = {
+        "r_dup_lines": f"dup_line_frac <= {GB['max_dup_line_frac']}",
+        "r_dup_line_chars": f"dup_line_char_frac <= {GB['max_dup_line_char_frac']}",
+        "r_top_2gram": f"top2gram_char_frac <= {GB['max_top2gram_char_frac']}",
+        "r_dup_5gram": f"dup5gram_char_frac <= {GB['max_dup5gram_char_frac']}",
+    }
+    rule_cols = ", ".join(f"({e}) AS {n}" for n, e in rules.items())
+    passes = " AND ".join(f"({e})" for e in rules.values())
+    return (
+        "WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents), "
+        "pl AS (SELECT doc_id, ln, count(*) AS cnt FROM l GROUP BY 1, 2), "
+        "ls AS (SELECT doc_id, "
+        " round(sum(cnt - 1) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_line_frac, "
+        " round(sum((cnt - 1) * length(ln)) "
+        "  / CAST(greatest(sum(cnt * length(ln)), 1) AS DOUBLE), 6) AS dup_line_char_frac "
+        " FROM pl GROUP BY 1), "
+        "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), "
+        " i -> ws[i] || ' ' || ws[i+1])) AS s FROM w WHERE len(ws) >= 2), "
+        "p2 AS (SELECT doc_id, s, count(*) AS cnt FROM g2 GROUP BY 1, 2), "
+        "t2 AS (SELECT doc_id, CASE WHEN cnt > 1 THEN cnt * length(s) ELSE 0 END AS t2c, "
+        " row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, s) AS rn FROM p2), "
+        "g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3), "
+        " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS s "
+        " FROM w WHERE len(ws) >= 5), "
+        "p5 AS (SELECT doc_id, s, count(*) AS cnt FROM g5 GROUP BY 1, 2), "
+        "d5 AS (SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt * length(s) ELSE 0 END) AS d5c "
+        " FROM p5 GROUP BY 1), "
+        "o AS (SELECT b.doc_id, length(b.text) AS n_chars, "
+        " ls.dup_line_frac, ls.dup_line_char_frac, "
+        " round(coalesce(t2.t2c, 0) / CAST(length(b.text) AS DOUBLE), 6) AS top2gram_char_frac, "
+        " round(coalesce(d5.d5c, 0) / CAST(length(b.text) AS DOUBLE), 6) AS dup5gram_char_frac "
+        " FROM documents b JOIN ls USING (doc_id) "
+        " LEFT JOIN (SELECT doc_id, t2c FROM t2 WHERE rn = 1) t2 USING (doc_id) "
+        " LEFT JOIN d5 USING (doc_id)) "
+        f"SELECT *, {rule_cols}, ({passes}) AS passes_gopher_rep FROM o"
+    )
+
+
+register(
+    "ns_quality_gopher_rep",
+    _gopher_rep_sql(),
+    desc=(
+        "Gopher repetition rules (Rae et al. 2021 table A1, second half): "
+        "duplicate-line fraction by count and character mass, the "
+        "character fraction of the most frequent word 2-gram, and the "
+        "character fraction inside duplicated 5-grams — three map-side-"
+        "combined explodes joined back on the doc key; thresholds shared "
+        "with the oracle via text.GOPHER_REP_BOUNDS."
+    ),
+)(
+    lambda spark, sf_dir: text.gopher_repetition(
+        _t(spark, sf_dir, "documents")
+    )
+)

@@ -903,3 +903,122 @@ def token_fertility_by_lang(df: DataFrame, lang_col: str = "lang",
             F.round(F.col("total_chars") / F.col("total_tokens"), 6).alias("chars_per_token"),
         )
     )
+
+
+# Gopher repetition-rule thresholds (Rae et al. 2021 table A1, second
+# half) — shared by the operator defaults and the registered query's
+# SQL oracle so the two engines can never drift on a bound
+GOPHER_REP_BOUNDS = {
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top2gram_char_frac": 0.20,
+    "max_dup5gram_char_frac": 0.15,
+}
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, arXiv:2112.11446,
+    table A1 second half): the intra-document repetition battery that
+    complements gopher_rules' heuristic battery — duplicate-LINE
+    fraction (by line count and by character mass), the character
+    fraction covered by the single most frequent word 2-gram (counted
+    only when that gram actually repeats — a lone 2-gram in a short
+    repeat-free doc is length, not repetition), and the
+    character fraction inside duplicated 5-grams (occurrence-weighted,
+    overlap-uncapped — documented formula, deterministic in both
+    engines). One boolean per rule plus ``passes_gopher_rep``.
+
+    Scale shape: two shingle explodes (lines; 5-grams) and one 2-gram
+    explode, each collapsing map-side to (doc, unit) partial counts
+    before its exchange; the three per-doc summaries join back on the
+    already-hash-partitioned doc key. No window over anything
+    corpus-sized — the top-2-gram argmax is a min(struct) aggregate
+    with (count desc, gram asc) tie-break, identical in the oracle's
+    row_number form. Documents shorter than the gram width contribute
+    no grams and score 0.0 (vacuously passing, as the paper treats
+    missing signals)."""
+    from .dedup import shingle_index, spread_small_input
+
+    base = spread_small_input(df).select(
+        F.col(id_col), F.length(F.col(text_col)).alias("n_chars"),
+        F.col(text_col),
+    )
+    # --- duplicate lines: per-(doc, line) occurrence counts ---------
+    lines = base.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("ln")
+    )
+    per_line = lines.groupBy(id_col, "ln").agg(F.count(F.lit(1)).alias("cnt"))
+    line_sum = per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("_nl"),
+        F.sum(F.col("cnt") - 1).alias("_dupl"),
+        F.sum(F.col("cnt") * F.length("ln")).alias("_lc"),
+        F.sum((F.col("cnt") - 1) * F.length("ln")).alias("_duplc"),
+    ).select(
+        F.col(id_col),
+        F.round(F.col("_dupl") / F.col("_nl"), 6).alias("dup_line_frac"),
+        F.round(
+            F.col("_duplc") / F.greatest(F.col("_lc"), F.lit(1)), 6
+        ).alias("dup_line_char_frac"),
+    )
+    # --- most frequent word 2-gram: char coverage -------------------
+    g2 = shingle_index(df, id_col=id_col, text_col=text_col, n=2,
+                       distinct=False)
+    # coverage counts only when the top gram actually REPEATS: a short
+    # repeat-free doc's single 2-gram can cover >20% of its chars, and
+    # that is length, not repetition
+    top2 = (
+        g2.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("s"))).alias("b"))
+        .select(
+            F.col(id_col),
+            F.when(
+                -F.col("b")["neg"] > 1,
+                -F.col("b")["neg"] * F.length(F.col("b")["s"]),
+            ).otherwise(F.lit(0)).alias("_t2c"),
+        )
+    )
+    # --- duplicated 5-grams: occurrence-weighted char coverage ------
+    g5 = shingle_index(df, id_col=id_col, text_col=text_col, n=5,
+                       distinct=False)
+    dup5 = (
+        g5.groupBy(id_col, "s").agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("s")).otherwise(0)
+            ).alias("_d5c")
+        )
+    )
+    GB = GOPHER_REP_BOUNDS
+    out = (
+        base.drop(text_col)
+        .join(line_sum, id_col, "left")
+        .join(top2, id_col, "left")
+        .join(dup5, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            F.round(
+                F.coalesce(F.col("_t2c"), F.lit(0)) / F.col("n_chars"), 6
+            ).alias("top2gram_char_frac"),
+            F.round(
+                F.coalesce(F.col("_d5c"), F.lit(0)) / F.col("n_chars"), 6
+            ).alias("dup5gram_char_frac"),
+        )
+    )
+    rules = out.select(
+        "*",
+        (F.col("dup_line_frac") <= GB["max_dup_line_frac"]).alias("r_dup_lines"),
+        (F.col("dup_line_char_frac") <= GB["max_dup_line_char_frac"]).alias("r_dup_line_chars"),
+        (F.col("top2gram_char_frac") <= GB["max_top2gram_char_frac"]).alias("r_top_2gram"),
+        (F.col("dup5gram_char_frac") <= GB["max_dup5gram_char_frac"]).alias("r_dup_5gram"),
+    )
+    passes = (
+        F.col("r_dup_lines") & F.col("r_dup_line_chars")
+        & F.col("r_top_2gram") & F.col("r_dup_5gram")
+    )
+    return rules.withColumn("passes_gopher_rep", passes)

@@ -320,3 +320,25 @@ def test_token_fertility_exact_on_tiny_corpus(spark):
     assert out["en"]["total_words"] == 4 and out["en"]["total_tokens"] == 6
     assert out["en"]["tokens_per_word"] == 1.5
     assert out["fr"]["tokens_per_word"] == 1.0
+
+
+def test_gopher_repetition_signals_exact(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import text as t
+
+    body = "alpha beta gamma delta epsilon zeta"      # 6 words, no repeats
+    dup_lines = "\n".join(["same line here", "same line here", "other line"])
+    rep2gram = "go go go go stop"                      # top 2-gram 'go go' x3
+    rows = [(1, "en", body), (2, "en", dup_lines), (3, "en", rep2gram)]
+    out = {r["doc_id"]: r for r in t.gopher_repetition(_docs(spark, rows)).collect()}
+    # doc 1: single line, all distinct grams -> all zeros, passes
+    assert out[1]["dup_line_frac"] == 0.0 and out[1]["passes_gopher_rep"]
+    # doc 2: 1 of 3 lines is a duplicate occurrence
+    assert out[2]["dup_line_frac"] == round(1 / 3, 6)
+    assert not out[2]["r_dup_lines"] or out[2]["dup_line_frac"] <= 0.3
+    # doc 2 duplicate-line chars: 14 of (14*2 + 10) = 14/38
+    assert out[2]["dup_line_char_frac"] == round(14 / 38, 6)
+    # doc 3: 'go go' occurs 3x, len 5, text len 16 -> 15/16
+    assert out[3]["top2gram_char_frac"] == round(15 / 16, 6)
+    assert not out[3]["r_top_2gram"] and not out[3]["passes_gopher_rep"]
+    # doc 3 is 5 words -> exactly one 5-gram, no duplicates
+    assert out[3]["dup5gram_char_frac"] == 0.0

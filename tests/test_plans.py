@@ -636,3 +636,13 @@ def test_orc_partitioned_read_prunes_partitions(spark):
     df = queries()["x_source_orc_partitioned"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_gopher_repetition_has_no_corpus_window(spark):
+    # the top-2-gram argmax must be a min(struct) AGGREGATE, not a
+    # row_number window over the exploded gram table (a window would
+    # sort every (doc, gram) row; the aggregate partial-combines
+    # map-side), and every per-(doc, unit) count partial-aggregates
+    plan = plan_of(spark, "ns_quality_gopher_rep")
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

@@ -118,6 +118,8 @@ QUERIES = [
     "x_source_jsonl_evolving",
     "ns_corpus_dsir_sample",
     "x_source_orc_partitioned",
+    "x_frequent_items",
+    "ns_quality_gopher_rep",
     "x_resample_interpolate",
     "x_winsorize_group",
     "p69_nl_langid",
