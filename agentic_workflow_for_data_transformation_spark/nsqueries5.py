@@ -380,3 +380,47 @@ register(
         _t(spark, sf_dir, "documents")
     )
 )
+
+
+_HEAPS_CUTS = [125_000, 250_000, 500_000, 1_000_000]
+
+
+def _heaps_sql() -> str:
+    dr = "(('0x' || substr(md5('heaps|' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000)"
+    one_cols = ", ".join(
+        f"CAST(count(CASE WHEN dr < {c} THEN 1 END) AS BIGINT) AS tok{i}, "
+        f"CAST(count(DISTINCT CASE WHEN dr < {c} THEN w END) AS BIGINT) AS typ{i}"
+        for i, c in enumerate(_HEAPS_CUTS)
+    )
+    pts = " UNION ALL ".join(
+        f"SELECT CAST({c} AS BIGINT) AS draw_cut, tok{i} AS n_tokens, typ{i} AS n_types FROM one"
+        for i, c in enumerate(_HEAPS_CUTS)
+    )
+    x = "CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))"
+    y = "CAST(round(ln(CAST(n_types AS DOUBLE)), 6) AS DECIMAL(18,6))"
+    return (
+        f"WITH e AS (SELECT {dr} AS dr, unnest(string_split(text, ' ')) AS w FROM documents), "
+        f"one AS (SELECT {one_cols} FROM e), "
+        f"pts AS ({pts}), "
+        f"xy AS (SELECT {x} AS x, {y} AS y FROM pts), "
+        "m AS (SELECT count(*) AS np, CAST(sum(x) AS DOUBLE) AS sx, "
+        " CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(x * x) AS DOUBLE) AS sxx, "
+        " CAST(sum(x * y) AS DOUBLE) AS sxy FROM xy), "
+        "b AS (SELECT round(CASE WHEN np * sxx - sx * sx <> 0 "
+        " THEN (np * sxy - sx * sy) / (np * sxx - sx * sx) END, 6) + 0.0 AS heaps_beta FROM m) "
+        "SELECT draw_cut, n_tokens, n_types, heaps_beta FROM pts, b"
+    )
+
+
+register(
+    "ns_text_heaps_fit",
+    _heaps_sql(),
+    desc=(
+        "Heaps'-law vocabulary-growth fit over four nested deterministic "
+        "hash subsamples (1/8 .. all): single-scan multi-count-distinct "
+        "aggregate, OLS slope of ln(types) on ln(tokens) — the lexical-"
+        "diversity diagnostic beside the Zipf fit."
+    ),
+)(
+    lambda spark, sf_dir: text.heaps_fit(_t(spark, sf_dir, "documents"))
+)

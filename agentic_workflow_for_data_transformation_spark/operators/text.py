@@ -1022,3 +1022,63 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
         & F.col("r_top_2gram") & F.col("r_dup_5gram")
     )
     return rules.withColumn("passes_gopher_rep", passes)
+
+
+def heaps_fit(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): V ~ K * N^beta
+    over nested corpus subsamples — the Zipf fit's companion
+    diagnostic. Natural text grows vocabulary at beta ~ 0.4-0.6;
+    templated/synthetic corpora flatten early (their small fixed
+    vocabulary saturates), so a too-low beta flags low lexical
+    diversity before tokenizer training commits to the corpus.
+
+    The four nested subsamples are DETERMINISTIC HASH DRAWS on the doc
+    key (1/8, 1/4, 1/2, all — each a pure filter, stable under
+    repartitioning and engine choice; sampling.hash_draw's md5 form),
+    not corpus prefixes, so no global ordering is ever materialized.
+    All four (token count, distinct-type count) pairs come from ONE
+    aggregate over one explode (the multi-count-distinct expands the
+    exploded rows 4x map-side — the price of single-scan nesting,
+    documented); beta is the OLS slope of ln(types) on ln(tokens) over
+    the four points with the same rounded-decimal moment discipline as
+    zipf_fit. Output: one row per level (draw_cut, n_tokens, n_types)
+    with the shared heaps_beta broadcast onto each."""
+    from .dedup import spread_small_input
+    from .sampling import DRAW_BUCKETS, hash_draw
+
+    cuts = [DRAW_BUCKETS // 8, DRAW_BUCKETS // 4, DRAW_BUCKETS // 2, DRAW_BUCKETS]
+    e = spread_small_input(df).select(
+        hash_draw(F.col(id_col), "heaps").alias("dr"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    aggs = []
+    for i, c in enumerate(cuts):
+        aggs.append(F.count(F.when(F.col("dr") < c, 1)).cast("long").alias(f"tok{i}"))
+        aggs.append(
+            F.count_distinct(F.when(F.col("dr") < c, F.col("w"))).cast("long").alias(f"typ{i}")
+        )
+    one = e.agg(*aggs)
+    stack_args = ", ".join(
+        f"{c}L, tok{i}, typ{i}" for i, c in enumerate(cuts)
+    )
+    pts = one.select(
+        F.expr(f"stack({len(cuts)}, {stack_args}) AS (draw_cut, n_tokens, n_types)")
+    )
+    x = F.round(F.log(F.col("n_tokens").cast("double")), 6).cast("decimal(18,6)")
+    y = F.round(F.log(F.col("n_types").cast("double")), 6).cast("decimal(18,6)")
+    m = pts.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    den = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # + 0.0 normalizes IEEE negative zero: a saturated vocabulary gives
+    # a slope of exactly zero, and the engines disagree on its sign
+    beta = m.select(
+        (F.round(F.when(den != 0, num / den), 6) + F.lit(0.0)).alias("heaps_beta")
+    )
+    return pts.crossJoin(F.broadcast(beta))

@@ -342,3 +342,26 @@ def test_gopher_repetition_signals_exact(spark):
     assert not out[3]["r_top_2gram"] and not out[3]["passes_gopher_rep"]
     # doc 3 is 5 words -> exactly one 5-gram, no duplicates
     assert out[3]["dup5gram_char_frac"] == 0.0
+
+
+def test_heaps_fit_positive_beta_on_growing_vocabulary(spark):
+    from agentic_workflow_for_data_transformation_spark.operators import text as t
+
+    # every doc contributes fresh words plus a small shared core, so
+    # vocabulary genuinely grows with sample size -> 0 < beta <= 1
+    rows = [
+        (i, "en", " ".join([f"w{i}_{j}" for j in range(6)] + ["the", "of"]))
+        for i in range(64)
+    ]
+    out = sorted(
+        (r["draw_cut"], r["n_tokens"], r["n_types"], r["heaps_beta"])
+        for r in t.heaps_fit(_docs(spark, rows)).collect()
+    )
+    assert len(out) == 4
+    cuts, toks, typs, betas = zip(*out)
+    assert list(cuts) == [125_000, 250_000, 500_000, 1_000_000]
+    assert toks[-1] == 64 * 8 and typs[-1] == 64 * 6 + 2
+    # nested subsamples: counts monotone non-decreasing
+    assert all(a <= b for a, b in zip(toks, toks[1:]))
+    assert all(a <= b for a, b in zip(typs, typs[1:]))
+    assert len(set(betas)) == 1 and 0.0 < betas[0] <= 1.0
