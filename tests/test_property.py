@@ -974,3 +974,68 @@ def test_random_gopher_docs_match_duckdb(spark_module, docs):
     )
     con.close()
     assert got == want
+
+
+_dsir_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr"]),
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "the", "of"]),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=_dsir_docs)
+def test_random_dsir_docs_match_duckdb(spark_module, docs):
+    """DSIR weights over random (lang, text) rows: the hashed
+    bucketing, smoothing, ln shapes, and decimal per-doc sums must
+    agree to the rounded digit between the compiler and the sqlgen
+    rendering — including corpora with zero target-language rows."""
+    rows = [(i, lang, text) for i, (lang, text) in enumerate(docs)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    df = spark_module.sparkSession.createDataFrame(rows, ["doc_id", "lang", "text"])
+    spec = {"ops": [{"op": "dsir", "target_col": "lang", "target_val": "en"}]}
+    got = _spark_rows(compile_spec(df, spec))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in con.sql(spec_to_sql(spec, "documents")).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=_dsir_docs)
+def test_random_fertility_docs_match_duckdb(spark_module, docs):
+    """Token fertility per language over random docs: regex token
+    counts, integer sums, and the two per-group divisions must agree
+    exactly across engines."""
+    rows = [(i, lang, text) for i, (lang, text) in enumerate(docs)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    df = spark_module.sparkSession.createDataFrame(rows, ["doc_id", "lang", "text"])
+    spec = {"ops": [{"op": "fertility", "key": "lang"}]}
+    got = _spark_rows(compile_spec(df, spec))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in con.sql(spec_to_sql(spec, "documents")).fetchall()
+    )
+    con.close()
+    assert got == want
