@@ -434,6 +434,7 @@ from . import nsqueries2  # noqa: E402,F401  (registration side effects)
 from . import nsqueries3  # noqa: E402,F401  (registration side effects)
 from . import nsqueries4  # noqa: E402,F401  (registration side effects)
 from . import nsqueries5  # noqa: E402,F401  (registration side effects)
+from . import nsqueries6  # noqa: E402,F401  (registration side effects)
 
 # Parity variants demoted past the window (shapes duplicated in-window).
 _register_parity(_PARITY_LATE)

@@ -687,3 +687,76 @@ def dsir_score_against_ratios(docs: DataFrame, ratios: DataFrame,
             F.round(F.col("_lw").cast("double") / F.col("n_feats"), 6).alias("avg_log_ratio"),
         )
     )
+
+
+def dup_rate_by_source(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", source_col: str = "source",
+                       n: int = 5) -> DataFrame:
+    """Per-source duplication audit: for each corpus source (crawl
+    dump, subcorpus, provider), what fraction of its word n-gram
+    occurrences is duplicated text — grams appearing in more than one
+    document (``dup_gram_ratio``) and grams shared with ANOTHER source
+    (``cross_source_ratio``) — plus document and distinct-gram counts.
+    This is the "which dump is contaminating my corpus" report run
+    before choosing per-source mix weights (reference has no corpus
+    ops; north-star addition in the C4/Dolma dedup-report mold).
+
+    Scale shape: one codegen'd shingle explode whose exchange carries
+    (60-bit gram digest, source, doc_id) — never gram text; a
+    two-level aggregate (digest,source → digest) and a digest-keyed
+    join between the two aggregate outputs, i.e. vocabulary-sized
+    inputs on both sides. The per-source doc count is a separate
+    20-row-output aggregate joined last (broadcast). No driver state.
+
+    Documents shorter than n words contribute no grams (same
+    empty-shingle-set semantics as dedup.shingle_index) but still
+    count in ``n_docs``."""
+    from .dedup import _hash60, spread_small_input
+
+    base = (
+        spread_small_input(df)
+        .withColumn("_ws", F.split(F.col(text_col), " "))
+        .filter(F.size("_ws") >= n)
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at("_ws", F.col("_i") + j) for j in range(n)]
+    )
+    occ = base.select(
+        F.col(id_col),
+        F.col(source_col),
+        "_ws",
+        F.explode(F.sequence(F.lit(1), F.size("_ws") - (n - 1))).alias("_i"),
+    ).select(F.col(id_col), F.col(source_col), _hash60(gram).alias("h"))
+    sg = occ.groupBy("h", source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("occ"),
+        F.countDistinct(id_col).cast("long").alias("docs"),
+    )
+    gs = sg.groupBy("h").agg(
+        F.sum("docs").cast("long").alias("total_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    per_src = (
+        sg.join(gs, "h")
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.sum("occ").cast("long").alias("n_gram_occ"),
+            F.coalesce(
+                F.sum(F.when(F.col("total_docs") > 1, F.col("occ"))), F.lit(0)
+            ).cast("long").alias("_dup_occ"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_sources") > 1, F.col("occ"))), F.lit(0)
+            ).cast("long").alias("_cross_occ"),
+        )
+    )
+    n_docs = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return n_docs.join(per_src, source_col, "left").select(
+        source_col,
+        "n_docs",
+        F.coalesce("n_distinct_grams", F.lit(0)).cast("long").alias("n_distinct_grams"),
+        F.coalesce("n_gram_occ", F.lit(0)).cast("long").alias("n_gram_occ"),
+        F.round(F.col("_dup_occ") / F.col("n_gram_occ"), 6).alias("dup_gram_ratio"),
+        F.round(F.col("_cross_occ") / F.col("n_gram_occ"), 6).alias("cross_source_ratio"),
+    )

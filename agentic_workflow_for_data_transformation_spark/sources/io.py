@@ -283,3 +283,28 @@ def read_json_evolving(spark: SparkSession, paths: list[str | Path],
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def read_csv_evolving(spark: SparkSession, paths: list[str | Path],
+                      schemas: list | None = None) -> DataFrame:
+    """Schema-evolving CSV reader: union CSV directories whose headers
+    drifted across dumps (a column added mid-stream), null-filling what
+    an early batch lacks — the CSV twin of read_union_evolving /
+    read_json_evolving, completing the evolving-source matrix
+    (parquet / JSONL / CSV). CSV carries no embedded schema, so pass
+    one explicit schema PER BATCH (``schemas[i]``) at scale; with none
+    supplied each batch pays its own inference pass and the union
+    aligns whatever the passes agreed on by NAME (headers), never by
+    position — positional union across drifted headers silently
+    misaligns columns."""
+    if not paths:
+        raise ValueError("read_csv_evolving needs at least one path")
+    if schemas is None:
+        schemas = [None] * len(paths)
+    if len(schemas) != len(paths):
+        raise ValueError("read_csv_evolving: schemas must match paths 1:1")
+    dfs = [read_csv(spark, str(p), schema=s) for p, s in zip(paths, schemas)]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

@@ -365,3 +365,38 @@ def test_heaps_fit_positive_beta_on_growing_vocabulary(spark):
     assert all(a <= b for a, b in zip(toks, toks[1:]))
     assert all(a <= b for a, b in zip(typs, typs[1:]))
     assert len(set(betas)) == 1 and 0.0 < betas[0] <= 1.0
+
+
+def test_dup_rate_by_source_exact_on_tiny_corpus(spark):
+    """Hand-checkable 2-source corpus with n=2 grams: s1 has an
+    intra-source duplicated gram, one gram is shared across sources,
+    and a too-short doc counts in n_docs but contributes no grams."""
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        dup_rate_by_source,
+    )
+
+    rows = [
+        # s1 doc 1: grams "a b", "b c"
+        (1, "a b c", "s1"),
+        # s1 doc 2: grams "a b", "b x"   -> "a b" duplicated within s1
+        (2, "a b x", "s1"),
+        # s2 doc 3: grams "b c", "c y"   -> "b c" shared with s1 doc 1
+        (3, "b c y", "s2"),
+        # s2 doc 4: one word, no 2-grams, still a document
+        (4, "z", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in dup_rate_by_source(df, n=2).collect()}
+
+    s1, s2 = out["s1"], out["s2"]
+    assert s1["n_docs"] == 2 and s2["n_docs"] == 2
+    # s1 occurrences: a b (x2), b c, b x = 4 over 3 distinct grams
+    assert s1["n_gram_occ"] == 4 and s1["n_distinct_grams"] == 3
+    # dup grams in s1: "a b" (2 docs) + "b c" (shared with s2) -> 3 occ
+    assert s1["dup_gram_ratio"] == round(3 / 4, 6)
+    # cross-source grams in s1: only "b c" -> 1 occ of 4
+    assert s1["cross_source_ratio"] == round(1 / 4, 6)
+    # s2 occurrences: b c, c y = 2; "b c" is both dup and cross
+    assert s2["n_gram_occ"] == 2 and s2["n_distinct_grams"] == 2
+    assert s2["dup_gram_ratio"] == round(1 / 2, 6)
+    assert s2["cross_source_ratio"] == round(1 / 2, 6)

@@ -162,3 +162,44 @@ def test_read_json_evolving_null_fills_missing_column(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_json_evolving(spark, [])
+
+
+def test_read_csv_evolving_null_fills_drifted_header(spark, tmp_path):
+    """CSV batches whose header drifted (a column added mid-stream)
+    union by NAME with null-fill; explicit per-batch schemas keep the
+    trip deterministic (no inference pass)."""
+    from pyspark.sql import types as T
+
+    from agentic_workflow_for_data_transformation_spark.sources.io import (
+        read_csv_evolving, write_csv_dir,
+    )
+
+    old = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    new = spark.createDataFrame(
+        [(2, "b", "fr")], "id bigint, name string, lang string"
+    )
+    p1, p2 = tmp_path / "b1", tmp_path / "b2"
+    write_csv_dir(old, p1)
+    write_csv_dir(new, p2)
+
+    s0 = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    s1 = T.StructType(s0.fields + [T.StructField("lang", T.StringType())])
+    out = read_csv_evolving(spark, [p1, p2], schemas=[s0, s1])
+    rows = {r["id"]: (r["name"], r["lang"]) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", "fr")}
+
+
+def test_read_csv_evolving_arg_validation(spark):
+    """Empty paths and a schemas list that doesn't match paths 1:1 are
+    caller bugs — fail with clear messages."""
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.sources.io import read_csv_evolving
+
+    with _pytest.raises(ValueError, match="at least one path"):
+        read_csv_evolving(spark, [])
+    with _pytest.raises(ValueError, match="1:1"):
+        read_csv_evolving(spark, ["/tmp/x"], schemas=[None, None])
