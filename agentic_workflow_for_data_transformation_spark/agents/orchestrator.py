@@ -116,6 +116,9 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "fertility", "key": "lang"}}  (tokenizer fertility audit;
       REPLACES the schema with key, n_docs, total_words, total_tokens,
       tokens_per_word, chars_per_token)
+  {{"op": "dup_by_source", "key": "source", "n": 5}}  (per-group
+      n-gram duplication audit; REPLACES the schema with key, n_docs,
+      n_distinct_grams, n_gram_occ, dup_gram_ratio, cross_source_ratio)
   {{"op": "expect", "expectations": [
       {{"kind": "unique", "col": "id"}},
       {{"kind": "not_null", "col": "text"}},
@@ -266,8 +269,9 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # (an earlier filter may legitimately no longer hold on
         # updated rows) — all five invalidate earlier predicates
         "expect", "chunk", "resample", "negatives", "merge",
-        # dsir/fertility replace the schema with their own summaries
-        "dsir", "fertility",
+        # dsir/fertility/dup_by_source replace the schema with their
+        # own summaries
+        "dsir", "fertility", "dup_by_source",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -361,7 +365,7 @@ def critic_agent(
             "- filter: rows are already filtered; a header-only sample "
             "means the filter matched zero rows, a valid result.\n"
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
-            "pivot, dsir, fertility) REPLACE the columns with their own "
+            "pivot, dsir, fertility, dup_by_source) REPLACE the columns with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "
             "where negative log weights are normal likelihood ratios).\n"

@@ -3732,6 +3732,22 @@ def p82_nl_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P82_DESC)
 
 
+_P83_DESC = "Audit 5-gram duplication per source"
+
+
+@register("p83_nl_dup_audit", _docs_nl_oracle(_P83_DESC))
+def p83_nl_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL corpus-contamination audit: 'audit <n>-gram duplication per
+    <key>' — corpus.dup_rate_by_source behind one clause
+    (schema-replacing, like fertility/dsir): per-group fraction of
+    word n-gram occurrences duplicated across documents and shared
+    with other groups. One shingle explode whose exchanges carry
+    60-bit digests; per-gram totals via a window over the digest (no
+    self-join re-scan); the per-group doc count joins broadcast. The
+    oracle unrolls the identical digest/aggregate chain."""
+    return _nl(spark, sf_dir, "documents", _P83_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )

@@ -701,12 +701,16 @@ def dup_rate_by_source(df: DataFrame, id_col: str = "doc_id",
     before choosing per-source mix weights (reference has no corpus
     ops; north-star addition in the C4/Dolma dedup-report mold).
 
-    Scale shape: one codegen'd shingle explode whose exchange carries
-    (60-bit gram digest, source, doc_id) — never gram text; a
-    two-level aggregate (digest,source → digest) and a digest-keyed
-    join between the two aggregate outputs, i.e. vocabulary-sized
-    inputs on both sides. The per-source doc count is a separate
-    20-row-output aggregate joined last (broadcast). No driver state.
+    Scale shape: ONE codegen'd shingle explode whose exchange carries
+    (60-bit gram digest, source, doc_id) — never gram text; per-gram
+    totals come from a window over the digest on the (digest, source)
+    aggregate, NOT a self-join — a join against a second aggregate of
+    the same lineage would re-scan and re-explode the corpus (observed
+    in the executed plan before this formulation). The window's
+    partition key is the digest (vocabulary-cardinality, no skew
+    beyond natural gram frequency). The per-source doc count is a
+    separate source-column-only scan whose 20-row output joins last
+    (broadcast). No driver state.
 
     Documents shorter than n words contribute no grams (same
     empty-shingle-set semantics as dedup.shingle_index) but still
@@ -731,12 +735,10 @@ def dup_rate_by_source(df: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).cast("long").alias("occ"),
         F.countDistinct(id_col).cast("long").alias("docs"),
     )
-    gs = sg.groupBy("h").agg(
-        F.sum("docs").cast("long").alias("total_docs"),
-        F.count(F.lit(1)).cast("long").alias("n_sources"),
-    )
+    hw = Window.partitionBy("h")
     per_src = (
-        sg.join(gs, "h")
+        sg.withColumn("total_docs", F.sum("docs").over(hw))
+        .withColumn("n_sources", F.count(F.lit(1)).over(hw))
         .groupBy(source_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),

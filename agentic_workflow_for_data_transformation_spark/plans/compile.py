@@ -586,6 +586,16 @@ def compile_spec(
             df = token_fertility_by_lang(
                 df, lang_col=op["key"], text_col=op.get("text_col", "text")
             )
+        elif kind == "dup_by_source":
+            from ..operators.corpus import dup_rate_by_source
+
+            df = dup_rate_by_source(
+                df,
+                id_col=op.get("id_col", "doc_id"),
+                text_col=op.get("text_col", "text"),
+                source_col=op["key"],
+                n=op.get("n", 5),
+            )
         elif kind == "split_assign":
             from ..operators.sampling import with_hash_split
 

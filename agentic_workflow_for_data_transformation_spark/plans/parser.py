@@ -57,6 +57,7 @@ _CLAUSE_KEYWORDS = (
     r"|apply\s+(?:the\s+)?gopher"
     r"|weight\s+(?:the\s+)?(?:documents|rows)"
     r"|compute\s+token\s+fertility"
+    r"|(?:audit|report)\s+(?:\d+-gram\s+)?duplication"
     r"|check\s+that"
     r"|split\s+into\s+\d"
     r"|(?:inner|left|right|full|cross)\s+join)"
@@ -421,6 +422,13 @@ _FERTILITY = re.compile(
     r"^compute\s+token\s+fertility\s+per\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+# "audit 5-gram duplication per source" / "report duplication by
+# source" -> per-group duplication report: fraction of word n-gram
+# occurrences duplicated across documents / shared across groups
+_DUPAUDIT = re.compile(
+    r"^(?:audit|report)\s+(?:(\d+)-gram\s+)?duplication\s+(?:per|by)\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 # "pick 3 negatives per vector from a pool of 64" -> deterministic
 # contrastive negative sampling (different-label, broadcast pool)
 _NEGATIVES = re.compile(
@@ -773,6 +781,12 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         }
     if m := _FERTILITY.match(clause):
         return {"op": "fertility", "key": _resolve_col(m.group(1), columns)}
+    if m := _DUPAUDIT.match(clause):
+        op: dict = {"op": "dup_by_source",
+                    "key": _resolve_col(m.group(2), columns)}
+        if m.group(1):
+            op["n"] = int(m.group(1))
+        return op
     if m := _EXPECT.match(clause):
         exps: list[dict] = []
         for part in re.split(r"\s+and\s+", m.group(1), flags=re.IGNORECASE):
@@ -1333,6 +1347,9 @@ def _strip_unavailable_tiebreaks(ops: list[dict], columns: list[str] | None) -> 
         elif kind == "fertility":
             cols = {op["key"], "n_docs", "total_words", "total_tokens",
                     "tokens_per_word", "chars_per_token"}
+        elif kind == "dup_by_source":
+            cols = {op["key"], "n_docs", "n_distinct_grams", "n_gram_occ",
+                    "dup_gram_ratio", "cross_source_ratio"}
         elif kind == "sessionize":
             cols.add("session_id")
         # filter/sort/limit/distinct/sample keep the column set;

@@ -98,6 +98,13 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # token_fertility_by_lang): REPLACES the schema with (key,
       # n_docs, total_words, total_tokens, tokens_per_word,
       # chars_per_token) — exact integer sums, one division per group
+  {"op": "dup_by_source", "key": "source", "n": 5?,
+   "id_col": "doc_id"?, "text_col": "text"?}
+      # per-group duplication audit (operators/corpus.
+      # dup_rate_by_source): REPLACES the schema with (key, n_docs,
+      # n_distinct_grams, n_gram_occ, dup_gram_ratio,
+      # cross_source_ratio) — word n-gram occurrence duplication
+      # within and across groups, digests-only exchanges
   {"op": "bm25", "terms": ["vector", "stream"], "k": 10,
    "id_col": "doc_id"?, "text_col": "text"?}   # lexical top-k search
   {"op": "ols", "key": "k", "x": "xcol", "y": "ycol",
@@ -569,6 +576,17 @@ def validate_op(op: Any) -> None:
             _err(f"fertility needs a string 'key': {op!r}")
         if "text_col" in op and not isinstance(op["text_col"], str):
             _err(f"fertility 'text_col' must be a string: {op!r}")
+    elif kind == "dup_by_source":
+        if not isinstance(op.get("key"), str):
+            _err(f"dup_by_source needs a string 'key': {op!r}")
+        if "n" in op and not (
+            isinstance(op["n"], int) and not isinstance(op["n"], bool)
+            and 2 <= op["n"] <= 16
+        ):
+            _err(f"dup_by_source 'n' must be an int in [2, 16]: {op!r}")
+        for k in ("id_col", "text_col"):
+            if k in op and not isinstance(op[k], str):
+                _err(f"dup_by_source '{k}' must be a string: {op!r}")
     elif kind == "expect":
         exps = op.get("expectations")
         if not (isinstance(exps, list) and exps

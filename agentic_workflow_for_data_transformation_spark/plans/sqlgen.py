@@ -538,6 +538,40 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 "round(sum(n_chars) / CAST(sum(n_tokens) AS DOUBLE), 6) AS chars_per_token "
                 f"FROM __t GROUP BY {key}"
             )
+        elif kind == "dup_by_source":
+            # mirrors operators/corpus.dup_rate_by_source: same 60-bit
+            # gram digests, same per-gram totals, same left-join
+            # null semantics for groups with no grams
+            key = _q(op["key"])
+            idc = _q(op.get("id_col", "doc_id"))
+            txt = _q(op.get("text_col", "text"))
+            n = op.get("n", 5)
+            sql = (
+                f"WITH __w AS (SELECT {idc}, {key}, string_split({txt}, ' ') AS ws "
+                f"FROM ({sql})), "
+                f"__o AS (SELECT {idc}, {key}, "
+                f"('0x' || substr(md5(array_to_string(ws[i:i+{n - 1}], ' ')), 1, 15))::BIGINT AS h "
+                f"FROM (SELECT {idc}, {key}, ws, "
+                f"unnest(range(1, greatest(len(ws) - {n - 2}, 1))) AS i "
+                f"FROM __w WHERE len(ws) >= {n})), "
+                f"__sg AS (SELECT h, {key}, CAST(count(*) AS BIGINT) AS occ, "
+                f"CAST(count(DISTINCT {idc}) AS BIGINT) AS docs FROM __o GROUP BY h, {key}), "
+                "__gs AS (SELECT h, CAST(sum(docs) AS BIGINT) AS total_docs, "
+                "CAST(count(*) AS BIGINT) AS n_sources FROM __sg GROUP BY h), "
+                f"__ps AS (SELECT {key}, CAST(count(*) AS BIGINT) AS n_distinct_grams, "
+                "CAST(sum(occ) AS BIGINT) AS n_gram_occ, "
+                "CAST(coalesce(sum(CASE WHEN total_docs > 1 THEN occ END), 0) AS BIGINT) AS dup_occ, "
+                "CAST(coalesce(sum(CASE WHEN n_sources > 1 THEN occ END), 0) AS BIGINT) AS cross_occ "
+                f"FROM __sg JOIN __gs USING (h) GROUP BY {key}), "
+                f"__d AS (SELECT {key}, CAST(count(*) AS BIGINT) AS n_docs "
+                f"FROM (SELECT * FROM __w) GROUP BY {key}) "
+                f"SELECT __d.{key} AS {key}, n_docs, "
+                "CAST(coalesce(n_distinct_grams, 0) AS BIGINT) AS n_distinct_grams, "
+                "CAST(coalesce(n_gram_occ, 0) AS BIGINT) AS n_gram_occ, "
+                "round(dup_occ / CAST(n_gram_occ AS DOUBLE), 6) AS dup_gram_ratio, "
+                "round(cross_occ / CAST(n_gram_occ AS DOUBLE), 6) AS cross_source_ratio "
+                f"FROM __d LEFT JOIN __ps USING ({key})"
+            )
         elif kind == "split_assign":
             # mirrors operators/sampling.with_hash_split: same 60-bit
             # md5 draw, same integer cutoffs (split_thresholds is the

@@ -646,3 +646,21 @@ def test_gopher_repetition_has_no_corpus_window(spark):
     plan = plan_of(spark, "ns_quality_gopher_rep")
     assert "Window" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dup_rate_by_source_single_explode(spark):
+    """The per-source duplication audit must explode the corpus into
+    grams exactly ONCE: per-gram totals come from a window over the
+    digest, not a self-join of two aggregate lineages (a join form
+    re-scanned and re-exploded the corpus — observed before the window
+    formulation). Two scans are expected: the gram explode (doc_id,
+    text, source) and the source-only n_docs count; the n_docs side
+    must be column-pruned to `source` alone and broadcast."""
+    plan = plan_of(spark, "ns_corpus_dup_by_source")
+    assert plan.count("FileScan") == 2
+    assert plan.count("Generate explode") == 1
+    # the gram-side scan reads exactly the three needed columns
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+    # n_docs side: source-only scan, broadcast into the final join
+    assert "FileScan parquet [source#" in plan
+    assert "BroadcastHashJoin" in plan

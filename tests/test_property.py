@@ -1039,3 +1039,45 @@ def test_random_fertility_docs_match_duckdb(spark_module, docs):
     )
     con.close()
     assert got == want
+
+
+# duplication-audit corpora: few words from a tiny vocabulary so
+# 2-grams collide within and across the two-valued source column
+_dup_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=_dup_docs, n=st.integers(min_value=2, max_value=3))
+def test_random_dup_audit_matches_duckdb(spark_module, docs, n):
+    """Per-source duplication audit over random tiny-vocabulary
+    corpora: gram digests, window totals, occurrence ratios, and the
+    left-join nulls for gram-less sources must agree exactly between
+    the compiled plan and the rendered SQL."""
+    rows = [(i, text, src) for i, (src, text) in enumerate(docs)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    df = spark_module.sparkSession.createDataFrame(rows, ["doc_id", "text", "source"])
+    spec = {"ops": [{"op": "dup_by_source", "key": "source", "n": n}]}
+    got = _spark_rows(compile_spec(df, spec))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in con.sql(spec_to_sql(spec, "documents")).fetchall()
+    )
+    con.close()
+    assert got == want

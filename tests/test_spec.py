@@ -1819,3 +1819,47 @@ def test_fertility_spec_op_parse_compile_render(spark):
     oracle = {tuple(r) for r in con.sql(spec_to_sql(spec, "documents")).fetchall()}
     assert got == oracle
     assert dict((r[0], r[4]) for r in got)["en"] == 1.5  # don ' t stop / 4 words
+
+
+def test_dup_audit_spec_op_parse_compile_render(spark):
+    """'audit <n>-gram duplication per <key>' -> schema-replacing
+    dup_by_source op; engine and rendered SQL agree exactly, including
+    the left-join nulls for a group whose docs are all too short."""
+    import duckdb
+    import pandas as pd
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    rows = [
+        (1, "a b c", "s1"),
+        (2, "a b x", "s1"),
+        (3, "b c y", "s2"),
+        (4, "z", "s3"),  # too short for 2-grams: null ratios in BOTH engines
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    spec = parse_description(
+        "Audit 2-gram duplication per source", columns=df.columns
+    )
+    assert spec["ops"] == [{"op": "dup_by_source", "key": "source", "n": 2}]
+    # default n: phrase without the n-gram prefix
+    spec5 = parse_description("Report duplication by source", columns=df.columns)
+    assert spec5["ops"] == [{"op": "dup_by_source", "key": "source"}]
+
+    out = compile_spec(df, spec)
+    assert set(out.columns) == {
+        "source", "n_docs", "n_distinct_grams", "n_gram_occ",
+        "dup_gram_ratio", "cross_source_ratio",
+    }
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    oracle = {tuple(r) for r in con.sql(spec_to_sql(spec, "documents")).fetchall()}
+    con.close()
+    assert got == oracle
+    by_src = {r[0]: r for r in got}
+    assert by_src["s3"][1] == 1 and by_src["s3"][3] == 0  # n_docs, n_gram_occ
+    assert by_src["s3"][4] is None  # no grams -> null ratio
