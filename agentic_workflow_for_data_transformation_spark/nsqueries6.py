@@ -1,13 +1,15 @@
 """Round-8 fifth-session registrations: the per-source duplication-rate
-audit (the "which dump is contaminating my corpus" report) and the
+audit (the "which dump is contaminating my corpus" report), the
 schema-evolving CSV source round trip that completes the evolving-source
-matrix (parquet / JSONL / CSV). Both carry exact DuckDB oracles — the
-CSV query's oracle recomputes the aggregate straight from the parquet
-view the fixture derives from, so the write -> evolving read trip
-itself is what's checked (same contract as x_source_jsonl_evolving).
-Registered past the 50-slot driver window (it is full of this round's
-primary queries); covered by the registry-wide CORRECTNESS_LOCAL
-regeneration, next round's rotation picks them up.
+matrix (parquet / JSONL / CSV), the corpus snapshot diff (dataset
+version changelog), and the per-label centroid similarity map. All
+carry exact DuckDB oracles — the CSV query's oracle recomputes the
+aggregate straight from the parquet view the fixture derives from, so
+the write -> evolving read trip itself is what's checked (same
+contract as x_source_jsonl_evolving). Registered past the 50-slot
+driver window (it is full of this round's primary queries); covered by
+the registry-wide CORRECTNESS_LOCAL regeneration, next round's
+rotation picks them up.
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .benchqueries import _t, register
-from .operators import corpus
+from .operators import corpus, similarity
 from .sources import io as sio
 
 register(
@@ -118,3 +120,76 @@ register(
         "the parquet view so the trip itself is checked."
     ),
 )(_q_source_csv)
+
+
+def _q_snapshot_diff(spark, sf_dir: str):
+    """Corpus version diff between the documents table (v1) and a
+    deterministically mutated v2 derived from it in-plan: doc_id % 17
+    removed, % 13 rewritten (suffix appended), % 19 re-keyed high as
+    additions. Both engines derive v2 from the same parquet view, so
+    the diff itself — full-outer digest join + status classification —
+    is what the hash checks."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 19 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus.snapshot_diff(docs, v2)
+
+
+register(
+    "ns_corpus_snapshot_diff",
+    "WITH v1 AS (SELECT doc_id, md5(text) AS old_md5 FROM documents), "
+    "v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]' "
+    "  ELSE text END) AS new_md5 FROM documents WHERE doc_id % 17 <> 0 "
+    " UNION ALL "
+    " SELECT doc_id + 10000000, md5(text) FROM documents WHERE doc_id % 19 = 0), "
+    "j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, old_md5, new_md5 "
+    " FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id) "
+    "SELECT doc_id, CASE WHEN old_md5 IS NULL THEN 'added' "
+    " WHEN new_md5 IS NULL THEN 'removed' "
+    " WHEN old_md5 <> new_md5 THEN 'changed' END AS status, old_md5, new_md5 "
+    "FROM j WHERE old_md5 IS NULL OR new_md5 IS NULL OR old_md5 <> new_md5",
+    desc=(
+        "Corpus version diff (dataset-release changelog): added / removed / "
+        "changed documents between two snapshots via a full-outer join of "
+        "(id, md5) digests — the exchange carries 16-byte digests, never "
+        "documents; unchanged rows never leave the join."
+    ),
+)(_q_snapshot_diff)
+
+
+register(
+    "ns_sim_centroid_pairs",
+    "WITH e AS (SELECT label, unnest(embedding) AS val, "
+    " generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "cent AS (SELECT label, i, CAST(round(CAST(SUM(CAST(val AS DECIMAL(20,10))) "
+    " AS DOUBLE) / count(*), 6) AS DECIMAL(12,6)) AS c FROM e GROUP BY label, i), "
+    "p AS (SELECT a.label AS label_a, b.label AS label_b, "
+    " SUM(a.c * b.c) AS dot, SUM(a.c * a.c) AS na, SUM(b.c * b.c) AS nb "
+    " FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label "
+    " GROUP BY a.label, b.label) "
+    "SELECT label_a, label_b, "
+    " round(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine "
+    "FROM p",
+    desc=(
+        "Subcorpus semantic-redundancy map: pairwise cosine between "
+        "per-label embedding centroids — one posexplode aggregate is the "
+        "only corpus-sized pass; the pairwise join runs on labels x dim "
+        "rows. Centroids decimal-pinned so both engines sum exactly."
+    ),
+)(
+    lambda spark, sf_dir: similarity.label_centroid_similarity(
+        _t(spark, sf_dir, "embeddings")
+    )
+)

@@ -762,3 +762,33 @@ def dup_rate_by_source(df: DataFrame, id_col: str = "doc_id",
         F.round(F.col("_dup_occ") / F.col("n_gram_occ"), 6).alias("dup_gram_ratio"),
         F.round(F.col("_cross_occ") / F.col("n_gram_occ"), 6).alias("cross_source_ratio"),
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Corpus version diff: one row per document whose MEMBERSHIP or
+    CONTENT changed between two snapshots of the same corpus —
+    status 'added' (id only in the new snapshot), 'removed' (only in
+    the old), 'changed' (both, different content digest) — with both
+    digests. Unchanged documents (the overwhelming majority of a
+    routine re-crawl) produce no output. This is the dataset-release
+    changelog every corpus-versioning workflow publishes (what Delta/
+    Iceberg snapshot-diff does for tables, restated for raw corpora).
+
+    Scale shape: each side is reduced to (id, 16-byte md5) BEFORE the
+    join, so the full-outer exchange carries digests, never documents;
+    the join is co-partitioned on the id. No driver state, no
+    broadcast (both sides are corpus-sized)."""
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("old_md5"))
+    nw = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("new_md5"))
+    j = o.join(nw, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), "added")
+        .when(F.col("new_md5").isNull(), "removed")
+        .when(F.col("old_md5") != F.col("new_md5"), "changed")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(id_col, "status", "old_md5", "new_md5")
+    )

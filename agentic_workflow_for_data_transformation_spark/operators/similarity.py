@@ -1404,3 +1404,56 @@ def hard_negatives_per_anchor(df: DataFrame, anchor_ids: list[int],
             "cos_sim", "neg_rank",
         )
     )
+
+
+def label_centroid_similarity(df: DataFrame, label_col: str = "label",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the subcorpus semantic-redundancy map ("are labels 2
+    and 4 the same topic?") read before merging groups, choosing mix
+    weights, or seeding coarse ANN cells. Output: one (label_a <
+    label_b, cosine) row per unordered label pair.
+
+    Determinism engineering: centroids are rounded to 6 decimals and
+    cast DECIMAL(12,6) — exact in any engine — so the pairwise dot and
+    norm sums (64 terms each) are decimal-exact regardless of
+    partition order; only the final division + sqrt runs in float, on
+    bit-identical inputs.
+
+    Scale shape: one posexplode feeds the (label, pos) centroid
+    aggregate — the only corpus-sized pass; the pairwise self-join
+    runs on labels x dim rows (KBs at any corpus size), so the
+    quadratic term is in LABEL count, never rows."""
+    e = df.select(F.col(label_col), F.posexplode(vec_col).alias("pos", "val"))
+    cent = e.groupBy(label_col, "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).cast("decimal(12,6)").alias("c")
+    )
+    a = cent.select(
+        F.col(label_col).alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col(label_col).alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("_dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("_na"),
+            F.sum(F.col("cb") * F.col("cb")).alias("_nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("_dot").cast("double")
+            / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double")),
+            6,
+        ).alias("cosine"),
+    )

@@ -400,3 +400,22 @@ def test_dup_rate_by_source_exact_on_tiny_corpus(spark):
     assert s2["n_gram_occ"] == 2 and s2["n_distinct_grams"] == 2
     assert s2["dup_gram_ratio"] == round(1 / 2, 6)
     assert s2["cross_source_ratio"] == round(1 / 2, 6)
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    """added / removed / changed each classified; unchanged rows never
+    appear in the output."""
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        snapshot_diff,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "same"), (2, "old text"), (3, "gone")],
+        "doc_id bigint, text string",
+    )
+    v2 = spark.createDataFrame(
+        [(1, "same"), (2, "new text"), (4, "fresh")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(v1, v2).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}

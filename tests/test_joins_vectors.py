@@ -432,3 +432,26 @@ def test_merge_upsert_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         merge_upsert(base, updates.select("id", "amt", "name"), "id")
+
+
+def test_label_centroid_similarity_identical_and_orthogonal(spark):
+    """Two labels sharing a centroid direction read cosine 1.0; an
+    orthogonal label reads 0.0; only a < b pairs are emitted."""
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0], 0),
+        (3, [2.0, 0.0, 0.0], 1),   # same direction as label 0
+        (4, [0.0, 3.0, 0.0], 2),   # orthogonal to both
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    out = {(r["label_a"], r["label_b"]): r["cosine"]
+           for r in label_centroid_similarity(df).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == 0.0 and out[(1, 2)] == 0.0

@@ -138,6 +138,15 @@ QUERIES = [
     "ns_text_perplexity_buckets",
     "ns_dedup_incremental_lsh",
     "ns_text_bpe_encode",
+    # round-8 fifth-session additions: the per-source duplication
+    # audit (one shingle explode, digest-keyed window totals) and the
+    # CSV twin of the evolving-source round trip
+    "ns_corpus_dup_by_source",
+    "x_source_csv_evolving",
+    # ... plus the snapshot diff (full-outer digest join) and the
+    # centroid-pairs map (one posexplode aggregate + tiny self-join)
+    "ns_corpus_snapshot_diff",
+    "ns_sim_centroid_pairs",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
