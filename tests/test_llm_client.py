@@ -224,3 +224,50 @@ def test_live_corpus_op_spec_roundtrip(spark, tmp_path):
     out = spark.read.option("header", True).csv(st.output_path)
     got = {(int(r["doc_id"]), r["lang"], r["split"]) for r in out.collect()}
     assert got == golden
+
+
+@needs_live_llm
+def test_live_dup_audit_spec_roundtrip(spark, tmp_path):
+    """The per-source duplication-audit paraphrase against a real
+    model: grammar rejects the wording, the LLM must emit the
+    schema-replacing dup_by_source spec, and the result matches the
+    canonical-phrasing golden rows."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = "Audit 5-gram duplication per source"
+    para = (
+        "Which dump is polluting the corpus? For every source report "
+        "how much of its 5-gram text is duplicated or shared with "
+        "other sources."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        (
+            r["source"], r["n_docs"], r["n_distinct_grams"], r["n_gram_occ"],
+            round(r["dup_gram_ratio"], 6), round(r["cross_source_ratio"], 6),
+        )
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path, llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        (
+            r["source"], int(r["n_docs"]), int(r["n_distinct_grams"]),
+            int(r["n_gram_occ"]), round(float(r["dup_gram_ratio"]), 6),
+            round(float(r["cross_source_ratio"]), 6),
+        )
+        for r in out.collect()
+    }
+    assert got == golden
