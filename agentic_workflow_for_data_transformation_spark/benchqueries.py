@@ -435,6 +435,7 @@ from . import nsqueries3  # noqa: E402,F401  (registration side effects)
 from . import nsqueries4  # noqa: E402,F401  (registration side effects)
 from . import nsqueries5  # noqa: E402,F401  (registration side effects)
 from . import nsqueries6  # noqa: E402,F401  (registration side effects)
+from . import nsqueries7  # noqa: E402,F401  (registration side effects)
 
 # Parity variants demoted past the window (shapes duplicated in-window).
 _register_parity(_PARITY_LATE)
@@ -4116,9 +4117,17 @@ _WINDOW: list[str] = [
     # (the (c) freshness picks all rotated out as (a) grew; every
     # rotated-out query keeps its old driver row plus a fresh row in
     # the registry-wide CORRECTNESS_LOCAL.json)
-    "ns_sample_negatives",
-    "x_merge_upsert",
-    "x_winsorize_group",
+    # fifth-session additions: winnowing (MOSS) fingerprint dedup, the
+    # nearest-centroid separability audit, and the pairwise
+    # Jensen-Shannon source-divergence map. They take the slots of
+    # ns_sample_negatives / x_merge_upsert / x_winsorize_group, whose
+    # operators are ALSO exercised in-window through their NL twins
+    # (p76_nl_negatives / p75_nl_merge / p72_nl_winsorize compile to
+    # the identical spec ops), so no plan shape loses driver coverage;
+    # all three keep fresh rows in CORRECTNESS_LOCAL.json.
+    "ns_dedup_winnowing",
+    "ns_classify_nearest_centroid",
+    "ns_corpus_js_divergence",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

@@ -792,3 +792,74 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
         .filter(F.col("status").isNotNull())
         .select(id_col, "status", "old_md5", "new_md5")
     )
+
+
+def js_divergence_by_group(df: DataFrame, group_col: str = "source",
+                           text_col: str = "text") -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram word
+    distributions of every pair of corpus groups (sources, dumps,
+    languages) — the distribution-level counterpart of the embedding
+    centroid-similarity map: "which dumps say the same things" read
+    before choosing mix weights or merging sources. JS is symmetric
+    and bounded by ln 2, so one (group_a < group_b) row per pair.
+
+    The union-of-vocabulary sum is folded into intersection-only
+    terms: for words one side lacks, m = p/2 and the contribution is
+    p*ln 2, so JS = 0.5*[ sum_intersect(p*ln(2p/(p+q)) +
+    q*ln(2q/(p+q))) + (1-P_int)*ln 2 + (1-Q_int)*ln 2 ] where P_int /
+    Q_int are each side's probability mass on the SHARED vocabulary.
+    That identity means the join only ever touches words both groups
+    contain — one-sided words never join, never shuffle.
+
+    Scale shape: one token explode feeds a (group, word) count
+    aggregate; per-group totals are a groups-row broadcast; the
+    pairwise term is a self-join on the WORD whose per-key fan-out is
+    bounded by the group count squared (never by corpus size), and the
+    final aggregate is groups^2 rows. Log terms sum in double and
+    round once to 6 at the end (the established cross-engine float
+    contract); counts and the shared-word tally stay integer-exact."""
+    toks = (
+        spread_small_input(df)
+        .select(F.col(group_col).alias("g"),
+                F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    )
+    # vocabulary x groups sized — localCheckpoint so the three
+    # consumers (totals + both self-join sides) share ONE corpus
+    # explode instead of re-deriving it
+    cnt = (
+        toks.groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tot = cnt.groupBy("g").agg(F.sum("c").alias("n"))
+    p = cnt.join(F.broadcast(tot), "g").select(
+        "g", "w", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    a = p.select(F.col("g").alias("source_a"), "w", F.col("p").alias("pa"))
+    b = p.select(F.col("g").alias("source_b"), "w", F.col("p").alias("pb"))
+    ln2 = F.log(F.lit(2.0))
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_words"),
+            F.sum(
+                F.col("pa") * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb")))
+                + F.col("pb") * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("_s"),
+            F.sum("pa").alias("_pin"),
+            F.sum("pb").alias("_qin"),
+        )
+    )
+    return inter.select(
+        "source_a",
+        "source_b",
+        "n_shared_words",
+        F.round(
+            F.lit(0.5)
+            * (F.col("_s") + (F.lit(1.0) - F.col("_pin")) * ln2
+               + (F.lit(1.0) - F.col("_qin")) * ln2),
+            6,
+        ).alias("js_divergence"),
+    )

@@ -1081,3 +1081,110 @@ def split_leakage_audit(df: DataFrame, weights: list[float] | None = None,
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("leaked", F.col("split_a") != F.col("split_b"))
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 4,
+                        w: int = 5) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every word k-gram, slide a window
+    of ``w`` consecutive hashes over each document, and keep the
+    MINIMUM hash of every full window. The selected set is a ~2/(w+1)
+    density sample of the k-gram stream with the winnowing guarantee:
+    any shared substring of at least k+w-1 words produces at least one
+    shared fingerprint — the property plain stride sampling lacks.
+    Emits distinct (id, fp) rows.
+
+    Engine-exact by construction: the window min is a pure min() over
+    a ROWS frame of 60-bit md5-derived hashes — no ties to break (min
+    of a set is unique), no floats — so the oracle is the identical
+    SQL window. Documents shorter than k+w-1 words have no full window
+    and contribute no fingerprints (the short-doc analog of
+    shingle_index's empty-shingle-set semantics).
+
+    Scale shape: one codegen'd k-gram explode; the window partitions
+    by DOCUMENT (bounded by doc length, no corpus-level sort); the
+    distinct pass and everything downstream carry (id, 8-byte fp) —
+    a ~w/2-fold smaller exchange than the full shingle index, which is
+    the reason winnowing exists at 100 TB."""
+    base = (
+        spread_small_input(df)
+        .withColumn("_ws", F.split(F.col(text_col), " "))
+        .filter(F.size("_ws") >= k + w - 1)
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at("_ws", F.col("_i") + j) for j in range(k)]
+    )
+    hashes = base.select(
+        F.col(id_col),
+        "_ws",
+        F.explode(F.sequence(F.lit(1), F.size("_ws") - (k - 1))).alias("_i"),
+    ).select(F.col(id_col), F.col("_i"), _hash60(gram).alias("h"))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("_i")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    return (
+        hashes.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("_i") >= w)
+        .select(id_col, "fp")
+        .dropDuplicates([id_col, "fp"])
+    )
+
+
+def winnow_shared_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 4, w: int = 5,
+                        max_df: int = 100,
+                        threshold: float = 0.5) -> DataFrame:
+    """Document pairs sharing winnowed fingerprints, ranked by
+    containment-style overlap = |shared| / min(|A|, |B|) — the MOSS
+    plagiarism report restated for corpus dedup: cheaper than the full
+    shingle inverted index (the fingerprint set is a ~2/(w+1) sample)
+    while keeping the shared-substring guarantee of
+    winnow_fingerprints. Emits (doc_a < doc_b, shared_fps, overlap >=
+    threshold).
+
+    Scale shape: the self-join is an equi-join on the fingerprint, and
+    fingerprints appearing in more than ``max_df`` documents are
+    dropped FIRST (one count aggregate) — the boilerplate guard that
+    bounds the join's per-key fan-out to max_df^2 and keeps a banner
+    string shared by millions of pages from going quadratic. Overlap
+    uses min-size (containment) rather than union (Jaccard) so a
+    short document fully embedded in a long one still scores 1.0 —
+    winnowing's primary catch."""
+    fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    dfw = Window.partitionBy("fp")
+    # localCheckpoint: the fingerprint set feeds FOUR consumers (both
+    # self-join sides and both size joins); without it each re-derives
+    # the corpus scan + explode + winnowing windows — 4 corpus passes
+    # at 100 TB. Checkpointed, the corpus is read once and the reused
+    # artifact is the ~2/(w+1)-density (id, fp) table.
+    fps = (
+        fps.withColumn("_df", F.count(F.lit(1)).over(dfw))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+        .localCheckpoint()
+    )
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("_sb"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "overlap",
+            F.round(F.col("shared_fps") / F.least("_sa", "_sb"), 6),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", "shared_fps", "overlap")
+    )

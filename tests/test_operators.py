@@ -1295,3 +1295,132 @@ def test_bpe_merge_table_overlap_greedy(spark):
     df = spark.createDataFrame([("aaa",)], ["text"])
     rows = [tuple(r) for r in bpe_merge_table(df, n_merges=2).collect()]
     assert rows == [(1, "a a", "aa", 2), (2, "aa a", "aaa", 1)]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    # Two docs sharing a (k+w-1)=8-word run MUST share >= 1 fingerprint
+    # (the winnowing guarantee); a doc with disjoint vocabulary shares
+    # none. Fingerprint count is at most the full-window count.
+    from agentic_workflow_for_data_transformation_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_shared_pairs,
+    )
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, "one two three " + shared_run + " four five six"),
+        (2, shared_run + " seven eight nine ten eleven twelve"),
+        (3, "red green blue cyan magenta yellow black white pink gray"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, k=4, w=5)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in fps.select("doc_id").distinct().collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density: a doc with n words has n-k+1 grams and n-k-w+2 full
+    # windows; distinct fps can never exceed that
+    n_words = len(docs[0][1].split())
+    assert 0 < len(by_doc[1]) <= n_words - 4 - 5 + 2
+
+    pairs = winnow_shared_pairs(df, k=4, w=5, max_df=100, threshold=0.0)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_winnowing_max_df_drops_boilerplate(spark):
+    # A fingerprint present in every doc (shared banner) is dropped by
+    # the max_df guard, so no pair is produced from it.
+    from agentic_workflow_for_data_transformation_spark.operators.dedup import (
+        winnow_shared_pairs,
+    )
+
+    banner = "this page is served by example corp all rights reserved"
+    docs = [(i, banner + f" unique{i} tail{i} words{i} here{i}") for i in range(5)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    with_guard = winnow_shared_pairs(df, k=4, w=5, max_df=4, threshold=0.0)
+    without = winnow_shared_pairs(df, k=4, w=5, max_df=100, threshold=0.0)
+    assert without.count() > 0
+    # banner fps are in all 5 docs > max_df=4 -> dropped; unique tails
+    # share nothing, so the guarded report is empty
+    assert with_guard.count() == 0
+
+
+def test_nearest_centroid_separable_labels(spark):
+    # Well-separated clusters: held-out slice classifies perfectly and
+    # the output carries both slices.
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        nearest_centroid_classifier,
+    )
+
+    rows = []
+    for i in range(40):
+        lab = i % 2
+        base = [10.0, 0.0] if lab == 0 else [0.0, 10.0]
+        jitter = [((i * 7 + d) % 5) * 0.01 for d in range(2)]
+        rows.append((i, lab, [base[0] + jitter[0], base[1] + jitter[1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = nearest_centroid_classifier(df, test_fraction=0.3, salt="t")
+    recs = [tuple(r) for r in out.collect()]
+    assert {r[0] for r in recs} == {"train", "test"}
+    assert all(lab == pred for _, lab, pred, _ in recs)
+    assert sum(n for _, _, _, n in recs) == 40
+
+
+def test_nearest_centroid_tie_breaks_to_lowest_label(spark):
+    # A vector equidistant from two centroids goes to the lower label.
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        nearest_centroid_classifier,
+    )
+
+    # centroids land at (+2/3, 0) and (-2/3, 0): equal norms, and the
+    # origin vector has zero dot with both -> d2 exactly tied in
+    # DECIMAL, so the row must go to the LOWER label (3).
+    rows = [
+        (100, 7, [1.0, 0.0]),
+        (101, 7, [1.0, 0.0]),
+        (102, 7, [0.0, 0.0]),  # the tied vector (pulls c7 to 2/3)
+        (200, 3, [-(2.0 / 3.0), 0.0]),
+        (201, 3, [-(2.0 / 3.0), 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = nearest_centroid_classifier(df, test_fraction=0.0, salt="t")
+    recs = [tuple(r) for r in out.collect()]
+    mid = sum(n for _, lab, pred, n in recs if lab == 7 and pred == 3)
+    # the origin row predicted 3 (lower label on the tie); the two
+    # [1,0] rows stay with 7
+    assert mid == 1
+    assert sum(n for _, lab, pred, n in recs if lab == 7 and pred == 7) == 2
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    # Identical distributions -> 0; disjoint vocabularies never join
+    # (pair absent = ln 2 by the documented convention); mixed pair
+    # lands strictly between.
+    import math
+
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        js_divergence_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x y z x y z"),
+            ("b", "x y z x y z"),
+            ("c", "p q r p q r"),
+            ("d", "x y p q z r"),
+        ],
+        ["source", "text"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["js_divergence"]
+        for r in js_divergence_by_group(df).collect()
+    }
+    assert out[("a", "b")] == 0.0
+    assert ("a", "c") not in out  # disjoint vocab: no shared word rows
+    assert 0.0 < out[("a", "d")] < math.log(2.0)
+    assert out[("a", "d")] == out[("b", "d")]  # same distribution vs d
