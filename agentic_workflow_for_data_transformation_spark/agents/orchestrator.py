@@ -119,6 +119,16 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "dup_by_source", "key": "source", "n": 5}}  (per-group
       n-gram duplication audit; REPLACES the schema with key, n_docs,
       n_distinct_grams, n_gram_occ, dup_gram_ratio, cross_source_ratio)
+  {{"op": "winnow_dedup", "overlap": 0.5}}  (winnowing-fingerprint
+      keep-first dedup: drop docs sharing fingerprinted passages with
+      an earlier doc above the overlap bound)
+  {{"op": "dedup_savings", "key": "source"}}  (per-group exact-dedup
+      savings report; REPLACES the schema with key, n_docs,
+      n_dup_docs, chars_total, chars_saved, savings_ratio)
+  {{"op": "vocab_divergence", "key": "source"}}  (pairwise
+      Jensen-Shannon divergence between per-group word distributions;
+      REPLACES the schema with source_a, source_b, n_shared_words,
+      js_divergence)
   {{"op": "expect", "expectations": [
       {{"kind": "unique", "col": "id"}},
       {{"kind": "not_null", "col": "text"}},
@@ -272,6 +282,9 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # dsir/fertility/dup_by_source replace the schema with their
         # own summaries
         "dsir", "fertility", "dup_by_source",
+        # the JS divergence map replaces the schema with pair rows;
+        # the dedup savings report with per-group rollups
+        "vocab_divergence", "dedup_savings",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -365,7 +378,7 @@ def critic_agent(
             "- filter: rows are already filtered; a header-only sample "
             "means the filter matched zero rows, a valid result.\n"
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
-            "pivot, dsir, fertility, dup_by_source) REPLACE the columns with their own "
+            "pivot, dsir, fertility, dup_by_source, vocab_divergence, dedup_savings) REPLACE the columns with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "
             "where negative log weights are normal likelihood ratios).\n"

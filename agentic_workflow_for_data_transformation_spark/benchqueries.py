@@ -3749,6 +3749,57 @@ def p83_nl_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P83_DESC)
 
 
+_P84_DESC = (
+    "Filter rows where lang == 'en' and "
+    "remove documents sharing fingerprinted passages above 0.5 overlap "
+    "and select doc_id, source"
+)
+
+
+@register("p84_nl_winnow_dedup", _docs_nl_oracle(_P84_DESC))
+def p84_nl_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL winnowing dedup: 'remove documents sharing fingerprinted
+    passages above T overlap' — dedup.winnow_shared_pairs (MOSS
+    winnowing, SIGMOD'03) behind one clause with greedy keep-first
+    semantics, composing with the filter/projection grammar. The
+    fingerprint set is a ~2/(w+1)-density sample with the
+    shared-substring guarantee, the >max_df boilerplate guard runs as
+    an aggregate + semi-join (no single-task window sort on a hot
+    fingerprint), and the final anti join touches the corpus once.
+    The oracle unrolls the identical window-min/pair chain."""
+    return _nl(spark, sf_dir, "documents", _P84_DESC)
+
+
+_P85_DESC = "Report vocabulary divergence per source"
+
+
+@register("p85_nl_vocab_divergence", _docs_nl_oracle(_P85_DESC))
+def p85_nl_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL corpus-similarity map: 'report vocabulary divergence per
+    <key>' — corpus.js_divergence_by_group behind one clause
+    (schema-replacing, like dup_by_source): pairwise Jensen-Shannon
+    divergence between per-group unigram distributions, with the
+    union-of-vocab sum folded into intersection-only join terms plus
+    closed-form one-sided mass. The oracle renders the identical
+    fold."""
+    return _nl(spark, sf_dir, "documents", _P85_DESC)
+
+
+_P86_DESC = "Report the dedup savings per source"
+
+
+@register("p86_nl_dedup_savings", _docs_nl_oracle(_P86_DESC))
+def p86_nl_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL dedup pricing: 'report the dedup savings per <key>' —
+    dedup.dedup_savings_by_source behind one clause (schema-replacing,
+    like dup_by_source): per group, the documents and characters a
+    corpus-wide lowest-id-keeper exact dedup removes. One digest
+    aggregate (exchanges carry 16-byte md5, never text) and a
+    group-cardinality rollup. The oracle renders the identical
+    keeper-join chain."""
+    return _nl(spark, sf_dir, "documents", _P86_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4092,7 +4143,7 @@ _WINDOW: list[str] = [
     "ns_sim_topk_ivfpq", "p62_nl_dedup_docs", "p63_nl_neardup",
     "p64_nl_decontaminate", "p65_nl_pack", "p66_nl_ann",
     "ns_dedup_lines", "p67_nl_json_extract", "p68_nl_split",
-    "x_resample_interpolate", "p69_nl_langid", "p70_nl_token_counts",
+    "p69_nl_langid", "p70_nl_token_counts",
     "p71_nl_quality", "p72_nl_winsorize", "p73_nl_resample",
     "p74_nl_chunk",
     "p75_nl_merge",
@@ -4105,8 +4156,13 @@ _WINDOW: list[str] = [
     # fourth-session additions (rotated in over four (c) freshness
     # picks — all four rotated-out queries keep their old driver rows
     # plus full-registry CORRECTNESS_LOCAL coverage)
-    "ns_quality_gopher", "ns_corpus_dsir_weights",
-    "ns_text_token_fertility", "x_source_jsonl_evolving",
+    # (fifth session: ns_quality_gopher, ns_text_token_fertility,
+    # ns_corpus_dsir_weights and x_resample_interpolate yielded their
+    # slots to the new registrations below — each rotated-out op stays
+    # driver-covered through its in-window NL twin (p80_nl_gopher /
+    # p82_nl_fertility / p81_nl_dsir / p73_nl_resample compile to the
+    # identical plans); all keep fresh rows in CORRECTNESS_LOCAL.json)
+    "x_source_jsonl_evolving",
     "p80_nl_gopher", "p81_nl_dsir",
     "ns_corpus_dsir_sample", "x_source_orc_partitioned",
     "p82_nl_fertility", "x_frequent_items", "ns_quality_gopher_rep",
@@ -4128,6 +4184,10 @@ _WINDOW: list[str] = [
     "ns_dedup_winnowing",
     "ns_classify_nearest_centroid",
     "ns_corpus_js_divergence",
+    "p84_nl_winnow_dedup",
+    "p85_nl_vocab_divergence",
+    "ns_corpus_datacard",
+    "ns_sim_cluster_exemplars",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

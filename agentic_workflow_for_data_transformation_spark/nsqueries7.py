@@ -12,6 +12,8 @@ covered by the registry-wide CORRECTNESS_LOCAL regeneration.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .benchqueries import _t, register
 from .operators import corpus, dedup, similarity
 
@@ -45,7 +47,9 @@ register(
         "4-gram hashes (w=5, ~2/(w+1) density with the shared-substring "
         "guarantee), then doc pairs ranked by containment overlap of "
         "fingerprint sets; fingerprints in >100 docs dropped first — "
-        "the boilerplate guard that bounds the self-join fan-out."
+        "the boilerplate guard that bounds the self-join fan-out. "
+        "Pair LISTING is output-bound on heavily duplicated corpora "
+        "(BENCH_SCALE); the keep-first apply (p84) is the linear path."
     ),
 )(
     lambda spark, sf_dir: dedup.winnow_shared_pairs(
@@ -114,5 +118,174 @@ register(
 )(
     lambda spark, sf_dir: corpus.js_divergence_by_group(
         _t(spark, sf_dir, "documents"), group_col="source"
+    )
+)
+
+register(
+    "ns_corpus_datacard",
+    "WITH nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+    "  CAST(count(DISTINCT text) AS DOUBLE) AS ndt, "
+    "  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50, "
+    "  quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90 FROM documents), "
+    "tok AS (SELECT lang AS l, unnest(string_split(text, ' ')) AS w FROM documents), "
+    "cnt AS (SELECT l, w, count(*) AS c FROM tok GROUP BY 1, 2), "
+    "tt AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens, "
+    "  CAST(count(DISTINCT w) AS DOUBLE) AS ndw FROM cnt), "
+    "lt AS (SELECT l, sum(c) AS n FROM cnt GROUP BY 1) "
+    "SELECT 'corpus' AS section, 'all' AS \"key\", 'n_docs' AS metric, n_docs AS value FROM nd "
+    "UNION ALL SELECT 'corpus', 'all', 'dup_text_ratio', round(1.0 - ndt / n_docs, 6) FROM nd "
+    "UNION ALL SELECT 'length', 'all', 'p50_chars', round(p50, 6) FROM nd "
+    "UNION ALL SELECT 'length', 'all', 'p90_chars', round(p90, 6) FROM nd "
+    "UNION ALL SELECT 'corpus', 'all', 'n_tokens', n_tokens FROM tt "
+    "UNION ALL SELECT 'corpus', 'all', 'distinct_words', ndw FROM tt "
+    "UNION ALL SELECT 'lang', CAST(lang AS VARCHAR), 'doc_share', "
+    "  round(count(*) / (SELECT n_docs FROM nd), 6) FROM documents GROUP BY lang "
+    "UNION ALL SELECT 'source', CAST(source AS VARCHAR), 'doc_share', "
+    "  round(count(*) / (SELECT n_docs FROM nd), 6) FROM documents GROUP BY source "
+    "UNION ALL SELECT 'lang', CAST(l AS VARCHAR), 'unigram_entropy', "
+    "  round(-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6) "
+    "  FROM cnt JOIN lt USING (l) GROUP BY l",
+    desc=(
+        "One-call corpus DATACARD: long-format (section, key, metric, "
+        "value) release datasheet — doc/token totals, exact dup-text "
+        "ratio, exact length percentiles, per-lang/source doc shares, "
+        "per-lang unigram entropy; diff two datacards and you have the "
+        "release notes. Document sections are single-scan aggregates; "
+        "token sections share one checkpointed (lang, word) count table."
+    ),
+)(
+    lambda spark, sf_dir: corpus.corpus_datacard(
+        _t(spark, sf_dir, "documents")
+    )
+)
+
+register(
+    "ns_sim_cluster_exemplars",
+    # k=3 exemplars per label, trained on all rows
+    "WITH e AS (SELECT vec_id, label, unnest(embedding) AS val, "
+    "      generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "cent AS (SELECT label AS predicted, i, "
+    " CAST(round(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) "
+    "      AS DECIMAL(12,6)) AS c FROM e GROUP BY 1, 2), "
+    "cn AS (SELECT predicted, SUM(c * c) AS c2 FROM cent GROUP BY 1), "
+    "dots AS (SELECT vec_id, label, "
+    "  SUM(CAST(val AS DECIMAL(20,10)) * c) AS dot, "
+    "  SUM(CAST(val * val AS DECIMAL(20,10))) AS t2 "
+    " FROM e JOIN cent ON e.i = cent.i AND e.label = cent.predicted "
+    " GROUP BY 1, 2), "
+    "r AS (SELECT vec_id, label, "
+    "  CAST(t2 AS DECIMAL(30,12)) + CAST(c2 AS DECIMAL(30,12)) "
+    "    - 2 * CAST(dot AS DECIMAL(30,12)) AS d2, "
+    "  row_number() OVER (PARTITION BY label ORDER BY "
+    "    CAST(t2 AS DECIMAL(30,12)) + CAST(c2 AS DECIMAL(30,12)) "
+    "      - 2 * CAST(dot AS DECIMAL(30,12)), vec_id) AS rank "
+    " FROM dots JOIN cn ON label = predicted) "
+    "SELECT label, rank, vec_id, round(CAST(d2 AS DOUBLE), 6) AS d2 "
+    "FROM r WHERE rank <= 3",
+    desc=(
+        "Cluster exemplars: the 3 most central vectors per label (pure-"
+        "DECIMAL distance to the label's own centroid, id tiebreak) — "
+        "what a curator eyeballs before merging, pruning, or naming a "
+        "cluster; each (row, pos) joins only its OWN label's centroid "
+        "row, fan-out 1."
+    ),
+)(
+    lambda spark, sf_dir: similarity.cluster_exemplars(
+        _t(spark, sf_dir, "embeddings"), k=3
+    )
+)
+
+register(
+    "ns_classify_label_margin",
+    # k_flag=10 review queue; margins are pinned-decimal differences
+    "WITH e AS (SELECT vec_id, label, unnest(embedding) AS val, "
+    "      generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "cent AS (SELECT label AS predicted, i, "
+    " CAST(round(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) "
+    "      AS DECIMAL(12,6)) AS c FROM e GROUP BY 1, 2), "
+    "cn AS (SELECT predicted, SUM(c * c) AS c2 FROM cent GROUP BY 1), "
+    "dots AS (SELECT vec_id, label, predicted, "
+    "  SUM(CAST(val AS DECIMAL(20,10)) * c) AS dot "
+    " FROM e JOIN cent USING (i) GROUP BY 1, 2, 3), "
+    "sc AS (SELECT vec_id, label, predicted, "
+    "  CAST(c2 AS DECIMAL(30,12)) - 2 * CAST(dot AS DECIMAL(30,12)) AS pd2 "
+    " FROM dots JOIN cn USING (predicted)), "
+    "own AS (SELECT vec_id, pd2 AS own_d2 FROM sc WHERE label = predicted), "
+    "oth AS (SELECT vec_id, label, predicted AS nearest_other, pd2 AS other_d2, "
+    "  row_number() OVER (PARTITION BY vec_id ORDER BY pd2, predicted) AS rn "
+    " FROM sc WHERE label <> predicted) "
+    "SELECT o.vec_id AS vec_id, label, nearest_other, "
+    " round(CAST(own_d2 - other_d2 AS DOUBLE), 6) AS margin "
+    "FROM own w JOIN oth o ON w.vec_id = o.vec_id AND o.rn = 1 "
+    "ORDER BY margin DESC, vec_id LIMIT 10",
+    desc=(
+        "Label-noise review queue (confident-learning shape): the 10 "
+        "vectors whose own-label centroid is farthest beyond the "
+        "nearest OTHER centroid (pinned-decimal margin, shared |t|^2 "
+        "cancels) — what a curator re-labels first; broadcast model, "
+        "label-count fan-out, one TakeOrdered."
+    ),
+)(
+    lambda spark, sf_dir: similarity.label_margin_audit(
+        _t(spark, sf_dir, "embeddings"), k_flag=10
+    )
+)
+
+register(
+    "ns_dedup_savings_by_source",
+    "WITH r AS (SELECT doc_id AS _id, source, CAST(n_chars AS BIGINT) AS _len, "
+    "  md5(text) AS _h FROM documents), "
+    "k AS (SELECT _h, min(_id) AS _keep FROM r GROUP BY 1) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    " CAST(sum(CASE WHEN _id <> _keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, "
+    " CAST(sum(_len) AS BIGINT) AS chars_total, "
+    " CAST(sum(CASE WHEN _id <> _keep THEN _len ELSE 0 END) AS BIGINT) AS chars_saved, "
+    " round(sum(CASE WHEN _id <> _keep THEN _len ELSE 0 END) "
+    "       / CAST(sum(_len) AS DOUBLE), 6) AS savings_ratio "
+    "FROM r JOIN k USING (_h) GROUP BY source",
+    desc=(
+        "Dedup SAVINGS report: per source, documents and characters "
+        "exact dedup removes (corpus-wide keeper = lowest id per md5 "
+        "digest) — the storage business case; digests-only exchanges, "
+        "source-cardinality output. Prices what dup_rate_by_source "
+        "locates."
+    ),
+)(
+    lambda spark, sf_dir: dedup.dedup_savings_by_source(
+        _t(spark, sf_dir, "documents")
+    )
+)
+
+register(
+    "ns_dedup_cluster_sizes",
+    "WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_copies "
+    "FROM documents GROUP BY 1) "
+    "SELECT n_copies, CAST(count(*) AS BIGINT) AS n_groups, "
+    " CAST(n_copies * count(*) AS BIGINT) AS n_docs, "
+    " CAST((n_copies - 1) * count(*) AS BIGINT) AS n_removable "
+    "FROM g GROUP BY n_copies",
+    desc=(
+        "Duplicate-cluster size HISTOGRAM: how many exact-duplicate "
+        "groups exist at each copy count, the docs they hold, and the "
+        "copies dedup would remove — the how-duplicated-is-my-corpus "
+        "curve read next to the savings report; one digest aggregate "
+        "then a histogram over group sizes (distinct-text cardinality, "
+        "then copy-count cardinality — nothing corpus-sized shuffles "
+        "twice)."
+    ),
+)(
+    lambda spark, sf_dir: (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .groupBy("n_copies")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .select(
+            "n_copies",
+            "n_groups",
+            (F.col("n_copies") * F.col("n_groups")).cast("long").alias("n_docs"),
+            ((F.col("n_copies") - F.lit(1)) * F.col("n_groups")).cast("long")
+            .alias("n_removable"),
+        )
     )
 )

@@ -863,3 +863,113 @@ def js_divergence_by_group(df: DataFrame, group_col: str = "source",
             6,
         ).alias("js_divergence"),
     )
+
+
+def corpus_datacard(df: DataFrame, lang_col: str = "lang",
+                    source_col: str = "source", len_col: str = "n_chars",
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """One-call dataset DATACARD: the long-format (section, key,
+    metric, value) summary every corpus release publishes — document
+    and token totals, exact duplicate-text ratio, exact length
+    percentiles, per-language and per-source document shares, and
+    per-language unigram entropy (the lexical-diversity scalar). One
+    table to read before and after every curation step; diff two
+    datacards and you have the release notes.
+
+    Exactness: counts are integers carried in double (exact to 2^53),
+    shares/percentiles/entropy round once to 6 (percentile == exact
+    interpolated quantile_cont, the established cross-engine
+    contract; entropy sums ~vocab-size ln terms, same float contract
+    as the JS map).
+
+    Scale shape: the document-level sections are single-scan
+    aggregates of scalar columns; token sections derive from ONE
+    explode collapsed map-side into the (lang, word) count table
+    (vocabulary x languages rows, localCheckpointed for its three
+    consumers). Every per-group share joins a broadcast 1-row total.
+    Output is O(languages + sources) rows."""
+    n_docs = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.count_distinct(F.col(text_col)).cast("double").alias("n_distinct_texts"),
+        F.percentile(F.col(len_col).cast("double"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col(len_col).cast("double"), F.lit(0.9)).alias("p90"),
+    ).localCheckpoint()
+
+    def _row(section: str, key: str, metric: str, value: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(section).alias("section"), F.lit(key).alias("key"),
+            F.lit(metric).alias("metric"),
+            value.cast("double").alias("value"),
+        )
+
+    corpus_rows = n_docs.select(
+        F.explode(
+            F.array(
+                _row("corpus", "all", "n_docs", F.col("n_docs")),
+                _row("corpus", "all", "dup_text_ratio",
+                     F.round(F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 6)),
+                _row("length", "all", "p50_chars", F.round(F.col("p50"), 6)),
+                _row("length", "all", "p90_chars", F.round(F.col("p90"), 6)),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+    def shares(col: str, section: str) -> DataFrame:
+        per = df.groupBy(F.col(col).alias("key")).agg(
+            F.count(F.lit(1)).cast("double").alias("_n")
+        )
+        return per.crossJoin(F.broadcast(n_docs.select("n_docs"))).select(
+            F.lit(section).alias("section"),
+            F.col("key").cast("string").alias("key"),
+            F.lit("doc_share").alias("metric"),
+            F.round(F.col("_n") / F.col("n_docs"), 6).alias("value"),
+        )
+
+    from .dedup import spread_small_input
+
+    cnt = (
+        spread_small_input(df)
+        .select(F.col(lang_col).alias("l"),
+                F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("l", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tok_totals = cnt.agg(
+        F.sum("c").cast("double").alias("n_tokens"),
+        F.count_distinct("w").cast("double").alias("n_distinct_words"),
+    )
+    token_rows = tok_totals.select(
+        F.explode(
+            F.array(
+                _row("corpus", "all", "n_tokens", F.col("n_tokens")),
+                _row("corpus", "all", "distinct_words",
+                     F.col("n_distinct_words")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    lang_tot = cnt.groupBy("l").agg(F.sum("c").alias("n"))
+    entropy = (
+        cnt.join(F.broadcast(lang_tot), "l")
+        .groupBy("l")
+        .agg(
+            F.round(
+                -F.sum((F.col("c") / F.col("n"))
+                       * F.log(F.col("c") / F.col("n"))), 6
+            ).alias("value")
+        )
+        .select(
+            F.lit("lang").alias("section"),
+            F.col("l").cast("string").alias("key"),
+            F.lit("unigram_entropy").alias("metric"),
+            "value",
+        )
+    )
+    return (
+        corpus_rows
+        .unionByName(token_rows)
+        .unionByName(shares(lang_col, "lang"))
+        .unionByName(shares(source_col, "source"))
+        .unionByName(entropy)
+    )

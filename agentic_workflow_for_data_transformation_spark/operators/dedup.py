@@ -1154,18 +1154,24 @@ def winnow_shared_pairs(df: DataFrame, id_col: str = "doc_id",
     short document fully embedded in a long one still scores 1.0 —
     winnowing's primary catch."""
     fps = winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
-    dfw = Window.partitionBy("fp")
+    # boilerplate guard via AGGREGATE + semi-join, not a window over
+    # the fingerprint: a banner fingerprint shared by millions of docs
+    # would make one giant window partition (all its rows sorted on a
+    # single task), while the aggregate combines map-side and the
+    # semi-join only passes through keys that survived the <= max_df
+    # filter — skew never reaches a single-task sort.
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
     # localCheckpoint: the fingerprint set feeds FOUR consumers (both
     # self-join sides and both size joins); without it each re-derives
     # the corpus scan + explode + winnowing windows — 4 corpus passes
     # at 100 TB. Checkpointed, the corpus is read once and the reused
     # artifact is the ~2/(w+1)-density (id, fp) table.
-    fps = (
-        fps.withColumn("_df", F.count(F.lit(1)).over(dfw))
-        .filter(F.col("_df") <= max_df)
-        .drop("_df")
-        .localCheckpoint()
-    )
+    fps = fps.join(keep, "fp", "left_semi").localCheckpoint()
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = fps.alias("a"), fps.alias("b")
     shared = (
@@ -1187,4 +1193,48 @@ def winnow_shared_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.col("overlap") >= threshold)
         .select("doc_a", "doc_b", "shared_fps", "overlap")
+    )
+
+
+def dedup_savings_by_source(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            source_col: str = "source",
+                            len_col: str = "n_chars") -> DataFrame:
+    """The DEDUP SAVINGS report: per source, how many documents and
+    how many characters exact dedup would remove (keeping the
+    lowest-id copy of each distinct text corpus-WIDE) — the
+    storage-and-compute business case for running dedup at all, and
+    the per-dump complement of the gram-level duplication audit
+    (dup_rate_by_source tells you WHERE duplication comes from; this
+    prices it). Emits (source, n_docs, n_dup_docs, chars_total,
+    chars_saved, savings_ratio).
+
+    Scale shape: one (digest -> min id) aggregate over (16-byte md5,
+    id, source, len) — the corpus never shuffles text, only digests;
+    the keeper test is a window-free self-contained aggregate-join on
+    the digest; the final rollup is source-cardinality rows. Dup
+    groups spanning sources charge each source for ITS redundant
+    copies (the keeper's source keeps the canonical)."""
+    rows = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("source"),
+        F.col(len_col).cast("long").alias("_len"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    keep = rows.groupBy("_h").agg(F.min("_id").alias("_keep"))
+    return (
+        rows.join(keep, "_h")
+        .withColumn("_is_dup", F.col("_id") != F.col("_keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("_is_dup").cast("long")).cast("long").alias("n_dup_docs"),
+            F.sum("_len").cast("long").alias("chars_total"),
+            F.sum(F.when(F.col("_is_dup"), F.col("_len")).otherwise(F.lit(0)))
+            .cast("long").alias("chars_saved"),
+        )
+        .withColumn(
+            "savings_ratio",
+            F.round(F.col("chars_saved") / F.col("chars_total").cast("double"), 6),
+        )
     )

@@ -1497,13 +1497,34 @@ def nearest_centroid_classifier(df: DataFrame, label_col: str = "label",
 
     cut = int(test_fraction * DRAW_BUCKETS)
     base = df.withColumn("_test", hash_draw(F.col(id_col), salt) < cut)
-    e = base.select(
-        id_col, label_col, "_test",
-        F.posexplode(vec_col).alias("pos", "val"),
+    cent = fit_centroid_model(
+        base.filter(~F.col("_test")), label_col=label_col, vec_col=vec_col
     )
-    cent = (
-        e.filter(~F.col("_test"))
-        .groupBy(F.col(label_col).alias("predicted"), "pos")
+    assigned = assign_nearest_centroid(
+        base, cent, id_col=id_col, vec_col=vec_col,
+        keep_cols=(label_col, "_test"),
+    )
+    return (
+        assigned.groupBy(
+            F.when(F.col("_test"), F.lit("test")).otherwise(F.lit("train")).alias("slice"),
+            F.col(label_col).alias("label"),
+            "predicted",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+
+
+def fit_centroid_model(df: DataFrame, label_col: str = "label",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The nearest-centroid MODEL: one (predicted, pos, c) row per
+    label and dimension — decimal-exact per-dimension means rounded to
+    6 and pinned DECIMAL(12,6), so the model itself is bit-identical
+    on any engine or partitioning. labels x dim rows: KBs at any
+    corpus size; persist it (write_centroid_model) and it becomes the
+    stream scorer's fixed state, swapped by path like the ANN index."""
+    e = df.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+    return (
+        e.groupBy(F.col(label_col).alias("predicted"), "pos")
         .agg(
             F.round(
                 F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
@@ -1512,12 +1533,28 @@ def nearest_centroid_classifier(df: DataFrame, label_col: str = "label",
             ).cast("decimal(12,6)").alias("c")
         )
     )
+
+
+def assign_nearest_centroid(rows: DataFrame, cent: DataFrame,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            keep_cols: tuple = ()) -> DataFrame:
+    """Assign every row to its nearest centroid (argmin squared
+    Euclidean as the pure-DECIMAL |c|^2 - 2 t.c with ties to the
+    lowest label) and emit (id, *keep_cols, predicted). The model
+    broadcasts; scoring fans each (row, pos) out by the label count
+    and aggregates map-side; the argmin window partitions by row id.
+    This IS the batch scoring plan the streaming classifier serves
+    through foreachBatch, so stream/batch parity is by construction."""
     cnorm = cent.groupBy("predicted").agg(
         F.sum(F.col("c") * F.col("c")).alias("c2")
     )
+    e = rows.select(
+        id_col, *keep_cols, F.posexplode(vec_col).alias("pos", "val")
+    )
     dots = (
         e.join(F.broadcast(cent), "pos")
-        .groupBy(id_col, label_col, "_test", "predicted")
+        .groupBy(id_col, *keep_cols, "predicted")
         .agg(F.sum(F.col("val").cast("decimal(20,10)") * F.col("c")).alias("dot"))
     )
     scored = dots.join(F.broadcast(cnorm), "predicted").withColumn(
@@ -1527,10 +1564,157 @@ def nearest_centroid_classifier(df: DataFrame, label_col: str = "label",
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .groupBy(
-            F.when(F.col("_test"), F.lit("test")).otherwise(F.lit("train")).alias("slice"),
-            F.col(label_col).alias("label"),
-            "predicted",
+        .select(id_col, *keep_cols, "predicted")
+    )
+
+
+def write_centroid_model(df: DataFrame, path: str,
+                         label_col: str = "label",
+                         vec_col: str = "embedding") -> None:
+    """Fit and persist the centroid model (labels x dim rows) — the
+    classifier twin of write_ivfpq_index."""
+    fit_centroid_model(df, label_col=label_col, vec_col=vec_col) \
+        .write.mode("overwrite").parquet(path)
+
+
+def cluster_exemplars(df: DataFrame, k: int = 3,
+                      label_col: str = "label", id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """The k most CENTRAL vectors of every label — the exemplar rows a
+    curator eyeballs to decide what a cluster/label actually is before
+    merging, pruning, or naming it (SemDeDup keeps one representative;
+    this shows you the representatives). Emits (label, rank, id, d2)
+    with rank 1 = closest to the label's centroid.
+
+    Same exactness engineering as the nearest-centroid classifier:
+    DECIMAL(12,6)-pinned centroids, the distance is the full pure-
+    DECIMAL |t|^2 - 2 t.c + |c|^2 (unlike the classifier's per-row
+    argmin, the ranking here compares DIFFERENT rows against one
+    centroid, so the per-row |t|^2 term matters and is carried as an
+    exact decimal sum), ties to the lowest id — bit-identical rankings
+    on any engine or partitioning.
+
+    Scale shape: the model broadcasts; each (row, pos) joins only its
+    OWN label's centroid row (equi-join on pos + label, fan-out 1, not
+    label-count); the top-k window partitions by label and keeps k
+    rows per group."""
+    cent = fit_centroid_model(df, label_col=label_col, vec_col=vec_col)
+    cnorm = cent.groupBy("predicted").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    e = df.select(id_col, label_col, F.posexplode(vec_col).alias("pos", "val"))
+    ec = e.alias("e")
+    cc = F.broadcast(cent).alias("cc")
+    dots = (
+        ec.join(
+            cc,
+            (F.col("e.pos") == F.col("cc.pos"))
+            & (F.col(f"e.{label_col}") == F.col("cc.predicted")),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .groupBy(f"e.{id_col}", f"e.{label_col}")
+        .agg(
+            F.sum(F.col("e.val").cast("decimal(20,10)") * F.col("cc.c")).alias("dot"),
+            # the square runs in FLOAT32 (bit-identical IEEE multiply
+            # on both engines) and only then pins to decimal(20,10) —
+            # the same float->decimal path the dot term already uses.
+            # (Squaring decimal-pinned values instead either overflows
+            # precision 38 or, pinned narrower at decimal(14,7), hits
+            # each engine's different float->decimal rounding exactly
+            # at float32's precision edge — both observed as 6th-7th
+            # decimal d2 drift.)
+            F.sum(
+                (F.col("e.val") * F.col("e.val")).cast("decimal(20,10)")
+            ).alias("t2"),
+        )
+    )
+    # each SUM is exact decimal at its own (wide) scale; combining
+    # them raw would push precision past 38 (engines truncate
+    # differently), and casting the wide sums straight to double
+    # rounds differently per engine at the 17th digit — so each sum is
+    # first pinned to DECIMAL(30,12) (deterministic half-up rounding
+    # in both engines), the combination stays exact under precision
+    # 38, and the final double conversion of a 13-significant-digit
+    # decimal is unambiguous everywhere
+    pin = "decimal(30,12)"
+    scored = dots.join(
+        F.broadcast(cnorm), F.col(label_col) == F.col("predicted")
+    ).withColumn(
+        "d2",
+        F.col("t2").cast(pin) + F.col("c2").cast(pin)
+        - F.lit(2) * F.col("dot").cast(pin),
+    )
+    w = Window.partitionBy(label_col).orderBy("d2", id_col)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(label_col).alias("label"),
+            "rank",
+            F.col(id_col),
+            F.round(F.col("d2").cast("double"), 6).alias("d2"),
+        )
+    )
+
+
+def label_margin_audit(df: DataFrame, label_col: str = "label",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       k_flag: int = 10) -> DataFrame:
+    """Label-noise audit (the confident-learning shape): for every
+    vector, the DECIMAL-exact margin between its distance to its OWN
+    label's centroid and its distance to the nearest OTHER centroid —
+    margin > 0 means another label's centroid is strictly closer, the
+    classic mislabeled-row signal. Emits the k_flag most-suspect rows
+    (largest positive margin first, ids tiebreak): the review queue a
+    curator works through before trusting the labels.
+
+    Exactness: both distances are the classifier's pure-DECIMAL
+    |c|^2 - 2 t.c form over the SAME row (the shared |t|^2 cancels in
+    the margin, so it is never computed); the margin subtracts two
+    exact decimals of identical scale. Output margins round once to 6
+    in double.
+
+    Scale shape: identical to the classifier — broadcast model,
+    label-count fan-out join, map-side aggregation, per-row argmin
+    window — plus one TakeOrdered for the review queue."""
+    cent = fit_centroid_model(df, label_col=label_col, vec_col=vec_col)
+    cnorm = cent.groupBy("predicted").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    e = df.select(id_col, label_col, F.posexplode(vec_col).alias("pos", "val"))
+    dots = (
+        e.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, label_col, "predicted")
+        .agg(F.sum(F.col("val").cast("decimal(20,10)") * F.col("c")).alias("dot"))
+    )
+    # pin both sums to decimal(30,12) before combining (the exemplars
+    # lesson: mixed-scale wide-decimal arithmetic overflows precision
+    # 38 and each engine truncates differently)
+    pin = "decimal(30,12)"
+    scored = dots.join(F.broadcast(cnorm), "predicted").withColumn(
+        "part_d2", F.col("c2").cast(pin) - F.lit(2) * F.col("dot").cast(pin)
+    )
+    own = scored.filter(F.col(label_col) == F.col("predicted")).select(
+        id_col, F.col("part_d2").alias("own_d2")
+    )
+    w = Window.partitionBy(id_col).orderBy("part_d2", "predicted")
+    other = (
+        scored.filter(F.col(label_col) != F.col("predicted"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col(label_col).alias("label"),
+                F.col("predicted").alias("nearest_other"),
+                F.col("part_d2").alias("other_d2"))
+    )
+    return (
+        own.join(other, id_col)
+        .select(
+            id_col,
+            "label",
+            "nearest_other",
+            F.round((F.col("own_d2") - F.col("other_d2")).cast("double"), 6)
+            .alias("margin"),
+        )
+        .orderBy(F.col("margin").desc(), id_col)
+        .limit(k_flag)
     )

@@ -596,6 +596,38 @@ def compile_spec(
                 source_col=op["key"],
                 n=op.get("n", 5),
             )
+        elif kind == "winnow_dedup":
+            # winnowing (MOSS) keep-first dedup: drop any doc whose
+            # winnowed fingerprint set overlaps an EARLIER doc's above
+            # the bound. Same anti-join shape as neardup; pair work is
+            # bounded by the max_df boilerplate guard inside
+            # winnow_shared_pairs
+            from ..operators.dedup import winnow_shared_pairs
+
+            idc = op.get("id_col", "doc_id")
+            pairs = winnow_shared_pairs(
+                df, id_col=idc, text_col=op.get("text_col", "text"),
+                threshold=op["overlap"],
+            )
+            drop = pairs.select(F.col("doc_b").alias(idc)).distinct()
+            df = df.join(drop, idc, "left_anti")
+        elif kind == "dedup_savings":
+            from ..operators.dedup import dedup_savings_by_source
+
+            df = dedup_savings_by_source(
+                df,
+                id_col=op.get("id_col", "doc_id"),
+                text_col=op.get("text_col", "text"),
+                source_col=op["key"],
+                len_col=op.get("len_col", "n_chars"),
+            )
+        elif kind == "vocab_divergence":
+            from ..operators.corpus import js_divergence_by_group
+
+            df = js_divergence_by_group(
+                df, group_col=op["key"],
+                text_col=op.get("text_col", "text"),
+            )
         elif kind == "split_assign":
             from ..operators.sampling import with_hash_split
 

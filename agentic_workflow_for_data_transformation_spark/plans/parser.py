@@ -58,6 +58,9 @@ _CLAUSE_KEYWORDS = (
     r"|weight\s+(?:the\s+)?(?:documents|rows)"
     r"|compute\s+token\s+fertility"
     r"|(?:audit|report)\s+(?:\d+-gram\s+)?duplication"
+    r"|remove\s+documents\s+sharing"
+    r"|(?:report|compare)\s+vocabulary\s+divergence"
+    r"|(?:report|price)\s+(?:the\s+)?dedup\s+savings"
     r"|check\s+that"
     r"|split\s+into\s+\d"
     r"|(?:inner|left|right|full|cross)\s+join)"
@@ -429,6 +432,28 @@ _DUPAUDIT = re.compile(
     r"^(?:audit|report)\s+(?:(\d+)-gram\s+)?duplication\s+(?:per|by)\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+# "remove documents sharing fingerprinted passages above 0.5 overlap"
+# -> winnowing (MOSS) keep-first dedup: window-min fingerprints, pairs
+# by containment overlap of fingerprint sets, drop the higher id
+_WINNOWDEDUP = re.compile(
+    r"^remove\s+documents\s+sharing\s+fingerprinted\s+passages"
+    r"\s+above\s+(0?\.\d+|1(?:\.0+)?)\s+overlap\s*$",
+    re.IGNORECASE,
+)
+# "report dedup savings per source" -> per-group exact-dedup savings
+# report (docs and characters a corpus-wide lowest-id-keeper dedup
+# would remove from each group)
+_DEDUPSAVINGS = re.compile(
+    r"^(?:report|price)\s+(?:the\s+)?dedup\s+savings\s+(?:per|by)\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+# "report vocabulary divergence per source" -> pairwise Jensen-Shannon
+# divergence between per-group unigram distributions
+_VOCDIV = re.compile(
+    r"^(?:report|compare)\s+vocabulary\s+divergence\s+(?:per|by|between)"
+    r"\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 # "pick 3 negatives per vector from a pool of 64" -> deterministic
 # contrastive negative sampling (different-label, broadcast pool)
 _NEGATIVES = re.compile(
@@ -787,6 +812,18 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         if m.group(1):
             op["n"] = int(m.group(1))
         return op
+    if m := _WINNOWDEDUP.match(clause):
+        return {"op": "winnow_dedup", "overlap": float(m.group(1))}
+    if m := _DEDUPSAVINGS.match(clause):
+        return {"op": "dedup_savings", "key": _resolve_col(m.group(1), columns)}
+    if m := _VOCDIV.match(clause):
+        # accept the plural form ("between sources") for a singular
+        # column name
+        key = m.group(1)
+        if columns and key not in columns and key.endswith("s") \
+                and key[:-1] in columns:
+            key = key[:-1]
+        return {"op": "vocab_divergence", "key": _resolve_col(key, columns)}
     if m := _EXPECT.match(clause):
         exps: list[dict] = []
         for part in re.split(r"\s+and\s+", m.group(1), flags=re.IGNORECASE):

@@ -105,6 +105,21 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # n_distinct_grams, n_gram_occ, dup_gram_ratio,
       # cross_source_ratio) — word n-gram occurrence duplication
       # within and across groups, digests-only exchanges
+  {"op": "winnow_dedup", "overlap": 0.5, "id_col": "doc_id"?,
+   "text_col": "text"?}
+      # winnowing (MOSS) keep-first dedup (operators/dedup.
+      # winnow_shared_pairs): drop every doc whose winnowed
+      # fingerprint set overlaps an earlier doc's above the bound
+  {"op": "dedup_savings", "key": "source", "id_col": "doc_id"?,
+   "text_col": "text"?, "len_col": "n_chars"?}
+      # per-group exact-dedup savings report (operators/dedup.
+      # dedup_savings_by_source): REPLACES the schema with (key,
+      # n_docs, n_dup_docs, chars_total, chars_saved, savings_ratio)
+  {"op": "vocab_divergence", "key": "source", "text_col": "text"?}
+      # pairwise Jensen-Shannon divergence between per-group unigram
+      # distributions (operators/corpus.js_divergence_by_group):
+      # REPLACES the schema with (source_a, source_b, n_shared_words,
+      # js_divergence)
   {"op": "bm25", "terms": ["vector", "stream"], "k": 10,
    "id_col": "doc_id"?, "text_col": "text"?}   # lexical top-k search
   {"op": "ols", "key": "k", "x": "xcol", "y": "ycol",
@@ -587,6 +602,25 @@ def validate_op(op: Any) -> None:
         for k in ("id_col", "text_col"):
             if k in op and not isinstance(op[k], str):
                 _err(f"dup_by_source '{k}' must be a string: {op!r}")
+    elif kind == "winnow_dedup":
+        t = op.get("overlap")
+        if not (isinstance(t, int | float) and not isinstance(t, bool)
+                and 0 < t <= 1):
+            _err(f"winnow_dedup needs 'overlap' in (0, 1]: {op!r}")
+        for k in ("id_col", "text_col"):
+            if k in op and not isinstance(op[k], str):
+                _err(f"winnow_dedup '{k}' must be a string: {op!r}")
+    elif kind == "dedup_savings":
+        if not isinstance(op.get("key"), str):
+            _err(f"dedup_savings needs a string 'key': {op!r}")
+        for k in ("id_col", "text_col", "len_col"):
+            if k in op and not isinstance(op[k], str):
+                _err(f"dedup_savings '{k}' must be a string: {op!r}")
+    elif kind == "vocab_divergence":
+        if not isinstance(op.get("key"), str):
+            _err(f"vocab_divergence needs a string 'key': {op!r}")
+        if "text_col" in op and not isinstance(op["text_col"], str):
+            _err(f"vocab_divergence 'text_col' must be a string: {op!r}")
     elif kind == "expect":
         exps = op.get("expectations")
         if not (isinstance(exps, list) and exps

@@ -906,6 +906,78 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"JOIN njac USING (doc_a, doc_b) WHERE jaccard >= {t!r}) "
                 f"SELECT * FROM nsrc ANTI JOIN ndrop USING ({idc})"
             )
+        elif kind == "winnow_dedup":
+            # mirrors operators/dedup.winnow_shared_pairs (k=4, w=5,
+            # max_df=100 defaults) + the greedy keep-first anti join:
+            # window-min fingerprints over full w-windows only,
+            # boilerplate fingerprints (>100 docs) dropped, pairs by
+            # containment overlap of fingerprint sets, doc_b side out
+            idc = _q(op.get("id_col", "doc_id"))
+            txt = _q(op.get("text_col", "text"))
+            t = float(op["overlap"])
+            sql = (
+                f"WITH wsrc AS ({sql}), "
+                f"ww AS (SELECT {idc} AS doc_id, string_split({txt}, ' ') AS ws FROM wsrc), "
+                "wg AS (SELECT doc_id, i, "
+                "('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS h "
+                "FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 2, 1))) AS i "
+                "FROM ww WHERE len(ws) >= 8)), "
+                "wfd AS (SELECT doc_id, fp FROM ("
+                "SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i "
+                "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp FROM wg) "
+                "WHERE i >= 5 GROUP BY doc_id, fp), "
+                "wkept AS (SELECT doc_id, fp FROM wfd WHERE fp IN "
+                "(SELECT fp FROM wfd GROUP BY fp HAVING count(*) <= 100)), "
+                "wsz AS (SELECT doc_id, count(*) AS sz FROM wkept GROUP BY 1), "
+                "wpr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared "
+                "FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+                "GROUP BY 1, 2), "
+                f"wdrop AS (SELECT DISTINCT doc_b AS {idc} FROM wpr "
+                "JOIN wsz sa ON doc_a = sa.doc_id JOIN wsz sb ON doc_b = sb.doc_id "
+                f"WHERE round(shared / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= {t!r}) "
+                f"SELECT * FROM wsrc ANTI JOIN wdrop USING ({idc})"
+            )
+        elif kind == "dedup_savings":
+            # mirrors operators/dedup.dedup_savings_by_source: corpus-
+            # wide lowest-id keeper per md5 digest, per-group rollup
+            key = _q(op["key"])
+            idc = _q(op.get("id_col", "doc_id"))
+            txt = _q(op.get("text_col", "text"))
+            ln = _q(op.get("len_col", "n_chars"))
+            sql = (
+                f"WITH dr AS (SELECT {idc} AS _id, {key} AS {key}, "
+                f"CAST({ln} AS BIGINT) AS _len, md5({txt}) AS _h FROM ({sql})), "
+                "dk AS (SELECT _h, min(_id) AS _keep FROM dr GROUP BY 1) "
+                f"SELECT {key}, CAST(count(*) AS BIGINT) AS n_docs, "
+                "CAST(sum(CASE WHEN _id <> _keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, "
+                "CAST(sum(_len) AS BIGINT) AS chars_total, "
+                "CAST(sum(CASE WHEN _id <> _keep THEN _len ELSE 0 END) AS BIGINT) AS chars_saved, "
+                "round(sum(CASE WHEN _id <> _keep THEN _len ELSE 0 END) "
+                "/ CAST(sum(_len) AS DOUBLE), 6) AS savings_ratio "
+                f"FROM dr JOIN dk USING (_h) GROUP BY {key}"
+            )
+        elif kind == "vocab_divergence":
+            # mirrors operators/corpus.js_divergence_by_group: the
+            # union-of-vocab JS sum folded into intersection-only
+            # terms plus closed-form one-sided mass
+            key = _q(op["key"])
+            txt = _q(op.get("text_col", "text"))
+            sql = (
+                f"WITH vt AS (SELECT {key} AS g, unnest(string_split({txt}, ' ')) AS w "
+                f"FROM ({sql})), "
+                "vc AS (SELECT g, w, count(*) AS c FROM vt GROUP BY 1, 2), "
+                "vn AS (SELECT g, sum(c) AS n FROM vc GROUP BY 1), "
+                "vp AS (SELECT g, w, CAST(c AS DOUBLE) / n AS p FROM vc JOIN vn USING (g)), "
+                "vi AS (SELECT a.g AS source_a, b.g AS source_b, "
+                "CAST(count(*) AS BIGINT) AS n_shared_words, "
+                "sum(a.p * ln(2.0 * a.p / (a.p + b.p)) "
+                "+ b.p * ln(2.0 * b.p / (a.p + b.p))) AS s, "
+                "sum(a.p) AS pin, sum(b.p) AS qin "
+                "FROM vp a JOIN vp b ON a.w = b.w AND a.g < b.g GROUP BY 1, 2) "
+                "SELECT source_a, source_b, n_shared_words, "
+                "round(0.5 * (s + (1.0 - pin) * ln(2.0) + (1.0 - qin) * ln(2.0)), 6) "
+                "AS js_divergence FROM vi"
+            )
         elif kind == "merge":
             # mirrors operators/joins.merge_upsert: full-outer on the
             # key, per-column coalesce(update, base), merge_action.

@@ -106,3 +106,36 @@ def score_dsir_stream(docs: DataFrame, ratios_path: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def classify_stream(vecs: DataFrame, model_path: str, out_dir: str,
+                    checkpoint_dir: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Streaming nearest-centroid classification: every vector
+    micro-batch is assigned against the PERSISTED centroid model
+    (operators/similarity.write_centroid_model) through the exact
+    batch scoring plan (similarity.assign_nearest_centroid —
+    foreachBatch IS the batch path, so stream/batch parity is by
+    construction). Per-trigger work is batch-sized: the labels x dim
+    model broadcasts, a vector's assignment depends only on its own
+    components, so no watermark and no state store; the model swaps by
+    path like the ANN index and the DSIR ratio table. Returns the
+    started StreamingQuery."""
+    from ..operators.similarity import assign_nearest_centroid
+
+    # load once per server, not once per micro-batch
+    model = vecs.sparkSession.read.parquet(model_path)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return
+        assign_nearest_centroid(
+            batch, model, id_col=id_col, vec_col=vec_col
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        vecs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -419,3 +419,39 @@ def test_snapshot_diff_classifies_all_statuses(spark):
     )
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(v1, v2).collect()}
     assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_datacard_known_values(spark):
+    # 4 docs, one exact duplicate text, two langs, two sources:
+    # every metric is hand-computable.
+    import math
+
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        corpus_datacard,
+    )
+
+    rows = [
+        (1, "a b", "en", "s1", 10),
+        (2, "a b", "en", "s1", 20),   # exact dup of doc 1
+        (3, "a c", "en", "s2", 30),
+        (4, "d d", "de", "s2", 40),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    got = {
+        (r["section"], r["key"], r["metric"]): r["value"]
+        for r in corpus_datacard(df).collect()
+    }
+    assert got[("corpus", "all", "n_docs")] == 4.0
+    assert got[("corpus", "all", "dup_text_ratio")] == 0.25
+    assert got[("corpus", "all", "n_tokens")] == 8.0
+    assert got[("corpus", "all", "distinct_words")] == 4.0
+    assert got[("length", "all", "p50_chars")] == 25.0   # interpolated
+    assert got[("lang", "en", "doc_share")] == 0.75
+    assert got[("source", "s2", "doc_share")] == 0.5
+    # en tokens: a=3, b=2, c=1 of 6 -> entropy = -sum p ln p
+    p = [3 / 6, 2 / 6, 1 / 6]
+    want = round(-sum(x * math.log(x) for x in p), 6)
+    assert got[("lang", "en", "unigram_entropy")] == want
+    assert got[("lang", "de", "unigram_entropy")] == 0.0  # single word

@@ -1424,3 +1424,63 @@ def test_js_divergence_bounds_and_symmetry(spark):
     assert ("a", "c") not in out  # disjoint vocab: no shared word rows
     assert 0.0 < out[("a", "d")] < math.log(2.0)
     assert out[("a", "d")] == out[("b", "d")]  # same distribution vs d
+
+
+def test_cluster_exemplars_rank_and_tiebreak(spark):
+    # label 0 centroid is (2,0): ids 10,11 at (2,0) tie on d2 -> both
+    # rank by id; id 12 at (5,0) is farther. label 1 has one row.
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        cluster_exemplars,
+    )
+
+    rows = [
+        (10, 0, [2.0, 0.0]),
+        (11, 0, [2.0, 0.0]),
+        (12, 0, [5.0, 0.0]),
+        (20, 1, [0.0, 7.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = [
+        (r["label"], r["rank"], r["vec_id"])
+        for r in cluster_exemplars(df, k=2).orderBy("label", "rank").collect()
+    ]
+    assert got == [(0, 1, 10), (0, 2, 11), (1, 1, 20)]
+
+
+def test_label_margin_audit_flags_planted_mislabel(spark):
+    # Two tight clusters; one row of label 0 planted inside label 1's
+    # cluster must surface with the LARGEST positive margin; correctly
+    # labeled rows have negative margins.
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        label_margin_audit,
+    )
+
+    rows = [(i, 0, [10.0, 0.0]) for i in range(4)]
+    rows += [(10 + i, 1, [0.0, 10.0]) for i in range(4)]
+    rows.append((99, 0, [0.0, 10.0]))  # mislabeled: sits in cluster 1
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = label_margin_audit(df, k_flag=3).collect()
+    top = out[0]
+    assert top["vec_id"] == 99 and top["label"] == 0
+    assert top["nearest_other"] == 1 and top["margin"] > 0
+    assert all(r["margin"] < top["margin"] for r in out[1:])
+
+
+def test_dedup_savings_by_source_charges_dup_holder(spark):
+    # doc 1 (s1) is the keeper; its copy doc 3 lives in s2 -> s2 is
+    # charged the duplicate chars, s1 saves nothing.
+    from agentic_workflow_for_data_transformation_spark.operators.dedup import (
+        dedup_savings_by_source,
+    )
+
+    rows = [
+        (1, "same text here", "s1", 14),
+        (2, "unique one", "s1", 10),
+        (3, "same text here", "s2", 14),
+        (4, "unique two", "s2", 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"])
+    got = {r["source"]: r for r in dedup_savings_by_source(df).collect()}
+    assert got["s1"]["n_dup_docs"] == 0 and got["s1"]["chars_saved"] == 0
+    assert got["s2"]["n_dup_docs"] == 1 and got["s2"]["chars_saved"] == 14
+    assert got["s2"]["savings_ratio"] == round(14 / 24, 6)

@@ -664,3 +664,71 @@ def test_dup_rate_by_source_single_explode(spark):
     # n_docs side: source-only scan, broadcast into the final join
     assert "FileScan parquet [source#" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_winnowing_plan_doc_window_and_fp_equijoin(spark):
+    """Winnowing's only Window nodes partition by the DOCUMENT (the
+    per-doc window-min; bounded by doc length) — the max_df boilerplate
+    guard must NOT appear as a window over the fingerprint, where one
+    hot banner fingerprint would pin a single-task sort. Downstream of
+    the checkpointed fingerprint table, the pair stage is an equi-join
+    on the fingerprint — never a cartesian shape."""
+    from agentic_workflow_for_data_transformation_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from agentic_workflow_for_data_transformation_spark.sources.io import (
+        read_parquet_table,
+    )
+
+    df = read_parquet_table(spark, SF_DIR, "documents")
+    fp_plan = (
+        winnow_fingerprints(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # every window partitions on doc_id; none on the fingerprint
+    assert "Window" in fp_plan
+    assert "partitionspec: [fp" not in fp_plan.lower()
+    pair_plan = plan_of(spark, "ns_dedup_winnowing")
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan
+    assert "partitionspec: [fp" not in pair_plan.lower()
+
+
+def test_nearest_centroid_model_broadcasts(spark):
+    """The classifier's model sides (labels x dim centroids, labels-row
+    norms) must broadcast into the scoring join — the corpus never
+    shuffles to meet the model — and the decision argmin window
+    partitions by the row id."""
+    plan = plan_of(spark, "ns_classify_nearest_centroid")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan
+
+
+def test_js_divergence_join_is_word_equijoin(spark):
+    """The JS map's pairwise stage joins on the WORD (fan-out bounded
+    by group count squared) with the per-group totals broadcast; no
+    cartesian shape anywhere."""
+    plan = plan_of(spark, "ns_corpus_js_divergence")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_margin_model_broadcasts(spark):
+    """The margin audit shares the classifier's plan shape: model
+    sides broadcast, no cartesian product, review queue planned as a
+    TakeOrderedAndProject (never a global sort)."""
+    plan = plan_of(spark, "ns_classify_label_margin")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_savings_exchanges_digests_only(spark):
+    """The savings report groups on the md5 digest: one corpus scan,
+    and the keeper join is an equi-join on the 16-byte digest (no
+    second text-bearing exchange)."""
+    plan = plan_of(spark, "ns_dedup_savings_by_source")
+    assert plan.count("FileScan") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -1863,3 +1863,121 @@ def test_dup_audit_spec_op_parse_compile_render(spark):
     by_src = {r[0]: r for r in got}
     assert by_src["s3"][1] == 1 and by_src["s3"][3] == 0  # n_docs, n_gram_occ
     assert by_src["s3"][4] is None  # no grams -> null ratio
+
+
+def test_winnow_dedup_spec_op_parse_compile_render(spark):
+    """'remove documents sharing fingerprinted passages above T
+    overlap' -> winnow_dedup op with greedy keep-first semantics;
+    engine and rendered SQL agree exactly, and the kept set contains
+    the lowest id of each winnow-overlapping group."""
+    import duckdb
+    import pandas as pd
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, run + " one two three four five six seven eight"),
+        (2, run + " nine ten eleven twelve thirteen fourteen"),
+        (3, "red green blue cyan magenta yellow black white pink gray"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spec = parse_description(
+        "Remove documents sharing fingerprinted passages above 0.3 overlap",
+        columns=df.columns,
+    )
+    assert spec["ops"] == [{"op": "winnow_dedup", "overlap": 0.3}]
+    out = compile_spec(df, spec)
+    assert out.columns == ["doc_id", "text"]
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1 in kept and 3 in kept  # lowest id of the pair + the loner
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = {r[0] for r in con.sql(spec_to_sql(spec, "documents")).fetchall()}
+    con.close()
+    assert kept == oracle
+
+
+def test_vocab_divergence_spec_op_parse_compile_render(spark):
+    """'report vocabulary divergence per <key>' (and the plural
+    'compare ... between sources' form) -> schema-replacing
+    vocab_divergence op; engine and rendered SQL agree exactly."""
+    import duckdb
+    import pandas as pd
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    rows = [
+        ("s1", "x y z x"),
+        ("s2", "x y z x"),
+        ("s3", "x p q r"),
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    spec = parse_description(
+        "Report vocabulary divergence per source", columns=df.columns
+    )
+    assert spec["ops"] == [{"op": "vocab_divergence", "key": "source"}]
+    # plural form resolves to the singular column
+    spec2 = parse_description(
+        "Compare vocabulary divergence between sources", columns=df.columns
+    )
+    assert spec2["ops"] == spec["ops"]
+
+    out = compile_spec(df, spec)
+    assert out.columns == [
+        "source_a", "source_b", "n_shared_words", "js_divergence"
+    ]
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["source", "text"]))
+    oracle = {tuple(r) for r in con.sql(spec_to_sql(spec, "documents")).fetchall()}
+    con.close()
+    assert got == oracle
+    by = {(a, b): (n, j) for a, b, n, j in got}
+    assert by[("s1", "s2")][1] == 0.0          # identical distributions
+    assert by[("s1", "s3")][1] > 0.0           # diverging ones
+    assert by[("s1", "s3")] == by[("s2", "s3")]
+
+
+def test_dedup_savings_spec_op_parse_compile_render(spark):
+    """'report the dedup savings per <key>' -> schema-replacing
+    dedup_savings op; engine and rendered SQL agree, and a duplicate
+    held in ANOTHER source is charged to the holder, not the keeper."""
+    import duckdb
+    import pandas as pd
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    rows = [
+        (1, "same text", "s1", 9),
+        (2, "same text", "s2", 9),
+        (3, "other", "s2", 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"])
+    spec = parse_description(
+        "Report the dedup savings per source", columns=df.columns
+    )
+    assert spec["ops"] == [{"op": "dedup_savings", "key": "source"}]
+    out = compile_spec(df, spec)
+    got = {tuple(r) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text", "source", "n_chars"]))
+    oracle = {tuple(r) for r in con.sql(spec_to_sql(spec, "documents")).fetchall()}
+    con.close()
+    assert got == oracle
+    by = {r[0]: r for r in got}
+    # (source, n_docs, n_dup_docs, chars_total, chars_saved, ratio)
+    assert by["s1"][2] == 0 and by["s1"][4] == 0  # keeper saves nothing
+    assert by["s2"][2] == 1 and by["s2"][4] == 9  # the holder is charged

@@ -860,3 +860,47 @@ def test_dsir_stream_scores_match_batch(spark, sf_dir, tmp_path):
         .select("doc_id", "passes_gopher").collect()
     }
     assert sgot == swant and sgot
+
+
+def test_classify_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming nearest-centroid classifier vs the batch scorer: fit
+    the centroid model once from the full embeddings table, persist
+    it, stream the same vectors through classify_stream, and require
+    the union of the micro-batch assignments to EQUAL the batch
+    assign_nearest_centroid rows — parity is by construction
+    (foreachBatch runs the identical DECIMAL argmin plan), this pins
+    it."""
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        assign_nearest_centroid,
+        write_centroid_model,
+    )
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+    from agentic_workflow_for_data_transformation_spark.streaming.serve import (
+        classify_stream,
+    )
+
+    batch_vecs = read_parquet_table(spark, sf_dir, "embeddings")
+    model_path = str(tmp_path / "centroid_model")
+    write_centroid_model(batch_vecs, model_path)
+
+    stream_vecs = (
+        spark.readStream.schema(batch_vecs.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    out_dir = str(tmp_path / "assigned")
+    q = classify_stream(
+        stream_vecs, model_path, out_dir, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    model = spark.read.parquet(model_path)
+    want = {
+        tuple(r)
+        for r in assign_nearest_centroid(batch_vecs, model).collect()
+    }
+    assert got == want and got

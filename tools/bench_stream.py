@@ -264,9 +264,63 @@ def main() -> None:
         foreach=_dsir_score,
     )
 
+    # nearest-centroid classify rung (round-8 fifth session): vector
+    # micro-batches assigned against the PERSISTED labels x dim
+    # centroid model through the same foreachBatch server production
+    # runs (streaming/serve.classify_stream's batch function —
+    # similarity.assign_nearest_centroid). Offered in VECTOR rows at
+    # rate/10 (each row fans out 64 dims x 10 labels through the
+    # broadcast model join + per-row DECIMAL aggregate + argmin).
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        assign_nearest_centroid,
+        fit_centroid_model,
+    )
+
+    nc_ref = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 10).cast("int").alias("label"),
+        F.array(
+            *[
+                (F.sin(F.col("id") * (i + 1) * 0.37)
+                 + (F.col("id") % 10 == i % 10).cast("double")).alias(f"d{i}")
+                for i in range(64)
+            ]
+        ).alias("embedding"),
+    )
+    nc_model = fit_centroid_model(nc_ref).persist()
+    nc_model.count()
+    nc_vecs = rate_events(spark, args.rate // 100).select(
+        F.col("event_id").alias("vec_id"),
+        F.array(
+            *[
+                F.sin(F.col("event_id") * (i + 1) * 0.41).alias(f"d{i}")
+                for i in range(64)
+            ]
+        ).alias("embedding"),
+    )
+
+    def _nc_assign(batch: DataFrame, batch_id: int) -> None:
+        assign_nearest_centroid(batch, nc_model) \
+            .write.format("noop").mode("overwrite").save()
+
+    # each vector fans out 64 dims x 10 labels through the model join,
+    # so a second of offered rate/10 data is ~128M joined rows — batches
+    # outlive a 25 s window (measured 0 completed batches). Offer
+    # rate/100 and use the ann-style longer window + 1-batch warmup so
+    # the sustained column reads as the per-node classify ceiling.
+    nc_row = measure(
+        "nc_classify (64-dim vectors at rate/100 vs persisted centroid model; stateless)",
+        nc_vecs,
+        "append",
+        max(args.seconds, 90.0),
+        foreach=_nc_assign,
+        warmup=1,
+    )
+
     results = [
         cms_row,
         dsir_row,
+        nc_row,
         ann_row,
         measure("source_to_sink (projection only)", ev, "append", args.seconds),
         measure(

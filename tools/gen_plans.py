@@ -231,6 +231,34 @@ HEADLINE: list[tuple[str, str]] = [
         "null literal in the early batch's Project, and the aggregate "
         "partial-combines map-side — the union is plan-level, so "
         "adding a dump-date batch never rewrites old data.",
+    ),    (
+        "ns_dedup_winnowing",
+        "Winnowing (MOSS) fingerprints: ONE corpus scan feeds the k-gram "
+        "explode and the per-DOCUMENT window-min (partitioned by doc_id — "
+        "no corpus-level sort); the checkpointed (id, fp) table is the "
+        "only thing the four downstream consumers read; the max_df "
+        "boilerplate guard is an aggregate + semi-join, never a window "
+        "over a hot fingerprint, so a million-doc banner cannot pin one "
+        "task; the pair self-join is an equi-join on the 8-byte "
+        "fingerprint.",
+    ),
+    (
+        "ns_classify_nearest_centroid",
+        "Train-on-cluster classifier: the labels x dim centroid model and "
+        "the labels-row norm table BROADCAST (the corpus never shuffles "
+        "for the model); the scoring join fans each (row, pos) out by the "
+        "label count and aggregates map-side; the argmin window "
+        "partitions by row id; every decision value is DECIMAL, so the "
+        "confusion matrix is bit-identical on any partitioning.",
+    ),
+    (
+        "ns_corpus_js_divergence",
+        "Distribution divergence map: one token explode collapses "
+        "map-side into the (group, word) count table (vocabulary-sized, "
+        "checkpointed once for its three consumers); the pairwise term is "
+        "an equi-join on the word whose per-key fan-out is bounded by the "
+        "group count squared — corpus size never enters the join; "
+        "one-sided vocabulary never joins at all (folded closed-form).",
     ),
 ]
 
