@@ -436,6 +436,7 @@ from . import nsqueries4  # noqa: E402,F401  (registration side effects)
 from . import nsqueries5  # noqa: E402,F401  (registration side effects)
 from . import nsqueries6  # noqa: E402,F401  (registration side effects)
 from . import nsqueries7  # noqa: E402,F401  (registration side effects)
+from . import nsqueries8  # noqa: E402,F401  (registration side effects)
 
 # Parity variants demoted past the window (shapes duplicated in-window).
 _register_parity(_PARITY_LATE)
@@ -3798,6 +3799,26 @@ def p86_nl_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-cardinality rollup. The oracle renders the identical
     keeper-join chain."""
     return _nl(spark, sf_dir, "documents", _P86_DESC)
+
+
+_P87_DESC = (
+    "Remove documents containing the words 'spark', 'merge' "
+    "and select doc_id, lang, n_chars"
+)
+
+
+@register("p87_nl_blocklist", _docs_nl_oracle(_P87_DESC))
+def p87_nl_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL C4-style blocklist screen: 'remove documents containing the
+    words ...' — text.blocklist_screen behind one clause: drop every
+    document whose lowercased word set intersects the quoted list
+    (word-level match, the C4 badwords form), composing with the
+    projection grammar. A pure per-row filter: the list constant-folds
+    into the predicate, codegens into the scan, no shuffle — at
+    100 TB it rides the scan you already pay; beyond a few thousand
+    words switch to the broadcast-join form (corpus.contaminated_ids).
+    The oracle renders the identical list_has_any intersection."""
+    return _nl(spark, sf_dir, "documents", _P87_DESC)
 
 
 _P77_DESC = (

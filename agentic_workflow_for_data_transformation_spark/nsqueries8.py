@@ -1,0 +1,279 @@
+"""Round-8 sixth-session registrations: the evaluation-and-audit
+layer a curation pipeline runs AFTER the heavy lifting — cluster
+quality (simplified silhouette), privacy risk (k-anonymity), ranking
+quality (NDCG@k beside the existing MRR/precision harness),
+distribution shift between splits (PSI), within-document lexical
+entropy and corpus distinct-n diversity, sequence-packing efficiency,
+and the C4-style blocklist screen. All exact-oracle: decimal-pinned
+float where a log/sqrt is unavoidable, pure integer/decimal everywhere
+else. Registered into the driver window by the round-8 rotation; also
+covered by the registry-wide CORRECTNESS_LOCAL regeneration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .benchqueries import _t, register
+from .operators import corpus, quality, similarity, stats, text
+
+register(
+    "ns_sim_silhouette",
+    "WITH e AS (SELECT vec_id, label, unnest(embedding) AS val, "
+    "      generate_subscripts(embedding, 1) AS i FROM embeddings), "
+    "cent AS (SELECT label AS predicted, i, "
+    " CAST(round(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) "
+    "      AS DECIMAL(12,6)) AS c FROM e GROUP BY 1, 2), "
+    "cn AS (SELECT predicted, SUM(c * c) AS c2 FROM cent GROUP BY 1), "
+    "dots AS (SELECT vec_id, label, predicted, "
+    "  SUM(CAST(val AS DECIMAL(20,10)) * c) AS dot, "
+    "  SUM(CAST(val * val AS DECIMAL(20,10))) AS t2 "
+    " FROM e JOIN cent USING (i) GROUP BY 1, 2, 3), "
+    "sc AS (SELECT vec_id, label, predicted, "
+    "  CAST(t2 AS DECIMAL(30,12)) + CAST(c2 AS DECIMAL(30,12)) "
+    "    - 2 * CAST(dot AS DECIMAL(30,12)) AS d2 "
+    " FROM dots JOIN cn USING (predicted)), "
+    "own AS (SELECT vec_id, label, "
+    "  sqrt(greatest(CAST(d2 AS DOUBLE), 0.0)) AS a "
+    " FROM sc WHERE label = predicted), "
+    "oth AS (SELECT vec_id, sqrt(greatest(CAST(d2 AS DOUBLE), 0.0)) AS b, "
+    "  row_number() OVER (PARTITION BY vec_id ORDER BY d2, predicted) AS rn "
+    " FROM sc WHERE label <> predicted), "
+    "pr AS (SELECT o.label AS label, "
+    "  CAST(round(CASE WHEN greatest(a, b) = 0 THEN 0.0 "
+    "        ELSE (b - a) / greatest(a, b) END, 6) AS DECIMAL(12,6)) AS s "
+    " FROM own o JOIN oth t ON o.vec_id = t.vec_id AND t.rn = 1) "
+    "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+    " round(CAST(SUM(s) AS DOUBLE) / count(*), 6) AS mean_silhouette, "
+    " CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative "
+    "FROM pr GROUP BY label",
+    desc=(
+        "Simplified silhouette per label (centroid form — LINEAR in "
+        "rows, unlike Rousseeuw's all-pairs original): a = distance "
+        "to own centroid, b = distance to nearest other, s=(b-a)/"
+        "max(a,b); per-label mean plus the count of negative rows. "
+        "The one-number cluster-quality read after the confusion "
+        "matrix; broadcast model, label-count fan-out, per-row s "
+        "pinned DECIMAL(12,6) so the mean is an exact decimal sum."
+    ),
+)(
+    lambda spark, sf_dir: similarity.simplified_silhouette(
+        _t(spark, sf_dir, "embeddings")
+    )
+)
+
+register(
+    "x_kanonymity",
+    # quasi-identifiers (user_id, event_type), k=5
+    "WITH g AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT 'user_id+event_type' AS quasi, CAST(5 AS INTEGER) AS k, "
+    " CAST(SUM(n) AS BIGINT) AS n_rows, "
+    " CAST(count(*) AS BIGINT) AS n_groups, "
+    " CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+    "   AS n_violating_groups, "
+    " CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) "
+    "   AS n_rows_at_risk, "
+    " round(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) "
+    "       / CAST(SUM(n) AS DOUBLE), 6) AS risk_ratio, "
+    " CAST(min(n) AS BIGINT) AS min_group_size "
+    "FROM g",
+    desc=(
+        "k-anonymity audit (Sweeney 2002) on the event log's "
+        "(user_id, event_type) quasi-identifier pair at k=5: rows "
+        "whose combination is shared by fewer than 5 rows are "
+        "re-identification risks. One hash aggregate on the quasi "
+        "key, then group-cardinality rows fold to a single report "
+        "row — the privacy gate beside the PII redaction pass."
+    ),
+)(
+    lambda spark, sf_dir: quality.k_anonymity_audit(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], k=5
+    )
+)
+
+from .operators.similarity import _idcg_table, _ndcg_weights  # noqa: E402
+
+_NDCG_GAIN_CASE = "CASE rank " + " ".join(
+    f"WHEN {r} THEN {w}::DECIMAL(16,12)"
+    for r, w in enumerate(_ndcg_weights(10), start=1)
+) + " END"
+_NDCG_IDEAL_CASE = "CASE least(nlab - 1, 10) " + " ".join(
+    f"WHEN {n} THEN {s}::DECIMAL(16,12)"
+    for n, s in enumerate(_idcg_table(10), start=1)
+) + " END"
+
+register(
+    "ns_sim_ndcg",
+    "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv "
+    "      FROM d WHERE vec_id < 8), "
+    "lc AS (SELECT label, CAST(count(*) AS BIGINT) AS nlab "
+    "       FROM embeddings GROUP BY 1), "
+    "s AS (SELECT query_id, qlabel, d.vec_id, d.label, "
+    " round(list_cosine_similarity(d.v, qv), 6) AS cos_sim "
+    " FROM d, q WHERE d.vec_id <> query_id), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    " ORDER BY cos_sim DESC, vec_id) AS rank FROM s), "
+    "t AS (SELECT * FROM r WHERE rank <= 10), "
+    "g AS (SELECT query_id, qlabel, "
+    " CAST(count(CASE WHEN label = qlabel THEN 1 END) AS INTEGER) "
+    "   AS n_rel_topk, "
+    f" SUM(CASE WHEN label = qlabel THEN {_NDCG_GAIN_CASE} END) AS dcg "
+    " FROM t GROUP BY 1, 2) "
+    "SELECT query_id, n_rel_topk, "
+    " CAST(least(nlab - 1, 10) AS INTEGER) AS ideal_n, "
+    " CASE WHEN least(nlab - 1, 10) <= 0 THEN 0.0 "
+    "  ELSE round(CAST(coalesce(dcg, 0.0::DECIMAL(16,12)) AS DOUBLE) "
+    f"   / CAST({_NDCG_IDEAL_CASE} AS DOUBLE), 6) END AS ndcg "
+    "FROM g JOIN lc ON g.qlabel = lc.label",
+    desc=(
+        "NDCG@10 retrieval harness: exact-cosine top-10 per query "
+        "scored with log2-discounted binary gains, normalized by the "
+        "ideal DCG given how many same-label rows exist (capped at "
+        "10). Gain and ideal tables are frozen 12-decimal literals "
+        "summed as DECIMAL, so the metric is bit-identical on any "
+        "engine; query side broadcast, corpus scanned once."
+    ),
+)(
+    lambda spark, sf_dir: similarity.ndcg_per_query(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=10
+    )
+)
+
+register(
+    "x_split_psi",
+    # test_fraction=0.2, salt='psi', eps=1e-6 — replicate hash_draw
+    "WITH sp AS (SELECT lang AS category, "
+    " ('0x' || substr(md5('psi|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+    "   % 1000000 < 200000 AS is_test FROM documents), "
+    "cat AS (SELECT category, "
+    " CAST(SUM(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_train, "
+    " CAST(SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test "
+    " FROM sp GROUP BY 1), "
+    "tot AS (SELECT SUM(n_train) AS tt, SUM(n_test) AS te FROM cat), "
+    "terms AS (SELECT category, n_train, n_test, "
+    " round(n_train / CAST(tt AS DOUBLE), 8) AS p_train, "
+    " round(n_test / CAST(te AS DOUBLE), 8) AS p_test, "
+    " CAST(round((greatest(n_train / CAST(tt AS DOUBLE), 1e-06) "
+    "   - greatest(n_test / CAST(te AS DOUBLE), 1e-06)) "
+    "  * ln(greatest(n_train / CAST(tt AS DOUBLE), 1e-06) "
+    "     / greatest(n_test / CAST(te AS DOUBLE), 1e-06)), 6) "
+    "  AS DECIMAL(12,6)) AS term "
+    " FROM cat CROSS JOIN tot) "
+    "SELECT category, n_train, n_test, p_train, p_test, "
+    " CAST(term AS DOUBLE) AS psi_term, "
+    " round(CAST((SELECT SUM(term) FROM terms) AS DOUBLE), 6) AS psi_total "
+    "FROM terms",
+    desc=(
+        "Population Stability Index between hash-split train/test "
+        "slices over the language distribution: per-category "
+        "(p_train - p_test) * ln(p/q) terms (eps-clamped) pinned "
+        "DECIMAL(12,6), corpus psi_total as their exact sum — the "
+        "did-my-split-shift audit beside the leakage audit. One "
+        "category aggregate plus two broadcast 1-row cross joins."
+    ),
+)(
+    lambda spark, sf_dir: stats.psi_by_split(
+        _t(spark, sf_dir, "documents"), cat_col="lang", id_col="doc_id",
+        test_fraction=0.2, salt="psi"
+    )
+)
+
+register(
+    "ns_text_word_entropy",
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+    " FROM documents), "
+    "wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt "
+    " FROM w GROUP BY 1, 2), "
+    "pd AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, "
+    " CAST(count(*) AS BIGINT) AS n_distinct, "
+    " SUM(CAST(round(cnt * log2(cnt), 8) AS DECIMAL(18,8))) AS s "
+    " FROM wc GROUP BY 1) "
+    "SELECT doc_id, n_words, n_distinct, "
+    " round(log2(n_words) - CAST(s AS DOUBLE) / n_words, 6) AS entropy, "
+    " CASE WHEN n_distinct <= 1 THEN 0.0 ELSE "
+    "  round(round(log2(n_words) - CAST(s AS DOUBLE) / n_words, 6) "
+    "        / log2(n_distinct), 6) END AS evenness "
+    "FROM pd",
+    desc=(
+        "Per-document word-distribution Shannon entropy + evenness "
+        "(entropy / log2(n_distinct)): the model-free repetition/"
+        "gibberish screen — near-zero entropy is a few words "
+        "repeated. cnt*log2(cnt) terms pinned DECIMAL(18,8) so the "
+        "per-doc sum is exact; one explode, two map-side-combinable "
+        "aggregates, no joins."
+    ),
+)(
+    lambda spark, sf_dir: text.word_entropy(
+        _t(spark, sf_dir, "documents")
+    )
+)
+
+register(
+    "ns_text_distinct_n",
+    "WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents), "
+    "u AS (SELECT source, 1 AS n, unnest(ws) AS g FROM w "
+    " UNION ALL "
+    " SELECT source, 2 AS n, array_to_string(ws[i:i+1], ' ') AS g "
+    " FROM (SELECT source, ws, unnest(range(1, greatest(len(ws), 1))) AS i "
+    "       FROM w WHERE len(ws) >= 2) "
+    " UNION ALL "
+    " SELECT source, 3 AS n, array_to_string(ws[i:i+2], ' ') AS g "
+    " FROM (SELECT source, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i "
+    "       FROM w WHERE len(ws) >= 3)) "
+    "SELECT source, CAST(n AS INTEGER) AS n, "
+    " CAST(count(*) AS BIGINT) AS n_total, "
+    " CAST(count(DISTINCT g) AS BIGINT) AS n_distinct, "
+    " round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) "
+    "   AS distinct_ratio "
+    "FROM u GROUP BY 1, 2",
+    desc=(
+        "Distinct-n corpus diversity per source (n=1,2,3): distinct "
+        "over total word n-grams — the template-collapse signal exact "
+        "dedup misses. ONE scan: shifted-slice zip_with builds every "
+        "n's grams per row, struct-tagged and exploded once into a "
+        "single (source, n) exact count-distinct aggregate."
+    ),
+)(
+    lambda spark, sf_dir: text.distinct_ngram_stats(
+        _t(spark, sf_dir, "documents")
+    )
+)
+
+register(
+    "ns_corpus_pack_efficiency",
+    # budget=256, group_size=128 — the ns_pack_sequences knobs
+    "WITH t AS (SELECT doc_id, lang, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(floor(doc_id / 128.0) AS BIGINT) AS grp FROM documents), "
+    "c AS (SELECT *, SUM(n_tokens) OVER "
+    "(PARTITION BY lang, grp ORDER BY doc_id) AS cum FROM t), "
+    "s AS (SELECT lang, grp, "
+    " CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id, "
+    " COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens "
+    " FROM c GROUP BY 1, 2, 3) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_seqs, "
+    " CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens, "
+    " round(SUM(n_docs) / CAST(count(*) AS DOUBLE), 6) AS mean_docs_per_seq, "
+    " round(SUM(seq_tokens) / CAST(count(*) * 256 AS DOUBLE), 6) AS mean_fill, "
+    " CAST(SUM(CASE WHEN seq_tokens < 256 THEN 256 - seq_tokens ELSE 0 END) "
+    "   AS BIGINT) AS padding_tokens, "
+    " round(SUM(CASE WHEN seq_tokens < 256 THEN 256 - seq_tokens ELSE 0 END) "
+    "   / CAST(count(*) * 256 AS DOUBLE), 6) AS waste_ratio, "
+    " CAST(SUM(CASE WHEN seq_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) "
+    "   AS n_overfull "
+    "FROM s GROUP BY lang",
+    desc=(
+        "Packing-efficiency audit per language: fill ratio, padding "
+        "tokens a trainer would burn, waste ratio, and overfull-"
+        "sequence count over the greedy pack (budget=256) — the "
+        "report that tunes budget/group_size before a run is priced. "
+        "pack_sequences' bounded windows plus one language-"
+        "cardinality aggregate; nothing new shuffles."
+    ),
+)(
+    lambda spark, sf_dir: corpus.pack_efficiency(
+        _t(spark, sf_dir, "documents"), budget=256, group_size=128
+    )
+)

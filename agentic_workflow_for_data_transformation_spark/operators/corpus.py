@@ -973,3 +973,46 @@ def corpus_datacard(df: DataFrame, lang_col: str = "lang",
         .unionByName(shares(source_col, "source"))
         .unionByName(entropy)
     )
+
+
+def pack_efficiency(df: DataFrame, budget: int = 256,
+                    group_size: int = 1024, id_col: str = "doc_id",
+                    lang_col: str = "lang",
+                    text_col: str = "text") -> DataFrame:
+    """Packing-efficiency audit over pack_sequences: per language, how
+    well the greedy fill actually uses the context window — sequence
+    count, mean fill ratio, padding tokens a trainer would burn
+    (under-full sequences pad to ``budget``), the waste ratio, and how
+    many sequences OVERFLOW the budget (a doc straddling a boundary
+    lands whole in its floor sequence, so overfull sequences mean
+    truncation work downstream). This is the number that decides the
+    budget/group_size knobs before a training run is priced.
+
+    All counts and token sums are exact integers; the two ratios are
+    single float divisions on exact inputs, rounded to 6 — plain-SQL
+    oracle. Scale shape: pack_sequences' bounded windows, then one
+    language-cardinality aggregate; nothing new shuffles."""
+    packed = pack_sequences(df, budget=budget, group_size=group_size,
+                            id_col=id_col, lang_col=lang_col,
+                            text_col=text_col)
+    pad = F.when(
+        F.col("seq_tokens") < budget, F.lit(budget) - F.col("seq_tokens")
+    ).otherwise(F.lit(0))
+    return packed.groupBy(lang_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("seq_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("n_docs") / F.count(F.lit(1)).cast("double"), 6)
+        .alias("mean_docs_per_seq"),
+        F.round(
+            F.sum("seq_tokens")
+            / (F.count(F.lit(1)) * F.lit(budget)).cast("double"),
+            6,
+        ).alias("mean_fill"),
+        F.sum(pad).cast("long").alias("padding_tokens"),
+        F.round(
+            F.sum(pad) / (F.count(F.lit(1)) * F.lit(budget)).cast("double"),
+            6,
+        ).alias("waste_ratio"),
+        F.sum(F.when(F.col("seq_tokens") > budget, 1).otherwise(0))
+        .cast("long").alias("n_overfull"),
+    )

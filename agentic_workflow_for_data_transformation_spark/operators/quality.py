@@ -103,3 +103,46 @@ def check_expectations(df: DataFrame, expectations: list[dict]) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("_e")).select("_e.*")
+
+
+def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
+                      k: int = 5) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): group the table by the
+    quasi-identifier columns and report, in ONE row, how much of it
+    fails the k-anonymity bar — a row is at risk when its
+    quasi-identifier combination is shared by fewer than ``k`` rows,
+    because that combination narrows re-identification to a handful
+    of individuals. The privacy gate a training-data release runs
+    next to the PII redaction pass (text.redact_text): redaction
+    scrubs the values, this measures the join-attack surface that
+    remains in the metadata columns.
+
+    Output: (quasi, k, n_rows, n_groups, n_violating_groups,
+    n_rows_at_risk, risk_ratio, min_group_size) — all integer-exact
+    except the single rounded ratio, so the oracle is plain SQL.
+
+    Scale shape: one hash aggregate on the quasi-identifier key (the
+    scan you were already paying), then a second aggregate over
+    GROUP-cardinality rows down to one row. NULL quasi-identifier
+    values group together (Spark and SQL GROUP BY agree on that), so
+    an all-NULL column cannot fake anonymity by splitting."""
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    viol = F.col("_n") < k
+    return groups.agg(
+        F.lit("+".join(quasi_cols)).alias("quasi"),
+        F.lit(k).cast("int").alias("k"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("_n")).otherwise(0)).cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(viol, F.col("_n")).otherwise(0))
+            / F.sum("_n").cast("double"),
+            6,
+        ).alias("risk_ratio"),
+        F.min("_n").cast("long").alias("min_group_size"),
+    )

@@ -1718,3 +1718,192 @@ def label_margin_audit(df: DataFrame, label_col: str = "label",
         .orderBy(F.col("margin").desc(), id_col)
         .limit(k_flag)
     )
+
+
+def simplified_silhouette(df: DataFrame, label_col: str = "label",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Per-label simplified silhouette (Hruschka et al.'s centroid
+    form of Rousseeuw 1987): for every vector, a = distance to its OWN
+    label's centroid, b = distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b) — the one-number cluster-quality summary a
+    curator reads after the confusion matrix (nearest_centroid_classifier)
+    and the review queue (label_margin_audit). Emits per label:
+    n_vecs, decimal-exact mean silhouette, and the count of NEGATIVE
+    rows (vectors strictly closer to a foreign centroid). Unlike the
+    classic all-pairs silhouette, the centroid form is LINEAR in rows,
+    so it scales to any corpus.
+
+    Exactness engineering: both squared distances are the classifier's
+    pure-DECIMAL |t|^2 + |c|^2 - 2 t.c (here |t|^2 cannot be dropped —
+    it does not cancel inside max(a,b)); sqrt + the ratio run in
+    float64 on bit-identical decimal inputs; per-row s rounds to 6 and
+    pins DECIMAL(12,6) so the per-label MEAN is an exact decimal sum
+    divided once — independent of partition order and engine.
+
+    Scale shape: identical to assign_nearest_centroid — one posexplode
+    scan feeds a broadcast-model join with label-count fan-out and
+    map-side aggregation; the argmin-over-others window partitions by
+    row id; the label-cardinality output aggregate is the only other
+    exchange. No driver state, no iteration."""
+    cent = fit_centroid_model(df, label_col=label_col, vec_col=vec_col)
+    cnorm = cent.groupBy("predicted").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    e = df.select(id_col, label_col, F.posexplode(vec_col).alias("pos", "val"))
+    dots = (
+        e.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, label_col, "predicted")
+        .agg(
+            F.sum(F.col("val").cast("decimal(20,10)") * F.col("c")).alias("dot"),
+            F.sum((F.col("val") * F.col("val")).cast("decimal(20,10)")).alias("t2"),
+        )
+    )
+    pin = "decimal(30,12)"
+    scored = dots.join(F.broadcast(cnorm), "predicted").withColumn(
+        "d2",
+        F.col("t2").cast(pin) + F.col("c2").cast(pin)
+        - F.lit(2) * F.col("dot").cast(pin),
+    )
+    own = scored.filter(F.col(label_col) == F.col("predicted")).select(
+        id_col, F.col(label_col).alias("_lab"), F.col("d2").alias("a2")
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "predicted")
+    other = (
+        scored.filter(F.col(label_col) != F.col("predicted"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("d2").alias("b2"))
+    )
+    a = F.sqrt(F.greatest(F.col("a2").cast("double"), F.lit(0.0)))
+    b = F.sqrt(F.greatest(F.col("b2").cast("double"), F.lit(0.0)))
+    s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    per_row = own.join(other, id_col).select(
+        F.col("_lab").alias("label"),
+        F.round(s, 6).cast("decimal(12,6)").alias("s"),
+    )
+    return per_row.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 6)
+        .alias("mean_silhouette"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).cast("long")
+        .alias("n_negative"),
+    )
+
+
+def _ndcg_weights(k: int) -> list[str]:
+    """The DCG gain table 1/log2(rank+1) for ranks 1..k, frozen as
+    12-decimal STRINGS so Spark and any SQL oracle parse the exact
+    same decimals (string->decimal is exact in every engine; casting
+    a double would leave each engine to round it its own way)."""
+    import math
+
+    return [f"{1.0 / math.log2(r + 1):.12f}" for r in range(1, k + 1)]
+
+
+def _idcg_table(k: int) -> list[str]:
+    """Cumulative ideal-DCG per relevant-count 1..k, summed in Python
+    over the SAME 12-decimal weights the engines use (exact decimal
+    arithmetic via integer micro-units, so no float drift)."""
+    units = [int(w.replace(".", "")) for w in _ndcg_weights(k)]
+    acc, out = 0, []
+    for u in units:
+        acc += u
+        s = f"{acc:013d}"
+        out.append(s[:-12] + "." + s[-12:])
+    return out
+
+
+def ndcg_per_query(df: DataFrame, query_ids: list[int], k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   dim: int | None = None) -> DataFrame:
+    """NDCG@k against label ground truth — the rank-POSITION-aware
+    companion to retrieval_metrics_per_query (MRR rewards only the
+    first hit, precision ignores order; NDCG credits every relevant
+    hit, discounted by log2 of its rank). For each query vector the
+    exact-cosine top-k over the corpus (self excluded) is scored with
+    binary relevance (shares the query's label); the ideal DCG
+    normalizes by the best achievable ranking given how many relevant
+    rows exist in the corpus (capped at k), so a query whose label has
+    only 3 members is not punished for the unreachable 7.
+
+    Exactness: the gain table 1/log2(rank+1) and its cumulative ideal
+    sums are frozen as 12-decimal literals (string-parsed, so engine
+    cast rules never touch a float) and summed as DECIMAL — the DCG is
+    bit-identical under any partition order; the single ndcg division
+    runs in float64 on exact inputs and rounds to 6.
+
+    Scale shape: identical to the MRR harness — the query side
+    broadcasts so the corpus is scanned once scoring all queries; the
+    per-query top-k is a rank window over |Q|*n scored pairs; the
+    label-count side table (label cardinality rows) broadcasts."""
+    dim = probe_dim(df, vec_col, dim)
+    rows = _vec_norm(df, id_col, vec_col, dim, extra_cols=[label_col])
+    q = rows.filter(F.col(id_col).isin([int(i) for i in query_ids])).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    lab_counts = df.groupBy(F.col(label_col).alias("qlabel")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nlab")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    weights = _ndcg_weights(k)
+    idcg = _idcg_table(k)
+    gain = F.lit(None).cast("decimal(16,12)")
+    for r, ws in enumerate(weights, start=1):
+        gain = F.when(F.col("rank") == r, F.lit(ws).cast("decimal(16,12)")) \
+            .otherwise(gain)
+    ideal = F.lit("0.000000000000").cast("decimal(16,12)")
+    for n, s in enumerate(idcg, start=1):
+        ideal = F.when(F.col("_ideal_n") == n,
+                       F.lit(s).cast("decimal(16,12)")).otherwise(ideal)
+    topk = (
+        rows.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_parts(F.col("v"), F.col("qv"),
+                                  F.col("nrm"), F.col("qnrm")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    rel = F.col(label_col) == F.col("qlabel")
+    per_q = (
+        topk.groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(F.when(rel, 1).otherwise(0)).cast("int").alias("n_rel_topk"),
+            F.sum(F.when(rel, gain)).alias("_dcg"),
+        )
+    )
+    return (
+        per_q.join(F.broadcast(lab_counts), "qlabel")
+        .withColumn("_ideal_n", F.least(F.col("_nlab") - 1, F.lit(k))
+                    .cast("int"))
+        .select(
+            "query_id",
+            "n_rel_topk",
+            F.col("_ideal_n").alias("ideal_n"),
+            F.when(
+                F.col("_ideal_n") <= 0, F.lit(0.0)
+            ).otherwise(
+                F.round(
+                    F.coalesce(F.col("_dcg"),
+                               F.lit("0").cast("decimal(16,12)"))
+                    .cast("double")
+                    / ideal.cast("double"),
+                    6,
+                )
+            ).alias("ndcg"),
+        )
+    )

@@ -353,3 +353,65 @@ def winsorize_group(df: DataFrame, col: str, keys: list[str],
         ((F.col(col) < F.col("__lo")) | (F.col(col) > F.col("__hi")))
         .alias("was_clamped"),
     )
+
+
+def psi_by_split(df: DataFrame, cat_col: str = "lang",
+                 id_col: str = "doc_id", test_fraction: float = 0.2,
+                 salt: str = "psi", eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between the train and test slices of
+    a deterministic hash split: PSI = sum over categories of
+    (p_train - p_test) * ln(p_train / p_test). The
+    did-my-split-shift-the-distribution audit read next to the
+    leakage audit (ns_split_leakage_audit) — a clean random split
+    should score well under 0.1; a split keyed on something
+    correlated with the category column shows up immediately. Zero
+    counts clamp at ``eps`` (the standard PSI guard) so empty cells
+    contribute a large-but-finite term instead of infinity.
+
+    Output: one row per category (counts, shares, psi_term) with the
+    corpus-level psi_total repeated on every row. Counts are exact
+    longs; shares/terms are float64 on exact integer ratios, terms
+    rounded to 6 and pinned DECIMAL(12,6) so psi_total is an exact
+    decimal sum — partition-order independent, plain-SQL oracle.
+
+    Scale shape: the split flag is a pure per-row md5 draw
+    (sampling.hash_draw) — no second scan; one hash aggregate on the
+    category key, then category-cardinality rows fold through two
+    broadcast 1-row cross joins (totals, then term sum)."""
+    from .sampling import DRAW_BUCKETS, hash_draw
+
+    cut = int(test_fraction * DRAW_BUCKETS)
+    base = df.select(
+        F.col(cat_col).alias("category"),
+        (hash_draw(F.col(id_col), salt) < cut).alias("_test"),
+    )
+    cat = base.groupBy("category").agg(
+        F.sum(F.when(~F.col("_test"), 1).otherwise(0)).cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("_test"), 1).otherwise(0)).cast("long")
+        .alias("n_test"),
+    )
+    tot = cat.agg(
+        F.sum("n_train").alias("_tt"), F.sum("n_test").alias("_te")
+    )
+    p = F.greatest(F.col("n_train") / F.col("_tt"), F.lit(eps))
+    q = F.greatest(F.col("n_test") / F.col("_te"), F.lit(eps))
+    terms = cat.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_train",
+        "n_test",
+        F.round(F.col("n_train") / F.col("_tt"), 8).alias("p_train"),
+        F.round(F.col("n_test") / F.col("_te"), 8).alias("p_test"),
+        F.round((p - q) * F.log(p / q), 6).cast("decimal(12,6)")
+        .alias("_term"),
+    )
+    total = terms.agg(F.sum("_term").alias("_pt"))
+    return terms.crossJoin(F.broadcast(total)).select(
+        "category",
+        "n_train",
+        "n_test",
+        "p_train",
+        "p_test",
+        F.col("_term").cast("double").alias("psi_term"),
+        F.round(F.col("_pt").cast("double"), 6).alias("psi_total"),
+    )

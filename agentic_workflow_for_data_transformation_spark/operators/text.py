@@ -1082,3 +1082,135 @@ def heaps_fit(df: DataFrame, id_col: str = "doc_id",
         (F.round(F.when(den != 0, num / den), 6) + F.lit(0.0)).alias("heaps_beta")
     )
     return pts.crossJoin(F.broadcast(beta))
+
+
+def word_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 keep_cols: tuple = ()) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution, plus its
+    normalized form (entropy / log2(n_distinct) — evenness in [0,1]).
+    The within-document twin of the corpus-level unigram_surprisal:
+    surprisal scores a document against the CORPUS language model,
+    entropy scores it against ITSELF — near-zero entropy means the
+    document is a few words repeated (template spam, keyword stuffing,
+    decode loops), the gibberish/repetition screen that needs no
+    trained model at all. Gopher's repetition fractions catch exact
+    duplicate lines; entropy catches the smeared version.
+
+    Exactness: H = log2(n) - (1/n) * sum(cnt * log2(cnt)) over exact
+    per-word counts; each cnt*log2(cnt) term rounds to 8 and pins
+    DECIMAL(18,8) so the sum is partition-order exact; the outer
+    expression is float64 on exact inputs, rounded to 6.
+
+    Scale shape: one explode feeds a (doc, word) count aggregate, then
+    a doc-keyed fold — both map-side combinable; output is one row per
+    document, no joins, no windows."""
+    words = df.select(
+        id_col, *keep_cols,
+        F.explode(_word_array(text_col)).alias("_w"),
+    )
+    wc = words.groupBy(id_col, *keep_cols, "_w").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    term = F.round(
+        F.col("_cnt") * F.log2(F.col("_cnt")), 8
+    ).cast("decimal(18,8)")
+    per_doc = wc.groupBy(id_col, *keep_cols).agg(
+        F.sum("_cnt").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(term).alias("_s"),
+    )
+    h = F.round(
+        F.log2(F.col("n_words"))
+        - F.col("_s").cast("double") / F.col("n_words"),
+        6,
+    )
+    return per_doc.select(
+        id_col, *keep_cols,
+        "n_words",
+        "n_distinct",
+        h.alias("entropy"),
+        F.when(F.col("n_distinct") <= 1, F.lit(0.0)).otherwise(
+            F.round(h / F.log2(F.col("n_distinct")), 6)
+        ).alias("evenness"),
+    )
+
+
+def distinct_ngram_stats(df: DataFrame, n_values: tuple = (1, 2, 3),
+                         group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Corpus diversity as distinct-n (Li et al. 2016's diversity
+    metric, lifted from generations to corpora): per group, the count
+    and distinct count of word n-grams and their ratio — a corpus
+    whose 3-gram distinct ratio collapses is template-heavy even when
+    exact dedup finds nothing. Read per source next to the Heaps'-law
+    fit (vocabulary growth) and the duplication-rate audit.
+
+    All-integer output plus one rounded ratio: exact on any engine.
+
+    Scale shape: ONE scan — every n's grams are built per row with
+    zip_with over shifted array slices (no self-joins), tagged with n
+    via struct, concatenated, and exploded once into a single
+    (group, n) aggregate with an exact count-distinct. Shuffle
+    carries (group, n, gram) — the same order of work as the shingle
+    index the dedup family already pays for."""
+    w = _word_array(text_col)
+    size = F.size(w)
+    parts = []
+    for n in n_values:
+        if n == 1:
+            grams = w
+        else:
+            sl = [
+                F.slice(w, i + 1, F.greatest(size - (n - 1), F.lit(1)))
+                for i in range(n)
+            ]
+            g = sl[0]
+            for s in sl[1:]:
+                g = F.zip_with(g, s, lambda a, b: F.concat(a, F.lit(" "), b))
+            grams = F.when(size >= n, g).otherwise(
+                F.array().cast("array<string>")
+            )
+        def _tag(nv):
+            # single-arg lambda: a 2-arg one would make F.transform
+            # pass the ARRAY INDEX as the second argument
+            return lambda g: F.struct(
+                F.lit(nv).cast("int").alias("n"), g.alias("g")
+            )
+
+        parts.append(F.transform(grams, _tag(n)))
+    e = df.select(
+        F.col(group_col).alias(group_col),
+        F.explode(F.concat(*parts)).alias("_x"),
+    )
+    return (
+        e.groupBy(group_col, F.col("_x.n").alias("n"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.count_distinct(F.col("_x.g")).cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.col("n_distinct") / F.col("n_total"), 6),
+        )
+    )
+
+
+def blocklist_screen(df: DataFrame, words: list[str],
+                     text_col: str = "text") -> DataFrame:
+    """C4-style blocklist screen (Raffel et al. 2020 drop any page
+    containing a 'bad word'): remove every document whose lowercased
+    whitespace-token set intersects the blocklist. WORD-level match —
+    'assassin' does not trip a 'ass' entry — which is the form the C4
+    paper used and the one that survives translation to any engine as
+    a set intersection instead of |blocklist| regex scans per row.
+
+    Scale shape: pure per-row filter — the blocklist is a literal
+    array constant-folded into the predicate (for lists beyond a few
+    thousand words, switch to the broadcast-join form of
+    corpus.contaminated_ids); no shuffle, fully pushdown-friendly."""
+    arr = F.array(*[F.lit(w.lower()) for w in words])
+    hit = F.arrays_overlap(
+        F.split(F.lower(F.col(text_col)), " "), arr
+    )
+    return df.filter(~hit)

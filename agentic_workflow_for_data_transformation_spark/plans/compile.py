@@ -550,6 +550,12 @@ def compile_spec(
                 .drop("redacted")
                 .withColumn("n_masked", F.col("n_masked").cast("long"))
             )
+        elif kind == "blocklist":
+            from ..operators.text import blocklist_screen
+
+            df = blocklist_screen(
+                df, list(op["words"]), text_col=op.get("text_col", "text")
+            )
         elif kind == "token_counts":
             from ..operators.text import with_token_counts
 

@@ -59,6 +59,7 @@ _CLAUSE_KEYWORDS = (
     r"|compute\s+token\s+fertility"
     r"|(?:audit|report)\s+(?:\d+-gram\s+)?duplication"
     r"|remove\s+documents\s+sharing"
+    r"|remove\s+(?:documents|rows)\s+containing"
     r"|(?:report|compare)\s+vocabulary\s+divergence"
     r"|(?:report|price)\s+(?:the\s+)?dedup\s+savings"
     r"|check\s+that"
@@ -402,6 +403,14 @@ _EXP_MIN_ROWS = re.compile(r"^at\s+least\s+(\d+)\s+rows?$", re.IGNORECASE)
 _REDACT = re.compile(
     r"^redact\s+(?:emails?\s+and\s+(?:long\s+)?numbers?|pii)\s+"
     r"in\s+each\s+(?:document|row)\s*$",
+    re.IGNORECASE,
+)
+# "remove documents containing the words 'x', 'y'" -> C4-style
+# blocklist screen (text.blocklist_screen): word-level set
+# intersection against the quoted list, pure per-row filter
+_BLOCKLIST = re.compile(
+    r"^remove\s+(?:documents|rows)\s+containing\s+(?:the\s+)?words?\s+"
+    r"('[^']*'(?:\s*,\s*'[^']*')*)\s*$",
     re.IGNORECASE,
 )
 # "apply the gopher quality rules to each document" -> the published
@@ -796,6 +805,11 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "langid"}
     if _REDACT.match(clause):
         return {"op": "redact"}
+    if m := _BLOCKLIST.match(clause):
+        return {
+            "op": "blocklist",
+            "words": [v[1:-1] for v in re.findall(r"'[^']*'", m.group(1))],
+        }
     if _GOPHER.match(clause):
         return {"op": "gopher"}
     if m := _DSIR.match(clause):

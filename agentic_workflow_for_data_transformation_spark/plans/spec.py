@@ -69,6 +69,9 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "redact", "text_col": "text"?}
       # mask emails + long digit runs in the text column IN PLACE;
       # adds n_masked (match count against the original text)
+  {"op": "blocklist", "words": ["x", "y"], "text_col": "text"?}
+      # C4-style blocklist screen: drop every row whose lowercased
+      # word set intersects the list — a pure per-row filter
   {"op": "expect", "expectations": [
       {"kind": "unique", "col": "doc_id"},
       {"kind": "not_null", "col": "text"},
@@ -578,6 +581,12 @@ def validate_op(op: Any) -> None:
     elif kind in ("langid", "token_counts", "quality_score", "redact", "gopher"):
         if "text_col" in op and not isinstance(op["text_col"], str):
             _err(f"{kind} 'text_col' must be a string: {op!r}")
+    elif kind == "blocklist":
+        ws = op.get("words")
+        if not (isinstance(ws, list) and ws and all(isinstance(w, str) for w in ws)):
+            _err(f"blocklist needs a non-empty string 'words' list: {op!r}")
+        if "text_col" in op and not isinstance(op["text_col"], str):
+            _err(f"blocklist 'text_col' must be a string: {op!r}")
     elif kind == "dsir":
         if not isinstance(op.get("target_col"), str):
             _err(f"dsir needs a string 'target_col': {op!r}")

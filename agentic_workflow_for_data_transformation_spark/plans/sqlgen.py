@@ -379,6 +379,17 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"+ len(regexp_extract_all({txt}, '{LONG_NUM_REGEX}')) AS BIGINT) "
                 f"AS n_masked FROM ({sql})"
             )
+        elif kind == "blocklist":
+            # mirrors operators/text.blocklist_screen: word-level set
+            # intersection of the lowercased whitespace tokens against
+            # the (lowercased) literal list — list_has_any is DuckDB's
+            # arrays_overlap
+            txt = _q(op.get("text_col", "text"))
+            arr = ", ".join(_lit_sql(w.lower()) for w in op["words"])
+            sql = (
+                f"SELECT * FROM ({sql}) WHERE NOT "
+                f"list_has_any(string_split(lower({txt}), ' '), [{arr}])"
+            )
         elif kind == "langid":
             # mirrors operators/text.with_lang_id: stopword-vote
             # argmax, ties break by language code order, 'und' when no

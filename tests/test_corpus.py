@@ -455,3 +455,27 @@ def test_corpus_datacard_known_values(spark):
     want = round(-sum(x * math.log(x) for x in p), 6)
     assert got[("lang", "en", "unigram_entropy")] == want
     assert got[("lang", "de", "unigram_entropy")] == 0.0  # single word
+
+
+def test_pack_efficiency_consistent_with_pack_sequences(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        pack_efficiency,
+        pack_sequences,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(df, budget=256, group_size=128).collect()
+    eff = {r["lang"]: r for r in
+           pack_efficiency(df, budget=256, group_size=128).collect()}
+    # per-language sequence counts and token sums must reconcile
+    from collections import defaultdict
+    n, tok = defaultdict(int), defaultdict(int)
+    for r in packed:
+        n[r["lang"]] += 1
+        tok[r["lang"]] += r["seq_tokens"]
+    for lang, r in eff.items():
+        assert r["n_seqs"] == n[lang]
+        assert r["total_tokens"] == tok[lang]
+        assert 0.0 <= r["waste_ratio"] <= 1.0
+        # fill + waste accounts for every budgeted slot except overflow
+        assert r["mean_fill"] >= 1.0 - r["waste_ratio"] - 1e-6

@@ -1484,3 +1484,116 @@ def test_dedup_savings_by_source_charges_dup_holder(spark):
     assert got["s1"]["n_dup_docs"] == 0 and got["s1"]["chars_saved"] == 0
     assert got["s2"]["n_dup_docs"] == 1 and got["s2"]["chars_saved"] == 14
     assert got["s2"]["savings_ratio"] == round(14 / 24, 6)
+
+
+def test_simplified_silhouette_separated_clusters(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    # two tight, well-separated clusters -> silhouette near 1, no
+    # negatives; one planted mislabeled row -> exactly one negative
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + 0.01 * i, 0.0], 0))
+    for i in range(6, 12):
+        rows.append((i, [-10.0 - 0.01 * i, 0.0], 1))
+    rows.append((12, [10.0, 0.0], 1))  # lives in cluster 0, labeled 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["label"]: r for r in simplified_silhouette(df).collect()}
+    assert out[0]["n_vecs"] == 6 and out[1]["n_vecs"] == 7
+    assert out[0]["mean_silhouette"] > 0.9
+    assert out[0]["n_negative"] == 0
+    assert out[1]["n_negative"] == 1  # the planted row
+
+
+def test_k_anonymity_audit_counts(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    rows = (
+        [("a", "x")] * 5      # group of 5: safe at k=5
+        + [("a", "y")] * 2    # group of 2: at risk
+        + [("b", "x")] * 1    # group of 1: at risk
+    )
+    df = spark.createDataFrame(rows, ["u", "t"])
+    (r,) = k_anonymity_audit(df, ["u", "t"], k=5).collect()
+    assert r["quasi"] == "u+t" and r["k"] == 5
+    assert r["n_rows"] == 8 and r["n_groups"] == 3
+    assert r["n_violating_groups"] == 2
+    assert r["n_rows_at_risk"] == 3
+    assert r["min_group_size"] == 1
+    assert abs(r["risk_ratio"] - 3 / 8) < 1e-9
+
+
+def test_ndcg_perfect_and_partial_ranking(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        ndcg_per_query,
+    )
+
+    # query 0 (label 0): its 3 label-mates are the 3 nearest -> with
+    # only 3 relevant in the corpus, ideal_n = 3 and NDCG@10 = 1.0
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.01], 0),
+        (2, [0.98, 0.02], 0),
+        (3, [0.97, 0.03], 0),
+        (4, [-1.0, 0.0], 1),
+        (5, [-0.99, 0.01], 1),
+        (6, [-0.98, 0.02], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["query_id"]: r for r in
+           ndcg_per_query(df, query_ids=[0], k=10).collect()}
+    assert out[0]["ideal_n"] == 3
+    assert out[0]["n_rel_topk"] == 3
+    assert abs(out[0]["ndcg"] - 1.0) < 1e-9
+
+
+def test_psi_by_split_constant_category_is_zero(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        psi_by_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(200)], ["doc_id", "lang"]
+    )
+    (r,) = psi_by_split(df, cat_col="lang", id_col="doc_id").collect()
+    # one category holds 100% of both slices -> every term is 0
+    assert r["psi_term"] == 0.0 and r["psi_total"] == 0.0
+    assert r["n_train"] + r["n_test"] == 200
+
+
+def test_word_entropy_extremes(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.text import (
+        word_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b"), (3, "a b c d")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in word_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["evenness"] == 0.0
+    assert out[2]["entropy"] == 1.0 and out[2]["evenness"] == 1.0
+    assert out[3]["entropy"] == 2.0 and out[3]["evenness"] == 1.0
+    assert out[3]["n_distinct"] == 4
+
+
+def test_distinct_ngram_stats_by_hand(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.text import (
+        distinct_ngram_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("s", "a b a b"), ("s", "a")], ["source", "text"]
+    )
+    out = {r["n"]: r for r in distinct_ngram_stats(df).collect()}
+    # unigrams: a,b,a,b,a -> 5 total, 2 distinct
+    assert out[1]["n_total"] == 5 and out[1]["n_distinct"] == 2
+    # bigrams: 'a b','b a','a b' (doc2 too short) -> 3 total, 2 distinct
+    assert out[2]["n_total"] == 3 and out[2]["n_distinct"] == 2
+    # trigrams: 'a b a','b a b' -> 2 total, 2 distinct
+    assert out[3]["n_total"] == 2 and out[3]["n_distinct"] == 2
+    assert abs(out[2]["distinct_ratio"] - 2 / 3) < 1e-6

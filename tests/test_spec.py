@@ -1981,3 +1981,60 @@ def test_dedup_savings_spec_op_parse_compile_render(spark):
     # (source, n_docs, n_dup_docs, chars_total, chars_saved, ratio)
     assert by["s1"][2] == 0 and by["s1"][4] == 0  # keeper saves nothing
     assert by["s2"][2] == 1 and by["s2"][4] == 9  # the holder is charged
+
+
+def test_blocklist_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["doc_id", "text"]
+    spec = parse_description(
+        "Remove documents containing the words 'Bad', 'worse'", columns=cols
+    )
+    assert spec["ops"] == [{"op": "blocklist", "words": ["Bad", "worse"]}]
+    df = spark.createDataFrame(
+        [
+            (1, "a clean doc"),
+            (2, "this one is bad indeed"),   # case-insensitive hit
+            (3, "badge is not bad-ge here"), # substring must NOT trip
+            (4, "strictly Worse text"),
+        ],
+        cols,
+    )
+    out = sorted(r["doc_id"] for r in compile_spec(df, spec).collect())
+    assert out == [1, 3]
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = sorted(r[0] for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert oracle == out
+
+    # composes across the clause splitter with filter + projection
+    spec2 = parse_description(
+        "Filter rows where doc_id > 1 and remove documents containing "
+        "the words 'bad' and select doc_id",
+        columns=cols,
+    )
+    assert [o["op"] for o in spec2["ops"]] == ["filter", "blocklist", "select"]
+    out2 = sorted(r["doc_id"] for r in compile_spec(df, spec2).collect())
+    assert out2 == [3, 4]
+
+
+def test_blocklist_spec_validation():
+    import pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+
+    with pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "blocklist", "words": []}]})
+    with pytest.raises(SpecError):
+        validate_spec({"ops": [{"op": "blocklist", "words": [1]}]})
+    validate_spec({"ops": [{"op": "blocklist", "words": ["x"]}]})
