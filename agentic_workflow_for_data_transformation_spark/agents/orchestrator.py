@@ -138,6 +138,15 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "ann_topk", "query_id": 42, "k": 10}}  (k most similar
       vectors to the given vector id)
   {{"op": "bm25", "terms": ["spark", "join"], "k": 10}}  (text search)
+  {{"op": "blocklist", "words": ["bad", "worse"]}}  (drop rows whose
+      lowercased word set intersects the list)
+  {{"op": "kanon", "cols": ["user_id", "event_type"], "k": 5}}
+      (k-anonymity privacy audit; REPLACES the schema with one report
+      row: quasi, k, n_rows, n_groups, n_violating_groups,
+      n_rows_at_risk, risk_ratio, min_group_size)
+  {{"op": "word_entropy"}}  (per-document word-distribution entropy;
+      REPLACES the schema with id, n_words, n_distinct, entropy,
+      evenness)
 Aggregate fns: count (col "*" allowed), avg, sum, min, max, median,
 count_distinct. Expressions are nested 1-key dicts (a bare string is a
 column reference, a bare number/bool a literal): col/lit/gt/ge/lt/le/
@@ -285,6 +294,8 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # the JS divergence map replaces the schema with pair rows;
         # the dedup savings report with per-group rollups
         "vocab_divergence", "dedup_savings",
+        # privacy audit -> one report row; entropy -> per-doc stats
+        "kanon", "word_entropy",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -378,7 +389,9 @@ def critic_agent(
             "- filter: rows are already filtered; a header-only sample "
             "means the filter matched zero rows, a valid result.\n"
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
-            "pivot, dsir, fertility, dup_by_source, vocab_divergence, dedup_savings) REPLACE the columns with their own "
+            "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
+            "dedup_savings, kanon, word_entropy) REPLACE the columns "
+            "with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "
             "where negative log weights are normal likelihood ratios).\n"

@@ -3821,6 +3821,49 @@ def p87_nl_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P87_DESC)
 
 
+_P88_DESC = "Check k-anonymity of user_id and event_type at 5"
+
+
+def _p88_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P88_DESC,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+        "events",
+    )
+
+
+@register("p88_nl_kanonymity", _p88_oracle())
+def p88_nl_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL privacy audit: 'check k-anonymity of <cols> at <k>' —
+    quality.k_anonymity_audit behind one clause (schema-replacing,
+    like expect): one report row counting quasi-identifier groups
+    smaller than k and the rows they expose. One hash aggregate on
+    the quasi key folded to a single row; integer-exact except the
+    one rounded ratio. The oracle renders the identical two-level
+    aggregate."""
+    return _nl(spark, sf_dir, "events", _P88_DESC)
+
+
+_P89_DESC = "Compute the word entropy of each document"
+
+
+@register("p89_nl_word_entropy", _docs_nl_oracle(_P89_DESC))
+def p89_nl_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL repetition screen: 'compute the word entropy of each
+    document' — text.word_entropy behind one clause (schema-replacing):
+    per-doc Shannon entropy of the word distribution plus evenness,
+    the model-free gibberish/template signal. cnt*log2(cnt) terms pin
+    DECIMAL(18,8) so the per-doc sum is partition-order exact; one
+    explode and two map-side-combinable aggregates, no joins. The
+    oracle renders the identical pinned-term chain."""
+    return _nl(spark, sf_dir, "documents", _P89_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )

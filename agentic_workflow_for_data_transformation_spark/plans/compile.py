@@ -556,6 +556,18 @@ def compile_spec(
             df = blocklist_screen(
                 df, list(op["words"]), text_col=op.get("text_col", "text")
             )
+        elif kind == "kanon":
+            from ..operators.quality import k_anonymity_audit
+
+            df = k_anonymity_audit(df, list(op["cols"]), k=int(op["k"]))
+        elif kind == "word_entropy":
+            from ..operators.text import word_entropy
+
+            df = word_entropy(
+                df,
+                id_col=op.get("id_col", "doc_id"),
+                text_col=op.get("text_col", "text"),
+            )
         elif kind == "token_counts":
             from ..operators.text import with_token_counts
 

@@ -63,6 +63,8 @@ _CLAUSE_KEYWORDS = (
     r"|(?:report|compare)\s+vocabulary\s+divergence"
     r"|(?:report|price)\s+(?:the\s+)?dedup\s+savings"
     r"|check\s+that"
+    r"|check\s+k-?anonymity"
+    r"|compute\s+(?:the\s+)?word\s+entropy"
     r"|split\s+into\s+\d"
     r"|(?:inner|left|right|full|cross)\s+join)"
 )
@@ -403,6 +405,21 @@ _EXP_MIN_ROWS = re.compile(r"^at\s+least\s+(\d+)\s+rows?$", re.IGNORECASE)
 _REDACT = re.compile(
     r"^redact\s+(?:emails?\s+and\s+(?:long\s+)?numbers?|pii)\s+"
     r"in\s+each\s+(?:document|row)\s*$",
+    re.IGNORECASE,
+)
+# "check k-anonymity of user_id and event_type at 5" -> privacy audit
+# (quality.k_anonymity_audit): one-row report of quasi-identifier
+# groups smaller than k
+_KANON = re.compile(
+    r"^check\s+k-?anonymity\s+of\s+(\w+(?:(?:\s*,\s*|\s+and\s+)\w+)*)\s+"
+    r"at\s+(\d+)\s*$",
+    re.IGNORECASE,
+)
+# "compute the word entropy of each document" -> per-doc Shannon
+# entropy + evenness (text.word_entropy), schema-replacing
+_WENTROPY = re.compile(
+    r"^compute\s+(?:the\s+)?word\s+entropy\s+(?:of|for)\s+each\s+"
+    r"(?:document|row)\s*$",
     re.IGNORECASE,
 )
 # "remove documents containing the words 'x', 'y'" -> C4-style
@@ -810,6 +827,17 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "op": "blocklist",
             "words": [v[1:-1] for v in re.findall(r"'[^']*'", m.group(1))],
         }
+    if m := _KANON.match(clause):
+        return {
+            "op": "kanon",
+            "cols": [
+                _resolve_col(c.strip(), columns)
+                for c in re.split(r",|\s+and\s+", m.group(1))
+            ],
+            "k": int(m.group(2)),
+        }
+    if _WENTROPY.match(clause):
+        return {"op": "word_entropy"}
     if _GOPHER.match(clause):
         return {"op": "gopher"}
     if m := _DSIR.match(clause):
@@ -1401,6 +1429,13 @@ def _strip_unavailable_tiebreaks(ops: list[dict], columns: list[str] | None) -> 
         elif kind == "dup_by_source":
             cols = {op["key"], "n_docs", "n_distinct_grams", "n_gram_occ",
                     "dup_gram_ratio", "cross_source_ratio"}
+        elif kind == "kanon":
+            cols = {"quasi", "k", "n_rows", "n_groups",
+                    "n_violating_groups", "n_rows_at_risk", "risk_ratio",
+                    "min_group_size"}
+        elif kind == "word_entropy":
+            cols = {op.get("id_col", "doc_id"), "n_words", "n_distinct",
+                    "entropy", "evenness"}
         elif kind == "sessionize":
             cols.add("session_id")
         # filter/sort/limit/distinct/sample keep the column set;

@@ -72,6 +72,13 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "blocklist", "words": ["x", "y"], "text_col": "text"?}
       # C4-style blocklist screen: drop every row whose lowercased
       # word set intersects the list — a pure per-row filter
+  {"op": "kanon", "cols": ["user_id", "event_type"], "k": 5}
+      # k-anonymity privacy audit; REPLACES the schema with one
+      # report row (quasi, k, n_rows, n_groups, n_violating_groups,
+      # n_rows_at_risk, risk_ratio, min_group_size)
+  {"op": "word_entropy", "id_col": "doc_id"?, "text_col": "text"?}
+      # per-document word-distribution Shannon entropy; REPLACES the
+      # schema with (id, n_words, n_distinct, entropy, evenness)
   {"op": "expect", "expectations": [
       {"kind": "unique", "col": "doc_id"},
       {"kind": "not_null", "col": "text"},
@@ -587,6 +594,17 @@ def validate_op(op: Any) -> None:
             _err(f"blocklist needs a non-empty string 'words' list: {op!r}")
         if "text_col" in op and not isinstance(op["text_col"], str):
             _err(f"blocklist 'text_col' must be a string: {op!r}")
+    elif kind == "kanon":
+        cs = op.get("cols")
+        if not (isinstance(cs, list) and cs and all(isinstance(c, str) for c in cs)):
+            _err(f"kanon needs a non-empty string 'cols' list: {op!r}")
+        kk = op.get("k")
+        if not (isinstance(kk, int) and not isinstance(kk, bool) and kk >= 2):
+            _err(f"kanon needs an int 'k' >= 2: {op!r}")
+    elif kind == "word_entropy":
+        for f in ("id_col", "text_col"):
+            if f in op and not isinstance(op[f], str):
+                _err(f"word_entropy '{f}' must be a string: {op!r}")
     elif kind == "dsir":
         if not isinstance(op.get("target_col"), str):
             _err(f"dsir needs a string 'target_col': {op!r}")

@@ -390,6 +390,47 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"SELECT * FROM ({sql}) WHERE NOT "
                 f"list_has_any(string_split(lower({txt}), ' '), [{arr}])"
             )
+        elif kind == "kanon":
+            # mirrors operators/quality.k_anonymity_audit: one group
+            # aggregate on the quasi-identifier columns, folded to a
+            # single report row
+            cols = ", ".join(_q(c) for c in op["cols"])
+            k = int(op["k"])
+            quasi = "+".join(op["cols"]).replace("'", "''")
+            sql = (
+                f"SELECT '{quasi}' AS quasi, CAST({k} AS INTEGER) AS k, "
+                f"CAST(SUM(n) AS BIGINT) AS n_rows, "
+                f"CAST(count(*) AS BIGINT) AS n_groups, "
+                f"CAST(SUM(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT) "
+                f"AS n_violating_groups, "
+                f"CAST(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT) "
+                f"AS n_rows_at_risk, "
+                f"round(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) "
+                f"/ CAST(SUM(n) AS DOUBLE), 6) AS risk_ratio, "
+                f"CAST(min(n) AS BIGINT) AS min_group_size "
+                f"FROM (SELECT {cols}, CAST(count(*) AS BIGINT) AS n "
+                f"FROM ({sql}) GROUP BY {cols})"
+            )
+        elif kind == "word_entropy":
+            # mirrors operators/text.word_entropy (the
+            # ns_text_word_entropy oracle, parameterized): per-word
+            # counts, DECIMAL(18,8)-pinned cnt*log2(cnt) terms
+            idc = _q(op.get("id_col", "doc_id"))
+            txt = _q(op.get("text_col", "text"))
+            sql = (
+                f"SELECT {idc}, n_words, n_distinct, "
+                f"round(log2(n_words) - CAST(s AS DOUBLE) / n_words, 6) "
+                f"AS entropy, "
+                f"CASE WHEN n_distinct <= 1 THEN 0.0 ELSE "
+                f"round(round(log2(n_words) - CAST(s AS DOUBLE) / n_words, 6) "
+                f"/ log2(n_distinct), 6) END AS evenness "
+                f"FROM (SELECT {idc}, CAST(SUM(cnt) AS BIGINT) AS n_words, "
+                f"CAST(count(*) AS BIGINT) AS n_distinct, "
+                f"SUM(CAST(round(cnt * log2(cnt), 8) AS DECIMAL(18,8))) AS s "
+                f"FROM (SELECT {idc}, w, CAST(count(*) AS BIGINT) AS cnt "
+                f"FROM (SELECT {idc}, unnest(string_split({txt}, ' ')) AS w "
+                f"FROM ({sql})) GROUP BY 1, 2) GROUP BY 1)"
+            )
         elif kind == "langid":
             # mirrors operators/text.with_lang_id: stopword-vote
             # argmax, ties break by language code order, 'und' when no

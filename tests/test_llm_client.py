@@ -271,3 +271,118 @@ def test_live_dup_audit_spec_roundtrip(spark, tmp_path):
         for r in out.collect()
     }
     assert got == golden
+
+
+@needs_live_llm
+def test_live_blocklist_spec_roundtrip(spark, tmp_path):
+    """The C4-blocklist paraphrase against a real model: grammar
+    rejects the wording, the LLM must emit a blocklist spec, and the
+    surviving rows match the canonical-phrasing golden set."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = (
+        "Remove documents containing the words 'spark', 'merge' "
+        "and select doc_id, lang"
+    )
+    para = (
+        "Please scrub the corpus of anything that mentions spark or "
+        "merge as a word, and just give me doc_id and lang for what "
+        "survives."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        (r["doc_id"], r["lang"])
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path, llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {(int(r["doc_id"]), r["lang"]) for r in out.collect()}
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_kanonymity_spec_roundtrip(spark, tmp_path):
+    """The k-anonymity paraphrase against a real model: the LLM must
+    emit the schema-replacing kanon spec and the one-row report must
+    match the canonical-phrasing golden row."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    canon = "Check k-anonymity of user_id and event_type at 5"
+    para = (
+        "Privacy review: how exposed is this event log if an attacker "
+        "joins on the user and event-type pair? Count the groups with "
+        "fewer than 5 rows and the rows they put at risk."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=events.columns)
+    (g,) = compile_spec(
+        events, parse_description(canon, columns=events.columns)
+    ).collect()
+    st = run_transform(spark, events, para, out_dir=tmp_path,
+                       llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    (r,) = out.collect()
+    assert int(r["n_groups"]) == g["n_groups"]
+    assert int(r["n_violating_groups"]) == g["n_violating_groups"]
+    assert int(r["n_rows_at_risk"]) == g["n_rows_at_risk"]
+
+
+@needs_live_llm
+def test_live_word_entropy_spec_roundtrip(spark, tmp_path):
+    """The word-entropy paraphrase against a real model: the LLM must
+    emit the schema-replacing word_entropy spec; per-doc entropy rows
+    must match the canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = "Compute the word entropy of each document"
+    para = (
+        "How repetitive is each doc? Give me the Shannon entropy of "
+        "its word distribution, per document."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        (r["doc_id"], round(r["entropy"], 6), round(r["evenness"], 6))
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        (int(r["doc_id"]), round(float(r["entropy"]), 6),
+         round(float(r["evenness"]), 6))
+        for r in out.collect()
+    }
+    assert got == golden

@@ -2038,3 +2038,67 @@ def test_blocklist_spec_validation():
     with pytest.raises(SpecError):
         validate_spec({"ops": [{"op": "blocklist", "words": [1]}]})
     validate_spec({"ops": [{"op": "blocklist", "words": ["x"]}]})
+
+
+def test_kanon_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["user_id", "event_type", "value"]
+    spec = parse_description(
+        "Check k-anonymity of user_id and event_type at 3", columns=cols
+    )
+    assert spec["ops"] == [
+        {"op": "kanon", "cols": ["user_id", "event_type"], "k": 3}
+    ]
+    rows = [(1, "a", 0.0)] * 3 + [(1, "b", 0.0)] * 2 + [(2, "a", 0.0)]
+    df = spark.createDataFrame(rows, cols)
+    (r,) = compile_spec(df, spec).collect()
+    assert r["quasi"] == "user_id+event_type"
+    assert r["n_groups"] == 3 and r["n_violating_groups"] == 2
+    assert r["n_rows_at_risk"] == 3
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    (o,) = con.sql(spec_to_sql(spec, "t")).fetchall()
+    assert o[0] == "user_id+event_type" and o[3] == 3 and o[4] == 2
+
+
+def test_word_entropy_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["doc_id", "text"]
+    spec = parse_description(
+        "Compute the word entropy of each document", columns=cols
+    )
+    assert spec["ops"] == [{"op": "word_entropy"}]
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], cols
+    )
+    out = {r["doc_id"]: r for r in compile_spec(df, spec).collect()}
+    assert out[1]["entropy"] == 0.0 and out[2]["entropy"] == 2.0
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {r[0]: r for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
+    assert oracle[1][3] == 0.0 and oracle[2][3] == 2.0
+
+    # composes after a filter clause
+    spec2 = parse_description(
+        "Filter rows where doc_id > 1 and compute the word entropy "
+        "of each document",
+        columns=cols,
+    )
+    assert [o["op"] for o in spec2["ops"]] == ["filter", "word_entropy"]
+    assert [r["doc_id"] for r in compile_spec(df, spec2).collect()] == [2]
