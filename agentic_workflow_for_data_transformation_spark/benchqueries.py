@@ -4205,16 +4205,15 @@ _WINDOW: list[str] = [
     # edits here avoid the round-trip.
     # -- (a) new in round 8, never gated --
     "ns_sim_topk_ivfpq", "p62_nl_dedup_docs", "p63_nl_neardup",
-    "p64_nl_decontaminate", "p65_nl_pack", "p66_nl_ann",
+    "p64_nl_decontaminate", "p66_nl_ann",
     "ns_dedup_lines", "p67_nl_json_extract", "p68_nl_split",
-    "p69_nl_langid", "p70_nl_token_counts",
+    "p69_nl_langid",
     "p71_nl_quality", "p72_nl_winsorize", "p73_nl_resample",
     "p74_nl_chunk",
     "p75_nl_merge",
-    "ns_text_bpe_merges",
     "p76_nl_negatives",
-    "ns_dedup_semantic", "ns_sim_mrr", "p77_nl_sample", "p78_nl_redact",
-    "ns_sim_hard_negatives", "ns_text_perplexity_buckets",
+    "ns_dedup_semantic", "p78_nl_redact",
+    "ns_text_perplexity_buckets",
     "ns_dedup_incremental_lsh", "ns_text_bpe_encode", "p79_nl_expectations",
     "ns_split_leakage_audit",
     # fourth-session additions (rotated in over four (c) freshness
@@ -4231,7 +4230,7 @@ _WINDOW: list[str] = [
     "ns_corpus_dsir_sample", "x_source_orc_partitioned",
     "p82_nl_fertility", "x_frequent_items", "ns_quality_gopher_rep",
     # -- (b) semantics/oracle/plan changed in round 8 --
-    "ns_sim_topk_pq", "ns_sim_recall_pq", "ns_embed_pq",
+    "ns_sim_recall_pq", "ns_embed_pq",
     "x_approx_count_distinct", "x_approx_percentiles",
     "ns_decontaminate_bloom", "ns_stats_welch_ttest",
     # (the (c) freshness picks all rotated out as (a) grew; every
@@ -4245,13 +4244,32 @@ _WINDOW: list[str] = [
     # (p76_nl_negatives / p75_nl_merge / p72_nl_winsorize compile to
     # the identical spec ops), so no plan shape loses driver coverage;
     # all three keep fresh rows in CORRECTNESS_LOCAL.json.
-    "ns_dedup_winnowing",
     "ns_classify_nearest_centroid",
-    "ns_corpus_js_divergence",
     "p84_nl_winnow_dedup",
     "p85_nl_vocab_divergence",
     "ns_corpus_datacard",
-    "ns_sim_cluster_exemplars",
+    # sixth-session additions: the evaluation/audit layer (simplified
+    # silhouette, NDCG@10, k-anonymity, split PSI, word entropy,
+    # distinct-n diversity, packing efficiency) and the three new NL
+    # phrasings (blocklist p87, k-anonymity p88, word entropy p89).
+    # They take the slots of ten queries whose plan shapes stay
+    # driver-covered by an in-window twin: ns_sim_mrr and
+    # ns_sim_hard_negatives (broadcast-query top-k scoring shape ->
+    # ns_sim_ndcg), ns_sim_topk_pq (ADC chain contained in
+    # ns_sim_recall_pq), ns_sim_cluster_exemplars (centroid-scoring
+    # shape -> ns_sim_silhouette + ns_classify_nearest_centroid),
+    # ns_dedup_winnowing (-> p84 twin), ns_corpus_js_divergence
+    # (-> p85 twin), p77_nl_sample (hash-draw filter -> p68 split),
+    # p70_nl_token_counts (per-row projection -> p69/p71),
+    # p65_nl_pack (packing windows -> ns_corpus_pack_efficiency,
+    # a superset plan), ns_text_bpe_merges (trained inside
+    # ns_text_bpe_encode). All ten keep fresh rows in the committed
+    # registry-wide CORRECTNESS_LOCAL.json.
+    "ns_sim_silhouette", "ns_sim_ndcg",
+    "x_kanonymity", "x_split_psi",
+    "ns_text_word_entropy", "ns_text_distinct_n",
+    "ns_corpus_pack_efficiency",
+    "p87_nl_blocklist", "p88_nl_kanonymity", "p89_nl_word_entropy",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

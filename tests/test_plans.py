@@ -732,3 +732,58 @@ def test_dedup_savings_exchanges_digests_only(spark):
     plan = plan_of(spark, "ns_dedup_savings_by_source")
     assert plan.count("FileScan") <= 2
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_silhouette_model_broadcasts(spark):
+    # the centroid model and its norm table must broadcast into the
+    # scoring pass (labels x dim rows: KBs at any scale); the corpus-
+    # sized side must never sort-merge, and the per-row argmin window
+    # must partition by the row id
+    plan = plan_of(spark, "ns_sim_silhouette")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan and "windowspecdefinition(vec_id" in plan
+
+
+def test_ndcg_query_side_broadcasts(spark):
+    # the query vectors and the label-count table broadcast; the
+    # corpus is scanned once and ranked per query — no corpus-sized
+    # sort-merge join anywhere
+    plan = plan_of(spark, "ns_sim_ndcg")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kanonymity_two_aggregates_only(spark):
+    # one hash aggregate on the quasi key, one fold to a single row:
+    # exactly two exchange boundaries, no joins, no windows
+    plan = plan_of(spark, "x_kanonymity")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 2
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_distinct_n_single_scan_no_join(spark):
+    # all three n-gram sizes ride ONE scan (tagged-struct concat +
+    # single explode) — no self-joins, no unions of repeated scans
+    plan = plan_of(spark, "ns_text_distinct_n")
+    assert "Join" not in plan and "Union" not in plan
+    assert plan.count("FileScan") + plan.count("Scan parquet") >= 1
+    # exactly one generate (the single explode)
+    assert plan.count("Generate explode") == 1
+
+
+def test_word_entropy_no_joins_two_aggregates(spark):
+    # explode -> (doc, word) count -> doc fold: map-side combinable
+    # aggregates only, never a join or window
+    plan = plan_of(spark, "ns_text_word_entropy")
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_psi_totals_broadcast(spark):
+    # the two 1-row total frames must reach the category rows as
+    # broadcast nested-loop cross joins, never a shuffled join
+    plan = plan_of(spark, "x_split_psi")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -1081,3 +1081,71 @@ def test_random_dup_audit_matches_duckdb(spark_module, docs, n):
     )
     con.close()
     assert got == want
+
+
+_entropy_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "eee", "the"]),
+        min_size=1,
+        max_size=24,
+    ).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=_entropy_docs)
+def test_random_word_entropy_matches_duckdb(spark_module, docs):
+    """Word entropy + evenness over random repetitive docs: the
+    DECIMAL(18,8)-pinned cnt*log2(cnt) sums and both rounded outputs
+    must agree bit-for-bit between the compiler and the sqlgen
+    rendering — heavy duplication exercises the log terms hardest."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark_module.sparkSession.createDataFrame(rows, ["doc_id", "text"])
+    spec = {"ops": [{"op": "word_entropy"}]}
+    got = _spark_rows(compile_spec(df, spec))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in con.sql(spec_to_sql(spec, "documents")).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=_entropy_docs,
+    words=st.lists(
+        st.sampled_from(["a", "dd", "eee", "zzz"]), min_size=1, max_size=3,
+        unique=True,
+    ),
+)
+def test_random_blocklist_matches_duckdb(spark_module, docs, words):
+    """Blocklist screen over random docs and random word lists: the
+    surviving row sets must match between arrays_overlap (Spark) and
+    list_has_any (DuckDB) — word-level, case-folded, never substring."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark_module.sparkSession.createDataFrame(rows, ["doc_id", "text"])
+    spec = {"ops": [{"op": "blocklist", "words": words}]}
+    got = _spark_rows(compile_spec(df, spec))
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(
+        tuple(str(v) for v in r)
+        for r in con.sql(spec_to_sql(spec, "documents")).fetchall()
+    )
+    con.close()
+    assert got == want
