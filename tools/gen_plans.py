@@ -260,6 +260,32 @@ HEADLINE: list[tuple[str, str]] = [
         "group count squared — corpus size never enters the join; "
         "one-sided vocabulary never joins at all (folded closed-form).",
     ),
+    (
+        "ns_sim_silhouette",
+        "Simplified silhouette (linear centroid form): the labels x dim "
+        "model + norm table BROADCAST; scoring fans each (row, pos) out "
+        "by label count and aggregates map-side; the nearest-OTHER "
+        "argmin window partitions by row id; per-row s pins "
+        "DECIMAL(12,6) so the per-label mean is an exact decimal sum — "
+        "no all-pairs term anywhere, unlike Rousseeuw's original.",
+    ),
+    (
+        "ns_text_distinct_n",
+        "Distinct-n diversity: all three n-gram sizes are built per row "
+        "from shifted-slice zip_with and exploded ONCE (struct-tagged), "
+        "so the corpus is scanned a single time into one (group, n) "
+        "exact count-distinct aggregate — no self-joins, no repeated "
+        "scans, shuffle carries the same (key, gram) order of work the "
+        "shingle index already pays.",
+    ),
+    (
+        "x_kanonymity",
+        "k-anonymity audit: one hash aggregate on the quasi-identifier "
+        "key (map-side combined), then group-cardinality rows fold to "
+        "ONE report row — two exchanges total, no joins, no windows; "
+        "at 100 TB the cost is the quasi-key groupBy you'd pay for any "
+        "cardinality profile.",
+    ),
 ]
 
 
