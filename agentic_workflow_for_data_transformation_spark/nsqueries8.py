@@ -277,3 +277,148 @@ register(
         _t(spark, sf_dir, "documents"), budget=256, group_size=128
     )
 )
+
+register(
+    "ns_sim_cluster_purity",
+    # kmeans_assign defaults: n_centroids=8, n_iter=1 (lowest-id init)
+    "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    "c0 AS (SELECT vec_id AS cell, v AS cv FROM d WHERE vec_id < 8), "
+    "a1 AS (SELECT vec_id, v, cell, row_number() OVER (PARTITION BY vec_id "
+    " ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell) AS rn "
+    " FROM d, c0), "
+    "m1 AS (SELECT cell, i, "
+    " round(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS cval "
+    " FROM (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS i "
+    "       FROM a1 WHERE rn = 1) GROUP BY cell, i), "
+    "c1 AS (SELECT cell, list(cval ORDER BY i) AS cv FROM m1 GROUP BY cell), "
+    "a2 AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id "
+    " ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell) AS rn "
+    " FROM d, c1), "
+    "m AS (SELECT vec_id, cell FROM a2 WHERE rn = 1), "
+    "g AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n "
+    " FROM m JOIN d USING (vec_id) GROUP BY 1, 2), "
+    "t AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs FROM g GROUP BY 1), "
+    "r AS (SELECT cell, label, n, row_number() OVER (PARTITION BY cell "
+    " ORDER BY n DESC, label) AS rn FROM g) "
+    "SELECT r.cell AS cell, n_vecs, label AS majority_label, "
+    " n AS n_majority, round(n / CAST(n_vecs AS DOUBLE), 6) AS purity "
+    "FROM r JOIN t USING (cell) WHERE rn = 1",
+    desc=(
+        "Cluster-purity audit (external quality metric beside the "
+        "internal silhouette): k-means cells scored by majority-label "
+        "share — near-chance purity on this corpus is the correct "
+        "reading (labels are decorrelated from geometry by "
+        "construction). kmeans_assign's decimal-pinned chain, one "
+        "(cell,label) aggregate, argmax over KB-sized cell rows."
+    ),
+)(
+    lambda spark, sf_dir: similarity.cluster_purity(
+        _t(spark, sf_dir, "embeddings"), n_centroids=8, n_iter=1
+    )
+)
+
+register(
+    "ns_text_oov_rate",
+    # v=100 vocabulary, ties by word order
+    "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tw "
+    " FROM documents), "
+    "voc AS (SELECT tw FROM (SELECT tw, count(*) AS c FROM tok GROUP BY 1) "
+    " ORDER BY c DESC, tw LIMIT 100) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens, "
+    " CAST(SUM(CASE WHEN tw IN (SELECT tw FROM voc) THEN 0 ELSE 1 END) "
+    "   AS BIGINT) AS n_oov, "
+    " round(SUM(CASE WHEN tw IN (SELECT tw FROM voc) THEN 0 ELSE 1 END) "
+    "   / CAST(count(*) AS DOUBLE), 6) AS oov_rate "
+    "FROM tok GROUP BY source",
+    desc=(
+        "Tokenizer-coverage audit: per source, tokens outside the "
+        "deterministic top-100 corpus vocabulary and the OOV rate — "
+        "the starved-slice signal where fertility explodes. One "
+        "explode feeds both the TakeOrdered vocab (never a global "
+        "window) and the per-source counts; the 100-row vocabulary "
+        "broadcasts into the membership join."
+    ),
+)(
+    lambda spark, sf_dir: text.oov_rate_by_group(
+        _t(spark, sf_dir, "documents"), v=100
+    )
+)
+
+
+def _logreg_sql(d: int = 8, n_iter: int = 2, lr: float = 0.5) -> str:
+    """Unrolled-iteration oracle for train_logreg_hashed_bow: one CTE
+    pair (scored, weights) per gradient round, weights chained by
+    cross join — the same unroll discipline as the BPE trainer."""
+    bkt = f"(('0x' || substr(md5(w), 1, 15))::BIGINT % {d})"
+    fsums = ", ".join(
+        f"CAST(sum(CASE WHEN bkt = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
+        for i in range(d)
+    )
+    zeros = "0.0 AS b, " + ", ".join(f"0.0 AS g{j}" for j in range(d))
+    logit = "(b + " + " + ".join(f"g{j} * f{j}" for j in range(d)) + ")"
+    ctes = [
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents)",
+        f"bk AS (SELECT doc_id, {bkt} AS bkt FROM tok)",
+        f"feats AS (SELECT doc_id, {fsums} FROM bk GROUP BY doc_id)",
+        "base AS (SELECT feats.*, CASE WHEN lang = 'en' THEN 1 ELSE 0 END "
+        "AS y FROM feats JOIN documents USING (doc_id))",
+        f"w0 AS (SELECT {zeros})",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"s{it} AS (SELECT base.*, "
+            f"round(1.0 / (1.0 + exp(-{logit})), 8) AS p "
+            f"FROM base CROSS JOIN w{it - 1})"
+        )
+        gsums = ", ".join(
+            f"SUM(CAST(round((y - p) * f{j}, 8) AS DECIMAL(20,8))) AS gg{j}"
+            for j in range(d)
+        )
+        ctes.append(
+            f"a{it} AS (SELECT SUM(CAST(round(y - p, 8) AS DECIMAL(20,8))) "
+            f"AS gb, count(*) AS n, {gsums} FROM s{it})"
+        )
+        wupds = ", ".join(
+            f"round(g{j} + {lr} * CAST(gg{j} AS DOUBLE) / n, 6) AS g{j}"
+            for j in range(d)
+        )
+        ctes.append(
+            f"w{it} AS (SELECT round(b + {lr} * CAST(gb AS DOUBLE) / n, 6) "
+            f"AS b, {wupds} FROM a{it} CROSS JOIN w{it - 1})"
+        )
+    ctes.append(
+        f"sf AS (SELECT y, round(1.0 / (1.0 + exp(-{logit})), 8) AS p "
+        f"FROM base CROSS JOIN w{n_iter})"
+    )
+    ctes.append(
+        "acc AS (SELECT round(SUM(CASE WHEN (p >= 0.5) = (y = 1) THEN 1 "
+        "ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS value FROM sf)"
+    )
+    selects = [f"SELECT 'bias' AS term, b AS value FROM w{n_iter}"] + [
+        f"SELECT 'f{j}' AS term, g{j} AS value FROM w{n_iter}"
+        for j in range(d)
+    ] + ["SELECT 'train_acc' AS term, value FROM acc"]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+register(
+    "ns_quality_train_logreg",
+    _logreg_sql(d=8, n_iter=2, lr=0.5),
+    desc=(
+        "Distributed logistic-regression training (the fastText-"
+        "shaped quality/domain classifier): full-batch gradient "
+        "descent over 8-bucket hashed BoW features predicting "
+        "lang='en', 2 fixed rounds from zero weights — sigmoid "
+        "outputs round to 8, gradient contributions pin "
+        "DECIMAL(20,8), updates round to 6 IN the plan, so the "
+        "iterated trainer is bit-identical on any engine and has an "
+        "unrolled-SQL oracle. Each round = one map-side-combinable "
+        "aggregate over the checkpointed feature table; d+1 decimals "
+        "of driver state."
+    ),
+)(
+    lambda spark, sf_dir: stats.train_logreg_hashed_bow(
+        _t(spark, sf_dir, "documents"), d=8, n_iter=2, lr=0.5
+    )
+)

@@ -1907,3 +1907,47 @@ def ndcg_per_query(df: DataFrame, query_ids: list[int], k: int = 10,
             ).alias("ndcg"),
         )
     )
+
+
+def cluster_purity(df: DataFrame, n_centroids: int = 8, n_iter: int = 1,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Cluster-purity audit: k-means the embeddings (the deterministic
+    kmeans_assign chain), then per cell report the majority label, its
+    count, and purity = n_majority / n_vecs — the standard external
+    cluster-quality metric read NEXT TO the internal one (simplified
+    silhouette): silhouette says whether the geometry is tight, purity
+    says whether the geometry agrees with the labels. On this
+    synthetic corpus labels are decorrelated from the embedding
+    clusters by construction, so purity sits near 1/|labels| — which
+    is exactly what the audit should say.
+
+    Determinism: the clustering is kmeans_assign's decimal-pinned
+    chain (exact oracle); the majority pick breaks count ties by label
+    order; purity is one integer-ratio float rounded to 6.
+
+    Scale shape: kmeans_assign's broadcast-centroid scan, one
+    (cell, label) aggregate, a cell-cardinality fold, and the argmax
+    window over cell x label rows (KBs at any corpus size)."""
+    assigned = kmeans_assign(
+        df, n_centroids=n_centroids, n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    j = assigned.join(df.select(id_col, label_col), id_col)
+    g = j.groupBy("cell", label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    tot = g.groupBy("cell").agg(F.sum("_n").cast("long").alias("n_vecs"))
+    w = Window.partitionBy("cell").orderBy(F.col("_n").desc(), label_col)
+    top = g.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        top.join(tot, "cell")
+        .select(
+            "cell",
+            "n_vecs",
+            F.col(label_col).alias("majority_label"),
+            F.col("_n").alias("n_majority"),
+            F.round(F.col("_n") / F.col("n_vecs").cast("double"), 6)
+            .alias("purity"),
+        )
+    )

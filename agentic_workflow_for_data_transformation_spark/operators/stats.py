@@ -415,3 +415,99 @@ def psi_by_split(df: DataFrame, cat_col: str = "lang",
         F.col("_term").cast("double").alias("psi_term"),
         F.round(F.col("_pt").cast("double"), 6).alias("psi_total"),
     )
+
+
+def train_logreg_hashed_bow(df: DataFrame, d: int = 8, n_iter: int = 2,
+                            lr: float = 0.5, target_col: str = "lang",
+                            target_val: str = "en",
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Distributed logistic-regression training ON the cluster — the
+    fastText-shaped quality/domain classifier every curation pipeline
+    eventually trains (CCNet, DSIR and the C4 'badness' filters all
+    reduce to a linear model over cheap text features). Features are
+    the d-bucket hashed bag-of-words (text.hashed_bow_features); the
+    binary target is ``target_col == target_val``; training is
+    full-batch gradient descent for a FIXED ``n_iter`` rounds from
+    zero weights. Emits (term, value): the bias, every feature
+    weight, and the final resubstitution accuracy row ('train_acc').
+
+    Exactness engineering (the same discipline as kmeans_assign and
+    the BPE trainer, so even the ITERATED trainer has an unrolled-SQL
+    oracle): the per-row logit folds left-to-right over 6-decimal
+    weight literals in double; the sigmoid output rounds to 8; each
+    gradient contribution rounds to 8 and pins DECIMAL(20,8) so the
+    cross-partition gradient sums are exact; the weight update
+    round(w + lr * grad / n, 6) runs in double on exact inputs. Every
+    iteration's weights are therefore bit-identical on any engine and
+    partitioning.
+
+    Scale shape: one explode+aggregate builds the feature table
+    (checkpointed once); each iteration is ONE map-side-combinable
+    aggregate over it returning d+1 decimals to the driver — bounded
+    driver state, like the BPE trainer's 1-row argmax collect. At
+    100 TB each round costs a feature-table scan, nothing more."""
+    from .text import hashed_bow_features
+
+    feats = hashed_bow_features(df, d=d, id_col=id_col, text_col=text_col)
+    y = F.when(F.col(target_col) == target_val, 1).otherwise(0)
+    base = (
+        feats.join(df.select(id_col, y.alias("_y")), id_col)
+        .localCheckpoint()
+    )
+
+    def logit(ws: list[float]) -> F.Column:
+        z = F.lit(float(ws[0]))
+        for j in range(d):
+            z = z + F.lit(float(ws[j + 1])) * F.col(f"f{j}")
+        return z
+
+    def prob(ws: list[float]) -> F.Column:
+        return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit(ws))), 8)
+
+    ws = [0.0] * (d + 1)
+    for _ in range(n_iter):
+        err = F.col("_y") - prob(ws)
+        aggs = [
+            F.sum(F.round(err, 8).cast("decimal(20,8)")).alias("gb"),
+            F.count(F.lit(1)).alias("n"),
+        ] + [
+            F.sum(F.round(err * F.col(f"f{j}"), 8).cast("decimal(20,8)"))
+            .alias(f"g{j}")
+            for j in range(d)
+        ]
+        # the update itself runs IN the plan (Spark round = HALF_UP,
+        # matching SQL round; Python's round() is banker's and could
+        # diverge on an exact half)
+        upd = base.agg(*aggs).select(
+            F.round(
+                F.lit(float(ws[0]))
+                + F.lit(lr) * F.col("gb").cast("double") / F.col("n"),
+                6,
+            ).alias("wb"),
+            *[
+                F.round(
+                    F.lit(float(ws[j + 1]))
+                    + F.lit(lr) * F.col(f"g{j}").cast("double") / F.col("n"),
+                    6,
+                ).alias(f"w{j}")
+                for j in range(d)
+            ],
+        )
+        row = upd.collect()[0]
+        ws = [row["wb"]] + [row[f"w{j}"] for j in range(d)]
+    p = prob(ws)
+    acc = base.agg(
+        F.round(
+            F.sum(F.when((p >= 0.5) == (F.col("_y") == 1), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("value")
+    ).select(F.lit("train_acc").alias("term"), "value")
+    spark = df.sparkSession
+    wrows = spark.createDataFrame(
+        [("bias", float(ws[0]))]
+        + [(f"f{j}", float(ws[j + 1])) for j in range(d)],
+        ["term", "value"],
+    )
+    return wrows.unionByName(acc)

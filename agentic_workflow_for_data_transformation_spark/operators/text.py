@@ -1214,3 +1214,48 @@ def blocklist_screen(df: DataFrame, words: list[str],
         F.split(F.lower(F.col(text_col)), " "), arr
     )
     return df.filter(~hit)
+
+
+def oov_rate_by_group(df: DataFrame, v: int = 100,
+                      group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Tokenizer-coverage audit: build the top-``v`` word vocabulary
+    by corpus frequency (ties break by word order, so the vocabulary
+    is deterministic), then per group report total tokens, how many
+    fall OUTSIDE the vocabulary, and the OOV rate — the measurement
+    that decides whether a vocab/tokenizer budget covers every slice
+    of the corpus or quietly starves one source/language (the OOV
+    tail is where fertility explodes and quality filters misfire).
+
+    All integer counts plus one rounded ratio: plain-SQL oracle.
+
+    Scale shape: one explode feeds BOTH the global word-count
+    aggregate (vocab side, TakeOrdered top-v — never a global window)
+    and the per-group count; the v-row vocabulary broadcasts into a
+    left join marking in-vocab tokens. At web scale where v outgrows
+    broadcast the same join degrades gracefully to a shuffle on the
+    word."""
+    words = df.select(
+        F.col(group_col),
+        F.explode(_word_array(text_col)).alias("_w"),
+    )
+    vocab = (
+        words.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("_w"))
+        .limit(v)
+        .select("_w", F.lit(True).alias("_in_vocab"))
+    )
+    tagged = words.join(F.broadcast(vocab), "_w", "left")
+    return (
+        tagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6),
+        )
+    )

@@ -1597,3 +1597,72 @@ def test_distinct_ngram_stats_by_hand(spark):
     # trigrams: 'a b a','b a b' -> 2 total, 2 distinct
     assert out[3]["n_total"] == 2 and out[3]["n_distinct"] == 2
     assert abs(out[2]["distinct_ratio"] - 2 / 3) < 1e-6
+
+
+def test_cluster_purity_pure_clusters(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        cluster_purity,
+    )
+
+    # two tight clusters whose labels MATCH the geometry -> purity 1.0
+    # (ids interleave so the lowest-id k-means init seeds BOTH sides)
+    rows = []
+    for i in range(0, 8, 2):
+        rows.append((i, [5.0 + 0.01 * i, 0.0], 7))
+    for i in range(1, 8, 2):
+        rows.append((i, [-5.0 - 0.01 * i, 0.0], 9))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = cluster_purity(df, n_centroids=2, n_iter=1).collect()
+    assert sum(r["n_vecs"] for r in out) == 8
+    for r in out:
+        assert r["purity"] == 1.0
+        assert r["majority_label"] in (7, 9)
+
+
+def test_oov_rate_by_hand(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.text import (
+        oov_rate_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "a a a b"), ("s2", "a rare1 rare2 rare3")],
+        ["source", "text"],
+    )
+    # v=2 vocabulary = {a (5), b (1)} -- b beats rares by word order? no:
+    # counts: a=5, b=1, rare1=1, rare2=1, rare3=1 -> top2 = a, b (tie
+    # broken by word order: 'b' < 'rare1')
+    out = {r["source"]: r for r in
+           oov_rate_by_group(df, v=2).collect()}
+    assert out["s1"]["n_tokens"] == 4 and out["s1"]["n_oov"] == 0
+    assert out["s2"]["n_tokens"] == 4 and out["s2"]["n_oov"] == 3
+    assert abs(out["s2"]["oov_rate"] - 0.75) < 1e-9
+
+
+def test_train_logreg_learns_separable_target(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        train_logreg_hashed_bow,
+    )
+
+    # two disjoint vocabularies -> hashed features separate the
+    # classes, so a few gradient rounds must fit resubstitution
+    # almost perfectly
+    rows = [(i, "aaa aaa aaa", "en") for i in range(30)]
+    rows += [(30 + i, "zzzz zzzz zzzz", "de") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["term"]: r["value"] for r in
+           train_logreg_hashed_bow(df, d=8, n_iter=8, lr=0.5).collect()}
+    assert set(out) == {"bias", "train_acc"} | {f"f{j}" for j in range(8)}
+    assert out["train_acc"] >= 0.99
+
+
+def test_train_logreg_deterministic_across_partitionings(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        train_logreg_hashed_bow,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, train_logreg_hashed_bow(df, n_iter=2).collect()))
+    b = sorted(map(tuple,
+                   train_logreg_hashed_bow(df.repartition(13), n_iter=2)
+                   .collect()))
+    assert a == b

@@ -164,6 +164,20 @@ QUERIES = [
     "ns_classify_label_margin",
     "ns_dedup_savings_by_source",
     "ns_dedup_cluster_sizes",
+    # round-8 sixth-session additions: the evaluation layer —
+    # silhouette + NDCG (broadcast-model scoring shapes), the
+    # k-anonymity and PSI audits (aggregate folds), word entropy
+    # (explode + two aggregates), distinct-n (single tagged explode,
+    # triple gram mass), packing efficiency (bounded windows +
+    # rollup), and the NL blocklist filter (pure per-row screen)
+    "ns_sim_silhouette",
+    "ns_sim_ndcg",
+    "x_kanonymity",
+    "x_split_psi",
+    "ns_text_word_entropy",
+    "ns_text_distinct_n",
+    "ns_corpus_pack_efficiency",
+    "p87_nl_blocklist",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
