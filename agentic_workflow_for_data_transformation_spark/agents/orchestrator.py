@@ -147,6 +147,9 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "word_entropy"}}  (per-document word-distribution entropy;
       REPLACES the schema with id, n_words, n_distinct, entropy,
       evenness)
+  {{"op": "oov", "key": "source", "v": 100}}  (out-of-vocabulary rate
+      vs the top-v corpus vocabulary; REPLACES the schema with key,
+      n_tokens, n_oov, oov_rate)
 Aggregate fns: count (col "*" allowed), avg, sum, min, max, median,
 count_distinct. Expressions are nested 1-key dicts (a bare string is a
 column reference, a bare number/bool a literal): col/lit/gt/ge/lt/le/
@@ -294,8 +297,9 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # the JS divergence map replaces the schema with pair rows;
         # the dedup savings report with per-group rollups
         "vocab_divergence", "dedup_savings",
-        # privacy audit -> one report row; entropy -> per-doc stats
-        "kanon", "word_entropy",
+        # privacy audit -> one report row; entropy -> per-doc stats;
+        # oov -> per-group coverage rows
+        "kanon", "word_entropy", "oov",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -390,8 +394,8 @@ def critic_agent(
             "means the filter matched zero rows, a valid result.\n"
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
-            "dedup_savings, kanon, word_entropy) REPLACE the columns "
-            "with their own "
+            "dedup_savings, kanon, word_entropy, oov) REPLACE the "
+            "columns with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "
             "where negative log weights are normal likelihood ratios).\n"

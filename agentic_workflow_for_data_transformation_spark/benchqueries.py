@@ -3864,6 +3864,24 @@ def p89_nl_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P89_DESC)
 
 
+_P90_DESC = (
+    "Report the out-of-vocabulary rate per source against the top 100 words"
+)
+
+
+@register("p90_nl_oov", _docs_nl_oracle(_P90_DESC))
+def p90_nl_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL tokenizer-coverage audit: 'report the out-of-vocabulary rate
+    per <key> [against the top N words]' — text.oov_rate_by_group
+    behind one clause (schema-replacing): per group, tokens outside
+    the deterministic top-v corpus vocabulary and the OOV rate. One
+    explode feeds both the TakeOrdered vocabulary (never a global
+    window) and the per-group counts; the v-row vocabulary broadcasts
+    into the membership join. The oracle renders the identical
+    vocab + membership chain."""
+    return _nl(spark, sf_dir, "documents", _P90_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )

@@ -345,10 +345,11 @@ register(
 )
 
 
-def _logreg_sql(d: int = 8, n_iter: int = 2, lr: float = 0.5) -> str:
-    """Unrolled-iteration oracle for train_logreg_hashed_bow: one CTE
-    pair (scored, weights) per gradient round, weights chained by
-    cross join — the same unroll discipline as the BPE trainer."""
+def _logreg_ctes(d: int = 8, n_iter: int = 2, lr: float = 0.5):
+    """Unrolled-iteration CTE chain shared by the trainer and the
+    calibration oracle: one CTE pair (scored, weights) per gradient
+    round, weights chained by cross join — the same unroll discipline
+    as the BPE trainer. Returns (ctes list, logit expression)."""
     bkt = f"(('0x' || substr(md5(w), 1, 15))::BIGINT % {d})"
     fsums = ", ".join(
         f"CAST(sum(CASE WHEN bkt = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
@@ -387,6 +388,11 @@ def _logreg_sql(d: int = 8, n_iter: int = 2, lr: float = 0.5) -> str:
             f"w{it} AS (SELECT round(b + {lr} * CAST(gb AS DOUBLE) / n, 6) "
             f"AS b, {wupds} FROM a{it} CROSS JOIN w{it - 1})"
         )
+    return ctes, logit
+
+
+def _logreg_sql(d: int = 8, n_iter: int = 2, lr: float = 0.5) -> str:
+    ctes, logit = _logreg_ctes(d=d, n_iter=n_iter, lr=lr)
     ctes.append(
         f"sf AS (SELECT y, round(1.0 / (1.0 + exp(-{logit})), 8) AS p "
         f"FROM base CROSS JOIN w{n_iter})"
@@ -400,6 +406,33 @@ def _logreg_sql(d: int = 8, n_iter: int = 2, lr: float = 0.5) -> str:
         for j in range(d)
     ] + ["SELECT 'train_acc' AS term, value FROM acc"]
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def _calibration_sql(d: int = 8, n_iter: int = 2, lr: float = 0.5,
+                     n_bins: int = 10) -> str:
+    """Calibration oracle: train via the shared unrolled chain, score
+    every doc with the final weights, bin, and report — mirrors
+    stats.calibration_report over stats.train_logreg_hashed_bow."""
+    ctes, logit = _logreg_ctes(d=d, n_iter=n_iter, lr=lr)
+    ctes.append(
+        f"sf AS (SELECT y, round(1.0 / (1.0 + exp(-{logit})), 8) AS p "
+        f"FROM base CROSS JOIN w{n_iter})"
+    )
+    ctes.append(
+        f"bn AS (SELECT CAST(least(floor(p * {n_bins}), {n_bins - 1}) "
+        f"AS INTEGER) AS bin, CAST(p AS DECIMAL(18,8)) AS pp, y FROM sf)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(CAST(SUM(pp) AS DOUBLE) / count(*), 6) AS mean_p, "
+        "CAST(SUM(y) AS BIGINT) AS n_pos, "
+        "round(SUM(y) / CAST(count(*) AS DOUBLE), 6) AS frac_pos, "
+        "round(abs(round(round(CAST(SUM(pp) AS DOUBLE) / count(*), 6), 6) "
+        " - round(round(SUM(y) / CAST(count(*) AS DOUBLE), 6), 6)), 6) "
+        "AS calib_gap "
+        "FROM bn GROUP BY bin"
+    )
 
 
 register(
@@ -421,4 +454,33 @@ register(
     lambda spark, sf_dir: stats.train_logreg_hashed_bow(
         _t(spark, sf_dir, "documents"), d=8, n_iter=2, lr=0.5
     )
+)
+
+
+register(
+    "ns_quality_calibration",
+    _calibration_sql(d=8, n_iter=8, lr=0.5, n_bins=10),
+    desc=(
+        "Classifier calibration audit (the reliability-diagram table "
+        "behind ECE): the trained hashed-BoW logistic scores bin into "
+        "10 fixed-width probability bins; per bin the exact mean "
+        "predicted probability, observed positive rate, and their "
+        "gap — the miscalibration signal that decides whether a "
+        "quality filter's threshold means what it says. One feature "
+        "aggregate + one bin-keyed aggregate over the scoring scan."
+    ),
+)(
+    lambda spark, sf_dir: (
+        lambda docs: stats.calibration_report(
+            docs,
+            {
+                r["term"]: float(r["value"])
+                for r in stats.train_logreg_hashed_bow(
+                    docs, d=8, n_iter=8, lr=0.5
+                ).filter("term <> 'train_acc'").collect()
+            },
+            d=8,
+            n_bins=10,
+        )
+    )(_t(spark, sf_dir, "documents"))
 )

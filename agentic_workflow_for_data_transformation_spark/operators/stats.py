@@ -511,3 +511,89 @@ def train_logreg_hashed_bow(df: DataFrame, d: int = 8, n_iter: int = 2,
         ["term", "value"],
     )
     return wrows.unionByName(acc)
+
+
+def logreg_prob(weights: dict[str, float], d: int = 8) -> F.Column:
+    """The scoring expression shared by the batch scorer, the
+    calibration audit, and the streaming server: left-fold logit over
+    6-decimal weight literals (bias under 'bias', features under
+    'f<j>'), sigmoid rounded to 8 — the exact per-row arithmetic the
+    trainer used, so every consumer scores identically."""
+    z = F.lit(float(weights["bias"]))
+    for j in range(d):
+        z = z + F.lit(float(weights[f"f{j}"])) * F.col(f"f{j}")
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 8)
+
+
+def score_logreg_hashed_bow(df: DataFrame, weights: dict[str, float],
+                            d: int = 8, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Apply a trained hashed-BoW logistic model to documents: emits
+    (id, p_score, predicted). The model is d+1 literal decimals folded
+    into the projection — no join, no shuffle beyond the feature
+    aggregate; the serving half of train_logreg_hashed_bow, and the
+    per-batch plan the streaming scorer runs."""
+    from .text import hashed_bow_features
+
+    feats = hashed_bow_features(df, d=d, id_col=id_col, text_col=text_col)
+    p = logreg_prob(weights, d=d)
+    return feats.select(
+        id_col,
+        p.alias("p_score"),
+        (p >= 0.5).alias("predicted"),
+    )
+
+
+def calibration_report(df: DataFrame, weights: dict[str, float],
+                       d: int = 8, n_bins: int = 10,
+                       target_col: str = "lang", target_val: str = "en",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Classifier calibration audit (the reliability-diagram table
+    behind expected-calibration-error): scores bin into ``n_bins``
+    fixed-width probability bins; per bin the count, the exact mean
+    predicted probability, the observed positive rate, and their
+    absolute gap — a well-calibrated quality filter has small gaps,
+    and a miscalibrated one silently over- or under-prunes whole
+    corpus slices at any chosen threshold.
+
+    Exactness: p is the trainer's 8-decimal sigmoid; bin assignment
+    floor(p * n_bins) is integer-exact on those values (capped at the
+    top bin); per-bin p sums pin DECIMAL(18,8); the three ratios are
+    single float divisions rounded to 6.
+
+    Scale shape: one feature aggregate, one projection, one bin-keyed
+    aggregate (n_bins rows out) — the scan you already pay to score."""
+    from .text import hashed_bow_features
+
+    feats = hashed_bow_features(df, d=d, id_col=id_col, text_col=text_col)
+    y = F.when(F.col(target_col) == target_val, 1).otherwise(0)
+    base = feats.join(df.select(id_col, y.alias("_y")), id_col)
+    p = logreg_prob(weights, d=d)
+    binned = base.select(
+        F.least(F.floor(p * n_bins), F.lit(n_bins - 1)).cast("int")
+        .alias("bin"),
+        p.cast("decimal(18,8)").alias("_p"),
+        "_y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.sum("_p").cast("double") / F.count(F.lit(1)), 6)
+            .alias("mean_p"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.round(F.sum("_y") / F.count(F.lit(1)).cast("double"), 6)
+            .alias("frac_pos"),
+        )
+        .withColumn(
+            "calib_gap",
+            F.round(
+                F.abs(
+                    F.round(F.col("mean_p"), 6)
+                    - F.round(F.col("frac_pos"), 6)
+                ),
+                6,
+            ),
+        )
+    )

@@ -568,6 +568,15 @@ def compile_spec(
                 id_col=op.get("id_col", "doc_id"),
                 text_col=op.get("text_col", "text"),
             )
+        elif kind == "oov":
+            from ..operators.text import oov_rate_by_group
+
+            df = oov_rate_by_group(
+                df,
+                v=int(op.get("v", 100)),
+                group_col=op["key"],
+                text_col=op.get("text_col", "text"),
+            )
         elif kind == "token_counts":
             from ..operators.text import with_token_counts
 

@@ -65,6 +65,7 @@ _CLAUSE_KEYWORDS = (
     r"|check\s+that"
     r"|check\s+k-?anonymity"
     r"|compute\s+(?:the\s+)?word\s+entropy"
+    r"|report\s+(?:the\s+)?out-of-vocabulary"
     r"|split\s+into\s+\d"
     r"|(?:inner|left|right|full|cross)\s+join)"
 )
@@ -420,6 +421,14 @@ _KANON = re.compile(
 _WENTROPY = re.compile(
     r"^compute\s+(?:the\s+)?word\s+entropy\s+(?:of|for)\s+each\s+"
     r"(?:document|row)\s*$",
+    re.IGNORECASE,
+)
+# "report the out-of-vocabulary rate per source [against the top 100
+# words]" -> tokenizer-coverage audit (text.oov_rate_by_group),
+# schema-replacing
+_OOV = re.compile(
+    r"^report\s+(?:the\s+)?out-of-vocabulary\s+rate\s+per\s+(\w+)"
+    r"(?:\s+against\s+(?:the\s+)?top\s+(\d+)\s+words)?\s*$",
     re.IGNORECASE,
 )
 # "remove documents containing the words 'x', 'y'" -> C4-style
@@ -838,6 +847,11 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         }
     if _WENTROPY.match(clause):
         return {"op": "word_entropy"}
+    if m := _OOV.match(clause):
+        op = {"op": "oov", "key": _resolve_col(m.group(1), columns)}
+        if m.group(2):
+            op["v"] = int(m.group(2))
+        return op
     if _GOPHER.match(clause):
         return {"op": "gopher"}
     if m := _DSIR.match(clause):
@@ -1436,6 +1450,8 @@ def _strip_unavailable_tiebreaks(ops: list[dict], columns: list[str] | None) -> 
         elif kind == "word_entropy":
             cols = {op.get("id_col", "doc_id"), "n_words", "n_distinct",
                     "entropy", "evenness"}
+        elif kind == "oov":
+            cols = {op["key"], "n_tokens", "n_oov", "oov_rate"}
         elif kind == "sessionize":
             cols.add("session_id")
         # filter/sort/limit/distinct/sample keep the column set;

@@ -79,6 +79,9 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
   {"op": "word_entropy", "id_col": "doc_id"?, "text_col": "text"?}
       # per-document word-distribution Shannon entropy; REPLACES the
       # schema with (id, n_words, n_distinct, entropy, evenness)
+  {"op": "oov", "key": "source", "v": 100?, "text_col": "text"?}
+      # tokenizer-coverage audit vs the top-v corpus vocabulary;
+      # REPLACES the schema with (key, n_tokens, n_oov, oov_rate)
   {"op": "expect", "expectations": [
       {"kind": "unique", "col": "doc_id"},
       {"kind": "not_null", "col": "text"},
@@ -605,6 +608,16 @@ def validate_op(op: Any) -> None:
         for f in ("id_col", "text_col"):
             if f in op and not isinstance(op[f], str):
                 _err(f"word_entropy '{f}' must be a string: {op!r}")
+    elif kind == "oov":
+        if not isinstance(op.get("key"), str):
+            _err(f"oov needs a string 'key': {op!r}")
+        if "v" in op and not (
+            isinstance(op["v"], int) and not isinstance(op["v"], bool)
+            and op["v"] >= 1
+        ):
+            _err(f"oov 'v' must be a positive int: {op!r}")
+        if "text_col" in op and not isinstance(op["text_col"], str):
+            _err(f"oov 'text_col' must be a string: {op!r}")
     elif kind == "dsir":
         if not isinstance(op.get("target_col"), str):
             _err(f"dsir needs a string 'target_col': {op!r}")

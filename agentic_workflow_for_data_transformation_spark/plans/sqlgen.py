@@ -431,6 +431,24 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"FROM (SELECT {idc}, unnest(string_split({txt}, ' ')) AS w "
                 f"FROM ({sql})) GROUP BY 1, 2) GROUP BY 1)"
             )
+        elif kind == "oov":
+            # mirrors operators/text.oov_rate_by_group (the
+            # ns_text_oov_rate oracle, parameterized)
+            key = _q(op["key"])
+            txt = _q(op.get("text_col", "text"))
+            v = int(op.get("v", 100))
+            sql = (
+                f"WITH tok AS (SELECT {key}, "
+                f"unnest(string_split({txt}, ' ')) AS tw FROM ({sql})), "
+                f"voc AS (SELECT tw FROM (SELECT tw, count(*) AS c "
+                f"FROM tok GROUP BY 1) ORDER BY c DESC, tw LIMIT {v}) "
+                f"SELECT {key}, CAST(count(*) AS BIGINT) AS n_tokens, "
+                f"CAST(SUM(CASE WHEN tw IN (SELECT tw FROM voc) THEN 0 "
+                f"ELSE 1 END) AS BIGINT) AS n_oov, "
+                f"round(SUM(CASE WHEN tw IN (SELECT tw FROM voc) THEN 0 "
+                f"ELSE 1 END) / CAST(count(*) AS DOUBLE), 6) AS oov_rate "
+                f"FROM tok GROUP BY {key}"
+            )
         elif kind == "langid":
             # mirrors operators/text.with_lang_id: stopword-vote
             # argmax, ties break by language code order, 'und' when no

@@ -139,3 +139,51 @@ def classify_stream(vecs: DataFrame, model_path: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_logreg_model(corpus: DataFrame, path: str, d: int = 8,
+                       n_iter: int = 2, lr: float = 0.5,
+                       target_col: str = "lang",
+                       target_val: str = "en") -> None:
+    """Train the hashed-BoW logistic quality/domain classifier on a
+    reference corpus and persist its (term, value) weight rows — the
+    stream scorer's fixed state, swapped by path like the ANN index
+    and the centroid model, never by stream surgery."""
+    from ..operators.stats import train_logreg_hashed_bow
+
+    train_logreg_hashed_bow(
+        corpus, d=d, n_iter=n_iter, lr=lr,
+        target_col=target_col, target_val=target_val,
+    ).filter("term <> 'train_acc'").write.mode("overwrite").parquet(path)
+
+
+def score_logreg_stream(docs: DataFrame, model_path: str, out_dir: str,
+                        checkpoint_dir: str, d: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming logistic scoring: every document micro-batch is
+    scored against the PERSISTED weight table through the exact batch
+    plan (stats.score_logreg_hashed_bow — foreachBatch IS the batch
+    path, so stream/batch parity is by construction). The d+1 weights
+    collect ONCE per server into plan literals; a document's score
+    depends only on its own words, so the stream needs no watermark
+    and no state store. Returns the started StreamingQuery."""
+    from ..operators.stats import score_logreg_hashed_bow
+
+    weights = {
+        r["term"]: float(r["value"])
+        for r in docs.sparkSession.read.parquet(model_path).collect()
+    }
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return
+        score_logreg_hashed_bow(
+            batch, weights, d=d, id_col=id_col, text_col=text_col
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

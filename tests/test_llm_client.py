@@ -386,3 +386,47 @@ def test_live_word_entropy_spec_roundtrip(spark, tmp_path):
         for r in out.collect()
     }
     assert got == golden
+
+
+@needs_live_llm
+def test_live_oov_spec_roundtrip(spark, tmp_path):
+    """The OOV-audit paraphrase against a real model: the LLM must
+    emit the schema-replacing oov spec; per-source coverage rows must
+    match the canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = (
+        "Report the out-of-vocabulary rate per source against the "
+        "top 100 words"
+    )
+    para = (
+        "If our tokenizer only knows the 100 commonest words in this "
+        "corpus, which sources are starved? Show each source's token "
+        "count and how many fall outside that vocabulary."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        (r["source"], r["n_tokens"], r["n_oov"], round(r["oov_rate"], 6))
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        (r["source"], int(r["n_tokens"]), int(r["n_oov"]),
+         round(float(r["oov_rate"]), 6))
+        for r in out.collect()
+    }
+    assert got == golden

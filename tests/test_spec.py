@@ -2102,3 +2102,38 @@ def test_word_entropy_spec_op_parse_compile_render(spark):
     )
     assert [o["op"] for o in spec2["ops"]] == ["filter", "word_entropy"]
     assert [r["doc_id"] for r in compile_spec(df, spec2).collect()] == [2]
+
+
+def test_oov_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["doc_id", "text", "source"]
+    spec = parse_description(
+        "Report the out-of-vocabulary rate per source against the "
+        "top 2 words",
+        columns=cols,
+    )
+    assert spec["ops"] == [{"op": "oov", "key": "source", "v": 2}]
+    df = spark.createDataFrame(
+        [(1, "a a a b", "s1"), (2, "a r1 r2 r3", "s2")], cols
+    )
+    out = {r["source"]: r for r in compile_spec(df, spec).collect()}
+    assert out["s1"]["n_oov"] == 0
+    assert out["s2"]["n_oov"] == 3 and out["s2"]["oov_rate"] == 0.75
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    oracle = {r[0]: r for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
+    assert oracle["s2"][2] == 3
+
+    # default vocabulary size when the clause omits it
+    spec2 = parse_description(
+        "Report the out-of-vocabulary rate per source", columns=cols
+    )
+    assert spec2["ops"] == [{"op": "oov", "key": "source"}]

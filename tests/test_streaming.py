@@ -904,3 +904,50 @@ def test_classify_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in assign_nearest_centroid(batch_vecs, model).collect()
     }
     assert got == want and got
+
+
+def test_logreg_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming logistic scorer vs the batch scorer: train the
+    hashed-BoW model once from the documents table, persist the
+    weight rows, stream the same documents through
+    score_logreg_stream, and require the union of micro-batch scores
+    to EQUAL the batch score_logreg_hashed_bow rows — parity by
+    construction (foreachBatch folds the identical weight literals),
+    this pins it."""
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        score_logreg_hashed_bow,
+    )
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+    from agentic_workflow_for_data_transformation_spark.streaming.serve import (
+        score_logreg_stream,
+        write_logreg_model,
+    )
+
+    batch_docs = read_parquet_table(spark, sf_dir, "documents")
+    model_path = str(tmp_path / "logreg_model")
+    write_logreg_model(batch_docs, model_path, n_iter=2)
+
+    stream_docs = (
+        spark.readStream.schema(batch_docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out_dir = str(tmp_path / "scored")
+    q = score_logreg_stream(
+        stream_docs, model_path, out_dir, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    weights = {
+        r["term"]: float(r["value"])
+        for r in spark.read.parquet(model_path).collect()
+    }
+    want = {
+        tuple(r)
+        for r in score_logreg_hashed_bow(batch_docs, weights).collect()
+    }
+    assert got == want and got
