@@ -484,3 +484,93 @@ register(
         )
     )(_t(spark, sf_dir, "documents"))
 )
+
+
+def _auc_sql(d: int = 8, n_iter: int = 8, lr: float = 0.5) -> str:
+    """AUC oracle: train via the shared unrolled chain, score, then the
+    Mann-Whitney integer form over distinct scores."""
+    ctes, logit = _logreg_ctes(d=d, n_iter=n_iter, lr=lr)
+    ctes.append(
+        f"sf AS (SELECT y, round(1.0 / (1.0 + exp(-{logit})), 8) AS p "
+        f"FROM base CROSS JOIN w{n_iter})"
+    )
+    ctes.append(
+        "g AS (SELECT p, CAST(SUM(y) AS BIGINT) AS np, "
+        "CAST(SUM(1 - y) AS BIGINT) AS nn FROM sf GROUP BY p)"
+    )
+    ctes.append(
+        "c AS (SELECT *, coalesce(SUM(nn) OVER (ORDER BY p "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below "
+        "FROM g)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT CAST(SUM(np) AS BIGINT) AS n_pos, "
+        "CAST(SUM(nn) AS BIGINT) AS n_neg, "
+        "round(SUM(np * (2 * below + nn)) "
+        "/ (2.0 * SUM(np) * SUM(nn)), 6) AS auc FROM c"
+    )
+
+
+register(
+    "ns_quality_auc",
+    _auc_sql(d=8, n_iter=8, lr=0.5),
+    desc=(
+        "Exact ROC-AUC of the trained logistic scores (Mann-Whitney "
+        "integer form, ties half-credited) — the threshold-free "
+        "separation metric beside the calibration report. Scores "
+        "collapse to distinct-score rows; the negatives-below "
+        "cumulative runs two-phase (in-bucket window + broadcast "
+        "bucket offsets), so no unpartitioned data-sized window "
+        "exists; integer-exact until the single final division."
+    ),
+)(
+    lambda spark, sf_dir: (
+        lambda docs: stats.auc_report(
+            docs,
+            {
+                r["term"]: float(r["value"])
+                for r in stats.train_logreg_hashed_bow(
+                    docs, d=8, n_iter=8, lr=0.5
+                ).filter("term <> 'train_acc'").collect()
+            },
+            d=8,
+        )
+    )(_t(spark, sf_dir, "documents"))
+)
+
+register(
+    "ns_embed_anisotropy",
+    "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "r AS (SELECT vec_id, v, "
+    " sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm "
+    " FROM d), "
+    "e AS (SELECT vec_id, nrm, unnest(v) AS val, "
+    " generate_subscripts(v, 1) AS i FROM r), "
+    "u AS (SELECT i, CAST(round(val / nrm, 8) AS DECIMAL(18,8)) AS u "
+    " FROM e), "
+    "pd AS (SELECT i, SUM(u) AS s, SUM(u * u) AS ss FROM u GROUP BY i), "
+    "nr AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs, "
+    " SUM(CAST(round(nrm, 8) AS DECIMAL(18,8))) AS sn FROM r), "
+    "t AS (SELECT SUM(s * s) AS s2, SUM(ss) AS ssq FROM pd) "
+    "SELECT n_vecs, CAST(64 AS INTEGER) AS dim, "
+    " round(CAST(sn AS DOUBLE) / n_vecs, 6) AS mean_norm, "
+    " round((CAST(s2 AS DOUBLE) - CAST(ssq AS DOUBLE)) "
+    "  / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) "
+    " AS mean_pairwise_cosine "
+    "FROM nr CROSS JOIN t",
+    desc=(
+        "Embedding anisotropy audit (Ethayarajh 2019): the EXACT mean "
+        "pairwise cosine over all n(n-1) pairs in closed form from "
+        "sums — |SUM u|^2 - SUM |u|^2 over unit-normalized rows, so "
+        "the all-pairs quantity costs one scan and d running sums; "
+        "high values mean the space is collapsing toward a cone and "
+        "every cosine threshold silently tightens. Components pin "
+        "DECIMAL(18,8); one posexplode, dim-sized aggregate, 1-row "
+        "fold."
+    ),
+)(
+    lambda spark, sf_dir: similarity.embedding_anisotropy(
+        _t(spark, sf_dir, "embeddings")
+    )
+)

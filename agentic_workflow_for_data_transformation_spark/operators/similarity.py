@@ -1951,3 +1951,67 @@ def cluster_purity(df: DataFrame, n_centroids: int = 8, n_iter: int = 1,
             .alias("purity"),
         )
     )
+
+
+def embedding_anisotropy(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         dim: int | None = None) -> DataFrame:
+    """Embedding-space anisotropy audit (Ethayarajh 2019's finding
+    that contextual embeddings occupy a narrow cone): the EXACT mean
+    pairwise cosine over all n(n-1) ordered pairs, computed in closed
+    form from sums — sum over i != j of u_i . u_j equals |SUM u|^2 -
+    SUM |u_i|^2 for unit-normalized rows, so the all-pairs quantity
+    costs ONE scan and d running sums, never a pair join. High mean
+    cosine means the space is collapsing toward a cone — cosine
+    thresholds in SemDeDup / near-dup screens silently tighten, and
+    this is the audit that catches it. Also reports the mean raw
+    vector norm (the other collapse signal).
+
+    Exactness: normalized components round to 8 and pin
+    DECIMAL(18,8), so the per-dimension sums, their squares, and the
+    per-row squared norms are exact decimals on any partitioning;
+    the two output ratios are single float divisions rounded to 6.
+
+    Scale shape: one posexplode feeding a dim-sized aggregate plus a
+    1-row fold — the same sufficient-statistics discipline as the
+    Gram/PCA operator (linalg.py)."""
+    dim = probe_dim(df, vec_col, dim)
+    rows = _vec_norm(df, id_col, vec_col, dim)
+    e = rows.select(
+        F.col("nrm"),
+        F.posexplode("v").alias("pos", "val"),
+    ).select(
+        "pos",
+        F.round(F.col("val") / F.col("nrm"), 8).cast("decimal(18,8)")
+        .alias("u"),
+        F.col("nrm"),
+    )
+    per_dim = e.groupBy("pos").agg(
+        F.sum("u").alias("_s"),
+        F.sum(F.col("u") * F.col("u")).alias("_ss"),
+    )
+    norms = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.round(F.col("nrm"), 8).cast("decimal(18,8)")).alias("_sn"),
+    )
+    tot = per_dim.agg(
+        F.sum(F.col("_s") * F.col("_s")).alias("_s2"),
+        F.sum("_ss").alias("_ssq"),
+    )
+    return (
+        norms.crossJoin(F.broadcast(tot))
+        .select(
+            "n_vecs",
+            F.lit(dim).cast("int").alias("dim"),
+            F.round(F.col("_sn").cast("double") / F.col("n_vecs"), 6)
+            .alias("mean_norm"),
+            F.round(
+                (F.col("_s2").cast("double") - F.col("_ssq").cast("double"))
+                / (
+                    F.col("n_vecs").cast("double")
+                    * (F.col("n_vecs") - F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("mean_pairwise_cosine"),
+        )
+    )

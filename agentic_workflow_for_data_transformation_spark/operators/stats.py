@@ -13,7 +13,7 @@ SQL oracle; callers divide by n*m when they want the classical D.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -596,4 +596,75 @@ def calibration_report(df: DataFrame, weights: dict[str, float],
                 6,
             ),
         )
+    )
+
+
+def auc_report(df: DataFrame, weights: dict[str, float], d: int = 8,
+               target_col: str = "lang", target_val: str = "en",
+               id_col: str = "doc_id", text_col: str = "text",
+               n_buckets: int = 64) -> DataFrame:
+    """Exact ROC-AUC of the hashed-BoW logistic scores via the
+    Mann-Whitney rank statistic — the threshold-free companion to the
+    calibration report (calibration says whether p means what it says;
+    AUC says whether the ORDERING separates the classes at all). Tie
+    groups contribute the standard half credit, folded into integer
+    arithmetic as num2 = sum over distinct scores of
+    n_pos_at * (2 * n_neg_below + n_neg_at); AUC = num2 / (2 np nn).
+    Everything is integer-exact until the single final division.
+
+    Scale shape: scores collapse to DISTINCT-score rows first (8-
+    decimal sigmoid outputs cluster heavily); the cumulative
+    negatives-below runs TWO-PHASE like windows.two_phase_row_number —
+    an in-bucket window partitioned by floor(p * n_buckets) plus a
+    broadcast bucket-offset frame (<= n_buckets + 1 rows, its own
+    cumulative keyed by the same non-foldable pmod trick) — so no
+    unpartitioned window over data-sized input exists in the plan."""
+    from .text import hashed_bow_features
+
+    feats = hashed_bow_features(df, d=d, id_col=id_col, text_col=text_col)
+    y = F.when(F.col(target_col) == target_val, 1).otherwise(0)
+    base = feats.join(df.select(id_col, y.alias("_y")), id_col)
+    p = logreg_prob(weights, d=d)
+    g = (
+        base.select(p.alias("_p"), "_y")
+        .groupBy("_p")
+        .agg(
+            F.sum("_y").cast("long").alias("_np"),
+            F.sum(1 - F.col("_y")).cast("long").alias("_nn"),
+        )
+        .withColumn("_b", F.floor(F.col("_p") * n_buckets).cast("long"))
+    )
+    w_in = (
+        Window.partitionBy("_b").orderBy("_p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn(
+        "_below_in", F.coalesce(F.sum("_nn").over(w_in), F.lit(0))
+    )
+    boff = g.groupBy("_b").agg(F.sum("_nn").alias("_bn"))
+    w_off = (
+        Window.partitionBy(F.pmod(F.col("_b"), F.lit(1))).orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = boff.withColumn(
+        "_off", F.coalesce(F.sum("_bn").over(w_off), F.lit(0))
+    ).select("_b", "_off")
+    scored = g.join(F.broadcast(boff), "_b").withColumn(
+        "_below", F.col("_off") + F.col("_below_in")
+    )
+    return scored.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("_np")
+                * (F.lit(2) * F.col("_below") + F.col("_nn"))
+            )
+            / (
+                F.lit(2.0)
+                * F.sum("_np").cast("double")
+                * F.sum("_nn").cast("double")
+            ),
+            6,
+        ).alias("auc"),
     )

@@ -1666,3 +1666,49 @@ def test_train_logreg_deterministic_across_partitionings(spark):
                    train_logreg_hashed_bow(df.repartition(13), n_iter=2)
                    .collect()))
     assert a == b
+
+
+def test_auc_report_separable_and_random(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        auc_report,
+        train_logreg_hashed_bow,
+    )
+
+    # disjoint vocabularies -> near-perfect ordering -> AUC ~ 1
+    rows = [(i, "aaa aaa", "en") for i in range(20)]
+    rows += [(20 + i, "zzzz zzzz", "de") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    w = {
+        r["term"]: float(r["value"])
+        for r in train_logreg_hashed_bow(df, n_iter=6).collect()
+        if r["term"] != "train_acc"
+    }
+    (r,) = auc_report(df, w).collect()
+    assert r["n_pos"] == 20 and r["n_neg"] == 20
+    assert r["auc"] >= 0.99
+
+    # constant scores (zero weights) -> all ties -> AUC exactly 0.5
+    zero = {k: 0.0 for k in w}
+    (r0,) = auc_report(df, zero).collect()
+    assert r0["auc"] == 0.5
+
+
+def test_embedding_anisotropy_extremes(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        embedding_anisotropy,
+    )
+
+    # identical directions -> mean pairwise cosine ~ 1
+    same = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    (r,) = embedding_anisotropy(same).collect()
+    assert abs(r["mean_pairwise_cosine"] - 1.0) < 1e-5
+    assert abs(r["mean_norm"] - 5.0) < 1e-6
+
+    # orthogonal pair -> mean pairwise cosine ~ 0
+    ortho = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    (r2,) = embedding_anisotropy(ortho).collect()
+    assert abs(r2["mean_pairwise_cosine"]) < 1e-6

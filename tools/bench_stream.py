@@ -317,10 +317,43 @@ def main() -> None:
         warmup=1,
     )
 
+    # logistic-scorer rung (round-8 sixth session): document
+    # micro-batches scored against trained hashed-BoW weights through
+    # the same per-batch plan streaming/serve.score_logreg_stream
+    # runs. Offered in DOCUMENT rows at rate/10 (each doc fans out 8
+    # tokens through the md5 bucket hash + per-doc pivot aggregate,
+    # then the d+1-literal sigmoid projection).
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        score_logreg_hashed_bow,
+        train_logreg_hashed_bow,
+    )
+
+    lr_ref = ref.withColumn(
+        "lang", F.when(F.col("is_t"), "en").otherwise("de")
+    )
+    lr_weights = {
+        r["term"]: float(r["value"])
+        for r in train_logreg_hashed_bow(lr_ref, n_iter=2).collect()
+        if r["term"] != "train_acc"
+    }
+
+    def _lr_score(batch: DataFrame, batch_id: int) -> None:
+        score_logreg_hashed_bow(batch, lr_weights) \
+            .write.format("noop").mode("overwrite").save()
+
+    lr_row = measure(
+        "logreg_score (8-token docs at rate/10 vs trained hashed-BoW weights; stateless)",
+        dsir_docs,
+        "append",
+        args.seconds,
+        foreach=_lr_score,
+    )
+
     results = [
         cms_row,
         dsir_row,
         nc_row,
+        lr_row,
         ann_row,
         measure("source_to_sink (projection only)", ev, "append", args.seconds),
         measure(
