@@ -574,3 +574,43 @@ register(
         _t(spark, sf_dir, "embeddings")
     )
 )
+
+from .operators import dedup, stats  # noqa: E402  (late binds for new regs)
+
+register(
+    "ns_dedup_cdc_chunks",
+    # mask=16 (expected ~16-word chunks), min_words=1
+    "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, "
+    " generate_subscripts(string_split(text, ' '), 1) AS pos "
+    " FROM documents), "
+    "b AS (SELECT doc_id, pos, w, "
+    " CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 16 = 0 "
+    " THEN 1 ELSE 0 END AS bnd FROM t), "
+    "c AS (SELECT *, SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos) "
+    " AS chunk_id FROM b), "
+    "ch AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_words, "
+    " md5(string_agg(w, ' ' ORDER BY pos)) AS digest "
+    " FROM c GROUP BY 1, 2), "
+    "dd AS (SELECT digest, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+    " CAST(SUM(n_words) AS BIGINT) AS n_words, "
+    " CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "   AS n_dup_chunks, "
+    " CAST(SUM(CASE WHEN nd > 1 THEN n_words ELSE 0 END) AS BIGINT) "
+    "   AS n_dup_words, "
+    " round(SUM(CASE WHEN nd > 1 THEN n_words ELSE 0 END) "
+    "   / CAST(SUM(n_words) AS DOUBLE), 6) AS dup_mass_ratio "
+    "FROM ch JOIN dd USING (digest) GROUP BY doc_id",
+    desc=(
+        "Content-defined chunking dedup audit (FastCDC/LBFS at word "
+        "granularity): boundaries fall before words hashing to 0 mod "
+        "16, so chunk edges survive insertions that shift every "
+        "fixed-stride window — per doc, the chunk/word mass that also "
+        "appears elsewhere. One explode, per-doc running-sum window, "
+        "digest-only exchanges."
+    ),
+)(
+    lambda spark, sf_dir: dedup.cdc_chunk_dup_stats(
+        _t(spark, sf_dir, "documents"), mask=16
+    )
+)

@@ -1238,3 +1238,65 @@ def dedup_savings_by_source(df: DataFrame, id_col: str = "doc_id",
             F.round(F.col("chars_saved") / F.col("chars_total").cast("double"), 6),
         )
     )
+
+
+def cdc_chunk_dup_stats(df: DataFrame, mask: int = 16, min_words: int = 1,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Content-defined chunking dedup audit (the FastCDC/LBFS idea at
+    word granularity): a chunk boundary falls BEFORE every word whose
+    hash is 0 mod ``mask``, so chunk edges are decided by CONTENT, not
+    position — insert one word into a document and only the chunk
+    containing it changes, where the fixed-stride substring spans
+    (dedup.substring spans, Lee et al.) shift every window after the
+    edit. Expected chunk length ~``mask`` words. Emits per document
+    the chunk count and how much of it (chunks, words) also appears in
+    ANOTHER document — the insertion-robust duplicated-mass audit.
+
+    Exactness: boundaries, chunk ids (a per-doc running sum of
+    boundary flags ordered by word position), md5 chunk digests, and
+    all counts are integer/hash arithmetic — plain-SQL oracle.
+
+    Scale shape: one explode; the running-sum window partitions by
+    document (bounded frames); chunks aggregate by (doc, chunk);
+    duplicate detection is a digest-count aggregate joined back on
+    the 8-byte digest — exchanges carry digests, never text."""
+    w = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "_w"),
+    ).withColumn(
+        "_bnd", (_hash60(F.col("_w")) % mask == 0).cast("int")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    w = w.withColumn("chunk_id", F.sum("_bnd").over(win))
+    chunks = (
+        w.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.md5(F.concat_ws(" ", F.array_sort(
+                F.collect_list(F.struct("pos", "_w"))
+            ).getField("_w"))).alias("digest"),
+        )
+        .filter(F.col("n_words") >= min_words)
+    )
+    docs_per_digest = chunks.groupBy("digest").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    tagged = chunks.join(docs_per_digest, "digest").withColumn(
+        "_dup", (F.col("_nd") > 1).cast("int")
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("_dup").cast("long").alias("n_dup_chunks"),
+            F.sum(F.col("_dup") * F.col("n_words")).cast("long")
+            .alias("n_dup_words"),
+            F.round(
+                F.sum(F.col("_dup") * F.col("n_words"))
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("dup_mass_ratio"),
+        )
+    )

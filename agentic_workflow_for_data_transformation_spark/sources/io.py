@@ -308,3 +308,34 @@ def read_csv_evolving(spark: SparkSession, paths: list[str | Path],
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def overwrite_partitions(df: DataFrame, path: str | Path,
+                         partition_by: list[str]) -> Path:
+    """Dynamic partition overwrite: replace ONLY the partitions
+    present in ``df``, leaving every other partition of the table
+    untouched — the incremental-reprocess sink every partitioned
+    corpus needs ("re-run yesterday's dump through the new filter
+    chain") where a plain mode('overwrite') would truncate the whole
+    table and an append would duplicate the reprocessed slice.
+
+    Uses Spark's spark.sql.sources.partitionOverwriteMode=dynamic,
+    scoped to this write and restored afterward so the session-wide
+    static default (the safer failure mode for ad-hoc writes) is
+    preserved. At 100 TB the cost is proportional to the REPROCESSED
+    partitions only: the job writes those directories and the commit
+    swaps them atomically per partition."""
+    path = Path(path)
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(str(path))
+        )
+    finally:
+        spark.conf.set(key, prev)
+    return path

@@ -203,3 +203,32 @@ def test_read_csv_evolving_arg_validation(spark):
         read_csv_evolving(spark, [])
     with _pytest.raises(ValueError, match="1:1"):
         read_csv_evolving(spark, ["/tmp/x"], schemas=[None, None])
+
+
+def test_overwrite_partitions_replaces_only_matching(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting one lang's slice must
+    leave the other partitions byte-identical and never duplicate the
+    reprocessed one — and the session-wide static default must be
+    restored afterward."""
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        overwrite_partitions,
+    )
+
+    path = str(tmp_path / "parted")
+    base = spark.createDataFrame(
+        [(1, "en", "old-a"), (2, "en", "old-b"), (3, "de", "keep-c")],
+        ["doc_id", "lang", "text"],
+    )
+    overwrite_partitions(base, path, ["lang"])
+
+    redo = spark.createDataFrame(
+        [(9, "en", "new-z")], ["doc_id", "lang", "text"]
+    )
+    overwrite_partitions(redo, path, ["lang"])
+
+    got = {(r["doc_id"], r["lang"], r["text"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(9, "en", "new-z"), (3, "de", "keep-c")}
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode"
+    ).upper() == "STATIC"

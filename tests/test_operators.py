@@ -1712,3 +1712,30 @@ def test_embedding_anisotropy_extremes(spark):
     )
     (r2,) = embedding_anisotropy(ortho).collect()
     assert abs(r2["mean_pairwise_cosine"]) < 1e-6
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.dedup import (
+        cdc_chunk_dup_stats,
+    )
+
+    # doc 2 = doc 1 with one word INSERTED at the front: content-
+    # defined boundaries must still align most chunks, so both docs
+    # report duplicated mass > 0 while doc 3 (disjoint text) reports 0
+    base = ("w%02d " * 40) % tuple(range(40))
+    df = spark.createDataFrame(
+        [
+            (1, base.strip()),
+            (2, ("INSERTED " + base).strip()),
+            (3, " ".join(f"z{i}" for i in range(40))),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           cdc_chunk_dup_stats(df, mask=8).collect()}
+    assert out[1]["n_dup_words"] > 0
+    assert out[2]["n_dup_words"] > 0
+    assert out[3]["n_dup_chunks"] == 0
+    # the inserted word can only poison its own chunk: the shared
+    # mass must cover most of the original document
+    assert out[1]["dup_mass_ratio"] > 0.5

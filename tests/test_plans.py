@@ -787,3 +787,38 @@ def test_psi_totals_broadcast(spark):
     plan = plan_of(spark, "x_split_psi")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_auc_no_unpartitioned_data_window(spark):
+    # the negatives-below cumulative must be two-phase: every Window
+    # in the plan carries a partitionSpec (the registry-wide pin
+    # asserts this too), the bucket-offset side broadcasts, and no
+    # corpus-sized sort-merge join appears
+    plan = plan_of(spark, "ns_quality_auc")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cluster_purity_model_broadcasts(spark):
+    # kmeans centroids broadcast into both assignment passes; the
+    # majority argmax window partitions by cell (KB-sized frame)
+    plan = plan_of(spark, "ns_sim_cluster_purity")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(cell" in plan
+
+
+def test_oov_vocab_is_takeordered_and_broadcast(spark):
+    # the top-v vocabulary must plan as TakeOrderedAndProject (never a
+    # global sort/window) and broadcast into the membership join
+    plan = plan_of(spark, "ns_text_oov_rate")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anisotropy_single_scan_sufficient_stats(spark):
+    # one posexplode into a dim-sized aggregate + 1-row fold: no
+    # pair join anywhere despite the all-pairs semantics
+    plan = plan_of(spark, "ns_embed_anisotropy")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate posexplode") == 1

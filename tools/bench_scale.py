@@ -178,6 +178,19 @@ QUERIES = [
     "ns_text_distinct_n",
     "ns_corpus_pack_efficiency",
     "p87_nl_blocklist",
+    # ... plus the classifier-evaluation family (trainer: two
+    # aggregate rounds over the checkpointed feature table;
+    # calibration/AUC: 8 rounds then one binned/two-phase-cumulative
+    # aggregate), cluster purity (kmeans chain + cell argmax), the
+    # OOV coverage audit (TakeOrdered vocab + broadcast membership
+    # join), and the anisotropy closed form (one posexplode into
+    # dim-sized sums)
+    "ns_quality_train_logreg",
+    "ns_quality_calibration",
+    "ns_quality_auc",
+    "ns_sim_cluster_purity",
+    "ns_text_oov_rate",
+    "ns_embed_anisotropy",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
