@@ -4222,14 +4222,11 @@ _WINDOW: list[str] = [
     # registration; the freshness gate catches it, but line-target
     # edits here avoid the round-trip.
     # -- (a) new in round 8, never gated --
-    "ns_sim_topk_ivfpq", "p62_nl_dedup_docs", "p63_nl_neardup",
-    "p64_nl_decontaminate", "p66_nl_ann",
-    "ns_dedup_lines", "p67_nl_json_extract", "p68_nl_split",
+    "ns_sim_topk_ivfpq",
+    "ns_dedup_lines", "p68_nl_split",
     "p69_nl_langid",
-    "p71_nl_quality", "p72_nl_winsorize", "p73_nl_resample",
-    "p74_nl_chunk",
+    "p71_nl_quality", "p73_nl_resample",
     "p75_nl_merge",
-    "p76_nl_negatives",
     "ns_dedup_semantic", "p78_nl_redact",
     "ns_text_perplexity_buckets",
     "ns_dedup_incremental_lsh", "ns_text_bpe_encode", "p79_nl_expectations",
@@ -4288,6 +4285,28 @@ _WINDOW: list[str] = [
     "ns_text_word_entropy", "ns_text_distinct_n",
     "ns_corpus_pack_efficiency",
     "p87_nl_blocklist", "p88_nl_kanonymity", "p89_nl_word_entropy",
+    # sixth-session part 2: the classifier family (on-cluster logreg
+    # trainer, calibration, AUC), cluster purity, the OOV audit with
+    # its NL twin p90, embedding anisotropy, and CDC chunk dedup.
+    # They take the slots of eight more twin-covered queries:
+    # p62_nl_dedup_docs (keyed row_number dedup shape -> p84's
+    # winnow keep-first + ns_dedup_lines' first-occurrence chain),
+    # p63_nl_neardup (full LSH chain -> ns_dedup_incremental_lsh's
+    # probe/verify against the archive), p64_nl_decontaminate
+    # (broadcast-semi + anti shape -> ns_decontaminate_bloom's
+    # guarantee row covers decontamination), p66_nl_ann (broadcast-
+    # query exact top-k -> ns_sim_ndcg runs the identical scoring
+    # scan), p67_nl_json_extract (per-row expression projection ->
+    # p69_nl_langid), p72_nl_winsorize (broadcast percentile clamp ->
+    # p73's grid-join resample keeps the family's join shape),
+    # p74_nl_chunk (narrow explode -> ns_dedup_lines' segment
+    # explode), p76_nl_negatives (broadcast-pool sampling ->
+    # p68_nl_split keeps the hash-draw family). All eight keep fresh
+    # rows in the committed registry-wide CORRECTNESS_LOCAL.json.
+    "ns_quality_train_logreg", "ns_quality_calibration",
+    "ns_quality_auc", "ns_sim_cluster_purity",
+    "ns_text_oov_rate", "p90_nl_oov",
+    "ns_embed_anisotropy", "ns_dedup_cdc_chunks",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an
