@@ -1750,6 +1750,12 @@ def simplified_silhouette(df: DataFrame, label_col: str = "label",
     cnorm = cent.groupBy("predicted").agg(
         F.sum(F.col("c") * F.col("c")).alias("c2")
     )
+    # |t|^2 is summed per (id, predicted) group alongside the dot —
+    # label-count-redundant on paper, but MEASURED faster than the
+    # per-row decimal array fold (F.aggregate with a decimal lambda
+    # is interpreted, not codegen'd: the "optimized" fold benched 2x
+    # slower at sf0.1 with identical hashes), so the codegen'd
+    # aggregate sum stays
     e = df.select(id_col, label_col, F.posexplode(vec_col).alias("pos", "val"))
     dots = (
         e.join(F.broadcast(cent), "pos")
