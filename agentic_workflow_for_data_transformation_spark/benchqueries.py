@@ -437,6 +437,7 @@ from . import nsqueries5  # noqa: E402,F401  (registration side effects)
 from . import nsqueries6  # noqa: E402,F401  (registration side effects)
 from . import nsqueries7  # noqa: E402,F401  (registration side effects)
 from . import nsqueries8  # noqa: E402,F401  (registration side effects)
+from . import nsqueries9  # noqa: E402,F401  (registration side effects)
 
 # Parity variants demoted past the window (shapes duplicated in-window).
 _register_parity(_PARITY_LATE)
@@ -4224,7 +4225,6 @@ _WINDOW: list[str] = [
     # -- (a) new in round 8, never gated --
     "ns_sim_topk_ivfpq",
     "ns_dedup_lines", "p68_nl_split",
-    "p69_nl_langid",
     "p71_nl_quality", "p73_nl_resample",
     "p75_nl_merge",
     "ns_dedup_semantic", "p78_nl_redact",
@@ -4259,7 +4259,6 @@ _WINDOW: list[str] = [
     # (p76_nl_negatives / p75_nl_merge / p72_nl_winsorize compile to
     # the identical spec ops), so no plan shape loses driver coverage;
     # all three keep fresh rows in CORRECTNESS_LOCAL.json.
-    "ns_classify_nearest_centroid",
     "p84_nl_winnow_dedup",
     "p85_nl_vocab_divergence",
     "ns_corpus_datacard",
@@ -4280,8 +4279,8 @@ _WINDOW: list[str] = [
     # a superset plan), ns_text_bpe_merges (trained inside
     # ns_text_bpe_encode). All ten keep fresh rows in the committed
     # registry-wide CORRECTNESS_LOCAL.json.
-    "ns_sim_silhouette", "ns_sim_ndcg",
-    "x_kanonymity", "x_split_psi",
+    "ns_sim_silhouette",
+    "x_split_psi",
     "ns_text_word_entropy", "ns_text_distinct_n",
     "ns_corpus_pack_efficiency",
     "p87_nl_blocklist", "p88_nl_kanonymity", "p89_nl_word_entropy",
@@ -4307,6 +4306,20 @@ _WINDOW: list[str] = [
     "ns_quality_auc", "ns_sim_cluster_purity",
     "ns_text_oov_rate", "p90_nl_oov",
     "ns_embed_anisotropy", "ns_dedup_cdc_chunks",
+    # seventh-session additions: the retrieval-serving and label-trust
+    # layer — RRF rank fusion, greedy MMR rerank (applyInPandas per
+    # query), Fleiss' kappa agreement, per-class P/R/F1. They take the
+    # slots of four twin-covered queries: ns_sim_ndcg (broadcast-query
+    # exact-cosine scoring scan -> ns_sim_rrf_fusion runs the identical
+    # scan with a superset of windows), ns_classify_nearest_centroid
+    # (-> ns_classify_prf RUNS the full classifier plan and aggregates
+    # on top — a strict superset, salt aside), p69_nl_langid (per-row
+    # text projection -> p71_nl_quality), x_kanonymity (-> its NL twin
+    # p88_nl_kanonymity compiles to the identical events aggregate).
+    # All four keep fresh rows in the committed registry-wide
+    # CORRECTNESS_LOCAL.json.
+    "ns_sim_rrf_fusion", "ns_sim_mmr_rerank",
+    "ns_quality_fleiss_kappa", "ns_classify_prf",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

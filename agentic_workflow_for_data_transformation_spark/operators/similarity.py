@@ -2021,3 +2021,264 @@ def embedding_anisotropy(df: DataFrame, id_col: str = "vec_id",
             ).alias("mean_pairwise_cosine"),
         )
     )
+
+
+def rrf_fusion(df: DataFrame, query_ids: list[int], k: int = 10,
+               rrf_k: int = 60, id_col: str = "vec_id",
+               vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion of two vector rankers — the standard way
+    hybrid retrieval merges rankings whose raw scores are not
+    comparable (Cormack et al., SIGIR'09): each ranker contributes
+    1/(rrf_k + rank), and candidates are re-ranked by the sum. Here
+    the two rankers are COSINE (pure direction) and DOT PRODUCT
+    (direction x magnitude) over the same embedding column — they
+    disagree exactly where row norms vary, which is what makes the
+    fusion informative on unnormalized embeddings. Emits per query the
+    fused top-k with both source ranks, so a curator can see which
+    ranker carried each hit.
+
+    Exactness: both scores round to 6 decimals with id tie-break, so
+    the per-ranker ranks are integers identical on any engine; the
+    fused score 1/(K+r_cos) + 1/(K+r_dot) is a double of integer
+    inputs — bit-identical everywhere — and the final order ties on
+    id. Scale shape: the query side is a broadcast, the corpus is
+    scanned ONCE scoring both rankers per row; the three window ranks
+    share ONE exchange (same partition key query_id), and rank
+    evaluation is partial per partition before the final top-k."""
+    dim = probe_dim(df, vec_col, dim)
+    rows = _vec_norm(df, id_col, vec_col, dim)
+    from ..functions.vectors import dot as vdot
+
+    q = F.broadcast(
+        rows.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    scored = (
+        rows.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine_from_parts(F.col("v"), F.col("qv"),
+                                  F.col("nrm"), F.col("qnrm")),
+                6,
+            ).alias("cos_sim"),
+            F.round(vdot(F.col("v"), F.col("qv")), 6).alias("dot_score"),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    w_dot = Window.partitionBy("query_id").orderBy(
+        F.col("dot_score").desc(), F.col(id_col)
+    )
+    ranked = scored.select(
+        "query_id",
+        id_col,
+        "cos_sim",
+        "dot_score",
+        F.row_number().over(w_cos).cast("int").alias("rank_cos"),
+        F.row_number().over(w_dot).cast("int").alias("rank_dot"),
+    ).withColumn(
+        "rrf_score",
+        F.round(
+            1.0 / (F.lit(rrf_k) + F.col("rank_cos"))
+            + 1.0 / (F.lit(rrf_k) + F.col("rank_dot")),
+            6,
+        ),
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    return (
+        ranked.withColumn(
+            "fused_rank", F.row_number().over(w_fused).cast("int")
+        )
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", id_col, "rank_cos", "rank_dot",
+                "rrf_score", "fused_rank")
+    )
+
+
+def mmr_rerank(df: DataFrame, query_ids: list[int], k: int = 5,
+               pool: int = 12, lam: float = 0.5, id_col: str = "vec_id",
+               vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein,
+    SIGIR'98): from each query's exact-cosine top-``pool`` candidate
+    list, greedily select k results trading relevance against
+    redundancy — step 1 takes the most relevant candidate, each later
+    step takes argmax of lam*rel - (1-lam)*max_sim_to_already_selected.
+    The diversity pass every RAG retrieval stack runs between ANN and
+    the prompt, so near-duplicate passages don't crowd out coverage.
+
+    Split of labor is the point at scale: the DISTRIBUTED part — the
+    corpus scan, the per-query top-``pool`` window, and the pool's
+    pairwise cosines (<= pool^2 rows per query, both sides already
+    pruned) — runs as ordinary DataFrame ops; the greedy selection is
+    inherently sequential but touches only the BOUNDED per-query pool,
+    so it runs inside ``applyInPandas`` partitioned BY QUERY — a
+    million queries rerank in parallel, no driver state at all.
+
+    Exactness: rel and pairwise sims are 6-decimal doubles with id
+    tie-breaks; the greedy comparator lam*rel - (1-lam)*max_sim is
+    evaluated in float64 on those pinned inputs — the identical IEEE
+    expression the SQL oracle orders by — so the selection sequence is
+    engine-reproducible. Emitted max_sim_prev is 0.0 for step 1 (no
+    selected set yet) by convention."""
+    import pandas as pd
+
+    dim = probe_dim(df, vec_col, dim)
+    rows = _vec_norm(df, id_col, vec_col, dim)
+    q = F.broadcast(
+        rows.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col(id_col)
+    )
+    cand = (
+        rows.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine_from_parts(F.col("v"), F.col("qv"),
+                                  F.col("nrm"), F.col("qnrm")),
+                6,
+            ).alias("rel"),
+            "v",
+            "nrm",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= pool)
+        .drop("_rn")
+    )
+    a = cand.select(
+        "query_id", F.col(id_col).alias("a"), F.col("rel").alias("rel_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = cand.select(
+        "query_id", F.col(id_col).alias("b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id", "a", "rel_a", "b",
+            F.round(
+                cosine_from_parts(F.col("va"), F.col("vb"),
+                                  F.col("na"), F.col("nb")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    schema = (
+        f"query_id long, step int, {id_col} long, "
+        "relevance double, max_sim_prev double"
+    )
+    lam_f = float(lam)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel = {}
+        sims = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.a)] = float(r.rel_a)
+            sims[(int(r.a), int(r.b))] = float(r.sim)
+        remaining = sorted(rel)
+        out = []
+        selected: list[int] = []
+        while remaining and len(selected) < k:
+            if not selected:
+                nxt = max(remaining, key=lambda c: (rel[c], -c))
+                out.append((qid, 1, nxt, rel[nxt], 0.0))
+            else:
+                best = None
+                for c in remaining:
+                    ms = max(sims[(c, s)] for s in selected)
+                    score = lam_f * rel[c] - (1.0 - lam_f) * ms
+                    key = (score, -c)
+                    if best is None or key > best[0]:
+                        best = (key, c, ms)
+                _, nxt, ms = best
+                out.append((qid, len(selected) + 1, nxt, rel[nxt], ms))
+            selected.append(nxt)
+            remaining.remove(nxt)
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "step", id_col,
+                     "relevance", "max_sim_prev"],
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(greedy, schema=schema)
+
+
+def classifier_prf(df: DataFrame, label_col: str = "label",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   test_fraction: float = 0.2,
+                   salt: str = "prf") -> DataFrame:
+    """Per-class precision / recall / F1 over the nearest-centroid
+    classifier's confusion matrix (nearest_centroid_classifier) — the
+    class-level read the aggregate confusion hides: a 90%-accurate
+    labeler that silently drops one minority class shows up HERE, as
+    that class's recall row. Emitted per (slice, class): true
+    positives, predicted count, actual count, precision, recall, F1 —
+    for both the train (resubstitution) and held-out slices.
+
+    Exactness: inputs are the decimal-exact confusion counts; P, R and
+    F1 = 2tp/(n_pred + n_true) are single double divisions of BIGINTs
+    rounded to 6 (0.0 when the denominator is 0 — a class never
+    predicted has precision 0 by convention). Scale shape: three hash
+    aggregates over the confusion matrix (labels^2 rows at most), all
+    map-side after the classifier's own exchanges."""
+    conf = nearest_centroid_classifier(
+        df, label_col=label_col, id_col=id_col, vec_col=vec_col,
+        test_fraction=test_fraction, salt=salt,
+    )
+    lab = conf.groupBy("slice", F.col(label_col).alias("cls")).agg(
+        F.sum("n_vecs").cast("long").alias("n_true")
+    )
+    pred = conf.groupBy("slice", F.col("predicted").alias("cls")).agg(
+        F.sum("n_vecs").cast("long").alias("n_pred")
+    )
+    tp = (
+        conf.filter(F.col(label_col) == F.col("predicted"))
+        .groupBy("slice", F.col(label_col).alias("cls"))
+        .agg(F.sum("n_vecs").cast("long").alias("tp"))
+    )
+    base = (
+        lab.join(pred, ["slice", "cls"], "full")
+        .join(tp, ["slice", "cls"], "left")
+        .select(
+            "slice",
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+        )
+    )
+    safe = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "slice",
+        "cls",
+        "tp",
+        "n_pred",
+        "n_true",
+        safe(F.col("tp"), F.col("n_pred")).alias("precision"),
+        safe(F.col("tp"), F.col("n_true")).alias("recall"),
+        safe(F.lit(2) * F.col("tp"),
+             F.col("n_pred") + F.col("n_true")).alias("f1"),
+    )

@@ -668,3 +668,77 @@ def auc_report(df: DataFrame, weights: dict[str, float], d: int = 8,
             6,
         ).alias("auc"),
     )
+
+
+def fleiss_kappa(df: DataFrame, item_col: str, label_col: str,
+                 n_raters: int = 5,
+                 order_col: str | None = None) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number
+    of ratings per item (Fleiss, Psych. Bull. 1971). The gate a
+    labeling pipeline runs on multi-annotator batches before trusting
+    majority votes: kappa near 0 means the "labels" are noise, and no
+    amount of downstream training fixes that.
+
+    Each item keeps its first ``n_raters`` ratings in ``order_col``
+    order (deterministic trim — Fleiss requires a constant n); items
+    with fewer ratings are dropped and reported in n_items_dropped.
+    With n_ij the count of ratings of item i in category j:
+
+        P_i  = (sum_j n_ij^2 - n) / (n (n-1))
+        Pbar = mean_i P_i
+        p_j  = sum_i n_ij / (N n);   P_e = sum_j p_j^2
+        kappa = (Pbar - P_e) / (1 - P_e)
+
+    Exactness: every sufficient statistic is an INTEGER (sum of
+    n_ij^2, per-category totals, N) aggregated exactly; Pbar, P_e and
+    kappa are single double divisions of those integers — bit-
+    identical on any engine, so the oracle is plain SQL. Scale shape:
+    one row_number window on item, two hash aggregates, a 1-row
+    report; no driver state."""
+    order_col = order_col or item_col
+    w = Window.partitionBy(item_col).orderBy(F.col(order_col))
+    trimmed = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_raters)
+    )
+    per_item = trimmed.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    kept = per_item.filter(F.col("_n") == n_raters).select(item_col)
+    n_dropped = per_item.filter(F.col("_n") < n_raters).select(
+        F.count(F.lit(1)).cast("long").alias("n_items_dropped")
+    )
+    nij = (
+        trimmed.join(kept, item_col)
+        .groupBy(item_col, label_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    cat = nij.groupBy(label_col).agg(F.sum("nij").alias("cj"))
+    cat_tot = cat.agg(
+        F.count(F.lit(1)).cast("int").alias("n_categories"),
+        F.sum(F.col("cj") * F.col("cj")).cast("long").alias("c2"),
+    )
+    item_tot = nij.agg(
+        F.count_distinct(F.col(item_col)).cast("long").alias("n_items"),
+        F.sum(F.col("nij") * F.col("nij")).cast("long").alias("s2"),
+    )
+    n = F.lit(int(n_raters)).cast("long")
+    nn = F.col("n_items") * n
+    p_bar = (
+        (F.col("s2") - nn).cast("double")
+        / (nn * (n - F.lit(1))).cast("double")
+    )
+    p_e = F.col("c2").cast("double") / (nn * nn).cast("double")
+    return (
+        item_tot.crossJoin(F.broadcast(cat_tot))
+        .crossJoin(F.broadcast(n_dropped))
+        .select(
+            "n_items",
+            F.lit(int(n_raters)).cast("int").alias("n_raters"),
+            "n_categories",
+            "n_items_dropped",
+            F.round(p_bar, 6).alias("p_bar"),
+            F.round(p_e, 6).alias("p_e"),
+            F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
+        )
+    )

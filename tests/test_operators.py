@@ -1739,3 +1739,94 @@ def test_cdc_chunks_insertion_robust(spark):
     # the inserted word can only poison its own chunk: the shared
     # mass must cover most of the original document
     assert out[1]["dup_mass_ratio"] > 0.5
+
+
+def test_rrf_fusion_ranks_and_score(spark):
+    # unnormalized vectors make cosine and dot DISAGREE: vec 2 points
+    # almost exactly along the query (cosine rank 1) but is tiny (dot
+    # rank lower); vec 1 is long but off-angle (dot rank 1). The RRF
+    # winner must balance the two rankers; score = 1/(60+rc)+1/(60+rd).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # query
+        (1, [8.0, 6.0, 0.0, 0.0]),          # |v|=10, cos=0.8, dot=8
+        (2, [0.99, 0.01, 0.0, 0.0]),        # cos~1.0, dot~0.99
+        (3, [0.5, 0.5, 0.0, 0.0]),          # cos~0.707, dot=0.5
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           similarity.rrf_fusion(df, query_ids=[0], k=3).collect()}
+    assert out[2]["rank_cos"] == 1 and out[1]["rank_dot"] == 1
+    assert out[1]["rank_cos"] == 2 and out[2]["rank_dot"] == 2
+    # both split {1,2} across the rankers symmetrically -> same fused
+    # score 1/61+1/62; tie broken by id
+    assert out[1]["rrf_score"] == out[2]["rrf_score"]
+    assert out[1]["fused_rank"] == 1 and out[2]["fused_rank"] == 2
+    assert out[3]["fused_rank"] == 3
+    expected = round(1.0 / 61 + 1.0 / 62, 6)
+    assert abs(out[1]["rrf_score"] - expected) < 1e-9
+
+
+def test_mmr_rerank_skips_near_duplicate(spark):
+    # candidates 1 and 2 are near-identical and most relevant; plain
+    # top-2 would take both, MMR (lam=0.5) must take 1 then jump to
+    # the diverse 3 because 2's max-sim-to-selected (~1.0) kills it.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),           # query
+        (1, [0.9, 0.1, 0.0, 0.0]),           # rel ~0.994
+        (2, [0.89, 0.11, 0.0, 0.0]),         # near-dup of 1, rel ~0.992
+        (3, [0.5, 0.0, 0.5, 0.0]),           # diverse, rel ~0.707
+        (4, [0.0, 0.0, 1.0, 0.0]),           # orthogonal to query
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sorted(
+        similarity.mmr_rerank(df, query_ids=[0], k=3, pool=4).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in out] == [1, 2, 3]
+    assert out[0]["vec_id"] == 1 and out[0]["max_sim_prev"] == 0.0
+    assert out[1]["vec_id"] == 3  # NOT the near-dup 2
+    assert out[1]["max_sim_prev"] < 0.8
+    # the dup is only admitted once diversity is exhausted
+    assert out[2]["vec_id"] in (2, 4)
+
+
+def test_fleiss_kappa_perfect_and_trim(spark):
+    # items a,b: 5 unanimous ratings -> kappa = 1 exactly; item c has
+    # only 4 ratings -> dropped and counted; item d has 7 -> trimmed
+    # to the first 5 in order (the 2 'no' ratings at ord 6,7 ignored,
+    # so d stays unanimous and kappa stays 1).
+    rows = (
+        [("a", "yes", i) for i in range(5)]
+        + [("b", "no", i) for i in range(5)]
+        + [("c", "yes", i) for i in range(4)]
+        + [("d", "yes", i) for i in range(5)]
+        + [("d", "no", 6), ("d", "no", 7)]
+    )
+    df = spark.createDataFrame(rows, ["item", "label", "ord"])
+    from agentic_workflow_for_data_transformation_spark.operators.stats import fleiss_kappa
+
+    out = fleiss_kappa(df, "item", "label", n_raters=5,
+                       order_col="ord").collect()[0]
+    assert out["n_items"] == 3 and out["n_items_dropped"] == 1
+    assert out["n_categories"] == 2
+    assert out["p_bar"] == 1.0 and out["kappa"] == 1.0
+
+
+def test_classifier_prf_consistent_with_counts(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.classifier_prf(emb).collect()
+    assert rows, "prf report is empty"
+    for r in rows:
+        assert 0 <= r["tp"] <= min(r["n_pred"], r["n_true"])
+        if r["n_pred"]:
+            assert abs(r["precision"] - round(r["tp"] / r["n_pred"], 6)) < 1e-9
+        if r["n_true"]:
+            assert abs(r["recall"] - round(r["tp"] / r["n_true"], 6)) < 1e-9
+        if r["n_pred"] + r["n_true"]:
+            assert abs(
+                r["f1"] - round(2 * r["tp"] / (r["n_pred"] + r["n_true"]), 6)
+            ) < 1e-9
+    # per slice, predicted totals and actual totals cover the same rows
+    for sl in ("train", "test"):
+        part = [r for r in rows if r["slice"] == sl]
+        assert sum(r["n_pred"] for r in part) == sum(r["n_true"] for r in part)
