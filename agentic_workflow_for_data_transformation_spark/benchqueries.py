@@ -3883,6 +3883,35 @@ def p90_nl_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P90_DESC)
 
 
+_P91_DESC = "Take the majority vote of event_type per user_id"
+
+
+def _p91_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P91_DESC,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+        "events",
+    )
+
+
+@register("p91_nl_majority", _p91_oracle())
+def p91_nl_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL label aggregation: 'take the majority vote of <label> per
+    <key>' — quality.majority_vote behind one clause (schema-
+    replacing): per key the winning label with total ratings, vote
+    share, runner-up margin, and a tie flag (ties break to the smaller
+    label, flagged). One (key, label) hash aggregate plus one
+    key-partitioned window reading the top two rows; integer-exact
+    except the rounded share. The oracle renders the identical
+    aggregate + window chain."""
+    return _nl(spark, sf_dir, "events", _P91_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4224,8 +4253,8 @@ _WINDOW: list[str] = [
     # edits here avoid the round-trip.
     # -- (a) new in round 8, never gated --
     "ns_sim_topk_ivfpq",
-    "ns_dedup_lines", "p68_nl_split",
-    "p71_nl_quality", "p73_nl_resample",
+    "ns_dedup_lines",
+    "p73_nl_resample",
     "p75_nl_merge",
     "ns_dedup_semantic", "p78_nl_redact",
     "ns_text_perplexity_buckets",
@@ -4304,7 +4333,7 @@ _WINDOW: list[str] = [
     # rows in the committed registry-wide CORRECTNESS_LOCAL.json.
     "ns_quality_train_logreg", "ns_quality_calibration",
     "ns_quality_auc", "ns_sim_cluster_purity",
-    "ns_text_oov_rate", "p90_nl_oov",
+    "ns_text_oov_rate",
     "ns_embed_anisotropy", "ns_dedup_cdc_chunks",
     # seventh-session additions: the retrieval-serving and label-trust
     # layer — RRF rank fusion, greedy MMR rerank (applyInPandas per
@@ -4320,6 +4349,18 @@ _WINDOW: list[str] = [
     # CORRECTNESS_LOCAL.json.
     "ns_sim_rrf_fusion", "ns_sim_mmr_rerank",
     "ns_quality_fleiss_kappa", "ns_classify_prf",
+    # seventh-session part 2: majority-vote label aggregation (the
+    # step after the kappa gate) with its NL twin p91, and the
+    # quality-threshold tradeoff sweep. They take the slots of three
+    # twin-covered queries: p71_nl_quality (the per-row quality
+    # projection RUNS inside ns_quality_threshold_sweep's one-scan
+    # aggregate — a strict superset plan), p90_nl_oov (compiles to the
+    # identical plan as the in-window ns_text_oov_rate), p68_nl_split
+    # (md5 hash-draw filter — the draw is computed in-window by both
+    # x_split_psi and ns_classify_prf). All three keep fresh rows in
+    # the committed registry-wide CORRECTNESS_LOCAL.json.
+    "ns_quality_majority_vote", "p91_nl_majority",
+    "ns_quality_threshold_sweep",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .operators import similarity, stats
+from .operators import quality, similarity, stats, text
 
 
 def _mmr_sql(n_queries: int, k: int, pool: int) -> str:
@@ -228,5 +228,96 @@ register(
 )(
     lambda spark, sf_dir: similarity.classifier_prf(
         _t(spark, sf_dir, "embeddings"), test_fraction=0.2, salt="prf"
+    )
+)
+
+
+register(
+    "ns_quality_majority_vote",
+    # items = event_id % 311, labels = event_type (the same derived
+    # annotation batch ns_quality_fleiss_kappa gates)
+    "WITH v AS (SELECT event_id % 311 AS item, event_type AS label, "
+    " CAST(count(*) AS BIGINT) AS votes FROM events GROUP BY 1, 2), "
+    "r AS (SELECT item, label, votes, "
+    " row_number() OVER (PARTITION BY item ORDER BY votes DESC, label) AS rn, "
+    " lead(votes) OVER (PARTITION BY item ORDER BY votes DESC, label) AS votes2, "
+    " SUM(votes) OVER (PARTITION BY item) AS n_ratings FROM v) "
+    "SELECT item, label AS majority_label, "
+    " CAST(n_ratings AS BIGINT) AS n_ratings, votes AS n_votes, "
+    " round(votes / CAST(n_ratings AS DOUBLE), 6) AS vote_share, "
+    " CAST(votes - COALESCE(votes2, 0) AS BIGINT) AS margin, "
+    " COALESCE(votes2, -1) = votes AS is_tie "
+    "FROM r WHERE rn = 1",
+    desc=(
+        "Majority-vote label aggregation over the derived annotation "
+        "batch — per item the winning label with total ratings, vote "
+        "share, runner-up margin, and a tie flag (ties break to the "
+        "smaller label, flagged). The step after the Fleiss-kappa "
+        "agreement gate; one hash aggregate plus one item-partitioned "
+        "window, integer-exact except the rounded share."
+    ),
+)(
+    lambda spark, sf_dir: quality.majority_vote(
+        _t(spark, sf_dir, "events").select(
+            (F.col("event_id") % 311).alias("item"),
+            F.col("event_type").alias("label"),
+        ),
+        item_col="item", label_col="label",
+    )
+)
+
+
+def _sweep_sql(n_bins: int = 10) -> str:
+    """Threshold-sweep oracle: the ns_text_quality score formula term
+    for term, then one 3*n_bins-column conditional aggregate and a
+    UNION ALL arm per threshold (the SQL twin of Spark's stack)."""
+    heads = ", ".join(
+        f"SUM(CASE WHEN q >= CAST({i / n_bins!r} AS DOUBLE) THEN 1 ELSE 0 END) AS d{i}, "
+        f"COALESCE(SUM(CASE WHEN q >= CAST({i / n_bins!r} AS DOUBLE) THEN n_words END), 0) AS w{i}, "
+        f"COALESCE(SUM(CASE WHEN q >= CAST({i / n_bins!r} AS DOUBLE) "
+        f" THEN CAST(q AS DECIMAL(8,6)) END), 0) AS q{i}"
+        for i in range(n_bins)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({i / n_bins!r} AS DOUBLE) AS threshold, "
+        f"CAST(d{i} AS BIGINT) AS n_docs_kept, "
+        f"CAST(w{i} AS BIGINT) AS n_words_kept, "
+        f"CASE WHEN d{i} > 0 THEN round(CAST(q{i} AS DOUBLE) / d{i}, 6) "
+        f" ELSE 0.0 END AS mean_quality_kept, "
+        f"CASE WHEN d0 > 0 THEN round(d{i} / CAST(d0 AS DOUBLE), 6) "
+        f" ELSE 0.0 END AS share_docs_kept FROM a"
+        for i in range(n_bins)
+    )
+    return (
+        "WITH t AS (SELECT text, length(text) AS n_chars, "
+        " string_split(text, ' ') AS ws FROM documents), "
+        "m AS (SELECT n_chars, len(ws) AS n_words, "
+        " len(list_filter(ws, w -> lower(w) IN ('the','a','of','and','to'))) "
+        "  AS stop_hits, "
+        " len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS nonalnum FROM t), "
+        "s AS (SELECT CAST(n_words AS BIGINT) AS n_words, "
+        " round(least(1.0, n_words / 50.0) * 0.5 "
+        "  + (1.0 - least(1.0, round(nonalnum / greatest(n_chars, 1), 6) * 10)) * 0.3 "
+        "  + least(1.0, round(stop_hits / n_words, 6) * 5) * 0.2, 6) AS q "
+        " FROM m), "
+        f"a AS (SELECT {heads} FROM s) {arms}"
+    )
+
+
+register(
+    "ns_quality_threshold_sweep",
+    _sweep_sql(10),
+    desc=(
+        "Quality-threshold tradeoff curve: for each cutoff t in "
+        "{0,.1,...,.9}, the documents/words surviving quality_score "
+        ">= t and the surviving mean quality — the table that PICKS "
+        "the filter cutoff instead of guessing it. All thresholds "
+        "compile into ONE conditional aggregate (one scan, one 1-row "
+        "exchange, no window), report rows exploded with stack; "
+        "counts integer, quality sums DECIMAL(8,6)-pinned."
+    ),
+)(
+    lambda spark, sf_dir: text.quality_threshold_sweep(
+        _t(spark, sf_dir, "documents"), n_bins=10
     )
 )

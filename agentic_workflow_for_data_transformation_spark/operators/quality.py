@@ -146,3 +146,49 @@ def k_anonymity_audit(df: DataFrame, quasi_cols: list[str],
         ).alias("risk_ratio"),
         F.min("_n").cast("long").alias("min_group_size"),
     )
+
+
+def majority_vote(df: DataFrame, item_col: str,
+                  label_col: str) -> DataFrame:
+    """Majority-vote label aggregation — the step AFTER the agreement
+    gate (stats.fleiss_kappa): per item, the winning label plus the
+    evidence a curator filters on — total ratings, winning votes, vote
+    share, the margin over the runner-up, and a tie flag (ties break
+    to the smaller label, flagged so downstream can drop or re-route
+    them instead of silently trusting the tiebreak).
+
+    Exactness: counts are integers, vote_share is one double division
+    rounded to 6, the tiebreak is total (votes desc, label asc) — so
+    the aggregated label table is bit-identical on any engine. Scale
+    shape: one hash aggregate on (item, label), then one window
+    partitioned BY ITEM (key-partitioned, never global) reading the
+    top two rows per item; no joins, no driver state."""
+    from pyspark.sql import Window
+
+    v = df.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    w = Window.partitionBy(item_col).orderBy(
+        F.col("votes").desc(), F.col(label_col)
+    )
+    wp = Window.partitionBy(item_col)
+    ranked = v.select(
+        item_col,
+        F.col(label_col).alias("majority_label"),
+        "votes",
+        F.row_number().over(w).alias("_rn"),
+        F.lead("votes").over(w).alias("_votes2"),
+        F.sum("votes").over(wp).cast("long").alias("n_ratings"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        item_col,
+        "majority_label",
+        "n_ratings",
+        F.col("votes").alias("n_votes"),
+        F.round(F.col("votes") / F.col("n_ratings"), 6).alias("vote_share"),
+        (F.col("votes") - F.coalesce(F.col("_votes2"), F.lit(0)))
+        .cast("long")
+        .alias("margin"),
+        (F.coalesce(F.col("_votes2"), F.lit(-1)) == F.col("votes"))
+        .alias("is_tie"),
+    )

@@ -1259,3 +1259,68 @@ def oov_rate_by_group(df: DataFrame, v: int = 100,
             F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6),
         )
     )
+
+
+def quality_threshold_sweep(df: DataFrame, text_col: str = "text",
+                            n_bins: int = 10) -> DataFrame:
+    """Quality-threshold tradeoff curve — the table a curator reads to
+    PICK the filter cutoff instead of guessing it: for each candidate
+    threshold t in {0, 1/n, ..., (n-1)/n}, how many documents and
+    words survive ``quality_score >= t`` and what the surviving mean
+    quality is. The knee of (share_docs_kept, mean_quality_kept) is
+    the data-driven cutoff; sweeping AFTER one scan is free compared
+    to re-running the filter per candidate.
+
+    Scale shape: every threshold compiles to conditional SUMs inside
+    ONE global aggregate — one scan, one 1-row partial-aggregated
+    exchange regardless of n_bins, then the report rows are exploded
+    from that 1-row frame with ``stack`` (no window, no second scan;
+    same discipline as quality.check_expectations). Exactness: doc
+    and word counts are integers, per-threshold quality sums pin
+    DECIMAL(8,6) (the score is round-6 in [0,1]), and the emitted
+    mean/share are single double divisions rounded to 6."""
+    scored = with_quality_score(df, text_col).select(
+        "n_words", "quality_score"
+    )
+    aggs = []
+    for i in range(n_bins):
+        t = i / n_bins
+        keep = F.col("quality_score") >= F.lit(t)
+        aggs += [
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(f"_d{i}"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_words"))), F.lit(0))
+            .cast("long")
+            .alias(f"_w{i}"),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("quality_score").cast("decimal(8,6)"))),
+                F.lit(0).cast("decimal(8,6)"),
+            ).alias(f"_q{i}"),
+        ]
+    one = scored.agg(*aggs)
+    arms = ", ".join(
+        f"double({i / n_bins!r}), _d{i}, _w{i}, _q{i}" for i in range(n_bins)
+    )
+    stacked = one.select(
+        F.expr(
+            f"stack({n_bins}, {arms}) AS "
+            "(threshold, n_docs_kept, n_words_kept, _q)"
+        ),
+        F.col("_d0").alias("_total"),
+    )
+    return stacked.select(
+        "threshold",
+        "n_docs_kept",
+        "n_words_kept",
+        F.when(
+            F.col("n_docs_kept") > 0,
+            F.round(F.col("_q").cast("double") / F.col("n_docs_kept"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_quality_kept"),
+        F.when(
+            F.col("_total") > 0,
+            F.round(F.col("n_docs_kept").cast("double") / F.col("_total"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("share_docs_kept"),
+    )

@@ -560,6 +560,10 @@ def compile_spec(
             from ..operators.quality import k_anonymity_audit
 
             df = k_anonymity_audit(df, list(op["cols"]), k=int(op["k"]))
+        elif kind == "majority":
+            from ..operators.quality import majority_vote
+
+            df = majority_vote(df, op["key"], op["label"])
         elif kind == "word_entropy":
             from ..operators.text import word_entropy
 

@@ -416,6 +416,14 @@ _KANON = re.compile(
     r"at\s+(\d+)\s*$",
     re.IGNORECASE,
 )
+# "take the majority vote of <label> per <key>" -> per-key winning
+# label with ratings/share/margin/tie flag (quality.majority_vote),
+# schema-replacing
+_MAJORITY = re.compile(
+    r"^(?:take|aggregate|compute)\s+(?:the\s+)?majority\s+vote\s+of\s+"
+    r"(\w+)\s+per\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 # "compute the word entropy of each document" -> per-doc Shannon
 # entropy + evenness (text.word_entropy), schema-replacing
 _WENTROPY = re.compile(
@@ -844,6 +852,12 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
                 for c in re.split(r",|\s+and\s+", m.group(1))
             ],
             "k": int(m.group(2)),
+        }
+    if m := _MAJORITY.match(clause):
+        return {
+            "op": "majority",
+            "label": _resolve_col(m.group(1), columns),
+            "key": _resolve_col(m.group(2), columns),
         }
     if _WENTROPY.match(clause):
         return {"op": "word_entropy"}

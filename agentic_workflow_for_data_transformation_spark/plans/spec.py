@@ -76,6 +76,11 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # k-anonymity privacy audit; REPLACES the schema with one
       # report row (quasi, k, n_rows, n_groups, n_violating_groups,
       # n_rows_at_risk, risk_ratio, min_group_size)
+  {"op": "majority", "key": "item", "label": "vote"}
+      # majority-vote label aggregation; REPLACES the schema with one
+      # row per key (key, majority_label, n_ratings, n_votes,
+      # vote_share, margin, is_tie); ties break to the smaller label
+      # and are flagged
   {"op": "word_entropy", "id_col": "doc_id"?, "text_col": "text"?}
       # per-document word-distribution Shannon entropy; REPLACES the
       # schema with (id, n_words, n_distinct, entropy, evenness)
@@ -604,6 +609,17 @@ def validate_op(op: Any) -> None:
         kk = op.get("k")
         if not (isinstance(kk, int) and not isinstance(kk, bool) and kk >= 2):
             _err(f"kanon needs an int 'k' >= 2: {op!r}")
+    elif kind == "majority":
+        for f in ("key", "label"):
+            if not isinstance(op.get(f), str):
+                _err(f"majority needs a string '{f}': {op!r}")
+        if op["key"] == op["label"]:
+            _err(f"majority 'key' and 'label' must differ: {op!r}")
+        if op["key"] == "label":
+            # the rendered SQL aliases the label column to 'label'
+            # inside its innermost aggregate; a key named 'label'
+            # would collide there
+            _err(f"majority 'key' may not be named 'label': {op!r}")
     elif kind == "word_entropy":
         for f in ("id_col", "text_col"):
             if f in op and not isinstance(op[f], str):

@@ -411,6 +411,30 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"FROM (SELECT {cols}, CAST(count(*) AS BIGINT) AS n "
                 f"FROM ({sql}) GROUP BY {cols})"
             )
+        elif kind == "majority":
+            # mirrors operators/quality.majority_vote (the
+            # ns_quality_majority_vote oracle, parameterized): one
+            # (key, label) aggregate, then the key-partitioned top-2
+            # window read — ties break to the smaller label, flagged
+            key = _q(op["key"])
+            lab = _q(op["label"])
+            sql = (
+                f"SELECT {key}, label AS majority_label, "
+                f"CAST(n_ratings AS BIGINT) AS n_ratings, "
+                f"votes AS n_votes, "
+                f"round(votes / CAST(n_ratings AS DOUBLE), 6) AS vote_share, "
+                f"CAST(votes - COALESCE(votes2, 0) AS BIGINT) AS margin, "
+                f"COALESCE(votes2, -1) = votes AS is_tie "
+                f"FROM (SELECT {key}, label, votes, "
+                f" row_number() OVER (PARTITION BY {key} "
+                f"  ORDER BY votes DESC, label) AS rn, "
+                f" lead(votes) OVER (PARTITION BY {key} "
+                f"  ORDER BY votes DESC, label) AS votes2, "
+                f" SUM(votes) OVER (PARTITION BY {key}) AS n_ratings "
+                f" FROM (SELECT {key}, {lab} AS label, "
+                f"  CAST(count(*) AS BIGINT) AS votes "
+                f"  FROM ({sql}) GROUP BY 1, 2)) WHERE rn = 1"
+            )
         elif kind == "word_entropy":
             # mirrors operators/text.word_entropy (the
             # ns_text_word_entropy oracle, parameterized): per-word

@@ -1830,3 +1830,38 @@ def test_classifier_prf_consistent_with_counts(spark, sf_dir):
     for sl in ("train", "test"):
         part = [r for r in rows if r["slice"] == sl]
         assert sum(r["n_pred"] for r in part) == sum(r["n_true"] for r in part)
+
+
+def test_quality_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        text.quality_threshold_sweep(docs).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [round(r["threshold"], 1) for r in rows] == [
+        round(i / 10, 1) for i in range(10)
+    ]
+    # threshold 0 keeps everything; kept counts and kept words are
+    # non-increasing in the threshold; shares normalize to the full set
+    assert rows[0]["n_docs_kept"] == docs.count()
+    assert rows[0]["share_docs_kept"] == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs_kept"] <= a["n_docs_kept"]
+        assert b["n_words_kept"] <= a["n_words_kept"]
+    # spot-check one cutoff against a direct filter of the scored frame
+    scored = text.with_quality_score(docs)
+    direct = scored.filter(F.col("quality_score") >= 0.5).count()
+    (row5,) = [r for r in rows if abs(r["threshold"] - 0.5) < 1e-9]
+    assert row5["n_docs_kept"] == direct
+
+
+def test_majority_vote_single_label_has_no_runner_up(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.quality import majority_vote
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], ["item", "lab"]
+    )
+    got = {r["item"]: r for r in majority_vote(df, "item", "lab").collect()}
+    assert got[1]["margin"] == 2 and not got[1]["is_tie"]
+    assert got[2]["n_ratings"] == 1 and got[2]["vote_share"] == 1.0
+    assert not got[2]["is_tie"]

@@ -2137,3 +2137,52 @@ def test_oov_spec_op_parse_compile_render(spark):
         "Report the out-of-vocabulary rate per source", columns=cols
     )
     assert spec2["ops"] == [{"op": "oov", "key": "source"}]
+
+
+def test_majority_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.spec import SpecError
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["item", "vote", "value"]
+    spec = parse_description(
+        "Take the majority vote of vote per item", columns=cols
+    )
+    assert spec["ops"] == [{"op": "majority", "label": "vote", "key": "item"}]
+    # item 1: a wins 3-2 (margin 1); item 2: a/b tie 1-1 -> tie breaks
+    # to 'a' and is flagged; item 3: unanimous
+    rows = (
+        [(1, "a", 0.0)] * 3 + [(1, "b", 0.0)] * 2
+        + [(2, "b", 0.0), (2, "a", 0.0)]
+        + [(3, "c", 0.0)] * 4
+    )
+    df = spark.createDataFrame(rows, cols)
+    got = {r["item"]: r for r in compile_spec(df, spec).collect()}
+    assert got[1]["majority_label"] == "a" and got[1]["margin"] == 1
+    assert got[1]["n_ratings"] == 5 and got[1]["n_votes"] == 3
+    assert not got[1]["is_tie"]
+    assert got[2]["majority_label"] == "a" and got[2]["is_tie"]
+    assert got[2]["margin"] == 0
+    assert got[3]["majority_label"] == "c" and got[3]["vote_share"] == 1.0
+    assert not got[3]["is_tie"]
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {o[0]: o for o in con.sql(spec_to_sql(spec, "t")).fetchall()}
+    for k, r in got.items():
+        assert tuple(r) == want[k]
+
+    # validator guards: key == label, and a key literally named 'label'
+    import pytest as _pytest
+
+    with _pytest.raises(SpecError):
+        compile_spec(df, {"ops": [
+            {"op": "majority", "key": "item", "label": "item"}]})
+    with _pytest.raises(SpecError):
+        compile_spec(df, {"ops": [
+            {"op": "majority", "key": "label", "label": "vote"}]})

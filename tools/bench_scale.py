@@ -191,6 +191,17 @@ QUERIES = [
     "ns_sim_cluster_purity",
     "ns_text_oov_rate",
     "ns_embed_anisotropy",
+    # round-8 seventh session: the retrieval-serving / label-trust
+    # layer (broadcast-query scoring scans + per-query windows; the
+    # MMR greedy is bounded per query inside applyInPandas) and the
+    # one-scan majority/kappa/threshold aggregates
+    "ns_sim_rrf_fusion",
+    "ns_sim_mmr_rerank",
+    "ns_quality_fleiss_kappa",
+    "ns_classify_prf",
+    "ns_quality_majority_vote",
+    "ns_quality_threshold_sweep",
+    "p91_nl_majority",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
