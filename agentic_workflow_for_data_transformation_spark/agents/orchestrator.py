@@ -78,7 +78,11 @@ naming the operator plus that operator's arguments. Examples of each:
   {{"op": "distinct"}}
 Corpus / dataset ops (only when the description asks for them):
   {{"op": "dedup", "keys": ["text"], "keep_col": "doc_id", "keep": "min"}}
-      (exact duplicate removal keeping the first/lowest id)
+      (keyed duplicate removal: per keys-group keep the row with the
+      min/max keep_col — ALSO the way to keep the best/worst row per
+      group, e.g. keep_col "quality_score" with keep "max"; add
+      "tiebreak": "<col>" (ascending) whenever keep_col can tie so
+      the winner is deterministic)
   {{"op": "neardup", "threshold": 0.8}}   (drop near-duplicate docs
       above a similarity, keeping the earlier one)
   {{"op": "decontaminate", "right": "benchmark"}}  (drop docs that
@@ -150,6 +154,10 @@ Corpus / dataset ops (only when the description asks for them):
   {{"op": "oov", "key": "source", "v": 100}}  (out-of-vocabulary rate
       vs the top-v corpus vocabulary; REPLACES the schema with key,
       n_tokens, n_oov, oov_rate)
+  {{"op": "majority", "key": "item", "label": "vote"}}  (majority-vote
+      label aggregation; REPLACES the schema with key, majority_label,
+      n_ratings, n_votes, vote_share, margin, is_tie; ties break to
+      the smaller label and set is_tie)
 Aggregate fns: count (col "*" allowed), avg, sum, min, max, median,
 count_distinct. Expressions are nested 1-key dicts (a bare string is a
 column reference, a bare number/bool a literal): col/lit/gt/ge/lt/le/
@@ -300,6 +308,8 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # privacy audit -> one report row; entropy -> per-doc stats;
         # oov -> per-group coverage rows
         "kanon", "word_entropy", "oov",
+        # majority vote -> one aggregated label row per key
+        "majority",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -394,7 +404,7 @@ def critic_agent(
             "means the filter matched zero rows, a valid result.\n"
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
-            "dedup_savings, kanon, word_entropy, oov) REPLACE the "
+            "dedup_savings, kanon, word_entropy, oov, majority) REPLACE the "
             "columns with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "
@@ -402,6 +412,11 @@ def critic_agent(
             "- expect outputs a VALIDATION REPORT: rows with "
             "passed=false correctly REPORT violations in the data; a "
             "failing report is a consistent output.\n"
+            "- dedup/neardup/winnow_dedup: rows are already REDUCED "
+            "to one representative per group — far fewer rows than "
+            "the input is the point, not data loss; quality_score/"
+            "gopher/redact ADD their signal columns next to the "
+            "originals, so extra columns are correct.\n"
             "Decision rule: answer NO only if the output clearly "
             "CONTRADICTS the plan (wrong columns for the ops listed, "
             "values violating a stated predicate). If everything is "

@@ -3912,6 +3912,27 @@ def p91_nl_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P91_DESC)
 
 
+_P92_DESC = (
+    "Score the quality of each document and then remove duplicates by "
+    "lang and source keeping the highest quality_score breaking ties "
+    "by doc_id"
+)
+
+
+@register("p92_nl_quality_dedup", _docs_nl_oracle(_P92_DESC))
+def p92_nl_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL quality-aware exemplar selection: two composed clauses —
+    the quality projection, then keyed dedup keeping the HIGHEST
+    quality_score with the new 'breaking ties by <col>' suffix making
+    the winner deterministic when scores tie (quality is a function of
+    text, so ties are the NORM, not the edge case). This is the
+    curator's 'best representative per (lang, source)' table. One
+    scan, one exchange on the dedup keys, per-group sort of small
+    groups; the oracle renders the identical row_number chain with the
+    ascending tiebreak."""
+    return _nl(spark, sf_dir, "documents", _P92_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4270,7 +4291,7 @@ _WINDOW: list[str] = [
     # p82_nl_fertility / p81_nl_dsir / p73_nl_resample compile to the
     # identical plans); all keep fresh rows in CORRECTNESS_LOCAL.json)
     "x_source_jsonl_evolving",
-    "p80_nl_gopher", "p81_nl_dsir",
+    "p80_nl_gopher",
     "ns_corpus_dsir_sample", "x_source_orc_partitioned",
     "p82_nl_fertility", "x_frequent_items", "ns_quality_gopher_rep",
     # -- (b) semantics/oracle/plan changed in round 8 --
@@ -4361,6 +4382,14 @@ _WINDOW: list[str] = [
     # the committed registry-wide CORRECTNESS_LOCAL.json.
     "ns_quality_majority_vote", "p91_nl_majority",
     "ns_quality_threshold_sweep",
+    # seventh-session part 3: quality-aware exemplar dedup via the new
+    # 'breaking ties by <col>' dedup suffix (the keyed row_number
+    # dedup shape returns to the window with a deterministic
+    # tied-keep-col winner). Takes the slot of p81_nl_dsir, whose
+    # importance-weight plan runs INSIDE the in-window
+    # ns_corpus_dsir_sample end-to-end chain; p81 keeps its fresh row
+    # in the committed registry-wide CORRECTNESS_LOCAL.json.
+    "p92_nl_quality_dedup",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

@@ -416,8 +416,13 @@ def compile_spec(
             # duplicate groups are small, so the sort is cheap
             keep = op.get("keep", "min")
             kc = F.col(op["keep_col"])
+            order = [kc.asc() if keep == "min" else kc.desc()]
+            if op.get("tiebreak"):
+                # optional ascending secondary key: deterministic
+                # winner when keep_col ties within a group
+                order.append(F.col(op["tiebreak"]).asc())
             w = Window.partitionBy(*[F.col(k) for k in op["keys"]]).orderBy(
-                kc.asc() if keep == "min" else kc.desc()
+                *order
             )
             df = (
                 df.withColumn("_rn", F.row_number().over(w))

@@ -537,7 +537,8 @@ _SPLIT_ASSIGN = re.compile(
 _DEDUP = re.compile(
     r"^(?:deduplicate|drop\s+duplicates?|remove\s+duplicates?)(?:\s+rows)?"
     r"(?:\s+by\s+(.+?))?"
-    r"(?:\s+keeping\s+the\s+(lowest|highest)\s+(\w+))?$",
+    r"(?:\s+keeping\s+the\s+(lowest|highest)\s+(\w+))?"
+    r"(?:\s+breaking\s+ties\s+by\s+(\w+))?$",
     re.IGNORECASE,
 )
 # corpus-pipeline phrasings (round-8: the LLM-data operators join the
@@ -966,12 +967,22 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
                 raise ParseError(
                     "deduplicate ... keeping ... needs 'by <columns>'"
                 )
-            return {
+            op = {
                 "op": "dedup",
                 "keys": _parse_select_cols(m.group(1)),
                 "keep_col": _resolve_col(m.group(3), columns),
                 "keep": "min" if m.group(2).lower() == "lowest" else "max",
             }
+            if m.group(4):
+                # "breaking ties by <col>": deterministic winner when
+                # keep_col ties within a group (always ascending)
+                op["tiebreak"] = _resolve_col(m.group(4), columns)
+            return op
+        if m.group(4):
+            raise ParseError(
+                "deduplicate ... breaking ties ... needs 'keeping the "
+                "lowest/highest <col>'"
+            )
         op: dict = {"op": "distinct"}
         if m.group(1):
             op["cols"] = _parse_select_cols(m.group(1))

@@ -446,6 +446,10 @@ def validate_op(op: Any) -> None:
             _err(f"dedup needs string 'keep_col': {op!r}")
         if op.get("keep", "min") not in ("min", "max"):
             _err(f"dedup 'keep' must be 'min' or 'max': {op!r}")
+        if "tiebreak" in op and not isinstance(op["tiebreak"], str):
+            # optional secondary order (always ascending): makes the
+            # winner deterministic when keep_col ties within a group
+            _err(f"dedup 'tiebreak' must be a string: {op!r}")
     elif kind == "explode":
         if not isinstance(op.get("col"), str):
             _err(f"explode needs string 'col': {op!r}")

@@ -202,9 +202,14 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 if op.get("keep", "min") == "min"
                 else "DESC NULLS LAST"
             )
+            tb = (
+                f", {_q(op['tiebreak'])} ASC NULLS FIRST"
+                if op.get("tiebreak")
+                else ""
+            )
             inner = wrap(
                 f"*, row_number() OVER (PARTITION BY {part} "
-                f"ORDER BY {_q(op['keep_col'])} {dirn}) AS _rn"
+                f"ORDER BY {_q(op['keep_col'])} {dirn}{tb}) AS _rn"
             )
             sql = f'SELECT * EXCLUDE ("_rn") FROM ({inner}) WHERE "_rn" = 1'
         elif kind == "explode":

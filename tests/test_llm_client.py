@@ -430,3 +430,86 @@ def test_live_oov_spec_roundtrip(spark, tmp_path):
         for r in out.collect()
     }
     assert got == golden
+
+
+@needs_live_llm
+def test_live_majority_spec_roundtrip(spark, tmp_path):
+    """The majority-vote paraphrase against a real model: the LLM must
+    emit the schema-replacing majority spec; per-key winning labels
+    and vote shares must match the canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    canon = "Take the majority vote of event_type per user_id"
+    para = (
+        "Treat each event type as one annotator ballot: which label "
+        "wins for every user, how many of their events back it, and "
+        "was it a tie?"
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=events.columns)
+    golden = {
+        r["user_id"]: (r["majority_label"], r["n_votes"], r["is_tie"])
+        for r in compile_spec(
+            events, parse_description(canon, columns=events.columns)
+        ).collect()
+    }
+    st = run_transform(spark, events, para, out_dir=tmp_path,
+                       llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        int(r["user_id"]): (r["majority_label"], int(r["n_votes"]),
+                            r["is_tie"].lower() == "true")
+        for r in out.collect()
+    }
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_dedup_tiebreak_spec_roundtrip(spark, tmp_path):
+    """The quality-aware exemplar-dedup paraphrase against a real
+    model: the LLM must compose the quality projection with keyed
+    dedup AND use the new 'tiebreak' field so the winner is
+    deterministic; kept doc_ids must match the canonical goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = (
+        "Score the quality of each document and then remove duplicates "
+        "by lang and source keeping the highest quality_score breaking "
+        "ties by doc_id"
+    )
+    para = (
+        "For every language-and-source combination keep just its best "
+        "document by your quality heuristics; when two score the same, "
+        "the smaller doc_id wins."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        r["doc_id"]
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {int(r["doc_id"]) for r in out.collect()}
+    assert got == golden

@@ -2186,3 +2186,44 @@ def test_majority_spec_op_parse_compile_render(spark):
     with _pytest.raises(SpecError):
         compile_spec(df, {"ops": [
             {"op": "majority", "key": "label", "label": "vote"}]})
+
+
+def test_dedup_tiebreak_deterministic_on_tied_keep_col(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["id", "grp", "score"]
+    spec = parse_description(
+        "Remove duplicates by grp keeping the highest score "
+        "breaking ties by id",
+        columns=cols,
+    )
+    assert spec["ops"] == [{
+        "op": "dedup", "keys": ["grp"], "keep_col": "score",
+        "keep": "max", "tiebreak": "id",
+    }]
+    # grp a: scores tie at 2.0 -> the ascending id tiebreak must pick
+    # id 1 on BOTH engines; grp b: plain max wins
+    rows = [(3, "a", 2.0), (1, "a", 2.0), (2, "a", 1.0),
+            (9, "b", 0.5), (8, "b", 0.7)]
+    df = spark.createDataFrame(rows, cols)
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    assert got == [(1, "a", 2.0), (8, "b", 0.7)]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
+
+    # 'breaking ties' without a keep order is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ParseError):
+        parse_description(
+            "Remove duplicates by grp breaking ties by id", columns=cols
+        )
