@@ -4333,7 +4333,7 @@ _WINDOW: list[str] = [
     "x_split_psi",
     "ns_text_word_entropy", "ns_text_distinct_n",
     "ns_corpus_pack_efficiency",
-    "p87_nl_blocklist", "p88_nl_kanonymity", "p89_nl_word_entropy",
+    "p87_nl_blocklist", "p88_nl_kanonymity",
     # sixth-session part 2: the classifier family (on-cluster logreg
     # trainer, calibration, AUC), cluster purity, the OOV audit with
     # its NL twin p90, embedding anisotropy, and CDC chunk dedup.
@@ -4390,6 +4390,13 @@ _WINDOW: list[str] = [
     # ns_corpus_dsir_sample end-to-end chain; p81 keeps its fresh row
     # in the committed registry-wide CORRECTNESS_LOCAL.json.
     "p92_nl_quality_dedup",
+    # seventh-session part 4: split-conformal quality-filter
+    # calibration (percentile thresholds over the hash-split
+    # calibration slice + broadcast-back coverage pass). Takes the
+    # slot of p89_nl_word_entropy, which compiles to the IDENTICAL
+    # plan as the in-window ns_text_word_entropy; p89 keeps its fresh
+    # row in the committed registry-wide CORRECTNESS_LOCAL.json.
+    "ns_quality_conformal",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

@@ -321,3 +321,67 @@ register(
         _t(spark, sf_dir, "documents"), n_bins=10
     )
 )
+
+
+def _conformal_sql() -> str:
+    """Split-conformal oracle: the quality-score formula term for
+    term, the md5 hash split, quantile_cont thresholds over the
+    calibration slice (== Spark percentile, the winsorize precedent),
+    then one UNION ALL arm per coverage level."""
+    levels = [(0.8, 0.2, 80), (0.9, 0.1, 90), (0.95, 0.05, 95)]
+    ts = ", ".join(
+        f"round(quantile_cont(CASE WHEN cal THEN q END, {p!r}), 6) AS t{tag}"
+        for _, p, tag in levels
+    )
+    ks = ", ".join(
+        f"CAST(SUM(CASE WHEN q >= t{tag} THEN 1 ELSE 0 END) AS BIGINT) AS k{tag}"
+        for _, _, tag in levels
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({c!r} AS DOUBLE) AS coverage, n_cal, "
+        f"t{tag} AS threshold, n_test, k{tag} AS n_test_kept, "
+        f"CASE WHEN n_test > 0 THEN round(k{tag} / CAST(n_test AS DOUBLE), 6) "
+        f" ELSE 0.0 END AS observed_coverage FROM one, cov"
+        for c, _, tag in levels
+    )
+    return (
+        "WITH t AS (SELECT doc_id, text, length(text) AS n_chars, "
+        " string_split(text, ' ') AS ws FROM documents), "
+        "m AS (SELECT doc_id, n_chars, len(ws) AS n_words, "
+        " len(list_filter(ws, w -> lower(w) IN ('the','a','of','and','to'))) "
+        "  AS stop_hits, "
+        " len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS nonalnum FROM t), "
+        "s AS (SELECT doc_id, "
+        " round(least(1.0, n_words / 50.0) * 0.5 "
+        "  + (1.0 - least(1.0, round(nonalnum / greatest(n_chars, 1), 6) * 10)) * 0.3 "
+        "  + least(1.0, round(stop_hits / n_words, 6) * 5) * 0.2, 6) AS q "
+        " FROM m), "
+        "b AS (SELECT doc_id, q, "
+        " ('0x' || substr(md5('conf|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        "  % 1000000 < 500000 AS cal FROM s), "
+        "one AS (SELECT "
+        " CAST(SUM(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT) AS n_cal, "
+        " CAST(SUM(CASE WHEN NOT cal THEN 1 ELSE 0 END) AS BIGINT) AS n_test, "
+        f" {ts} FROM b), "
+        f"cov AS (SELECT {ks} FROM b, one WHERE NOT cal) "
+        f"{arms}"
+    )
+
+
+register(
+    "ns_quality_conformal",
+    _conformal_sql(),
+    desc=(
+        "Split-conformal quality-filter calibration: md5 hash split "
+        "into calibration/test, each coverage level's threshold at "
+        "the (1-coverage) exact quantile of calibration quality "
+        "scores, observed test coverage reported beside the target — "
+        "the cutoff with a guarantee instead of a guess. One "
+        "conditional aggregate for all thresholds, one broadcast-back "
+        "coverage pass; two scans total for any number of levels."
+    ),
+)(
+    lambda spark, sf_dir: quality.conformal_quality_thresholds(
+        _t(spark, sf_dir, "documents")
+    )
+)

@@ -192,3 +192,90 @@ def majority_vote(df: DataFrame, item_col: str,
         (F.coalesce(F.col("_votes2"), F.lit(-1)) == F.col("votes"))
         .alias("is_tie"),
     )
+
+
+def conformal_quality_thresholds(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 coverages: tuple = (0.8, 0.9, 0.95),
+                                 cal_fraction: float = 0.5,
+                                 salt: str = "conf") -> DataFrame:
+    """Split-conformal threshold calibration for the quality filter —
+    instead of guessing a cutoff OR eyeballing the sweep table, pick
+    the threshold with a coverage GUARANTEE: hash-split the corpus
+    into calibration/test, set each coverage level's threshold at the
+    (1 - coverage) quantile of calibration quality scores (so at least
+    ~coverage of in-distribution documents survive the filter), then
+    report the OBSERVED test-slice coverage beside the target — the
+    empirical check that the guarantee transfers (Vovk et al.;
+    Angelopoulos & Bates arXiv:2107.07511 for the split form).
+
+    Exactness: the split is the deterministic md5 draw
+    (sampling.hash_draw), thresholds are exact interpolated
+    percentiles over the calibration slice (Spark percentile ==
+    DuckDB quantile_cont, the winsorize precedent) rounded to 6, and
+    coverage counts are integers. Scale shape: pass 1 is ONE
+    conditional aggregate (counts + all percentiles over the
+    null-masked calibration scores); pass 2 broadcasts that 1-row
+    frame onto the test slice for conditional coverage counts; the
+    report rows are exploded with ``stack``. Two scans total,
+    regardless of how many coverage levels."""
+    from .sampling import DRAW_BUCKETS, hash_draw
+    from .text import with_quality_score
+
+    cut = int(cal_fraction * DRAW_BUCKETS)
+    scored = with_quality_score(df, text_col).select(id_col, "quality_score")
+    base = scored.withColumn("_cal", hash_draw(F.col(id_col), salt) < cut)
+    tags = [int(round(c * 100)) for c in coverages]
+    aggs = [
+        F.sum(F.when(F.col("_cal"), 1).otherwise(0)).cast("long").alias("n_cal"),
+        F.sum(F.when(~F.col("_cal"), 1).otherwise(0)).cast("long").alias("n_test"),
+    ]
+    for c, tag in zip(coverages, tags):
+        p = round(1.0 - c, 6)
+        aggs.append(
+            F.round(
+                F.expr(
+                    f"percentile(CASE WHEN _cal THEN quality_score END, {p!r})"
+                ),
+                6,
+            ).alias(f"_t{tag}")
+        )
+    one = base.agg(*aggs)
+    cov = (
+        base.filter(~F.col("_cal"))
+        .crossJoin(F.broadcast(one))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("quality_score") >= F.col(f"_t{tag}"), 1)
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias(f"_k{tag}")
+                for tag in tags
+            ]
+        )
+    )
+    arms = ", ".join(
+        f"double({c!r}), _t{tag}, _k{tag}" for c, tag in zip(coverages, tags)
+    )
+    stacked = one.crossJoin(F.broadcast(cov)).select(
+        "n_cal",
+        "n_test",
+        F.expr(
+            f"stack({len(tags)}, {arms}) AS (coverage, threshold, n_test_kept)"
+        ),
+    )
+    return stacked.select(
+        "coverage",
+        "n_cal",
+        "threshold",
+        "n_test",
+        "n_test_kept",
+        F.when(
+            F.col("n_test") > 0,
+            F.round(F.col("n_test_kept").cast("double") / F.col("n_test"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("observed_coverage"),
+    )

@@ -1865,3 +1865,41 @@ def test_majority_vote_single_label_has_no_runner_up(spark):
     assert got[1]["margin"] == 2 and not got[1]["is_tie"]
     assert got[2]["n_ratings"] == 1 and got[2]["vote_share"] == 1.0
     assert not got[2]["is_tie"]
+
+
+def test_conformal_thresholds_monotone_and_consistent(spark, sf_dir):
+    from agentic_workflow_for_data_transformation_spark.operators.quality import (
+        conformal_quality_thresholds,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = {r["coverage"]: r
+            for r in conformal_quality_thresholds(docs).collect()}
+    assert set(rows) == {0.8, 0.9, 0.95}
+    r80, r90, r95 = rows[0.8], rows[0.9], rows[0.95]
+    # higher target coverage -> LOWER threshold (keep more)
+    assert r95["threshold"] <= r90["threshold"] <= r80["threshold"]
+    # split covers the corpus; same split in every row
+    assert r80["n_cal"] + r80["n_test"] == docs.count()
+    assert r80["n_cal"] == r95["n_cal"] and r80["n_test"] == r95["n_test"]
+    # more kept at lower thresholds; observed coverage tracks targets
+    assert r95["n_test_kept"] >= r90["n_test_kept"] >= r80["n_test_kept"]
+    for c, r in rows.items():
+        assert r["observed_coverage"] >= c - 0.1  # guarantee holds in
+        # expectation; 0.1 slack absorbs split noise on 500 docs
+    # spot-check one level against a direct filter of the test slice
+    from agentic_workflow_for_data_transformation_spark.operators.sampling import (
+        DRAW_BUCKETS,
+        hash_draw,
+    )
+    from agentic_workflow_for_data_transformation_spark.operators.text import (
+        with_quality_score,
+    )
+
+    scored = with_quality_score(docs).withColumn(
+        "_cal", hash_draw(F.col("doc_id"), "conf") < DRAW_BUCKETS // 2
+    )
+    direct = scored.filter(
+        ~F.col("_cal") & (F.col("quality_score") >= r90["threshold"])
+    ).count()
+    assert direct == r90["n_test_kept"]

@@ -822,3 +822,37 @@ def test_anisotropy_single_scan_sufficient_stats(spark):
     plan = plan_of(spark, "ns_embed_anisotropy")
     assert "SortMergeJoin" not in plan
     assert plan.count("Generate posexplode") == 1
+
+
+def test_rrf_fusion_one_exchange_topk_pushed(spark):
+    # one corpus scan scores BOTH rankers; the three per-query windows
+    # share a single query_id exchange (plus the broadcast query
+    # side), and the fused top-k is pushed down as WindowGroupLimit
+    plan = plan_of(spark, "ns_sim_rrf_fusion")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("FileScan") == 2  # corpus + broadcast query side
+
+
+def test_threshold_sweep_single_aggregate_no_window(spark):
+    # every candidate cutoff is a conditional SUM inside ONE global
+    # aggregate: a single scan pruned to the text column, one 1-row
+    # exchange, stack explode — no window, no join, no second scan
+    plan = plan_of(spark, "ns_quality_threshold_sweep")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert "ReadSchema: struct<text:string>" in plan
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan
+
+
+def test_majority_vote_key_partitioned_windows_only(spark):
+    # the (item,label) aggregate then item-partitioned windows: no
+    # joins, no global window, at most two exchanges
+    plan = plan_of(spark, "ns_quality_majority_vote")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^,)]+)", plan):
+        assert "item" in m.group(1)  # every window is item-partitioned

@@ -203,6 +203,7 @@ QUERIES = [
     "ns_quality_threshold_sweep",
     "p91_nl_majority",
     "p92_nl_quality_dedup",
+    "ns_quality_conformal",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
