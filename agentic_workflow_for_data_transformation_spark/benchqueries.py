@@ -4280,7 +4280,6 @@ _WINDOW: list[str] = [
     "ns_dedup_semantic", "p78_nl_redact",
     "ns_text_perplexity_buckets",
     "ns_dedup_incremental_lsh", "ns_text_bpe_encode", "p79_nl_expectations",
-    "ns_split_leakage_audit",
     # fourth-session additions (rotated in over four (c) freshness
     # picks — all four rotated-out queries keep their old driver rows
     # plus full-registry CORRECTNESS_LOCAL coverage)
@@ -4397,6 +4396,14 @@ _WINDOW: list[str] = [
     # plan as the in-window ns_text_word_entropy; p89 keeps its fresh
     # row in the committed registry-wide CORRECTNESS_LOCAL.json.
     "ns_quality_conformal",
+    # seventh-session part 5: Krippendorff's alpha, the varying-n
+    # agreement gate beside the in-window fixed-n Fleiss kappa. Takes
+    # the slot of ns_split_leakage_audit, whose composition is covered
+    # piecewise in-window: the LSH probe/verify chain by
+    # ns_dedup_incremental_lsh and the md5 hash split by x_split_psi /
+    # ns_classify_prf; the audit keeps its fresh row in the committed
+    # registry-wide CORRECTNESS_LOCAL.json.
+    "ns_quality_kripp_alpha",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

@@ -385,3 +385,49 @@ register(
         _t(spark, sf_dir, "documents")
     )
 )
+
+
+register(
+    "ns_quality_kripp_alpha",
+    # same derived annotation batch as fleiss/majority, but NO
+    # trimming — alpha handles varying ratings-per-item natively
+    "WITH nij AS (SELECT event_id % 311 AS item, event_type AS label, "
+    " CAST(count(*) AS BIGINT) AS nij FROM events GROUP BY 1, 2), "
+    "pi AS (SELECT item, CAST(SUM(nij) AS BIGINT) AS ni, "
+    " CAST(SUM(nij * (nij - 1)) AS BIGINT) AS ai FROM nij GROUP BY 1), "
+    "pa AS (SELECT * FROM pi WHERE ni >= 2), "
+    "dr AS (SELECT CAST(count(*) AS BIGINT) AS n_items_dropped "
+    "       FROM pi WHERE ni < 2), "
+    "occ AS (SELECT CAST(count(*) AS BIGINT) AS n_items, "
+    " SUM(CAST(round(ai / CAST(ni - 1 AS DOUBLE), 12) AS DECIMAL(24,12))) "
+    "  AS socc FROM pa), "
+    "mc AS (SELECT label, SUM(nij) AS nc FROM nij "
+    "       JOIN pa USING (item) GROUP BY 1), "
+    "marg AS (SELECT CAST(count(*) AS INTEGER) AS n_categories, "
+    " CAST(SUM(nc) AS BIGINT) AS n_ratings, "
+    " CAST(SUM(nc * nc) AS BIGINT) AS nc2 FROM mc) "
+    "SELECT n_items, n_items_dropped, n_ratings, n_categories, "
+    " round(n_ratings - CAST(socc AS DOUBLE), 6) AS d_observed, "
+    " round((CAST(n_ratings AS DOUBLE) * n_ratings - nc2) "
+    "   / (n_ratings - 1.0), 6) AS d_expected, "
+    " round(1.0 - (n_ratings - CAST(socc AS DOUBLE)) "
+    "   / ((CAST(n_ratings AS DOUBLE) * n_ratings - nc2) "
+    "      / (n_ratings - 1.0)), 6) AS alpha "
+    "FROM occ CROSS JOIN marg CROSS JOIN dr",
+    desc=(
+        "Krippendorff's alpha (nominal) over the derived annotation "
+        "batch with NO per-item trimming — the agreement gate when "
+        "ratings-per-item vary (unlike Fleiss' fixed-n): coincidence-"
+        "matrix D_o vs D_e from exact integer marginals, per-item "
+        "quotients pinned DECIMAL(24,12) so the sum is partition-order "
+        "exact. One hash aggregate, one fold, two 1-row aggregates."
+    ),
+)(
+    lambda spark, sf_dir: stats.krippendorff_alpha(
+        _t(spark, sf_dir, "events").select(
+            (F.col("event_id") % 311).alias("item"),
+            F.col("event_type").alias("label"),
+        ),
+        item_col="item", label_col="label",
+    )
+)

@@ -742,3 +742,76 @@ def fleiss_kappa(df: DataFrame, item_col: str, label_col: str,
             F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
         )
     )
+
+
+def krippendorff_alpha(df: DataFrame, item_col: str,
+                       label_col: str) -> DataFrame:
+    """Krippendorff's alpha (nominal data) — the agreement coefficient
+    that, unlike Fleiss' kappa, needs NO fixed number of ratings per
+    item: every item with >= 2 ratings contributes all its rating
+    pairs through the coincidence-matrix formulation (Krippendorff,
+    Content Analysis; nominal metric). The right gate when annotator
+    counts vary — redundant labeling, partial re-review, vote top-ups.
+
+    With n_ic the count of category c in item i, n_i = sum_c n_ic
+    (items with n_i >= 2 only), marginals n_c = sum_i n_ic,
+    n = sum_c n_c:
+
+        sum_c o_cc = sum_i [ sum_c n_ic (n_ic - 1) ] / (n_i - 1)
+        D_o = n - sum_c o_cc                (observed disagreement)
+        D_e = (n^2 - sum_c n_c^2) / (n - 1) (expected disagreement)
+        alpha = 1 - D_o / D_e
+
+    Exactness: each item's quotient is a double division of two exact
+    integers (identical IEEE result on any engine) rounded to 12 and
+    pinned DECIMAL(24,12), so the cross-item sum is partition-order
+    exact; marginals are pure integers; alpha is closed-form doubles
+    from those exact terms. Scale shape: one (item,label) hash
+    aggregate, one per-item fold, two global 1-row aggregates — no
+    windows, no joins against data-sized sides, no driver state."""
+    nij = df.groupBy(item_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    )
+    per_item = nij.groupBy(item_col).agg(
+        F.sum("nij").cast("long").alias("ni"),
+        F.sum(F.col("nij") * (F.col("nij") - 1)).cast("long").alias("ai"),
+    )
+    pairable = per_item.filter(F.col("ni") >= 2)
+    dropped = per_item.filter(F.col("ni") < 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items_dropped")
+    )
+    occ = pairable.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(
+            F.round(
+                F.col("ai").cast("double") / (F.col("ni") - 1).cast("double"),
+                12,
+            ).cast("decimal(24,12)")
+        ).alias("_socc"),
+    )
+    marg = (
+        nij.join(pairable.select(item_col), item_col)
+        .groupBy(label_col)
+        .agg(F.sum("nij").cast("long").alias("nc"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_categories"),
+            F.sum("nc").cast("long").alias("n_ratings"),
+            F.sum(F.col("nc") * F.col("nc")).cast("long").alias("_nc2"),
+        )
+    )
+    n = F.col("n_ratings").cast("double")
+    d_o = n - F.col("_socc").cast("double")
+    d_e = (n * n - F.col("_nc2").cast("double")) / (n - F.lit(1.0))
+    return (
+        occ.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(dropped))
+        .select(
+            "n_items",
+            "n_items_dropped",
+            "n_ratings",
+            "n_categories",
+            F.round(d_o, 6).alias("d_observed"),
+            F.round(d_e, 6).alias("d_expected"),
+            F.round(F.lit(1.0) - d_o / d_e, 6).alias("alpha"),
+        )
+    )

@@ -1903,3 +1903,30 @@ def test_conformal_thresholds_monotone_and_consistent(spark, sf_dir):
         ~F.col("_cal") & (F.col("quality_score") >= r90["threshold"])
     ).count()
     assert direct == r90["n_test_kept"]
+
+
+def test_krippendorff_alpha_hand_cases(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        krippendorff_alpha,
+    )
+
+    # perfect agreement (every pairable item unanimous) -> alpha = 1;
+    # the single-rating item is dropped and counted
+    rows = ([("a", "x")] * 3 + [("b", "y")] * 4 + [("c", "x")])
+    df = spark.createDataFrame(rows, ["item", "lab"])
+    out = krippendorff_alpha(df, "item", "lab").collect()[0]
+    assert out["n_items"] == 2 and out["n_items_dropped"] == 1
+    assert out["n_ratings"] == 7
+    assert out["d_observed"] == 0.0 and out["alpha"] == 1.0
+
+    # Krippendorff's canonical nominal example (Content Analysis):
+    # coders disagree maximally within items -> alpha < 0 is possible;
+    # here two items each split 1-1 across two categories:
+    # socc = 0, n = 4, D_o = 4, D_e = (16 - 8)/3 -> alpha = 1 - 4/(8/3)
+    rows2 = [("i1", "x"), ("i1", "y"), ("i2", "x"), ("i2", "y")]
+    out2 = krippendorff_alpha(
+        spark.createDataFrame(rows2, ["item", "lab"]), "item", "lab"
+    ).collect()[0]
+    assert out2["d_observed"] == 4.0
+    assert abs(out2["d_expected"] - 8.0 / 3.0) < 1e-6
+    assert abs(out2["alpha"] - (1.0 - 4.0 / (8.0 / 3.0))) < 1e-6

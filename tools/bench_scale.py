@@ -204,6 +204,7 @@ QUERIES = [
     "p91_nl_majority",
     "p92_nl_quality_dedup",
     "ns_quality_conformal",
+    "ns_quality_kripp_alpha",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
