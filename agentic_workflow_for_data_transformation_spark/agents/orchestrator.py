@@ -158,6 +158,11 @@ Corpus / dataset ops (only when the description asks for them):
       label aggregation; REPLACES the schema with key, majority_label,
       n_ratings, n_votes, vote_share, margin, is_tie; ties break to
       the smaller label and set is_tie)
+  {{"op": "agreement", "key": "item", "label": "vote"}}
+      (Krippendorff's alpha inter-annotator agreement, nominal,
+      varying ratings per key; REPLACES the schema with ONE report
+      row: n_items, n_items_dropped, n_ratings, n_categories,
+      d_observed, d_expected, alpha)
 Aggregate fns: count (col "*" allowed), avg, sum, min, max, median,
 count_distinct. Expressions are nested 1-key dicts (a bare string is a
 column reference, a bare number/bool a literal): col/lit/gt/ge/lt/le/
@@ -308,8 +313,9 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # privacy audit -> one report row; entropy -> per-doc stats;
         # oov -> per-group coverage rows
         "kanon", "word_entropy", "oov",
-        # majority vote -> one aggregated label row per key
-        "majority",
+        # majority vote -> one aggregated label row per key;
+        # agreement -> one alpha report row
+        "majority", "agreement",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -404,7 +410,8 @@ def critic_agent(
             "means the filter matched zero rows, a valid result.\n"
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
-            "dedup_savings, kanon, word_entropy, oov, majority) REPLACE the "
+            "dedup_savings, kanon, word_entropy, oov, majority, "
+            "agreement) REPLACE the "
             "columns with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "

@@ -3933,6 +3933,33 @@ def p92_nl_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P92_DESC)
 
 
+_P93_DESC = "Compute the inter-annotator agreement of event_type per user_id"
+
+
+def _p93_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P93_DESC,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+        "events",
+    )
+
+
+@register("p93_nl_agreement", _p93_oracle())
+def p93_nl_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL agreement gate: 'compute the inter-annotator agreement of
+    <label> per <key>' — stats.krippendorff_alpha behind one clause
+    (schema-replacing): the nominal coincidence-matrix alpha over
+    however many ratings each key has (no fixed-n trimming), one
+    report row out. Exact integer marginals, DECIMAL(24,12)-pinned
+    per-item quotients; the oracle renders the identical chain."""
+    return _nl(spark, sf_dir, "events", _P93_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4402,7 +4429,10 @@ _WINDOW: list[str] = [
     # piecewise in-window: the LSH probe/verify chain by
     # ns_dedup_incremental_lsh and the md5 hash split by x_split_psi /
     # ns_classify_prf; the audit keeps its fresh row in the committed
-    # registry-wide CORRECTNESS_LOCAL.json.
+    # registry-wide CORRECTNESS_LOCAL.json. Its NL twin p93_nl_agreement
+    # compiles to the IDENTICAL plan (different key literals) and stays
+    # out-of-window with a fresh CORRECTNESS_LOCAL row — rotate it in
+    # next round.
     "ns_quality_kripp_alpha",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,

@@ -569,6 +569,10 @@ def compile_spec(
             from ..operators.quality import majority_vote
 
             df = majority_vote(df, op["key"], op["label"])
+        elif kind == "agreement":
+            from ..operators.stats import krippendorff_alpha
+
+            df = krippendorff_alpha(df, op["key"], op["label"])
         elif kind == "word_entropy":
             from ..operators.text import word_entropy
 

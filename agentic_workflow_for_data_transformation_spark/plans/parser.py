@@ -416,6 +416,15 @@ _KANON = re.compile(
     r"at\s+(\d+)\s*$",
     re.IGNORECASE,
 )
+# "compute the inter-annotator agreement of <label> per <key>" ->
+# Krippendorff's alpha, nominal (stats.krippendorff_alpha) — the
+# varying-ratings-per-item form, so no trimming clause is needed;
+# schema-replacing one-row report
+_AGREEMENT = re.compile(
+    r"^(?:compute|report|check)\s+(?:the\s+)?(?:inter-?annotator\s+)?"
+    r"agreement\s+(?:of|on)\s+(\w+)\s+per\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 # "take the majority vote of <label> per <key>" -> per-key winning
 # label with ratings/share/margin/tie flag (quality.majority_vote),
 # schema-replacing
@@ -853,6 +862,12 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
                 for c in re.split(r",|\s+and\s+", m.group(1))
             ],
             "k": int(m.group(2)),
+        }
+    if m := _AGREEMENT.match(clause):
+        return {
+            "op": "agreement",
+            "label": _resolve_col(m.group(1), columns),
+            "key": _resolve_col(m.group(2), columns),
         }
     if m := _MAJORITY.match(clause):
         return {

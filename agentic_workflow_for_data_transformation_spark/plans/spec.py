@@ -81,6 +81,11 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # row per key (key, majority_label, n_ratings, n_votes,
       # vote_share, margin, is_tie); ties break to the smaller label
       # and are flagged
+  {"op": "agreement", "key": "item", "label": "vote"}
+      # Krippendorff's alpha (nominal, varying ratings per item);
+      # REPLACES the schema with ONE report row (n_items,
+      # n_items_dropped, n_ratings, n_categories, d_observed,
+      # d_expected, alpha)
   {"op": "word_entropy", "id_col": "doc_id"?, "text_col": "text"?}
       # per-document word-distribution Shannon entropy; REPLACES the
       # schema with (id, n_words, n_distinct, entropy, evenness)
@@ -613,17 +618,17 @@ def validate_op(op: Any) -> None:
         kk = op.get("k")
         if not (isinstance(kk, int) and not isinstance(kk, bool) and kk >= 2):
             _err(f"kanon needs an int 'k' >= 2: {op!r}")
-    elif kind == "majority":
+    elif kind in ("majority", "agreement"):
         for f in ("key", "label"):
             if not isinstance(op.get(f), str):
-                _err(f"majority needs a string '{f}': {op!r}")
+                _err(f"{kind} needs a string '{f}': {op!r}")
         if op["key"] == op["label"]:
-            _err(f"majority 'key' and 'label' must differ: {op!r}")
+            _err(f"{kind} 'key' and 'label' must differ: {op!r}")
         if op["key"] == "label":
             # the rendered SQL aliases the label column to 'label'
             # inside its innermost aggregate; a key named 'label'
             # would collide there
-            _err(f"majority 'key' may not be named 'label': {op!r}")
+            _err(f"{kind} 'key' may not be named 'label': {op!r}")
     elif kind == "word_entropy":
         for f in ("id_col", "text_col"):
             if f in op and not isinstance(op[f], str):

@@ -440,6 +440,41 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"  CAST(count(*) AS BIGINT) AS votes "
                 f"  FROM ({sql}) GROUP BY 1, 2)) WHERE rn = 1"
             )
+        elif kind == "agreement":
+            # mirrors operators/stats.krippendorff_alpha (the
+            # ns_quality_kripp_alpha oracle, parameterized):
+            # coincidence-matrix D_o/D_e from integer marginals,
+            # per-item quotients pinned DECIMAL(24,12)
+            key = _q(op["key"])
+            lab = _q(op["label"])
+            sql = (
+                f"WITH nij AS (SELECT {key} AS item, {lab} AS label, "
+                f" CAST(count(*) AS BIGINT) AS nij FROM ({sql}) "
+                f" GROUP BY 1, 2), "
+                "pi AS (SELECT item, CAST(SUM(nij) AS BIGINT) AS ni, "
+                " CAST(SUM(nij * (nij - 1)) AS BIGINT) AS ai "
+                " FROM nij GROUP BY 1), "
+                "pa AS (SELECT * FROM pi WHERE ni >= 2), "
+                "dr AS (SELECT CAST(count(*) AS BIGINT) AS "
+                " n_items_dropped FROM pi WHERE ni < 2), "
+                "occ AS (SELECT CAST(count(*) AS BIGINT) AS n_items, "
+                " SUM(CAST(round(ai / CAST(ni - 1 AS DOUBLE), 12) "
+                "  AS DECIMAL(24,12))) AS socc FROM pa), "
+                "mc AS (SELECT label, SUM(nij) AS nc FROM nij "
+                " JOIN pa USING (item) GROUP BY 1), "
+                "marg AS (SELECT CAST(count(*) AS INTEGER) AS "
+                " n_categories, CAST(SUM(nc) AS BIGINT) AS n_ratings, "
+                " CAST(SUM(nc * nc) AS BIGINT) AS nc2 FROM mc) "
+                "SELECT n_items, n_items_dropped, n_ratings, "
+                " n_categories, "
+                " round(n_ratings - CAST(socc AS DOUBLE), 6) AS d_observed, "
+                " round((CAST(n_ratings AS DOUBLE) * n_ratings - nc2) "
+                "  / (n_ratings - 1.0), 6) AS d_expected, "
+                " round(1.0 - (n_ratings - CAST(socc AS DOUBLE)) "
+                "  / ((CAST(n_ratings AS DOUBLE) * n_ratings - nc2) "
+                "    / (n_ratings - 1.0)), 6) AS alpha "
+                "FROM occ CROSS JOIN marg CROSS JOIN dr"
+            )
         elif kind == "word_entropy":
             # mirrors operators/text.word_entropy (the
             # ns_text_word_entropy oracle, parameterized): per-word

@@ -187,3 +187,58 @@ def score_logreg_stream(docs: DataFrame, model_path: str, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_conformal_thresholds(corpus: DataFrame, path: str,
+                               **kwargs) -> None:
+    """Calibrate the split-conformal quality thresholds on a reference
+    corpus (quality.conformal_quality_thresholds) and persist the
+    3-row threshold table — the stream gate's fixed state, swapped by
+    path like the ANN index / centroid model / logreg weights, never
+    by stream surgery."""
+    from ..operators.quality import conformal_quality_thresholds
+
+    conformal_quality_thresholds(corpus, **kwargs).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def quality_gate_stream(docs: DataFrame, thresholds_path: str,
+                        out_dir: str, checkpoint_dir: str,
+                        coverage: float = 0.9,
+                        text_col: str = "text"):
+    """Streaming conformal quality gate: every document micro-batch is
+    scored with the deterministic quality heuristics and filtered by
+    the PERSISTED calibrated threshold for the chosen coverage level —
+    the ingest-time filter whose cutoff carries a guarantee instead of
+    a guess. foreachBatch runs the identical batch projection
+    (text.with_quality_score), so stream/batch parity is by
+    construction; a document's fate depends only on its own text, so
+    no watermark and no state store. Returns the started
+    StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import with_quality_score
+
+    rows = docs.sparkSession.read.parquet(thresholds_path).collect()
+    matches = [r for r in rows if abs(r["coverage"] - coverage) < 1e-9]
+    if not matches:
+        raise ValueError(
+            f"no calibrated threshold for coverage {coverage!r}; "
+            f"have {sorted(r['coverage'] for r in rows)}"
+        )
+    threshold = float(matches[0]["threshold"])
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.limit(1).count() == 0:
+            return
+        with_quality_score(batch, text_col).filter(
+            F.col("quality_score") >= threshold
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

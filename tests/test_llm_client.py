@@ -513,3 +513,39 @@ def test_live_dedup_tiebreak_spec_roundtrip(spark, tmp_path):
     out = spark.read.option("header", True).csv(st.output_path)
     got = {int(r["doc_id"]) for r in out.collect()}
     assert got == golden
+
+
+@needs_live_llm
+def test_live_agreement_spec_roundtrip(spark, tmp_path):
+    """The agreement paraphrase against a real model: the LLM must
+    emit the schema-replacing agreement spec (Krippendorff's alpha);
+    the one-row report must match the canonical-phrasing golden."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    canon = "Compute the inter-annotator agreement of event_type per user_id"
+    para = (
+        "If each user's events were independent annotators assigning "
+        "that user a label, do they actually agree? Chance-corrected, "
+        "please — Krippendorff-style, one summary row."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=events.columns)
+    (g,) = compile_spec(
+        events, parse_description(canon, columns=events.columns)
+    ).collect()
+    st = run_transform(spark, events, para, out_dir=tmp_path,
+                       llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    (r,) = out.collect()
+    assert int(r["n_items"]) == g["n_items"]
+    assert int(r["n_ratings"]) == g["n_ratings"]
+    assert abs(float(r["alpha"]) - g["alpha"]) < 1e-9

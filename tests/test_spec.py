@@ -2227,3 +2227,37 @@ def test_dedup_tiebreak_deterministic_on_tied_keep_col(spark):
         parse_description(
             "Remove duplicates by grp breaking ties by id", columns=cols
         )
+
+
+def test_agreement_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["item", "vote", "value"]
+    spec = parse_description(
+        "Compute the inter-annotator agreement of vote per item",
+        columns=cols,
+    )
+    assert spec["ops"] == [{"op": "agreement", "label": "vote", "key": "item"}]
+    # two unanimous items + one maximally-split item + one dropped
+    # single-rating item
+    rows = (
+        [(1, "a", 0.0)] * 3 + [(2, "b", 0.0)] * 3
+        + [(3, "a", 0.0), (3, "b", 0.0)]
+        + [(4, "a", 0.0)]
+    )
+    df = spark.createDataFrame(rows, cols)
+    (r,) = compile_spec(df, spec).collect()
+    assert r["n_items"] == 3 and r["n_items_dropped"] == 1
+    assert r["n_ratings"] == 8 and r["n_categories"] == 2
+    assert r["d_observed"] == 2.0  # only item 3's cross-pair coincidences
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    (o,) = con.sql(spec_to_sql(spec, "t")).fetchall()
+    assert tuple(r) == o

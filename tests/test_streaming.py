@@ -951,3 +951,60 @@ def test_logreg_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in score_logreg_hashed_bow(batch_docs, weights).collect()
     }
     assert got == want and got
+
+
+def test_quality_gate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming conformal quality gate vs the batch filter: calibrate
+    thresholds once on the full documents table, persist them, stream
+    the same documents through quality_gate_stream at coverage 0.9,
+    and require the union of kept micro-batch rows to EQUAL the batch
+    with_quality_score filter at the persisted threshold — parity is
+    by construction (foreachBatch runs the identical projection),
+    this pins it. Also pins the unknown-coverage guard."""
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.operators.text import (
+        with_quality_score,
+    )
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+    from agentic_workflow_for_data_transformation_spark.streaming.serve import (
+        quality_gate_stream,
+        write_conformal_thresholds,
+    )
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    tpath = str(tmp_path / "thresholds")
+    write_conformal_thresholds(docs, tpath)
+
+    stream_docs = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out_dir = str(tmp_path / "kept")
+    q = quality_gate_stream(
+        stream_docs, tpath, out_dir, str(tmp_path / "ckpt"), coverage=0.9
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    (t,) = [
+        r["threshold"]
+        for r in spark.read.parquet(tpath).collect()
+        if abs(r["coverage"] - 0.9) < 1e-9
+    ]
+    want = {
+        r["doc_id"]
+        for r in with_quality_score(docs)
+        .filter(F.col("quality_score") >= t)
+        .collect()
+    }
+    assert got == want and got
+    with _pytest.raises(ValueError):
+        quality_gate_stream(
+            stream_docs, tpath, out_dir, str(tmp_path / "ckpt2"),
+            coverage=0.42,
+        )

@@ -349,11 +349,46 @@ def main() -> None:
         foreach=_lr_score,
     )
 
+    # conformal quality-gate rung (round-8 seventh session): document
+    # micro-batches scored with the deterministic quality heuristics
+    # and filtered by the threshold CALIBRATED on the reference corpus
+    # — the same per-batch plan streaming/serve.quality_gate_stream
+    # runs. Offered in DOCUMENT rows at rate/10 (the word-array
+    # scan + stopword filter + translate residue dominate per-doc).
+    from agentic_workflow_for_data_transformation_spark.operators.quality import (
+        conformal_quality_thresholds,
+    )
+    from agentic_workflow_for_data_transformation_spark.operators.text import (
+        with_quality_score,
+    )
+
+    (gate_t,) = [
+        float(r["threshold"])
+        for r in conformal_quality_thresholds(
+            ref.select("doc_id", "text")
+        ).collect()
+        if abs(r["coverage"] - 0.9) < 1e-9
+    ]
+
+    def _gate(batch: DataFrame, batch_id: int) -> None:
+        with_quality_score(batch).filter(
+            F.col("quality_score") >= gate_t
+        ).write.format("noop").mode("overwrite").save()
+
+    gate_row = measure(
+        "quality_gate (8-token docs at rate/10 vs calibrated conformal threshold; stateless)",
+        dsir_docs,
+        "append",
+        args.seconds,
+        foreach=_gate,
+    )
+
     results = [
         cms_row,
         dsir_row,
         nc_row,
         lr_row,
+        gate_row,
         ann_row,
         measure("source_to_sink (projection only)", ev, "append", args.seconds),
         measure(

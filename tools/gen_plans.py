@@ -286,6 +286,31 @@ HEADLINE: list[tuple[str, str]] = [
         "at 100 TB the cost is the quasi-key groupBy you'd pay for any "
         "cardinality profile.",
     ),
+    (
+        "ns_sim_rrf_fusion",
+        "Hybrid-retrieval rank fusion: ONE corpus scan scores both the "
+        "cosine and dot-product rankers against the broadcast query side; "
+        "the three per-query rank windows share a single query_id "
+        "exchange, and the fused top-k plans as WindowGroupLimit (partial "
+        "per-partition top-k before the exchange), never a global sort.",
+    ),
+    (
+        "ns_quality_threshold_sweep",
+        "All ten candidate quality cutoffs as conditional SUMs inside ONE "
+        "global aggregate: a single scan pruned to the text column, one "
+        "1-row partial-aggregated exchange, report rows exploded with "
+        "stack — sweeping thresholds costs the one scan you'd pay to "
+        "apply a single guessed cutoff.",
+    ),
+    (
+        "ns_sim_mmr_rerank",
+        "MMR diversity rerank with the right split of labor: the corpus "
+        "scan, per-query top-pool window, and pool-pairwise cosines are "
+        "ordinary distributed ops; the inherently-sequential greedy "
+        "selection touches only the bounded per-query pool inside "
+        "applyInPandas partitioned BY QUERY — a million queries rerank "
+        "in parallel with no driver state.",
+    ),
 ]
 
 
