@@ -2129,7 +2129,11 @@ def mmr_rerank(df: DataFrame, query_ids: list[int], k: int = 5,
     evaluated in float64 on those pinned inputs — the identical IEEE
     expression the SQL oracle orders by — so the selection sequence is
     engine-reproducible. Emitted max_sim_prev is 0.0 for step 1 (no
-    selected set yet) by convention."""
+    selected set yet) by convention. The greedy's input is the pool's
+    PAIR table, so a query whose pool holds a single candidate (corpus
+    of 1 non-query row) contributes no pairs and emits no rows —
+    reranking needs >= 2 candidates to trade off; callers wanting the
+    degenerate passthrough should use the plain top-k."""
     import pandas as pd
 
     dim = probe_dim(df, vec_col, dim)
