@@ -3960,6 +3960,39 @@ def p93_nl_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P93_DESC)
 
 
+_P94_DESC = (
+    "Add exponential moving average of value over last 5 rows per "
+    "user_id ordered by event_id with smoothing 0.7"
+)
+
+
+def _p94_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P94_DESC,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+        "events",
+    )
+
+
+@register("p94_nl_ewma", _p94_oracle())
+def p94_nl_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL smoothing window: 'add exponential moving average of <col>
+    over last N rows per <key> ordered by <o> [with smoothing a]' —
+    the ewma window fn compiles to a BOUNDED weighted lag chain
+    (a^j float-literal weights, additions in ascending j,
+    renormalized over the lags that exist near the partition start),
+    so the double result is bit-identical cross-engine with no
+    recursive state and no UDF; the N lags share the window's one
+    sort per key. The unique event_id order key keeps the chain
+    tie-deterministic. The oracle renders the identical chain."""
+    return _nl(spark, sf_dir, "events", _P94_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4406,7 +4439,7 @@ _WINDOW: list[str] = [
     # (md5 hash-draw filter — the draw is computed in-window by both
     # x_split_psi and ns_classify_prf). All three keep fresh rows in
     # the committed registry-wide CORRECTNESS_LOCAL.json.
-    "ns_quality_majority_vote", "p91_nl_majority",
+    "p91_nl_majority",
     "ns_quality_threshold_sweep",
     # seventh-session part 3: quality-aware exemplar dedup via the new
     # 'breaking ties by <col>' dedup suffix (the keyed row_number
@@ -4424,16 +4457,24 @@ _WINDOW: list[str] = [
     # row in the committed registry-wide CORRECTNESS_LOCAL.json.
     "ns_quality_conformal",
     # seventh-session part 5: Krippendorff's alpha, the varying-n
-    # agreement gate beside the in-window fixed-n Fleiss kappa. Takes
-    # the slot of ns_split_leakage_audit, whose composition is covered
+    # agreement gate beside the in-window fixed-n Fleiss kappa — gated
+    # through its NL twin p93_nl_agreement, which compiles to the
+    # IDENTICAL coincidence-matrix plan (different key literals) and
+    # additionally exercises the parser clause and the parameterized
+    # sqlgen rendering; ns_quality_kripp_alpha keeps a fresh row in
+    # the committed registry-wide CORRECTNESS_LOCAL.json. Slot funded
+    # by ns_split_leakage_audit, whose composition is covered
     # piecewise in-window: the LSH probe/verify chain by
     # ns_dedup_incremental_lsh and the md5 hash split by x_split_psi /
-    # ns_classify_prf; the audit keeps its fresh row in the committed
-    # registry-wide CORRECTNESS_LOCAL.json. Its NL twin p93_nl_agreement
-    # compiles to the IDENTICAL plan (different key literals) and stays
-    # out-of-window with a fresh CORRECTNESS_LOCAL row — rotate it in
-    # next round.
-    "ns_quality_kripp_alpha",
+    # ns_classify_prf; the audit keeps its fresh local row too.
+    "p93_nl_agreement",
+    # seventh-session part 6: the ewma window fn (bounded weighted lag
+    # chain) via its NL phrasing p94 — a NEW plan shape (n lag window
+    # functions sharing one key-partitioned sort). Takes the slot of
+    # ns_quality_majority_vote, whose plan is IDENTICAL to the
+    # in-window p91_nl_majority (different key literals); it keeps a
+    # fresh row in the committed registry-wide CORRECTNESS_LOCAL.json.
+    "p94_nl_ewma",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

@@ -193,6 +193,27 @@ def _apply_window(df: DataFrame, op: dict) -> DataFrame:
         elif fn in ("lag", "lead"):
             base = F.lag if fn == "lag" else F.lead
             col = base(e["col"], e.get("offset", 1)).over(w)
+        elif fn == "ewma":
+            # exponentially weighted moving average over a BOUNDED lag
+            # chain: ewma_t = sum_j a^j x_{t-j} / sum_j a^j over the
+            # available (non-null) lags j = 0..n — the weights are
+            # FIXED float literals and the additions run in ascending
+            # j on both engines, so the double result is bit-identical
+            # and the oracle renders the same chain (no recursive
+            # state, no UDF; n lag window functions share w's one
+            # sort). Rows near the partition start renormalize over
+            # the lags that exist.
+            a = float(e["alpha"])
+            n = int(e["rows_preceding"])
+            x0 = F.col(e["col"]).cast("double")
+            num = F.when(x0.isNotNull(), F.lit(1.0) * x0).otherwise(F.lit(0.0))
+            den = F.when(x0.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+            for j in range(1, n + 1):
+                lx = F.lag(x0, j).over(w)
+                wj = F.lit(a ** j)
+                num = num + F.when(lx.isNotNull(), wj * lx).otherwise(F.lit(0.0))
+                den = den + F.when(lx.isNotNull(), wj).otherwise(F.lit(0.0))
+            col = F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(None))
         elif fn == "median":
             # Spark refuses median() over an ordered/framed window
             # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so build it

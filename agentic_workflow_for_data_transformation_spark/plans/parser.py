@@ -652,6 +652,16 @@ _MOVING = re.compile(
     r"\s+over\s+last\s+(\d+)\s+rows\s+per\s+(\w+)\s+ordered\s+by\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+# "add exponential moving average of value over last 5 rows per
+# user_id ordered by ts [with smoothing 0.7]" — bounded weighted lag
+# chain (a^j weights, renormalized over available lags); default
+# smoothing 0.5
+_EWMA = re.compile(
+    r"^add\s+exponential\s+moving\s+average\s+of\s+(\w+)"
+    r"\s+over\s+last\s+(\d+)\s+rows\s+per\s+(\w+)\s+ordered\s+by\s+(\w+)"
+    r"(?:\s+with\s+smoothing\s+(0?\.\d+))?\s*$",
+    re.IGNORECASE,
+)
 # multi-aggregate group-by: "group by K and show total a, average b and
 # count rows [where ...]" — one aggregation pass, several outputs
 _GROUP_MULTI = re.compile(
@@ -1240,6 +1250,23 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "partition_by": [m.group(3)],
             "order_by": [{"col": m.group(4), "asc": True}],
             "exprs": [{"fn": fn, "col": col, "alias": f"running_{fn}_{col}"}],
+        }
+    if m := _EWMA.match(clause):
+        col = _resolve_col(m.group(1), columns)
+        n = int(m.group(2))
+        if n < 2:
+            raise ParseError(
+                f"exponential moving average needs at least 2 rows: {clause!r}"
+            )
+        return {
+            "op": "window",
+            "partition_by": [m.group(3)],
+            "order_by": [{"col": m.group(4), "asc": True}],
+            "exprs": [{
+                "fn": "ewma", "col": col, "alias": f"ewma_{col}",
+                "alpha": float(m.group(5)) if m.group(5) else 0.5,
+                "rows_preceding": n - 1,
+            }],
         }
     if m := _MOVING.match(clause):
         fn = _RUNNING_FNS[m.group(1).lower()]

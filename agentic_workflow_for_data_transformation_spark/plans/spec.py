@@ -229,7 +229,7 @@ AGG_FNS = {"count", "avg", "sum", "min", "max", "count_distinct", "listagg",
 PIVOT_AGG_FNS = {"count", "avg", "sum", "min", "max"}
 WINDOW_FNS = {"row_number", "rank", "dense_rank", "lag", "lead", "sum", "avg",
               "count", "min", "max", "ntile", "percent_rank", "cume_dist",
-              "first_value", "median"}
+              "first_value", "median", "ewma"}
 JOIN_TYPES = {"inner", "left", "right", "full", "left_semi", "left_anti", "cross"}
 
 _BINARY_OPS = {"gt", "ge", "lt", "le", "eq", "ne", "add", "sub", "mul", "div",
@@ -484,6 +484,15 @@ def validate_op(op: Any) -> None:
             if e.get("fn") == "ntile":
                 if not (isinstance(e.get("n"), int) and e["n"] >= 1):
                     _err(f"ntile needs a positive int 'n': {e!r}")
+            if e.get("fn") == "ewma":
+                # weighted lag chain over a REQUIRED bounded frame:
+                # alpha in (0,1) exclusive, frame of >= 1 prior row
+                a = e.get("alpha")
+                if not (isinstance(a, float) and 0.0 < a < 1.0):
+                    _err(f"ewma needs a float 'alpha' in (0,1): {e!r}")
+                if not (isinstance(e.get("rows_preceding"), int)
+                        and e["rows_preceding"] >= 1):
+                    _err(f"ewma needs int 'rows_preceding' >= 1: {e!r}")
             if "rows_preceding" in e:
                 # sliding ROWS frame (n PRECEDING .. CURRENT ROW):
                 # aggregate fns only — rank/lag semantics ignore frames

@@ -804,6 +804,31 @@ def spec_to_sql(spec: dict, table: str) -> str:
                     call = f"ntile({e['n']})"
                 elif fn in ("lag", "lead"):
                     call = f"{fn}({_q(e['col'])}, {e.get('offset', 1)})"
+                elif fn == "ewma":
+                    # mirrors the engine's bounded lag chain: fixed
+                    # a^j float literals, additions in ascending j,
+                    # renormalized over non-null lags — bit-identical
+                    a = float(e["alpha"])
+                    xs = f"CAST({_q(e['col'])} AS DOUBLE)"
+                    num_terms, den_terms = [], []
+                    for j in range(int(e["rows_preceding"]) + 1):
+                        lx = xs if j == 0 else f"lag({xs}, {j}) {over_head})"
+                        wj = repr(a ** j)
+                        num_terms.append(
+                            f"(CASE WHEN {lx} IS NOT NULL "
+                            f"THEN {wj} * {lx} ELSE 0.0 END)"
+                        )
+                        den_terms.append(
+                            f"(CASE WHEN {lx} IS NOT NULL "
+                            f"THEN {wj} ELSE 0.0 END)"
+                        )
+                    num = " + ".join(num_terms)
+                    den = " + ".join(den_terms)
+                    sel.append(
+                        f"(CASE WHEN ({den}) > 0 THEN "
+                        f"round(({num}) / ({den}), 6) END) AS {_q(e['alias'])}"
+                    )
+                    continue
                 else:
                     # first_value and frame-capable aggregates: both
                     # honor an explicit rows_preceding sliding frame

@@ -2261,3 +2261,59 @@ def test_agreement_spec_op_parse_compile_render(spark):
     con.register("t", df.toPandas())
     (o,) = con.sql(spec_to_sql(spec, "t")).fetchall()
     assert tuple(r) == o
+
+
+def test_ewma_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["grp", "ord", "x"]
+    spec = parse_description(
+        "Add exponential moving average of x over last 3 rows per grp "
+        "ordered by ord",
+        columns=cols,
+    )
+    assert spec["ops"] == [{
+        "op": "window", "partition_by": ["grp"],
+        "order_by": [{"col": "ord", "asc": True}],
+        "exprs": [{"fn": "ewma", "col": "x", "alias": "ewma_x",
+                   "alpha": 0.5, "rows_preceding": 2}],
+    }]
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 40.0),
+            ("a", 4, 0.0), ("b", 1, 7.0)]
+    df = spark.createDataFrame(rows, cols)
+    got = {(r["grp"], r["ord"]): r["ewma_x"]
+           for r in compile_spec(df, spec).collect()}
+    # hand-computed: renormalized a^j weights over available lags
+    assert got[("a", 1)] == 10.0
+    assert abs(got[("a", 2)] - round(25.0 / 1.5, 6)) < 1e-9
+    assert got[("a", 3)] == 30.0            # (40 + 10 + 2.5) / 1.75
+    assert abs(got[("a", 4)] - round(25.0 / 1.75, 6)) < 1e-9
+    assert got[("b", 1)] == 7.0             # partition start, no lags
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {(r[0], r[1]): r[3]
+            for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
+    assert got == want
+
+    with _py_raises_parse():
+        parse_description(
+            "Add exponential moving average of x over last 1 rows per "
+            "grp ordered by ord",
+            columns=cols,
+        )
+
+
+def _py_raises_parse():
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    return _pytest.raises(ParseError)

@@ -205,6 +205,7 @@ QUERIES = [
     "p92_nl_quality_dedup",
     "ns_quality_conformal",
     "ns_quality_kripp_alpha",
+    "p94_nl_ewma",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
