@@ -3993,6 +3993,39 @@ def p94_nl_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P94_DESC)
 
 
+_P95_DESC = (
+    "Flag anomalies in value over last 20 rows per user_id ordered by "
+    "event_id above z 2.5"
+)
+
+
+def _p95_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P95_DESC,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+        "events",
+    )
+
+
+@register("p95_nl_anomaly", _p95_oracle())
+def p95_nl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL metric monitoring: 'flag anomalies in <col> over last N rows
+    per <key> ordered by <o> [above z <t>]' — rolling z-score flags
+    (timeseries.rolling_zscore_anomalies) behind one clause: each row
+    scored against its own trailing-window mean/std, |z| above the
+    threshold flagged. Frame sums pin DECIMAL so they are exact under
+    ANY frame fold order (sliding-window segment trees reorder float
+    additions; decimals don't care); one exchange on the key, three
+    frame aggregates sharing one sort. The oracle renders the
+    identical pinned chain."""
+    return _nl(spark, sf_dir, "events", _P95_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4388,7 +4421,6 @@ _WINDOW: list[str] = [
     # a superset plan), ns_text_bpe_merges (trained inside
     # ns_text_bpe_encode). All ten keep fresh rows in the committed
     # registry-wide CORRECTNESS_LOCAL.json.
-    "ns_sim_silhouette",
     "x_split_psi",
     "ns_text_word_entropy", "ns_text_distinct_n",
     "ns_corpus_pack_efficiency",
@@ -4475,6 +4507,15 @@ _WINDOW: list[str] = [
     # in-window p91_nl_majority (different key literals); it keeps a
     # fresh row in the committed registry-wide CORRECTNESS_LOCAL.json.
     "p94_nl_ewma",
+    # seventh-session part 7: rolling z-score anomaly flags via p95 —
+    # a NEW plan shape (DECIMAL-pinned frame stats over an
+    # excluded-current-row window). Takes the slot of
+    # ns_sim_silhouette, whose centroid-scoring scan is covered
+    # in-window by the strict-superset classifier chain
+    # ns_classify_prf and by ns_sim_cluster_purity's centroid scoring;
+    # silhouette keeps a fresh row in the committed registry-wide
+    # CORRECTNESS_LOCAL.json.
+    "p95_nl_anomaly",
     # rotated out for the fourth-session additions: ns_multimodal_meta,
     # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
     # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an

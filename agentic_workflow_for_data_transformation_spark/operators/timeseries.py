@@ -105,3 +105,80 @@ def resample_interpolate(
         F.round(interp, 6).alias("value_interp"),
         F.col("_v").isNotNull().alias("is_observed"),
     )
+
+
+def rolling_zscore_anomalies(df: DataFrame, col: str, key: str,
+                             order_col: str, n: int = 20,
+                             z: float = 3.0) -> DataFrame:
+    """Rolling z-score anomaly flags — the metric-monitoring pass a
+    pipeline runs on per-key series before trusting a new snapshot:
+    each row is scored against the mean/stddev of the n rows BEFORE it
+    (current row excluded — self-inclusion bounds |z| at (n-1)/sqrt(n)
+    and masks the very spike being hunted), and |z| > threshold flags
+    it. Adds moving_avg, moving_std, zscore, is_anomaly; rows whose
+    baseline holds fewer than 3 values (partition starts) or whose
+    baseline is constant (std 0) report NULL z and no flag rather
+    than dividing by zero.
+
+    Exactness: the baseline's sum and sum-of-squares pin DECIMAL
+    (inputs cast DECIMAL(18,6), squares DECIMAL(38,12)), so they are
+    exact regardless of how an engine folds the frame; the closed-form
+    mean/std/z then run in doubles from those exact sums, identical
+    everywhere, rounded to 6 on emit. Scale shape: ONE exchange on the
+    key, one sort — and the sliding sums are computed as CUMULATIVE
+    decimal sums differenced through lag(cs, 1) - lag(cs, n+1), which
+    is O(1) per row instead of the O(n)-per-row re-aggregation a
+    bounded decimal frame costs (decimal frames don't get Spark's
+    incremental frame processor). Exact-decimal subtraction makes the
+    difference bit-identical to the direct framed sum, so the ORACLE
+    keeps the plain framed rendering and the hashes still match.
+    Long-partition headroom: the cumulative DECIMAL(38,12) square sum
+    caps at ~10^26 per partition — the cap the framed form had per
+    frame; at that magnitude narrow the input pin's scale."""
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy(key)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy(key).orderBy(F.col(order_col))
+    xd = F.col(col).cast("decimal(18,6)")
+    cs = F.sum(xd).over(wc)
+    css = F.sum((xd * xd).cast("decimal(38,12)")).over(wc)
+    ccn = F.count(xd).over(wc)
+    zero_s = F.lit(0).cast("decimal(28,6)")
+    zero_ss = F.lit(0).cast("decimal(38,12)")
+    cnt = (
+        F.coalesce(F.lag(ccn, 1).over(wl), F.lit(0))
+        - F.coalesce(F.lag(ccn, n + 1).over(wl), F.lit(0))
+    )
+    s = (
+        F.coalesce(F.lag(cs, 1).over(wl), zero_s)
+        - F.coalesce(F.lag(cs, n + 1).over(wl), zero_s)
+    ).cast("double")
+    ss = (
+        F.coalesce(F.lag(css, 1).over(wl), zero_ss)
+        - F.coalesce(F.lag(css, n + 1).over(wl), zero_ss)
+    ).cast("double")
+    # the differenced sums are non-null zeros on empty baselines, so
+    # the divisions need explicit guards (the framed form's empty-sum
+    # NULL used to absorb them; ANSI division by zero throws)
+    mean = F.when(cnt > 0, s / cnt)
+    var = F.when(cnt >= 2, (ss - s * s / cnt) / (cnt - 1))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    zcol = F.when(
+        (cnt >= 3) & (std > 0),
+        F.round((F.col(col).cast("double") - mean) / std, 6),
+    )
+    return (
+        df.withColumn("moving_avg", F.round(mean, 6))
+        .withColumn(
+            "moving_std", F.when(cnt >= 2, F.round(std, 6))
+        )
+        .withColumn("zscore", zcol)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(zcol) > F.lit(float(z)), F.lit(False)),
+        )
+    )

@@ -594,6 +594,13 @@ def compile_spec(
             from ..operators.stats import krippendorff_alpha
 
             df = krippendorff_alpha(df, op["key"], op["label"])
+        elif kind == "anomaly":
+            from ..operators.timeseries import rolling_zscore_anomalies
+
+            df = rolling_zscore_anomalies(
+                df, op["col"], op["key"], op["order_col"],
+                n=int(op["n"]), z=float(op.get("z", 3.0)),
+            )
         elif kind == "word_entropy":
             from ..operators.text import word_entropy
 

@@ -416,6 +416,16 @@ _KANON = re.compile(
     r"at\s+(\d+)\s*$",
     re.IGNORECASE,
 )
+# "flag anomalies in <col> over last <N> rows per <key> ordered by
+# <o> [above z <t>]" -> rolling z-score anomaly flags
+# (timeseries.rolling_zscore_anomalies); adds moving_avg/moving_std/
+# zscore/is_anomaly
+_ANOMALY = re.compile(
+    r"^flag\s+anomalies\s+in\s+(\w+)\s+over\s+last\s+(\d+)\s+rows\s+"
+    r"per\s+(\w+)\s+ordered\s+by\s+(\w+)"
+    r"(?:\s+above\s+z\s+(\d+(?:\.\d+)?))?\s*$",
+    re.IGNORECASE,
+)
 # "compute the inter-annotator agreement of <label> per <key>" ->
 # Krippendorff's alpha, nominal (stats.krippendorff_alpha) — the
 # varying-ratings-per-item form, so no trimming clause is needed;
@@ -873,6 +883,22 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             ],
             "k": int(m.group(2)),
         }
+    if m := _ANOMALY.match(clause):
+        n = int(m.group(2))
+        if n < 3:
+            raise ParseError(
+                f"anomaly window needs at least 3 rows: {clause!r}"
+            )
+        op = {
+            "op": "anomaly",
+            "col": _resolve_col(m.group(1), columns),
+            "key": _resolve_col(m.group(3), columns),
+            "order_col": _resolve_col(m.group(4), columns),
+            "n": n,
+        }
+        if m.group(5):
+            op["z"] = float(m.group(5))
+        return op
     if m := _AGREEMENT.match(clause):
         return {
             "op": "agreement",

@@ -86,6 +86,11 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # REPLACES the schema with ONE report row (n_items,
       # n_items_dropped, n_ratings, n_categories, d_observed,
       # d_expected, alpha)
+  {"op": "anomaly", "col": "value", "key": "user_id",
+   "order_col": "event_id", "n": 20, "z": 3.0}
+      # rolling z-score anomaly flags over the last n rows per key:
+      # adds moving_avg, moving_std, zscore, is_anomaly; frame sums
+      # are decimal-exact so the flags are engine-reproducible
   {"op": "word_entropy", "id_col": "doc_id"?, "text_col": "text"?}
       # per-document word-distribution Shannon entropy; REPLACES the
       # schema with (id, n_words, n_distinct, entropy, evenness)
@@ -638,6 +643,18 @@ def validate_op(op: Any) -> None:
             # inside its innermost aggregate; a key named 'label'
             # would collide there
             _err(f"{kind} 'key' may not be named 'label': {op!r}")
+    elif kind == "anomaly":
+        for f in ("col", "key", "order_col"):
+            if not isinstance(op.get(f), str):
+                _err(f"anomaly needs a string '{f}': {op!r}")
+        if not (isinstance(op.get("n"), int) and op["n"] >= 3):
+            _err(f"anomaly needs an int 'n' >= 3 (frame rows): {op!r}")
+        if "z" in op and not (
+            isinstance(op["z"], (int, float))
+            and not isinstance(op["z"], bool)
+            and op["z"] > 0
+        ):
+            _err(f"anomaly 'z' must be a positive number: {op!r}")
     elif kind == "word_entropy":
         for f in ("id_col", "text_col"):
             if f in op and not isinstance(op[f], str):

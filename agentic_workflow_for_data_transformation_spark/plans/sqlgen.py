@@ -440,6 +440,43 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"  CAST(count(*) AS BIGINT) AS votes "
                 f"  FROM ({sql}) GROUP BY 1, 2)) WHERE rn = 1"
             )
+        elif kind == "anomaly":
+            # mirrors operators/timeseries.rolling_zscore_anomalies:
+            # DECIMAL-pinned frame sums (exact under any fold order,
+            # including sliding-window segment trees), closed-form
+            # mean/std/z in doubles, rounded to 6 on emit
+            xc = _q(op["col"])
+            n = int(op["n"])
+            zt = repr(float(op.get("z", 3.0)))
+            # baseline = the n rows BEFORE the current row (excluded:
+            # self-inclusion bounds |z| at (n-1)/sqrt(n) and masks the
+            # very spike being hunted)
+            over = (
+                f"OVER (PARTITION BY {_q(op['key'])} "
+                f"ORDER BY {_q(op['order_col'])} ASC NULLS FIRST "
+                f"ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING)"
+            )
+            xd = f"CAST({xc} AS DECIMAL(18,6))"
+            cnt = f"count({xd}) {over}"
+            sm = f"CAST(SUM({xd}) {over} AS DOUBLE)"
+            ssq = (
+                f"CAST(SUM(CAST({xd} * {xd} AS DECIMAL(38,12))) {over} "
+                f"AS DOUBLE)"
+            )
+            mean = f"({sm} / {cnt})"
+            var = f"(({ssq} - {sm} * {sm} / {cnt}) / ({cnt} - 1))"
+            std = f"sqrt(greatest({var}, 0.0))"
+            zed = (
+                f"(CASE WHEN {cnt} >= 3 AND {std} > 0 THEN "
+                f"round((CAST({xc} AS DOUBLE) - {mean}) / {std}, 6) END)"
+            )
+            sql = wrap(
+                f"*, round({mean}, 6) AS moving_avg, "
+                f"(CASE WHEN {cnt} >= 2 THEN round({std}, 6) END) "
+                f"AS moving_std, "
+                f"{zed} AS zscore, "
+                f"COALESCE(abs({zed}) > {zt}, FALSE) AS is_anomaly"
+            )
         elif kind == "agreement":
             # mirrors operators/stats.krippendorff_alpha (the
             # ns_quality_kripp_alpha oracle, parameterized):

@@ -1149,3 +1149,37 @@ def test_random_blocklist_matches_duckdb(spark_module, docs, words):
     )
     con.close()
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    alpha=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+    n_prec=st.integers(min_value=1, max_value=4),
+    parts=st.sampled_from([[], ["city"]]),
+)
+def test_random_ewma_windows_match_duckdb(spark_module, expr, alpha,
+                                          n_prec, parts):
+    """EWMA window fn: the bounded weighted lag chain (a^j literals,
+    ascending-j additions, renormalized over available lags) must be
+    bit-identical between the Spark compiler and the sqlgen rendering
+    on DuckDB for random predicates, smoothing factors, frame widths,
+    and partitionings — including the short-history rows right after
+    each partition start."""
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "window", "partition_by": parts,
+             "order_by": [{"col": "age", "asc": True}],
+             "exprs": [{"fn": "ewma", "col": "age", "alias": "e",
+                        "alpha": alpha, "rows_preceding": n_prec}]},
+            {"op": "select", "cols": ["name", "age", "e"]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want

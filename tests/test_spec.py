@@ -2317,3 +2317,41 @@ def _py_raises_parse():
     from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
 
     return _pytest.raises(ParseError)
+
+
+def test_anomaly_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["k", "o", "v"]
+    spec = parse_description(
+        "Flag anomalies in v over last 5 rows per k ordered by o above z 2",
+        columns=cols,
+    )
+    assert spec["ops"] == [{
+        "op": "anomaly", "col": "v", "key": "k", "order_col": "o",
+        "n": 5, "z": 2.0,
+    }]
+    # a mildly noisy level with one planted spike: only the spike rows
+    # (the 100 itself) may flag; the early short-history rows report
+    # NULL z and never flag
+    vals = [1.0, 1.2, 0.8, 1.1, 0.9, 1.0, 1.1, 100.0, 1.0, 0.9]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, cols)
+    got = {r["o"]: r for r in compile_spec(df, spec).collect()}
+    assert got[0]["zscore"] is None and not got[0]["is_anomaly"]
+    assert got[1]["zscore"] is None and not got[1]["is_anomaly"]
+    assert got[7]["is_anomaly"] and got[7]["zscore"] > 2
+    flagged = {o for o, r in got.items() if r["is_anomaly"]}
+    assert flagged == {7}
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {r[1]: r for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
+    for o, r in got.items():
+        assert tuple(r) == want[o]

@@ -206,6 +206,7 @@ QUERIES = [
     "ns_quality_conformal",
     "ns_quality_kripp_alpha",
     "p94_nl_ewma",
+    "p95_nl_anomaly",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
