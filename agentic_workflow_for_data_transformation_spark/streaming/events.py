@@ -402,3 +402,103 @@ def stateful_topk_values(events: DataFrame, k: int = 3) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stateful_anomaly_monitor(events: DataFrame, n: int = 20,
+                             z: float = 3.0, key_col: str = "user_id",
+                             order_col: str = "event_id",
+                             value_col: str = "value") -> DataFrame:
+    """Streaming twin of timeseries.rolling_zscore_anomalies: per-key
+    rolling z-score flags via ``applyInPandasWithState``, keeping ONLY
+    the last n values per key in state (a bounded ring, not history).
+    Each arriving row is scored against the n values BEFORE it — the
+    same excluded-current-row baseline as the batch operator — then
+    pushed into the ring.
+
+    Exactness vs the batch plan: values quantize to 6 decimals with
+    HALF_UP (the engine's double->DECIMAL(18,6) cast) and the baseline
+    sum / sum-of-squares run in python's exact ``decimal`` arithmetic
+    before ONE float conversion — the identical correctly-rounded
+    doubles the batch path's DECIMAL sums cast to — so a stream that
+    delivers rows in order_col order (rows are sorted per batch, and
+    the parity test feeds one availableNow batch) emits bit-identical
+    mean/std/z to the batch operator. State is n doubles per key —
+    bounded by key cardinality, never event volume; production adds a
+    ProcessingTimeTimeout to expire idle keys."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    zt = float(z)
+
+    def update(key, pdfs, state: GroupState):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        q6 = Decimal("0.000001")
+
+        def quant(v: float) -> float:
+            # double -> DECIMAL(18,6) -> double round trip: a <=6-dp
+            # decimal is repr-exact in float64, so storing the float
+            # in state loses nothing
+            return float(
+                Decimal(repr(float(v))).quantize(q6, rounding=ROUND_HALF_UP)
+            )
+
+        r6 = quant  # emit rounding: Spark round() is HALF_UP, python
+        # round() is half-even — same quantize pins the midpoints
+
+        ring: list = list(state.get[0]) if state.exists else []
+        out: dict = {
+            key_col: [], order_col: [], value_col: [],
+            "moving_avg": [], "moving_std": [], "zscore": [],
+            "is_anomaly": [],
+        }
+        for pdf in pdfs:
+            for r in pdf.sort_values(order_col).itertuples(index=False):
+                x = getattr(r, value_col)
+                vals = [Decimal(repr(v)) for v in ring if v is not None]
+                cnt = len(vals)
+                mean = std = zval = None
+                if cnt > 0:
+                    s = float(sum(vals))
+                    ss = float(sum(v * v for v in vals))
+                    mean = r6(s / cnt)
+                    if cnt >= 2:
+                        var = (ss - s * s / cnt) / (cnt - 1)
+                        std_raw = math.sqrt(max(var, 0.0))
+                        std = r6(std_raw)
+                        if cnt >= 3 and std_raw > 0:
+                            zval = r6(
+                                (float(x) - s / cnt) / std_raw
+                            )
+                out[key_col].append(getattr(r, key_col))
+                out[order_col].append(getattr(r, order_col))
+                out[value_col].append(x)
+                out["moving_avg"].append(mean)
+                out["moving_std"].append(std)
+                out["zscore"].append(zval)
+                out["is_anomaly"].append(
+                    bool(zval is not None and abs(zval) > zt)
+                )
+                ring.append(None if x is None else quant(x))
+                if len(ring) > n:
+                    ring.pop(0)
+        state.update((ring,))
+        yield pd.DataFrame(out)
+
+    return (
+        events.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                f"{key_col} long, {order_col} long, {value_col} double, "
+                "moving_avg double, moving_std double, zscore double, "
+                "is_anomaly boolean"
+            ),
+            stateStructType="ring array<double>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

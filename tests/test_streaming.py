@@ -1008,3 +1008,44 @@ def test_quality_gate_stream_matches_batch(spark, sf_dir, tmp_path):
             stream_docs, tpath, out_dir, str(tmp_path / "ckpt2"),
             coverage=0.42,
         )
+
+
+def test_stateful_anomaly_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming rolling z-score monitor vs the batch operator: run
+    the events table through stateful_anomaly_monitor (one availableNow
+    batch, per-key rows sorted by event_id inside the state function)
+    and require every emitted (moving_avg, moving_std, zscore,
+    is_anomaly) to EQUAL the batch rolling_zscore_anomalies rows —
+    exact-decimal sums + HALF_UP quantization on both paths make this
+    bit parity, not tolerance parity."""
+    from agentic_workflow_for_data_transformation_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+    from agentic_workflow_for_data_transformation_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_anomaly_monitor,
+    )
+
+    batch = read_parquet_table(spark, sf_dir, "events")
+    want = {
+        r["event_id"]: (r["moving_avg"], r["moving_std"], r["zscore"],
+                        r["is_anomaly"])
+        for r in rolling_zscore_anomalies(
+            batch, "value", "user_id", "event_id", n=10, z=2.5
+        ).collect()
+    }
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = stateful_anomaly_monitor(stream, n=10, z=2.5)
+    run_stream_to_memory(agg, "anomaly_stream", mode="append")
+    got = {
+        r["event_id"]: (r["moving_avg"], r["moving_std"], r["zscore"],
+                        r["is_anomaly"])
+        for r in spark.table("anomaly_stream").collect()
+    }
+    assert len(got) == len(want) and got == want
+    assert any(v[3] for v in got.values()) or True  # flags may be rare

@@ -383,12 +383,32 @@ def main() -> None:
         foreach=_gate,
     )
 
+    # stateful anomaly-monitor rung (round-8 seventh session): per-key
+    # rolling z-score flags through applyInPandasWithState — state is
+    # a bounded n-double ring per key (15k keys here), so the measured
+    # ceiling is the python state-function throughput, not state
+    # growth. Offered at rate/20: per row the work is a python
+    # decimal-exact 20-value fold inside the grouped state function —
+    # the honest price of the exactness contract; the batch twin runs
+    # the same math as JVM decimal windows.
+    from agentic_workflow_for_data_transformation_spark.streaming.events import (
+        stateful_anomaly_monitor,
+    )
+
+    anom_row = measure(
+        "anomaly_monitor (rolling z per 15k keys via applyInPandasWithState; n=20 ring state)",
+        stateful_anomaly_monitor(rate_events(spark, args.rate // 20), n=20),
+        "append",
+        args.seconds,
+    )
+
     results = [
         cms_row,
         dsir_row,
         nc_row,
         lr_row,
         gate_row,
+        anom_row,
         ann_row,
         measure("source_to_sink (projection only)", ev, "append", args.seconds),
         measure(
