@@ -431,3 +431,36 @@ register(
         item_col="item", label_col="label",
     )
 )
+
+
+register(
+    "x_ldiversity",
+    # quasi user_id, sensitive event_type, l=3
+    "WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+    " CAST(count(DISTINCT event_type) AS BIGINT) AS d "
+    " FROM events GROUP BY 1) "
+    "SELECT 'user_id' AS quasi, 'event_type' AS sensitive, "
+    " CAST(3 AS INTEGER) AS l, "
+    " CAST(SUM(n) AS BIGINT) AS n_rows, "
+    " CAST(count(*) AS BIGINT) AS n_groups, "
+    " CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT) "
+    "   AS n_violating_groups, "
+    " CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT) "
+    "   AS n_rows_at_risk, "
+    " round(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) "
+    "   / CAST(SUM(n) AS DOUBLE), 6) AS risk_ratio, "
+    " CAST(min(d) AS BIGINT) AS min_diversity "
+    "FROM g",
+    desc=(
+        "l-diversity privacy audit — the homogeneity-attack gap "
+        "k-anonymity leaves open: quasi-identifier groups whose "
+        "sensitive column takes fewer than l distinct values, and the "
+        "rows they expose, folded to one report row. One hash "
+        "aggregate on the quasi key (count + count-distinct share the "
+        "exchange), integer-exact except the rounded ratio."
+    ),
+)(
+    lambda spark, sf_dir: quality.l_diversity_audit(
+        _t(spark, sf_dir, "events"), ["user_id"], "event_type", l=3
+    )
+)

@@ -279,3 +279,46 @@ def conformal_quality_thresholds(df: DataFrame, text_col: str = "text",
         .otherwise(F.lit(0.0))
         .alias("observed_coverage"),
     )
+
+
+def l_diversity_audit(df: DataFrame, quasi_cols: list[str],
+                      sensitive_col: str, l: int = 3) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    gap k-anonymity leaves open: a quasi-identifier group can be
+    large (k-anonymous) yet carry only ONE sensitive value, so an
+    attacker who pins a person to the group learns the attribute
+    anyway (the homogeneity attack). A group passes when its
+    ``sensitive_col`` takes at least ``l`` DISTINCT values. Run next
+    to k_anonymity_audit on every release: k bounds WHO you can
+    pin down, l bounds WHAT you learn once you have.
+
+    Output, one row: (quasi, sensitive, l, n_rows, n_groups,
+    n_violating_groups, n_rows_at_risk, risk_ratio, min_diversity) —
+    integer-exact except the single rounded ratio, plain-SQL oracle.
+
+    Scale shape: one hash aggregate on (quasi key) computing count
+    plus count-distinct of the sensitive column (a single exchange —
+    Spark plans distinct-in-aggregate with a partial expand, still
+    one shuffle on the quasi key), then a fold to one row."""
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias("_d"),
+    )
+    viol = F.col("_d") < l
+    return groups.agg(
+        F.lit("+".join(quasi_cols)).alias("quasi"),
+        F.lit(sensitive_col).alias("sensitive"),
+        F.lit(l).cast("int").alias("l"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("_n")).otherwise(0)).cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            F.sum(F.when(viol, F.col("_n")).otherwise(0))
+            / F.sum("_n").cast("double"),
+            6,
+        ).alias("risk_ratio"),
+        F.min("_d").cast("long").alias("min_diversity"),
+    )

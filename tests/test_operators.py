@@ -1930,3 +1930,23 @@ def test_krippendorff_alpha_hand_cases(spark):
     assert out2["d_observed"] == 4.0
     assert abs(out2["d_expected"] - 8.0 / 3.0) < 1e-6
     assert abs(out2["alpha"] - (1.0 - 4.0 / (8.0 / 3.0))) < 1e-6
+
+
+def test_l_diversity_audit_planted_homogeneous_group(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.quality import (
+        l_diversity_audit,
+    )
+
+    # group 1 is k-anonymous (4 rows) but HOMOGENEOUS (one diagnosis)
+    # -> the exact leak l-diversity exists to catch; group 2 is
+    # diverse; group 3 has 2 distinct < l=3 -> also violating
+    rows = (
+        [(1, "flu")] * 4
+        + [(2, "flu"), (2, "cold"), (2, "covid")]
+        + [(3, "flu"), (3, "cold")]
+    )
+    df = spark.createDataFrame(rows, ["zip", "diagnosis"])
+    (r,) = l_diversity_audit(df, ["zip"], "diagnosis", l=3).collect()
+    assert r["n_groups"] == 3 and r["n_violating_groups"] == 2
+    assert r["n_rows_at_risk"] == 6 and r["min_diversity"] == 1
+    assert abs(r["risk_ratio"] - round(6 / 9, 6)) < 1e-9
