@@ -4507,11 +4507,12 @@ _WINDOW: list[str] = [
     # in-window p91_nl_majority (different key literals); it keeps a
     # fresh row in the committed registry-wide CORRECTNESS_LOCAL.json.
     "p94_nl_ewma",
-    # (x_ldiversity, registered late in the seventh session, stays
-    # out-of-window: its quasi-key aggregate-fold shape is the
-    # in-window p88_nl_kanonymity's with a count-distinct added, and
-    # it carries a fresh CORRECTNESS_LOCAL row — rotate it in next
-    # round with p93's twin note.)
+    # (x_ldiversity and x_benford, registered late in the seventh
+    # session, stay out-of-window: the quasi-key aggregate-fold shape
+    # is the in-window p88_nl_kanonymity's with a count-distinct
+    # added, and Benford's 9-group scan+broadcast-total is the
+    # registry's plainest aggregate family; both carry fresh
+    # CORRECTNESS_LOCAL rows — rotate them in next round.)
     # seventh-session part 7: rolling z-score anomaly flags via p95 —
     # a NEW plan shape (DECIMAL-pinned frame stats over an
     # excluded-current-row window). Takes the slot of

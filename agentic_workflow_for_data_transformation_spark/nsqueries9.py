@@ -464,3 +464,45 @@ register(
         _t(spark, sf_dir, "events"), ["user_id"], "event_type", l=3
     )
 )
+
+
+def _benford_sql() -> str:
+    from .operators.stats import BENFORD_EXPECTED
+
+    case = " ".join(
+        f"WHEN '{d}' THEN {e!r}" for d, e in BENFORD_EXPECTED.items()
+    )
+    return (
+        "WITH s AS (SELECT CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) "
+        "  AS vs FROM events WHERE value IS NOT NULL), "
+        "d AS (SELECT substr(regexp_replace("
+        "  replace(replace(vs, '.', ''), '-', ''), '^0+', ''), 1, 1) "
+        "  AS digit FROM s), "
+        "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d "
+        "      WHERE digit <> '' GROUP BY 1), "
+        "t AS (SELECT SUM(n_obs) AS tot FROM c) "
+        "SELECT digit, n_obs, "
+        " round(n_obs / CAST(tot AS DOUBLE), 6) AS share, "
+        f" (CASE digit {case} END) AS benford_expected, "
+        f" round(n_obs / CAST(tot AS DOUBLE) - (CASE digit {case} END), 6) "
+        "  AS excess "
+        "FROM c CROSS JOIN t"
+    )
+
+
+register(
+    "x_benford",
+    _benford_sql(),
+    desc=(
+        "Benford's-law first-digit audit over the value column — the "
+        "data-forensics screen for fabricated/capped numerics: per "
+        "leading digit the observed share vs the log10(1+1/d) "
+        "expectation and the excess. Digits come from the DECIMAL "
+        "string rendering (identical cross-engine), never float "
+        "log10; one scan, one 9-group aggregate, broadcast total."
+    ),
+)(
+    lambda spark, sf_dir: stats.benford_audit(
+        _t(spark, sf_dir, "events"), col="value"
+    )
+)

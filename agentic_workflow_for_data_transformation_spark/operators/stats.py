@@ -815,3 +815,59 @@ def krippendorff_alpha(df: DataFrame, item_col: str,
             F.round(F.lit(1.0) - d_o / d_e, 6).alias("alpha"),
         )
     )
+
+
+BENFORD_EXPECTED = {
+    d: round(__import__("math").log10(1.0 + 1.0 / d), 6) for d in range(1, 10)
+}
+
+
+def benford_audit(df: DataFrame, col: str = "value") -> DataFrame:
+    """Benford's-law first-digit audit — the data-forensics screen for
+    fabricated or truncated numeric columns: naturally-occurring
+    multi-scale magnitudes put digit d first with probability
+    log10(1 + 1/d) (~30% ones, ~4.6% nines); synthetic, capped, or
+    hand-entered columns don't. Emits per leading digit the observed
+    count, share, the Benford expectation, and the excess — read the
+    excess column for the bump that says someone generated these
+    numbers.
+
+    Exactness: the leading digit comes from the DECIMAL(18,6) string
+    rendering (identical across engines — trailing-zero scale 6,
+    '.'/'-' stripped, leading zeros trimmed), never from float
+    log10 whose power-of-ten boundaries differ in ULPs; counts are
+    integers, shares single rounded divisions, expectations frozen
+    6-decimal literals (BENFORD_EXPECTED). Zero and NULL values drop
+    out (no leading digit). Scale shape: one scan, one 9-group hash
+    aggregate, a broadcast 1-row total."""
+    s = F.col(col).cast("decimal(18,6)").cast("string")
+    digits = F.regexp_replace(F.regexp_replace(s, "[.-]", ""), "^0+", "")
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.substring(digits, 1, 1).alias("digit"))
+        .filter(F.col("digit") != "")
+    )
+    counts = rows.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = counts.agg(F.sum("n_obs").cast("long").alias("_tot"))
+    expected = F.col("digit")
+    emap = None
+    for d, e in BENFORD_EXPECTED.items():
+        cond = F.when(F.col("digit") == str(d), F.lit(e))
+        emap = cond if emap is None else emap.when(
+            F.col("digit") == str(d), F.lit(e)
+        )
+    share = F.round(F.col("n_obs") / F.col("_tot").cast("double"), 6)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            share.alias("share"),
+            emap.alias("benford_expected"),
+            F.round(
+                F.col("n_obs") / F.col("_tot").cast("double") - emap, 6
+            ).alias("excess"),
+        )
+    )

@@ -1950,3 +1950,24 @@ def test_l_diversity_audit_planted_homogeneous_group(spark):
     assert r["n_groups"] == 3 and r["n_violating_groups"] == 2
     assert r["n_rows_at_risk"] == 6 and r["min_diversity"] == 1
     assert abs(r["risk_ratio"] - round(6 / 9, 6)) < 1e-9
+
+
+def test_benford_audit_planted_distribution(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        BENFORD_EXPECTED,
+        benford_audit,
+    )
+
+    # magnitude-spanning values with known leading digits; zeros and
+    # nulls must drop out; the sub-1 value's leading digit is its
+    # first NONZERO digit (3), not 0
+    vals = [123.4, 19.0, 1000.0, 0.0345, 2.5, 250.0, 0.0, None, -310.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    got = {r["digit"]: r for r in benford_audit(df).collect()}
+    assert set(got) == {"1", "2", "3"}
+    assert got["1"]["n_obs"] == 3   # 123.4, 19, 1000
+    assert got["2"]["n_obs"] == 2   # 2.5, 250
+    assert got["3"]["n_obs"] == 2   # 0.0345, -310 (sign stripped)
+    for d, r in got.items():
+        assert r["benford_expected"] == BENFORD_EXPECTED[int(d)]
+        assert abs(r["share"] - round(r["n_obs"] / 7, 6)) < 1e-9
