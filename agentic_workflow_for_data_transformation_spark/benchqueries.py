@@ -4507,11 +4507,13 @@ _WINDOW: list[str] = [
     # in-window p91_nl_majority (different key literals); it keeps a
     # fresh row in the committed registry-wide CORRECTNESS_LOCAL.json.
     "p94_nl_ewma",
-    # (x_ldiversity and x_benford, registered late in the seventh
-    # session, stay out-of-window: the quasi-key aggregate-fold shape
-    # is the in-window p88_nl_kanonymity's with a count-distinct
-    # added, and Benford's 9-group scan+broadcast-total is the
-    # registry's plainest aggregate family; both carry fresh
+    # (x_ldiversity, x_benford and ns_sim_map, registered late in the
+    # seventh session, stay out-of-window: the quasi-key
+    # aggregate-fold shape is the in-window p88_nl_kanonymity's with a
+    # count-distinct added, Benford's 9-group scan+broadcast-total is
+    # the registry's plainest aggregate family, and MAP@k's
+    # broadcast-query scoring scan + per-query windows is the
+    # in-window ns_sim_rrf_fusion's shape; all carry fresh
     # CORRECTNESS_LOCAL rows — rotate them in next round.)
     # seventh-session part 7: rolling z-score anomaly flags via p95 —
     # a NEW plan shape (DECIMAL-pinned frame stats over an

@@ -506,3 +506,51 @@ register(
         _t(spark, sf_dir, "events"), col="value"
     )
 )
+
+
+register(
+    "ns_sim_map",
+    # queries vec_id < 8, k=10 — mirrors the engine: pinned cosines,
+    # rank window, cumulative relevant count, DECIMAL(18,12) AP sum,
+    # ideal = min(same-label corpus count - 1, k)
+    "WITH d AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv "
+    "      FROM d WHERE vec_id < 8), "
+    "lc AS (SELECT label, CAST(count(*) AS BIGINT) AS nlab "
+    "       FROM embeddings GROUP BY 1), "
+    "s AS (SELECT query_id, qlabel, d.vec_id, d.label, "
+    " round(list_cosine_similarity(d.v, qv), 6) AS cos_sim "
+    " FROM d, q WHERE d.vec_id <> query_id), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+    " ORDER BY cos_sim DESC, vec_id) AS rank FROM s), "
+    "t AS (SELECT *, CAST(label = qlabel AS INTEGER) AS rel, "
+    " SUM(CAST(label = qlabel AS INTEGER)) OVER (PARTITION BY query_id "
+    "  ORDER BY cos_sim DESC, vec_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_rel_cum "
+    " FROM r WHERE rank <= 10), "
+    "g AS (SELECT query_id, qlabel, "
+    " CAST(SUM(rel) AS INTEGER) AS n_rel_topk, "
+    " COALESCE(SUM(CASE WHEN rel = 1 THEN "
+    "   CAST(round(n_rel_cum / CAST(rank AS DOUBLE), 12) "
+    "     AS DECIMAL(18,12)) END), 0) AS psum "
+    " FROM t GROUP BY 1, 2) "
+    "SELECT query_id, n_rel_topk, "
+    " CAST(least(nlab - 1, 10) AS INTEGER) AS ideal_n, "
+    " CASE WHEN least(nlab - 1, 10) > 0 THEN "
+    "  round(CAST(psum AS DOUBLE) / least(nlab - 1, 10), 6) "
+    "  ELSE 0.0 END AS ap_at_k "
+    "FROM g JOIN lc ON g.qlabel = lc.label",
+    desc=(
+        "MAP@10 retrieval harness per query — average precision over "
+        "the relevant ranks normalized by the best achievable count "
+        "(same-label corpus rows capped at k); the order-sensitive "
+        "metric between MRR and NDCG. Integer ranks from pinned "
+        "cosines, precision terms DECIMAL(18,12)-summed; query side "
+        "broadcast, corpus scanned once, two windows share one "
+        "exchange."
+    ),
+)(
+    lambda spark, sf_dir: similarity.map_at_k(
+        _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=10
+    )
+)

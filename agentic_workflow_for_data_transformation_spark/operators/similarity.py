@@ -2286,3 +2286,89 @@ def classifier_prf(df: DataFrame, label_col: str = "label",
         safe(F.lit(2) * F.col("tp"),
              F.col("n_pred") + F.col("n_true")).alias("f1"),
     )
+
+
+def map_at_k(df: DataFrame, query_ids: list[int], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             label_col: str = "label", dim: int | None = None) -> DataFrame:
+    """MAP@k — mean-average-precision per query against label ground
+    truth, the order-sensitive retrieval metric between MRR (first hit
+    only) and NDCG (graded discounts): AP@k averages precision@r over
+    the ranks r that hold a relevant hit, normalized by the best
+    possible count min(n_relevant_in_corpus, k), so burying relevant
+    hits deep costs score even when they all make the cut. Emits per
+    query n_rel_topk, ap_at_k (and the ideal_n used) — the corpus mean
+    of ap_at_k IS the MAP.
+
+    Exactness: ranks are integers from 6-decimal-pinned cosines with
+    id tie-breaks; each precision@r is an integer ratio evaluated in
+    float64 and the AP sum runs over at most k such terms pinned
+    DECIMAL(18,12), so the metric is bit-identical on any engine.
+    Plan: query side broadcast (one corpus scan for all queries),
+    per-query rank window, cumulative relevant count over the SAME
+    window order — two window functions, one exchange."""
+    dim = probe_dim(df, vec_col, dim)
+    rows = _vec_norm(df, id_col, vec_col, dim, extra_cols=[label_col])
+    q = F.broadcast(
+        rows.filter(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("qlabel"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    lc = F.broadcast(
+        df.groupBy(label_col).agg(
+            F.count(F.lit(1)).cast("long").alias("_nlab")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = (
+        rows.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_from_parts(F.col("v"), F.col("qv"),
+                                  F.col("nrm"), F.col("qnrm")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rel", (F.col(label_col) == F.col("qlabel")).cast("int"))
+        .withColumn("n_rel_cum", F.sum("rel").over(wcum))
+    )
+    # precision@r only at relevant ranks, pinned DECIMAL for the sum
+    prec = F.when(
+        F.col("rel") == 1,
+        F.round(
+            F.col("n_rel_cum").cast("double") / F.col("rank"), 12
+        ).cast("decimal(18,12)"),
+    )
+    per_q = scored.groupBy("query_id", "qlabel").agg(
+        F.sum("rel").cast("int").alias("n_rel_topk"),
+        F.coalesce(F.sum(prec), F.lit(0).cast("decimal(18,12)"))
+        .alias("_psum"),
+    )
+    return (
+        per_q.join(lc, per_q["qlabel"] == lc[label_col])
+        .select(
+            "query_id",
+            "n_rel_topk",
+            F.least(F.col("_nlab") - 1, F.lit(k)).cast("int")
+            .alias("ideal_n"),
+            F.when(
+                F.least(F.col("_nlab") - 1, F.lit(k)) > 0,
+                F.round(
+                    F.col("_psum").cast("double")
+                    / F.least(F.col("_nlab") - 1, F.lit(k)).cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("ap_at_k"),
+        )
+    )

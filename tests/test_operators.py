@@ -1971,3 +1971,19 @@ def test_benford_audit_planted_distribution(spark):
     for d, r in got.items():
         assert r["benford_expected"] == BENFORD_EXPECTED[int(d)]
         assert abs(r["share"] - round(r["n_obs"] / 7, 6)) < 1e-9
+
+
+def test_map_at_k_hand_case(spark):
+    # query 0 (label 0): corpus holds two other label-0 vectors; one
+    # ranks 1st, the other 3rd -> AP = (1/1 + 2/3) / 2; ideal_n = 2
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.01, 0.0, 0.0], 0),   # rank 1, relevant
+        (2, [0.9, 0.3, 0.0, 0.0], 1),     # rank 2, not
+        (3, [0.8, 0.3, 0.0, 0.0], 0),     # rank 3, relevant
+        (4, [0.0, 1.0, 0.0, 0.0], 1),     # rank 4, not
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    (r,) = similarity.map_at_k(df, query_ids=[0], k=4).collect()
+    assert r["n_rel_topk"] == 2 and r["ideal_n"] == 2
+    assert abs(r["ap_at_k"] - round((1.0 + 2.0 / 3.0) / 2, 6)) < 1e-6
