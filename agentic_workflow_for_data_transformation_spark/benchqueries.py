@@ -4507,7 +4507,9 @@ _WINDOW: list[str] = [
     # in-window p91_nl_majority (different key literals); it keeps a
     # fresh row in the committed registry-wide CORRECTNESS_LOCAL.json.
     "p94_nl_ewma",
-    # (x_ldiversity, x_benford and ns_sim_map, registered late in the
+    # (x_ldiversity, x_benford, ns_sim_map and x_corr_matrix (single-
+    # scan stack-exploded aggregate, the expectations-report family),
+    # registered late in the
     # seventh session, stay out-of-window: the quasi-key
     # aggregate-fold shape is the in-window p88_nl_kanonymity's with a
     # count-distinct added, Benford's 9-group scan+broadcast-total is

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .operators import quality, similarity, stats, text
+from .operators import profile, quality, similarity, stats, text
 
 
 def _mmr_sql(n_queries: int, k: int, pool: int) -> str:
@@ -552,5 +552,56 @@ register(
 )(
     lambda spark, sf_dir: similarity.map_at_k(
         _t(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=10
+    )
+)
+
+
+def _corr_sql(cols: list[str]) -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s{i}"
+        for i, c in enumerate(cols)
+    )
+    # product inputs widen to DECIMAL(24,6): DuckDB multiplies
+    # DECIMAL(18) in int64 and overflows BEFORE promoting; 24 digits
+    # force int128 arithmetic — the exact values are unchanged, so
+    # the engine side keeps its (18,6) inputs
+    prods = ", ".join(
+        f"CAST(SUM(CAST(CAST({cols[i]} AS DECIMAL(24,6)) "
+        f" * CAST({cols[j]} AS DECIMAL(24,6)) AS DECIMAL(38,12))) "
+        f"AS DOUBLE) AS p{i}_{j}"
+        for i in range(len(cols))
+        for j in range(i, len(cols))
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, n, "
+        f"(CASE WHEN (n * p{i}_{i} - s{i} * s{i}) > 0 "
+        f"  AND (n * p{j}_{j} - s{j} * s{j}) > 0 THEN "
+        f" round((n * p{i}_{j} - s{i} * s{j}) "
+        f"  / sqrt((n * p{i}_{i} - s{i} * s{i}) "
+        f"       * (n * p{j}_{j} - s{j} * s{j})), 6) END) AS r FROM a"
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    return (
+        f"WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n, {sums}, {prods} "
+        f"FROM lineitem) {arms}"
+    )
+
+
+register(
+    "x_corr_matrix",
+    _corr_sql(["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+    desc=(
+        "Pairwise Pearson correlation matrix over the lineitem "
+        "measures — which 'independent' features are the same signal "
+        "twice, read after per-column profiling. All d + d(d+1)/2 "
+        "moments pin DECIMAL inside ONE global aggregate (single "
+        "scan), pair rows exploded with stack; r closed-form in "
+        "doubles from exact sums, NULL on zero variance."
+    ),
+)(
+    lambda spark, sf_dir: profile.correlation_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
 )

@@ -39,3 +39,62 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         f"stack({len(cols)}, {branches}) AS "
         "(column, n_rows, n_non_null, n_distinct, min_value, max_value)"
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str],
+                       in_decimal: str = "decimal(18,6)") -> DataFrame:
+    """Pairwise Pearson correlations across numeric columns — the
+    profiling read after per-column stats (profile_table): which
+    measures move together, which "independent" features are the same
+    signal twice. One row per unordered pair (col_a < col_b):
+    (col_a, col_b, n, r).
+
+    Exactness: every moment (sum, sum of squares, cross products)
+    pins DECIMAL — inputs cast ``in_decimal``, products
+    DECIMAL(38,12) — so the sums are exact under any partition order;
+    r's closed form then runs in doubles from those exact sums,
+    rounded to 6. Constant columns (zero variance) report NULL r.
+    Scale shape: ONE global aggregate computes all d + d(d+1)/2
+    moments in a single scan (d = len(cols)); the pair rows are
+    exploded from that 1-row frame with stack — profiling d columns
+    costs the one scan you were already paying, never d^2 scans."""
+    d = [F.col(c).cast(in_decimal) for c in cols]
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(d[i]).alias(f"_s{i}"))
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum((d[i] * d[j]).cast("decimal(38,12)"))
+                .alias(f"_p{i}_{j}")
+            )
+    one = df.agg(*aggs)
+    arms = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            arms.append(
+                f"'{cols[i]}', '{cols[j]}', "
+                f"double(_s{i}), double(_s{j}), "
+                f"double(_p{i}_{i}), double(_p{j}_{j}), double(_p{i}_{j})"
+            )
+    n_pairs = len(arms)
+    stacked = one.select(
+        "_n",
+        F.expr(
+            f"stack({n_pairs}, {', '.join(arms)}) AS "
+            "(col_a, col_b, _sx, _sy, _sxx, _syy, _sxy)"
+        ),
+    )
+    n = F.col("_n").cast("double")
+    den_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    den_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    return stacked.select(
+        "col_a",
+        "col_b",
+        F.col("_n").alias("n"),
+        F.when(
+            (den_x > 0) & (den_y > 0),
+            F.round(num / F.sqrt(den_x * den_y), 6),
+        ).alias("r"),
+    )

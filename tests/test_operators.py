@@ -1987,3 +1987,22 @@ def test_map_at_k_hand_case(spark):
     (r,) = similarity.map_at_k(df, query_ids=[0], k=4).collect()
     assert r["n_rel_topk"] == 2 and r["ideal_n"] == 2
     assert abs(r["ap_at_k"] - round((1.0 + 2.0 / 3.0) / 2, 6)) < 1e-6
+
+
+def test_correlation_matrix_hand_case(spark):
+    from agentic_workflow_for_data_transformation_spark.operators.profile import (
+        correlation_matrix,
+    )
+
+    # y = 2x exactly -> r = 1; z anti-correlates with x -> r = -1;
+    # c is constant -> NULL r against everything
+    rows = [(1.0, 2.0, 3.0, 5.0), (2.0, 4.0, 2.0, 5.0),
+            (3.0, 6.0, 1.0, 5.0)]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "c"])
+    got = {(r["col_a"], r["col_b"]): r["r"]
+           for r in correlation_matrix(df, ["x", "y", "z", "c"]).collect()}
+    assert len(got) == 6
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0
+    assert got[("x", "c")] is None and got[("z", "c")] is None
