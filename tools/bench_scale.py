@@ -207,6 +207,10 @@ QUERIES = [
     "ns_quality_kripp_alpha",
     "p94_nl_ewma",
     "p95_nl_anomaly",
+    "ns_sim_map",
+    "x_benford",
+    "x_ldiversity",
+    "x_corr_matrix",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
