@@ -303,6 +303,17 @@ HEADLINE: list[tuple[str, str]] = [
         "apply a single guessed cutoff.",
     ),
     (
+        "p95_nl_anomaly",
+        "Rolling z-score anomaly flags with DECIMAL-exact sliding "
+        "stats in O(1) per row: the baseline sum/sum-of-squares are "
+        "CUMULATIVE decimal sums differenced through lag(cs,1) - "
+        "lag(cs,n+1) — exact decimals make the difference bit-equal "
+        "to a bounded frame's sum, without the O(n)-per-row "
+        "re-aggregation decimal frames cost (no incremental frame "
+        "processor); one exchange on the key, one sort, every window "
+        "shares it.",
+    ),
+    (
         "ns_sim_mmr_rerank",
         "MMR diversity rerank with the right split of labor: the corpus "
         "scan, per-query top-pool window, and pool-pairwise cosines are "
