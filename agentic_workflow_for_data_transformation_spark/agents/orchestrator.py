@@ -93,6 +93,9 @@ naming the operator plus that operator's arguments. Examples of each:
       (rolling z-score flags: each row scored against the mean/std of
       the n rows BEFORE it per key; ADDS moving_avg, moving_std,
       zscore, is_anomaly)
+  {{"op": "correlate", "cols": ["a", "b", "c"]}}  (pairwise Pearson
+      correlation; REPLACES the schema with one row per unordered
+      pair: col_a, col_b, n, r)
 Corpus / dataset ops (only when the description asks for them):
   {{"op": "dedup", "keys": ["text"], "keep_col": "doc_id", "keep": "min"}}
       (keyed duplicate removal: per keys-group keep the row with the
@@ -331,8 +334,8 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # oov -> per-group coverage rows
         "kanon", "word_entropy", "oov",
         # majority vote -> one aggregated label row per key;
-        # agreement -> one alpha report row
-        "majority", "agreement",
+        # agreement -> one alpha report row; correlate -> pair rows
+        "majority", "agreement", "correlate",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -441,7 +444,7 @@ def critic_agent(
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
             "dedup_savings, kanon, word_entropy, oov, majority, "
-            "agreement) REPLACE the "
+            "agreement, correlate) REPLACE the "
             "columns with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "

@@ -4026,6 +4026,39 @@ def p95_nl_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "events", _P95_DESC)
 
 
+_P96_DESC = (
+    "Compute the correlation matrix of l_quantity, l_extendedprice, "
+    "l_discount and l_tax"
+)
+
+
+def _p96_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P96_DESC,
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax", "l_returnflag",
+                     "l_linestatus", "l_shipdate"],
+        ),
+        "lineitem",
+    )
+
+
+@register("p96_nl_correlate", _p96_oracle())
+def p96_nl_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL profiling: 'compute the correlation matrix of <cols>' —
+    profile.correlation_matrix behind one clause (schema-replacing):
+    one row per unordered pair with decimal-exact moments collected
+    in a SINGLE global aggregate (one scan for any number of
+    columns), r closed-form in doubles, NULL on zero variance. The
+    oracle renders the identical pinned chain with the DECIMAL(24,6)
+    product widening DuckDB's int64 DECIMAL multiply needs."""
+    return _nl(spark, sf_dir, "lineitem", _P96_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )
@@ -4507,7 +4540,8 @@ _WINDOW: list[str] = [
     # in-window p91_nl_majority (different key literals); it keeps a
     # fresh row in the committed registry-wide CORRECTNESS_LOCAL.json.
     "p94_nl_ewma",
-    # (x_ldiversity, x_benford, ns_sim_map and x_corr_matrix (single-
+    # (x_ldiversity, x_benford, ns_sim_map, p96_nl_correlate (the
+    # identical-plan NL twin of x_corr_matrix) and x_corr_matrix (single-
     # scan stack-exploded aggregate, the expectations-report family),
     # registered late in the
     # seventh session, stay out-of-window: the quasi-key

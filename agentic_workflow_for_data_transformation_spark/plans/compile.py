@@ -594,6 +594,10 @@ def compile_spec(
             from ..operators.stats import krippendorff_alpha
 
             df = krippendorff_alpha(df, op["key"], op["label"])
+        elif kind == "correlate":
+            from ..operators.profile import correlation_matrix
+
+            df = correlation_matrix(df, list(op["cols"]))
         elif kind == "anomaly":
             from ..operators.timeseries import rolling_zscore_anomalies
 

@@ -416,6 +416,14 @@ _KANON = re.compile(
     r"at\s+(\d+)\s*$",
     re.IGNORECASE,
 )
+# "compute the correlation matrix of a, b and c" -> pairwise Pearson
+# r from decimal-exact moments (profile.correlation_matrix),
+# schema-replacing one row per pair
+_CORRELATE = re.compile(
+    r"^(?:compute|show)\s+(?:the\s+)?correlation(?:\s+matrix)?\s+of\s+"
+    r"(\w+(?:(?:\s*,\s*|\s+and\s+)\w+)+)\s*$",
+    re.IGNORECASE,
+)
 # "flag anomalies in <col> over last <N> rows per <key> ordered by
 # <o> [above z <t>]" -> rolling z-score anomaly flags
 # (timeseries.rolling_zscore_anomalies); adds moving_avg/moving_std/
@@ -882,6 +890,15 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
                 for c in re.split(r",|\s+and\s+", m.group(1))
             ],
             "k": int(m.group(2)),
+        }
+    if m := _CORRELATE.match(clause):
+        return {
+            "op": "correlate",
+            "cols": [
+                _resolve_col(c.strip(), columns)
+                for c in re.split(r",|\s+and\s+", m.group(1))
+                if c.strip()
+            ],
         }
     if m := _ANOMALY.match(clause):
         n = int(m.group(2))

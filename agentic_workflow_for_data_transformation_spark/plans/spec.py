@@ -86,6 +86,10 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # REPLACES the schema with ONE report row (n_items,
       # n_items_dropped, n_ratings, n_categories, d_observed,
       # d_expected, alpha)
+  {"op": "correlate", "cols": ["a", "b", "c"]}
+      # pairwise Pearson correlation matrix; REPLACES the schema with
+      # one row per unordered pair (col_a, col_b, n, r); NULL r on
+      # zero variance
   {"op": "anomaly", "col": "value", "key": "user_id",
    "order_col": "event_id", "n": 20, "z": 3.0}
       # rolling z-score anomaly flags over the last n rows per key:
@@ -643,6 +647,16 @@ def validate_op(op: Any) -> None:
             # inside its innermost aggregate; a key named 'label'
             # would collide there
             _err(f"{kind} 'key' may not be named 'label': {op!r}")
+    elif kind == "correlate":
+        cs = op.get("cols")
+        if not (
+            isinstance(cs, list)
+            and len(cs) >= 2
+            and all(isinstance(c, str) for c in cs)
+        ):
+            _err(f"correlate needs >= 2 string 'cols': {op!r}")
+        if len(set(cs)) != len(cs):
+            _err(f"correlate 'cols' must be distinct: {op!r}")
     elif kind == "anomaly":
         for f in ("col", "key", "order_col"):
             if not isinstance(op.get(f), str):

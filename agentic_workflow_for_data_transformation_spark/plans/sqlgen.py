@@ -440,6 +440,40 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"  CAST(count(*) AS BIGINT) AS votes "
                 f"  FROM ({sql}) GROUP BY 1, 2)) WHERE rn = 1"
             )
+        elif kind == "correlate":
+            # mirrors operators/profile.correlation_matrix (the
+            # x_corr_matrix oracle, parameterized): DECIMAL-pinned
+            # moments in one aggregate, UNION ALL arm per pair;
+            # product inputs widen to DECIMAL(24,6) because DuckDB
+            # multiplies DECIMAL(18) in int64 and overflows first
+            cols = list(op["cols"])
+            sums = ", ".join(
+                f"CAST(SUM(CAST({_q(c)} AS DECIMAL(18,6))) AS DOUBLE) "
+                f"AS s{i}"
+                for i, c in enumerate(cols)
+            )
+            prods = ", ".join(
+                f"CAST(SUM(CAST(CAST({_q(cols[i])} AS DECIMAL(24,6)) "
+                f" * CAST({_q(cols[j])} AS DECIMAL(24,6)) "
+                f" AS DECIMAL(38,12))) AS DOUBLE) AS p{i}_{j}"
+                for i in range(len(cols))
+                for j in range(i, len(cols))
+            )
+            arms = " UNION ALL ".join(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, n, "
+                f"(CASE WHEN (n * p{i}_{i} - s{i} * s{i}) > 0 "
+                f"  AND (n * p{j}_{j} - s{j} * s{j}) > 0 THEN "
+                f" round((n * p{i}_{j} - s{i} * s{j}) "
+                f"  / sqrt((n * p{i}_{i} - s{i} * s{i}) "
+                f"       * (n * p{j}_{j} - s{j} * s{j})), 6) END) AS r "
+                f"FROM __corr"
+                for i in range(len(cols))
+                for j in range(i + 1, len(cols))
+            )
+            sql = (
+                f"WITH __corr AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+                f"{sums}, {prods} FROM ({sql})) {arms}"
+            )
         elif kind == "anomaly":
             # mirrors operators/timeseries.rolling_zscore_anomalies:
             # DECIMAL-pinned frame sums (exact under any fold order,

@@ -639,3 +639,46 @@ def test_live_anomaly_spec_roundtrip(spark, tmp_path):
         for r in out.collect()
     }
     assert got == golden
+
+
+@needs_live_llm
+def test_live_correlate_spec_roundtrip(spark, tmp_path):
+    """The correlation paraphrase against a real model: the LLM must
+    emit the schema-replacing correlate spec; the pair rows must match
+    the canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    canon = (
+        "Compute the correlation matrix of l_quantity, l_extendedprice "
+        "and l_discount"
+    )
+    para = (
+        "Are quantity, extended price and discount measuring the same "
+        "thing? Pearson r for every pair of those three columns."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=li.columns)
+    golden = {
+        (r["col_a"], r["col_b"]): r["r"]
+        for r in compile_spec(
+            li, parse_description(canon, columns=li.columns)
+        ).collect()
+    }
+    st = run_transform(spark, li, para, out_dir=tmp_path,
+                       llm=client_from_env())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        (r["col_a"], r["col_b"]): (None if r["r"] in (None, "")
+                                   else round(float(r["r"]), 6))
+        for r in out.collect()
+    }
+    assert got == golden

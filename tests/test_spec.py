@@ -2355,3 +2355,29 @@ def test_anomaly_spec_op_parse_compile_render(spark):
     want = {r[1]: r for r in con.sql(spec_to_sql(spec, "t")).fetchall()}
     for o, r in got.items():
         assert tuple(r) == want[o]
+
+
+def test_correlate_spec_op_parse_compile_render(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
+
+    cols = ["x", "y", "z"]
+    spec = parse_description(
+        "Compute the correlation matrix of x, y and z", columns=cols
+    )
+    assert spec["ops"] == [{"op": "correlate", "cols": ["x", "y", "z"]}]
+    rows = [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)]
+    df = spark.createDataFrame(rows, cols)
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    assert [(a, b, r) for a, b, _, r in got] == [
+        ("x", "y", 1.0), ("x", "z", -1.0), ("y", "z", -1.0)
+    ]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
