@@ -856,3 +856,24 @@ def test_majority_vote_key_partitioned_windows_only(spark):
 
     for m in re.finditer(r"windowspecdefinition\(([^,)]+)", plan):
         assert "item" in m.group(1)  # every window is item-partitioned
+
+
+def test_anomaly_cumulative_diff_single_exchange(spark):
+    # the O(1)-per-row formulation: cumulative decimal sums + lags all
+    # share ONE exchange on the key and one sort — no bounded decimal
+    # frame (no 'ROWS BETWEEN 20 PRECEDING'), no joins
+    plan = plan_of(spark, "p95_nl_anomaly")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PRECEDING" not in plan or "unboundedpreceding" in plan.lower()
+
+
+def test_correlate_single_scan_one_row_exchange(spark):
+    # all d + d(d+1)/2 decimal moments inside ONE global aggregate:
+    # a single scan pruned to the 4 measure columns, one
+    # SinglePartition exchange, stack explode — no window, no join
+    plan = plan_of(spark, "p96_nl_correlate")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("FileScan") == 1
+    assert "l_quantity" in plan and "l_orderkey" not in plan.split("ReadSchema")[1][:200]
+    assert "SinglePartition" in plan
