@@ -1183,3 +1183,34 @@ def test_random_ewma_windows_match_duckdb(spark_module, expr, alpha,
     got = _spark_rows(compile_spec(spark_module, spec))
     want = _duck(spec_to_sql(spec, "people"))
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    expr=predicate,
+    n=st.integers(min_value=3, max_value=6),
+    z=st.sampled_from([1.0, 2.0, 3.0]),
+)
+def test_random_anomaly_flags_match_duckdb(spark_module, expr, n, z):
+    """Rolling z-score anomaly op: the engine's O(1)-per-row
+    cumulative-diff decimal sums must equal the oracle's plain bounded
+    frame bit-for-bit for random predicates, window sizes, and
+    thresholds — including the NULL-z short-history rows right after
+    each partition start."""
+    spec = {
+        "ops": [
+            {"op": "filter", "expr": expr},
+            {"op": "anomaly", "col": "age", "key": "city",
+             "order_col": "name", "n": n, "z": z},
+            {"op": "select",
+             "cols": ["name", "age", "moving_avg", "moving_std",
+                      "zscore", "is_anomaly"]},
+        ]
+    }
+    got = _spark_rows(compile_spec(spark_module, spec))
+    want = _duck(spec_to_sql(spec, "people"))
+    assert got == want
