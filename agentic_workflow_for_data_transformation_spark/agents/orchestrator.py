@@ -416,6 +416,29 @@ def critic_agent(
         # mid-prompt a live model re-regressed into vetoing a correct
         # rename ("header already shows full_name") — the exact
         # failure the rules exist to prevent
+        # CLAIM SCOPING (advisor, round 9): the "already verified"
+        # claim and the no-substring-veto rule apply ONLY to the
+        # n_checked_preds predicates _filter_exprs_on_output could
+        # still express on the output schema — predicates invalidated
+        # by rename/with_column/schema-replacing ops were SKIPPED, and
+        # the model is the only check those have, so the prompt must
+        # say which is which instead of a blanket "everything was
+        # verified, never object".
+        n_total_filters = sum(
+            1 for op in spec["ops"] if op["op"] == "filter"
+        )
+        n_skipped_preds = n_total_filters - n_checked_preds
+        skipped_note = (
+            ""
+            if n_skipped_preds == 0
+            else (
+                f" {n_skipped_preds} earlier filter predicate(s) "
+                "could NOT be re-executed (later ops renamed, "
+                "overwrote, or replaced the columns they reference) "
+                "— those are UNVERIFIED, and for them your own "
+                "reading of the sample is the only check.\n"
+            )
+        )
         verdict = llm(
             "You will judge whether a transformation output is "
             "consistent with its plan.\n"
@@ -423,11 +446,14 @@ def critic_agent(
             f"output rows: {actual_n}\n"
             "mechanical pre-checks ALREADY PASSED on the full output: "
             "schema matches the compiled plan, the row count matches "
-            f"the recomputed plan, and all {n_checked_preds} checkable "
-            "filter predicates were re-executed over every output row "
-            "with ZERO violations — any violation you believe you see "
-            "in the sample is a misreading.\n"
-            f"sample: {out_df.limit(5).toPandas().to_csv(index=False)}\n"
+            f"the recomputed plan, and {n_checked_preds} of "
+            f"{n_total_filters} filter predicates (those still "
+            "expressible on the output schema) were re-executed over "
+            "every output row with ZERO violations — for THOSE "
+            "predicates, any violation you believe you see in the "
+            "sample is a misreading.\n"
+            + skipped_note
+            + f"sample: {out_df.limit(5).toPandas().to_csv(index=False)}\n"
             "How to read the sample — it is the plan's FINISHED OUTPUT; "
             "every op has ALREADY run:\n"
             "- rename a->b: the header showing b (and no a) is exactly "
@@ -436,11 +462,13 @@ def critic_agent(
             "absence is correct, not missing data.\n"
             "- filter: rows are already filtered; a header-only sample "
             "means the filter matched zero rows, a valid result. "
-            "String predicates (contains/startswith) were ALREADY "
-            "verified mechanically against every output row before "
-            "you were asked — character-level substring judgments are "
-            "error-prone, so if your only objection is a substring/"
-            "spelling claim, answer YES.\n"
+            "String predicates in the RE-EXECUTED set above were "
+            "already verified mechanically against every output row — "
+            "character-level substring judgments are error-prone, so "
+            "if your only objection is a substring/spelling claim "
+            "about a re-executed predicate, answer YES. (A clear "
+            "violation of one of the UNVERIFIED predicates, if any "
+            "were listed, IS a valid reason to answer NO.)\n"
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
             "dedup_savings, kanon, word_entropy, oov, majority, "
@@ -469,13 +497,16 @@ def critic_agent(
             "aliased columns exist with sane types.\n"
             "Decision rule: answer NO only if the output clearly "
             "CONTRADICTS the plan (wrong columns for the ops listed, "
-            "values violating a stated NUMERIC predicate). NEVER "
-            "answer NO on the basis of your own substring/spelling "
-            "analysis or your own window-value recomputation — both "
-            "were already verified mechanically and your character- "
-            "and arithmetic-level judgments are the step's known "
-            "failure mode. If everything is explainable by the rules "
-            "above, or you are unsure, answer YES.\n"
+            "values violating a stated NUMERIC predicate, or a clear "
+            "violation of an UNVERIFIED predicate). Never answer NO "
+            "on the basis of your own substring/spelling analysis of "
+            "a RE-EXECUTED predicate, and never on your own "
+            "window-value recomputation (the window's input rows lie "
+            "outside the sample, so recomputation cannot succeed) — "
+            "character- and arithmetic-level judgments on verified "
+            "ground are the step's known failure mode. If everything "
+            "is explainable by the rules above, or you are unsure, "
+            "answer YES.\n"
             "First line of your reply: strictly YES or NO."
         )
         if verdict.strip().upper().startswith("NO"):

@@ -239,8 +239,10 @@ register(
     "WITH v AS (SELECT event_id % 311 AS item, event_type AS label, "
     " CAST(count(*) AS BIGINT) AS votes FROM events GROUP BY 1, 2), "
     "r AS (SELECT item, label, votes, "
-    " row_number() OVER (PARTITION BY item ORDER BY votes DESC, label) AS rn, "
-    " lead(votes) OVER (PARTITION BY item ORDER BY votes DESC, label) AS votes2, "
+    " row_number() OVER (PARTITION BY item "
+    "  ORDER BY votes DESC, label ASC NULLS FIRST) AS rn, "
+    " lead(votes) OVER (PARTITION BY item "
+    "  ORDER BY votes DESC, label ASC NULLS FIRST) AS votes2, "
     " SUM(votes) OVER (PARTITION BY item) AS n_ratings FROM v) "
     "SELECT item, label AS majority_label, "
     " CAST(n_ratings AS BIGINT) AS n_ratings, votes AS n_votes, "
@@ -557,34 +559,13 @@ register(
 
 
 def _corr_sql(cols: list[str]) -> str:
-    sums = ", ".join(
-        f"CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS s{i}"
-        for i, c in enumerate(cols)
-    )
-    # product inputs widen to DECIMAL(24,6): DuckDB multiplies
-    # DECIMAL(18) in int64 and overflows BEFORE promoting; 24 digits
-    # force int128 arithmetic — the exact values are unchanged, so
-    # the engine side keeps its (18,6) inputs
-    prods = ", ".join(
-        f"CAST(SUM(CAST(CAST({cols[i]} AS DECIMAL(24,6)) "
-        f" * CAST({cols[j]} AS DECIMAL(24,6)) AS DECIMAL(38,12))) "
-        f"AS DOUBLE) AS p{i}_{j}"
-        for i in range(len(cols))
-        for j in range(i, len(cols))
-    )
-    arms = " UNION ALL ".join(
-        f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, n, "
-        f"(CASE WHEN (n * p{i}_{i} - s{i} * s{i}) > 0 "
-        f"  AND (n * p{j}_{j} - s{j} * s{j}) > 0 THEN "
-        f" round((n * p{i}_{j} - s{i} * s{j}) "
-        f"  / sqrt((n * p{i}_{i} - s{i} * s{i}) "
-        f"       * (n * p{j}_{j} - s{j} * s{j})), 6) END) AS r FROM a"
-        for i in range(len(cols))
-        for j in range(i + 1, len(cols))
-    )
-    return (
-        f"WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n, {sums}, {prods} "
-        f"FROM lineitem) {arms}"
+    # delegate to the sqlgen 'correlate' renderer so the oracle formula
+    # (pairwise-complete masking, DECIMAL(24,6) product widening for
+    # DuckDB's int64 DECIMAL multiply) lives in exactly one place
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        {"ops": [{"op": "correlate", "cols": list(cols)}]}, "lineitem"
     )
 
 

@@ -49,50 +49,66 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     signal twice. One row per unordered pair (col_a < col_b):
     (col_a, col_b, n, r).
 
-    Exactness: every moment (sum, sum of squares, cross products)
-    pins DECIMAL — inputs cast ``in_decimal``, products
-    DECIMAL(38,12) — so the sums are exact under any partition order;
-    r's closed form then runs in doubles from those exact sums,
-    rounded to 6. Constant columns (zero variance) report NULL r.
-    Scale shape: ONE global aggregate computes all d + d(d+1)/2
-    moments in a single scan (d = len(cols)); the pair rows are
-    exploded from that 1-row frame with stack — profiling d columns
-    costs the one scan you were already paying, never d^2 scans."""
-    d = [F.col(c).cast(in_decimal) for c in cols]
-    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
-    for i, c in enumerate(cols):
-        aggs.append(F.sum(d[i]).alias(f"_s{i}"))
-    for i in range(len(cols)):
-        for j in range(i, len(cols)):
-            aggs.append(
-                F.sum((d[i] * d[j]).cast("decimal(38,12)"))
-                .alias(f"_p{i}_{j}")
-            )
+    NULL semantics: pairwise-complete — each pair's moments (count,
+    sums, squares, cross products) are computed over the rows where
+    BOTH columns are non-null, like Spark's F.corr and pandas'
+    pairwise-complete Pearson. A single-moment-set-with-global-n
+    shortcut is statistically WRONG the moment any profiled column
+    has a NULL (SUM skips NULLs while count(*) doesn't, so the
+    moments and n disagree); per-pair masking costs 6 aggregates per
+    pair instead of shared diagonals but stays one scan.
+
+    Exactness: every moment pins DECIMAL — inputs cast ``in_decimal``,
+    products DECIMAL(38,12) — so the sums are exact under any
+    partition order; r's closed form then runs in doubles from those
+    exact sums, rounded to 6. Constant columns (zero variance within
+    the pair's complete rows) report NULL r. Scale shape: ONE global
+    aggregate computes all 6·d(d-1)/2 moments in a single scan
+    (d = len(cols)); the pair rows are exploded from that 1-row frame
+    with stack — profiling d columns costs the one scan you were
+    already paying, never d^2 scans."""
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    aggs = []
+    for i, j in pairs:
+        x = F.col(cols[i]).cast(in_decimal)
+        y = F.col(cols[j]).cast(in_decimal)
+        both = F.col(cols[i]).isNotNull() & F.col(cols[j]).isNotNull()
+        t = f"{i}_{j}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).cast("long").alias(f"_n{t}"),
+            F.sum(F.when(both, x)).alias(f"_sx{t}"),
+            F.sum(F.when(both, y)).alias(f"_sy{t}"),
+            F.sum(F.when(both, (x * x).cast("decimal(38,12)")))
+            .alias(f"_sxx{t}"),
+            F.sum(F.when(both, (y * y).cast("decimal(38,12)")))
+            .alias(f"_syy{t}"),
+            F.sum(F.when(both, (x * y).cast("decimal(38,12)")))
+            .alias(f"_sxy{t}"),
+        ]
     one = df.agg(*aggs)
     arms = []
-    for i in range(len(cols)):
-        for j in range(i + 1, len(cols)):
-            arms.append(
-                f"'{cols[i]}', '{cols[j]}', "
-                f"double(_s{i}), double(_s{j}), "
-                f"double(_p{i}_{i}), double(_p{j}_{j}), double(_p{i}_{j})"
-            )
-    n_pairs = len(arms)
+    for i, j in pairs:
+        t = f"{i}_{j}"
+        arms.append(
+            f"'{cols[i]}', '{cols[j]}', _n{t}, "
+            f"double(_sx{t}), double(_sy{t}), "
+            f"double(_sxx{t}), double(_syy{t}), double(_sxy{t})"
+        )
     stacked = one.select(
-        "_n",
         F.expr(
-            f"stack({n_pairs}, {', '.join(arms)}) AS "
-            "(col_a, col_b, _sx, _sy, _sxx, _syy, _sxy)"
+            f"stack({len(arms)}, {', '.join(arms)}) AS "
+            "(col_a, col_b, _np, _sx, _sy, _sxx, _syy, _sxy)"
         ),
     )
-    n = F.col("_n").cast("double")
+    n = F.col("_np").cast("double")
     den_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     den_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
     num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     return stacked.select(
         "col_a",
         "col_b",
-        F.col("_n").alias("n"),
+        F.col("_np").alias("n"),
         F.when(
             (den_x > 0) & (den_y > 0),
             F.round(num / F.sqrt(den_x * den_y), 6),

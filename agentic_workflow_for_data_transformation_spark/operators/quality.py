@@ -168,8 +168,13 @@ def majority_vote(df: DataFrame, item_col: str,
     v = df.groupBy(item_col, label_col).agg(
         F.count(F.lit(1)).cast("long").alias("votes")
     )
+    # label tiebreak pinned asc_nulls_first: Spark's bare ASC default
+    # is NULLS FIRST but DuckDB's is NULLS LAST, so a NULL label tying
+    # on votes would pick different winners cross-engine unless both
+    # sides spell the null ordering out (the oracle renders
+    # 'label ASC NULLS FIRST' to match)
     w = Window.partitionBy(item_col).orderBy(
-        F.col("votes").desc(), F.col(label_col)
+        F.col("votes").desc(), F.col(label_col).asc_nulls_first()
     )
     wp = Window.partitionBy(item_col)
     ranked = v.select(

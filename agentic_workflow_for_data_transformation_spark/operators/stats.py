@@ -680,8 +680,16 @@ def fleiss_kappa(df: DataFrame, item_col: str, label_col: str,
     amount of downstream training fixes that.
 
     Each item keeps its first ``n_raters`` ratings in ``order_col``
-    order (deterministic trim — Fleiss requires a constant n); items
-    with fewer ratings are dropped and reported in n_items_dropped.
+    order (Fleiss requires a constant n); items with fewer ratings are
+    dropped and reported in n_items_dropped. The trim is made
+    DETERMINISTIC by always appending ``label_col`` as the final sort
+    key: kappa depends only on the MULTISET of labels kept per item,
+    and (order_col?, label) totally orders that multiset — without the
+    tiebreak, an omitted or non-unique order_col would keep an
+    arbitrary partition-order-dependent subset of an over-rated item's
+    ratings and kappa would be nondeterministic. (The old default of
+    ordering by ``item_col`` — constant within the partition — was
+    exactly that bug.)
     With n_ij the count of ratings of item i in category j:
 
         P_i  = (sum_j n_ij^2 - n) / (n (n-1))
@@ -695,8 +703,10 @@ def fleiss_kappa(df: DataFrame, item_col: str, label_col: str,
     identical on any engine, so the oracle is plain SQL. Scale shape:
     one row_number window on item, two hash aggregates, a 1-row
     report; no driver state."""
-    order_col = order_col or item_col
-    w = Window.partitionBy(item_col).orderBy(F.col(order_col))
+    keys = (
+        [F.col(order_col).asc_nulls_first()] if order_col else []
+    ) + [F.col(label_col).asc_nulls_first()]
+    w = Window.partitionBy(item_col).orderBy(*keys)
     trimmed = (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_raters)

@@ -432,9 +432,10 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"COALESCE(votes2, -1) = votes AS is_tie "
                 f"FROM (SELECT {key}, label, votes, "
                 f" row_number() OVER (PARTITION BY {key} "
-                f"  ORDER BY votes DESC, label) AS rn, "
+                f"  ORDER BY votes DESC, label ASC NULLS FIRST) AS rn, "
                 f" lead(votes) OVER (PARTITION BY {key} "
-                f"  ORDER BY votes DESC, label) AS votes2, "
+                f"  ORDER BY votes DESC, label ASC NULLS FIRST) "
+                f"  AS votes2, "
                 f" SUM(votes) OVER (PARTITION BY {key}) AS n_ratings "
                 f" FROM (SELECT {key}, {lab} AS label, "
                 f"  CAST(count(*) AS BIGINT) AS votes "
@@ -442,37 +443,61 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "correlate":
             # mirrors operators/profile.correlation_matrix (the
-            # x_corr_matrix oracle, parameterized): DECIMAL-pinned
-            # moments in one aggregate, UNION ALL arm per pair;
-            # product inputs widen to DECIMAL(24,6) because DuckDB
-            # multiplies DECIMAL(18) in int64 and overflows first
+            # x_corr_matrix oracle, parameterized): PAIRWISE-COMPLETE
+            # DECIMAL-pinned moments in one aggregate (each pair's
+            # count/sums/products CASE-masked to rows where BOTH
+            # columns are non-null — a shared-diagonal global-n form
+            # is wrong under NULLs), UNION ALL arm per pair; product
+            # inputs widen to DECIMAL(24,6) because DuckDB multiplies
+            # DECIMAL(18) in int64 and overflows first
             cols = list(op["cols"])
-            sums = ", ".join(
-                f"CAST(SUM(CAST({_q(c)} AS DECIMAL(18,6))) AS DOUBLE) "
-                f"AS s{i}"
-                for i, c in enumerate(cols)
-            )
-            prods = ", ".join(
-                f"CAST(SUM(CAST(CAST({_q(cols[i])} AS DECIMAL(24,6)) "
-                f" * CAST({_q(cols[j])} AS DECIMAL(24,6)) "
-                f" AS DECIMAL(38,12))) AS DOUBLE) AS p{i}_{j}"
-                for i in range(len(cols))
-                for j in range(i, len(cols))
-            )
-            arms = " UNION ALL ".join(
-                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, n, "
-                f"(CASE WHEN (n * p{i}_{i} - s{i} * s{i}) > 0 "
-                f"  AND (n * p{j}_{j} - s{j} * s{j}) > 0 THEN "
-                f" round((n * p{i}_{j} - s{i} * s{j}) "
-                f"  / sqrt((n * p{i}_{i} - s{i} * s{i}) "
-                f"       * (n * p{j}_{j} - s{j} * s{j})), 6) END) AS r "
-                f"FROM __corr"
+            pair_idx = [
+                (i, j)
                 for i in range(len(cols))
                 for j in range(i + 1, len(cols))
+            ]
+            moments = []
+            for i, j in pair_idx:
+                xq, yq = _q(cols[i]), _q(cols[j])
+                both = f"{xq} IS NOT NULL AND {yq} IS NOT NULL"
+                xd = f"CAST({xq} AS DECIMAL(24,6))"
+                yd = f"CAST({yq} AS DECIMAL(24,6))"
+                moments += [
+                    f"CAST(count(CASE WHEN {both} THEN 1 END) "
+                    f"AS BIGINT) AS n{i}_{j}",
+                    f"CAST(SUM(CASE WHEN {both} THEN "
+                    f"CAST({xq} AS DECIMAL(18,6)) END) AS DOUBLE) "
+                    f"AS sx{i}_{j}",
+                    f"CAST(SUM(CASE WHEN {both} THEN "
+                    f"CAST({yq} AS DECIMAL(18,6)) END) AS DOUBLE) "
+                    f"AS sy{i}_{j}",
+                    f"CAST(SUM(CASE WHEN {both} THEN "
+                    f"CAST({xd} * {xd} AS DECIMAL(38,12)) END) "
+                    f"AS DOUBLE) AS pxx{i}_{j}",
+                    f"CAST(SUM(CASE WHEN {both} THEN "
+                    f"CAST({yd} * {yd} AS DECIMAL(38,12)) END) "
+                    f"AS DOUBLE) AS pyy{i}_{j}",
+                    f"CAST(SUM(CASE WHEN {both} THEN "
+                    f"CAST({xd} * {yd} AS DECIMAL(38,12)) END) "
+                    f"AS DOUBLE) AS pxy{i}_{j}",
+                ]
+            arms = " UNION ALL ".join(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+                f"n{i}_{j} AS n, "
+                f"(CASE WHEN (n{i}_{j} * pxx{i}_{j} "
+                f"  - sx{i}_{j} * sx{i}_{j}) > 0 "
+                f"  AND (n{i}_{j} * pyy{i}_{j} "
+                f"  - sy{i}_{j} * sy{i}_{j}) > 0 THEN "
+                f" round((n{i}_{j} * pxy{i}_{j} - sx{i}_{j} * sy{i}_{j}) "
+                f"  / sqrt((n{i}_{j} * pxx{i}_{j} - sx{i}_{j} * sx{i}_{j}) "
+                f"       * (n{i}_{j} * pyy{i}_{j} - sy{i}_{j} * sy{i}_{j})"
+                f"), 6) END) AS r "
+                f"FROM __corr"
+                for i, j in pair_idx
             )
             sql = (
-                f"WITH __corr AS (SELECT CAST(count(*) AS BIGINT) AS n, "
-                f"{sums}, {prods} FROM ({sql})) {arms}"
+                f"WITH __corr AS (SELECT {', '.join(moments)} "
+                f"FROM ({sql})) {arms}"
             )
         elif kind == "anomaly":
             # mirrors operators/timeseries.rolling_zscore_anomalies:

@@ -1812,6 +1812,28 @@ def test_fleiss_kappa_perfect_and_trim(spark):
     assert out["p_bar"] == 1.0 and out["kappa"] == 1.0
 
 
+def test_fleiss_kappa_default_trim_deterministic(spark):
+    # no order_col: the trim must fall back to label order, so an
+    # over-rated item keeps a DETERMINISTIC label multiset (the 5
+    # smallest labels), not a partition-order-dependent subset. Item e
+    # has 7 ratings [no x2, maybe x2, yes x3]; label-order trim keeps
+    # [maybe, maybe, no, no, yes] regardless of input row order.
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        fleiss_kappa,
+    )
+
+    base = [("a", "yes"), ("a", "yes"), ("a", "yes"), ("a", "yes"),
+            ("a", "yes")]
+    extra = [("e", "yes")] * 3 + [("e", "no")] * 2 + [("e", "maybe")] * 2
+    for perm in (extra, extra[::-1], extra[3:] + extra[:3]):
+        df = spark.createDataFrame(base + perm, ["item", "label"])
+        out = fleiss_kappa(df, "item", "label", n_raters=5).collect()[0]
+        assert out["n_items"] == 2 and out["n_categories"] == 3
+        # item e keeps {maybe:2, no:2, yes:1}: P_e = sum 2^2+2^2+1^2=9
+        # -> P_i(e) = (9-5)/20 = 0.2; P_i(a) = 1 -> p_bar = 0.6
+        assert out["p_bar"] == 0.6
+
+
 def test_classifier_prf_consistent_with_counts(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     rows = similarity.classifier_prf(emb).collect()
@@ -1865,6 +1887,34 @@ def test_majority_vote_single_label_has_no_runner_up(spark):
     assert got[1]["margin"] == 2 and not got[1]["is_tie"]
     assert got[2]["n_ratings"] == 1 and got[2]["vote_share"] == 1.0
     assert not got[2]["is_tie"]
+
+
+def test_majority_vote_null_label_tie_pinned_cross_engine(spark):
+    """A NULL label tying on votes: the tiebreak is pinned ASC NULLS
+    FIRST on BOTH engines (Spark's bare ASC default is NULLS FIRST,
+    DuckDB's is NULLS LAST — unpinned, the two would pick different
+    winners)."""
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.operators.quality import (
+        majority_vote,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (1, "b"), (1, "b")], ["item", "lab"]
+    )
+    (r,) = majority_vote(df, "item", "lab").collect()
+    assert r["majority_label"] is None and r["is_tie"]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = spec_to_sql(
+        {"ops": [{"op": "majority", "key": "item", "label": "lab"}]}, "t"
+    )
+    (orc,) = con.sql(sql).fetchall()
+    assert orc[1] is None and orc[-1] is True
 
 
 def test_conformal_thresholds_monotone_and_consistent(spark, sf_dir):
@@ -2006,3 +2056,30 @@ def test_correlation_matrix_hand_case(spark):
     assert got[("x", "z")] == -1.0
     assert got[("y", "z")] == -1.0
     assert got[("x", "c")] is None and got[("z", "c")] is None
+
+
+def test_correlation_matrix_pairwise_complete_nulls(spark):
+    """b = 2a exactly on every row where both are present; one NULL in
+    b must NOT poison the pair (the global-n shortcut returned 0.848528
+    here instead of 1.0). Each pair's n counts only its complete rows."""
+    from agentic_workflow_for_data_transformation_spark.operators.profile import (
+        correlation_matrix,
+    )
+
+    rows = [(1.0, 2.0), (2.0, None), (3.0, 6.0), (4.0, 8.0)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    (r,) = correlation_matrix(df, ["a", "b"]).collect()
+    assert r["n"] == 3
+    assert r["r"] == 1.0
+
+    # cross-engine: the sqlgen oracle must implement the same masking
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sql = spec_to_sql({"ops": [{"op": "correlate", "cols": ["a", "b"]}]}, "t")
+    assert con.sql(sql).fetchall() == [("a", "b", 3, 1.0)]
