@@ -4368,206 +4368,75 @@ def x_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-mix applied sampling.
 # --------------------------------------------------------------------------
 _WINDOW: list[str] = [
-    # Round-8 rotation (VERDICT r7 #4). The cumulative driver ledger
-    # closed at 223/223 in round 7, so this window is composed of:
-    #   (a) the NEW round-8 registrations (never gated): the
-    #       composed IVF+PQ serving stack, the NL corpus/dataset/text
-    #       phrasings p62-p82, SemDeDup, the retrieval-quality and
-    #       hard-negative harnesses, CCNet perplexity bucketing,
-    #       incremental near-dup dedup vs the persisted LSH archive,
-    #       BPE train + encode, and the fourth session's additions:
-    #       Gopher rule battery, DSIR weights + end-to-end resampling,
-    #       token fertility, evolving JSONL + partitioned ORC sources,
-    #       and the frequent-items guarantee harness;
-    #   (b) the 7 queries whose SEMANTICS, ORACLE, or PLAN changed in
-    #       round 8 and need fresh driver rows: the two PQ queries now
-    #       run TRAINED codebooks (new unrolled-Lloyd oracles); the
-    #       HLL / percentile-sketch / Bloom queries now emit
-    #       bounds-style outputs with exact oracles (zero no_oracle
-    #       rows remain); welch_ttest counts non-null values; and
-    #       ns_embed_pq's plan gained the (id, sub) spread exchange;
-    #   (c) freshness picks last gated in ROUND 1 (the oldest driver
-    #       rows in the ledger), recomputed mechanically from the
-    #       committed CORRECTNESS_r0*.json files; most round-1 picks
-    #       rotated out as (a) grew across the round's sessions — all
-    #       stay covered by the committed full-registry
-    #       CORRECTNESS_LOCAL.json, regenerated registry-wide at the
-    #       end of the fourth session.
-    # EDITING NOTE (r7 lesson): swap slots by editing THIS list only —
-    # a bare '"name",' string also matches that query's @register(...)
-    # line (identical text) and a careless sed silently renames the
-    # registration; the freshness gate catches it, but line-target
-    # edits here avoid the round-trip.
-    # -- (a) new in round 8, never gated --
-    "ns_sim_topk_ivfpq",
-    "ns_dedup_lines",
-    "p73_nl_resample",
-    "p75_nl_merge",
-    "ns_dedup_semantic", "p78_nl_redact",
-    "ns_text_perplexity_buckets",
-    "ns_dedup_incremental_lsh", "ns_text_bpe_encode", "p79_nl_expectations",
-    # fourth-session additions (rotated in over four (c) freshness
-    # picks — all four rotated-out queries keep their old driver rows
-    # plus full-registry CORRECTNESS_LOCAL coverage)
-    # (fifth session: ns_quality_gopher, ns_text_token_fertility,
-    # ns_corpus_dsir_weights and x_resample_interpolate yielded their
-    # slots to the new registrations below — each rotated-out op stays
-    # driver-covered through its in-window NL twin (p80_nl_gopher /
-    # p82_nl_fertility / p81_nl_dsir / p73_nl_resample compile to the
-    # identical plans); all keep fresh rows in CORRECTNESS_LOCAL.json)
-    "x_source_jsonl_evolving",
-    "p80_nl_gopher",
-    "ns_corpus_dsir_sample", "x_source_orc_partitioned",
-    "p82_nl_fertility", "x_frequent_items", "ns_quality_gopher_rep",
-    # -- (b) semantics/oracle/plan changed in round 8 --
-    "ns_sim_recall_pq", "ns_embed_pq",
-    "x_approx_count_distinct", "x_approx_percentiles",
-    "ns_decontaminate_bloom", "ns_stats_welch_ttest",
-    # (the (c) freshness picks all rotated out as (a) grew; every
-    # rotated-out query keeps its old driver row plus a fresh row in
-    # the registry-wide CORRECTNESS_LOCAL.json)
-    # fifth-session additions: winnowing (MOSS) fingerprint dedup, the
-    # nearest-centroid separability audit, and the pairwise
-    # Jensen-Shannon source-divergence map. They take the slots of
-    # ns_sample_negatives / x_merge_upsert / x_winsorize_group, whose
-    # operators are ALSO exercised in-window through their NL twins
-    # (p76_nl_negatives / p75_nl_merge / p72_nl_winsorize compile to
-    # the identical spec ops), so no plan shape loses driver coverage;
-    # all three keep fresh rows in CORRECTNESS_LOCAL.json.
-    "p84_nl_winnow_dedup",
-    "p85_nl_vocab_divergence",
-    "ns_corpus_datacard",
-    # sixth-session additions: the evaluation/audit layer (simplified
-    # silhouette, NDCG@10, k-anonymity, split PSI, word entropy,
-    # distinct-n diversity, packing efficiency) and the three new NL
-    # phrasings (blocklist p87, k-anonymity p88, word entropy p89).
-    # They take the slots of ten queries whose plan shapes stay
-    # driver-covered by an in-window twin: ns_sim_mrr and
-    # ns_sim_hard_negatives (broadcast-query top-k scoring shape ->
-    # ns_sim_ndcg), ns_sim_topk_pq (ADC chain contained in
-    # ns_sim_recall_pq), ns_sim_cluster_exemplars (centroid-scoring
-    # shape -> ns_sim_silhouette + ns_classify_nearest_centroid),
-    # ns_dedup_winnowing (-> p84 twin), ns_corpus_js_divergence
-    # (-> p85 twin), p77_nl_sample (hash-draw filter -> p68 split),
-    # p70_nl_token_counts (per-row projection -> p69/p71),
-    # p65_nl_pack (packing windows -> ns_corpus_pack_efficiency,
-    # a superset plan), ns_text_bpe_merges (trained inside
-    # ns_text_bpe_encode). All ten keep fresh rows in the committed
-    # registry-wide CORRECTNESS_LOCAL.json.
-    "x_split_psi",
-    "ns_text_word_entropy", "ns_text_distinct_n",
-    "ns_corpus_pack_efficiency",
-    "p87_nl_blocklist", "p88_nl_kanonymity",
-    # sixth-session part 2: the classifier family (on-cluster logreg
-    # trainer, calibration, AUC), cluster purity, the OOV audit with
-    # its NL twin p90, embedding anisotropy, and CDC chunk dedup.
-    # They take the slots of eight more twin-covered queries:
-    # p62_nl_dedup_docs (keyed row_number dedup shape -> p84's
-    # winnow keep-first + ns_dedup_lines' first-occurrence chain),
-    # p63_nl_neardup (full LSH chain -> ns_dedup_incremental_lsh's
-    # probe/verify against the archive), p64_nl_decontaminate
-    # (broadcast-semi + anti shape -> ns_decontaminate_bloom's
-    # guarantee row covers decontamination), p66_nl_ann (broadcast-
-    # query exact top-k -> ns_sim_ndcg runs the identical scoring
-    # scan), p67_nl_json_extract (per-row expression projection ->
-    # p69_nl_langid), p72_nl_winsorize (broadcast percentile clamp ->
-    # p73's grid-join resample keeps the family's join shape),
-    # p74_nl_chunk (narrow explode -> ns_dedup_lines' segment
-    # explode), p76_nl_negatives (broadcast-pool sampling ->
-    # p68_nl_split keeps the hash-draw family). All eight keep fresh
-    # rows in the committed registry-wide CORRECTNESS_LOCAL.json.
-    "ns_quality_train_logreg", "ns_quality_calibration",
-    "ns_quality_auc", "ns_sim_cluster_purity",
-    "ns_text_oov_rate",
-    "ns_embed_anisotropy", "ns_dedup_cdc_chunks",
-    # seventh-session additions: the retrieval-serving and label-trust
-    # layer — RRF rank fusion, greedy MMR rerank (applyInPandas per
-    # query), Fleiss' kappa agreement, per-class P/R/F1. They take the
-    # slots of four twin-covered queries: ns_sim_ndcg (broadcast-query
-    # exact-cosine scoring scan -> ns_sim_rrf_fusion runs the identical
-    # scan with a superset of windows), ns_classify_nearest_centroid
-    # (-> ns_classify_prf RUNS the full classifier plan and aggregates
-    # on top — a strict superset, salt aside), p69_nl_langid (per-row
-    # text projection -> p71_nl_quality), x_kanonymity (-> its NL twin
-    # p88_nl_kanonymity compiles to the identical events aggregate).
-    # All four keep fresh rows in the committed registry-wide
+    # Round-9 rotation (VERDICT r8 ask #1): pay down the driver-gate
+    # ledger. The cumulative union of green driver rows across
+    # CORRECTNESS_r01-r08 covered 267/319 registered queries; the 52
+    # never-gated ones are exactly the late-round-8 registrations (the
+    # evaluation layer, the audit family, and the p62-p96 NL phrasings
+    # whose slots were funded by identical-plan twins). This window is
+    # 50 of those 52, FROZEN before any round-9 registration (the r5
+    # lesson: new queries land AFTER the window and wait for r10). The
+    # two deferred to lead the r10 window are p89_nl_word_entropy and
+    # p90_nl_oov, whose plans are IDENTICAL (different literals only)
+    # to ns_text_word_entropy / ns_text_oov_rate, both driver-gated
+    # green in round 8 — the lowest-risk deferrals available. Two of
+    # the fifty changed THIS round and need the fresh row anyway:
+    # x_corr_matrix / p96_nl_correlate now compute PAIRWISE-COMPLETE
+    # Pearson (per-pair null-masked moments, ADVICE r9 high), and
+    # ns_quality_majority_vote's tiebreak pins ASC NULLS FIRST on both
+    # engines. Every rotated-out round-8 query keeps its round-8
+    # driver row plus a fresh row in the committed registry-wide
     # CORRECTNESS_LOCAL.json.
-    "ns_sim_rrf_fusion", "ns_sim_mmr_rerank",
-    "ns_quality_fleiss_kappa", "ns_classify_prf",
-    # seventh-session part 2: majority-vote label aggregation (the
-    # step after the kappa gate) with its NL twin p91, and the
-    # quality-threshold tradeoff sweep. They take the slots of three
-    # twin-covered queries: p71_nl_quality (the per-row quality
-    # projection RUNS inside ns_quality_threshold_sweep's one-scan
-    # aggregate — a strict superset plan), p90_nl_oov (compiles to the
-    # identical plan as the in-window ns_text_oov_rate), p68_nl_split
-    # (md5 hash-draw filter — the draw is computed in-window by both
-    # x_split_psi and ns_classify_prf). All three keep fresh rows in
-    # the committed registry-wide CORRECTNESS_LOCAL.json.
-    "p91_nl_majority",
-    "ns_quality_threshold_sweep",
-    # seventh-session part 3: quality-aware exemplar dedup via the new
-    # 'breaking ties by <col>' dedup suffix (the keyed row_number
-    # dedup shape returns to the window with a deterministic
-    # tied-keep-col winner). Takes the slot of p81_nl_dsir, whose
-    # importance-weight plan runs INSIDE the in-window
-    # ns_corpus_dsir_sample end-to-end chain; p81 keeps its fresh row
-    # in the committed registry-wide CORRECTNESS_LOCAL.json.
-    "p92_nl_quality_dedup",
-    # seventh-session part 4: split-conformal quality-filter
-    # calibration (percentile thresholds over the hash-split
-    # calibration slice + broadcast-back coverage pass). Takes the
-    # slot of p89_nl_word_entropy, which compiles to the IDENTICAL
-    # plan as the in-window ns_text_word_entropy; p89 keeps its fresh
-    # row in the committed registry-wide CORRECTNESS_LOCAL.json.
-    "ns_quality_conformal",
-    # seventh-session part 5: Krippendorff's alpha, the varying-n
-    # agreement gate beside the in-window fixed-n Fleiss kappa — gated
-    # through its NL twin p93_nl_agreement, which compiles to the
-    # IDENTICAL coincidence-matrix plan (different key literals) and
-    # additionally exercises the parser clause and the parameterized
-    # sqlgen rendering; ns_quality_kripp_alpha keeps a fresh row in
-    # the committed registry-wide CORRECTNESS_LOCAL.json. Slot funded
-    # by ns_split_leakage_audit, whose composition is covered
-    # piecewise in-window: the LSH probe/verify chain by
-    # ns_dedup_incremental_lsh and the md5 hash split by x_split_psi /
-    # ns_classify_prf; the audit keeps its fresh local row too.
-    "p93_nl_agreement",
-    # seventh-session part 6: the ewma window fn (bounded weighted lag
-    # chain) via its NL phrasing p94 — a NEW plan shape (n lag window
-    # functions sharing one key-partitioned sort). Takes the slot of
-    # ns_quality_majority_vote, whose plan is IDENTICAL to the
-    # in-window p91_nl_majority (different key literals); it keeps a
-    # fresh row in the committed registry-wide CORRECTNESS_LOCAL.json.
-    "p94_nl_ewma",
-    # (x_ldiversity, x_benford, ns_sim_map, p96_nl_correlate (the
-    # identical-plan NL twin of x_corr_matrix) and x_corr_matrix (single-
-    # scan stack-exploded aggregate, the expectations-report family),
-    # registered late in the
-    # seventh session, stay out-of-window: the quasi-key
-    # aggregate-fold shape is the in-window p88_nl_kanonymity's with a
-    # count-distinct added, Benford's 9-group scan+broadcast-total is
-    # the registry's plainest aggregate family, and MAP@k's
-    # broadcast-query scoring scan + per-query windows is the
-    # in-window ns_sim_rrf_fusion's shape; all carry fresh
-    # CORRECTNESS_LOCAL rows — rotate them in next round.)
-    # seventh-session part 7: rolling z-score anomaly flags via p95 —
-    # a NEW plan shape (DECIMAL-pinned frame stats over an
-    # excluded-current-row window). Takes the slot of
-    # ns_sim_silhouette, whose centroid-scoring scan is covered
-    # in-window by the strict-superset classifier chain
-    # ns_classify_prf and by ns_sim_cluster_purity's centroid scoring;
-    # silhouette keeps a fresh row in the committed registry-wide
-    # CORRECTNESS_LOCAL.json.
-    "p95_nl_anomaly",
-    # rotated out for the fourth-session additions: ns_multimodal_meta,
-    # ns_sample_split, ns_shuffle_sharded, ns_sim_topk_multi,
-    # ns_sim_topk_ivf, ns_sim_topk_bruteforce (each a duplicate of an
-    # in-window plan shape — the ANN top-k family is represented by
-    # the ivfpq/pq/recall trio in section (a)), x_intersect and
-    # x_join_semi (set-op/join shapes adjacent to the in-window
-    # x_join_anti; round-1 driver rows stand, local report covers);
-    # see round-4 note above
+    "ns_classify_label_margin",
+    "ns_classify_nearest_centroid",
+    "ns_corpus_dsir_weights",
+    "ns_corpus_dup_by_source",
+    "ns_corpus_js_divergence",
+    "ns_corpus_snapshot_diff",
+    "ns_dedup_cluster_sizes",
+    "ns_dedup_savings_by_source",
+    "ns_dedup_winnowing",
+    "ns_quality_gopher",
+    "ns_quality_kripp_alpha",
+    "ns_quality_majority_vote",
+    "ns_sample_negatives",
+    "ns_sim_centroid_pairs",
+    "ns_sim_cluster_exemplars",
+    "ns_sim_hard_negatives",
+    "ns_sim_map",
+    "ns_sim_mrr",
+    "ns_sim_ndcg",
+    "ns_sim_silhouette",
+    "ns_split_leakage_audit",
+    "ns_text_bpe_merges",
+    "ns_text_heaps_fit",
+    "ns_text_token_fertility",
+    "p62_nl_dedup_docs",
+    "p63_nl_neardup",
+    "p64_nl_decontaminate",
+    "p65_nl_pack",
+    "p66_nl_ann",
+    "p67_nl_json_extract",
+    "p68_nl_split",
+    "p69_nl_langid",
+    "p70_nl_token_counts",
+    "p71_nl_quality",
+    "p72_nl_winsorize",
+    "p74_nl_chunk",
+    "p76_nl_negatives",
+    "p77_nl_sample",
+    "p81_nl_dsir",
+    "p83_nl_dup_audit",
+    "p86_nl_dedup_savings",
+    "p96_nl_correlate",
+    "x_benford",
+    "x_corr_matrix",
+    "x_kanonymity",
+    "x_ldiversity",
+    "x_merge_upsert",
+    "x_resample_interpolate",
+    "x_source_csv_evolving",
+    "x_winsorize_group",
 ]
 
 
