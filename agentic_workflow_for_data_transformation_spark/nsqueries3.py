@@ -625,6 +625,7 @@ def ns_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_SUBW, _PQ_ITER, _PQ_SAMPLE = 32, 128, 2, 2, 500
 
 _PQ_CB_CACHE: dict[tuple, DataFrame] = {}
+_PQ_CODES_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,6 +644,30 @@ def _pq_codebook_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_iter=_PQ_ITER, dim=64, sample_n=_PQ_SAMPLE,
         )
         _PQ_CB_CACHE[key] = got
+    return got
+
+
+def _pq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped ENCODED code table (localCheckpoint'ed) — the
+    second offline serving artifact beside the codebook. Encoding is
+    the n x (m*k) assignment join (819M intermediate rows at sf10);
+    before round 9 the registered ADC queries re-ran it per query and
+    the solo sweep measured 155 s at sf10 for what should be a
+    code-table scan. A deployment encodes once per corpus snapshot;
+    serving reads n*m code rows, each matching exactly ONE broadcast
+    LUT row."""
+    from .operators import similarity as _sim
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PQ_CODES_CACHE.get(key)
+    if got is None:
+        for k in [k for k in _PQ_CODES_CACHE if k != key]:
+            del _PQ_CODES_CACHE[k]
+        got = _sim.product_quantize(
+            _t(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K, dim=64,
+            codebook=_pq_codebook_cached(spark, sf_dir),
+        ).localCheckpoint()
+        _PQ_CODES_CACHE[key] = got
     return got
 
 
@@ -730,6 +755,7 @@ def ns_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), query_id=42, k=10,
         m=_PQ_M, n_cents=_PQ_K, dim=64,
         codebook=_pq_codebook_cached(spark, sf_dir),
+        codes=_pq_codes_cached(spark, sf_dir),
     )
 
 
@@ -765,6 +791,7 @@ def ns_sim_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), query_id=42, k=10,
         m=_PQ_M, n_cents=_PQ_K, dim=64,
         codebook=_pq_codebook_cached(spark, sf_dir),
+        codes=_pq_codes_cached(spark, sf_dir),
     )
 
 
@@ -775,10 +802,18 @@ _IVF_CELLS, _IVF_PROBE = 8, 4
 _IVFPQ_CACHE: dict[tuple, tuple] = {}
 
 
-def _ivfpq_cached(spark: SparkSession, sf_dir: str) -> tuple:
-    """Session-scoped (residuals, residual-codebook) pair — the
-    offline artifacts an IVFADC deployment builds once and serves
-    from (both localCheckpoint'ed by their builders)."""
+def _ivfpq_index_cached(spark: SparkSession, sf_dir: str) -> tuple:
+    """Session-scoped PERSISTED IVFADC index (similarity.
+    write_ivfpq_index into a per-session tmp dir, loaded once): coarse
+    centroids + trained residual codebook broadcast-pinned, and the
+    residual CODE TABLE written partitioned by cell — the offline
+    artifacts an IVFADC deployment builds once per corpus snapshot.
+    Before round 9 the registered query re-encoded the corpus per run
+    (the n x (m*k) assignment join — 66 s solo at sf10); the serve
+    path scans codes only, and the probed-cell join prunes at the
+    partitioned scan."""
+    import tempfile
+
     from .operators import similarity as _sim
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -786,13 +821,17 @@ def _ivfpq_cached(spark: SparkSession, sf_dir: str) -> tuple:
     if got is None:
         for k in [k for k in _IVFPQ_CACHE if k != key]:
             del _IVFPQ_CACHE[k]
-        res = _sim.ivf_residuals(
-            _t(spark, sf_dir, "embeddings"), n_cells=_IVF_CELLS, dim=64
-        ).localCheckpoint()
-        cb = _sim.train_pq_codebook(res, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER,
-                                    vec_col="rv", dim=64,
-                                    sample_n=_PQ_SAMPLE)
-        got = (res, cb)
+        index_dir = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
+        _sim.write_ivfpq_index(
+            _t(spark, sf_dir, "embeddings"), index_dir,
+            n_cells=_IVF_CELLS, m=_PQ_M, n_cents=_PQ_K, n_iter=_PQ_ITER,
+            dim=64, sample_n=_PQ_SAMPLE,
+        )
+        cents, cb, codes = _sim.load_ivfpq_index(spark, index_dir)
+        # partition-column type inference reads small cell ids as INT;
+        # the scoring plan and oracle speak BIGINT
+        codes = codes.withColumn("cell", F.col("cell").cast("long"))
+        got = (cents, cb, codes)
         _IVFPQ_CACHE[key] = got
     return got
 
@@ -857,11 +896,11 @@ def ns_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tradeoff the n_probe knob prices)."""
     from .operators import similarity as _sim
 
-    res, cb = _ivfpq_cached(spark, sf_dir)
+    cents, cb, codes = _ivfpq_index_cached(spark, sf_dir)
     return _sim.topk_ivfpq_adc(
         _t(spark, sf_dir, "embeddings"), query_id=42, k=10,
         n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, m=_PQ_M, n_cents=_PQ_K,
-        dim=64, residuals=res, codebook=cb,
+        dim=64, codebook=cb, codes=codes,
     )
 
 
