@@ -183,6 +183,21 @@ Corpus / dataset ops (only when the description asks for them):
       varying ratings per key; REPLACES the schema with ONE report
       row: n_items, n_items_dropped, n_ratings, n_categories,
       d_observed, d_expected, alpha)
+  {{"op": "ndcg", "k": 10, "n_queries": 8}}  (retrieval NDCG@k over a
+      (vec_id, embedding, label) table, queries = the first n vector
+      ids; REPLACES the schema with one row per query: query_id,
+      n_rel_topk, ideal_n, ndcg)
+  {{"op": "silhouette"}}  (per-label centroid-form silhouette over a
+      (vec_id, embedding, label) table — "how well separated are the
+      labels"; REPLACES the schema with label, n_vecs,
+      mean_silhouette, n_negative)
+  {{"op": "bpe_merges", "n": 5}}  (train the first n BPE tokenizer
+      merges on the text column; REPLACES the schema with one row per
+      merge: merge_rank, pair, merged, pair_count)
+  {{"op": "perplexity_buckets", "ref_source": "src0"}}  (CCNet-style
+      head/middle/tail perplexity tertiles per language, LM trained
+      on the reference source slice; REPLACES the schema with doc_id,
+      lang, n_tokens, xent, ppl_bucket)
 Aggregate fns: count (col "*" allowed), avg, sum, min, max, median,
 count_distinct. Expressions are nested 1-key dicts (a bare string is a
 column reference, a bare number/bool a literal): col/lit/gt/ge/lt/le/
@@ -336,6 +351,10 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # majority vote -> one aggregated label row per key;
         # agreement -> one alpha report row; correlate -> pair rows
         "majority", "agreement", "correlate",
+        # evaluation layer: ndcg -> per-query rows; silhouette ->
+        # per-label rows; bpe_merges -> per-merge rows;
+        # perplexity_buckets -> per-doc scored rows
+        "ndcg", "silhouette", "bpe_merges", "perplexity_buckets",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -472,7 +491,8 @@ def critic_agent(
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
             "dedup_savings, kanon, word_entropy, oov, majority, "
-            "agreement, correlate) REPLACE the "
+            "agreement, correlate, ndcg, silhouette, bpe_merges, "
+            "perplexity_buckets) REPLACE the "
             "columns with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "

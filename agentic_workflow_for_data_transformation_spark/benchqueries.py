@@ -4059,6 +4059,81 @@ def p96_nl_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "lineitem", _P96_DESC)
 
 
+# round-9 NL additions (VERDICT r8 ask #6): the evaluation layer in
+# plain English — retrieval NDCG, label separation, BPE training, and
+# perplexity bucketing. Registered AFTER the frozen round-9 driver
+# window; their driver rows come with the r10 rotation; fresh local
+# rows in CORRECTNESS_LOCAL.json meanwhile.
+
+_EMB_COLS = ["vec_id", "embedding", "label"]
+
+_P97_DESC = "Compute retrieval NDCG at 10 for the first 8 queries"
+
+
+def _emb_nl_oracle(desc: str) -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(parse_description(desc, columns=_EMB_COLS),
+                       "embeddings")
+
+
+@register("p97_nl_ndcg", _emb_nl_oracle(_P97_DESC))
+def p97_nl_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL retrieval evaluation: 'compute retrieval NDCG at <k> for the
+    first <n> queries' — similarity.ndcg_per_query behind one clause
+    (schema-replacing, one row per query): exact-cosine top-k with the
+    query side broadcast and one corpus scan, binary label relevance,
+    gains and ideal-DCG normalizers frozen as 12-decimal literals so
+    both engines sum identical decimals. The oracle renders the same
+    chain with DuckDB's list_cosine_similarity."""
+    return _nl(spark, sf_dir, "embeddings", _P97_DESC)
+
+
+_P98_DESC = "How well separated are the labels"
+
+
+@register("p98_nl_separation", _emb_nl_oracle(_P98_DESC))
+def p98_nl_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL cluster-quality question: 'how well separated are the
+    labels' — similarity.simplified_silhouette behind one clause
+    (schema-replacing, one row per label): centroid-form silhouette
+    (LINEAR in rows, unlike Rousseeuw's all-pairs original), per-row s
+    pinned DECIMAL(12,6) so the per-label mean is an exact decimal
+    sum. Broadcast centroid model, label-count fan-out only."""
+    return _nl(spark, sf_dir, "embeddings", _P98_DESC)
+
+
+_P99_DESC = "Train a BPE tokenizer with 5 merges"
+
+
+@register("p99_nl_bpe", _docs_nl_oracle(_P99_DESC))
+def p99_nl_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL tokenizer training: 'train a BPE tokenizer with <n> merges'
+    — text.bpe_merge_table behind one clause (schema-replacing, one
+    row per merge). The corpus collapses to its word-frequency table
+    in one aggregate; each round is one pair-explode aggregate plus a
+    ONE-ROW driver collect for the argmax merge (spec validation caps
+    n at 20 — each merge is a driver round AND an unrolled oracle CTE
+    block). The oracle unrolls the same doubled-boundary replace
+    algebra per round."""
+    return _nl(spark, sf_dir, "documents", _P99_DESC)
+
+
+_P100_DESC = "Bucket documents by perplexity against the src0 slice"
+
+
+@register("p100_nl_perplexity", _docs_nl_oracle(_P100_DESC))
+def p100_nl_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL corpus curation: 'bucket documents by perplexity against the
+    <source> slice' — text.perplexity_buckets behind one clause
+    (schema-replacing): cross-entropy under an add-one unigram LM
+    trained on the reference slice, head/middle/tail tertiles per
+    language via broadcast percentile cutoffs (no language-sized
+    window sort). The oracle renders the identical smoothed-LM
+    chain."""
+    return _nl(spark, sf_dir, "documents", _P100_DESC)
+
+
 _P77_DESC = (
     "Sample 10% of documents by doc_id and select doc_id, lang, n_chars"
 )

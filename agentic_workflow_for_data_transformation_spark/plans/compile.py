@@ -598,6 +598,27 @@ def compile_spec(
             from ..operators.profile import correlation_matrix
 
             df = correlation_matrix(df, list(op["cols"]))
+        elif kind == "ndcg":
+            from ..operators.similarity import ndcg_per_query
+
+            df = ndcg_per_query(
+                df, query_ids=list(range(int(op["n_queries"]))),
+                k=int(op["k"]),
+            )
+        elif kind == "silhouette":
+            from ..operators.similarity import simplified_silhouette
+
+            df = simplified_silhouette(df)
+        elif kind == "bpe_merges":
+            from ..operators.text import bpe_merge_table
+
+            df = bpe_merge_table(df, n_merges=int(op["n"]))
+        elif kind == "perplexity_buckets":
+            from ..operators.text import perplexity_buckets
+
+            df = perplexity_buckets(
+                df, ref_source=op.get("ref_source", "src0")
+            )
         elif kind == "anomaly":
             from ..operators.timeseries import rolling_zscore_anomalies
 

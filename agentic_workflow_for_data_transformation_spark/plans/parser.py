@@ -451,6 +451,39 @@ _MAJORITY = re.compile(
     r"(\w+)\s+per\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+# "compute retrieval NDCG at 10 for the first 8 queries" -> NDCG@k
+# against label ground truth (similarity.ndcg_per_query), queries =
+# the first n vector ids; schema-replacing one row per query
+_NDCG = re.compile(
+    r"^(?:compute|report|evaluate)\s+(?:the\s+)?retrieval\s+ndcg\s+"
+    r"at\s+(\d+)\s+for\s+(?:the\s+first\s+)?(\d+)\s+queries\s*"
+    r"(?:against\s+the\s+labels\s*)?$",
+    re.IGNORECASE,
+)
+# "how well separated are the labels" / "compute the silhouette of the
+# labels" -> per-label simplified (centroid-form) silhouette
+# (similarity.simplified_silhouette), schema-replacing
+_SILHOUETTE = re.compile(
+    r"^(?:how\s+well\s+separated\s+are\s+(?:my|the)\s+labels"
+    r"|(?:compute|report|check|show)\s+(?:the\s+)?"
+    r"(?:label\s+)?(?:silhouette|separation)"
+    r"(?:\s+of\s+(?:my|the)\s+labels)?)\s*$",
+    re.IGNORECASE,
+)
+# "train a BPE tokenizer with 5 merges" -> distributed BPE merge-table
+# training (text.bpe_merge_table), schema-replacing one row per merge
+_BPE_MERGES = re.compile(
+    r"^train\s+a\s+bpe\s+tokenizer\s+with\s+(\d+)\s+merges?\s*$",
+    re.IGNORECASE,
+)
+# "bucket documents by perplexity [against the src0 slice]" ->
+# CCNet-style head/middle/tail perplexity tertiles per language
+# (text.perplexity_buckets), schema-replacing
+_PPL_BUCKETS = re.compile(
+    r"^bucket\s+(?:the\s+)?documents\s+by\s+perplexity"
+    r"(?:\s+against\s+the\s+(\w+)\s+slice)?\s*$",
+    re.IGNORECASE,
+)
 # "compute the word entropy of each document" -> per-doc Shannon
 # entropy + evenness (text.word_entropy), schema-replacing
 _WENTROPY = re.compile(
@@ -928,6 +961,21 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "label": _resolve_col(m.group(1), columns),
             "key": _resolve_col(m.group(2), columns),
         }
+    if m := _NDCG.match(clause):
+        return {
+            "op": "ndcg",
+            "k": int(m.group(1)),
+            "n_queries": int(m.group(2)),
+        }
+    if _SILHOUETTE.match(clause):
+        return {"op": "silhouette"}
+    if m := _BPE_MERGES.match(clause):
+        return {"op": "bpe_merges", "n": int(m.group(1))}
+    if m := _PPL_BUCKETS.match(clause):
+        op = {"op": "perplexity_buckets"}
+        if m.group(1):
+            op["ref_source"] = m.group(1)
+        return op
     if _WENTROPY.match(clause):
         return {"op": "word_entropy"}
     if m := _OOV.match(clause):

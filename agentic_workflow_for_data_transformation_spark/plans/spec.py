@@ -90,6 +90,24 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # pairwise Pearson correlation matrix; REPLACES the schema with
       # one row per unordered pair (col_a, col_b, n, r); NULL r on
       # zero variance
+  {"op": "ndcg", "k": 10, "n_queries": 8}
+      # NDCG@k retrieval harness over a (vec_id, embedding, label)
+      # table: exact-cosine top-k per query (queries = the first
+      # n_queries vec_ids), binary label relevance, log2-discounted
+      # gains from a frozen decimal table; REPLACES the schema with
+      # one row per query (query_id, n_rel_topk, ideal_n, ndcg)
+  {"op": "silhouette"}
+      # per-label simplified (centroid-form) silhouette over a
+      # (vec_id, embedding, label) table; REPLACES the schema with
+      # one row per label (label, n_vecs, mean_silhouette, n_negative)
+  {"op": "bpe_merges", "n": 5}
+      # train the first n BPE merges on the text column; REPLACES the
+      # schema with one row per merge (merge_rank, pair, merged,
+      # pair_count)
+  {"op": "perplexity_buckets", "ref_source": "src0"?}
+      # CCNet-style perplexity tertiles per language under an add-one
+      # unigram LM trained on the reference source slice; REPLACES
+      # the schema with (doc_id, lang, n_tokens, xent, ppl_bucket)
   {"op": "anomaly", "col": "value", "key": "user_id",
    "order_col": "event_id", "n": 20, "z": 3.0}
       # rolling z-score anomaly flags over the last n rows per key:
@@ -657,6 +675,34 @@ def validate_op(op: Any) -> None:
             _err(f"correlate needs >= 2 string 'cols': {op!r}")
         if len(set(cs)) != len(cs):
             _err(f"correlate 'cols' must be distinct: {op!r}")
+    elif kind == "ndcg":
+        for f in ("k", "n_queries"):
+            if not (
+                isinstance(op.get(f), int)
+                and not isinstance(op[f], bool)
+                and op[f] >= 1
+            ):
+                _err(f"ndcg needs a positive int '{f}': {op!r}")
+        if op["k"] > 100:
+            # the gain/ideal tables render as k CASE literals in both
+            # engines; 100 bounds the plan size
+            _err(f"ndcg 'k' must be <= 100: {op!r}")
+        if op["n_queries"] > 1024:
+            _err(f"ndcg 'n_queries' must be <= 1024 (broadcast side): {op!r}")
+    elif kind == "silhouette":
+        pass  # fixed (vec_id, embedding, label) schema, no parameters
+    elif kind == "bpe_merges":
+        if not (
+            isinstance(op.get("n"), int)
+            and not isinstance(op["n"], bool)
+            and 1 <= op["n"] <= 20
+        ):
+            # each merge is one driver-side argmax round AND one
+            # unrolled CTE block in the oracle; 20 bounds both
+            _err(f"bpe_merges needs an int 'n' in 1..20: {op!r}")
+    elif kind == "perplexity_buckets":
+        if "ref_source" in op and not isinstance(op["ref_source"], str):
+            _err(f"perplexity_buckets 'ref_source' must be a string: {op!r}")
     elif kind == "anomaly":
         for f in ("col", "key", "order_col"):
             if not isinstance(op.get(f), str):

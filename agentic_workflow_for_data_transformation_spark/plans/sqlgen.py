@@ -499,6 +499,166 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"WITH __corr AS (SELECT {', '.join(moments)} "
                 f"FROM ({sql})) {arms}"
             )
+        elif kind == "ndcg":
+            # mirrors operators/similarity.ndcg_per_query (the
+            # ns_sim_ndcg oracle, parameterized): exact-cosine top-k
+            # per query, binary label relevance, the gain and ideal
+            # tables frozen as the SAME 12-decimal literals the engine
+            # sums (string->decimal is exact in every engine)
+            from ..operators.similarity import _idcg_table, _ndcg_weights
+
+            k = int(op["k"])
+            nq = int(op["n_queries"])
+            gain_case = "CASE rank " + " ".join(
+                f"WHEN {r} THEN {w}::DECIMAL(16,12)"
+                for r, w in enumerate(_ndcg_weights(k), start=1)
+            ) + " END"
+            ideal_case = f"CASE least(nlab - 1, {k}) " + " ".join(
+                f"WHEN {n} THEN {s}::DECIMAL(16,12)"
+                for n, s in enumerate(_idcg_table(k), start=1)
+            ) + " END"
+            sql = (
+                f"WITH __d AS (SELECT vec_id, label, "
+                f"embedding::DOUBLE[] AS v FROM ({sql})), "
+                f"__q AS (SELECT vec_id AS query_id, label AS qlabel, "
+                f"v AS qv FROM __d WHERE vec_id < {nq}), "
+                "__lc AS (SELECT label, CAST(count(*) AS BIGINT) AS nlab "
+                "FROM __d GROUP BY 1), "
+                "__s AS (SELECT query_id, qlabel, __d.vec_id, __d.label, "
+                "round(list_cosine_similarity(__d.v, qv), 6) AS cos_sim "
+                "FROM __d, __q WHERE __d.vec_id <> query_id), "
+                "__r AS (SELECT *, row_number() OVER (PARTITION BY "
+                "query_id ORDER BY cos_sim DESC, vec_id) AS rank "
+                "FROM __s), "
+                f"__t AS (SELECT * FROM __r WHERE rank <= {k}), "
+                "__g AS (SELECT query_id, qlabel, "
+                "CAST(count(CASE WHEN label = qlabel THEN 1 END) "
+                "AS INTEGER) AS n_rel_topk, "
+                f"SUM(CASE WHEN label = qlabel THEN {gain_case} END) "
+                "AS dcg FROM __t GROUP BY 1, 2) "
+                "SELECT query_id, n_rel_topk, "
+                f"CAST(least(nlab - 1, {k}) AS INTEGER) AS ideal_n, "
+                f"CASE WHEN least(nlab - 1, {k}) <= 0 THEN 0.0 "
+                "ELSE round(CAST(coalesce(dcg, "
+                "0.0::DECIMAL(16,12)) AS DOUBLE) "
+                f"/ CAST({ideal_case} AS DOUBLE), 6) END AS ndcg "
+                "FROM __g JOIN __lc ON __g.qlabel = __lc.label"
+            )
+        elif kind == "silhouette":
+            # mirrors operators/similarity.simplified_silhouette (the
+            # ns_sim_silhouette oracle, over the piped table):
+            # centroid-form silhouette, per-row s pinned DECIMAL(12,6)
+            sql = (
+                "WITH __e AS (SELECT vec_id, label, "
+                "unnest(embedding) AS val, "
+                "generate_subscripts(embedding, 1) AS i "
+                f"FROM ({sql})), "
+                "__cent AS (SELECT label AS predicted, i, "
+                "CAST(round(CAST(SUM(CAST(val AS DECIMAL(20,10))) "
+                "AS DOUBLE) / count(*), 6) AS DECIMAL(12,6)) AS c "
+                "FROM __e GROUP BY 1, 2), "
+                "__cn AS (SELECT predicted, SUM(c * c) AS c2 "
+                "FROM __cent GROUP BY 1), "
+                "__dots AS (SELECT vec_id, label, predicted, "
+                "SUM(CAST(val AS DECIMAL(20,10)) * c) AS dot, "
+                "SUM(CAST(val * val AS DECIMAL(20,10))) AS t2 "
+                "FROM __e JOIN __cent USING (i) GROUP BY 1, 2, 3), "
+                "__sc AS (SELECT vec_id, label, predicted, "
+                "CAST(t2 AS DECIMAL(30,12)) + CAST(c2 AS DECIMAL(30,12)) "
+                "- 2 * CAST(dot AS DECIMAL(30,12)) AS d2 "
+                "FROM __dots JOIN __cn USING (predicted)), "
+                "__own AS (SELECT vec_id, label, "
+                "sqrt(greatest(CAST(d2 AS DOUBLE), 0.0)) AS a "
+                "FROM __sc WHERE label = predicted), "
+                "__oth AS (SELECT vec_id, "
+                "sqrt(greatest(CAST(d2 AS DOUBLE), 0.0)) AS b, "
+                "row_number() OVER (PARTITION BY vec_id "
+                "ORDER BY d2, predicted) AS rn "
+                "FROM __sc WHERE label <> predicted), "
+                "__pr AS (SELECT o.label AS label, "
+                "CAST(round(CASE WHEN greatest(a, b) = 0 THEN 0.0 "
+                "ELSE (b - a) / greatest(a, b) END, 6) "
+                "AS DECIMAL(12,6)) AS s "
+                "FROM __own o JOIN __oth t ON o.vec_id = t.vec_id "
+                "AND t.rn = 1) "
+                "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+                "round(CAST(SUM(s) AS DOUBLE) / count(*), 6) "
+                "AS mean_silhouette, "
+                "CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+                "AS n_negative FROM __pr GROUP BY label"
+            )
+        elif kind == "bpe_merges":
+            # mirrors operators/text.bpe_merge_table (the
+            # ns_text_bpe_merges oracle, parameterized): unrolled-
+            # iteration CTE chain — each round picks the argmax pair
+            # by scalar subquery and fuses it with the identical
+            # doubled-boundary replace algebra the engine uses
+            n_merges = int(op["n"])
+            ctes = [
+                "__bw AS (SELECT w, count(*) AS wc FROM "
+                "(SELECT unnest(string_split(text, ' ')) AS w "
+                f"FROM ({sql})) WHERE len(w) > 0 GROUP BY w)",
+                "__s0 AS (SELECT array_to_string(string_split(w, ''), ' ') "
+                "AS s, wc FROM __bw)",
+            ]
+            for r in range(1, n_merges + 1):
+                prev = f"__s{r - 1}"
+                ctes.append(
+                    f"__p{r} AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n "
+                    "FROM (SELECT unnest(list_transform(range(1, len(ws)), "
+                    "i -> ws[i] || ' ' || ws[i+1])) AS pair, wc "
+                    f"FROM (SELECT string_split(s, ' ') AS ws, wc "
+                    f"FROM {prev})) GROUP BY pair)"
+                )
+                ctes.append(
+                    f"__b{r} AS (SELECT pair, n FROM __p{r} "
+                    "ORDER BY n DESC, pair LIMIT 1)"
+                )
+                ctes.append(
+                    f"__s{r} AS (SELECT trim(replace(replace("
+                    "' ' || replace(s, ' ', '  ') || ' ', "
+                    f"' ' || (SELECT replace(pair, ' ', '  ') FROM __b{r}) "
+                    "|| ' ', "
+                    f"' ' || (SELECT replace(pair, ' ', '') FROM __b{r}) "
+                    f"|| ' '), '  ', ' ')) AS s, wc FROM {prev})"
+                )
+            unions = " UNION ALL ".join(
+                f"SELECT {r} AS merge_rank, pair, "
+                "replace(pair, ' ', '') AS merged, "
+                f"n AS pair_count FROM __b{r}"
+                for r in range(1, n_merges + 1)
+            )
+            sql = f"WITH {', '.join(ctes)} {unions}"
+        elif kind == "perplexity_buckets":
+            # mirrors operators/text.perplexity_buckets (the
+            # ns_text_perplexity_buckets oracle, parameterized):
+            # add-one unigram LM on the reference slice, head/middle/
+            # tail tertiles per language via broadcast cutoffs
+            ref = op.get("ref_source", "src0").replace("'", "''")
+            sql = (
+                "WITH __b AS (SELECT doc_id, lang, source, "
+                "unnest(string_split(text, ' ')) AS w "
+                f"FROM ({sql})), "
+                f"__ref AS (SELECT w FROM __b WHERE source = '{ref}'), "
+                "__t AS (SELECT CAST(count(*) AS DOUBLE) AS _n, "
+                "CAST(count(DISTINCT w) AS DOUBLE) AS _v FROM __ref), "
+                "__vocab AS (SELECT w, count(*) AS _cnt "
+                "FROM __ref GROUP BY w), "
+                "__sc AS (SELECT doc_id, lang, "
+                "-ln((coalesce(_cnt, 0) + 1) / (_n + _v)) AS nll "
+                "FROM __b LEFT JOIN __vocab USING (w) CROSS JOIN __t), "
+                "__pd AS (SELECT doc_id, lang, count(*) AS n_tokens, "
+                "round(sum(nll) / count(*), 6) AS xent "
+                "FROM __sc GROUP BY 1, 2), "
+                f"__cuts AS (SELECT lang, "
+                f"quantile_cont(xent, {1.0 / 3.0!r}) AS q33, "
+                f"quantile_cont(xent, {2.0 / 3.0!r}) AS q67 "
+                "FROM __pd GROUP BY lang) "
+                "SELECT doc_id, lang, n_tokens, xent, "
+                "CASE WHEN xent <= q33 THEN 'head' "
+                "WHEN xent <= q67 THEN 'middle' ELSE 'tail' END "
+                "AS ppl_bucket FROM __pd JOIN __cuts USING (lang)"
+            )
         elif kind == "anomaly":
             # mirrors operators/timeseries.rolling_zscore_anomalies:
             # DECIMAL-pinned frame sums (exact under any fold order,

@@ -118,10 +118,85 @@ def test_client_request_shape(monkeypatch):
     assert captured["payload"]["messages"] == [{"role": "user", "content": "ping"}]
 
 
-@pytest.mark.skipif(
-    not (os.environ.get("OPENAI_API_KEY") or os.environ.get("ANTHROPIC_API_KEY")),
-    reason="live LLM integration: set OPENAI_API_KEY or ANTHROPIC_API_KEY to run",
+# --- live-or-cassette client (VERDICT r8 ask #7) ---------------------------
+# The live paraphrase roundtrips below are the regression net for the
+# seven critic-framing fixes, but a live run needs a key. Recording:
+# run the live suite once with SPARK_GRAFT_LLM_RECORD=1 and a key set —
+# every (prompt, response) pair lands in tests/cassettes/live_llm.json
+# keyed by the prompt's sha256 (prompts are deterministic: temperature
+# 0, fixed fixtures). Replay: with NO key and the cassette committed,
+# the same tests run keyless against the recorded responses — a replay
+# MISS (prompt drifted since recording) skips with the hash so the
+# recorder can be re-run, rather than failing on stale tape.
+
+_CASSETTE_PATH = os.path.join(
+    os.path.dirname(__file__), "cassettes", "live_llm.json"
 )
+
+
+def _prompt_key(prompt: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(prompt.encode()).hexdigest()[:32]
+
+
+class _RecordingClient:
+    def __init__(self, inner):
+        self._inner = inner
+        try:
+            with open(_CASSETTE_PATH) as f:
+                self._tape = json.load(f)
+        except (OSError, ValueError):
+            self._tape = {}
+
+    def __call__(self, prompt: str) -> str:
+        out = self._inner(prompt)
+        self._tape[_prompt_key(prompt)] = {
+            "prompt_head": prompt[:120],
+            "response": out,
+        }
+        os.makedirs(os.path.dirname(_CASSETTE_PATH), exist_ok=True)
+        with open(_CASSETTE_PATH, "w") as f:
+            json.dump(self._tape, f, indent=1, sort_keys=True)
+        return out
+
+
+class _ReplayClient:
+    def __init__(self):
+        with open(_CASSETTE_PATH) as f:
+            self._tape = json.load(f)
+
+    def __call__(self, prompt: str) -> str:
+        key = _prompt_key(prompt)
+        hit = self._tape.get(key)
+        if hit is None:
+            pytest.skip(
+                "cassette miss (prompt drifted since recording; re-run "
+                f"with SPARK_GRAFT_LLM_RECORD=1 and a key): {key} "
+                f"{prompt[:80]!r}"
+            )
+        return hit["response"]
+
+
+def live_or_replay_llm():
+    live = client_from_env()
+    if live is not None:
+        if os.environ.get("SPARK_GRAFT_LLM_RECORD"):
+            return _RecordingClient(live)
+        return live
+    if os.path.exists(_CASSETTE_PATH):
+        return _ReplayClient()
+    return None
+
+
+needs_live_llm = pytest.mark.skipif(
+    live_or_replay_llm() is None,
+    reason="live LLM integration: set OPENAI_API_KEY / ANTHROPIC_API_KEY, "
+    "or commit tests/cassettes/live_llm.json for keyless replay",
+)
+
+
+@needs_live_llm
 def test_live_planner_fallback_roundtrip(spark, people, tmp_path):
     """Full orchestrator loop against a real model: a description the
     grammar can't parse must come back valid via the LLM spec (or
@@ -131,17 +206,11 @@ def test_live_planner_fallback_roundtrip(spark, people, tmp_path):
     st = run_transform(
         spark, people,
         "Please keep only the folks older than forty, just their names.",
-        out_dir=tmp_path, llm=client_from_env(),
+        out_dir=tmp_path, llm=live_or_replay_llm(),
     )
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     assert {r[0] for r in out.collect()} <= {"Diana", "Fiona", "Ian"}
-
-
-needs_live_llm = pytest.mark.skipif(
-    not (os.environ.get("OPENAI_API_KEY") or os.environ.get("ANTHROPIC_API_KEY")),
-    reason="live LLM integration: set OPENAI_API_KEY or ANTHROPIC_API_KEY to run",
-)
 
 
 @needs_live_llm
@@ -154,7 +223,7 @@ def test_live_planner_spec_roundtrip(spark, people, tmp_path):
     )
     from agentic_workflow_for_data_transformation_spark.plans import compile_spec
 
-    llm = client_from_env()
+    llm = live_or_replay_llm()
     assert llm is not None
     # phrasing chosen to defeat the grammar so the LLM path must run
     spec = planner_agent(
@@ -179,7 +248,7 @@ def test_live_escape_hatch_roundtrip(spark, people, tmp_path):
         escape_hatch_agent,
     )
 
-    llm = client_from_env()
+    llm = live_or_replay_llm()
     code, schema, path, n = escape_hatch_agent(
         people,
         "Keep rows where age is above 30 and output name and age.",
@@ -219,7 +288,7 @@ def test_live_corpus_op_spec_roundtrip(spark, tmp_path):
             docs, parse_description(canon, columns=docs.columns)
         ).collect()
     }
-    st = run_transform(spark, docs, para, out_dir=tmp_path, llm=client_from_env())
+    st = run_transform(spark, docs, para, out_dir=tmp_path, llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     got = {(int(r["doc_id"]), r["lang"], r["split"]) for r in out.collect()}
@@ -259,7 +328,7 @@ def test_live_dup_audit_spec_roundtrip(spark, tmp_path):
             docs, parse_description(canon, columns=docs.columns)
         ).collect()
     }
-    st = run_transform(spark, docs, para, out_dir=tmp_path, llm=client_from_env())
+    st = run_transform(spark, docs, para, out_dir=tmp_path, llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     got = {
@@ -305,7 +374,7 @@ def test_live_blocklist_spec_roundtrip(spark, tmp_path):
             docs, parse_description(canon, columns=docs.columns)
         ).collect()
     }
-    st = run_transform(spark, docs, para, out_dir=tmp_path, llm=client_from_env())
+    st = run_transform(spark, docs, para, out_dir=tmp_path, llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     got = {(int(r["doc_id"]), r["lang"]) for r in out.collect()}
@@ -339,7 +408,7 @@ def test_live_kanonymity_spec_roundtrip(spark, tmp_path):
         events, parse_description(canon, columns=events.columns)
     ).collect()
     st = run_transform(spark, events, para, out_dir=tmp_path,
-                       llm=client_from_env())
+                       llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     (r,) = out.collect()
@@ -377,7 +446,7 @@ def test_live_word_entropy_spec_roundtrip(spark, tmp_path):
         ).collect()
     }
     st = run_transform(spark, docs, para, out_dir=tmp_path,
-                       llm=client_from_env())
+                       llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     got = {
@@ -421,7 +490,7 @@ def test_live_oov_spec_roundtrip(spark, tmp_path):
         ).collect()
     }
     st = run_transform(spark, docs, para, out_dir=tmp_path,
-                       llm=client_from_env())
+                       llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     got = {
@@ -462,7 +531,7 @@ def test_live_majority_spec_roundtrip(spark, tmp_path):
         ).collect()
     }
     st = run_transform(spark, events, para, out_dir=tmp_path,
-                       llm=client_from_env())
+                       llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     got = {
@@ -508,7 +577,7 @@ def test_live_dedup_tiebreak_spec_roundtrip(spark, tmp_path):
         ).collect()
     }
     st = run_transform(spark, docs, para, out_dir=tmp_path,
-                       llm=client_from_env())
+                       llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     got = {int(r["doc_id"]) for r in out.collect()}
@@ -542,7 +611,7 @@ def test_live_agreement_spec_roundtrip(spark, tmp_path):
         events, parse_description(canon, columns=events.columns)
     ).collect()
     st = run_transform(spark, events, para, out_dir=tmp_path,
-                       llm=client_from_env())
+                       llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     (r,) = out.collect()
@@ -586,7 +655,7 @@ def test_live_window_ewma_spec_roundtrip(spark, tmp_path):
         ).collect()
     }
     st = run_transform(spark, events, para, out_dir=tmp_path,
-                       llm=client_from_env())
+                       llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     smoothed = [c for c in out.columns if c not in events.columns]
@@ -631,7 +700,7 @@ def test_live_anomaly_spec_roundtrip(spark, tmp_path):
         ).collect()
     }
     st = run_transform(spark, events, para, out_dir=tmp_path,
-                       llm=client_from_env())
+                       llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     got = {
@@ -673,7 +742,7 @@ def test_live_correlate_spec_roundtrip(spark, tmp_path):
         ).collect()
     }
     st = run_transform(spark, li, para, out_dir=tmp_path,
-                       llm=client_from_env())
+                       llm=live_or_replay_llm())
     assert st.valid
     out = spark.read.option("header", True).csv(st.output_path)
     got = {

@@ -2381,3 +2381,112 @@ def test_correlate_spec_op_parse_compile_render(spark):
     con.register("t", df.toPandas())
     want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
     assert got == want
+
+
+def _nl_roundtrip(spark, desc, cols, rows, schema):
+    """Parse desc -> compile on Spark AND render+run the oracle on
+    DuckDB over the same rows; return (spec, spark_rows, duck_rows)
+    sorted for comparison."""
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    spec = parse_description(desc, columns=cols)
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    return spec, got, want
+
+
+_EMB_SCHEMA = "vec_id: long, embedding: array<double>, label: string"
+_EMB_ROWS = [
+    (i, [1.0 + 0.01 * i, 0.0, float(i % 2)], "even" if i % 2 == 0 else "odd")
+    for i in range(12)
+]
+
+
+def test_ndcg_spec_op_roundtrip(spark):
+    spec, got, want = _nl_roundtrip(
+        spark,
+        "Compute retrieval NDCG at 3 for the first 2 queries",
+        ["vec_id", "embedding", "label"],
+        _EMB_ROWS,
+        _EMB_SCHEMA,
+    )
+    assert spec["ops"] == [{"op": "ndcg", "k": 3, "n_queries": 2}]
+    assert len(got) == 2
+    assert got == want
+
+
+def test_silhouette_spec_op_roundtrip(spark):
+    spec, got, want = _nl_roundtrip(
+        spark,
+        "How well separated are the labels",
+        ["vec_id", "embedding", "label"],
+        _EMB_ROWS,
+        _EMB_SCHEMA,
+    )
+    assert spec["ops"] == [{"op": "silhouette"}]
+    assert {r[0] for r in got} == {"even", "odd"}
+    assert got == want
+
+
+def test_bpe_merges_spec_op_roundtrip(spark):
+    rows = [(i, "the cat sat on the mat the cat", "en", "src0", 30)
+            for i in range(4)]
+    spec, got, want = _nl_roundtrip(
+        spark,
+        "Train a BPE tokenizer with 3 merges",
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    )
+    assert spec["ops"] == [{"op": "bpe_merges", "n": 3}]
+    assert len(got) == 3
+    assert got == want
+
+
+def test_perplexity_buckets_spec_op_roundtrip(spark):
+    rows = (
+        [(i, "alpha beta gamma delta", "en", "src0", 22) for i in range(6)]
+        + [(10 + i, "zeta eta theta iota", "en", "src1", 19)
+           for i in range(6)]
+        + [(20 + i, "alpha beta unknown words", "en", "src2", 24)
+           for i in range(6)]
+    )
+    spec, got, want = _nl_roundtrip(
+        spark,
+        "Bucket documents by perplexity against the src0 slice",
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        rows,
+        "doc_id: long, text: string, lang: string, source: string, "
+        "n_chars: long",
+    )
+    assert spec["ops"] == [
+        {"op": "perplexity_buckets", "ref_source": "src0"}
+    ]
+    assert len(got) == 18
+    assert got == want
+
+
+def test_bpe_merges_and_ndcg_spec_bounds():
+    import pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_op,
+    )
+
+    with pytest.raises(SpecError):
+        validate_op({"op": "bpe_merges", "n": 21})
+    with pytest.raises(SpecError):
+        validate_op({"op": "ndcg", "k": 101, "n_queries": 8})
