@@ -901,7 +901,8 @@ def product_quantize(df: DataFrame, m: int = 4, k: int = 8,
 def topk_pq_adc(df: DataFrame, query_id: int, k: int = 10, m: int = 4,
                 n_cents: int = 8, id_col: str = "vec_id",
                 vec_col: str = "embedding", dim: int | None = None,
-                codebook: DataFrame | None = None) -> DataFrame:
+                codebook: DataFrame | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance (ADC — Jégou et al.
     2011 §IV): the query stays full-precision, the corpus is its
     product-quantization CODES, and each candidate's distance is the
@@ -913,6 +914,12 @@ def topk_pq_adc(df: DataFrame, query_id: int, k: int = 10, m: int = 4,
     table is k*m rows computed from broadcast frames and broadcast
     back, so the scoring join adds NO corpus shuffle beyond the code
     aggregate; top-k is TakeOrderedAndProject on the rounded score.
+    Pass ``codes`` (a materialized product_quantize output) to serve
+    MANY queries from one encode — re-encoding per query multiplies
+    every lookup by the n*(m*k) assignment join (the round-9 solo
+    sweep measured that join at 150+ s per query at sf10; the served
+    code-table scan is n*m rows, each matching exactly ONE broadcast
+    LUT row). A deployment encodes once per corpus snapshot, offline.
 
     Determinism: per-cell distances round to 6 before the m-term sum,
     which rounds again; ties at the k boundary break on the id."""
@@ -935,8 +942,10 @@ def topk_pq_adc(df: DataFrame, query_id: int, k: int = 10, m: int = 4,
             F.round(l2_distance(F.col("qv"), F.col("cv")), 6).alias("qd"),
         )
     )
-    codes = product_quantize(df, m=m, k=n_cents, id_col=id_col,
-                             vec_col=vec_col, dim=dim, codebook=codebook)
+    if codes is None:
+        codes = product_quantize(df, m=m, k=n_cents, id_col=id_col,
+                                 vec_col=vec_col, dim=dim,
+                                 codebook=codebook)
     return (
         codes.join(F.broadcast(lut), ["sub", "cent"])
         .groupBy(id_col)
@@ -951,7 +960,8 @@ def pq_recall_vs_exact(df: DataFrame, query_id: int, k: int = 10, m: int = 4,
                        n_cents: int = 8, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        dim: int | None = None,
-                       codebook: DataFrame | None = None) -> DataFrame:
+                       codebook: DataFrame | None = None,
+                       codes: DataFrame | None = None) -> DataFrame:
     """Recall@k of the PQ/ADC path against the exact L2 top-k (same
     metric — ADC approximates Euclidean distance, so cosine ground
     truth would conflate metric mismatch with quantization loss).
@@ -959,7 +969,7 @@ def pq_recall_vs_exact(df: DataFrame, query_id: int, k: int = 10, m: int = 4,
     enough to serve. One row: (query_id, n_hits, recall)."""
     adc = topk_pq_adc(df, query_id, k=k, m=m, n_cents=n_cents,
                       id_col=id_col, vec_col=vec_col, dim=dim,
-                      codebook=codebook).select(id_col)
+                      codebook=codebook, codes=codes).select(id_col)
     rows = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
     q = F.broadcast(
         rows.filter(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
@@ -1026,7 +1036,8 @@ def topk_ivfpq_adc(df: DataFrame, query_id: int, k: int = 10,
                    n_cents: int = 128, id_col: str = "vec_id",
                    vec_col: str = "embedding", dim: int | None = None,
                    residuals: DataFrame | None = None,
-                   codebook: DataFrame | None = None) -> DataFrame:
+                   codebook: DataFrame | None = None,
+                   codes: DataFrame | None = None) -> DataFrame:
     """IVF + PQ asymmetric-distance top-k — the full IVFADC serving
     stack (Jégou et al. 2011 §IV): the coarse quantizer prunes the
     scan to the ``n_probe`` cells nearest the query, and within those
@@ -1041,7 +1052,13 @@ def topk_ivfpq_adc(df: DataFrame, query_id: int, k: int = 10,
     the code table partitioned by cell and the probe is file-level
     pruning, scanning n_probe/n_cells of the codes and none of the
     vectors. Pass ``residuals``/``codebook`` to reuse the session's
-    trained artifacts (training is offline in a real deployment).
+    trained artifacts (training is offline in a real deployment), and
+    ``codes`` (a materialized (id, sub, cent, dist, cell) residual
+    code table — write_ivfpq_index persists exactly this, partitioned
+    by cell) to serve from the index instead of re-encoding the
+    corpus per query: the encode is an n*(m*n_cents) assignment join
+    that dominated the registered query's solo sf10 time before the
+    round-9 serve rewrite.
 
     Determinism: the same round-6/tie-on-id discipline as the flat
     ADC path, applied per probed cell."""
@@ -1053,11 +1070,12 @@ def topk_ivfpq_adc(df: DataFrame, query_id: int, k: int = 10,
         codebook = train_pq_codebook(residuals, m=m, k=n_cents, n_iter=2,
                                      id_col=id_col, vec_col="rv", dim=dim)
     sub_w = dim // m
-    # corpus side: residual PQ codes, carrying each vector's cell
-    codes = product_quantize(residuals, m=m, k=n_cents, id_col=id_col,
-                             vec_col="rv", dim=dim, codebook=codebook)
-    cells = residuals.select(F.col(id_col), "cell")
-    codes = codes.join(cells, id_col)
+    if codes is None:
+        # corpus side: residual PQ codes, carrying each vector's cell
+        codes = product_quantize(residuals, m=m, k=n_cents, id_col=id_col,
+                                 vec_col="rv", dim=dim, codebook=codebook)
+        cells = residuals.select(F.col(id_col), "cell")
+        codes = codes.join(cells, id_col)
     # query side: nearest n_probe coarse cells by L2, then one LUT per
     # probed cell over the query's residual TO THAT CELL
     v = as_double_array(F.col(vec_col))
