@@ -751,3 +751,168 @@ def test_live_correlate_spec_roundtrip(spark, tmp_path):
         for r in out.collect()
     }
     assert got == golden
+
+
+@needs_live_llm
+def test_live_ndcg_spec_roundtrip(spark, tmp_path):
+    """The retrieval-NDCG paraphrase against a real model (round-9
+    evaluation-layer NL surface): the LLM must emit the
+    schema-replacing ndcg spec; per-query rows must match the
+    canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    canon = "Compute retrieval NDCG at 10 for the first 8 queries"
+    para = (
+        "Using vectors 0 through 7 as the queries, how good is "
+        "top-10 retrieval? Score it with NDCG against the labels."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=emb.columns)
+    golden = {
+        r["query_id"]: (r["n_rel_topk"], r["ideal_n"], r["ndcg"])
+        for r in compile_spec(
+            emb, parse_description(canon, columns=emb.columns)
+        ).collect()
+    }
+    st = run_transform(spark, emb, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        int(r["query_id"]): (int(r["n_rel_topk"]), int(r["ideal_n"]),
+                             round(float(r["ndcg"]), 6))
+        for r in out.collect()
+    }
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_silhouette_spec_roundtrip(spark, tmp_path):
+    """The label-separation paraphrase against a real model: the LLM
+    must emit the schema-replacing silhouette spec; per-label rows
+    must match the canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    canon = "How well separated are the labels"
+    para = (
+        "Cluster-quality check on the embedding table: are the label "
+        "groups tight and far apart? Give me a per-label silhouette "
+        "style read."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=emb.columns)
+    golden = {
+        # CSV round-trip stringifies the label key; compare as strings
+        str(r["label"]): (r["n_vecs"], r["mean_silhouette"],
+                          r["n_negative"])
+        for r in compile_spec(
+            emb, parse_description(canon, columns=emb.columns)
+        ).collect()
+    }
+    st = run_transform(spark, emb, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        r["label"]: (int(r["n_vecs"]), round(float(r["mean_silhouette"]), 6),
+                     int(r["n_negative"]))
+        for r in out.collect()
+    }
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_bpe_spec_roundtrip(spark, tmp_path):
+    """The BPE-training paraphrase against a real model: the LLM must
+    emit the schema-replacing bpe_merges spec; the merge table must
+    match the canonical-phrasing goldens row for row."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = "Train a BPE tokenizer with 5 merges"
+    para = (
+        "Learn the first five byte-pair-encoding merge rules from the "
+        "text column and list them in order."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        r["merge_rank"]: (r["pair"], r["merged"], r["pair_count"])
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        int(r["merge_rank"]): (r["pair"], r["merged"], int(r["pair_count"]))
+        for r in out.collect()
+    }
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_perplexity_spec_roundtrip(spark, tmp_path):
+    """The perplexity-bucketing paraphrase against a real model: the
+    LLM must emit the schema-replacing perplexity_buckets spec with the
+    named reference slice; the scored rows must match the
+    canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = "Bucket documents by perplexity against the src0 slice"
+    para = (
+        "CCNet-style curation: score every doc's fluency under a "
+        "unigram language model trained on the src0 source and split "
+        "each language into head, middle and tail perplexity buckets."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["xent"], r["ppl_bucket"])
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        int(r["doc_id"]): (r["lang"], int(r["n_tokens"]),
+                           round(float(r["xent"]), 6), r["ppl_bucket"])
+        for r in out.collect()
+    }
+    assert got == golden

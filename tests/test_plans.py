@@ -877,3 +877,28 @@ def test_correlate_single_scan_one_row_exchange(spark):
     assert plan.count("FileScan") == 1
     assert "l_quantity" in plan and "l_orderkey" not in plan.split("ReadSchema")[1][:200]
     assert "SinglePartition" in plan
+
+
+def test_ivfpq_codes_scan_partition_pruned(spark):
+    """IVFADC serving (round 9): the registered query reads the
+    PERSISTED code table (write_ivfpq_index, partitioned by cell), and
+    the probe list prunes cell partitions at the scan via dynamic
+    partition pruning — the file-level inverted-list selection the
+    operator docstring promises. The index scan must carry no vector
+    column, and every raw-embeddings scan must be a pushed-filter
+    query/centroid row fetch, never a corpus scan."""
+    plan = plan_of(spark, "ns_sim_topk_ivfpq")
+    codes_scans = [
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "/codes" in line
+    ]
+    assert codes_scans, "serving query no longer reads the persisted index"
+    for line in codes_scans:
+        assert "dynamicpruning" in line, line
+        assert "ReadSchema: struct<vec_id:bigint,sub:int,cent:bigint>" in line
+    emb_scans = [
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "embeddings.parquet" in line
+    ]
+    for line in emb_scans:
+        assert ("EqualTo(vec_id,42)" in line) or ("LessThan(vec_id,8)" in line), line
