@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .operators import profile, quality, similarity, stats, text
+from .operators import linalg, profile, quality, similarity, stats, text
 
 
 def _mmr_sql(n_queries: int, k: int, pool: int) -> str:
@@ -584,5 +584,94 @@ register(
     lambda spark, sf_dir: profile.correlation_matrix(
         _t(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+)
+
+
+# --- round-9: all-but-the-top common-direction audit ------------------------
+
+
+def _abtt_sql(n_iter: int = 6) -> str:
+    """Unrolled power-iteration oracle (the Lloyd/logreg pattern):
+    integer-exact Gram statistics, 12-rounded covariances, n_iter
+    matvec+normalize rounds with the engine's exact DECIMAL
+    accumulators and 9-rounded iterates, the sign pin, then the
+    per-vector projection/norm aggregates."""
+    ctes = [
+        "dims AS (SELECT unnest(generate_series(1, 64)) AS d)",
+        "q AS (SELECT vec_id, d, CAST(round(CAST(embedding[d] AS DOUBLE) "
+        " * 1000000) AS BIGINT) AS qv FROM embeddings, dims)",
+        "sums AS (SELECT d, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n "
+        " FROM q GROUP BY d)",
+        "g AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.qv * b.qv) AS BIGINT) "
+        " AS dot FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.d >= a.d "
+        " GROUP BY 1, 2)",
+        "covu AS (SELECT g.i - 1 AS i, g.j - 1 AS j, "
+        " round((CAST(dot AS DOUBLE) - CAST(si.s AS DOUBLE) "
+        "  * CAST(sj.s AS DOUBLE) / si.n) / si.n / 1000000000000.0, 12) AS c "
+        " FROM g JOIN sums si ON si.d = g.i JOIN sums sj ON sj.d = g.j)",
+        "cov AS (SELECT * FROM covu "
+        " UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i <> j)",
+        "v0 AS (SELECT DISTINCT i, 1.0 AS v FROM cov)",
+    ]
+    for r in range(1, n_iter + 1):
+        ctes.append(
+            f"w{r} AS (SELECT cov.i, CAST(SUM(CAST("
+            "CAST(c AS DECIMAL(20,12)) * CAST(v AS DECIMAL(12,9)) "
+            "AS DECIMAL(38,21))) AS DOUBLE) AS w "
+            f"FROM cov JOIN v{r - 1} p ON cov.j = p.i GROUP BY 1)"
+        )
+        ctes.append(
+            f"n{r} AS (SELECT sqrt(CAST(SUM(CAST("
+            "CAST(round(w, 9) AS DECIMAL(18,9)) "
+            "* CAST(round(w, 9) AS DECIMAL(18,9)) AS DECIMAL(38,18))) "
+            f"AS DOUBLE)) AS nrm FROM w{r})"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT i, round(round(w, 9) / nrm, 9) AS v "
+            f"FROM w{r}, n{r})"
+        )
+    ctes += [
+        "sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn "
+        f"FROM v{n_iter} ORDER BY abs(v) DESC, i LIMIT 1)",
+        f"vf AS (SELECT i, round(v * sgn, 9) AS v FROM v{n_iter}, sgn)",
+        "mu AS (SELECT d - 1 AS i, "
+        " round(CAST(s AS DOUBLE) / n / 1000000.0, 9) AS mu FROM sums)",
+        "cx AS (SELECT vec_id, "
+        " CAST(CAST(qv AS DOUBLE) / 1000000.0 AS DECIMAL(18,9)) "
+        "  - CAST(mu AS DECIMAL(18,9)) AS x, "
+        " CAST(v AS DECIMAL(12,9)) AS vv "
+        " FROM q JOIN mu ON q.d - 1 = mu.i JOIN vf ON q.d - 1 = vf.i)",
+        "per AS (SELECT vec_id, "
+        " CAST(SUM(CAST(x * vv AS DECIMAL(38,18))) AS DOUBLE) AS proj, "
+        " CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS ss "
+        " FROM cx GROUP BY 1)",
+    ]
+    return (
+        f"WITH {', '.join(ctes)} "
+        "SELECT vec_id, round(proj, 6) AS c1_proj, "
+        "round(sqrt(ss), 6) AS norm_centered, "
+        "CASE WHEN sqrt(ss) > 0 THEN round(abs(proj) / sqrt(ss), 6) "
+        "ELSE 0.0 END AS proj_ratio FROM per"
+    )
+
+
+register(
+    "ns_embed_common_direction",
+    _abtt_sql(6),
+    desc=(
+        "All-but-the-top audit (Mu & Viswanath, ICLR 2018): per "
+        "vector, the projection onto the corpus TOP principal "
+        "component (found by 6 fixed power-iteration rounds run "
+        "IN-PLAN over the integer-exact Gram statistics — no numpy "
+        "eigh, so even the eigenvector is hash-checked) plus the "
+        "centered norm and projection ratio — exactly what the "
+        "standard anisotropy-correction step subtracts. Two corpus "
+        "scans total (Gram stats, per-row aggregates); the iteration "
+        "itself touches only the d*d covariance frame."
+    ),
+)(
+    lambda spark, sf_dir: linalg.common_direction_audit(
+        _t(spark, sf_dir, "embeddings")
     )
 )

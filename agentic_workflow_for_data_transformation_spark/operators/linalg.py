@@ -108,3 +108,175 @@ def pca_components(df: DataFrame, vec_col: str = "embedding", k: int = 2,
     comps = vecs[:, order].T
     flips = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
     return comps * flips[:, None], vals[order]
+
+
+def covariance_full(df: DataFrame, vec_col: str = "embedding",
+                    scale: int = SCALE) -> DataFrame:
+    """Full (mirrored) covariance matrix as a d*d-row frame
+    (i, j, c), c = (G_ij - s_i s_j / n) / n in the original units,
+    rounded to 12 — derived from gram_upper's integer-exact
+    sufficient statistics, so every c is partition-order-independent
+    and the SQL oracle reproduces it digit for digit. d*d rows for
+    d=64 is 4096 — broadcast-sized; nothing here touches the corpus
+    after the one gram scan."""
+    g = gram_upper(df, vec_col, scale)
+    c = F.round(
+        (
+            F.col("dot").cast("double")
+            - F.col("si").cast("double") * F.col("sj").cast("double")
+            / F.col("n").cast("double")
+        )
+        / F.col("n").cast("double")
+        / F.lit(float(scale * scale)),
+        12,
+    ).alias("c")
+    upper = g.select("i", "j", c)
+    lower = (
+        g.filter(F.col("i") != F.col("j"))
+        .select(F.col("j").alias("i"), F.col("i").alias("j"), c)
+    )
+    return upper.unionByName(lower)
+
+
+def power_iteration_top_pc(df: DataFrame, vec_col: str = "embedding",
+                           n_iter: int = 6, scale: int = SCALE) -> DataFrame:
+    """Top principal component by FIXED-ROUND power iteration run
+    entirely in the plan over the covariance frame — the eigh-free
+    path with an exact SQL oracle (pca_components does a driver-side
+    numpy eigh; fine operationally, but numpy's LAPACK result cannot
+    be hash-checked cross-engine; this can).
+
+    Determinism engineering (the Lloyd/logreg discipline): the matvec
+    w = C v sums DECIMAL products of the 12-rounded covariances and
+    the 9-rounded iterate, so each round's sums are exact under any
+    partition order; the normalization divides in doubles and rounds
+    the next iterate to 9 BEFORE the following round; iterations are
+    FIXED at n_iter (no convergence test), so the unrolled oracle is
+    finite. Start vector is all-ones (its scale cancels in the first
+    normalize). Sign is fixed after the last round: if the
+    largest-|v_i| entry (ties to the lowest i) is negative, the whole
+    vector flips — eigenvectors are defined up to sign, pinning it
+    makes the result comparable across engines and runs.
+
+    Output: (i, v) — d rows, the unit top component. Everything after
+    the one gram scan is joins over a <= d*d-row frame; each round
+    localCheckpoints so plan size stays constant in n_iter."""
+    cov = covariance_full(df, vec_col, scale).localCheckpoint()
+    v = cov.select("i").distinct().select(
+        "i", F.lit(1.0).alias("v")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        w = (
+            cov.join(
+                F.broadcast(v.select(F.col("i").alias("j"),
+                                     F.col("v").alias("vj"))),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    (
+                        F.col("c").cast("decimal(20,12)")
+                        * F.col("vj").cast("decimal(12,9)")
+                    ).cast("decimal(38,21)")
+                ).cast("double").alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    (
+                        F.round(F.col("w"), 9).cast("decimal(18,9)")
+                        * F.round(F.col("w"), 9).cast("decimal(18,9)")
+                    ).cast("decimal(38,18)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                "i",
+                F.round(
+                    F.round(F.col("w"), 9) / F.col("nrm"), 9
+                ).alias("v"),
+            )
+            .localCheckpoint()
+        )
+    # sign pin: flip so the largest-|v| entry (ties -> lowest i) is > 0
+    top = v.orderBy(F.abs(F.col("v")).desc(), F.col("i")).limit(1).select(
+        F.when(F.col("v") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn")
+    )
+    return v.crossJoin(F.broadcast(top)).select(
+        "i", F.round(F.col("v") * F.col("sgn"), 9).alias("v")
+    )
+
+
+def common_direction_audit(df: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding", n_iter: int = 6,
+                           scale: int = SCALE) -> DataFrame:
+    """All-but-the-top audit (Mu & Viswanath, ICLR 2018): embedding
+    corpora concentrate mass in a handful of common directions (the
+    anisotropy ns_embed_anisotropy measures); the standard
+    post-processing subtracts the projection onto the TOP component
+    of the centered corpus. This operator emits, per vector, exactly
+    what that step needs to be audited and applied: the projection
+    onto the corpus top component and the centered norm —
+    (id, c1_proj, norm_centered, proj_ratio), proj_ratio =
+    |proj| / norm (0 for zero vectors).
+
+    Scale shape: ONE corpus scan for the Gram statistics (the power
+    iteration then runs on the d*d frame), one broadcast of d
+    (mean_i, v_i) rows back, and a second corpus scan computing both
+    per-row sums in one posexplode aggregate keyed by id. No corpus
+    self-joins, no driver state beyond the d-row component.
+
+    Exactness: mean_i = s_i / n / scale rounded to 9; the per-row
+    sums multiply 9-rounded decimals into DECIMAL(38,x) accumulators
+    (exact under any fold order), and the two emitted measures round
+    to 6 from one double sqrt/divide each."""
+    cov_v = power_iteration_top_pc(df, vec_col, n_iter, scale)
+    g = gram_upper(df, vec_col, scale)
+    means = (
+        g.filter(F.col("i") == F.col("j"))
+        .select(
+            "i",
+            F.round(
+                F.col("si").cast("double") / F.col("n").cast("double")
+                / F.lit(float(scale)),
+                9,
+            ).alias("mu"),
+        )
+    )
+    model = F.broadcast(
+        cov_v.join(means, "i").select("i", "v", "mu")
+    )
+    cx = (
+        df.select(F.col(id_col), F.posexplode(quantized(vec_col, scale))
+                  .alias("i", "q"))
+        .join(model, "i")
+        .select(
+            id_col,
+            # centered component, exact in the decimal domain:
+            # q/scale is exact at 6 dp, mu is 9-rounded
+            (
+                (F.col("q").cast("double") / F.lit(float(scale)))
+                .cast("decimal(18,9)")
+                - F.col("mu").cast("decimal(18,9)")
+            ).alias("x"),
+            F.col("v").cast("decimal(12,9)").alias("vv"),
+        )
+    )
+    per = cx.groupBy(id_col).agg(
+        F.sum((F.col("x") * F.col("vv")).cast("decimal(38,18)"))
+        .cast("double").alias("_proj"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+        .cast("double").alias("_ss"),
+    )
+    nrm = F.sqrt(F.col("_ss"))
+    return per.select(
+        id_col,
+        F.round(F.col("_proj"), 6).alias("c1_proj"),
+        F.round(nrm, 6).alias("norm_centered"),
+        F.when(nrm > 0, F.round(F.abs(F.col("_proj")) / nrm, 6))
+        .otherwise(F.lit(0.0)).alias("proj_ratio"),
+    )

@@ -2083,3 +2083,40 @@ def test_correlation_matrix_pairwise_complete_nulls(spark):
     con.register("t", df.toPandas())
     sql = spec_to_sql({"ops": [{"op": "correlate", "cols": ["a", "b"]}]}, "t")
     assert con.sql(sql).fetchall() == [("a", "b", 3, 1.0)]
+
+
+def test_common_direction_audit_recovers_planted_component(spark):
+    """Vectors = mu + t*u + tiny noise for a known unit direction u:
+    the in-plan power iteration must recover u (the dominant
+    covariance direction), so each vector's c1_proj must be ~t-mu_t
+    and proj_ratio ~1 (almost all centered mass lives in u)."""
+    import math
+
+    from agentic_workflow_for_data_transformation_spark.operators.linalg import (
+        common_direction_audit,
+        power_iteration_top_pc,
+    )
+
+    d = 8
+    u = [1.0 / math.sqrt(d)] * d
+    rows = []
+    for n in range(40):
+        t = (n - 19.5) / 4.0
+        rows.append(
+            (n, [0.5 + t * u[i] + (0.001 if i == n % d else 0.0)
+                 for i in range(d)])
+        )
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    v = {r["i"]: r["v"] for r in power_iteration_top_pc(df, n_iter=6).collect()}
+    assert len(v) == d
+    # recovered component ~ u (sign pinned positive at the max entry)
+    for i in range(d):
+        assert abs(abs(v[i]) - u[0]) < 0.01
+    out = {r["vec_id"]: r for r in common_direction_audit(df).collect()}
+    assert len(out) == 40
+    for n, r in out.items():
+        t = (n - 19.5) / 4.0
+        # centered projection is ~t (mean of t over rows is 0)
+        assert abs(abs(r["c1_proj"]) - abs(t)) < 0.02
+        assert r["proj_ratio"] > 0.97 or abs(t) < 0.2
+        assert r["norm_centered"] >= abs(r["c1_proj"]) - 1e-9
