@@ -187,6 +187,11 @@ Corpus / dataset ops (only when the description asks for them):
       (vec_id, embedding, label) table, queries = the first n vector
       ids; REPLACES the schema with one row per query: query_id,
       n_rel_topk, ideal_n, ndcg)
+  {{"op": "common_direction"}}  (all-but-the-top audit over a
+      (vec_id, embedding) table: per-vector projection onto the corpus
+      top principal component, found by in-plan power iteration;
+      REPLACES the schema with vec_id, c1_proj, norm_centered,
+      proj_ratio)
   {{"op": "silhouette"}}  (per-label centroid-form silhouette over a
       (vec_id, embedding, label) table — "how well separated are the
       labels"; REPLACES the schema with label, n_vecs,
@@ -355,6 +360,8 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # per-label rows; bpe_merges -> per-merge rows;
         # perplexity_buckets -> per-doc scored rows
         "ndcg", "silhouette", "bpe_merges", "perplexity_buckets",
+        # common_direction -> per-vector projection/norm audit rows
+        "common_direction",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -492,7 +499,7 @@ def critic_agent(
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
             "dedup_savings, kanon, word_entropy, oov, majority, "
             "agreement, correlate, ndcg, silhouette, bpe_merges, "
-            "perplexity_buckets) REPLACE the "
+            "perplexity_buckets, common_direction) REPLACE the "
             "columns with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "

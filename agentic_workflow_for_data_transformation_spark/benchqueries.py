@@ -4549,3 +4549,20 @@ _DESCRIPTIONS.update({
     "x_intersect": "INTERSECT of customer and supplier nation keys — planned as a left-semi join over distinct keys.",
     "x_count_distinct": "Per-segment exact COUNT(DISTINCT c_nationkey): two-phase expand + count Catalyst plan.",
 })
+
+
+_P101_DESC = "Audit the common direction of the embeddings"
+
+
+@register("p101_nl_common_direction", _emb_nl_oracle(_P101_DESC))
+def p101_nl_common_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL embedding hygiene: 'audit the common direction of the
+    embeddings' — linalg.common_direction_audit behind one clause
+    (schema-replacing, one row per vector): the projection onto the
+    corpus top principal component, found by 6 FIXED power-iteration
+    rounds run in-plan over the integer-exact Gram statistics, plus
+    the centered norm and projection ratio (the all-but-the-top
+    correction's inputs, Mu & Viswanath ICLR 2018). The oracle unrolls
+    the identical matvec+normalize rounds, so even the eigenvector is
+    hash-checked."""
+    return _nl(spark, sf_dir, "embeddings", _P101_DESC)

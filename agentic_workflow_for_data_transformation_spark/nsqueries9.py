@@ -592,67 +592,14 @@ register(
 
 
 def _abtt_sql(n_iter: int = 6) -> str:
-    """Unrolled power-iteration oracle (the Lloyd/logreg pattern):
-    integer-exact Gram statistics, 12-rounded covariances, n_iter
-    matvec+normalize rounds with the engine's exact DECIMAL
-    accumulators and 9-rounded iterates, the sign pin, then the
-    per-vector projection/norm aggregates."""
-    ctes = [
-        "dims AS (SELECT unnest(generate_series(1, 64)) AS d)",
-        "q AS (SELECT vec_id, d, CAST(round(CAST(embedding[d] AS DOUBLE) "
-        " * 1000000) AS BIGINT) AS qv FROM embeddings, dims)",
-        "sums AS (SELECT d, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n "
-        " FROM q GROUP BY d)",
-        "g AS (SELECT a.d AS i, b.d AS j, CAST(sum(a.qv * b.qv) AS BIGINT) "
-        " AS dot FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.d >= a.d "
-        " GROUP BY 1, 2)",
-        "covu AS (SELECT g.i - 1 AS i, g.j - 1 AS j, "
-        " round((CAST(dot AS DOUBLE) - CAST(si.s AS DOUBLE) "
-        "  * CAST(sj.s AS DOUBLE) / si.n) / si.n / 1000000000000.0, 12) AS c "
-        " FROM g JOIN sums si ON si.d = g.i JOIN sums sj ON sj.d = g.j)",
-        "cov AS (SELECT * FROM covu "
-        " UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i <> j)",
-        "v0 AS (SELECT DISTINCT i, 1.0 AS v FROM cov)",
-    ]
-    for r in range(1, n_iter + 1):
-        ctes.append(
-            f"w{r} AS (SELECT cov.i, CAST(SUM(CAST("
-            "CAST(c AS DECIMAL(20,12)) * CAST(v AS DECIMAL(12,9)) "
-            "AS DECIMAL(38,21))) AS DOUBLE) AS w "
-            f"FROM cov JOIN v{r - 1} p ON cov.j = p.i GROUP BY 1)"
-        )
-        ctes.append(
-            f"n{r} AS (SELECT sqrt(CAST(SUM(CAST("
-            "CAST(round(w, 9) AS DECIMAL(18,9)) "
-            "* CAST(round(w, 9) AS DECIMAL(18,9)) AS DECIMAL(38,18))) "
-            f"AS DOUBLE)) AS nrm FROM w{r})"
-        )
-        ctes.append(
-            f"v{r} AS (SELECT i, round(round(w, 9) / nrm, 9) AS v "
-            f"FROM w{r}, n{r})"
-        )
-    ctes += [
-        "sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn "
-        f"FROM v{n_iter} ORDER BY abs(v) DESC, i LIMIT 1)",
-        f"vf AS (SELECT i, round(v * sgn, 9) AS v FROM v{n_iter}, sgn)",
-        "mu AS (SELECT d - 1 AS i, "
-        " round(CAST(s AS DOUBLE) / n / 1000000.0, 9) AS mu FROM sums)",
-        "cx AS (SELECT vec_id, "
-        " CAST(CAST(qv AS DOUBLE) / 1000000.0 AS DECIMAL(18,9)) "
-        "  - CAST(mu AS DECIMAL(18,9)) AS x, "
-        " CAST(v AS DECIMAL(12,9)) AS vv "
-        " FROM q JOIN mu ON q.d - 1 = mu.i JOIN vf ON q.d - 1 = vf.i)",
-        "per AS (SELECT vec_id, "
-        " CAST(SUM(CAST(x * vv AS DECIMAL(38,18))) AS DOUBLE) AS proj, "
-        " CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS ss "
-        " FROM cx GROUP BY 1)",
-    ]
-    return (
-        f"WITH {', '.join(ctes)} "
-        "SELECT vec_id, round(proj, 6) AS c1_proj, "
-        "round(sqrt(ss), 6) AS norm_centered, "
-        "CASE WHEN sqrt(ss) > 0 THEN round(abs(proj) / sqrt(ss), 6) "
-        "ELSE 0.0 END AS proj_ratio FROM per"
+    # delegate to the sqlgen 'common_direction' renderer so the
+    # unrolled power-iteration oracle lives in exactly one place (the
+    # NL twin p101 renders the identical chain)
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        {"ops": [{"op": "common_direction", "n_iter": n_iter}]},
+        "embeddings",
     )
 
 

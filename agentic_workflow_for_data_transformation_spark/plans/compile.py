@@ -609,6 +609,10 @@ def compile_spec(
             from ..operators.similarity import simplified_silhouette
 
             df = simplified_silhouette(df)
+        elif kind == "common_direction":
+            from ..operators.linalg import common_direction_audit
+
+            df = common_direction_audit(df, n_iter=int(op.get("n_iter", 6)))
         elif kind == "bpe_merges":
             from ..operators.text import bpe_merge_table
 

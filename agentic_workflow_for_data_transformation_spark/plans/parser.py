@@ -476,6 +476,17 @@ _BPE_MERGES = re.compile(
     r"^train\s+a\s+bpe\s+tokenizer\s+with\s+(\d+)\s+merges?\s*$",
     re.IGNORECASE,
 )
+# "audit the common direction of the embeddings" / "which vectors are
+# dominated by the common direction" -> all-but-the-top audit
+# (linalg.common_direction_audit): per vector, the projection onto the
+# corpus top principal component + centered norm; schema-replacing
+_COMMON_DIR = re.compile(
+    r"^(?:audit\s+the\s+common\s+direction\s+of\s+(?:the\s+)?"
+    r"(?:embeddings|vectors)"
+    r"|which\s+(?:embeddings|vectors)\s+are\s+dominated\s+by\s+"
+    r"(?:the\s+)?common\s+direction)\s*$",
+    re.IGNORECASE,
+)
 # "bucket documents by perplexity [against the src0 slice]" ->
 # CCNet-style head/middle/tail perplexity tertiles per language
 # (text.perplexity_buckets), schema-replacing
@@ -971,6 +982,8 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "silhouette"}
     if m := _BPE_MERGES.match(clause):
         return {"op": "bpe_merges", "n": int(m.group(1))}
+    if _COMMON_DIR.match(clause):
+        return {"op": "common_direction"}
     if m := _PPL_BUCKETS.match(clause):
         op = {"op": "perplexity_buckets"}
         if m.group(1):

@@ -100,6 +100,11 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # per-label simplified (centroid-form) silhouette over a
       # (vec_id, embedding, label) table; REPLACES the schema with
       # one row per label (label, n_vecs, mean_silhouette, n_negative)
+  {"op": "common_direction", "n_iter": 6?, "dim": 64?}
+      # all-but-the-top audit over a (vec_id, embedding) table: per
+      # vector, the projection onto the corpus top principal
+      # component (in-plan power iteration) + centered norm; REPLACES
+      # the schema with (vec_id, c1_proj, norm_centered, proj_ratio)
   {"op": "bpe_merges", "n": 5}
       # train the first n BPE merges on the text column; REPLACES the
       # schema with one row per merge (merge_rank, pair, merged,
@@ -691,6 +696,20 @@ def validate_op(op: Any) -> None:
             _err(f"ndcg 'n_queries' must be <= 1024 (broadcast side): {op!r}")
     elif kind == "silhouette":
         pass  # fixed (vec_id, embedding, label) schema, no parameters
+    elif kind == "common_direction":
+        if "n_iter" in op and not (
+            isinstance(op["n_iter"], int)
+            and not isinstance(op["n_iter"], bool)
+            and 1 <= op["n_iter"] <= 12
+        ):
+            # each power-iteration round is one unrolled oracle CTE
+            # block; 12 bounds the plan, 6 is the converged default
+            _err(f"common_direction 'n_iter' must be an int in 1..12: {op!r}")
+        if "dim" in op and not (
+            isinstance(op["dim"], int) and not isinstance(op["dim"], bool)
+            and 1 <= op["dim"] <= 4096
+        ):
+            _err(f"common_direction 'dim' must be an int in 1..4096: {op!r}")
     elif kind == "bpe_merges":
         if not (
             isinstance(op.get("n"), int)

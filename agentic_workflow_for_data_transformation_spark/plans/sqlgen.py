@@ -659,6 +659,82 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 "WHEN xent <= q67 THEN 'middle' ELSE 'tail' END "
                 "AS ppl_bucket FROM __pd JOIN __cuts USING (lang)"
             )
+        elif kind == "common_direction":
+            # mirrors operators/linalg.common_direction_audit (the
+            # ns_embed_common_direction oracle, over the piped table):
+            # integer-exact Gram statistics, 12-rounded covariances,
+            # 6 unrolled power-iteration rounds with DECIMAL
+            # accumulators and 9-rounded iterates, the sign pin, then
+            # the per-vector projection/norm aggregates
+            n_it = int(op.get("n_iter", 6))
+            dim_n = int(op.get("dim", 64))
+            ctes = [
+                f"__dims AS (SELECT unnest(generate_series(1, {dim_n})) "
+                "AS d)",
+                "__q AS (SELECT vec_id, d, "
+                "CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000) "
+                f"AS BIGINT) AS qv FROM ({sql}), __dims)",
+                "__sums AS (SELECT d, CAST(sum(qv) AS BIGINT) AS s, "
+                "count(*) AS n FROM __q GROUP BY d)",
+                "__g AS (SELECT a.d AS i, b.d AS j, "
+                "CAST(sum(a.qv * b.qv) AS BIGINT) AS dot "
+                "FROM __q a JOIN __q b ON a.vec_id = b.vec_id "
+                "AND b.d >= a.d GROUP BY 1, 2)",
+                "__covu AS (SELECT __g.i - 1 AS i, __g.j - 1 AS j, "
+                "round((CAST(dot AS DOUBLE) - CAST(si.s AS DOUBLE) "
+                "* CAST(sj.s AS DOUBLE) / si.n) / si.n "
+                "/ 1000000000000.0, 12) AS c "
+                "FROM __g JOIN __sums si ON si.d = __g.i "
+                "JOIN __sums sj ON sj.d = __g.j)",
+                "__cov AS (SELECT * FROM __covu UNION ALL "
+                "SELECT j AS i, i AS j, c FROM __covu WHERE i <> j)",
+                "__v0 AS (SELECT DISTINCT i, 1.0 AS v FROM __cov)",
+            ]
+            for r in range(1, n_it + 1):
+                ctes.append(
+                    f"__w{r} AS (SELECT __cov.i, CAST(SUM(CAST("
+                    "CAST(c AS DECIMAL(20,12)) * CAST(v AS DECIMAL(12,9)) "
+                    "AS DECIMAL(38,21))) AS DOUBLE) AS w "
+                    f"FROM __cov JOIN __v{r - 1} p ON __cov.j = p.i "
+                    "GROUP BY 1)"
+                )
+                ctes.append(
+                    f"__n{r} AS (SELECT sqrt(CAST(SUM(CAST("
+                    "CAST(round(w, 9) AS DECIMAL(18,9)) "
+                    "* CAST(round(w, 9) AS DECIMAL(18,9)) "
+                    "AS DECIMAL(38,18))) AS DOUBLE)) AS nrm "
+                    f"FROM __w{r})"
+                )
+                ctes.append(
+                    f"__v{r} AS (SELECT i, round(round(w, 9) / nrm, 9) "
+                    f"AS v FROM __w{r}, __n{r})"
+                )
+            ctes += [
+                "__sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END "
+                f"AS sgn FROM __v{n_it} ORDER BY abs(v) DESC, i LIMIT 1)",
+                f"__vf AS (SELECT i, round(v * sgn, 9) AS v "
+                f"FROM __v{n_it}, __sgn)",
+                "__mu AS (SELECT d - 1 AS i, round(CAST(s AS DOUBLE) / n "
+                "/ 1000000.0, 9) AS mu FROM __sums)",
+                "__cx AS (SELECT vec_id, "
+                "CAST(CAST(qv AS DOUBLE) / 1000000.0 AS DECIMAL(18,9)) "
+                "- CAST(mu AS DECIMAL(18,9)) AS x, "
+                "CAST(v AS DECIMAL(12,9)) AS vv "
+                "FROM __q JOIN __mu ON __q.d - 1 = __mu.i "
+                "JOIN __vf ON __q.d - 1 = __vf.i)",
+                "__per AS (SELECT vec_id, "
+                "CAST(SUM(CAST(x * vv AS DECIMAL(38,18))) AS DOUBLE) "
+                "AS proj, "
+                "CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS ss "
+                "FROM __cx GROUP BY 1)",
+            ]
+            sql = (
+                f"WITH {', '.join(ctes)} "
+                "SELECT vec_id, round(proj, 6) AS c1_proj, "
+                "round(sqrt(ss), 6) AS norm_centered, "
+                "CASE WHEN sqrt(ss) > 0 THEN round(abs(proj) "
+                "/ sqrt(ss), 6) ELSE 0.0 END AS proj_ratio FROM __per"
+            )
         elif kind == "anomaly":
             # mirrors operators/timeseries.rolling_zscore_anomalies:
             # DECIMAL-pinned frame sums (exact under any fold order,

@@ -916,3 +916,45 @@ def test_live_perplexity_spec_roundtrip(spark, tmp_path):
         for r in out.collect()
     }
     assert got == golden
+
+
+@needs_live_llm
+def test_live_common_direction_spec_roundtrip(spark, tmp_path):
+    """The all-but-the-top paraphrase against a real model: the LLM
+    must emit the schema-replacing common_direction spec; the
+    per-vector audit rows must match the canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    canon = "Audit the common direction of the embeddings"
+    para = (
+        "Anisotropy check: for every vector, how much of its centered "
+        "mass projects onto the corpus's single dominant principal "
+        "direction?"
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=emb.columns)
+    golden = {
+        r["vec_id"]: (r["c1_proj"], r["norm_centered"], r["proj_ratio"])
+        for r in compile_spec(
+            emb, parse_description(canon, columns=emb.columns)
+        ).collect()
+    }
+    st = run_transform(spark, emb, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        int(r["vec_id"]): (round(float(r["c1_proj"]), 6),
+                           round(float(r["norm_centered"]), 6),
+                           round(float(r["proj_ratio"]), 6))
+        for r in out.collect()
+    }
+    assert got == golden

@@ -2490,3 +2490,32 @@ def test_bpe_merges_and_ndcg_spec_bounds():
         validate_op({"op": "bpe_merges", "n": 21})
     with pytest.raises(SpecError):
         validate_op({"op": "ndcg", "k": 101, "n_queries": 8})
+
+
+def test_common_direction_spec_op_roundtrip(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    spec = parse_description(
+        "Audit the common direction of the embeddings",
+        columns=["vec_id", "embedding", "label"],
+    )
+    assert spec["ops"] == [{"op": "common_direction"}]
+    # planted dominant direction in d=4 (the oracle dim parameterizes)
+    rows = [(n, [0.5 + t * 0.5] * 4) for n, t in
+            ((i, (i - 5.5) / 3.0) for i in range(12))]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    spec["ops"][0]["dim"] = 4
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
+    assert len(got) == 12

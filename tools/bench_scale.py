@@ -211,6 +211,14 @@ QUERIES = [
     "x_benford",
     "x_ldiversity",
     "x_corr_matrix",
+    # round-9 additions: the in-plan power-iteration ABTT audit (two
+    # corpus scans + d*d-frame iteration) and the NL BPE trainer (5
+    # merges vs the measured ns_text_bpe_merges' 3 — the other round-9
+    # NL queries p97/p98/p100 compile to the already-measured
+    # ns_sim_ndcg / ns_sim_silhouette / ns_text_perplexity_buckets
+    # plans and carry no separate scale row)
+    "ns_embed_common_direction",
+    "p99_nl_bpe",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw
