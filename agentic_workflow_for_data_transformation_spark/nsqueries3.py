@@ -741,14 +741,20 @@ def ns_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k (operators/similarity.topk_pq_adc)
     over a TRAINED per-subspace k-means codebook
     (similarity.train_pq_codebook, m=32 x k=128, 2 Lloyd iterations on
-    the first-500-ids sample — recall converges by the second pass): the compressed serving path of the ANN
-    family — the query stays full-precision, candidates are scored
-    from their PQ codes via a broadcast k*m lookup table, so the scan
-    reads codes, not vectors. Approximate BY DESIGN (quantization
-    error bounds recall — measured next door by ns_sim_recall_pq at
-    0.8-0.9 with this codebook); the exact harness is
-    ns_sim_topk_bruteforce. The oracle unrolls both training
-    iterations as SQL CTEs, so even the trainer is hash-checked."""
+    the first-500-ids sample — recall converges by the second pass):
+    the compressed serving path of the ANN family — the query stays
+    full-precision, candidates are scored from their PQ codes via a
+    broadcast k*m lookup table, so the scan reads codes, not vectors.
+    SERVES FROM SESSION ARTIFACTS (round 9): the codebook AND the
+    encoded code table are built once per (session, corpus) —
+    _pq_codes_cached — so the per-query plan is the n*m code scan +
+    one-to-one broadcast LUT join + TakeOrdered; re-encoding per query
+    (the n x (m*k) assignment join) measured 155 s solo at sf10 vs
+    1.75 s served. Approximate BY DESIGN (quantization error bounds
+    recall — measured next door by ns_sim_recall_pq at 0.8-0.9 with
+    this codebook); the exact harness is ns_sim_topk_bruteforce. The
+    oracle unrolls training AND encoding as SQL CTEs, so the whole
+    offline build is hash-checked too."""
     from .operators import similarity as _sim
 
     return _sim.topk_pq_adc(
@@ -886,14 +892,20 @@ def ns_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     2011 §IV): coarse quantizer prunes to the 4-of-8 cells nearest
     the query, PQ codes are of RESIDUALS (v - coarse centroid, far
     tighter than raw vectors for the same codebook budget), and each
-    probed cell scores through its own broadcast lookup table. The
-    corpus-side scan reads residual codes of probed cells only — at
-    scale the code table is written partitioned by cell, so the probe
-    is file-level pruning and n_probe/n_cells shrinks as n_cells
-    grows with the corpus (8 cells here is fixture-sized). Measured
-    recall@10 vs exact L2 on sf0.01: 0.72 avg over 5 probe queries
-    (boundary losses across unprobed cells are the residual-PQ
-    tradeoff the n_probe knob prices)."""
+    probed cell scores through its own broadcast lookup table. SERVES
+    FROM THE PERSISTED INDEX (round 9): write_ivfpq_index builds the
+    artifacts once per (session, corpus) — coarse centroids, trained
+    residual codebook, and the residual code table written PARQUET
+    PARTITIONED BY CELL — and the query-time probe prunes cell
+    partitions at the scan via dynamic partition pruning (plan pin
+    tests/test_plans.py::test_ivfpq_codes_scan_partition_pruned); no
+    vector column ever leaves the two pushed-filter query/centroid
+    row fetches. Re-encoding per query measured 66 s solo at sf10 vs
+    4.4 s served. n_probe/n_cells shrinks as n_cells grows with the
+    corpus (8 cells here is fixture-sized). Measured recall@10 vs
+    exact L2 on sf0.01: 0.72 avg over 5 probe queries (boundary
+    losses across unprobed cells are the residual-PQ tradeoff the
+    n_probe knob prices)."""
     from .operators import similarity as _sim
 
     cents, cb, codes = _ivfpq_index_cached(spark, sf_dir)

@@ -902,3 +902,21 @@ def test_ivfpq_codes_scan_partition_pruned(spark):
     ]
     for line in emb_scans:
         assert ("EqualTo(vec_id,42)" in line) or ("LessThan(vec_id,8)" in line), line
+
+
+def test_flat_pq_serving_scans_codes_not_vectors(spark):
+    """Flat-PQ ADC serving (round 9): the registered query scores from
+    the session's materialized code table (localCheckpoint -> an
+    ExistingRDD/checkpoint scan), so the only raw-embeddings parquet
+    read left in the plan is the pushed-filter QUERY-row fetch — never
+    a corpus vector scan, never the n x (m*k) re-encode join."""
+    plan = plan_of(spark, "ns_sim_topk_pq")
+    emb_scans = [
+        line for line in plan.splitlines()
+        if "FileScan parquet" in line and "embeddings.parquet" in line
+    ]
+    assert emb_scans, "expected the query-row fetch"
+    for line in emb_scans:
+        assert "EqualTo(vec_id,42)" in line, line
+    # the code table arrives via the checkpointed RDD, not a re-encode
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
