@@ -1214,3 +1214,61 @@ def test_random_anomaly_flags_match_duckdb(spark_module, expr, n, z):
     got = _spark_rows(compile_spec(spark_module, spec))
     want = _duck(spec_to_sql(spec, "people"))
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(),
+                      st.decimals(min_value=-999, max_value=999, places=2)
+                      .map(float)),
+            st.one_of(st.none(),
+                      st.decimals(min_value=-999, max_value=999, places=2)
+                      .map(float)),
+            st.one_of(st.none(),
+                      st.decimals(min_value=-999, max_value=999, places=2)
+                      .map(float)),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_random_null_frames_correlate_match_duckdb(spark, data):
+    """Pairwise-complete Pearson fuzz (ADVICE r9 high): random frames
+    with NULLs sprinkled in every column — each pair's (n, r) must
+    match DuckDB's rendering of the same null-masked moment chain.
+    This is the net the original global-n formula slipped through
+    (its oracle replicated the same wrong formula, so only a
+    differently-derived check could catch it: here pandas'
+    pairwise-complete corr is the third opinion on r)."""
+    import duckdb
+    import pandas as pd
+
+    spec = {"ops": [{"op": "correlate", "cols": ["a", "b", "c"]}]}
+    pdf = pd.DataFrame(data, columns=["a", "b", "c"], dtype="float64")
+    df = spark.createDataFrame(
+        data or [(None, None, None)],
+        "a: double, b: double, c: double",
+    )
+    if not data:
+        df = df.limit(0)
+    got = sorted(
+        tuple(r) for r in compile_spec(df, spec).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
+    # third opinion: pandas pairwise-complete corr agrees wherever
+    # both sides are defined
+    pcorr = pdf.corr(min_periods=1)
+    for col_a, col_b, n, r in got:
+        if r is not None and n >= 2:
+            ref = pcorr.loc[col_a, col_b]
+            if ref == ref:  # not NaN
+                assert abs(r - round(float(ref), 6)) < 2e-6, (col_a, col_b)
