@@ -4566,3 +4566,9 @@ def p101_nl_common_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical matvec+normalize rounds, so even the eigenvector is
     hash-checked."""
     return _nl(spark, sf_dir, "embeddings", _P101_DESC)
+
+
+# round-9 session registrations (post-window; these lead the r10
+# rotation) live in their own module, imported last so the frozen
+# driver window above is untouched.
+from . import nsqueries10  # noqa: E402,F401  (registration side effects)

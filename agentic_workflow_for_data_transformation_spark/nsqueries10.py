@@ -1,0 +1,236 @@
+"""Round-9 session registrations: the corpus-construction extensions a
+training-data owner reaches for after the evaluation layer — hybrid
+lexical+dense retrieval (BM25 and exact cosine reciprocal-rank-fused,
+the production search shape), UniMax epoch-capped budget allocation
+(Chung et al. ICLR 2023 — the fairer alternative to temperature
+sampling), and the Poisson bootstrap (Chamandy et al. 2012 — B
+replicate means from one corpus scan, the only bootstrap that scales).
+All exact-oracle: integer ranks from 6-decimal pinned scores, the
+water-filling capped set identified in pure-integer window arithmetic,
+and hash-derived integer bootstrap weights through shared CDF cutoff
+literals. Registered AFTER the frozen round-9 driver window (the r5
+lesson) — these lead the r10 rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .benchqueries import _t, register
+from .operators import corpus, similarity
+
+
+# --------------------------------------------------------------- hybrid
+_HYBRID_QT: dict[int, list[str]] = {
+    0: ["vector", "stream"],
+    7: ["window", "group", "merge"],
+    11: ["join", "hash"],
+}
+
+
+def _hybrid_sql(query_terms: dict[int, list[str]], k: int, depth: int,
+                rrf_k: int = 60, k1: float = 1.2, b: float = 0.75) -> str:
+    """Oracle for hybrid_rrf_topk: the identical BM25 and cosine
+    expression shapes as the ns_text_bm25 / ns_sim_rrf_fusion oracles,
+    depth-cut ranks, FULL OUTER fuse, per-query fused top-k."""
+    qt_rows = sorted(
+        (int(qid), t) for qid, terms in query_terms.items() for t in terms
+    )
+    all_terms = sorted({t for _, t in qt_rows})
+    qids = sorted({q for q, _ in qt_rows})
+    terms_in = ", ".join(f"'{t}'" for t in all_terms)
+    qt_values = ", ".join(f"({q}, '{t}')" for q, t in qt_rows)
+    qids_in = ", ".join(str(q) for q in qids)
+    return (
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id IN ({qids_in})), "
+        "ds AS (SELECT query_id, d.vec_id AS id, "
+        " round(list_cosine_similarity(d.v, qv), 6) AS cos_sim "
+        " FROM d, q WHERE d.vec_id <> query_id), "
+        "rd AS (SELECT query_id, id, CAST(row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY cos_sim DESC, id) AS INTEGER) "
+        "  AS rank_dense FROM ds), "
+        f"rdc AS (SELECT * FROM rd WHERE rank_dense <= {depth}), "
+        "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        "ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), "
+        f"tf AS (SELECT doc_id, w, count(*) AS tf FROM w WHERE w IN ({terms_in}) GROUP BY 1, 2), "
+        "dfreq AS (SELECT w, count(*) AS dfq FROM tf GROUP BY 1), "
+        f"qt(query_id, w) AS (VALUES {qt_values}), "
+        "s AS (SELECT query_id, doc_id, "
+        " ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5)) * "
+        f" ((tf * {k1 + 1.0}) / (tf + {k1} * ({1.0 - b} + {b} * dl / avgdl))) AS s "
+        " FROM tf JOIN qt USING (w) JOIN dfreq USING (w) JOIN dl USING (doc_id) "
+        " CROSS JOIN n CROSS JOIN ad WHERE doc_id <> query_id), "
+        "lex AS (SELECT query_id, doc_id AS id, round(sum(s), 6) AS bm25 "
+        " FROM s GROUP BY 1, 2), "
+        "rl AS (SELECT query_id, id, CAST(row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY bm25 DESC, id) AS INTEGER) "
+        "  AS rank_lex FROM lex), "
+        f"rlc AS (SELECT * FROM rl WHERE rank_lex <= {depth}), "
+        "f AS (SELECT coalesce(rdc.query_id, rlc.query_id) AS query_id, "
+        " coalesce(rdc.id, rlc.id) AS id, rank_dense, rank_lex "
+        " FROM rdc FULL OUTER JOIN rlc "
+        " ON rdc.query_id = rlc.query_id AND rdc.id = rlc.id), "
+        "g AS (SELECT *, "
+        f" round(coalesce(1.0 / ({rrf_k} + rank_dense), 0.0) "
+        f" + coalesce(1.0 / ({rrf_k} + rank_lex), 0.0), 6) AS rrf_score FROM f) "
+        "SELECT query_id, id AS doc_id, rank_dense, rank_lex, rrf_score, "
+        "fused_rank FROM (SELECT *, CAST(row_number() OVER ("
+        " PARTITION BY query_id ORDER BY rrf_score DESC, id) AS INTEGER) "
+        f" AS fused_rank FROM g) WHERE fused_rank <= {k}"
+    )
+
+
+@register(
+    "ns_sim_hybrid_rrf",
+    _hybrid_sql(_HYBRID_QT, k=10, depth=50),
+    desc=(
+        "Hybrid lexical+dense retrieval: per query, BM25 over the "
+        "document text and exact cosine over the embedding column, "
+        "each ranking depth-cut at 50, reciprocal-rank-fused "
+        "(1/(60+rank)); fused top-10 with both source ranks (NULL = "
+        "that ranker missed it). One text explode and one embedding "
+        "scan serve all queries; the fuse join is bounded at 2*depth "
+        "rows per query regardless of corpus size."
+    ),
+)
+def ns_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25+cosine RRF (operators/similarity.hybrid_rrf_topk):
+    the production retrieval shape next to the pure-dense ANN family.
+    Dense query = the query id's own corpus vector, lexical query =
+    its term list; both rank windows partition by query_id and the
+    depth cut bounds the full-outer fuse."""
+    return similarity.hybrid_rrf_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _HYBRID_QT, k=10, depth=50,
+    )
+
+
+# --------------------------------------------------------------- unimax
+_UNIMAX_B = 48000
+_UNIMAX_E = 2
+
+_UNIMAX_SQL = (
+    "WITH t AS (SELECT source, len(string_split(text, ' ')) AS nt "
+    " FROM documents), "
+    "c AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens "
+    " FROM t GROUP BY 1), "
+    f"b AS (SELECT source, n_tokens, CAST({_UNIMAX_E} * n_tokens AS BIGINT) "
+    " AS capacity FROM c), "
+    "r AS (SELECT *, row_number() OVER (ORDER BY capacity, source) AS rn, "
+    " count(*) OVER () AS n_src, "
+    " sum(capacity) OVER (ORDER BY capacity, source "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - capacity "
+    "  AS cum_before FROM b), "
+    f"f AS (SELECT *, CASE WHEN capacity * (n_src - rn + 1) "
+    f" < {_UNIMAX_B} - cum_before THEN 1 ELSE 0 END AS cond FROM r), "
+    "g AS (SELECT *, min(cond) OVER (ORDER BY capacity, source "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 "
+    " AS capped FROM f), "
+    "h AS (SELECT *, "
+    " sum(CASE WHEN capped THEN capacity ELSE 0 END) OVER () AS capped_sum, "
+    " sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS n_uncapped FROM g), "
+    "a AS (SELECT source, n_tokens, capacity, capped, "
+    " CASE WHEN capped THEN CAST(capacity AS DOUBLE) ELSE "
+    f" round(CAST({_UNIMAX_B} - capped_sum AS DOUBLE) "
+    "  / CAST(n_uncapped AS DOUBLE), 6) END AS alloc FROM h) "
+    "SELECT source, n_tokens, capacity, capped, "
+    "round(alloc, 6) AS allocated_tokens, "
+    "round(alloc / CAST(n_tokens AS DOUBLE), 6) AS epochs FROM a"
+)
+
+
+@register(
+    "ns_corpus_unimax",
+    _UNIMAX_SQL,
+    desc=(
+        "UniMax budget allocation (Chung et al., ICLR 2023): "
+        "distribute a 48k-token training budget across sources with "
+        "an epoch cap of 2 — water-filling closed form, the capped "
+        "prefix identified by pure-integer window arithmetic on the "
+        "source-cardinality frame; one corpus scan total."
+    ),
+)
+def ns_corpus_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped mixing (operators/corpus.unimax_allocation)
+    beside the temperature mix (ns_corpus_mix_weights): fairer
+    multi-source sampling where no source repeats more than E times
+    and the rest of the budget spreads uniformly."""
+    return corpus.unimax_allocation(
+        _t(spark, sf_dir, "documents"),
+        budget_tokens=_UNIMAX_B, max_epochs=_UNIMAX_E,
+    )
+
+
+# ------------------------------------------------------------ bootstrap
+def _poisson_boot_sql(n_boot: int, group: str = "event_type",
+                      key: str = "event_id", val: str = "value",
+                      salt: str = "boot") -> str:
+    """Oracle for poisson_bootstrap_ci: the SAME integer CDF cutoffs
+    (sampling.POISSON1_CUTOFFS — the split_thresholds sharing
+    discipline), the same md5 draw, decimal-exact weighted sums,
+    nearest-rank percentile picks with NULLS FIRST pinned."""
+    import math as _math
+
+    from .operators.sampling import POISSON1_CUTOFFS
+
+    lo = max(1, _math.ceil(0.025 * n_boot))
+    hi = _math.ceil(0.975 * n_boot)
+    wcase = "CASE " + " ".join(
+        f"WHEN d < {cut} THEN {k}" for k, cut in enumerate(POISSON1_CUTOFFS)
+    ) + f" ELSE {len(POISSON1_CUTOFFS)} END"
+    draw = (
+        f"(('0x' || substr(md5('{salt}|' || {key}::VARCHAR || '|' || "
+        "r::VARCHAR), 1, 15))::BIGINT % 1000000)"
+    )
+    return (
+        f"WITH rep AS (SELECT {group} AS g, {key}, "
+        f" CAST({val} AS DECIMAL(18,2)) AS v, r "
+        f" FROM events CROSS JOIN (SELECT unnest(range({n_boot})) AS r)), "
+        f"d AS (SELECT g, r, v, {draw} AS d FROM rep), "
+        f"w AS (SELECT g, r, v, {wcase} AS w FROM d), "
+        "m AS (SELECT g, r, CAST(sum(w) AS BIGINT) AS nw, "
+        " sum(CAST(w AS DECIMAL(10,0)) * v) AS sw FROM w GROUP BY 1, 2), "
+        "mr AS (SELECT g, r, CASE WHEN nw > 0 THEN "
+        " round(CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE), 6) END AS mean_r "
+        " FROM m), "
+        "rk AS (SELECT g, mean_r, row_number() OVER (PARTITION BY g "
+        " ORDER BY mean_r ASC NULLS FIRST, r) AS rn FROM mr), "
+        "boot AS (SELECT g, "
+        f" max(CASE WHEN rn = {lo} THEN mean_r END) AS boot_lo, "
+        f" max(CASE WHEN rn = {hi} THEN mean_r END) AS boot_hi, "
+        " CAST(count(*) AS INTEGER) AS n_replicates FROM rk GROUP BY 1), "
+        f"pt AS (SELECT {group} AS g, CAST(count(*) AS BIGINT) AS n_rows, "
+        f" round(CAST(sum(CAST({val} AS DECIMAL(18,2))) AS DOUBLE) "
+        "  / count(*), 6) AS mean_value FROM events GROUP BY 1) "
+        f"SELECT g AS {group}, n_rows, mean_value, boot_lo, boot_hi, "
+        "n_replicates FROM pt JOIN boot USING (g)"
+    )
+
+
+@register(
+    "ns_stats_poisson_bootstrap",
+    _poisson_boot_sql(40),
+    desc=(
+        "Poisson bootstrap (Chamandy et al. 2012) 95% CI for the "
+        "per-event-type mean value: 40 replicate means from ONE "
+        "corpus scan — each row contributes a hash-derived Poisson(1) "
+        "weight per replicate, map-side combine collapses the explode "
+        "to groups x 40 partial rows before the only exchange; "
+        "nearest-rank percentile picks over the replicate means."
+    ),
+)
+def ns_stats_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable bootstrap CI (operators/stats.poisson_bootstrap_ci):
+    the uncertainty band beside the Welch t-test and KS drift ops —
+    hash-deterministic, decimal-exact weighted sums, engine-pinned
+    rank picks."""
+    from .operators import stats as _stats
+
+    return _stats.poisson_bootstrap_ci(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id",
+        n_boot=40,
+    )

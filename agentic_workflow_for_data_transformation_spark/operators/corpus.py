@@ -1016,3 +1016,89 @@ def pack_efficiency(df: DataFrame, budget: int = 256,
         F.sum(F.when(F.col("seq_tokens") > budget, 1).otherwise(0))
         .cast("long").alias("n_overfull"),
     )
+
+
+def unimax_allocation(df: DataFrame, budget_tokens: int,
+                      max_epochs: int = 2, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023): distribute a
+    total training-token budget across sources so no source repeats
+    more than ``max_epochs`` times — the fairer alternative to
+    temperature sampling (mix_weights) for multi-source pretraining.
+    The sequential algorithm walks sources by ascending capacity
+    (capacity = max_epochs * n_tokens), giving each the UNIFORM share
+    of the remaining budget unless its capacity caps it first.
+
+    The water-filling closed form makes it one pass of window math:
+    once a source in ascending-capacity order is NOT capped, the
+    uniform share stops changing (allocating u from B over L leaves
+    B-u over L-1 with the same u), so the capped set is a PREFIX and
+    the running condition c_i * (L-i+1) < B - cumsum(c)_{i-1} — pure
+    INTEGER arithmetic, no division — identifies it exactly; the
+    running bool_and guards against a spurious re-cap after the first
+    uncapped source. Every uncapped source then gets
+    (B - sum of capped capacities) / n_uncapped.
+
+    Scale shape: ONE corpus scan (token-count aggregate per source);
+    all the allocation math runs on the source-cardinality frame
+    (tens of rows) where the single-task window exchange is free —
+    same footing as mix_weights, whose pmod partition-key trick keeps
+    the window off the unpartitioned-WindowExec ban list.
+
+    Exactness: capacities and the capped test are BIGINT; the only
+    divisions are the final uniform share and the epochs report, each
+    a single double division of exact integers, rounded to 6."""
+    toks = df.select(
+        F.col(group_col),
+        F.size(F.split(F.col(text_col), " ")).alias("_nt"),
+    )
+    counts = toks.groupBy(group_col).agg(
+        F.sum("_nt").cast("long").alias("n_tokens")
+    )
+    cap = (F.lit(int(max_epochs)).cast("long") * F.col("n_tokens")).alias(
+        "capacity"
+    )
+    base = counts.select(group_col, "n_tokens", cap)
+    # constant-but-non-foldable partition key (see mix_weights): the
+    # whole frame is one logical group of tens of rows
+    pk = F.pmod(F.col("n_tokens"), F.lit(1))
+    w_ord = Window.partitionBy(pk).orderBy(
+        F.col("capacity").asc(), F.col(group_col)
+    )
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(pk)
+    b = F.lit(int(budget_tokens)).cast("long")
+    n_src = F.count(F.lit(1)).over(w_all)
+    rn = F.row_number().over(w_ord)
+    cum_before = F.sum("capacity").over(w_cum) - F.col("capacity")
+    cond = (
+        F.col("capacity") * (n_src - rn + 1) < (b - cum_before)
+    ).cast("int")
+    flagged = base.select(
+        group_col,
+        "n_tokens",
+        "capacity",
+        (F.min(cond).over(w_cum) == 1).alias("capped"),
+    )
+    capped_sum = F.sum(
+        F.when(F.col("capped"), F.col("capacity")).otherwise(F.lit(0))
+    ).over(w_all)
+    n_uncapped = F.sum(
+        F.when(F.col("capped"), F.lit(0)).otherwise(F.lit(1))
+    ).over(w_all)
+    share = F.round(
+        (b - capped_sum).cast("double") / n_uncapped.cast("double"), 6
+    )
+    allocated = F.when(
+        F.col("capped"), F.col("capacity").cast("double")
+    ).otherwise(share)
+    return flagged.select(
+        group_col,
+        "n_tokens",
+        "capacity",
+        "capped",
+        F.round(allocated, 6).alias("allocated_tokens"),
+        F.round(allocated / F.col("n_tokens").cast("double"), 6).alias(
+            "epochs"
+        ),
+    )

@@ -178,3 +178,25 @@ def negative_samples(df: DataFrame, id_col: str = "vec_id",
             F.col("_rn").cast("long").alias("neg_rank"),
         )
     )
+
+
+# Poisson(1) CDF cutoffs on the [0, 1e6) draw scale: a draw below
+# POISSON1_CUTOFFS[k] (and not below cutoff k-1) gets bootstrap weight
+# k; at or above the last cutoff the weight caps at len(cutoffs). The
+# integer list is shared by the DataFrame operator AND the SQL oracle
+# renderer (the split_thresholds discipline) so both engines compare
+# the SAME integers — no float CDF is ever evaluated at query time.
+POISSON1_CUTOFFS: list[int] = [
+    367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989,
+]
+
+
+def poisson1_weight(draw: F.Column) -> F.Column:
+    """Poisson(1) bootstrap weight from a [0, 1e6) hash draw by
+    inverse-CDF over the shared integer cutoffs (weight capped at 8,
+    beyond the 0.9999989 quantile)."""
+    expr = None
+    for k, cut in enumerate(POISSON1_CUTOFFS):
+        cond = draw < cut
+        expr = F.when(cond, F.lit(k)) if expr is None else expr.when(cond, F.lit(k))
+    return expr.otherwise(F.lit(len(POISSON1_CUTOFFS)))

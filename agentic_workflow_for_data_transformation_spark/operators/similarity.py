@@ -2390,3 +2390,156 @@ def map_at_k(df: DataFrame, query_ids: list[int], k: int = 10,
             ).otherwise(F.lit(0.0)).alias("ap_at_k"),
         )
     )
+
+
+def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame,
+                    query_terms: dict[int, list[str]], k: int = 10,
+                    depth: int = 50, rrf_k: int = 60, k1: float = 1.2,
+                    b: float = 0.75, id_col: str = "doc_id",
+                    text_col: str = "text", vec_id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    dim: int | None = None) -> DataFrame:
+    """Hybrid lexical+dense retrieval — the production search shape
+    (e.g. Elasticsearch/Vespa "hybrid mode", Lin et al. dense-sparse
+    fusion): per query, rank the corpus by BM25 over the document
+    text AND by exact cosine over the embedding column, cut each
+    ranking at ``depth``, and reciprocal-rank-fuse (1/(rrf_k+rank)
+    summed over the rankers that retrieved the candidate). Queries
+    are (query_id -> term list): the dense query is query_id's own
+    corpus vector ("more like this"), the lexical query its term
+    list. Emits the fused top-``k`` with both source ranks so a
+    curator sees which ranker carried each hit (NULL rank = that
+    ranker's depth cut missed it).
+
+    Scale shape: the corpus text is exploded ONCE feeding the
+    doc-length and the (doc, term) tf aggregates, with the tf side
+    filtered to the union of query terms BEFORE its shuffle; per-term
+    df and the 1-row N/avgdl frames broadcast back, and the (query,
+    term) map is a broadcast literal — so lexical scoring is one
+    full-corpus exchange carrying (doc_id, dl). The dense side
+    broadcasts the query vectors and scans the embedding table once
+    scoring every query per row. Both rank windows partition by
+    query_id (never global), the depth cut bounds the fuse join to
+    <= 2*depth rows per query regardless of corpus size, and the
+    final top-k is a per-query window over <= 2*depth rows.
+
+    Determinism: BM25 and cosine are fixed-shape IEEE expressions
+    rounded to 6 decimals with id tie-breaks, so both rank columns
+    are integers identical on any engine; the fused score is a
+    double of integer inputs (bit-identical), and the final order
+    ties on id."""
+    qt_rows = sorted(
+        (int(qid), t) for qid, terms in query_terms.items() for t in terms
+    )
+    all_terms = sorted({t for _, t in qt_rows})
+    qids = sorted({q for q, _ in qt_rows})
+    spark = docs.sparkSession
+
+    # ---- lexical ranker: BM25 per (query, doc) -----------------------
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = doclen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    tf = (
+        words.filter(F.col("w").isin(all_terms))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfq"))
+    qt = spark.createDataFrame(qt_rows, ["query_id", "w"])
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfq") + F.lit(0.5))
+        / (F.col("dfq") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    lex_scored = (
+        tf.join(F.broadcast(qt), "w")
+        .join(F.broadcast(dfreq), "w")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col), (idf * tfnorm).alias("s"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col)
+    )
+    lex = (
+        lex_scored.withColumn(
+            "rank_lex", F.row_number().over(w_lex).cast("int")
+        )
+        .filter(F.col("rank_lex") <= depth)
+        .select("query_id", F.col(id_col).alias("_id"), "rank_lex")
+    )
+
+    # ---- dense ranker: exact cosine vs each query's own vector -------
+    dim = probe_dim(emb, vec_col, dim)
+    rows = _vec_norm(emb, vec_id_col, vec_col, dim)
+    q = F.broadcast(
+        rows.filter(F.col(vec_id_col).isin(qids)).select(
+            F.col(vec_id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(vec_id_col)
+    )
+    dense = (
+        rows.crossJoin(q)
+        .filter(F.col(vec_id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(vec_id_col),
+            F.round(
+                cosine_from_parts(F.col("v"), F.col("qv"),
+                                  F.col("nrm"), F.col("qnrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank_dense", F.row_number().over(w_dense).cast("int"))
+        .filter(F.col("rank_dense") <= depth)
+        .select("query_id", F.col(vec_id_col).alias("_id"), "rank_dense")
+    )
+
+    # ---- reciprocal-rank fuse the depth-cut lists ---------------------
+    fused = dense.join(lex, ["query_id", "_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_dense")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0)
+            ),
+            6,
+        ),
+    )
+    w_fused = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("_id")
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_fused).cast("int")
+        )
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            F.col("_id").alias(id_col),
+            "rank_dense",
+            "rank_lex",
+            "rrf_score",
+            "fused_rank",
+        )
+    )

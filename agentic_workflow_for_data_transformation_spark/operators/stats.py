@@ -13,6 +13,8 @@ SQL oracle; callers divide by n*m when they want the classical D.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -880,4 +882,101 @@ def benford_audit(df: DataFrame, col: str = "value") -> DataFrame:
                 F.col("n_obs") / F.col("_tot").cast("double") - emap, 6
             ).alias("excess"),
         )
+    )
+
+
+def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
+                         key_col: str, n_boot: int = 40,
+                         salt: str = "boot") -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Chamandy et al., Google 2012; the resampling
+    scheme that scales where classical resampling cannot): instead of
+    materializing B resampled datasets, every row contributes a
+    Poisson(1) weight to each of B replicates, so B bootstrap means
+    come out of ONE corpus scan. Reports the group mean with the
+    [2.5%, 97.5%] nearest-rank percentile interval over the replicate
+    means — the uncertainty band a metrics dashboard needs before
+    calling a between-group difference real.
+
+    Determinism: the per-(row, replicate) weight is a HASH draw
+    (sampling.hash_draw on key|replicate), never an RNG, inverted
+    through the shared integer Poisson(1) CDF cutoffs
+    (sampling.POISSON1_CUTOFFS) — both engines compare the same
+    integers. Weighted sums carry DECIMAL(18,2) values times integer
+    weights (exact under any partition order); each replicate mean is
+    one double division rounded to 6; the rank over replicate means
+    ties on the replicate id.
+
+    Scale shape: the explode to B replicates happens INSIDE the map
+    stage and is collapsed by map-side partial aggregation to
+    (group x B) partial rows before the only corpus-sized exchange —
+    at any corpus size the shuffle carries groups*B rows. The rank
+    window partitions by group over B rows."""
+    from .sampling import DRAW_BUCKETS, hash_draw, poisson1_weight
+
+    val = F.col(val_col).cast("decimal(18,2)")
+    rep = (
+        df.select(F.col(group_col), F.col(key_col).alias("_k"),
+                  val.alias("_v"))
+        .withColumn(
+            "r", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
+        )
+    )
+    draw = hash_draw(
+        F.concat_ws("|", F.col("_k").cast("string"),
+                    F.col("r").cast("string")),
+        salt,
+    )
+    w = poisson1_weight(draw)
+    means = (
+        rep.select(group_col, "r", w.alias("_w"), "_v")
+        .groupBy(group_col, "r")
+        .agg(
+            F.sum("_w").cast("long").alias("_nw"),
+            F.sum(
+                (F.col("_w").cast("decimal(10,0)") * F.col("_v"))
+                .cast("decimal(38,2)")
+            ).alias("_sw"),
+        )
+        .select(
+            group_col,
+            "r",
+            F.when(
+                F.col("_nw") > 0,
+                F.round(
+                    F.col("_sw").cast("double") / F.col("_nw").cast("double"),
+                    6,
+                ),
+            ).alias("mean_r"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.col("mean_r").asc_nulls_first(), F.col("r")
+        )
+    )
+    lo_rank = max(1, math.ceil(0.025 * n_boot))
+    hi_rank = math.ceil(0.975 * n_boot)
+    boot = (
+        means.withColumn("_rn", rnk)
+        .groupBy(group_col)
+        .agg(
+            F.max(F.when(F.col("_rn") == lo_rank, F.col("mean_r"))).alias(
+                "boot_lo"
+            ),
+            F.max(F.when(F.col("_rn") == hi_rank, F.col("mean_r"))).alias(
+                "boot_hi"
+            ),
+            F.count(F.lit(1)).cast("int").alias("n_replicates"),
+        )
+    )
+    point = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum(val).cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_value"),
+    )
+    return point.join(boot, group_col).select(
+        group_col, "n_rows", "mean_value", "boot_lo", "boot_hi",
+        "n_replicates",
     )

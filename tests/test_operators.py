@@ -2120,3 +2120,119 @@ def test_common_direction_audit_recovers_planted_component(spark):
         assert abs(abs(r["c1_proj"]) - abs(t)) < 0.02
         assert r["proj_ratio"] > 0.97 or abs(t) < 0.2
         assert r["norm_centered"] >= abs(r["c1_proj"]) - 1e-9
+
+
+def test_hybrid_rrf_agrees_with_rankers(spark, sf_dir):
+    """Hybrid fusion invariants on real tables: every fused row keeps
+    at least one source rank; source ranks respect the depth cut; a
+    candidate retrieved by BOTH rankers at rank 1 would score
+    2/(60+1) — and in general rrf_score must equal the recomputed
+    1/(60+r) sum of its non-null ranks."""
+    from agentic_workflow_for_data_transformation_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = hybrid_rrf_topk(
+        docs, emb, {0: ["vector", "stream"], 7: ["window", "group"]},
+        k=10, depth=50,
+    ).collect()
+    assert len(out) == 20  # 10 per query
+    for row in out:
+        assert row["rank_dense"] is not None or row["rank_lex"] is not None
+        expect = 0.0
+        if row["rank_dense"] is not None:
+            assert 1 <= row["rank_dense"] <= 50
+            expect += 1.0 / (60 + row["rank_dense"])
+        if row["rank_lex"] is not None:
+            assert 1 <= row["rank_lex"] <= 50
+            expect += 1.0 / (60 + row["rank_lex"])
+        assert abs(row["rrf_score"] - round(expect, 6)) < 1e-9
+    # fused_rank is a clean 1..10 per query
+    for qid in (0, 7):
+        ranks = sorted(r["fused_rank"] for r in out if r["query_id"] == qid)
+        assert ranks == list(range(1, 11))
+
+
+def test_unimax_matches_sequential_reference(spark):
+    """The window closed form must reproduce the paper's sequential
+    walk exactly: ascending-capacity order, each source gets
+    min(capacity, remaining/remaining_sources). Checked on a skewed
+    hand corpus against a Python reimplementation, plus budget
+    conservation."""
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        unimax_allocation,
+    )
+
+    # sources with 1, 2, 6, 6, 25 one-token docs
+    rows = []
+    for src, n in [("a", 1), ("b", 2), ("c", 6), ("d", 6), ("e", 25)]:
+        rows += [(src, "tok")] * n
+    df = spark.createDataFrame(rows, ["source", "text"])
+    budget, epochs = 30, 2
+    out = {r["source"]: r for r in unimax_allocation(
+        df, budget_tokens=budget, max_epochs=epochs).collect()}
+
+    # sequential reference
+    caps = sorted([("a", 2), ("b", 4), ("c", 12), ("d", 12), ("e", 50)],
+                  key=lambda t: (t[1], t[0]))
+    b, left = float(budget), len(caps)
+    ref = {}
+    for src, cap in caps:
+        u = b / left
+        a = min(float(cap), u)
+        ref[src] = a
+        b -= a
+        left -= 1
+    for src, a in ref.items():
+        assert abs(out[src]["allocated_tokens"] - a) < 1e-6, (src, a, out[src])
+    assert abs(sum(r["allocated_tokens"] for r in out.values()) - budget) < 1e-5
+    assert out["a"]["capped"] and out["b"]["capped"]
+    assert not out["e"]["capped"]
+    assert out["a"]["epochs"] == 2.0
+
+
+def test_unimax_all_capped_when_budget_exceeds_capacity(spark):
+    """Budget above total capacity: every source is capped at
+    max_epochs and the allocation is exactly the capacity column."""
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        unimax_allocation,
+    )
+
+    rows = [("a", "x y"), ("b", "x"), ("b", "y z w")]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = unimax_allocation(df, budget_tokens=10_000, max_epochs=3).collect()
+    for r in out:
+        assert r["capped"]
+        assert r["allocated_tokens"] == float(r["capacity"])
+        assert r["epochs"] == 3.0
+
+
+def test_poisson_bootstrap_deterministic_and_ordered(spark, sf_dir):
+    """Hash-based bootstrap: two runs are identical row for row
+    (never an RNG), the interval is ordered around a plausible mean,
+    and every group reports the full replicate count."""
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = sorted(
+        poisson_bootstrap_ci(ev, "event_type", "value", "event_id",
+                             n_boot=20).collect()
+    )
+    b = sorted(
+        poisson_bootstrap_ci(ev, "event_type", "value", "event_id",
+                             n_boot=20).collect()
+    )
+    assert a == b
+    assert len(a) > 0
+    for r in a:
+        assert r["n_replicates"] == 20
+        assert r["boot_lo"] <= r["boot_hi"]
+        # the replicate spread brackets the point mean loosely: for a
+        # mean over thousands of rows the band is tight around it
+        assert r["boot_lo"] <= r["mean_value"] <= r["boot_hi"] or (
+            abs(r["mean_value"] - r["boot_lo"]) < 0.5
+        )
