@@ -162,6 +162,14 @@ def power_iteration_top_pc(df: DataFrame, vec_col: str = "embedding",
     the one gram scan is joins over a <= d*d-row frame; each round
     localCheckpoints so plan size stays constant in n_iter."""
     cov = covariance_full(df, vec_col, scale).localCheckpoint()
+    return _power_rounds(cov, n_iter)
+
+
+def _power_rounds(cov: DataFrame, n_iter: int) -> DataFrame:
+    """Fixed-round power iteration + sign pin over an (i, j, c)
+    covariance frame — the shared core of the top-component and the
+    deflated second-component paths (identical expression shapes, so
+    one unrolled-SQL renderer oracles both)."""
     v = cov.select("i").distinct().select(
         "i", F.lit(1.0).alias("v")
     ).localCheckpoint()
@@ -280,3 +288,115 @@ def common_direction_audit(df: DataFrame, id_col: str = "vec_id",
         F.when(nrm > 0, F.round(F.abs(F.col("_proj")) / nrm, 6))
         .otherwise(F.lit(0.0)).alias("proj_ratio"),
     )
+
+
+def _rayleigh(cov: DataFrame, v: DataFrame) -> DataFrame:
+    """Rayleigh quotient lam = v' C v for a unit iterate, as two
+    stages that reuse the matvec's exact expression shapes: w = C v
+    (decimal-accumulated, 9-rounded), then lam = sum(round(w,9) * v)
+    (decimal-exact), one double round to 12. Returns a 1-row (lam)
+    frame."""
+    w = (
+        cov.join(
+            F.broadcast(v.select(F.col("i").alias("j"),
+                                 F.col("v").alias("vj"))),
+            "j",
+        )
+        .groupBy("i")
+        .agg(
+            F.sum(
+                (
+                    F.col("c").cast("decimal(20,12)")
+                    * F.col("vj").cast("decimal(12,9)")
+                ).cast("decimal(38,21)")
+            ).cast("double").alias("w")
+        )
+    )
+    return (
+        w.join(F.broadcast(v), "i")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.round(F.col("w"), 9).cast("decimal(18,9)")
+                        * F.col("v").cast("decimal(12,9)")
+                    ).cast("decimal(38,18)")
+                ).cast("double"),
+                12,
+            ).alias("lam")
+        )
+    )
+
+
+def power_iteration_top2(df: DataFrame, vec_col: str = "embedding",
+                         n_iter: int = 6, scale: int = SCALE) -> DataFrame:
+    """Top TWO principal components by power iteration with Hotelling
+    deflation, run entirely in the plan — the distributed-PCA read
+    beyond the single common direction (all-but-the-top removes D
+    components, D=2-3 at 300d per Mu & Viswanath; this is the D=2
+    rung with a hash-checkable oracle). Component 1 is the standard
+    fixed-round iterate over the covariance frame; its eigenvalue is
+    the Rayleigh quotient v1' C v1; the DEFLATED covariance
+    C2 = round(C - lam1 * v1 v1', 12) removes the first axis, and the
+    same fixed rounds over C2 yield component 2 (its Rayleigh
+    quotient on C2 estimates eigenvalue 2 of C).
+
+    Convergence caveat (inherent to FIXED rounds): power iteration
+    separates components at a rate set by the spectral gap, so on a
+    near-flat spectrum (the synthetic embeddings table: 0.0289 vs
+    0.0269 at the top) 6 rounds return a deterministic, hash-stable
+    MIXTURE of the leading directions — still the exact output of
+    the specified procedure on both engines, but read it as "the
+    dominant subspace", not a resolved eigenbasis. With a real gap
+    (tests/test_operators.py plants var-3 and var-1.1 axes) it
+    recovers both components to |cos| > 0.99.
+
+    Exactness: both iterates and both Rayleigh stages reuse the
+    matvec's decimal accumulators and 9-rounded iterates; the
+    deflation runs in doubles over already-pinned inputs with ONE
+    fixed expression shape (c - lam * vi * vj, left-associated) and
+    re-rounds to 12 — the same pin covariance_full emits, so rounds
+    over C2 are as engine-stable as over C.
+
+    Scale shape: ONE corpus scan (the gram aggregate); every later
+    stage joins d*d-row frames (4096 rows at d=64). Output:
+    (component, i, v, eigval) — 2d rows."""
+    cov = covariance_full(df, vec_col, scale).localCheckpoint()
+    v1 = _power_rounds(cov, n_iter).localCheckpoint()
+    lam1 = _rayleigh(cov, v1).localCheckpoint()
+    cov2 = (
+        cov.join(
+            F.broadcast(v1.select(F.col("i").alias("_vi_i"),
+                                  F.col("v").alias("vi"))),
+            F.col("i") == F.col("_vi_i"),
+        )
+        .join(
+            F.broadcast(v1.select(F.col("i").alias("_vj_i"),
+                                  F.col("v").alias("vj"))),
+            F.col("j") == F.col("_vj_i"),
+        )
+        .crossJoin(F.broadcast(lam1))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("c") - F.col("lam") * F.col("vi") * F.col("vj"), 12
+            ).alias("c"),
+        )
+        .localCheckpoint()
+    )
+    v2 = _power_rounds(cov2, n_iter).localCheckpoint()
+    lam2 = _rayleigh(cov2, v2)
+    c1 = v1.crossJoin(F.broadcast(lam1)).select(
+        F.lit(1).cast("int").alias("component"),
+        "i",
+        "v",
+        F.round(F.col("lam"), 9).alias("eigval"),
+    )
+    c2 = v2.crossJoin(F.broadcast(lam2)).select(
+        F.lit(2).cast("int").alias("component"),
+        "i",
+        "v",
+        F.round(F.col("lam"), 9).alias("eigval"),
+    )
+    return c1.unionByName(c2)

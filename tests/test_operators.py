@@ -2236,3 +2236,49 @@ def test_poisson_bootstrap_deterministic_and_ordered(spark, sf_dir):
         assert r["boot_lo"] <= r["mean_value"] <= r["boot_hi"] or (
             abs(r["mean_value"] - r["boot_lo"]) < 0.5
         )
+
+
+def test_pca_top2_recovers_planted_components(spark):
+    """Vectors = mu + a*u1 + b*u2 + tiny noise with var(a) >> var(b):
+    the deflated in-plan power iteration must recover u1 then u2
+    (|cos| > 0.99 each), orthogonal, unit-norm, descending
+    eigenvalues close to var(a)/var(b). Planted data gives the clear
+    spectral gap fixed-round power iteration needs (on a flat
+    spectrum the fixed rounds return a deterministic MIXTURE — the
+    documented tradeoff for having an unrolled SQL oracle at all)."""
+    import math
+
+    import numpy as np
+
+    from agentic_workflow_for_data_transformation_spark.operators.linalg import (
+        power_iteration_top2,
+    )
+
+    d, n = 8, 240
+    u1 = np.array([1, 1, 1, 1, -1, -1, -1, -1]) / math.sqrt(8)
+    u2 = np.array([1, -1, 1, -1, 1, -1, 1, -1]) / math.sqrt(8)
+    rows = []
+    for i in range(n):
+        a = 3.0 * math.sin(0.7 * i)
+        b = 1.1 * math.cos(1.3 * i)
+        eps = np.array([0.01 * math.sin(7 * i + k) for k in range(d)])
+        vec = 0.5 + a * u1 + b * u2 + eps
+        rows.append((i, [float(x) for x in vec]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = power_iteration_top2(df, n_iter=6).collect()
+    v = np.zeros((2, d))
+    eig = {}
+    for r in out:
+        v[r["component"] - 1, r["i"]] = r["v"]
+        eig[r["component"]] = r["eigval"]
+    assert abs(float(np.dot(v[0], u1))) > 0.99
+    assert abs(float(np.dot(v[1], u2))) > 0.99
+    assert abs(float(np.dot(v[0], v[1]))) < 0.02
+    assert eig[1] > eig[2] > 0
+    # eigenvalues ~ sample variances of a and b (loose band)
+    avar = float(np.var([3.0 * math.sin(0.7 * i) for i in range(n)]))
+    bvar = float(np.var([1.1 * math.cos(1.3 * i) for i in range(n)]))
+    assert abs(eig[1] - avar) < 0.1 * avar
+    assert abs(eig[2] - bvar) < 0.1 * bvar
+    for c in (0, 1):
+        assert abs(float(np.linalg.norm(v[c])) - 1.0) < 1e-6
