@@ -192,6 +192,16 @@ Corpus / dataset ops (only when the description asks for them):
       top principal component, found by in-plan power iteration;
       REPLACES the schema with vec_id, c1_proj, norm_centered,
       proj_ratio)
+  {{"op": "unimax", "budget": 48000, "key": "source", "epochs": 2}}
+      (UniMax epoch-capped training-budget allocation across the
+      key's groups, token counts from the text column; REPLACES the
+      schema with one row per group: key, n_tokens, capacity, capped,
+      allocated_tokens, epochs)
+  {{"op": "bootstrap_mean", "col": "value", "key": "event_type",
+      "id": "event_id", "n": 40}}  (Poisson-bootstrap 95% confidence
+      interval for the per-key mean of col, deterministic hash
+      weights keyed by id; REPLACES the schema with one row per key:
+      key, n_rows, mean_value, boot_lo, boot_hi, n_replicates)
   {{"op": "silhouette"}}  (per-label centroid-form silhouette over a
       (vec_id, embedding, label) table — "how well separated are the
       labels"; REPLACES the schema with label, n_vecs,
@@ -362,6 +372,9 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         "ndcg", "silhouette", "bpe_merges", "perplexity_buckets",
         # common_direction -> per-vector projection/norm audit rows
         "common_direction",
+        # unimax -> one allocation row per group; bootstrap_mean ->
+        # one CI row per group
+        "unimax", "bootstrap_mean",
     }
     for op in spec["ops"]:
         kind = op["op"]
@@ -499,7 +512,8 @@ def critic_agent(
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
             "dedup_savings, kanon, word_entropy, oov, majority, "
             "agreement, correlate, ndcg, silhouette, bpe_merges, "
-            "perplexity_buckets, common_direction) REPLACE the "
+            "perplexity_buckets, common_direction, unimax, "
+            "bootstrap_mean) REPLACE the "
             "columns with their own "
             "summary schema (e.g. pack -> per-sequence stats; dsir -> "
             "doc_id, n_feats, log_weight, avg_log_ratio per document, "

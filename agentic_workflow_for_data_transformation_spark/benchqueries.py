@@ -4568,6 +4568,55 @@ def p101_nl_common_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "embeddings", _P101_DESC)
 
 
+_P102_DESC = (
+    "Allocate a training budget of 48000 tokens across sources "
+    "with at most 2 epochs"
+)
+
+
+@register("p102_nl_unimax", _docs_nl_oracle(_P102_DESC))
+def p102_nl_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL data mixing: 'allocate a training budget of N tokens across
+    <key> with at most E epochs' — UniMax epoch-capped allocation
+    (corpus.unimax_allocation) behind one clause (schema-replacing,
+    one row per group): capacity-ascending water-filling where the
+    capped prefix is identified in pure-integer window arithmetic;
+    same plan as ns_corpus_unimax. One corpus scan; all allocation
+    math on the group-cardinality frame."""
+    return _nl(spark, sf_dir, "documents", _P102_DESC)
+
+
+_P103_DESC = (
+    "Bootstrap a 95% confidence interval for the mean value per "
+    "event_type keyed by event_id with 40 replicates"
+)
+
+
+def _p103_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P103_DESC,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ),
+        "events",
+    )
+
+
+@register("p103_nl_bootstrap", _p103_oracle())
+def p103_nl_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL uncertainty: 'bootstrap a 95% confidence interval for the
+    mean <col> per <key> keyed by <id> [with B replicates]' — the
+    Poisson bootstrap (stats.poisson_bootstrap_ci) behind one clause
+    (schema-replacing, one CI row per group): B replicate means from
+    ONE corpus scan via hash-derived Poisson(1) weights, nearest-rank
+    percentile picks; same plan as ns_stats_poisson_bootstrap."""
+    return _nl(spark, sf_dir, "events", _P103_DESC)
+
+
+
 # round-9 session registrations (post-window; these lead the r10
 # rotation) live in their own module, imported last so the frozen
 # driver window above is untouched.

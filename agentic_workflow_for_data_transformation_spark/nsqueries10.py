@@ -113,39 +113,22 @@ def ns_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNIMAX_B = 48000
 _UNIMAX_E = 2
 
-_UNIMAX_SQL = (
-    "WITH t AS (SELECT source, len(string_split(text, ' ')) AS nt "
-    " FROM documents), "
-    "c AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens "
-    " FROM t GROUP BY 1), "
-    f"b AS (SELECT source, n_tokens, CAST({_UNIMAX_E} * n_tokens AS BIGINT) "
-    " AS capacity FROM c), "
-    "r AS (SELECT *, row_number() OVER (ORDER BY capacity, source) AS rn, "
-    " count(*) OVER () AS n_src, "
-    " sum(capacity) OVER (ORDER BY capacity, source "
-    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - capacity "
-    "  AS cum_before FROM b), "
-    f"f AS (SELECT *, CASE WHEN capacity * (n_src - rn + 1) "
-    f" < {_UNIMAX_B} - cum_before THEN 1 ELSE 0 END AS cond FROM r), "
-    "g AS (SELECT *, min(cond) OVER (ORDER BY capacity, source "
-    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 "
-    " AS capped FROM f), "
-    "h AS (SELECT *, "
-    " sum(CASE WHEN capped THEN capacity ELSE 0 END) OVER () AS capped_sum, "
-    " sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS n_uncapped FROM g), "
-    "a AS (SELECT source, n_tokens, capacity, capped, "
-    " CASE WHEN capped THEN CAST(capacity AS DOUBLE) ELSE "
-    f" round(CAST({_UNIMAX_B} - capped_sum AS DOUBLE) "
-    "  / CAST(n_uncapped AS DOUBLE), 6) END AS alloc FROM h) "
-    "SELECT source, n_tokens, capacity, capped, "
-    "round(alloc, 6) AS allocated_tokens, "
-    "round(alloc / CAST(n_tokens AS DOUBLE), 6) AS epochs FROM a"
-)
+def _unimax_oracle() -> str:
+    """Delegates to the sqlgen 'unimax' renderer (the NL p102 path),
+    so the operator registration and the NL clause share ONE oracle
+    chain."""
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        {"ops": [{"op": "unimax", "budget": _UNIMAX_B, "key": "source",
+                  "epochs": _UNIMAX_E}]},
+        "documents",
+    )
 
 
 @register(
     "ns_corpus_unimax",
-    _UNIMAX_SQL,
+    _unimax_oracle(),
     desc=(
         "UniMax budget allocation (Chung et al., ICLR 2023): "
         "distribute a 48k-token training budget across sources with "
@@ -166,54 +149,23 @@ def ns_corpus_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ bootstrap
-def _poisson_boot_sql(n_boot: int, group: str = "event_type",
-                      key: str = "event_id", val: str = "value",
-                      salt: str = "boot") -> str:
-    """Oracle for poisson_bootstrap_ci: the SAME integer CDF cutoffs
-    (sampling.POISSON1_CUTOFFS — the split_thresholds sharing
-    discipline), the same md5 draw, decimal-exact weighted sums,
-    nearest-rank percentile picks with NULLS FIRST pinned."""
-    import math as _math
+def _bootstrap_oracle(n_boot: int) -> str:
+    """Delegates to the sqlgen 'bootstrap_mean' renderer (the NL p103
+    path): same integer Poisson(1) CDF cutoffs
+    (sampling.POISSON1_CUTOFFS), same md5 draw, decimal-exact weighted
+    sums, nearest-rank picks with NULLS FIRST pinned."""
+    from .plans.sqlgen import spec_to_sql
 
-    from .operators.sampling import POISSON1_CUTOFFS
-
-    lo = max(1, _math.ceil(0.025 * n_boot))
-    hi = _math.ceil(0.975 * n_boot)
-    wcase = "CASE " + " ".join(
-        f"WHEN d < {cut} THEN {k}" for k, cut in enumerate(POISSON1_CUTOFFS)
-    ) + f" ELSE {len(POISSON1_CUTOFFS)} END"
-    draw = (
-        f"(('0x' || substr(md5('{salt}|' || {key}::VARCHAR || '|' || "
-        "r::VARCHAR), 1, 15))::BIGINT % 1000000)"
-    )
-    return (
-        f"WITH rep AS (SELECT {group} AS g, {key}, "
-        f" CAST({val} AS DECIMAL(18,2)) AS v, r "
-        f" FROM events CROSS JOIN (SELECT unnest(range({n_boot})) AS r)), "
-        f"d AS (SELECT g, r, v, {draw} AS d FROM rep), "
-        f"w AS (SELECT g, r, v, {wcase} AS w FROM d), "
-        "m AS (SELECT g, r, CAST(sum(w) AS BIGINT) AS nw, "
-        " sum(CAST(w AS DECIMAL(10,0)) * v) AS sw FROM w GROUP BY 1, 2), "
-        "mr AS (SELECT g, r, CASE WHEN nw > 0 THEN "
-        " round(CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE), 6) END AS mean_r "
-        " FROM m), "
-        "rk AS (SELECT g, mean_r, row_number() OVER (PARTITION BY g "
-        " ORDER BY mean_r ASC NULLS FIRST, r) AS rn FROM mr), "
-        "boot AS (SELECT g, "
-        f" max(CASE WHEN rn = {lo} THEN mean_r END) AS boot_lo, "
-        f" max(CASE WHEN rn = {hi} THEN mean_r END) AS boot_hi, "
-        " CAST(count(*) AS INTEGER) AS n_replicates FROM rk GROUP BY 1), "
-        f"pt AS (SELECT {group} AS g, CAST(count(*) AS BIGINT) AS n_rows, "
-        f" round(CAST(sum(CAST({val} AS DECIMAL(18,2))) AS DOUBLE) "
-        "  / count(*), 6) AS mean_value FROM events GROUP BY 1) "
-        f"SELECT g AS {group}, n_rows, mean_value, boot_lo, boot_hi, "
-        "n_replicates FROM pt JOIN boot USING (g)"
+    return spec_to_sql(
+        {"ops": [{"op": "bootstrap_mean", "col": "value",
+                  "key": "event_type", "id": "event_id", "n": n_boot}]},
+        "events",
     )
 
 
 @register(
     "ns_stats_poisson_bootstrap",
-    _poisson_boot_sql(40),
+    _bootstrap_oracle(40),
     desc=(
         "Poisson bootstrap (Chamandy et al. 2012) 95% CI for the "
         "per-event-type mean value: 40 replicate means from ONE "
@@ -355,4 +307,131 @@ def ns_embed_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _linalg.power_iteration_top2(
         _t(spark, sf_dir, "embeddings"), n_iter=6,
+    )
+
+
+def _unimax_apply_oracle() -> str:
+    """Materialized-UniMax oracle: the sqlgen unimax chain as a
+    subquery, then the same floor/frac-cutoff copy arithmetic and the
+    same md5 draw domain as sampling.hash_draw."""
+    alloc = _unimax_oracle()
+    draw = (
+        "(('0x' || substr(md5('unimax|' || doc_id::VARCHAR), 1, 15))"
+        "::BIGINT % 1000000)"
+    )
+    return (
+        f"WITH __alloc AS ({alloc}), "
+        "__plan AS (SELECT source, CAST(floor(epochs) AS INTEGER) AS f, "
+        " CAST(round((epochs - floor(epochs)) * 1000000.0) AS BIGINT) "
+        " AS cut FROM __alloc), "
+        "__d AS (SELECT doc_id, source, "
+        f" f + (CASE WHEN {draw} < cut THEN 1 ELSE 0 END) AS n "
+        " FROM documents JOIN __plan USING (source)) "
+        "SELECT doc_id, source, "
+        "CAST(unnest(generate_series(1, n)) AS INTEGER) AS copy "
+        "FROM __d WHERE n > 0"
+    )
+
+
+@register(
+    "ns_corpus_unimax_apply",
+    _unimax_apply_oracle(),
+    desc=(
+        "Materialized UniMax corpus: every document appears "
+        "floor(epochs) times plus one hash-Bernoulli extra copy at "
+        "frac(epochs) — expected tokens per source equal the "
+        "allocation, no document exceeds the epoch cap. The "
+        "group-cardinality plan broadcasts onto a second scan; the "
+        "copy explode shuffles nothing."
+    ),
+)
+def ns_corpus_unimax_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The allocation made real (corpus.apply_unimax_sampling) — the
+    unimax twin of mix_weights/mix_apply: weights AND the
+    deterministic sampler that materializes them."""
+    return corpus.apply_unimax_sampling(
+        _t(spark, sf_dir, "documents"),
+        budget_tokens=_UNIMAX_B, max_epochs=_UNIMAX_E,
+    )
+
+
+def _bootstrap_diff_oracle(n_boot: int) -> str:
+    """Oracle for bootstrap_diff_ci over the event_id-parity cohorts
+    (the welch_ttest cohort split): same draw, same cutoffs, four
+    decimal sums per (group, replicate), nearest-rank band, zero test."""
+    import math as _math
+
+    from .operators.sampling import POISSON1_CUTOFFS
+
+    lo = max(1, _math.ceil(0.025 * n_boot))
+    hi = _math.ceil(0.975 * n_boot)
+    wcase = "CASE " + " ".join(
+        f"WHEN d < {cut} THEN {k}" for k, cut in enumerate(POISSON1_CUTOFFS)
+    ) + f" ELSE {len(POISSON1_CUTOFFS)} END"
+    draw = (
+        "(('0x' || substr(md5('boot|' || event_id::VARCHAR || '|' || "
+        "r::VARCHAR), 1, 15))::BIGINT % 1000000)"
+    )
+    return (
+        "WITH rep AS (SELECT event_type AS g, event_id, "
+        " CAST(value AS DECIMAL(18,2)) AS v, event_id % 2 = 0 AS a, r "
+        f" FROM events CROSS JOIN (SELECT unnest(range({n_boot})) AS r)), "
+        f"d AS (SELECT g, r, v, a, {draw} AS d FROM rep), "
+        f"w AS (SELECT g, r, v, a, {wcase} AS w FROM d), "
+        "m AS (SELECT g, r, "
+        " CAST(sum(CASE WHEN a THEN w END) AS BIGINT) AS nwa, "
+        " sum(CASE WHEN a THEN CAST(w AS DECIMAL(10,0)) * v END) AS swa, "
+        " CAST(sum(CASE WHEN NOT a THEN w END) AS BIGINT) AS nwb, "
+        " sum(CASE WHEN NOT a THEN CAST(w AS DECIMAL(10,0)) * v END) AS swb "
+        " FROM w GROUP BY 1, 2), "
+        "mr AS (SELECT g, r, CASE WHEN nwa > 0 AND nwb > 0 THEN "
+        " round(CAST(swa AS DOUBLE) / CAST(nwa AS DOUBLE) "
+        "  - CAST(swb AS DOUBLE) / CAST(nwb AS DOUBLE), 6) END AS diff_r "
+        " FROM m), "
+        "rk AS (SELECT g, diff_r, row_number() OVER (PARTITION BY g "
+        " ORDER BY diff_r ASC NULLS FIRST, r) AS rn FROM mr), "
+        "boot AS (SELECT g, "
+        f" max(CASE WHEN rn = {lo} THEN diff_r END) AS boot_lo, "
+        f" max(CASE WHEN rn = {hi} THEN diff_r END) AS boot_hi, "
+        " CAST(count(*) AS INTEGER) AS n_replicates FROM rk GROUP BY 1), "
+        "pt AS (SELECT event_type AS g, "
+        " CAST(count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS BIGINT) "
+        "  AS n_a, "
+        " CAST(count(CASE WHEN NOT (event_id % 2 = 0) THEN 1 END) "
+        "  AS BIGINT) AS n_b, "
+        " round(CAST(sum(CASE WHEN event_id % 2 = 0 THEN "
+        "   CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) "
+        "  / count(CASE WHEN event_id % 2 = 0 THEN 1 END) "
+        "  - CAST(sum(CASE WHEN NOT (event_id % 2 = 0) THEN "
+        "   CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) "
+        "  / count(CASE WHEN NOT (event_id % 2 = 0) THEN 1 END), 6) "
+        "  AS mean_diff FROM events GROUP BY 1) "
+        "SELECT g AS event_type, n_a, n_b, mean_diff, boot_lo, boot_hi, "
+        "(boot_lo > 0 OR boot_hi < 0) AS significant, n_replicates "
+        "FROM pt JOIN boot USING (g)"
+    )
+
+
+@register(
+    "ns_stats_bootstrap_diff",
+    _bootstrap_diff_oracle(40),
+    desc=(
+        "Poisson-bootstrap 95% CI for the DIFFERENCE of cohort means "
+        "per event_type (cohorts = event_id parity, the welch_ttest "
+        "split) — the distribution-free A/B readout from one scan; "
+        "significant = the band excludes zero. Same draw domain and "
+        "cutoffs as ns_stats_poisson_bootstrap; the only exchange "
+        "carries groups x 40 four-sum partials."
+    ),
+)
+def ns_stats_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B bootstrap (operators/stats.bootstrap_diff_ci) beside the
+    Welch t-test: same cohorts, assumption-free interval."""
+    from pyspark.sql import functions as F
+
+    from .operators import stats as _stats
+
+    return _stats.bootstrap_diff_ci(
+        _t(spark, sf_dir, "events"), "event_type", "value", "event_id",
+        cohort=F.col("event_id") % 2 == 0, n_boot=40,
     )

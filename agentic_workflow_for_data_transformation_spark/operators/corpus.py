@@ -1102,3 +1102,58 @@ def unimax_allocation(df: DataFrame, budget_tokens: int,
             "epochs"
         ),
     )
+
+
+def apply_unimax_sampling(df: DataFrame, budget_tokens: int,
+                          max_epochs: int = 2, group_col: str = "source",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          salt: str = "unimax") -> DataFrame:
+    """Materialize a UniMax allocation (unimax_allocation) as an
+    actual training corpus: every document appears floor(epochs)
+    times, plus one more copy with probability frac(epochs) — a
+    deterministic doc-level Bernoulli whose EXPECTED token count per
+    source equals the allocated budget (doc-granularity is the
+    standard approximation; the epoch-capped guarantee is exact:
+    no document ever exceeds ceil(max_epochs) copies).
+
+    Determinism: the extra-copy draw is sampling.hash_draw on the
+    row's own id (stable under appends/partitioning/engine, same
+    md5 domain as every sampler here); the per-source cutoff is
+    round(frac(epochs) * 1e6) of the 6-rounded epochs — an exact
+    integer both engines derive identically.
+
+    Scale shape: unimax_allocation's one corpus scan produces the
+    group-cardinality allocation frame, which broadcasts back onto a
+    second scan as a map-side join; copies explode per row with no
+    shuffle (sequence(1, n_copies)); output order and content are
+    pure functions of (id, source). Output: (id, group, copy) — copy
+    numbers 1..n_copies."""
+    from .sampling import hash_draw
+
+    alloc = unimax_allocation(df, budget_tokens, max_epochs,
+                              group_col, text_col)
+    plan = F.broadcast(
+        alloc.select(
+            group_col,
+            F.floor(F.col("epochs")).cast("int").alias("_full"),
+            F.round(
+                (F.col("epochs") - F.floor(F.col("epochs")))
+                * F.lit(1_000_000.0)
+            ).cast("long").alias("_cut"),
+        )
+    )
+    extra = (
+        hash_draw(F.col(id_col), salt) < F.col("_cut")
+    ).cast("int")
+    copies = (F.col("_full") + extra).alias("_n")
+    return (
+        df.select(F.col(id_col), F.col(group_col))
+        .join(plan, group_col)
+        .select(group_col, id_col, copies)
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            group_col,
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy"),
+        )
+    )

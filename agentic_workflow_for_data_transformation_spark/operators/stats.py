@@ -980,3 +980,122 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
         group_col, "n_rows", "mean_value", "boot_lo", "boot_hi",
         "n_replicates",
     )
+
+
+def bootstrap_diff_ci(df: DataFrame, group_col: str, val_col: str,
+                      key_col: str, cohort: F.Column, n_boot: int = 40,
+                      salt: str = "boot") -> DataFrame:
+    """Per-group Poisson-bootstrap CI for the DIFFERENCE of cohort
+    means — the A/B readout next to the Welch t-test (welch_ttest
+    answers "is the shift real under normal-theory assumptions";
+    this answers it distribution-free, from the same one scan).
+    ``cohort`` is a boolean column expression: True rows form cohort
+    A, False rows cohort B. Each replicate draws the SAME Poisson(1)
+    weight per row as poisson_bootstrap_ci (a row sits in exactly one
+    cohort, so reuse is sound and keeps the draw domain shared);
+    diff_r = mean_A,r - mean_B,r, and the interval is the nearest-rank
+    [2.5%, 97.5%] band over the B diffs. ``significant`` = the band
+    excludes zero.
+
+    Scale shape: identical to poisson_bootstrap_ci — the replicate
+    explode collapses map-side to (group x B) partials carrying FOUR
+    sums each; everything after the one exchange is group-cardinality.
+    Determinism: hash draws, decimal-exact weighted sums, one double
+    division per cohort per replicate, rank ties on replicate id."""
+    from .sampling import hash_draw, poisson1_weight
+
+    val = F.col(val_col).cast("decimal(18,2)")
+    rep = (
+        df.select(
+            F.col(group_col),
+            F.col(key_col).alias("_k"),
+            val.alias("_v"),
+            cohort.cast("boolean").alias("_a"),
+        )
+        .withColumn(
+            "r", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
+        )
+    )
+    draw = hash_draw(
+        F.concat_ws("|", F.col("_k").cast("string"),
+                    F.col("r").cast("string")),
+        salt,
+    )
+    w = poisson1_weight(draw)
+    wv = (F.col("_w").cast("decimal(10,0)") * F.col("_v")).cast(
+        "decimal(38,2)"
+    )
+    sums = (
+        rep.select(group_col, "r", w.alias("_w"), "_v", "_a")
+        .groupBy(group_col, "r")
+        .agg(
+            F.sum(F.when(F.col("_a"), F.col("_w"))).cast("long")
+            .alias("_nwa"),
+            F.sum(F.when(F.col("_a"), wv)).alias("_swa"),
+            F.sum(F.when(~F.col("_a"), F.col("_w"))).cast("long")
+            .alias("_nwb"),
+            F.sum(F.when(~F.col("_a"), wv)).alias("_swb"),
+        )
+    )
+    diff = F.when(
+        (F.col("_nwa") > 0) & (F.col("_nwb") > 0),
+        F.round(
+            F.col("_swa").cast("double") / F.col("_nwa").cast("double")
+            - F.col("_swb").cast("double") / F.col("_nwb").cast("double"),
+            6,
+        ),
+    )
+    means = sums.select(group_col, "r", diff.alias("diff_r"))
+    rnk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.col("diff_r").asc_nulls_first(), F.col("r")
+        )
+    )
+    lo_rank = max(1, math.ceil(0.025 * n_boot))
+    hi_rank = math.ceil(0.975 * n_boot)
+    boot = (
+        means.withColumn("_rn", rnk)
+        .groupBy(group_col)
+        .agg(
+            F.max(F.when(F.col("_rn") == lo_rank, F.col("diff_r"))).alias(
+                "boot_lo"
+            ),
+            F.max(F.when(F.col("_rn") == hi_rank, F.col("diff_r"))).alias(
+                "boot_hi"
+            ),
+            F.count(F.lit(1)).cast("int").alias("n_replicates"),
+        )
+    )
+    point = (
+        df.select(
+            F.col(group_col),
+            val.alias("_v"),
+            cohort.cast("boolean").alias("_a"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.when(F.col("_a"), F.lit(1))).cast("long")
+            .alias("n_a"),
+            F.count(F.when(~F.col("_a"), F.lit(1))).cast("long")
+            .alias("n_b"),
+            F.round(
+                F.sum(F.when(F.col("_a"), F.col("_v"))).cast("double")
+                / F.count(F.when(F.col("_a"), F.lit(1))).cast("double")
+                - F.sum(F.when(~F.col("_a"), F.col("_v"))).cast("double")
+                / F.count(F.when(~F.col("_a"), F.lit(1))).cast("double"),
+                6,
+            ).alias("mean_diff"),
+        )
+    )
+    return point.join(boot, group_col).select(
+        group_col,
+        "n_a",
+        "n_b",
+        "mean_diff",
+        "boot_lo",
+        "boot_hi",
+        ((F.col("boot_lo") > 0) | (F.col("boot_hi") < 0)).alias(
+            "significant"
+        ),
+        "n_replicates",
+    )

@@ -613,6 +613,23 @@ def compile_spec(
             from ..operators.linalg import common_direction_audit
 
             df = common_direction_audit(df, n_iter=int(op.get("n_iter", 6)))
+        elif kind == "unimax":
+            from ..operators.corpus import unimax_allocation
+
+            df = unimax_allocation(
+                df,
+                budget_tokens=int(op["budget"]),
+                max_epochs=int(op.get("epochs", 2)),
+                group_col=op["key"],
+                text_col=op.get("text", "text"),
+            )
+        elif kind == "bootstrap_mean":
+            from ..operators.stats import poisson_bootstrap_ci
+
+            df = poisson_bootstrap_ci(
+                df, op["key"], op["col"], op["id"],
+                n_boot=int(op.get("n", 40)),
+            )
         elif kind == "bpe_merges":
             from ..operators.text import bpe_merge_table
 

@@ -487,6 +487,23 @@ _COMMON_DIR = re.compile(
     r"(?:the\s+)?common\s+direction)\s*$",
     re.IGNORECASE,
 )
+# "allocate a training budget of 48000 tokens across sources with at
+# most 2 epochs" -> UniMax epoch-capped budget allocation
+# (corpus.unimax_allocation), schema-replacing one row per group
+_UNIMAX = re.compile(
+    r"^allocate\s+a\s+(?:training\s+)?budget\s+of\s+(\d+)\s+tokens\s+"
+    r"across\s+(\w+)(?:\s+with\s+at\s+most\s+(\d+)\s+epochs?)?\s*$",
+    re.IGNORECASE,
+)
+# "bootstrap a 95% confidence interval for the mean value per
+# event_type keyed by event_id [with 40 replicates]" -> Poisson
+# bootstrap CI (stats.poisson_bootstrap_ci), schema-replacing
+_BOOTSTRAP = re.compile(
+    r"^bootstrap\s+a\s+95%\s+confidence\s+interval\s+for\s+the\s+"
+    r"mean\s+(\w+)\s+per\s+(\w+)\s+keyed\s+by\s+(\w+)"
+    r"(?:\s+with\s+(\d+)\s+replicates?)?\s*$",
+    re.IGNORECASE,
+)
 # "bucket documents by perplexity [against the src0 slice]" ->
 # CCNet-style head/middle/tail perplexity tertiles per language
 # (text.perplexity_buckets), schema-replacing
@@ -984,6 +1001,25 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         return {"op": "bpe_merges", "n": int(m.group(1))}
     if _COMMON_DIR.match(clause):
         return {"op": "common_direction"}
+    if m := _UNIMAX.match(clause):
+        op = {
+            "op": "unimax",
+            "budget": int(m.group(1)),
+            "key": _resolve_col(m.group(2), columns),
+        }
+        if m.group(3):
+            op["epochs"] = int(m.group(3))
+        return op
+    if m := _BOOTSTRAP.match(clause):
+        op = {
+            "op": "bootstrap_mean",
+            "col": _resolve_col(m.group(1), columns),
+            "key": _resolve_col(m.group(2), columns),
+            "id": _resolve_col(m.group(3), columns),
+        }
+        if m.group(4):
+            op["n"] = int(m.group(4))
+        return op
     if m := _PPL_BUCKETS.match(clause):
         op = {"op": "perplexity_buckets"}
         if m.group(1):

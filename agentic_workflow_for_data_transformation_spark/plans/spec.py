@@ -105,6 +105,16 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # vector, the projection onto the corpus top principal
       # component (in-plan power iteration) + centered norm; REPLACES
       # the schema with (vec_id, c1_proj, norm_centered, proj_ratio)
+  {"op": "unimax", "budget": 48000, "key": "source", "epochs": 2?}
+      # UniMax epoch-capped training-budget allocation across the
+      # key's groups (water-filling; token counts from the text
+      # column); REPLACES the schema with one row per group (key,
+      # n_tokens, capacity, capped, allocated_tokens, epochs)
+  {"op": "bootstrap_mean", "col": "value", "key": "event_type",
+   "id": "event_id", "n": 40?}
+      # Poisson-bootstrap 95% CI for the per-key mean of col, hash
+      # weights keyed by id; REPLACES the schema with one row per key
+      # (key, n_rows, mean_value, boot_lo, boot_hi, n_replicates)
   {"op": "bpe_merges", "n": 5}
       # train the first n BPE merges on the text column; REPLACES the
       # schema with one row per merge (merge_rank, pair, merged,
@@ -710,6 +720,34 @@ def validate_op(op: Any) -> None:
             and 1 <= op["dim"] <= 4096
         ):
             _err(f"common_direction 'dim' must be an int in 1..4096: {op!r}")
+    elif kind == "unimax":
+        if not (
+            isinstance(op.get("budget"), int)
+            and not isinstance(op["budget"], bool)
+            and 1 <= op["budget"] <= 10**15
+        ):
+            _err(f"unimax needs an int 'budget' in 1..1e15: {op!r}")
+        if not isinstance(op.get("key"), str):
+            _err(f"unimax needs a string 'key' group column: {op!r}")
+        if "epochs" in op and not (
+            isinstance(op["epochs"], int)
+            and not isinstance(op["epochs"], bool)
+            and 1 <= op["epochs"] <= 1000
+        ):
+            _err(f"unimax 'epochs' must be an int in 1..1000: {op!r}")
+        if "text" in op and not isinstance(op["text"], str):
+            _err(f"unimax 'text' must be a column name: {op!r}")
+    elif kind == "bootstrap_mean":
+        for f in ("col", "key", "id"):
+            if not isinstance(op.get(f), str):
+                _err(f"bootstrap_mean needs a string '{f}': {op!r}")
+        if "n" in op and not (
+            isinstance(op["n"], int) and not isinstance(op["n"], bool)
+            and 2 <= op["n"] <= 200
+        ):
+            # each replicate is one weight column; 200 bounds the
+            # explode factor and the oracle's rank frame
+            _err(f"bootstrap_mean 'n' must be an int in 2..200: {op!r}")
     elif kind == "bpe_merges":
         if not (
             isinstance(op.get("n"), int)

@@ -772,6 +772,99 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"{zed} AS zscore, "
                 f"COALESCE(abs({zed}) > {zt}, FALSE) AS is_anomaly"
             )
+        elif kind == "unimax":
+            # mirrors operators/corpus.unimax_allocation: one token
+            # count per group, then the water-filling closed form in
+            # pure-integer window arithmetic (ascending-capacity
+            # order, running bool_and caps exactly the prefix the
+            # sequential walk would)
+            g = _q(op["key"])
+            txt = _q(op.get("text", "text"))
+            budget = int(op["budget"])
+            epochs = int(op.get("epochs", 2))
+            ordc = f"ORDER BY capacity, {g}"
+            runw = f"{ordc} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            sql = (
+                f"WITH __t AS (SELECT {g}, len(string_split({txt}, ' ')) "
+                f"AS nt FROM ({sql})), "
+                f"__c AS (SELECT {g}, CAST(sum(nt) AS BIGINT) AS n_tokens "
+                "FROM __t GROUP BY 1), "
+                f"__b AS (SELECT {g}, n_tokens, "
+                f"CAST({epochs} * n_tokens AS BIGINT) AS capacity FROM __c), "
+                f"__r AS (SELECT *, row_number() OVER ({ordc}) AS rn, "
+                "count(*) OVER () AS n_src, "
+                f"sum(capacity) OVER ({runw}) - capacity AS cum_before "
+                "FROM __b), "
+                "__f AS (SELECT *, CASE WHEN capacity * (n_src - rn + 1) "
+                f"< {budget} - cum_before THEN 1 ELSE 0 END AS cond "
+                "FROM __r), "
+                f"__g AS (SELECT *, min(cond) OVER ({runw}) = 1 AS capped "
+                "FROM __f), "
+                "__h AS (SELECT *, sum(CASE WHEN capped THEN capacity "
+                "ELSE 0 END) OVER () AS capped_sum, "
+                "sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER () "
+                "AS n_uncapped FROM __g), "
+                f"__a AS (SELECT {g}, n_tokens, capacity, capped, "
+                "CASE WHEN capped THEN CAST(capacity AS DOUBLE) ELSE "
+                f"round(CAST({budget} - capped_sum AS DOUBLE) "
+                "/ CAST(n_uncapped AS DOUBLE), 6) END AS alloc FROM __h) "
+                f"SELECT {g}, n_tokens, capacity, capped, "
+                "round(alloc, 6) AS allocated_tokens, "
+                "round(alloc / CAST(n_tokens AS DOUBLE), 6) AS epochs "
+                "FROM __a"
+            )
+        elif kind == "bootstrap_mean":
+            # mirrors operators/stats.poisson_bootstrap_ci: the SAME
+            # integer Poisson(1) CDF cutoffs
+            # (sampling.POISSON1_CUTOFFS), the same md5 draw on
+            # 'boot|id|replicate', decimal-exact weighted sums,
+            # nearest-rank percentile picks with NULLS FIRST pinned
+            import math as _math
+
+            from ..operators.sampling import POISSON1_CUTOFFS
+
+            g = _q(op["key"])
+            xc = _q(op["col"])
+            idc = _q(op["id"])
+            n_boot = int(op.get("n", 40))
+            lo = max(1, _math.ceil(0.025 * n_boot))
+            hi = _math.ceil(0.975 * n_boot)
+            wcase = "CASE " + " ".join(
+                f"WHEN d < {cut} THEN {k}"
+                for k, cut in enumerate(POISSON1_CUTOFFS)
+            ) + f" ELSE {len(POISSON1_CUTOFFS)} END"
+            draw = (
+                "(('0x' || substr(md5('boot|' || k::VARCHAR || '|' "
+                "|| r::VARCHAR), 1, 15))::BIGINT % 1000000)"
+            )
+            sql = (
+                f"WITH __src AS ({sql}), "
+                f"__rep AS (SELECT {g} AS g, {idc} AS k, "
+                f"CAST({xc} AS DECIMAL(18,2)) AS v, r FROM __src "
+                f"CROSS JOIN (SELECT unnest(range({n_boot})) AS r)), "
+                f"__d AS (SELECT g, r, v, {draw} AS d FROM __rep), "
+                f"__w AS (SELECT g, r, v, {wcase} AS w FROM __d), "
+                "__m AS (SELECT g, r, CAST(sum(w) AS BIGINT) AS nw, "
+                "sum(CAST(w AS DECIMAL(10,0)) * v) AS sw "
+                "FROM __w GROUP BY 1, 2), "
+                "__mr AS (SELECT g, r, CASE WHEN nw > 0 THEN "
+                "round(CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE), 6) END "
+                "AS mean_r FROM __m), "
+                "__rk AS (SELECT g, mean_r, row_number() OVER ("
+                "PARTITION BY g ORDER BY mean_r ASC NULLS FIRST, r) "
+                "AS rn FROM __mr), "
+                "__boot AS (SELECT g, "
+                f"max(CASE WHEN rn = {lo} THEN mean_r END) AS boot_lo, "
+                f"max(CASE WHEN rn = {hi} THEN mean_r END) AS boot_hi, "
+                "CAST(count(*) AS INTEGER) AS n_replicates "
+                "FROM __rk GROUP BY 1), "
+                f"__pt AS (SELECT {g} AS g, CAST(count(*) AS BIGINT) "
+                "AS n_rows, "
+                f"round(CAST(sum(CAST({xc} AS DECIMAL(18,2))) AS DOUBLE) "
+                "/ count(*), 6) AS mean_value FROM __src GROUP BY 1) "
+                f"SELECT g AS {g}, n_rows, mean_value, boot_lo, boot_hi, "
+                "n_replicates FROM __pt JOIN __boot USING (g)"
+            )
         elif kind == "agreement":
             # mirrors operators/stats.krippendorff_alpha (the
             # ns_quality_kripp_alpha oracle, parameterized):

@@ -958,3 +958,98 @@ def test_live_common_direction_spec_roundtrip(spark, tmp_path):
         for r in out.collect()
     }
     assert got == golden
+
+
+@needs_live_llm
+def test_live_unimax_spec_roundtrip(spark, tmp_path):
+    """The UniMax paraphrase against a real model: the LLM must emit
+    the schema-replacing unimax spec (budget, key, epochs); the
+    per-source allocation rows must match the canonical-phrasing
+    goldens exactly."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = (
+        "Allocate a training budget of 4000 tokens across sources "
+        "with at most 2 epochs"
+    )
+    para = (
+        "Spread a 4000-token training budget over the sources, "
+        "capping every source at two epochs of repetition."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        r["source"]: (r["n_tokens"], r["capacity"], r["capped"],
+                      r["allocated_tokens"], r["epochs"])
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        r["source"]: (int(r["n_tokens"]), int(r["capacity"]),
+                      r["capped"] == "true",
+                      round(float(r["allocated_tokens"]), 6),
+                      round(float(r["epochs"]), 6))
+        for r in out.collect()
+    }
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_bootstrap_spec_roundtrip(spark, tmp_path):
+    """The Poisson-bootstrap paraphrase against a real model: the LLM
+    must emit the schema-replacing bootstrap_mean spec (col, key, id,
+    n); the per-group CI rows must match the canonical-phrasing
+    goldens exactly (hash weights — no RNG anywhere)."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    canon = (
+        "Bootstrap a 95% confidence interval for the mean value per "
+        "event_type keyed by event_id with 40 replicates"
+    )
+    para = (
+        "Give me bootstrap uncertainty bands (95 percent, 40 "
+        "resamples on event_id) around the average value of each "
+        "event_type."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=ev.columns)
+    golden = {
+        r["event_type"]: (r["n_rows"], r["mean_value"], r["boot_lo"],
+                          r["boot_hi"], r["n_replicates"])
+        for r in compile_spec(
+            ev, parse_description(canon, columns=ev.columns)
+        ).collect()
+    }
+    st = run_transform(spark, ev, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        r["event_type"]: (int(r["n_rows"]), round(float(r["mean_value"]), 6),
+                          round(float(r["boot_lo"]), 6),
+                          round(float(r["boot_hi"]), 6),
+                          int(r["n_replicates"]))
+        for r in out.collect()
+    }
+    assert got == golden

@@ -2282,3 +2282,75 @@ def test_pca_top2_recovers_planted_components(spark):
     assert abs(eig[2] - bvar) < 0.1 * bvar
     for c in (0, 1):
         assert abs(float(np.linalg.norm(v[c])) - 1.0) < 1e-6
+
+
+def test_apply_unimax_sampling_respects_caps(spark):
+    """Materialized UniMax: a capped source (epochs exactly the cap)
+    yields exactly cap copies of every doc; an uncapped source gives
+    each doc floor(e) or ceil(e) copies; two runs are identical."""
+    from agentic_workflow_for_data_transformation_spark.operators.corpus import (
+        apply_unimax_sampling,
+        unimax_allocation,
+    )
+
+    rows = []
+    i = 0
+    for src, n in [("a", 1), ("b", 2), ("c", 6), ("d", 6), ("e", 25)]:
+        for _ in range(n):
+            rows.append((i, "tok", src))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    alloc = {r["source"]: r for r in unimax_allocation(
+        df, budget_tokens=30, max_epochs=2).collect()}
+    out = apply_unimax_sampling(df, budget_tokens=30, max_epochs=2).collect()
+    out2 = apply_unimax_sampling(df, budget_tokens=30, max_epochs=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    from collections import Counter
+
+    per_doc = Counter((r["source"], r["doc_id"]) for r in out)
+    import math
+
+    for (src, _doc), n_copies in per_doc.items():
+        e = alloc[src]["epochs"]
+        assert math.floor(e) <= n_copies <= math.ceil(e), (src, e, n_copies)
+    # capped sources (a, b): exactly 2 copies of every doc
+    for src, n_docs in [("a", 1), ("b", 2)]:
+        assert alloc[src]["capped"]
+        copies = [c for (s, _), c in per_doc.items() if s == src]
+        assert len(copies) == n_docs and all(c == 2 for c in copies)
+    # copy indices are 1..n per doc
+    seen = {}
+    for r in out:
+        seen.setdefault((r["source"], r["doc_id"]), []).append(r["copy"])
+    for k, v in seen.items():
+        assert sorted(v) == list(range(1, len(v) + 1)), k
+
+
+def test_bootstrap_diff_detects_planted_shift(spark):
+    """A planted +10 mean shift between cohorts must come out
+    significant with the band around the true diff; an identical
+    cohort pair must not."""
+    from pyspark.sql import functions as F
+
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        bootstrap_diff_ci,
+    )
+
+    rows = []
+    for i in range(400):
+        base = float(50 + (i * 13) % 7)
+        # group 'shift': even keys sit 10 higher; group 'flat': no shift
+        rows.append((i, "shift", base + (10.0 if i % 2 == 0 else 0.0)))
+        rows.append((i + 1000, "flat", base))
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = {r["event_type"]: r for r in bootstrap_diff_ci(
+        df, "event_type", "value", "event_id",
+        cohort=F.col("event_id") % 2 == 0, n_boot=40,
+    ).collect()}
+    s = out["shift"]
+    assert s["significant"]
+    assert s["boot_lo"] <= s["mean_diff"] <= s["boot_hi"]
+    assert 8.0 < s["mean_diff"] < 12.0
+    f = out["flat"]
+    assert not f["significant"]
+    assert f["boot_lo"] <= 0.0 <= f["boot_hi"]

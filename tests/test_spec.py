@@ -2519,3 +2519,92 @@ def test_common_direction_spec_op_roundtrip(spark):
     want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
     assert got == want
     assert len(got) == 12
+
+
+def test_unimax_spec_op_roundtrip(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    spec = parse_description(
+        "Allocate a budget of 30 tokens across sources with at most "
+        "2 epochs",
+        columns=["doc_id", "text", "source"],
+    )
+    assert spec["ops"] == [
+        {"op": "unimax", "budget": 30, "key": "source", "epochs": 2}
+    ]
+    rows = []
+    i = 0
+    for src, n in [("a", 1), ("b", 2), ("c", 6), ("d", 6), ("e", 25)]:
+        for _ in range(n):
+            rows.append((i, "tok", src))
+            i += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
+    assert len(got) == 5
+
+
+def test_bootstrap_mean_spec_op_roundtrip(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    spec = parse_description(
+        "Bootstrap a 95% confidence interval for the mean amount per "
+        "segment keyed by row_id with 12 replicates",
+        columns=["row_id", "segment", "amount"],
+    )
+    assert spec["ops"] == [
+        {"op": "bootstrap_mean", "col": "amount", "key": "segment",
+         "id": "row_id", "n": 12}
+    ]
+    rows = [(i, "ab"[i % 2], float(10 + (i * 7) % 23)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["row_id", "segment", "amount"])
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
+    assert len(got) == 2
+
+
+def test_unimax_and_bootstrap_spec_bounds():
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+
+    def validate_op(op):
+        validate_spec({"ops": [op]})
+
+    with _pytest.raises(SpecError):
+        validate_op({"op": "unimax", "budget": 0, "key": "source"})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "unimax", "budget": 10, "key": "source",
+                     "epochs": 0})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "unimax", "budget": 10})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "bootstrap_mean", "col": "v", "key": "k",
+                     "id": "i", "n": 1})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "bootstrap_mean", "col": "v", "key": "k"})

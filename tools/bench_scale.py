@@ -219,6 +219,16 @@ QUERIES = [
     # plans and carry no separate scale row)
     "ns_embed_common_direction",
     "p99_nl_bpe",
+    # round-9 session additions: hybrid BM25+cosine RRF, UniMax
+    # allocation, Poisson bootstrap, deflated top-2 PCA (the NL twins
+    # p102/p103 compile to the ns_corpus_unimax /
+    # ns_stats_poisson_bootstrap plans and carry no separate row)
+    "ns_sim_hybrid_rrf",
+    "ns_corpus_unimax",
+    "ns_stats_poisson_bootstrap",
+    "ns_embed_pca_top2",
+    "ns_corpus_unimax_apply",
+    "ns_stats_bootstrap_diff",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw

@@ -344,6 +344,29 @@ HEADLINE: list[tuple[str, str]] = [
         "broadcast (mean, component) model — no corpus self-join, no "
         "numpy, the eigenvector itself is oracle-checked.",
     ),
+    (
+        "ns_sim_hybrid_rrf",
+        "Hybrid lexical+dense retrieval (round 9): the BM25 side's "
+        "query-term isin filter sits IN the documents scan stage "
+        "before the (doc, term) tf shuffle, df/N/avgdl and the "
+        "(query, term) map come back as BroadcastExchanges, the "
+        "dense side broadcasts the query vectors over ONE embeddings "
+        "scan, both rank windows partition by query_id with the "
+        "depth cut applied before the FULL OUTER fuse (<= 2*depth "
+        "rows per query joins, whatever the corpus size), and the "
+        "fused top-k is a WindowGroupLimit, never a global sort.",
+    ),
+    (
+        "ns_stats_poisson_bootstrap",
+        "Poisson bootstrap (round 9): the explode to B=40 replicates "
+        "happens INSIDE the map stage and partial HashAggregate "
+        "collapses it to (group x replicate) rows BEFORE the only "
+        "exchange — shuffle volume is groups*B regardless of corpus "
+        "size; the rank over replicate means partitions by group, "
+        "and the point-stats join is group-cardinality. The weights "
+        "are md5-hash draws through shared integer CDF cutoffs: "
+        "deterministic, so the CI itself is hash-checked cross-engine.",
+    ),
 ]
 
 
