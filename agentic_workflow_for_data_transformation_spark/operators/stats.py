@@ -885,9 +885,31 @@ def benford_audit(df: DataFrame, col: str = "value") -> DataFrame:
     )
 
 
+def _boot_draw(key: F.Column, rep: F.Column, salt: str,
+               draw: str) -> F.Column:
+    """Per-(row, replicate) uniform in [0, 1e6). draw='md5' is the
+    engine-portable default every oracle replicates; draw='xxhash64'
+    is the Spark-native production path — measured 6.1 s -> 1.6 s on
+    the sf0.1 bootstrap (the md5-over-string draw IS the op's
+    bottleneck), but DuckDB has no xxhash64, so the fast mode trades
+    the cross-engine hash check for a rows/shape check. Same weights
+    domain, same cutoffs, different (equally deterministic) stream."""
+    from .sampling import DRAW_BUCKETS, hash_draw
+
+    if draw == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(salt), key, rep),
+                      F.lit(DRAW_BUCKETS))
+    if draw != "md5":
+        raise ValueError(f"draw must be 'md5' or 'xxhash64': {draw!r}")
+    return hash_draw(
+        F.concat_ws("|", key.cast("string"), rep.cast("string")), salt
+    )
+
+
 def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
                          key_col: str, n_boot: int = 40,
-                         salt: str = "boot") -> DataFrame:
+                         salt: str = "boot",
+                         draw: str = "md5") -> DataFrame:
     """Per-group bootstrap confidence interval for the mean via the
     POISSON bootstrap (Chamandy et al., Google 2012; the resampling
     scheme that scales where classical resampling cannot): instead of
@@ -912,7 +934,7 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
     (group x B) partial rows before the only corpus-sized exchange —
     at any corpus size the shuffle carries groups*B rows. The rank
     window partitions by group over B rows."""
-    from .sampling import DRAW_BUCKETS, hash_draw, poisson1_weight
+    from .sampling import poisson1_weight
 
     val = F.col(val_col).cast("decimal(18,2)")
     rep = (
@@ -922,12 +944,7 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
             "r", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
         )
     )
-    draw = hash_draw(
-        F.concat_ws("|", F.col("_k").cast("string"),
-                    F.col("r").cast("string")),
-        salt,
-    )
-    w = poisson1_weight(draw)
+    w = poisson1_weight(_boot_draw(F.col("_k"), F.col("r"), salt, draw))
     means = (
         rep.select(group_col, "r", w.alias("_w"), "_v")
         .groupBy(group_col, "r")
@@ -984,7 +1001,8 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
 
 def bootstrap_diff_ci(df: DataFrame, group_col: str, val_col: str,
                       key_col: str, cohort: F.Column, n_boot: int = 40,
-                      salt: str = "boot") -> DataFrame:
+                      salt: str = "boot",
+                      draw: str = "md5") -> DataFrame:
     """Per-group Poisson-bootstrap CI for the DIFFERENCE of cohort
     means — the A/B readout next to the Welch t-test (welch_ttest
     answers "is the shift real under normal-theory assumptions";
@@ -1002,7 +1020,7 @@ def bootstrap_diff_ci(df: DataFrame, group_col: str, val_col: str,
     sums each; everything after the one exchange is group-cardinality.
     Determinism: hash draws, decimal-exact weighted sums, one double
     division per cohort per replicate, rank ties on replicate id."""
-    from .sampling import hash_draw, poisson1_weight
+    from .sampling import poisson1_weight
 
     val = F.col(val_col).cast("decimal(18,2)")
     rep = (
@@ -1016,12 +1034,7 @@ def bootstrap_diff_ci(df: DataFrame, group_col: str, val_col: str,
             "r", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
         )
     )
-    draw = hash_draw(
-        F.concat_ws("|", F.col("_k").cast("string"),
-                    F.col("r").cast("string")),
-        salt,
-    )
-    w = poisson1_weight(draw)
+    w = poisson1_weight(_boot_draw(F.col("_k"), F.col("r"), salt, draw))
     wv = (F.col("_w").cast("decimal(10,0)") * F.col("_v")).cast(
         "decimal(38,2)"
     )

@@ -2354,3 +2354,39 @@ def test_bootstrap_diff_detects_planted_shift(spark):
     f = out["flat"]
     assert not f["significant"]
     assert f["boot_lo"] <= 0.0 <= f["boot_hi"]
+
+
+def test_poisson_bootstrap_fast_draw_mode(spark, sf_dir):
+    """draw='xxhash64' (the Spark-native production path — the md5
+    string draw is the op's measured bottleneck) must return the same
+    schema, the same point statistics, a deterministic ordered band,
+    and a CI consistent with the md5 mode's within ~the replicate
+    noise; draw='bogus' must raise."""
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fast = {r["event_type"]: r for r in poisson_bootstrap_ci(
+        ev, "event_type", "value", "event_id", n_boot=20,
+        draw="xxhash64").collect()}
+    fast2 = {r["event_type"]: r for r in poisson_bootstrap_ci(
+        ev, "event_type", "value", "event_id", n_boot=20,
+        draw="xxhash64").collect()}
+    slow = {r["event_type"]: r for r in poisson_bootstrap_ci(
+        ev, "event_type", "value", "event_id", n_boot=20).collect()}
+    assert fast == fast2  # deterministic
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert fast[k]["mean_value"] == slow[k]["mean_value"]
+        assert fast[k]["n_rows"] == slow[k]["n_rows"]
+        assert fast[k]["boot_lo"] <= fast[k]["boot_hi"]
+        # the two hash streams give different resamples but the same
+        # underlying sampling distribution: bands must overlap
+        assert fast[k]["boot_lo"] <= slow[k]["boot_hi"]
+        assert slow[k]["boot_lo"] <= fast[k]["boot_hi"]
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_ci(ev, "event_type", "value", "event_id",
+                             draw="bogus")
