@@ -15,9 +15,10 @@ lesson) — these lead the r10 rotation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .operators import corpus, similarity
+from .operators import corpus, graph, profile, similarity, stats
 
 
 # --------------------------------------------------------------- hybrid
@@ -435,3 +436,165 @@ def ns_stats_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), "event_type", "value", "event_id",
         cohort=F.col("event_id") % 2 == 0, n_boot=40,
     )
+
+
+# ------------------------------------------------------- mutual info
+register(
+    "ns_stats_mutual_info",
+    "WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS nab "
+    " FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+    " GROUP BY 1, 2), "
+    "ra AS (SELECT lang, CAST(sum(nab) AS BIGINT) AS na FROM j GROUP BY 1), "
+    "cb AS (SELECT source, CAST(sum(nab) AS BIGINT) AS nb FROM j GROUP BY 1), "
+    "tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n, "
+    " CAST(count(*) AS BIGINT) AS n_cells FROM j), "
+    "mi AS (SELECT SUM(CAST(round((CAST(nab AS DOUBLE) / n) "
+    "  * ln(CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb)), 12) "
+    "  AS DECIMAL(28,12))) AS s "
+    " FROM j JOIN ra USING (lang) JOIN cb USING (source) CROSS JOIN tot), "
+    "ha AS (SELECT SUM(CAST(round((CAST(na AS DOUBLE) / n) "
+    "  * ln(CAST(n AS DOUBLE) / na), 12) AS DECIMAL(28,12))) AS s "
+    " FROM ra CROSS JOIN tot), "
+    "hb AS (SELECT SUM(CAST(round((CAST(nb AS DOUBLE) / n) "
+    "  * ln(CAST(n AS DOUBLE) / nb), 12) AS DECIMAL(28,12))) AS s "
+    " FROM cb CROSS JOIN tot) "
+    "SELECT tot.n, tot.n_cells, "
+    " round(CAST(mi.s AS DOUBLE), 6) AS mi, "
+    " round(CAST(ha.s AS DOUBLE), 6) AS h_a, "
+    " round(CAST(hb.s AS DOUBLE), 6) AS h_b, "
+    " CASE WHEN round(CAST(ha.s AS DOUBLE), 6) > 0 "
+    "  AND round(CAST(hb.s AS DOUBLE), 6) > 0 THEN "
+    "  round(round(CAST(mi.s AS DOUBLE), 6) "
+    "   / sqrt(round(CAST(ha.s AS DOUBLE), 6) "
+    "        * round(CAST(hb.s AS DOUBLE), 6)), 6) END AS nmi "
+    "FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb",
+    desc=(
+        "Mutual information between lang and source (plus marginal "
+        "entropies and normalized MI) — how many nats one column "
+        "carries about the other, the redundancy audit beside "
+        "chi-square: MI near h_lang means source determines language, "
+        "so a source-stratified split silently stratifies language. "
+        "One contingency scan; marginals/total/entropies all derive "
+        "from the tiny cell frame; every log term pinned "
+        "DECIMAL(28,12) for partition-order-exact sums."
+    ),
+)(
+    lambda spark, sf_dir: stats.mutual_information(
+        _t(spark, sf_dir, "documents"), "lang", "source"
+    )
+)
+
+
+# ---------------------------------------------------------- spearman
+_SPEAR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _spearman_sql(cols: list[str], table: str = "lineitem") -> str:
+    """Rank CTEs mirror profile._fractional_ranks (exclusive running
+    count + (c+1)/2 midranks over distinct values), then the inner
+    ranked projection delegates to the sqlgen 'correlate' renderer so
+    the DECIMAL-pinned pairwise-complete Pearson formula lives in
+    exactly one place (the x_corr_matrix chain)."""
+    from .plans.sqlgen import spec_to_sql
+
+    ctes, joins, sels = [], [], []
+    for i, c in enumerate(cols):
+        ctes.append(
+            f"__g{i} AS (SELECT {c} AS v, CAST(count(*) AS BIGINT) AS c "
+            f"FROM {table} WHERE {c} IS NOT NULL GROUP BY 1), "
+            f"__r{i} AS (SELECT v, CAST(COALESCE(SUM(c) OVER ("
+            f"ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            f"), 0) AS BIGINT) + (c + 1) / 2.0 AS rk FROM __g{i})"
+        )
+        joins.append(f"LEFT JOIN __r{i} ON __r{i}.v = t.{c}")
+        sels.append(f"__r{i}.rk AS {c}")
+    ranked = (
+        f"(WITH {', '.join(ctes)} "
+        f"SELECT {', '.join(sels)} FROM {table} t {' '.join(joins)}) __rk"
+    )
+    corr = spec_to_sql(
+        {"ops": [{"op": "correlate", "cols": list(cols)}]}, ranked
+    )
+    return f"SELECT col_a, col_b, n, r AS rho FROM ({corr}) __s"
+
+
+register(
+    "x_spearman_matrix",
+    _spearman_sql(_SPEAR_COLS),
+    desc=(
+        "Pairwise Spearman rank correlation matrix over the lineitem "
+        "measures — the monotone-association sibling of x_corr_matrix, "
+        "robust to outliers and monotone rescaling. Fractional "
+        "(average) ranks per column via the two-phase bucketed "
+        "cumulative (no global sort anywhere), then the single-scan "
+        "DECIMAL-pinned Pearson moment aggregate on the rank columns; "
+        "ranks are half-integers so rho is engine-exact."
+    ),
+)(
+    lambda spark, sf_dir: profile.spearman_matrix(
+        _t(spark, sf_dir, "lineitem"), _SPEAR_COLS
+    )
+)
+
+
+# --------------------------------------------------------------- bfs
+_BFS_DEPTH = 8
+_BFS_MIN_CO = 2
+
+
+def _bfs_sql(max_depth: int, min_co: int) -> str:
+    return (
+        "WITH RECURSIVE "
+        "co AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+        " count(*) AS w FROM lineitem a JOIN lineitem b "
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey "
+        " GROUP BY 1, 2), "
+        f"e0 AS (SELECT src, dst FROM co WHERE w >= {min_co}), "
+        "seed AS (SELECT min(src) AS s FROM e0), "
+        "bfs(node, lvl) AS (SELECT s, 0 FROM seed "
+        " UNION SELECT e0.dst, b.lvl + 1 FROM bfs b "
+        f" JOIN e0 ON e0.src = b.node WHERE b.lvl < {max_depth}) "
+        "SELECT CAST(node AS BIGINT) AS node, "
+        "CAST(min(lvl) AS INTEGER) AS level FROM bfs GROUP BY 1"
+    )
+
+
+@register(
+    "ns_graph_bfs_levels",
+    _bfs_sql(_BFS_DEPTH, _BFS_MIN_CO),
+    desc=(
+        "BFS levels (shortest hop distance, <= 8) from the smallest "
+        "part over the repeat-co-order graph (parts linked when "
+        "co-ordered in >= 2 orders — the association graph behind "
+        "recommendations and substitute detection): per-level frontier "
+        "counts reveal the graph's reach profile. Eight frontier-join "
+        "rounds, per-round traffic bounded by the frontier, not the "
+        "graph; the edge build's fan-out is bounded by order size "
+        "squared. Oracle = recursive-CTE shortest path (min level "
+        "over all enumerated walks)."
+    ),
+)
+def ns_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-iteration BFS (operators/graph.bfs_levels) over the
+    co-order part graph — distance joins the centrality (pagerank)
+    and membership (connected components) graph reads. Edge weights
+    come from one orderkey self-join (fan-out <= order size squared,
+    the TPC-H cap of 7 lines) plus one (src, dst) count aggregate;
+    the w >= 2 cut keeps only repeat associations, the graph whose
+    diameter is worth measuring."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst")
+    )
+    co = (
+        a.join(b, "_o")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .where(F.col("_w") >= _BFS_MIN_CO)
+        .select("src", "dst")
+    )
+    return graph.bfs_levels(co, max_depth=_BFS_DEPTH)

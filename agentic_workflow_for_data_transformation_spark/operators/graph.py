@@ -151,3 +151,57 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
         .unionByName(tri.select(F.col("z").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_levels(edges: DataFrame, src_col: str = "src",
+               dst_col: str = "dst", max_depth: int = 6,
+               seeds: DataFrame | None = None) -> DataFrame:
+    """Breadth-first levels (shortest hop distance) from a seed set
+    over a directed edge list — pass both directions for undirected.
+    Returns (node, level) for every node within ``max_depth`` hops;
+    level is the MINIMUM hop count. Default seed: the smallest
+    endpoint id (deterministic); pass ``seeds`` (a 1-column frame of
+    node ids) for multi-source BFS. Corpus use on the near-dup pair
+    graph: how far borderline-duplicate "chains" extend from a known
+    template doc — nodes at level 3+ match the seed only transitively,
+    the gray zone a threshold-only dedup never surfaces.
+
+    No counterpart in the reference (agentic_workflow_transformation.py
+    has no graph surface); complements pagerank_integer (centrality)
+    and dedup.connected_components (membership) with distance.
+
+    Algorithm: classic frontier iteration — per round, one equi-join
+    of the frontier with the edge list (shuffle keyed on node id),
+    a distinct, and an anti-join against the visited set; new nodes
+    get level k. Exactly-``max_depth`` rounds, no driver-side data
+    (not even a count — empty late frontiers cost a metadata-only
+    round). Frontier and visited localCheckpoint per round so the
+    plan stays flat (pagerank/connected-components discipline); at
+    cluster scale the edge list is the big side with a stable
+    partitioning across all rounds, and per-round traffic is bounded
+    by the frontier, not the graph."""
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    )
+    if seeds is None:
+        seeds = e.agg(F.min("_s").alias("node")).where(
+            F.col("node").isNotNull()
+        )
+    else:
+        seeds = seeds.toDF("node").distinct()
+    visited = seeds.withColumn(
+        "level", F.lit(0).cast("int")
+    ).localCheckpoint()
+    frontier = visited
+    for k in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(k).cast("int"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

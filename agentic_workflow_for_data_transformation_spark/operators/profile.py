@@ -130,3 +130,106 @@ def correlation_matrix(df: DataFrame, cols: list[str],
             F.round(num / F.sqrt(den_x * den_y), 6),
         ).alias("r"),
     )
+
+
+def _fractional_ranks(df: DataFrame, col: str, lo: float, hi: float,
+                      n_buckets: int, out: str) -> DataFrame:
+    """(value, fractional rank) over the NON-NULL values of ``col`` —
+    average ("midrank") ranks, ties sharing (min_rank + max_rank)/2 —
+    WITHOUT a global sort of the data: distinct-value counts are
+    bucketed by a monotone range key, cumulated within bucket by a
+    PARTITIONED window, and stitched with broadcast per-bucket offsets
+    (the two_phase_row_number trick applied to value counts; the
+    offsets cumulative runs over the bounded bucket frame behind the
+    same non-foldable pmod partition key). Output cardinality is the
+    distinct-value count, never |df|."""
+    from pyspark.sql import Window
+
+    g = (
+        df.where(F.col(col).isNotNull() & ~F.isnan(F.col(col)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = (hi - lo) / n_buckets if hi > lo else 1.0
+    g = g.withColumn(
+        "_b", F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("long")
+    )
+    counts = g.groupBy("_b").agg(F.sum("_c").cast("long").alias("_bc"))
+    w_off = (
+        Window.partitionBy(F.pmod(F.col("_b"), F.lit(1)))
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_b",
+        F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("_off"),
+    )
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("_c").over(w_in), F.lit(0)).cast("long")
+    return (
+        g.join(F.broadcast(offsets), "_b")
+        .select(
+            col,
+            (cum + F.col("_off") + (F.col("_c") + F.lit(1)) / F.lit(2.0))
+            .alias(out),
+        )
+    )
+
+
+def spearman_matrix(df: DataFrame, cols: list[str],
+                    n_buckets: int = 2048) -> DataFrame:
+    """Pairwise Spearman rank correlations across numeric columns —
+    the monotone-association sibling of correlation_matrix: Pearson
+    asks "linear together", Spearman asks "ordered together", robust
+    to outliers and any monotone rescaling (the profiling read when a
+    measure is heavy-tailed, where one extreme row can fabricate or
+    hide a Pearson r). One row per unordered pair:
+    (col_a, col_b, n, rho).
+
+    Method: each column is replaced by its fractional (average) rank
+    over its non-null values — the tie convention of scipy.spearmanr
+    and pandas — then the DECIMAL-pinned Pearson moment machinery of
+    correlation_matrix runs on the rank columns. Ranks are integers
+    or half-integers, so the decimal(18,6) moment casts are EXACT and
+    rho is engine/partition-order independent. NULL rows keep a NULL
+    rank and fall out per-pair via the pairwise-complete masking
+    (note: ranks are computed once per column over all its non-null
+    rows, not re-ranked per pair — the scipy/pandas listwise-rank
+    convention; with no NULLs the two coincide).
+
+    Scale shape: ranking never globally sorts the data — per column,
+    a distinct-value count aggregate is cumulated with the two-phase
+    bucket trick (_fractional_ranks; one bounded driver collect of
+    the d min/max pairs sizes the buckets), and the rank tables join
+    back by value (AQE broadcasts the low-cardinality ones). The
+    moment pass is then the single-scan one-aggregate plan of
+    correlation_matrix. Total: one bounds scan + d rank builds + one
+    moment scan — no step is ever O(n log n) on a single partition."""
+    proj = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    bounds = proj.agg(
+        *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    ranked = proj
+    for i, c in enumerate(cols):
+        lo = bounds[f"_lo{i}"]
+        hi = bounds[f"_hi{i}"]
+        rt = _fractional_ranks(
+            proj, c,
+            float(lo) if lo is not None else 0.0,
+            float(hi) if hi is not None else 0.0,
+            n_buckets, out=f"_r{i}",
+        )
+        ranked = ranked.join(rt, on=c, how="left")
+    ranked = ranked.select(
+        *[F.col(f"_r{i}").alias(c) for i, c in enumerate(cols)]
+    )
+    return correlation_matrix(ranked, cols).withColumnRenamed("r", "rho")

@@ -1112,3 +1112,93 @@ def bootstrap_diff_ci(df: DataFrame, group_col: str, val_col: str,
         ),
         "n_replicates",
     )
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    marginal entropies and the normalized MI (mi / sqrt(h_a * h_b),
+    the symmetric [0,1] association score) — the feature-selection /
+    redundancy readout next to chi_square_cells: chi-square answers
+    "is there an association", MI answers "how many bits does one
+    column carry about the other". Corpus use: lang x source MI near
+    h_lang means source determines language — a stratified split on
+    source silently stratifies language too.
+
+    Extends the reference's group-by aggregate surface
+    (agentic_workflow_transformation.py:341-361) with the
+    information-theoretic dependence audit; no counterpart exists
+    there.
+
+    Exactness: every term ((n_xy/n) * ln(n_xy*n / (n_x*n_y)), and the
+    marginal-entropy terms) is computed in float64 from exact BIGINT
+    counts with an identical operation shape on both engines, rounded
+    to 12 and pinned DECIMAL(28,12) so the SUMS are partition-order
+    exact; the final mi/h/nmi round to 6. Rows where either column is
+    NULL are excluded (both marginals and n computed over the same
+    complete rows, so the cell probabilities stay a distribution).
+
+    Scale shape: ONE scan builds the (a, b) contingency aggregate
+    (map-side combined); marginals, total and entropies all derive
+    from that tiny cell frame — never a second pass over the data.
+    The joins are broadcast cell-frame joins; output is one row."""
+    joint = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(a_col, b_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_nab"))
+    )
+    # four consumers (marginals, total, MI sum) share the tiny cell
+    # frame; a lazy checkpoint materializes the contingency scan ONCE
+    # at first execution instead of four times (winnowing discipline)
+    joint = joint.localCheckpoint(eager=False)
+    ra = joint.groupBy(a_col).agg(F.sum("_nab").cast("long").alias("_na"))
+    cb = joint.groupBy(b_col).agg(F.sum("_nab").cast("long").alias("_nb"))
+    tot = joint.agg(
+        F.sum("_nab").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    mi_term = F.round(
+        (F.col("_nab").cast("double") / F.col("_n"))
+        * F.log(
+            F.col("_nab").cast("double") * F.col("_n")
+            / (F.col("_na").cast("double") * F.col("_nb"))
+        ),
+        12,
+    ).cast("decimal(28,12)")
+    mi = (
+        joint.join(F.broadcast(ra), a_col)
+        .join(F.broadcast(cb), b_col)
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(mi_term).alias("_mi"))
+    )
+
+    def _marg_entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        term = F.round(
+            (F.col(cnt).cast("double") / F.col("_n"))
+            * F.log(F.col("_n").cast("double") / F.col(cnt)),
+            12,
+        ).cast("decimal(28,12)")
+        return marg.crossJoin(F.broadcast(tot.select("_n"))).agg(
+            F.sum(term).alias(out)
+        )
+
+    ha = _marg_entropy(ra, "_na", "_ha")
+    hb = _marg_entropy(cb, "_nb", "_hb")
+    one = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+    )
+    mi_d = F.round(F.col("_mi").cast("double"), 6)
+    ha_d = F.round(F.col("_ha").cast("double"), 6)
+    hb_d = F.round(F.col("_hb").cast("double"), 6)
+    return one.select(
+        F.col("_n").alias("n"),
+        "n_cells",
+        mi_d.alias("mi"),
+        ha_d.alias("h_a"),
+        hb_d.alias("h_b"),
+        F.when(
+            (ha_d > 0) & (hb_d > 0),
+            F.round(mi_d / F.sqrt(ha_d * hb_d), 6),
+        ).alias("nmi"),
+    )

@@ -2390,3 +2390,93 @@ def test_poisson_bootstrap_fast_draw_mode(spark, sf_dir):
     with _pytest.raises(ValueError):
         poisson_bootstrap_ci(ev, "event_type", "value", "event_id",
                              draw="bogus")
+
+
+def test_spearman_matrix_monotone_ties_and_nulls(spark):
+    """x vs x^3 is perfectly monotone but not linear -> rho exactly 1
+    where Pearson would be < 1; z descends with one tie -> midranks
+    [5, 3.5, 3.5, 2, 1] against [1..5] give rho = -9.5/sqrt(95)
+    = -0.974679 (the scipy.spearmanr value); a NULL row must fall out
+    of the pair via the pairwise-complete mask."""
+    from agentic_workflow_for_data_transformation_spark.operators.profile import (
+        spearman_matrix,
+    )
+
+    rows = [(1.0, 1.0, 5.0), (2.0, 8.0, 4.0), (3.0, 27.0, 4.0),
+            (4.0, 64.0, 2.0), (5.0, 125.0, 1.0)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    got = {(r["col_a"], r["col_b"]): (r["n"], r["rho"])
+           for r in spearman_matrix(df, ["x", "y", "z"]).collect()}
+    assert got[("x", "y")] == (5, 1.0)
+    assert got[("x", "z")] == (5, -0.974679)
+    assert got[("y", "z")] == (5, -0.974679)
+
+    # NULL y on one row: ranks are per-column over that column's
+    # non-null rows (the documented rank-once convention, NOT pandas'
+    # per-pair re-rank), then the pair mask drops the incomplete row
+    # from the moments. x keeps ranks [1,2,3,4]; y ranks its three
+    # values [1,2,3]; the complete rows pair x-ranks [1,3,4] with
+    # y-ranks [1,2,3] -> rho = 5/sqrt(2*14/...) = 0.981981, not 1
+    rows2 = [(1.0, 1.0), (2.0, None), (3.0, 27.0), (4.0, 64.0)]
+    df2 = spark.createDataFrame(rows2, ["x", "y"])
+    (r,) = spearman_matrix(df2, ["x", "y"]).collect()
+    assert r["n"] == 3
+    assert r["rho"] == 0.981981
+
+
+def test_mutual_information_hand_cases(spark):
+    """Bijective dependence: mi = h_a = h_b = ln 2, nmi = 1.
+    Independence: every cell at its product probability -> each log
+    term is ln(1) = 0 exactly, so mi = 0 and nmi = 0."""
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        mutual_information,
+    )
+
+    dep = [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")]
+    (r,) = mutual_information(
+        spark.createDataFrame(dep, ["u", "v"]), "u", "v"
+    ).collect()
+    assert r["n"] == 4 and r["n_cells"] == 2
+    assert r["mi"] == 0.693147 == r["h_a"] == r["h_b"]
+    assert r["nmi"] == 1.0
+
+    ind = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    (r2,) = mutual_information(
+        spark.createDataFrame(ind, ["u", "v"]), "u", "v"
+    ).collect()
+    assert r2["n"] == 4 and r2["n_cells"] == 4
+    assert r2["mi"] == 0.0 and r2["nmi"] == 0.0
+
+    # a NULL in either column drops the row from the distribution
+    (r3,) = mutual_information(
+        spark.createDataFrame(dep + [("a", None)], ["u", "v"]), "u", "v"
+    ).collect()
+    assert r3["n"] == 4
+
+
+def test_bfs_levels_chain_and_depth_cap(spark):
+    """Chain 1-2-3-4-5 (symmetric) plus a disconnected pair 10-11:
+    default seed is the smallest endpoint (1), levels are exact hop
+    distances, the far pair never appears; max_depth cuts the search
+    at that level; an explicit seeds frame runs multi-source BFS with
+    min-distance-to-any-seed semantics."""
+    from agentic_workflow_for_data_transformation_spark.operators.graph import (
+        bfs_levels,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {r["node"]: r["level"]
+           for r in bfs_levels(edges, max_depth=6).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    capped = {r["node"]: r["level"]
+              for r in bfs_levels(edges, max_depth=2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}
+
+    seeds = spark.createDataFrame([(5,), (10,)], ["node"])
+    multi = {r["node"]: r["level"]
+             for r in bfs_levels(edges, max_depth=6, seeds=seeds).collect()}
+    assert multi == {5: 0, 10: 0, 4: 1, 11: 1, 3: 2, 2: 3, 1: 4}
