@@ -96,6 +96,13 @@ naming the operator plus that operator's arguments. Examples of each:
   {{"op": "correlate", "cols": ["a", "b", "c"]}}  (pairwise Pearson
       correlation; REPLACES the schema with one row per unordered
       pair: col_a, col_b, n, r)
+  {{"op": "spearman", "cols": ["a", "b", "c"]}}  (pairwise Spearman
+      RANK correlation — use when the description says spearman,
+      rank correlation, or monotone association; REPLACES the schema
+      with one row per unordered pair: col_a, col_b, n, rho)
+  {{"op": "mutual_info", "a": "lang", "b": "source"}}  (mutual
+      information between two categorical columns; REPLACES the
+      schema with ONE report row: n, n_cells, mi, h_a, h_b, nmi)
 Corpus / dataset ops (only when the description asks for them):
   {{"op": "dedup", "keys": ["text"], "keep_col": "doc_id", "keep": "min"}}
       (keyed duplicate removal: per keys-group keep the row with the
@@ -366,6 +373,8 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # majority vote -> one aggregated label row per key;
         # agreement -> one alpha report row; correlate -> pair rows
         "majority", "agreement", "correlate",
+        # spearman -> pair rows; mutual_info -> one report row
+        "spearman", "mutual_info",
         # evaluation layer: ndcg -> per-query rows; silhouette ->
         # per-label rows; bpe_merges -> per-merge rows;
         # perplexity_buckets -> per-doc scored rows
@@ -511,7 +520,8 @@ def critic_agent(
             "- summary ops (groupby_agg, pack, ann_topk, bm25, ols, "
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
             "dedup_savings, kanon, word_entropy, oov, majority, "
-            "agreement, correlate, ndcg, silhouette, bpe_merges, "
+            "agreement, correlate, spearman, mutual_info, "
+            "ndcg, silhouette, bpe_merges, "
             "perplexity_buckets, common_direction, unimax, "
             "bootstrap_mean) REPLACE the "
             "columns with their own "

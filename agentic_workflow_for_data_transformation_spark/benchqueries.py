@@ -4617,6 +4617,51 @@ def p103_nl_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_P104_DESC = (
+    "Compute the spearman correlation of l_quantity, l_extendedprice, "
+    "l_discount and l_tax"
+)
+
+
+def _p104_oracle() -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        parse_description(
+            _P104_DESC,
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_linenumber", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax", "l_returnflag",
+                     "l_linestatus", "l_shipdate"],
+        ),
+        "lineitem",
+    )
+
+
+@register("p104_nl_spearman", _p104_oracle())
+def p104_nl_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL profiling: 'compute the spearman correlation of <cols>' —
+    profile.spearman_matrix behind one clause (schema-replacing):
+    fractional ranks per column via the two-phase bucketed cumulative
+    (no global sort), then the same decimal-pinned Pearson moment
+    pass as p96 on the rank columns; the oracle renders the identical
+    rank + moment chain through sqlgen's shared _correlate_sql."""
+    return _nl(spark, sf_dir, "lineitem", _P104_DESC)
+
+
+_P105_DESC = "Compute the mutual information between lang and source"
+
+
+@register("p105_nl_mutual_info", _docs_nl_oracle(_P105_DESC))
+def p105_nl_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL dependence audit: 'compute the mutual information between
+    <a> and <b>' — stats.mutual_information behind one clause
+    (schema-replacing, one report row): one contingency scan,
+    marginals/entropies derived from the cell frame, every log term
+    pinned DECIMAL(28,12); same chain as ns_stats_mutual_info."""
+    return _nl(spark, sf_dir, "documents", _P105_DESC)
+
+
 # round-9 session registrations (post-window; these lead the r10
 # rotation) live in their own module, imported last so the frozen
 # driver window above is untouched.

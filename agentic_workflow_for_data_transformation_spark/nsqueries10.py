@@ -439,35 +439,20 @@ def ns_stats_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- mutual info
+def _mi_oracle() -> str:
+    """Delegates to the sqlgen 'mutual_info' renderer (the NL p105
+    path) so the decimal-pinned term chain lives in ONE place."""
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(
+        {"ops": [{"op": "mutual_info", "a": "lang", "b": "source"}]},
+        "documents",
+    )
+
+
 register(
     "ns_stats_mutual_info",
-    "WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS nab "
-    " FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
-    " GROUP BY 1, 2), "
-    "ra AS (SELECT lang, CAST(sum(nab) AS BIGINT) AS na FROM j GROUP BY 1), "
-    "cb AS (SELECT source, CAST(sum(nab) AS BIGINT) AS nb FROM j GROUP BY 1), "
-    "tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n, "
-    " CAST(count(*) AS BIGINT) AS n_cells FROM j), "
-    "mi AS (SELECT SUM(CAST(round((CAST(nab AS DOUBLE) / n) "
-    "  * ln(CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb)), 12) "
-    "  AS DECIMAL(28,12))) AS s "
-    " FROM j JOIN ra USING (lang) JOIN cb USING (source) CROSS JOIN tot), "
-    "ha AS (SELECT SUM(CAST(round((CAST(na AS DOUBLE) / n) "
-    "  * ln(CAST(n AS DOUBLE) / na), 12) AS DECIMAL(28,12))) AS s "
-    " FROM ra CROSS JOIN tot), "
-    "hb AS (SELECT SUM(CAST(round((CAST(nb AS DOUBLE) / n) "
-    "  * ln(CAST(n AS DOUBLE) / nb), 12) AS DECIMAL(28,12))) AS s "
-    " FROM cb CROSS JOIN tot) "
-    "SELECT tot.n, tot.n_cells, "
-    " round(CAST(mi.s AS DOUBLE), 6) AS mi, "
-    " round(CAST(ha.s AS DOUBLE), 6) AS h_a, "
-    " round(CAST(hb.s AS DOUBLE), 6) AS h_b, "
-    " CASE WHEN round(CAST(ha.s AS DOUBLE), 6) > 0 "
-    "  AND round(CAST(hb.s AS DOUBLE), 6) > 0 THEN "
-    "  round(round(CAST(mi.s AS DOUBLE), 6) "
-    "   / sqrt(round(CAST(ha.s AS DOUBLE), 6) "
-    "        * round(CAST(hb.s AS DOUBLE), 6)), 6) END AS nmi "
-    "FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb",
+    _mi_oracle(),
     desc=(
         "Mutual information between lang and source (plus marginal "
         "entropies and normalized MI) — how many nats one column "
@@ -490,32 +475,14 @@ _SPEAR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 def _spearman_sql(cols: list[str], table: str = "lineitem") -> str:
-    """Rank CTEs mirror profile._fractional_ranks (exclusive running
-    count + (c+1)/2 midranks over distinct values), then the inner
-    ranked projection delegates to the sqlgen 'correlate' renderer so
-    the DECIMAL-pinned pairwise-complete Pearson formula lives in
-    exactly one place (the x_corr_matrix chain)."""
+    """Delegates to the sqlgen 'spearman' renderer (the NL p104 path)
+    so the rank CTEs + shared _correlate_sql moment chain live in ONE
+    place."""
     from .plans.sqlgen import spec_to_sql
 
-    ctes, joins, sels = [], [], []
-    for i, c in enumerate(cols):
-        ctes.append(
-            f"__g{i} AS (SELECT {c} AS v, CAST(count(*) AS BIGINT) AS c "
-            f"FROM {table} WHERE {c} IS NOT NULL GROUP BY 1), "
-            f"__r{i} AS (SELECT v, CAST(COALESCE(SUM(c) OVER ("
-            f"ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
-            f"), 0) AS BIGINT) + (c + 1) / 2.0 AS rk FROM __g{i})"
-        )
-        joins.append(f"LEFT JOIN __r{i} ON __r{i}.v = t.{c}")
-        sels.append(f"__r{i}.rk AS {c}")
-    ranked = (
-        f"(WITH {', '.join(ctes)} "
-        f"SELECT {', '.join(sels)} FROM {table} t {' '.join(joins)}) __rk"
+    return spec_to_sql(
+        {"ops": [{"op": "spearman", "cols": list(cols)}]}, table
     )
-    corr = spec_to_sql(
-        {"ops": [{"op": "correlate", "cols": list(cols)}]}, ranked
-    )
-    return f"SELECT col_a, col_b, n, r AS rho FROM ({corr}) __s"
 
 
 register(

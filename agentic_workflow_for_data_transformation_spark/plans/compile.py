@@ -598,6 +598,14 @@ def compile_spec(
             from ..operators.profile import correlation_matrix
 
             df = correlation_matrix(df, list(op["cols"]))
+        elif kind == "spearman":
+            from ..operators.profile import spearman_matrix
+
+            df = spearman_matrix(df, list(op["cols"]))
+        elif kind == "mutual_info":
+            from ..operators.stats import mutual_information
+
+            df = mutual_information(df, op["a"], op["b"])
         elif kind == "ndcg":
             from ..operators.similarity import ndcg_per_query
 

@@ -424,6 +424,21 @@ _CORRELATE = re.compile(
     r"(\w+(?:(?:\s*,\s*|\s+and\s+)\w+)+)\s*$",
     re.IGNORECASE,
 )
+# "compute the spearman [rank] correlation [matrix] of <cols>" ->
+# rank-based (monotone) correlation matrix
+_SPEARMAN = re.compile(
+    r"^(?:compute|show)\s+(?:the\s+)?spearman\s+(?:rank\s+)?"
+    r"correlation(?:\s+matrix)?\s+of\s+"
+    r"(\w+(?:(?:\s*,\s*|\s+and\s+)\w+)+)\s*$",
+    re.IGNORECASE,
+)
+# "compute the mutual information between <a> and <b>" -> MI /
+# entropy / NMI report row
+_MUTUAL_INFO = re.compile(
+    r"^(?:compute|show)\s+(?:the\s+)?mutual\s+information\s+"
+    r"between\s+(\w+)\s+and\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 # "flag anomalies in <col> over last <N> rows per <key> ordered by
 # <o> [above z <t>]" -> rolling z-score anomaly flags
 # (timeseries.rolling_zscore_anomalies); adds moving_avg/moving_std/
@@ -952,6 +967,15 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             ],
             "k": int(m.group(2)),
         }
+    if m := _SPEARMAN.match(clause):
+        return {
+            "op": "spearman",
+            "cols": [
+                _resolve_col(c.strip(), columns)
+                for c in re.split(r",|\s+and\s+", m.group(1))
+                if c.strip()
+            ],
+        }
     if m := _CORRELATE.match(clause):
         return {
             "op": "correlate",
@@ -960,6 +984,12 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
                 for c in re.split(r",|\s+and\s+", m.group(1))
                 if c.strip()
             ],
+        }
+    if m := _MUTUAL_INFO.match(clause):
+        return {
+            "op": "mutual_info",
+            "a": _resolve_col(m.group(1), columns),
+            "b": _resolve_col(m.group(2), columns),
         }
     if m := _ANOMALY.match(clause):
         n = int(m.group(2))

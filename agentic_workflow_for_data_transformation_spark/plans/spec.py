@@ -90,6 +90,14 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # pairwise Pearson correlation matrix; REPLACES the schema with
       # one row per unordered pair (col_a, col_b, n, r); NULL r on
       # zero variance
+  {"op": "spearman", "cols": ["a", "b", "c"]}
+      # pairwise Spearman RANK correlation matrix (fractional/average
+      # ranks per column, then Pearson on the ranks); REPLACES the
+      # schema with one row per unordered pair (col_a, col_b, n, rho)
+  {"op": "mutual_info", "a": "lang", "b": "source"}
+      # mutual information between two categorical columns; REPLACES
+      # the schema with ONE report row (n, n_cells, mi, h_a, h_b,
+      # nmi); NULL nmi when a marginal has zero entropy
   {"op": "ndcg", "k": 10, "n_queries": 8}
       # NDCG@k retrieval harness over a (vec_id, embedding, label)
       # table: exact-cosine top-k per query (queries = the first
@@ -680,16 +688,22 @@ def validate_op(op: Any) -> None:
             # inside its innermost aggregate; a key named 'label'
             # would collide there
             _err(f"{kind} 'key' may not be named 'label': {op!r}")
-    elif kind == "correlate":
+    elif kind in ("correlate", "spearman"):
         cs = op.get("cols")
         if not (
             isinstance(cs, list)
             and len(cs) >= 2
             and all(isinstance(c, str) for c in cs)
         ):
-            _err(f"correlate needs >= 2 string 'cols': {op!r}")
+            _err(f"{kind} needs >= 2 string 'cols': {op!r}")
         if len(set(cs)) != len(cs):
-            _err(f"correlate 'cols' must be distinct: {op!r}")
+            _err(f"{kind} 'cols' must be distinct: {op!r}")
+    elif kind == "mutual_info":
+        for f in ("a", "b"):
+            if not isinstance(op.get(f), str):
+                _err(f"mutual_info needs a string '{f}': {op!r}")
+        if op["a"] == op["b"]:
+            _err(f"mutual_info 'a' and 'b' must differ: {op!r}")
     elif kind == "ndcg":
         for f in ("k", "n_queries"):
             if not (

@@ -140,6 +140,65 @@ def _sample_sql(op: dict) -> str:
     return f"{draw} < {int(op['fraction'] * 1_000_000)}"
 
 
+def _correlate_sql(inner: str, cols: list[str]) -> str:
+    """The pairwise-complete DECIMAL-pinned Pearson moment block over
+    ``inner`` — mirrors operators/profile.correlation_matrix (the
+    x_corr_matrix oracle, parameterized): each pair's count/sums/
+    products CASE-masked to rows where BOTH columns are non-null (a
+    shared-diagonal global-n form is wrong under NULLs), UNION ALL arm
+    per pair; product inputs widen to DECIMAL(24,6) because DuckDB
+    multiplies DECIMAL(18) in int64 and overflows first. Shared by the
+    'correlate' and 'spearman' renderers."""
+    pair_idx = [
+        (i, j)
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    moments = []
+    for i, j in pair_idx:
+        xq, yq = _q(cols[i]), _q(cols[j])
+        both = f"{xq} IS NOT NULL AND {yq} IS NOT NULL"
+        xd = f"CAST({xq} AS DECIMAL(24,6))"
+        yd = f"CAST({yq} AS DECIMAL(24,6))"
+        moments += [
+            f"CAST(count(CASE WHEN {both} THEN 1 END) "
+            f"AS BIGINT) AS n{i}_{j}",
+            f"CAST(SUM(CASE WHEN {both} THEN "
+            f"CAST({xq} AS DECIMAL(18,6)) END) AS DOUBLE) "
+            f"AS sx{i}_{j}",
+            f"CAST(SUM(CASE WHEN {both} THEN "
+            f"CAST({yq} AS DECIMAL(18,6)) END) AS DOUBLE) "
+            f"AS sy{i}_{j}",
+            f"CAST(SUM(CASE WHEN {both} THEN "
+            f"CAST({xd} * {xd} AS DECIMAL(38,12)) END) "
+            f"AS DOUBLE) AS pxx{i}_{j}",
+            f"CAST(SUM(CASE WHEN {both} THEN "
+            f"CAST({yd} * {yd} AS DECIMAL(38,12)) END) "
+            f"AS DOUBLE) AS pyy{i}_{j}",
+            f"CAST(SUM(CASE WHEN {both} THEN "
+            f"CAST({xd} * {yd} AS DECIMAL(38,12)) END) "
+            f"AS DOUBLE) AS pxy{i}_{j}",
+        ]
+    arms = " UNION ALL ".join(
+        f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+        f"n{i}_{j} AS n, "
+        f"(CASE WHEN (n{i}_{j} * pxx{i}_{j} "
+        f"  - sx{i}_{j} * sx{i}_{j}) > 0 "
+        f"  AND (n{i}_{j} * pyy{i}_{j} "
+        f"  - sy{i}_{j} * sy{i}_{j}) > 0 THEN "
+        f" round((n{i}_{j} * pxy{i}_{j} - sx{i}_{j} * sy{i}_{j}) "
+        f"  / sqrt((n{i}_{j} * pxx{i}_{j} - sx{i}_{j} * sx{i}_{j}) "
+        f"       * (n{i}_{j} * pyy{i}_{j} - sy{i}_{j} * sy{i}_{j})"
+        f"), 6) END) AS r "
+        f"FROM __corr"
+        for i, j in pair_idx
+    )
+    return (
+        f"WITH __corr AS (SELECT {', '.join(moments)} "
+        f"FROM ({inner})) {arms}"
+    )
+
+
 def spec_to_sql(spec: dict, table: str) -> str:
     """Render a relational-core spec as a nested-subquery SQL statement
     over ``table``. Ops keep their stated order (each op wraps the
@@ -443,61 +502,83 @@ def spec_to_sql(spec: dict, table: str) -> str:
             )
         elif kind == "correlate":
             # mirrors operators/profile.correlation_matrix (the
-            # x_corr_matrix oracle, parameterized): PAIRWISE-COMPLETE
-            # DECIMAL-pinned moments in one aggregate (each pair's
-            # count/sums/products CASE-masked to rows where BOTH
-            # columns are non-null — a shared-diagonal global-n form
-            # is wrong under NULLs), UNION ALL arm per pair; product
-            # inputs widen to DECIMAL(24,6) because DuckDB multiplies
-            # DECIMAL(18) in int64 and overflows first
+            # x_corr_matrix oracle, parameterized) — see _correlate_sql
+            sql = _correlate_sql(sql, list(op["cols"]))
+        elif kind == "spearman":
+            # mirrors operators/profile.spearman_matrix: fractional
+            # (average) ranks per column over its non-null values —
+            # exclusive running count + (c+1)/2 midranks over the
+            # distinct-value frame, DuckDB's single-node window
+            # standing in for the engine's two-phase bucketed
+            # cumulative — then the SAME decimal-pinned pairwise-
+            # complete Pearson block runs on the rank columns, with
+            # r surfaced as rho
             cols = list(op["cols"])
-            pair_idx = [
-                (i, j)
-                for i in range(len(cols))
-                for j in range(i + 1, len(cols))
-            ]
-            moments = []
-            for i, j in pair_idx:
-                xq, yq = _q(cols[i]), _q(cols[j])
-                both = f"{xq} IS NOT NULL AND {yq} IS NOT NULL"
-                xd = f"CAST({xq} AS DECIMAL(24,6))"
-                yd = f"CAST({yq} AS DECIMAL(24,6))"
-                moments += [
-                    f"CAST(count(CASE WHEN {both} THEN 1 END) "
-                    f"AS BIGINT) AS n{i}_{j}",
-                    f"CAST(SUM(CASE WHEN {both} THEN "
-                    f"CAST({xq} AS DECIMAL(18,6)) END) AS DOUBLE) "
-                    f"AS sx{i}_{j}",
-                    f"CAST(SUM(CASE WHEN {both} THEN "
-                    f"CAST({yq} AS DECIMAL(18,6)) END) AS DOUBLE) "
-                    f"AS sy{i}_{j}",
-                    f"CAST(SUM(CASE WHEN {both} THEN "
-                    f"CAST({xd} * {xd} AS DECIMAL(38,12)) END) "
-                    f"AS DOUBLE) AS pxx{i}_{j}",
-                    f"CAST(SUM(CASE WHEN {both} THEN "
-                    f"CAST({yd} * {yd} AS DECIMAL(38,12)) END) "
-                    f"AS DOUBLE) AS pyy{i}_{j}",
-                    f"CAST(SUM(CASE WHEN {both} THEN "
-                    f"CAST({xd} * {yd} AS DECIMAL(38,12)) END) "
-                    f"AS DOUBLE) AS pxy{i}_{j}",
-                ]
-            arms = " UNION ALL ".join(
-                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
-                f"n{i}_{j} AS n, "
-                f"(CASE WHEN (n{i}_{j} * pxx{i}_{j} "
-                f"  - sx{i}_{j} * sx{i}_{j}) > 0 "
-                f"  AND (n{i}_{j} * pyy{i}_{j} "
-                f"  - sy{i}_{j} * sy{i}_{j}) > 0 THEN "
-                f" round((n{i}_{j} * pxy{i}_{j} - sx{i}_{j} * sy{i}_{j}) "
-                f"  / sqrt((n{i}_{j} * pxx{i}_{j} - sx{i}_{j} * sx{i}_{j}) "
-                f"       * (n{i}_{j} * pyy{i}_{j} - sy{i}_{j} * sy{i}_{j})"
-                f"), 6) END) AS r "
-                f"FROM __corr"
-                for i, j in pair_idx
+            ctes, joins, sels = [], [], []
+            base = f"__sp_base AS ({sql})"
+            for i, c in enumerate(cols):
+                cq = _q(c)
+                ctes.append(
+                    f"__sp_g{i} AS (SELECT {cq} AS v, "
+                    f"CAST(count(*) AS BIGINT) AS c FROM __sp_base "
+                    f"WHERE {cq} IS NOT NULL GROUP BY 1), "
+                    f"__sp_r{i} AS (SELECT v, CAST(COALESCE(SUM(c) OVER ("
+                    f"ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                    f"1 PRECEDING), 0) AS BIGINT) + (c + 1) / 2.0 AS rk "
+                    f"FROM __sp_g{i})"
+                )
+                joins.append(f"LEFT JOIN __sp_r{i} ON __sp_r{i}.v = t.{cq}")
+                sels.append(f"__sp_r{i}.rk AS {cq}")
+            ranked = (
+                f"WITH {base}, {', '.join(ctes)} "
+                f"SELECT {', '.join(sels)} FROM __sp_base t "
+                f"{' '.join(joins)}"
             )
             sql = (
-                f"WITH __corr AS (SELECT {', '.join(moments)} "
-                f"FROM ({sql})) {arms}"
+                f"SELECT col_a, col_b, n, r AS rho FROM "
+                f"({_correlate_sql(ranked, cols)}) __sp"
+            )
+        elif kind == "mutual_info":
+            # mirrors operators/stats.mutual_information: one (a, b)
+            # contingency aggregate; marginals/total/entropies derive
+            # from the cell frame; every log term rounds to 12 and
+            # pins DECIMAL(28,12) so the sums are partition-order
+            # exact; final mi/h/nmi round to 6, NULL nmi on a
+            # zero-entropy marginal
+            aq, bq = _q(op["a"]), _q(op["b"])
+            sql = (
+                f"WITH __mi_j AS (SELECT {aq}, {bq}, "
+                f"CAST(count(*) AS BIGINT) AS nab FROM ({sql}) "
+                f"WHERE {aq} IS NOT NULL AND {bq} IS NOT NULL "
+                f"GROUP BY 1, 2), "
+                f"__mi_ra AS (SELECT {aq}, CAST(sum(nab) AS BIGINT) AS na "
+                f"FROM __mi_j GROUP BY 1), "
+                f"__mi_cb AS (SELECT {bq}, CAST(sum(nab) AS BIGINT) AS nb "
+                f"FROM __mi_j GROUP BY 1), "
+                f"__mi_tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n, "
+                f"CAST(count(*) AS BIGINT) AS n_cells FROM __mi_j), "
+                f"__mi_mi AS (SELECT SUM(CAST(round((CAST(nab AS DOUBLE) / n) "
+                f" * ln(CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb)), "
+                f"12) AS DECIMAL(28,12))) AS s "
+                f"FROM __mi_j JOIN __mi_ra USING ({aq}) "
+                f"JOIN __mi_cb USING ({bq}) CROSS JOIN __mi_tot), "
+                f"__mi_ha AS (SELECT SUM(CAST(round((CAST(na AS DOUBLE) / n) "
+                f" * ln(CAST(n AS DOUBLE) / na), 12) AS DECIMAL(28,12))) AS s "
+                f"FROM __mi_ra CROSS JOIN __mi_tot), "
+                f"__mi_hb AS (SELECT SUM(CAST(round((CAST(nb AS DOUBLE) / n) "
+                f" * ln(CAST(n AS DOUBLE) / nb), 12) AS DECIMAL(28,12))) AS s "
+                f"FROM __mi_cb CROSS JOIN __mi_tot) "
+                f"SELECT __mi_tot.n, __mi_tot.n_cells, "
+                f"round(CAST(__mi_mi.s AS DOUBLE), 6) AS mi, "
+                f"round(CAST(__mi_ha.s AS DOUBLE), 6) AS h_a, "
+                f"round(CAST(__mi_hb.s AS DOUBLE), 6) AS h_b, "
+                f"CASE WHEN round(CAST(__mi_ha.s AS DOUBLE), 6) > 0 "
+                f"AND round(CAST(__mi_hb.s AS DOUBLE), 6) > 0 THEN "
+                f"round(round(CAST(__mi_mi.s AS DOUBLE), 6) "
+                f"/ sqrt(round(CAST(__mi_ha.s AS DOUBLE), 6) "
+                f"* round(CAST(__mi_hb.s AS DOUBLE), 6)), 6) END AS nmi "
+                f"FROM __mi_tot CROSS JOIN __mi_mi "
+                f"CROSS JOIN __mi_ha CROSS JOIN __mi_hb"
             )
         elif kind == "ndcg":
             # mirrors operators/similarity.ndcg_per_query (the

@@ -398,9 +398,10 @@ def test_live_kanonymity_spec_roundtrip(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     canon = "Check k-anonymity of user_id and event_type at 5"
     para = (
-        "Privacy review: how exposed is this event log if an attacker "
-        "joins on the user and event-type pair? Count the groups with "
-        "fewer than 5 rows and the rows they put at risk."
+        "Privacy review: treating the user and event-type pair as the "
+        "quasi-identifier, give me a one-row anonymity audit at "
+        "threshold 5 — total groups, groups below the threshold, and "
+        "the rows those small groups expose."
     )
     with pytest.raises(ParseError):
         parse_description(para, columns=events.columns)
@@ -1053,3 +1054,90 @@ def test_live_bootstrap_spec_roundtrip(spark, tmp_path):
         for r in out.collect()
     }
     assert got == golden
+
+
+@needs_live_llm
+def test_live_spearman_spec_roundtrip(spark, tmp_path):
+    """The Spearman paraphrase against a real model: the LLM must emit
+    the schema-replacing spearman spec (NOT plain correlate — the ask
+    is explicitly rank/monotone); the pair rows must match the
+    canonical-phrasing goldens."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    canon = (
+        "Compute the spearman correlation of l_quantity, "
+        "l_extendedprice and l_discount"
+    )
+    para = (
+        "Do quantity, extended price and discount rise and fall "
+        "together? I want the rank-based (Spearman) correlation for "
+        "every pair of those three columns, not plain Pearson."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=li.columns)
+    golden = {
+        (r["col_a"], r["col_b"]): r["rho"]
+        for r in compile_spec(
+            li, parse_description(canon, columns=li.columns)
+        ).collect()
+    }
+    st = run_transform(spark, li, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        (r["col_a"], r["col_b"]): (None if r["rho"] in (None, "")
+                                   else round(float(r["rho"]), 6))
+        for r in out.collect()
+    }
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_mutual_info_spec_roundtrip(spark, tmp_path):
+    """The mutual-information paraphrase against a real model: the LLM
+    must emit the schema-replacing mutual_info spec; the one report
+    row must match the canonical-phrasing goldens exactly."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = "Compute the mutual information between lang and source"
+    para = (
+        "How much does knowing a document's source tell you about its "
+        "language? Quantify the lang/source dependence in nats, with "
+        "the marginal entropies and the normalized score."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    (g,) = compile_spec(
+        docs, parse_description(canon, columns=docs.columns)
+    ).collect()
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    (r,) = out.collect()
+    assert int(r["n"]) == g["n"]
+    assert int(r["n_cells"]) == g["n_cells"]
+    # MI and NMI are symmetric in (a, b); the marginal entropies swap
+    # if the model ordered the columns source-first — both orders are
+    # correct specs, so compare the entropy PAIR, not the slots
+    assert round(float(r["mi"]), 6) == g["mi"]
+    assert round(float(r["nmi"]), 6) == g["nmi"]
+    assert {round(float(r["h_a"]), 6), round(float(r["h_b"]), 6)} == \
+        {g["h_a"], g["h_b"]}
