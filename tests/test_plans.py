@@ -974,3 +974,30 @@ def test_pca_top2_single_gram_scan(spark):
     plan = plan_of(spark, "ns_embed_pca_top2")
     assert plan.count("FileScan") == 0  # all inputs are checkpointed
     assert "CartesianProduct" not in plan
+
+
+def test_spearman_no_single_partition_exchange(spark):
+    """Spearman's rank build must never funnel the data through one
+    partition: the per-column in-bucket cumulative windows partition
+    by the bucket key, the bounded offsets cumulative hides behind the
+    non-foldable pmod key, and the offsets frames join back as
+    broadcasts — so the executed plan has NO Exchange SinglePartition
+    and at least one BroadcastExchange per profiled column. The ONE
+    allowed SinglePartition exchange is the final moment aggregate's
+    1-partial-row-per-partition merge (the same bounded shape as
+    x_corr_matrix) — never a data-sized funnel."""
+    plan = plan_of(spark, "x_spearman_matrix")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("BroadcastExchange") >= 4  # one offsets frame/col
+
+
+def test_mutual_info_single_contingency_scan(spark):
+    """Mutual information reads the corpus ONCE: the (a, b) cell
+    aggregate is the only file scan (lazily checkpointed for its four
+    consumers); marginals/total/entropy sums run on the cell frame and
+    come back as broadcast 1-row joins — no second corpus pass, no
+    single-partition exchange of data rows."""
+    plan = plan_of(spark, "ns_stats_mutual_info")
+    assert plan.count("FileScan") <= 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # ra/cb/tot/mi/ha/hb frames

@@ -229,6 +229,10 @@ QUERIES = [
     "ns_embed_pca_top2",
     "ns_corpus_unimax_apply",
     "ns_stats_bootstrap_diff",
+    # round-9 late additions (p104/p105 NL twins share these plans)
+    "ns_stats_mutual_info",
+    "x_spearman_matrix",
+    "ns_graph_bfs_levels",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw

@@ -367,6 +367,28 @@ HEADLINE: list[tuple[str, str]] = [
         "are md5-hash draws through shared integer CDF cutoffs: "
         "deterministic, so the CI itself is hash-checked cross-engine.",
     ),
+    (
+        "x_spearman_matrix",
+        "Spearman rank correlation (round 9): per column the ranks come "
+        "from a distinct-value count aggregate cumulated with the "
+        "two-phase bucket trick — the in-bucket cumulative window "
+        "partitions by the bucket key, the bounded offsets cumulative "
+        "hides behind the non-foldable pmod key, and each offsets "
+        "frame joins back as a BroadcastExchange — so NO step sorts "
+        "the data globally. The moment pass is then ONE aggregate "
+        "whose SinglePartition exchange carries one partial row per "
+        "partition (never data rows), identical to x_corr_matrix.",
+    ),
+    (
+        "ns_stats_mutual_info",
+        "Mutual information (round 9): ONE FileScan builds the (lang, "
+        "source) contingency aggregate (map-side combined, lazily "
+        "checkpointed for its four consumers); marginals, total, and "
+        "every entropy sum run on that cell frame and come back as "
+        "broadcast 1-row joins — the corpus is never rescanned, and "
+        "the DECIMAL(28,12)-pinned log terms make the sums "
+        "partition-order exact on both engines.",
+    ),
 ]
 
 
