@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .benchqueries import _t, register
-from .operators import corpus, graph, profile, similarity, stats
+from .operators import corpus, graph, profile, similarity, stats, text
 
 
 # --------------------------------------------------------------- hybrid
@@ -508,15 +508,41 @@ register(
 _BFS_DEPTH = 8
 _BFS_MIN_CO = 2
 
+# the repeat-co-order part graph, shared by the BFS and link-prediction
+# registrations: parts linked when co-ordered in >= min_co orders
+_CO_EDGE_CTES = (
+    "co AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+    " count(*) AS w FROM lineitem a JOIN lineitem b "
+    " ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey "
+    " GROUP BY 1, 2), "
+    f"e0 AS (SELECT src, dst FROM co WHERE w >= {_BFS_MIN_CO})"
+)
+
+
+def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _CO_EDGE_CTES: one orderkey self-join (fan-out
+    bounded by order size squared) + one (src, dst) count aggregate,
+    w >= min_co cut; symmetric by construction."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "_o")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .where(F.col("_w") >= _BFS_MIN_CO)
+        .select("src", "dst")
+    )
+
 
 def _bfs_sql(max_depth: int, min_co: int) -> str:
     return (
-        "WITH RECURSIVE "
-        "co AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, "
-        " count(*) AS w FROM lineitem a JOIN lineitem b "
-        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey "
-        " GROUP BY 1, 2), "
-        f"e0 AS (SELECT src, dst FROM co WHERE w >= {min_co}), "
+        f"WITH RECURSIVE {_CO_EDGE_CTES}, "
         "seed AS (SELECT min(src) AS s FROM e0), "
         "bfs(node, lvl) AS (SELECT s, 0 FROM seed "
         " UNION SELECT e0.dst, b.lvl + 1 FROM bfs b "
@@ -549,19 +575,165 @@ def ns_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the TPC-H cap of 7 lines) plus one (src, dst) count aggregate;
     the w >= 2 cut keeps only repeat associations, the graph whose
     diameter is worth measuring."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("src")
+    return graph.bfs_levels(
+        _co_edges(spark, sf_dir), max_depth=_BFS_DEPTH
     )
-    b = li.select(
-        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("dst")
+
+
+# ------------------------------------------------------------- kendall
+_KENDALL_COLS = ["l_quantity", "l_discount", "l_tax"]
+
+
+def _kendall_sql(cols: list[str], table: str = "lineitem") -> str:
+    """Mirrors stats.kendall_tau_b cell-form arithmetic: one d-column
+    cell aggregate, per-pair contingency re-aggregation, DECIMAL(38,0)
+    C/D products, tie terms from the marginals, tau-b in doubles from
+    the exact sums."""
+    base_cols = ", ".join(cols)
+    parts = [
+        f"base AS (SELECT {base_cols}, CAST(count(*) AS BIGINT) AS c "
+        f"FROM {table} GROUP BY {', '.join(str(i + 1) for i in range(len(cols)))})"
+    ]
+    arms = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            t = f"{i}_{j}"
+            parts.append(
+                f"cells{t} AS (SELECT {a} AS x, {b} AS y, "
+                f"CAST(sum(c) AS DECIMAL(19,0)) AS n FROM base "
+                f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2), "
+                f"cd{t} AS (SELECT "
+                f"SUM(CASE WHEN r.y > l.y THEN CAST(l.n * r.n AS DECIMAL(38,0)) END) AS conc, "
+                f"SUM(CASE WHEN r.y < l.y THEN CAST(l.n * r.n AS DECIMAL(38,0)) END) AS disc "
+                f"FROM cells{t} l JOIN cells{t} r ON r.x > l.x), "
+                f"tx{t} AS (SELECT SUM(CAST(t * (t - 1) AS DECIMAL(38,0))) AS sx "
+                f"FROM (SELECT CAST(sum(n) AS DECIMAL(19,0)) AS t "
+                f"      FROM cells{t} GROUP BY x)), "
+                f"ty{t} AS (SELECT SUM(CAST(t * (t - 1) AS DECIMAL(38,0))) AS sy "
+                f"FROM (SELECT CAST(sum(n) AS DECIMAL(19,0)) AS t "
+                f"      FROM cells{t} GROUP BY y)), "
+                f"tot{t} AS (SELECT CAST(sum(n) AS DECIMAL(19,0)) AS nn "
+                f"FROM cells{t})"
+            )
+            arms.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"CAST(nn AS BIGINT) AS n, "
+                f"CAST(COALESCE(conc, 0) AS BIGINT) AS concordant, "
+                f"CAST(COALESCE(disc, 0) AS BIGINT) AS discordant, "
+                f"CASE WHEN CAST(CAST(nn * (nn - 1) AS DECIMAL(38,0)) - sx "
+                f"  AS DOUBLE) / 2.0 > 0 "
+                f" AND CAST(CAST(nn * (nn - 1) AS DECIMAL(38,0)) - sy "
+                f"  AS DOUBLE) / 2.0 > 0 THEN "
+                f"round(CAST(COALESCE(conc, 0) - COALESCE(disc, 0) AS DOUBLE) "
+                f" / (sqrt(CAST(CAST(nn * (nn - 1) AS DECIMAL(38,0)) - sx "
+                f"      AS DOUBLE) / 2.0) "
+                f"  * sqrt(CAST(CAST(nn * (nn - 1) AS DECIMAL(38,0)) - sy "
+                f"      AS DOUBLE) / 2.0)), 6) END AS tau_b "
+                f"FROM cd{t} CROSS JOIN tot{t} CROSS JOIN tx{t} "
+                f"CROSS JOIN ty{t}"
+            )
+    return f"WITH {', '.join(parts)} " + " UNION ALL ".join(arms)
+
+
+@register(
+    "x_kendall_tau",
+    _kendall_sql(_KENDALL_COLS),
+    desc=(
+        "Pairwise Kendall tau-b over the LOW-CARDINALITY lineitem "
+        "measures (quantity/discount/tax) — the concordance view of "
+        "association beside Pearson and Spearman, computed in the "
+        "contingency-cell form: one d-column cell aggregate replaces "
+        "the O(n^2) row-pair definition, each pair's C/D comes from a "
+        "cell self-join on the aggregate-sized frame, DECIMAL(38,0) "
+        "products keep 1e12-row counts exact. Continuous columns "
+        "belong to x_spearman_matrix (the rank path); this is the "
+        "discrete sibling."
+    ),
+)
+def x_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (operators/stats.kendall_tau_b) in the
+    cell-aggregate form — exact concordance counts from the joint
+    distribution, never from row pairs."""
+    return stats.kendall_tau_b(
+        _t(spark, sf_dir, "lineitem"), _KENDALL_COLS
     )
-    co = (
-        a.join(b, "_o")
-        .where(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("_w"))
-        .where(F.col("_w") >= _BFS_MIN_CO)
-        .select("src", "dst")
+
+
+# --------------------------------------------------------- kneser-ney
+register(
+    "ns_text_kneser_ney",
+    "WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents), "
+    "g AS (SELECT unnest(list_transform(range(1, len(ws)), "
+    " i -> [ws[i], ws[i+1]])) AS bg FROM w WHERE len(ws) >= 2), "
+    "c AS (SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS BIGINT) AS n "
+    " FROM g GROUP BY 1, 2), "
+    "c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1, "
+    " CAST(count(*) AS BIGINT) AS nf FROM c GROUP BY 1), "
+    "nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS nb FROM c GROUP BY 1), "
+    "b AS (SELECT CAST(count(*) AS BIGINT) AS btot FROM c) "
+    "SELECT w1, w2, n, "
+    "round(greatest(CAST(n AS DOUBLE) - 0.75, 0.0) / c1 "
+    " + (0.75 * nf / c1) * (nb / CAST(btot AS DOUBLE)), 6) AS p_kn "
+    "FROM c JOIN c1 USING (w1) JOIN nb USING (w2) CROSS JOIN b "
+    "WHERE n >= 2",
+    desc=(
+        "Interpolated Kneser-Ney bigram probabilities (d = 0.75) — "
+        "the continuation-count smoothing every n-gram quality scorer "
+        "wants over raw MLE: backoff mass goes to words by how many "
+        "contexts they complete, not how often they occur. One "
+        "corpus-sized exchange (the bigram count aggregate); prefix, "
+        "follower, continuation and total counts all derive from "
+        "that cell frame and join back broadcast."
+    ),
+)(
+    lambda spark, sf_dir: text.kneser_ney_bigrams(
+        _t(spark, sf_dir, "documents"), min_count=2
     )
-    return graph.bfs_levels(co, max_depth=_BFS_DEPTH)
+)
+
+
+# ---------------------------------------------------------- link pred
+def _adamic_adar_sql(max_degree: int, min_common: int) -> str:
+    return (
+        f"WITH {_CO_EDGE_CTES}, "
+        "und AS (SELECT DISTINCT src AS a, dst AS b FROM e0 WHERE src < dst), "
+        "sym AS (SELECT a AS w, b AS nb FROM und "
+        " UNION ALL SELECT b, a FROM und), "
+        "deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg "
+        " FROM sym GROUP BY 1), "
+        f"mid AS (SELECT sym.w, sym.nb, deg FROM sym JOIN deg USING (w) "
+        f" WHERE deg <= {max_degree}), "
+        "p AS (SELECT l.nb AS u, r.nb AS v, "
+        " CAST(count(*) AS BIGINT) AS cn, "
+        " SUM(CAST(round(1.0 / ln(CAST(l.deg AS DOUBLE)), 12) "
+        "  AS DECIMAL(28,12))) AS aa "
+        " FROM mid l JOIN mid r ON l.w = r.w AND l.nb < r.nb "
+        " GROUP BY 1, 2) "
+        f"SELECT u AS node_a, v AS node_b, cn AS common_neighbors, "
+        f"round(CAST(aa AS DOUBLE), 6) AS aa_score FROM p "
+        f"WHERE cn >= {min_common} AND NOT EXISTS "
+        "(SELECT 1 FROM und WHERE und.a = p.u AND und.b = p.v)"
+    )
+
+
+@register(
+    "ns_graph_adamic_adar",
+    _adamic_adar_sql(64, 2),
+    desc=(
+        "Adamic-Adar link prediction on the repeat-co-order part "
+        "graph: for non-adjacent part pairs sharing >= 2 repeat "
+        "co-purchase partners, sum(1/ln(deg)) over the common "
+        "neighbors — rare shared partners outweigh hubs. Middles "
+        "above degree 64 are excluded (the hub cut that bounds wedge "
+        "fan-out, mirrored in the oracle); 1/ln terms pinned "
+        "DECIMAL(28,12) for exact sums. Completes the graph family: "
+        "distance (BFS), centrality (PageRank), cohesion "
+        "(triangles), prediction (this)."
+    ),
+)
+def ns_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (operators/graph.adamic_adar) over the shared
+    co-order edge build (_co_edges) — wedge join bounded by the
+    degree cap, existing edges anti-joined away."""
+    return graph.adamic_adar(_co_edges(spark, sf_dir))

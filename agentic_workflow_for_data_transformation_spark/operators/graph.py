@@ -205,3 +205,76 @@ def bfs_levels(edges: DataFrame, src_col: str = "src",
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def adamic_adar(edges: DataFrame, src_col: str = "src",
+                dst_col: str = "dst", max_degree: int = 64,
+                min_common: int = 2) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list: for
+    each NON-adjacent node pair sharing >= ``min_common`` neighbors,
+    the score sum(1/ln(deg(w))) over the common neighbors w — rare
+    shared neighbors count more than hubs. On the co-order part
+    graph: which parts are never bought together but share repeat
+    co-purchase partners — the substitute/recommendation candidates
+    the association graph itself can't list.
+
+    No counterpart in the reference; completes the graph family
+    (distance: bfs_levels, centrality: pagerank_integer, cohesion:
+    triangle_counts) with prediction.
+
+    Scale shape: the wedge join fans out deg(w)^2 per middle node, so
+    middles above ``max_degree`` are EXCLUDED (deterministic, in the
+    oracle too) — the standard hub cut: a hub's 1/ln(deg) term is
+    near-zero signal but owns almost all wedge volume; the cap bounds
+    per-key join fan-out the way degree orientation bounds
+    triangle_counts. Two keyed aggregates (degrees, wedge sums), one
+    self-join on the middle, one anti-join against the edge list.
+
+    Exactness: each 1/ln(deg) term is rounded to 12 and pinned
+    DECIMAL(28,12), so the per-pair sum is partition-order exact; a
+    wedge middle has deg >= 2, so ln is never zero. Emits
+    (node_a, node_b, common_neighbors, aa_score), node_a < node_b."""
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = und.select(F.col("a").alias("w"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("w"), F.col("a").alias("nb"))
+    )
+    deg = sym.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    mid = sym.join(
+        deg.where(F.col("_deg") <= max_degree), "w"
+    )
+    term = F.round(
+        F.lit(1.0) / F.log(F.col("_deg").cast("double")), 12
+    ).cast("decimal(28,12)")
+    l = mid.select(F.col("w"), F.col("nb").alias("u"), F.col("_deg"))
+    r = mid.select(F.col("w"), F.col("nb").alias("v"))
+    pairs = (
+        l.join(r, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy(F.col("u").alias("node_a"), F.col("v").alias("node_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(term).alias("_aa"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    return (
+        pairs.join(
+            und,
+            (pairs["node_a"] == und["a"]) & (pairs["node_b"] == und["b"]),
+            "left_anti",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            F.round(F.col("_aa").cast("double"), 6).alias("aa_score"),
+        )
+    )

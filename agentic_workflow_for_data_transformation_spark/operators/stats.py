@@ -1202,3 +1202,115 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             F.round(mi_d / F.sqrt(ha_d * hb_d), 6),
         ).alias("nmi"),
     )
+
+
+def kendall_tau_b(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Kendall tau-b across LOW-CARDINALITY numeric/ordinal
+    columns — the concordance view of association next to Pearson
+    (x_corr_matrix) and Spearman (x_spearman_matrix): what fraction of
+    row pairs are ordered the same way in both columns, tie-corrected
+    (tau-b). One row per unordered pair:
+    (col_a, col_b, n, concordant, discordant, tau_b).
+
+    Method — the contingency-cell form: the naive definition is a
+    row-pair double sum (O(n^2), dead at any scale). But concordance
+    only depends on the JOINT DISTRIBUTION, so ONE scan builds the
+    d-column cell aggregate; each pair's contingency table derives
+    from that frame by re-aggregation, and C/D come from a cell
+    self-join — O(cells^2) work on an aggregate-sized frame, never on
+    data. This is exact ONLY when the profiled columns are genuinely
+    low-cardinality (flags, grades, small discrete measures); for
+    continuous columns the cell frame approaches |df| and the
+    self-join explodes — use spearman_matrix there (the rank path is
+    the continuous sibling), or bucket first.
+
+    Exactness: C, D and the tie terms are integer cell-count products
+    summed as DECIMAL(38,0) (exact, partition-order independent; a
+    BIGINT product overflows at ~1e10-row cells); n0/n1/n2 use the
+    same decimal arithmetic since n*(n-1)/2 exceeds int64 beyond
+    ~4e9 rows. tau_b = (C - D) / (sqrt(n0-n1) * sqrt(n0-n2)) runs in
+    doubles on the exact sums (the sqrt split keeps the product
+    inside float range where a decimal product would overflow),
+    rounded to 6; NULL when either column is constant."""
+    base = (
+        df.select(*cols)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    pair_frames = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            cells = (
+                base.where(F.col(a).isNotNull() & F.col(b).isNotNull())
+                .groupBy(F.col(a).alias("_x"), F.col(b).alias("_y"))
+                .agg(F.sum("_c").cast("decimal(19,0)").alias("_n"))
+            )
+            l = cells.select(
+                F.col("_x").alias("_x1"), F.col("_y").alias("_y1"),
+                F.col("_n").alias("_n1"),
+            )
+            r = cells.select(
+                F.col("_x").alias("_x2"), F.col("_y").alias("_y2"),
+                F.col("_n").alias("_n2"),
+            )
+            prod = (F.col("_n1") * F.col("_n2")).cast("decimal(38,0)")
+            cd = (
+                l.join(r, F.col("_x2") > F.col("_x1"))
+                .agg(
+                    F.sum(
+                        F.when(F.col("_y2") > F.col("_y1"), prod)
+                    ).alias("_conc"),
+                    F.sum(
+                        F.when(F.col("_y2") < F.col("_y1"), prod)
+                    ).alias("_disc"),
+                )
+            )
+            half = F.lit(2).cast("decimal(38,0)")
+            tx = cells.groupBy("_x").agg(
+                F.sum("_n").cast("decimal(19,0)").alias("_t")
+            ).agg(
+                F.sum(
+                    (F.col("_t") * (F.col("_t") - 1)).cast("decimal(38,0)")
+                ).alias("_sx"),
+            )
+            ty = cells.groupBy("_y").agg(
+                F.sum("_n").cast("decimal(19,0)").alias("_t")
+            ).agg(
+                F.sum(
+                    (F.col("_t") * (F.col("_t") - 1)).cast("decimal(38,0)")
+                ).alias("_sy"),
+            )
+            tot = cells.agg(F.sum("_n").cast("decimal(19,0)").alias("_nn"))
+            one = (
+                cd.crossJoin(F.broadcast(tot))
+                .crossJoin(F.broadcast(tx))
+                .crossJoin(F.broadcast(ty))
+            )
+            conc = F.coalesce(F.col("_conc"), F.lit(0).cast("decimal(38,0)"))
+            disc = F.coalesce(F.col("_disc"), F.lit(0).cast("decimal(38,0)"))
+            n0x2 = (F.col("_nn") * (F.col("_nn") - 1)).cast("decimal(38,0)")
+            den_x = (n0x2 - F.col("_sx")).cast("double") / 2.0
+            den_y = (n0x2 - F.col("_sy")).cast("double") / 2.0
+            pair_frames.append(
+                one.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("_nn").cast("long").alias("n"),
+                    conc.cast("long").alias("concordant"),
+                    disc.cast("long").alias("discordant"),
+                    F.when(
+                        (den_x > 0) & (den_y > 0),
+                        F.round(
+                            (conc - disc).cast("double")
+                            / (F.sqrt(den_x) * F.sqrt(den_y)),
+                            6,
+                        ),
+                    ).alias("tau_b"),
+                )
+            )
+    out = pair_frames[0]
+    for f in pair_frames[1:]:
+        out = out.unionByName(f)
+    return out

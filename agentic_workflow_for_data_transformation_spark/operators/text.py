@@ -1324,3 +1324,72 @@ def quality_threshold_sweep(df: DataFrame, text_col: str = "text",
         .otherwise(F.lit(0.0))
         .alias("share_docs_kept"),
     )
+
+
+def kneser_ney_bigrams(df: DataFrame, text_col: str = "text",
+                       discount: float = 0.75,
+                       min_count: int = 1) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; the Chen & Goodman 1998 interpolated form with a single
+    fixed discount) — the upgrade over the raw-MLE bigram table
+    (bigram_lm) every n-gram quality scorer actually wants: the
+    backoff mass goes to words by how many CONTEXTS they complete
+    (continuation count), not how often they occur, which is what
+    stops "Francisco" stealing probability from "glasses" after
+    frequent "San Francisco".
+
+        p_kn(w2|w1) = max(c12 - d, 0)/c1
+                      + (d * nf(w1)/c1) * (nb(w2)/B)
+
+    with c12 the bigram count, c1 the w1-prefix token count, nf(w1)
+    the distinct-follower count, nb(w2) the distinct-predecessor
+    (continuation) count, and B the distinct-bigram total.
+
+    Exactness: every input is an exact BIGINT count; p_kn evaluates
+    in float64 with ONE fixed expression shape on both engines and
+    rounds to 6 — no float aggregation anywhere.
+
+    Scale shape: one explode feeds the (w1, w2) count aggregate
+    (map-side combined, the only corpus-sized exchange); c1/nf/nb/B
+    all derive from that vocab^2-bounded cell frame (lazily
+    checkpointed for its consumers) and join back keyed on w1/w2 —
+    the mutual-information discipline applied to LM estimation.
+    Emits (w1, w2, n, p_kn) for bigrams with n >= min_count."""
+    ws = df.select(F.split(text_col, " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    pairs = ws.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    )
+    c = (
+        pairs.select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c.groupBy("w1").agg(
+        F.sum("n").cast("long").alias("_c1"),
+        F.count(F.lit(1)).cast("long").alias("_nf"),
+    )
+    nb = c.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("_nb"))
+    btot = c.agg(F.count(F.lit(1)).cast("long").alias("_b"))
+    d = float(discount)
+    p_kn = (
+        F.greatest(F.col("n").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("_c1")
+        + (F.lit(d) * F.col("_nf") / F.col("_c1"))
+        * (F.col("_nb") / F.col("_b").cast("double"))
+    )
+    return (
+        c.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(nb), "w2")
+        .crossJoin(F.broadcast(btot))
+        .where(F.col("n") >= min_count)
+        .select("w1", "w2", "n", F.round(p_kn, 6).alias("p_kn"))
+    )

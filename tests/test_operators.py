@@ -2480,3 +2480,70 @@ def test_bfs_levels_chain_and_depth_cap(spark):
     multi = {r["node"]: r["level"]
              for r in bfs_levels(edges, max_depth=6, seeds=seeds).collect()}
     assert multi == {5: 0, 10: 0, 4: 1, 11: 1, 3: 2, 2: 3, 1: 4}
+
+
+def test_kendall_tau_b_hand_cases(spark):
+    """No ties: x=[1,2,3,4] vs y=[1,3,2,4] has 5 concordant / 1
+    discordant row pairs -> tau = 4/6. Balanced ties: the 2x2 uniform
+    grid has C = D = 1 -> tau_b = 0. scipy cross-check: the
+    scipy.stats.kendalltau doc example rounds to -0.471405."""
+    from agentic_workflow_for_data_transformation_spark.operators.stats import (
+        kendall_tau_b,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 2), (4, 4)], ["x", "y"]
+    )
+    (r,) = kendall_tau_b(df, ["x", "y"]).collect()
+    assert (r["n"], r["concordant"], r["discordant"]) == (4, 5, 1)
+    assert r["tau_b"] == 0.666667
+
+    grid = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2)], ["x", "y"]
+    )
+    (g,) = kendall_tau_b(grid, ["x", "y"]).collect()
+    assert (g["concordant"], g["discordant"], g["tau_b"]) == (1, 1, 0.0)
+
+    sp = spark.createDataFrame(
+        [(12, 1), (2, 4), (1, 7), (12, 1), (2, 0)], ["x", "y"]
+    )
+    (s,) = kendall_tau_b(sp, ["x", "y"]).collect()
+    assert s["tau_b"] == -0.471405
+
+
+def test_kneser_ney_hand_case(spark):
+    """Corpus 'a b' x2, 'c b', 'a d': bigram counts (a,b)=2, (c,b)=1,
+    (a,d)=1; continuation counts nb(b)=2, nb(d)=1, B=3. Interpolated
+    KN with d=0.75: p(b|a) = 1.25/3 + (0.75*2/3)*(2/3) = 0.75 exactly,
+    p(d|a) = 0.25/3 + 0.5*(1/3) = 0.25 (the a-row sums to 1 since a's
+    mass all lands on seen types), p(b|c) = 0.25 + 0.75*(2/3) = 0.75."""
+    from agentic_workflow_for_data_transformation_spark.operators.text import (
+        kneser_ney_bigrams,
+    )
+
+    docs = spark.createDataFrame(
+        [("a b",), ("a b",), ("c b",), ("a d",)], ["text"]
+    )
+    got = {(r["w1"], r["w2"]): (r["n"], r["p_kn"])
+           for r in kneser_ney_bigrams(docs, min_count=1).collect()}
+    assert got == {("a", "b"): (2, 0.75), ("a", "d"): (1, 0.25),
+                   ("c", "b"): (1, 0.75)}
+
+
+def test_adamic_adar_hand_case(spark):
+    """Path-ish graph 1-2, 2-3, 1-4, 4-3, 2-5: the non-adjacent pairs
+    with two common neighbors are (1,3) through middles {2 deg 3,
+    4 deg 2} -> 1/ln3 + 1/ln2 = 2.352934, and (2,4) through middles
+    {1 deg 2, 3 deg 2} -> 2/ln2 = 2.88539; pairs sharing only one
+    middle (e.g. (1,5)) fall under min_common and never appear."""
+    from agentic_workflow_for_data_transformation_spark.operators.graph import (
+        adamic_adar,
+    )
+
+    und = [(1, 2), (2, 3), (1, 4), (4, 3), (2, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {(r["node_a"], r["node_b"]): (r["common_neighbors"], r["aa_score"])
+           for r in adamic_adar(edges).collect()}
+    assert got == {(1, 3): (2, 2.352934), (2, 4): (2, 2.88539)}
