@@ -4666,3 +4666,4 @@ def p105_nl_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotation) live in their own module, imported last so the frozen
 # driver window above is untouched.
 from . import nsqueries10  # noqa: E402,F401  (registration side effects)
+from . import nsqueries11  # noqa: E402,F401  (registration side effects)

@@ -1157,3 +1157,115 @@ def apply_unimax_sampling(df: DataFrame, budget_tokens: int,
             F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy"),
         )
     )
+
+
+def curriculum_order(df: DataFrame, score_col: str = "n_chars",
+                     id_col: str = "doc_id", source_col: str = "source",
+                     n_buckets: int = 4) -> DataFrame:
+    """Curriculum sort key (easy-first training order, Bengio et al.
+    2009, as production pipelines schedule it): bucket every document
+    by a difficulty score into ``n_buckets`` quantile stages, then
+    round-robin the sources WITHIN each stage so no training window is
+    single-source. The output is the per-document key tuple
+    (bucket, rr, source, id) — a consumer lexicographically
+    repartitionByRange-sorts on it to materialize the order, which is
+    the scale-safe contract: this operator never performs the global
+    sort itself, it only computes the key (the same division of labor
+    as sharded_shuffle).
+
+    ``score_col`` is any numeric difficulty proxy (defaults to
+    document length; plug a quality or perplexity score upstream).
+
+    Shape: one exact-percentile aggregate produces the n_buckets-1
+    stage cutoffs as a broadcast 1-row frame (the perplexity_buckets /
+    winsorize shape — no corpus-sized window sort); the round-robin
+    index is a row_number window PARTITIONED BY (bucket, source).
+    Exactness: cutoffs are exact interpolated percentiles
+    (percentile == quantile_cont, the established cross-engine
+    contract); bucket membership and rr are integers."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        *[
+            F.expr(f"percentile({score_col}, {q!r})").alias(f"_q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(len(qs)):
+        bucket = bucket + F.when(
+            F.col(score_col) > F.col(f"_q{i}"), 1
+        ).otherwise(0)
+    w = Window.partitionBy("bucket", source_col).orderBy(id_col)
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket.cast("int"))
+        .withColumn("rr", F.row_number().over(w))
+        .select(id_col, source_col, F.col(score_col), "bucket", "rr")
+    )
+
+
+def epoch_audit(df: DataFrame, budget_tokens: int,
+                group_col: str = "source", text_col: str = "text",
+                r_star: float = 4.0) -> DataFrame:
+    """Data-constrained scaling audit (Muennighoff et al., NeurIPS
+    2023): given a training-token budget split UNIFORMLY across
+    sources, report per source how many epochs its unique tokens
+    would repeat and the EFFECTIVE unique-token yield under the
+    paper's diminishing-returns law — repeated epochs decay in value
+    with characteristic scale ``r_star``:
+
+        effective = U + U * r_star * (1 - exp(-R / r_star))
+
+    where U is the source's unique tokens and R = epochs - 1 its
+    repeat count. utilization = effective / allocated is the signal a
+    mix owner acts on: a tiny source burning budget at 8 epochs yields
+    far less than its allocation (UniMax — unimax_allocation — is the
+    fix; this audit quantifies WHY, per source).
+
+    Shape: ONE corpus scan (per-source token sum, map-side combined);
+    everything else runs on the source-cardinality frame. Exactness:
+    token counts and the allocation are exact integers; epochs is one
+    double division rounded to 6 BEFORE the exp so both engines feed
+    libm the identical argument (the ln() oracle precedent), and the
+    effective/utilization doubles round to 6 on report."""
+    counts = (
+        df.select(
+            F.col(group_col),
+            F.size(F.split(F.col(text_col), " ")).alias("_nt"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("_nt").cast("long").alias("n_tokens"))
+    )
+    k = counts.agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    alloc = F.floor(F.lit(int(budget_tokens)).cast("long") / F.col("_k")).cast(
+        "long"
+    )
+    epochs = F.round(
+        F.col("allocated_tokens").cast("double") / F.col("n_tokens"), 6
+    )
+    repeats = F.greatest(F.col("epochs") - 1.0, F.lit(0.0))
+    effective = F.round(
+        F.col("n_tokens")
+        * (
+            F.least(F.col("epochs"), F.lit(1.0))
+            + F.lit(float(r_star))
+            * (1.0 - F.exp(-repeats / F.lit(float(r_star))))
+        ),
+        6,
+    )
+    return (
+        counts.crossJoin(F.broadcast(k))
+        .withColumn("allocated_tokens", alloc)
+        .withColumn("epochs", epochs)
+        .withColumn("effective_tokens", effective)
+        .withColumn(
+            "utilization",
+            F.round(
+                F.col("effective_tokens") / F.col("allocated_tokens"), 6
+            ),
+        )
+        .select(
+            group_col, "n_tokens", "allocated_tokens", "epochs",
+            "effective_tokens", "utilization",
+        )
+    )

@@ -21,7 +21,7 @@ quantization error is bounded by 1/scale per edge per iteration —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -277,4 +277,57 @@ def adamic_adar(edges: DataFrame, src_col: str = "src",
             "common_neighbors",
             F.round(F.col("_aa").cast("double"), 6).alias("aa_score"),
         )
+    )
+
+
+def label_propagation(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst", n_iter: int = 3,
+                      min_size: int = 2) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007) over an undirected edge list — the cheap community detector
+    next to pagerank_integer (centrality) and bfs_levels (distance):
+    every node starts with its own id as label, and each round adopts
+    the MOST FREQUENT label among its neighbors, ties broken toward
+    the smallest label so the sweep is deterministic (classical LPA
+    breaks ties randomly and is run to convergence; the fixed round
+    count and ordered tie-break are the contract here, making the
+    result bit-identical across engines and partitionings). Returns
+    the communities of size >= ``min_size`` as (community, n_members).
+
+    Caller contract: pass both edge directions (a symmetric edge
+    list, e.g. the co-order graph or the near-dup pair graph), so
+    every node has in-neighbors and the vote join needs no outer-join
+    fallback.
+
+    Scale shape: per round, one shuffle of the edge list keyed on the
+    neighbor id (the label lookup), one (node, label) vote count
+    (map-side combined), and one row_number window PARTITIONED BY node
+    (never global) to pick the winner; the label frame is
+    localCheckpoint'ed per round so the plan stays flat (the
+    pagerank_integer discipline). Traffic per round is |E| fixed-width
+    rows regardless of iteration count."""
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    labels = (
+        e.select(F.col("_s").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("lab"))
+    for _ in range(n_iter):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "_d"), "_d")
+            .groupBy(F.col("_s").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .where(F.col("n_members") >= min_size)
     )

@@ -1314,3 +1314,176 @@ def kendall_tau_b(df: DataFrame, cols: list[str]) -> DataFrame:
     for f in pair_frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str,
+                 value_decimal: str = "decimal(18,2)") -> DataFrame:
+    """One-way ANOVA over a categorical factor: the k-group
+    generalization of welch_ttest — "does the value's MEAN differ
+    across groups at all?" — reported as the classical F statistic
+    plus eta-squared (the fraction of total variance the factor
+    explains, the effect size the F alone hides). Corpus use: quality
+    score by source, token count by language — one row answers whether
+    a per-group curation policy is even warranted.
+
+    Extends the reference's group-by aggregate surface
+    (agentic_workflow_transformation.py:341-361) with the variance
+    decomposition; no counterpart exists there.
+
+    Exactness: one map-side-combined aggregate per group computes
+    (n_g, sum, sum-of-squares) over DECIMAL (partition-order exact, the
+    welch_ttest discipline); the per-group s_g^2/n_g term is computed
+    in float64 from those exact sums, rounded to 12 and pinned
+    DECIMAL(28,12) so the k-term reduction is order-exact too; the
+    closed-form F / eta^2 then run in doubles with one fixed expression
+    shape, rounded only on report. Rows where either column is NULL are
+    excluded. Degenerate inputs (k < 2, N <= k, zero within-variance)
+    report NULL F rather than dividing by zero.
+
+    Shape: ONE data scan (grouped sufficient statistics, map-side
+    combined), then a k-row reduction to a single output row — nothing
+    downstream of the first aggregate ever touches data rows."""
+    d = F.col(value_col).cast(value_decimal)
+    g = (
+        df.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(d).cast("long").alias("_ng"),
+            F.sum(d).alias("_sg"),
+            F.sum(d * d).alias("_ssg"),
+        )
+    )
+    w_term = F.round(
+        F.col("_sg").cast("double") * F.col("_sg").cast("double")
+        / F.col("_ng"),
+        12,
+    ).cast("decimal(28,12)")
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_ng").cast("long").alias("n"),
+        F.sum("_sg").cast("double").alias("_s"),
+        F.sum("_ssg").cast("double").alias("_ss"),
+        F.sum(w_term).cast("double").alias("_w"),
+    )
+    ssb = F.col("_w") - F.col("_s") * F.col("_s") / F.col("n")
+    ssw = F.col("_ss") - F.col("_w")
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(F.when(ok, f_stat), 6).alias("f_stat"),
+        F.round(F.when(ok, ssb / (ssb + ssw)), 6).alias("eta_sq"),
+    )
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramér's V between two categorical columns: the chi-square
+    association rescaled to [0, 1] so it is comparable ACROSS column
+    pairs regardless of table size or level counts — the one-number
+    companion to chi_square_cells (which localizes the association)
+    and mutual_information (its information-theoretic sibling).
+
+    Exactness: the contingency cells, marginals and n are exact BIGINT
+    counts from one scan; each cell's (o - e)^2 / e runs in float64
+    with an identical shape on both engines, rounded to 12 and pinned
+    DECIMAL(28,12) so the chi2 SUM is partition-order exact; V =
+    sqrt(chi2 / (n * min(r-1, c-1))) rounds to 6 on report. NULL rows
+    in either column are excluded so the cell counts stay a
+    distribution. Single-level degenerate inputs report NULL V.
+
+    Shape: one (a, b) cell aggregate (map-side combined); marginals and
+    the level counts derive from the tiny cell frame (localCheckpoint
+    so the cell scan materializes once — the mutual_information
+    discipline); broadcast joins; one output row."""
+    joint = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(a_col, b_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
+    joint = joint.localCheckpoint(eager=False)
+    ra = joint.groupBy(a_col).agg(F.sum("_o").cast("long").alias("_na"))
+    cb = joint.groupBy(b_col).agg(F.sum("_o").cast("long").alias("_nb"))
+    tot = joint.agg(F.sum("_o").cast("long").alias("n"))
+    levels = (
+        ra.agg(F.count(F.lit(1)).cast("long").alias("r_levels"))
+        .crossJoin(
+            F.broadcast(
+                cb.agg(F.count(F.lit(1)).cast("long").alias("c_levels"))
+            )
+        )
+    )
+    e = F.col("_na").cast("double") * F.col("_nb") / F.col("n")
+    cell = F.round(
+        (F.col("_o") - e) * (F.col("_o") - e) / e, 12
+    ).cast("decimal(28,12)")
+    chi2 = (
+        joint.join(F.broadcast(ra), a_col)
+        .join(F.broadcast(cb), b_col)
+        .crossJoin(F.broadcast(tot))
+        .agg(F.sum(cell).alias("_chi2"))
+    )
+    one = tot.crossJoin(F.broadcast(levels)).crossJoin(F.broadcast(chi2))
+    chi2_d = F.round(F.col("_chi2").cast("double"), 6)
+    dmin = F.least(F.col("r_levels"), F.col("c_levels")) - 1
+    return one.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        chi2_d.alias("chi2"),
+        F.when(
+            dmin >= 1,
+            F.round(F.sqrt(chi2_d / (F.col("n") * dmin)), 6),
+        ).alias("cramers_v"),
+    )
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       id_col: str, value_decimal: str = "decimal(18,2)"
+                       ) -> DataFrame:
+    """Quantile normalization across groups (the microarray-era
+    technique, Bolstad et al. 2003, applied to pipeline features):
+    force every group's value distribution onto the SAME reference
+    distribution — the mean of the groups' order statistics — so
+    downstream thresholds compare like with like across sources whose
+    scoring scales drift. Classical QN assumes equal group sizes, so
+    each group is first trimmed to the smallest group's size n_min
+    with a deterministic (value, id) order — the trim is part of the
+    contract, not an implementation accident.
+
+    Output: one row per surviving (group, rank) with the original
+    value and the normalized value (the cross-group mean of that
+    rank's order statistic, exact DECIMAL sum / group count).
+
+    Shape: one per-group count aggregate reduced to a broadcast 1-row
+    n_min; one rank window PARTITIONED BY the group column (never a
+    global sort); one rank-keyed mean aggregate (k rows per rank);
+    one rank equi-join back. All exchanges carry (group, rank) keys —
+    at 100 TB the rank join is uniform by construction (every rank
+    appears exactly k times)."""
+    d = F.col(value_col).cast(value_decimal)
+    base = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(group_col), F.col(id_col), d.alias("_v"))
+    nmin = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_ng")
+    ).agg(F.min("_ng").alias("_nmin"))
+    w = Window.partitionBy(group_col).orderBy("_v", id_col)
+    ranked = (
+        base.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(nmin))
+        .where(F.col("rank") <= F.col("_nmin"))
+        .drop("_nmin")
+    )
+    ref = ranked.groupBy("rank").agg(
+        (F.sum("_v").cast("double") / F.count(F.lit(1))).alias("_ref")
+    )
+    return ranked.join(ref, "rank").select(
+        group_col,
+        id_col,
+        "rank",
+        F.col("_v").cast("double").alias("value"),
+        F.round(F.col("_ref"), 6).alias("normalized"),
+    )

@@ -1393,3 +1393,43 @@ def kneser_ney_bigrams(df: DataFrame, text_col: str = "text",
         .where(F.col("n") >= min_count)
         .select("w1", "w2", "n", F.round(p_kn, 6).alias("p_kn"))
     )
+
+
+def ngram_novelty(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram NOVELTY under ascending-id ingest order:
+    the fraction of a document's distinct word n-grams whose FIRST
+    corpus occurrence is this document (first = smallest doc id
+    carrying the gram — the deterministic stand-in for ingest time).
+    The running complement of boilerplate_ratio: that one asks "how
+    much of this doc is corpus-common", this one asks "how much did
+    this doc ADD when it arrived" — the novelty curve's decay over id
+    order is the standard diminishing-data diagnostic (how fast a
+    crawl stops contributing new phrasing), and near-zero novelty
+    flags late re-crawls worth dropping before training. Documents
+    shorter than ``n`` words have no n-grams and are omitted
+    (empty-shingle-set semantics, the boilerplate_ratio contract).
+
+    Shape: one codegen'd shingle explode, a min-doc-id aggregate keyed
+    on the 60-bit gram hash (map-side combined; the exchange carries
+    8-byte hashes + 8-byte ids), one equi-join back on the hash, one
+    per-doc aggregate. No window, no driver loop."""
+    from .dedup import _hash60, shingle_index
+
+    e = shingle_index(df, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col), _hash60(F.col("s")).alias("hs")
+    )
+    first = e.groupBy("hs").agg(F.min(id_col).alias("_first"))
+    return (
+        e.join(first, "hs")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("_first") == F.col(id_col)).cast("long")
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
+        )
+    )

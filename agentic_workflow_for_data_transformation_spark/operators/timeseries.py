@@ -182,3 +182,69 @@ def rolling_zscore_anomalies(df: DataFrame, col: str, key: str,
             F.coalesce(F.abs(zcol) > F.lit(float(z)), F.lit(False)),
         )
     )
+
+
+def funnel_steps(df: DataFrame, steps: list[str], user_col: str = "user_id",
+                 ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis over an event stream: for each step in
+    ``steps``, how many users performed it STRICTLY AFTER completing
+    the previous step (first-touch semantics — each stage anchors at
+    the user's earliest qualifying timestamp), plus the step-over-step
+    conversion rate. The product-analytics read (view -> click ->
+    purchase) that doubles as a pipeline-health one (ingest -> parse ->
+    index).
+
+    Extends the reference's filter/group-by surface
+    (agentic_workflow_transformation.py:341-361) with multi-stage
+    sequence semantics; no counterpart exists there.
+
+    Shape: one filtered min-ts aggregate per step, each joined to the
+    previous stage's (user, ts) frame on the user key — len(steps)
+    keyed shuffles over per-step event subsets, never a global window
+    or a sessionization sort. The per-step count frames are 1-row
+    broadcasts assembled into the len(steps)-row report; no driver
+    collect. Conversion is one double division of exact counts,
+    rounded to 6; step 1 reports NULL (no prior stage)."""
+    reached = (
+        df.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    counts = [reached.agg(F.count(F.lit(1)).cast("long").alias("_c0"))]
+    for i, s in enumerate(steps[1:], start=1):
+        reached = (
+            df.where(F.col(type_col) == s)
+            .join(reached.select(user_col, "_t"), user_col)
+            .where(F.col(ts_col) > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).cast("long").alias(f"_c{i}"))
+        )
+    one = counts[0]
+    for c in counts[1:]:
+        one = one.crossJoin(F.broadcast(c))
+    rows = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            conv = F.lit(None).cast("double")
+        else:
+            conv = F.when(
+                F.col(f"_c{i-1}") > 0,
+                F.round(
+                    F.col(f"_c{i}").cast("double") / F.col(f"_c{i-1}"), 6
+                ),
+            )
+        rows.append(
+            one.select(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias(type_col),
+                F.col(f"_c{i}").alias("n_users"),
+                conv.alias("conversion"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
