@@ -1236,6 +1236,10 @@ def epoch_audit(df: DataFrame, budget_tokens: int,
         .groupBy(group_col)
         .agg(F.sum("_nt").cast("long").alias("n_tokens"))
     )
+    # the k count and the report both consume the token aggregate; a
+    # lazy checkpoint materializes the corpus scan ONCE (the
+    # mutual_information discipline)
+    counts = counts.localCheckpoint(eager=False)
     k = counts.agg(F.count(F.lit(1)).cast("long").alias("_k"))
     alloc = F.floor(F.lit(int(budget_tokens)).cast("long") / F.col("_k")).cast(
         "long"

@@ -1477,6 +1477,10 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
         .where(F.col("rank") <= F.col("_nmin"))
         .drop("_nmin")
     )
+    # the reference distribution and the output both consume the
+    # trimmed ranked frame; a lazy checkpoint materializes the rank
+    # window ONCE instead of sorting the data twice
+    ranked = ranked.localCheckpoint(eager=False)
     ref = ranked.groupBy("rank").agg(
         (F.sum("_v").cast("double") / F.count(F.lit(1))).alias("_ref")
     )

@@ -1001,3 +1001,91 @@ def test_mutual_info_single_contingency_scan(spark):
     assert plan.count("FileScan") <= 1
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 3  # ra/cb/tot/mi/ha/hb frames
+
+
+def test_anova_single_scan_sufficient_stats(spark):
+    """One-way ANOVA reads the data ONCE: a grouped sufficient-stats
+    aggregate (n, sum, sum-of-squares per group) is the only file
+    scan; the k-row reduction to the F/eta^2 row adds no window, no
+    join, no second pass."""
+    plan = plan_of(spark, "ns_stats_anova")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_cramers_v_single_contingency_scan(spark):
+    """Cramér's V reads the table ONCE: the (a, b) cell aggregate is
+    the only file scan (lazily checkpointed for its consumers);
+    marginals, n, level counts and the pinned chi2 sum all run on the
+    cell frame and come back as broadcast 1-row joins."""
+    plan = plan_of(spark, "ns_stats_cramers_v")
+    assert plan.count("FileScan") <= 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_quantile_norm_no_data_funnel(spark):
+    """Quantile normalization must never sort the data globally: the
+    rank window partitions by the group column, n_min joins back as a
+    broadcast 1-row frame, and the only SinglePartition exchange is
+    the n_min aggregate's bounded 1-row-per-partition merge."""
+    plan = plan_of(spark, "ns_stats_quantile_norm")
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert plan.count("BroadcastExchange") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_label_prop_final_round_shape(spark):
+    """Label propagation's visible plan (downstream of the per-round
+    lazy checkpoints): the community rollup is a keyed aggregate —
+    no cartesian pair blowup, no single-partition funnel of the label
+    frame."""
+    plan = plan_of(spark, "ns_graph_label_prop")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_novelty_hash_keyed_no_window(spark):
+    """N-gram novelty keys every exchange on the 60-bit gram hash or
+    the doc id — no window, no cartesian; the shingle explode stays
+    codegen'd (no higher-order-function lambda)."""
+    plan = plan_of(spark, "ns_text_novelty")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_curriculum_broadcast_cutoffs(spark):
+    """Curriculum keys: the quantile cutoffs come back as a broadcast
+    1-row frame (BroadcastNestedLoopJoin), the round-robin window
+    partitions by (bucket, source), and the only SinglePartition
+    exchange is the percentile aggregate's bounded merge — no
+    corpus-sized global sort anywhere."""
+    plan = plan_of(spark, "ns_corpus_curriculum")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_audit_single_scan(spark):
+    """Epoch audit reads the corpus ONCE (per-source token sum); the
+    allocation/epochs/effective math runs on the source-cardinality
+    frame with the k count broadcast back — no window, no second
+    scan."""
+    plan = plan_of(spark, "ns_corpus_epoch_audit")
+    # the checkpointed token aggregate surfaces as ExistingRDD; the
+    # corpus parquet scan lives once inside that materialized lineage
+    assert plan.count("FileScan") <= 1
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+
+
+def test_funnel_user_keyed_no_window(spark):
+    """Funnel stages chain on the user key: each step's min-ts frame
+    joins the previous stage with a hash exchange on user_id — no
+    window, no sessionization sort; the per-step count frames
+    assemble as broadcast nested-loop joins of 1-row frames."""
+    plan = plan_of(spark, "x_funnel_conversion")
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning(user_id" in plan
+    assert "BroadcastNestedLoopJoin" in plan
