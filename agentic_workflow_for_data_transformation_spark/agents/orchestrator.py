@@ -103,6 +103,21 @@ naming the operator plus that operator's arguments. Examples of each:
   {{"op": "mutual_info", "a": "lang", "b": "source"}}  (mutual
       information between two categorical columns; REPLACES the
       schema with ONE report row: n, n_cells, mi, h_a, h_b, nmi)
+  {{"op": "anova", "value": "value", "group": "event_type"}}
+      (one-way ANOVA — use when the description asks whether a
+      numeric column's MEAN differs across a categorical factor, or
+      says anova; REPLACES the schema with ONE report row: k, n,
+      ss_between, ss_within, f_stat, eta_sq)
+  {{"op": "funnel", "type": "event_type",
+    "steps": ["view", "click", "purchase"], "user": "user_id",
+    "ts": "ts"}}  (ordered funnel: per step, users who did it
+      strictly after completing the previous step; REPLACES the
+      schema with one row per step: step, <type>, n_users,
+      conversion — conversion NULL on step 1)
+  {{"op": "novelty", "n": 3}}  (per-document n-gram novelty over a
+      doc_id/text table: fraction of the doc's distinct n-grams
+      whose first corpus occurrence is this doc; REPLACES the schema
+      with per-doc rows: doc_id, n_grams, n_novel, novelty)
 Corpus / dataset ops (only when the description asks for them):
   {{"op": "dedup", "keys": ["text"], "keep_col": "doc_id", "keep": "min"}}
       (keyed duplicate removal: per keys-group keep the row with the
@@ -375,6 +390,9 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         "majority", "agreement", "correlate",
         # spearman -> pair rows; mutual_info -> one report row
         "spearman", "mutual_info",
+        # anova -> one report row; funnel -> per-step rows;
+        # novelty -> per-doc rows
+        "anova", "funnel", "novelty",
         # evaluation layer: ndcg -> per-query rows; silhouette ->
         # per-label rows; bpe_merges -> per-merge rows;
         # perplexity_buckets -> per-doc scored rows
@@ -521,6 +539,7 @@ def critic_agent(
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
             "dedup_savings, kanon, word_entropy, oov, majority, "
             "agreement, correlate, spearman, mutual_info, "
+            "anova, funnel, novelty, "
             "ndcg, silhouette, bpe_merges, "
             "perplexity_buckets, common_direction, unimax, "
             "bootstrap_mean) REPLACE the "

@@ -4662,6 +4662,59 @@ def p105_nl_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P105_DESC)
 
 
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _events_nl_oracle(desc: str) -> str:
+    from .plans.sqlgen import spec_to_sql
+
+    return spec_to_sql(parse_description(desc, columns=_EVENT_COLS),
+                       "events")
+
+
+_P106_DESC = "Compute the anova of value by event_type"
+
+
+@register("p106_nl_anova", _events_nl_oracle(_P106_DESC))
+def p106_nl_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL variance decomposition: 'compute the anova of <value> by
+    <group>' (also parses 'compare the mean <value> across <group>')
+    — stats.anova_oneway behind one clause (schema-replacing, one
+    F / eta^2 report row): one grouped sufficient-stats scan with
+    DECIMAL-exact sums, the k-row reduction pinned DECIMAL(28,12);
+    same chain as ns_stats_anova."""
+    return _nl(spark, sf_dir, "events", _P106_DESC)
+
+
+_P107_DESC = (
+    "Compute the funnel of event_type steps view then click then "
+    "purchase per user_id ordered by ts"
+)
+
+
+@register("p107_nl_funnel", _events_nl_oracle(_P107_DESC))
+def p107_nl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL sequence analysis: 'compute the funnel of <type> steps <a>
+    then <b> then <c> per <user> ordered by <ts>' —
+    timeseries.funnel_steps behind one clause (schema-replacing, one
+    row per step): per-stage min-ts frames chained on the user key
+    with strict-after semantics; same chain as x_funnel_conversion."""
+    return _nl(spark, sf_dir, "events", _P107_DESC)
+
+
+_P108_DESC = "Score each document's 3-gram novelty"
+
+
+@register("p108_nl_novelty", _docs_nl_oracle(_P108_DESC))
+def p108_nl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL corpus diagnostics: 'score each document's <n>-gram
+    novelty' — text.ngram_novelty behind one clause
+    (schema-replacing, per-doc rows): distinct-shingle explode,
+    min-doc-id first-occurrence aggregate on the 60-bit gram hash;
+    same chain as ns_text_novelty."""
+    return _nl(spark, sf_dir, "documents", _P108_DESC)
+
+
 # round-9 session registrations (post-window; these lead the r10
 # rotation) live in their own module, imported last so the frozen
 # driver window above is untouched.

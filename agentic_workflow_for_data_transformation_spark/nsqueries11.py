@@ -275,3 +275,57 @@ register(
         _t(spark, sf_dir, "events"), _FUNNEL
     )
 )
+
+
+# ---------------------------------------------------------- concentration
+register(
+    "ns_corpus_concentration",
+    "WITH t AS (SELECT source, "
+    " CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w "
+    " FROM documents GROUP BY 1), "
+    "r AS (SELECT source, w, CAST(row_number() OVER ("
+    " ORDER BY w ASC, source) AS INTEGER) AS i, "
+    " CAST(count(*) OVER () AS BIGINT) AS k FROM t) "
+    "SELECT CAST(count(*) AS BIGINT) AS k_groups, "
+    "CAST(sum(w) AS BIGINT) AS total_tokens, "
+    "round(sum(CAST(w AS DOUBLE) * w) "
+    " / (CAST(sum(w) AS DOUBLE) * sum(w)), 6) AS hhi, "
+    "round(2.0 * CAST(sum(CAST(i AS BIGINT) * w) AS DOUBLE) "
+    " / CAST(count(*) * sum(w) AS DOUBLE) "
+    " - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini, "
+    "round(CAST(sum(CASE WHEN i > k - 3 THEN w ELSE 0 END) AS DOUBLE) "
+    " / CAST(sum(w) AS DOUBLE), 6) AS top3_share FROM r",
+    desc=(
+        "Source-concentration audit of the token mass: HHI (sum of "
+        "squared shares), Gini (sorted-rank closed form, integer "
+        "rank-weight products), and the top-3 source share in one "
+        "report row — the dominance check before trusting a 'diverse "
+        "mixture' claim. One corpus scan; rank math on the "
+        "source-cardinality frame behind the pmod partition key."
+    ),
+)(
+    lambda spark, sf_dir: corpus.concentration_audit(
+        _t(spark, sf_dir, "documents")
+    )
+)
+
+
+# ----------------------------------------------------------------- hapax
+register(
+    "ns_text_hapax",
+    "WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w "
+    " FROM documents), "
+    "v AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c "
+    " FROM w GROUP BY 1, 2) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS vocab_size, "
+    "CAST(sum(c) AS BIGINT) AS n_tokens, "
+    "CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax, "
+    "round(count(*) FILTER (WHERE c = 1) * 1.0 / count(*), 6) "
+    "AS hapax_ratio FROM v GROUP BY 1",
+    desc=(
+        "Per-source hapax legomena ratio: fraction of the source's "
+        "vocabulary occurring exactly once — the lexical-richness / "
+        "generated-content tell next to Heaps and word entropy. One "
+        "token explode, one (source, word) aggregate, one rollup."
+    ),
+)(lambda spark, sf_dir: text.hapax_ratio(_t(spark, sf_dir, "documents")))

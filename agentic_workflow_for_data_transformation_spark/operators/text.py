@@ -1433,3 +1433,34 @@ def ngram_novelty(df: DataFrame, n: int = 3, id_col: str = "doc_id",
             "novelty", F.round(F.col("n_novel") / F.col("n_grams"), 6)
         )
     )
+
+
+def hapax_ratio(df: DataFrame, group_col: str = "source",
+                text_col: str = "text") -> DataFrame:
+    """Per-group hapax legomena ratio: the fraction of the group's
+    VOCABULARY that occurs exactly once — the classic lexical-richness
+    signal next to heaps_fit (vocabulary growth) and word_entropy
+    (mass distribution). A natural-text source sits near 0.4-0.6
+    hapax share (Zipf's tail); templated or machine-generated sources
+    collapse toward 0 — a cheap generated-content tell that needs no
+    reference model.
+
+    Shape: one token explode, one (group, word) count aggregate
+    (map-side combined — the exchange carries words once per distinct
+    (group, word)), one per-group rollup of the vocabulary frame. No
+    window, no join, no second scan."""
+    base = spread_small_input_text(df).select(
+        F.col(group_col), F.explode(_word_array(text_col)).alias("w")
+    )
+    vocab = base.groupBy(group_col, "w").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    return vocab.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.sum((F.col("_c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.round(
+            F.sum((F.col("_c") == 1).cast("long")) * 1.0 / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )

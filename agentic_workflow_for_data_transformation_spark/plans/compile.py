@@ -606,6 +606,21 @@ def compile_spec(
             from ..operators.stats import mutual_information
 
             df = mutual_information(df, op["a"], op["b"])
+        elif kind == "anova":
+            from ..operators.stats import anova_oneway
+
+            df = anova_oneway(df, op["group"], op["value"])
+        elif kind == "funnel":
+            from ..operators.timeseries import funnel_steps
+
+            df = funnel_steps(
+                df, list(op["steps"]), user_col=op["user"],
+                ts_col=op["ts"], type_col=op["type"],
+            )
+        elif kind == "novelty":
+            from ..operators.text import ngram_novelty
+
+            df = ngram_novelty(df, n=int(op.get("n", 3)))
         elif kind == "ndcg":
             from ..operators.similarity import ndcg_per_query
 

@@ -439,6 +439,36 @@ _MUTUAL_INFO = re.compile(
     r"between\s+(\w+)\s+and\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+# "compute the [one-way] anova of <value> by|across <group>" or
+# "compare the mean [of] <value> across <group>" -> one-way ANOVA
+# F / eta^2 report row (stats.anova_oneway), schema-replacing
+_ANOVA = re.compile(
+    r"^(?:compute|show)\s+(?:the\s+)?(?:one[- ]way\s+)?anova\s+of\s+"
+    r"(\w+)\s+(?:by|across)\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_ANOVA_MEAN = re.compile(
+    r"^compare\s+(?:the\s+)?mean\s+(?:of\s+)?(\w+)\s+across\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+# "compute the funnel of <type> steps <a> then <b> [then <c> ...]
+# per <user> ordered by <ts>" -> per-step reached-user counts +
+# step-over-step conversion (timeseries.funnel_steps),
+# schema-replacing len(steps) rows
+_FUNNEL = re.compile(
+    r"^(?:compute|show)\s+(?:the\s+)?funnel\s+of\s+(\w+)\s+steps\s+"
+    r"('?\w+'?(?:\s+then\s+'?\w+'?)+)\s+per\s+(\w+)\s+"
+    r"ordered\s+by\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+# "score each document's <n>-gram novelty" -> per-doc fraction of
+# distinct n-grams first seen in this doc (text.ngram_novelty),
+# schema-replacing per-doc rows
+_NOVELTY = re.compile(
+    r"^(?:score|compute|show)\s+(?:each\s+document'?s?\s+)?"
+    r"(\d+)-gram\s+novelty\s*$",
+    re.IGNORECASE,
+)
 # "flag anomalies in <col> over last <N> rows per <key> ordered by
 # <o> [above z <t>]" -> rolling z-score anomaly flags
 # (timeseries.rolling_zscore_anomalies); adds moving_avg/moving_std/
@@ -991,6 +1021,25 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
             "a": _resolve_col(m.group(1), columns),
             "b": _resolve_col(m.group(2), columns),
         }
+    if m := (_ANOVA.match(clause) or _ANOVA_MEAN.match(clause)):
+        return {
+            "op": "anova",
+            "value": _resolve_col(m.group(1), columns),
+            "group": _resolve_col(m.group(2), columns),
+        }
+    if m := _FUNNEL.match(clause):
+        return {
+            "op": "funnel",
+            "type": _resolve_col(m.group(1), columns),
+            "steps": [
+                s.strip().strip("'")
+                for s in re.split(r"\s+then\s+", m.group(2), flags=re.I)
+            ],
+            "user": _resolve_col(m.group(3), columns),
+            "ts": _resolve_col(m.group(4), columns),
+        }
+    if m := _NOVELTY.match(clause):
+        return {"op": "novelty", "n": int(m.group(1))}
     if m := _ANOMALY.match(clause):
         n = int(m.group(2))
         if n < 3:

@@ -98,6 +98,24 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # mutual information between two categorical columns; REPLACES
       # the schema with ONE report row (n, n_cells, mi, h_a, h_b,
       # nmi); NULL nmi when a marginal has zero entropy
+  {"op": "anova", "value": "value", "group": "event_type"}
+      # one-way ANOVA of a numeric column across a categorical
+      # factor; REPLACES the schema with ONE report row (k, n,
+      # ss_between, ss_within, f_stat, eta_sq); NULL F on degenerate
+      # inputs (k < 2, n <= k, zero within-variance)
+  {"op": "funnel", "type": "event_type",
+   "steps": ["view", "click", "purchase"], "user": "user_id",
+   "ts": "ts"}
+      # ordered funnel: per step, users who performed it strictly
+      # after completing the previous step (first-touch anchors);
+      # REPLACES the schema with one row per step (step, <type>,
+      # n_users, conversion); NULL conversion on step 1
+  {"op": "novelty", "n": 3}
+      # per-document n-gram novelty over a (doc_id, text) table:
+      # fraction of the doc's distinct n-grams whose smallest
+      # carrying doc_id is this doc; REPLACES the schema with one
+      # row per doc with >= n words (doc_id, n_grams, n_novel,
+      # novelty)
   {"op": "ndcg", "k": 10, "n_queries": 8}
       # NDCG@k retrieval harness over a (vec_id, embedding, label)
       # table: exact-cosine top-k per query (queries = the first
@@ -704,6 +722,31 @@ def validate_op(op: Any) -> None:
                 _err(f"mutual_info needs a string '{f}': {op!r}")
         if op["a"] == op["b"]:
             _err(f"mutual_info 'a' and 'b' must differ: {op!r}")
+    elif kind == "anova":
+        for f in ("value", "group"):
+            if not isinstance(op.get(f), str):
+                _err(f"anova needs a string '{f}': {op!r}")
+        if op["value"] == op["group"]:
+            _err(f"anova 'value' and 'group' must differ: {op!r}")
+    elif kind == "funnel":
+        steps = op.get("steps")
+        if not (
+            isinstance(steps, list)
+            and 2 <= len(steps) <= 6
+            and all(isinstance(s, str) and s for s in steps)
+        ):
+            _err(f"funnel needs 2-6 string 'steps': {op!r}")
+        if len(set(steps)) != len(steps):
+            _err(f"funnel 'steps' must be distinct: {op!r}")
+        for f in ("type", "user", "ts"):
+            if not isinstance(op.get(f), str):
+                _err(f"funnel needs a string '{f}': {op!r}")
+    elif kind == "novelty":
+        n = op.get("n", 3)
+        if not (
+            isinstance(n, int) and not isinstance(n, bool) and 1 <= n <= 8
+        ):
+            _err(f"novelty 'n' must be an int in [1, 8]: {op!r}")
     elif kind == "ndcg":
         for f in ("k", "n_queries"):
             if not (

@@ -580,6 +580,98 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"FROM __mi_tot CROSS JOIN __mi_mi "
                 f"CROSS JOIN __mi_ha CROSS JOIN __mi_hb"
             )
+        elif kind == "anova":
+            # mirrors operators/stats.anova_oneway: one grouped
+            # sufficient-stats aggregate over DECIMAL(18,2), the
+            # per-group s^2/n term rounded to 12 and pinned
+            # DECIMAL(28,12), closed-form F / eta^2 in doubles with
+            # one fixed shape, NULL on degenerate inputs
+            vq, gq = _q(op["value"]), _q(op["group"])
+            sql = (
+                f"WITH __an_g AS (SELECT {gq}, "
+                f"CAST(count(v) AS BIGINT) AS ng, sum(v) AS sg, "
+                f"sum(v * v) AS ssg FROM (SELECT {gq}, "
+                f"CAST({vq} AS DECIMAL(18,2)) AS v FROM ({sql}) "
+                f"WHERE {gq} IS NOT NULL AND {vq} IS NOT NULL) "
+                f"GROUP BY 1), "
+                f"__an_t AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+                f"CAST(sum(ng) AS BIGINT) AS n, "
+                f"CAST(sum(sg) AS DOUBLE) AS s, "
+                f"CAST(sum(ssg) AS DOUBLE) AS ss, "
+                f"CAST(sum(CAST(round(CAST(sg AS DOUBLE) "
+                f"* CAST(sg AS DOUBLE) / ng, 12) AS DECIMAL(28,12))) "
+                f"AS DOUBLE) AS w FROM __an_g) "
+                f"SELECT k, n, round(w - s * s / n, 6) AS ss_between, "
+                f"round(ss - w, 6) AS ss_within, "
+                f"CASE WHEN k >= 2 AND n > k AND ss - w > 0 THEN "
+                f"round(((w - s * s / n) / (k - 1)) "
+                f"/ ((ss - w) / (n - k)), 6) END AS f_stat, "
+                f"CASE WHEN k >= 2 AND n > k AND ss - w > 0 THEN "
+                f"round((w - s * s / n) / ((w - s * s / n) + (ss - w)), 6) "
+                f"END AS eta_sq FROM __an_t"
+            )
+        elif kind == "funnel":
+            # mirrors operators/timeseries.funnel_steps: per step one
+            # filtered min-ts aggregate joined to the previous stage
+            # on the user key with a strict ts inequality; counts
+            # assembled into one row per step, conversion = exact
+            # count division rounded to 6, NULL on step 1
+            uq, tq, cq = _q(op["user"]), _q(op["ts"]), _q(op["type"])
+            steps = list(op["steps"])
+            ctes = [
+                f"__fu_1 AS (SELECT {uq}, min({tq}) AS t FROM ({sql}) "
+                f"WHERE {cq} = {_lit_sql(steps[0])} GROUP BY 1)"
+            ]
+            for i in range(2, len(steps) + 1):
+                ctes.append(
+                    f"__fu_{i} AS (SELECT e.{uq}, min(e.{tq}) AS t "
+                    f"FROM ({sql}) e JOIN __fu_{i-1} p "
+                    f"ON e.{uq} = p.{uq} AND e.{tq} > p.t "
+                    f"WHERE e.{cq} = {_lit_sql(steps[i-1])} GROUP BY 1)"
+                )
+            counts = ", ".join(
+                f"(SELECT CAST(count(*) AS BIGINT) FROM __fu_{i}) AS c{i}"
+                for i in range(1, len(steps) + 1)
+            )
+            ctes.append(f"__fu_c AS (SELECT {counts})")
+            arms = [
+                f"SELECT 1 AS step, {_lit_sql(steps[0])} AS {cq}, "
+                f"c1 AS n_users, CAST(NULL AS DOUBLE) AS conversion "
+                f"FROM __fu_c"
+            ]
+            for i in range(2, len(steps) + 1):
+                arms.append(
+                    f"SELECT {i}, {_lit_sql(steps[i-1])}, c{i}, "
+                    f"CASE WHEN c{i-1} > 0 THEN "
+                    f"round(CAST(c{i} AS DOUBLE) / c{i-1}, 6) END "
+                    f"FROM __fu_c"
+                )
+            sql = "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(arms)
+        elif kind == "novelty":
+            # mirrors operators/text.ngram_novelty: the shared
+            # distinct-shingle explode (the _SHINGLE_CTE shape,
+            # parameterized by n), a min-doc-id first-occurrence
+            # aggregate, one join back, one per-doc aggregate
+            n = int(op.get("n", 3))
+            gram = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+            gram = gram.replace("ws[i + 0]", "ws[i]")
+            sql = (
+                f"WITH __nv_w AS (SELECT doc_id, "
+                f"string_split(text, ' ') AS ws FROM ({sql})), "
+                f"__nv_sh AS (SELECT doc_id, CASE WHEN len(ws) >= {n} "
+                f"THEN list_distinct(list_transform("
+                f"range(1, len(ws) - {n - 2}), i -> {gram})) "
+                f"ELSE CAST([] AS VARCHAR[]) END AS sh FROM __nv_w), "
+                f"__nv_e AS (SELECT doc_id, unnest(sh) AS s FROM __nv_sh), "
+                f"__nv_f AS (SELECT s, min(doc_id) AS first "
+                f"FROM __nv_e GROUP BY s) "
+                f"SELECT doc_id, count(*) AS n_grams, "
+                f"CAST(count(*) FILTER (WHERE first = doc_id) AS BIGINT) "
+                f"AS n_novel, "
+                f"round(count(*) FILTER (WHERE first = doc_id) * 1.0 "
+                f"/ count(*), 6) AS novelty "
+                f"FROM __nv_e JOIN __nv_f USING (s) GROUP BY doc_id"
+            )
         elif kind == "ndcg":
             # mirrors operators/similarity.ndcg_per_query (the
             # ns_sim_ndcg oracle, parameterized): exact-cosine top-k

@@ -1141,3 +1141,132 @@ def test_live_mutual_info_spec_roundtrip(spark, tmp_path):
     assert round(float(r["nmi"]), 6) == g["nmi"]
     assert {round(float(r["h_a"]), 6), round(float(r["h_b"]), 6)} == \
         {g["h_a"], g["h_b"]}
+
+
+@needs_live_llm
+def test_live_anova_spec_roundtrip(spark, tmp_path):
+    """The ANOVA paraphrase against a real model: the LLM must emit
+    the schema-replacing anova spec (value, group); the one-row
+    F / eta^2 report must match the canonical-phrasing golden
+    exactly."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    canon = "Compute the anova of value by event_type"
+    para = (
+        "Is the average value actually different between the event "
+        "types? Run a one-way analysis of variance and give me the F "
+        "statistic and effect size."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=ev.columns)
+    golden = [
+        (r["k"], r["n"], r["ss_between"], r["ss_within"], r["f_stat"],
+         r["eta_sq"])
+        for r in compile_spec(
+            ev, parse_description(canon, columns=ev.columns)
+        ).collect()
+    ]
+    st = run_transform(spark, ev, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = [
+        (int(r["k"]), int(r["n"]), round(float(r["ss_between"]), 6),
+         round(float(r["ss_within"]), 6), round(float(r["f_stat"]), 6),
+         round(float(r["eta_sq"]), 6))
+        for r in out.collect()
+    ]
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_funnel_spec_roundtrip(spark, tmp_path):
+    """The funnel paraphrase against a real model: the LLM must emit
+    the schema-replacing funnel spec (ordered steps, user, ts); the
+    per-step reached/conversion rows must match the
+    canonical-phrasing goldens exactly."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    canon = (
+        "Compute the funnel of event_type steps view then click then "
+        "purchase per user_id ordered by ts"
+    )
+    para = (
+        "How many users made it from viewing to clicking to actually "
+        "purchasing, in that order over time? Show the drop-off at "
+        "each stage."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=ev.columns)
+    golden = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in compile_spec(
+            ev, parse_description(canon, columns=ev.columns)
+        ).collect()
+    }
+    st = run_transform(spark, ev, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        int(r["step"]): (r["event_type"], int(r["n_users"]))
+        for r in out.collect()
+    }
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_novelty_spec_roundtrip(spark, tmp_path):
+    """The n-gram novelty paraphrase against a real model: the LLM
+    must emit the schema-replacing novelty spec; the per-doc novelty
+    rows must match the canonical-phrasing goldens exactly."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = "Score each document's 3-gram novelty"
+    para = (
+        "For every doc, what fraction of its word trigrams had never "
+        "appeared in any earlier document? I want the novelty share "
+        "per document."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        int(r["doc_id"]): (int(r["n_grams"]), int(r["n_novel"]),
+                           round(float(r["novelty"]), 6))
+        for r in out.collect()
+    }
+    assert got == golden

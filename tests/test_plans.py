@@ -1089,3 +1089,23 @@ def test_funnel_user_keyed_no_window(spark):
     assert "Window" not in plan
     assert "Exchange hashpartitioning(user_id" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_concentration_single_scan_group_frame_window(spark):
+    """The concentration audit reads the corpus ONCE (per-source token
+    sum); rank/cumulative math runs on the source-cardinality frame
+    behind the non-foldable pmod key — so the plan's windows are all
+    partitioned and the only SinglePartition exchanges are bounded
+    1-row-per-partition aggregate merges."""
+    plan = plan_of(spark, "ns_corpus_concentration")
+    assert plan.count("FileScan") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_hapax_two_aggregates_no_join(spark):
+    """Hapax ratio is explode + (group, word) aggregate + per-group
+    rollup: no join, no window, one file scan."""
+    plan = plan_of(spark, "ns_text_hapax")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("FileScan") == 1

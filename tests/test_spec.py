@@ -2608,3 +2608,138 @@ def test_unimax_and_bootstrap_spec_bounds():
                      "id": "i", "n": 1})
     with _pytest.raises(SpecError):
         validate_op({"op": "bootstrap_mean", "col": "v", "key": "k"})
+
+
+def test_anova_spec_op_roundtrip(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    spec = parse_description(
+        "Compute the anova of amount by segment",
+        columns=["row_id", "segment", "amount"],
+    )
+    assert spec["ops"] == [
+        {"op": "anova", "value": "amount", "group": "segment"}
+    ]
+    # the conversational surface form routes to the same op
+    spec2 = parse_description(
+        "Compare the mean amount across segment",
+        columns=["row_id", "segment", "amount"],
+    )
+    assert spec2["ops"] == spec["ops"]
+    rows = [(i, "abc"[i % 3], float(5 + (i * 11) % 17)) for i in range(45)]
+    df = spark.createDataFrame(rows, ["row_id", "segment", "amount"])
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
+    assert len(got) == 1
+    assert got[0][0] == 3  # k groups
+
+
+def test_funnel_spec_op_roundtrip(spark):
+    import datetime
+
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    spec = parse_description(
+        "Compute the funnel of kind steps open then pay per uid "
+        "ordered by at",
+        columns=["uid", "at", "kind"],
+    )
+    assert spec["ops"] == [
+        {"op": "funnel", "type": "kind", "steps": ["open", "pay"],
+         "user": "uid", "ts": "at"}
+    ]
+    t0 = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, t0, "open"), (1, t0 + s, "pay"),      # converts
+        (2, t0, "pay"), (2, t0 + s, "open"),      # pay BEFORE open: no
+        (3, t0, "open"),                          # never pays
+        (4, t0, "open"), (4, t0, "pay"),          # same ts: strict-after fails
+    ]
+    df = spark.createDataFrame(rows, ["uid", "at", "kind"])
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
+    assert [r[2] for r in got] == [4, 1]  # reached counts per step
+
+
+def test_novelty_spec_op_roundtrip(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    spec = parse_description(
+        "Score each document's 2-gram novelty",
+        columns=["doc_id", "text"],
+    )
+    assert spec["ops"] == [{"op": "novelty", "n": 2}]
+    rows = [
+        (1, "a b c"),        # all 2-grams new
+        (2, "a b d"),        # 'a b' seen in doc 1
+        (3, "x"),            # shorter than n: omitted
+        (4, "a b a b"),      # distinct grams, all seen or new-here
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
+    assert [r[0] for r in got] == [1, 2, 4]  # doc 3 omitted
+
+
+def test_anova_funnel_novelty_spec_bounds():
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+
+    def validate_op(op):
+        validate_spec({"ops": [op]})
+
+    with _pytest.raises(SpecError):
+        validate_op({"op": "anova", "value": "v", "group": "v"})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "anova", "value": "v"})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "funnel", "type": "t", "steps": ["a"],
+                     "user": "u", "ts": "ts"})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "funnel", "type": "t", "steps": ["a", "a"],
+                     "user": "u", "ts": "ts"})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "funnel", "type": "t", "steps": ["a", "b"],
+                     "ts": "ts"})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "novelty", "n": 0})
+    with _pytest.raises(SpecError):
+        validate_op({"op": "novelty", "n": 9})

@@ -233,6 +233,24 @@ QUERIES = [
     "ns_stats_mutual_info",
     "x_spearman_matrix",
     "ns_graph_bfs_levels",
+    # round-9 analysis-layer additions (p106/p107/p108 NL twins share
+    # the anova / funnel / novelty plans and carry no separate row):
+    # one-scan grouped-sufficient-stats ANOVA, contingency-frame
+    # Cramér's V, the group-partitioned rank window + rank-keyed mean
+    # join of quantile normalization, 3-round label propagation over
+    # the co-order graph, the shingle-keyed novelty aggregate, the
+    # broadcast-cutoff curriculum keys, the one-scan epoch audit, and
+    # the user-keyed funnel chain
+    "ns_stats_anova",
+    "ns_stats_cramers_v",
+    "ns_stats_quantile_norm",
+    "ns_graph_label_prop",
+    "ns_text_novelty",
+    "ns_corpus_curriculum",
+    "ns_corpus_epoch_audit",
+    "x_funnel_conversion",
+    "ns_corpus_concentration",
+    "ns_text_hapax",
 ]
 
 # documented super-linear cases where e > 1 is inherent, not a plan flaw

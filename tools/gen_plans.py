@@ -389,6 +389,39 @@ HEADLINE: list[tuple[str, str]] = [
         "the DECIMAL(28,12)-pinned log terms make the sums "
         "partition-order exact on both engines.",
     ),
+    (
+        "ns_graph_label_prop",
+        "Label propagation (round 9): three synchronous vote rounds, "
+        "each one edge-keyed label join + one (node, label) count "
+        "aggregate + one argmax window PARTITIONED BY node (ties to "
+        "the smallest label — deterministic without convergence "
+        "detection); the label frame is lazily checkpointed per round "
+        "so the plan stays flat and per-round traffic is |E| "
+        "fixed-width rows. The visible plan is the community rollup: "
+        "a keyed aggregate over the final checkpointed labels, no "
+        "cartesian pair listing, no single-partition funnel.",
+    ),
+    (
+        "ns_stats_quantile_norm",
+        "Quantile normalization (round 9): the rank window partitions "
+        "by the group column (never a global sort), n_min arrives as "
+        "a broadcast 1-row frame, and the trimmed ranked frame is "
+        "lazily checkpointed so the reference-distribution aggregate "
+        "and the output join consume ONE window pass instead of "
+        "sorting the data twice; the rank equi-join is uniform by "
+        "construction — every rank appears exactly k times, so no "
+        "skew at any scale.",
+    ),
+    (
+        "x_funnel_conversion",
+        "Funnel (round 9): each stage is a filtered min-ts aggregate "
+        "joined to the previous stage on the user key — three hash "
+        "exchanges on user_id over per-step event subsets, no "
+        "sessionization window, no global sort; the per-step count "
+        "frames are 1-row aggregates assembled broadcast-side "
+        "(BroadcastNestedLoopJoin of single rows), so the report "
+        "never collects to the driver.",
+    ),
 ]
 
 
