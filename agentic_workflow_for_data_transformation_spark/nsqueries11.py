@@ -5,7 +5,9 @@ cross-source distribution alignment (quantile normalization),
 community structure (fixed-round label propagation), marginal-content
 decay (n-gram novelty), training-order construction (curriculum sort
 key), repeat-epoch budget accounting (data-constrained scaling audit),
-and multi-stage funnel conversion. All exact-oracle: DECIMAL-pinned
+multi-stage funnel conversion, source-concentration dominance (HHI /
+Gini / top-share), and lexical richness (hapax ratio). All
+exact-oracle: DECIMAL-pinned
 sufficient statistics, integer votes with ordered tie-breaks, and
 one fixed float expression shape per derived double. Registered AFTER
 the frozen round-9 driver window (the r5 lesson) — these queue behind

@@ -1441,8 +1441,8 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
 
 
 def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
-                       id_col: str, value_decimal: str = "decimal(18,2)"
-                       ) -> DataFrame:
+                       id_col: str, value_decimal: str = "decimal(18,2)",
+                       bucket_width: int = 4096) -> DataFrame:
     """Quantile normalization across groups (the microarray-era
     technique, Bolstad et al. 2003, applied to pipeline features):
     force every group's value distribution onto the SAME reference
@@ -1458,11 +1458,18 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
     rank's order statistic, exact DECIMAL sum / group count).
 
     Shape: one per-group count aggregate reduced to a broadcast 1-row
-    n_min; one rank window PARTITIONED BY the group column (never a
-    global sort); one rank-keyed mean aggregate (k rows per rank);
-    one rank equi-join back. All exchanges carry (group, rank) keys —
-    at 100 TB the rank join is uniform by construction (every rank
-    appears exactly k times)."""
+    n_min; the per-group rank is built with the TWO-PHASE bucketed
+    cumulative (the x_spearman_matrix recipe) rather than one
+    group-sized window sort: scale-2 decimals are exact integer
+    "cents", a coarse monotone bucket floor(cents / width) partitions
+    the in-bucket rank window on (group, bucket), and the per-bucket
+    counts — a frame bounded by value-range/width per group, never by
+    the data — cumulate into broadcast offsets. Parallelism is
+    groups x buckets instead of the group count, so a single huge
+    group no longer serializes onto one reducer. Then one rank-keyed
+    mean aggregate (k rows per rank) and one rank equi-join back —
+    the rank join is uniform by construction (every rank appears
+    exactly k times)."""
     d = F.col(value_col).cast(value_decimal)
     base = df.where(
         F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
@@ -1470,12 +1477,31 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
     nmin = base.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("_ng")
     ).agg(F.min("_ng").alias("_nmin"))
-    w = Window.partitionBy(group_col).orderBy("_v", id_col)
+    # two-phase per-group rank: bucket is monotone in _v (exact cents,
+    # so equal values can never straddle a bucket boundary and the
+    # (value, id) tie-break stays inside one in-bucket window)
+    scale = 10 ** int(value_decimal.rstrip(")").split(",")[1])
+    bucket = F.floor((F.col("_v") * scale).cast("long") / F.lit(bucket_width))
+    b = base.withColumn("_b", bucket)
+    w_in = Window.partitionBy(group_col, "_b").orderBy("_v", id_col)
+    in_ranked = b.withColumn("_ir", F.row_number().over(w_in))
+    bcounts = b.groupBy(group_col, "_b").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = bcounts.withColumn(
+        "_off", F.sum("_bc").over(w_off) - F.col("_bc")
+    ).select(group_col, "_b", "_off")
     ranked = (
-        base.withColumn("rank", F.row_number().over(w))
+        in_ranked.join(F.broadcast(offsets), [group_col, "_b"])
+        .withColumn("rank", (F.col("_off") + F.col("_ir")).cast("int"))
         .crossJoin(F.broadcast(nmin))
         .where(F.col("rank") <= F.col("_nmin"))
-        .drop("_nmin")
+        .drop("_nmin", "_b", "_ir", "_off")
     )
     # the reference distribution and the output both consume the
     # trimmed ranked frame; a lazy checkpoint materializes the rank
