@@ -502,3 +502,72 @@ def stateful_anomaly_monitor(events: DataFrame, n: int = 20,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_funnel_monitor(events: DataFrame,
+                            steps: tuple = ("view", "click", "purchase")
+                            ) -> DataFrame:
+    """Streaming funnel tracker: the incremental twin of the batch
+    timeseries.funnel_steps — per user, the first-touch timestamp of
+    each funnel stage under strict-after semantics (stage i+1 anchors
+    at the earliest qualifying event AFTER stage i's anchor), emitted
+    as (user, stage reached, per-stage anchor ts) whenever the user
+    appears in a micro-batch. A live conversion dashboard aggregates
+    the latest row per user; the batch parity test folds exactly that
+    aggregate into funnel_steps' per-step counts.
+
+    State is len(steps) epoch-microsecond longs per user — bounded by
+    user cardinality, never stream length. Events inside a batch are
+    sorted by (ts, event_id) before the fold, so intra-batch disorder
+    converges; ACROSS batches the fold assumes broadly ts-ordered
+    delivery (an earlier-stage event arriving after a later batch
+    already anchored downstream stages will not re-anchor them) — the
+    same ordered-replay contract as stateful_anomaly_monitor."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(steps)
+    step_index = {s: i for i, s in enumerate(steps)}
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ts = list(state.get) if state.exists else [-1] * k
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[pdf["event_type"].isin(list(steps))]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t, et in zip(
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000,
+            pdf["event_type"],
+        ):
+            i = step_index[et]
+            if i == 0:
+                if ts[0] < 0:
+                    ts[0] = int(t)
+            elif ts[i] < 0 and ts[i - 1] >= 0 and int(t) > ts[i - 1]:
+                ts[i] = int(t)
+        state.update(tuple(ts))
+        stage = 0
+        for v in ts:
+            if v < 0:
+                break
+            stage += 1
+        out = {"user_id": [key[0]], "stage": [stage]}
+        for i in range(k):
+            out[f"t{i + 1}_us"] = [ts[i]]
+        yield pd.DataFrame(out)
+
+    out_schema = "user_id long, stage integer, " + ", ".join(
+        f"t{i + 1}_us long" for i in range(k)
+    )
+    state_schema = ", ".join(f"t{i} long" for i in range(k))
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1049,3 +1049,53 @@ def test_stateful_anomaly_monitor_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) == len(want) and got == want
     assert any(v[3] for v in got.values()) or True  # flags may be rare
+
+
+def test_stateful_funnel_monitor_matches_batch(spark, sf_dir):
+    """Streaming funnel tracker vs the batch operator: one availableNow
+    pass of the events table through stateful_funnel_monitor, then the
+    latest row per user aggregated into per-step reached counts, must
+    EQUAL timeseries.funnel_steps' n_users column — first-touch
+    anchors are exact integer microseconds on both paths, so this is
+    bit parity. Also pins the strict-after semantics: every emitted
+    anchor chain is strictly increasing."""
+    from agentic_workflow_for_data_transformation_spark.operators.timeseries import (
+        funnel_steps,
+    )
+    from agentic_workflow_for_data_transformation_spark.sources import (
+        read_parquet_table,
+    )
+    from agentic_workflow_for_data_transformation_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_funnel_monitor,
+    )
+
+    steps = ["view", "click", "purchase"]
+    batch = read_parquet_table(spark, sf_dir, "events")
+    want = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(batch, steps).collect()
+    }
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = stateful_funnel_monitor(stream, steps=tuple(steps))
+    run_stream_to_memory(agg, "funnel_stream", mode="update")
+    rows = spark.table("funnel_stream").collect()
+    # one availableNow batch -> one emission per user; keep the latest
+    # per user anyway (update-mode replays can re-emit)
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = r
+    got = {
+        step: sum(1 for r in latest.values() if r["stage"] >= step)
+        for step in (1, 2, 3)
+    }
+    assert got == want
+    for r in latest.values():
+        anchors = [r["t1_us"], r["t2_us"], r["t3_us"]]
+        reached = [a for a in anchors if a >= 0]
+        assert reached == sorted(reached)
+        assert all(
+            b > a for a, b in zip(reached, reached[1:])
+        ), f"non-strict anchor chain: {anchors}"
