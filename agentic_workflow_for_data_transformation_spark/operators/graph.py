@@ -47,7 +47,12 @@ def pagerank_integer(edges: DataFrame, src_col: str = "src",
     dedup.connected_components); at cluster scale the edge list is the
     big side and keeps a stable partitioning across all rounds.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the (possibly expensive — e.g. a co-order self-join)
+    # edge build ONCE: every iteration re-joins the edge list, and an
+    # uncheckpointed lineage would recompute the build per round
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src")
     nodes = (
@@ -111,6 +116,9 @@ def triangle_counts(edges: DataFrame, src_col: str = "src",
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        # three consumers (degrees, oriented join, closing edges): one
+        # materialization of the edge build, not three
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("n"))
@@ -182,7 +190,7 @@ def bfs_levels(edges: DataFrame, src_col: str = "src",
     by the frontier, not the graph."""
     e = edges.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
-    )
+    ).localCheckpoint(eager=False)  # edge build materializes once, not per round
     if seeds is None:
         seeds = e.agg(F.min("_s").alias("node")).where(
             F.col("node").isNotNull()
@@ -306,7 +314,9 @@ def label_propagation(edges: DataFrame, src_col: str = "src",
     localCheckpoint'ed per round so the plan stays flat (the
     pagerank_integer discipline). Traffic per round is |E| fixed-width
     rows regardless of iteration count."""
-    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=False)  # edge build materializes once, not per round
     labels = (
         e.select(F.col("_s").alias("node"))
         .distinct()
