@@ -118,6 +118,14 @@ naming the operator plus that operator's arguments. Examples of each:
       doc_id/text table: fraction of the doc's distinct n-grams
       whose first corpus occurrence is this doc; REPLACES the schema
       with per-doc rows: doc_id, n_grams, n_novel, novelty)
+  {{"op": "concentration", "key": "source"}}  (token-mass dominance
+      audit across the key's groups: HHI, Gini, top-3 share;
+      REPLACES the schema with ONE report row: k_groups,
+      total_tokens, hhi, gini, top3_share)
+  {{"op": "hapax", "key": "source"}}  (per-group hapax legomena
+      ratio — fraction of the group's vocabulary occurring exactly
+      once; REPLACES the schema with one row per group: key,
+      vocab_size, n_tokens, n_hapax, hapax_ratio)
 Corpus / dataset ops (only when the description asks for them):
   {{"op": "dedup", "keys": ["text"], "keep_col": "doc_id", "keep": "min"}}
       (keyed duplicate removal: per keys-group keep the row with the
@@ -163,8 +171,10 @@ Corpus / dataset ops (only when the description asks for them):
       REPLACES the schema with key, n_docs, total_words, total_tokens,
       tokens_per_word, chars_per_token)
   {{"op": "dup_by_source", "key": "source", "n": 5}}  (per-group
-      n-gram duplication audit; REPLACES the schema with key, n_docs,
-      n_distinct_grams, n_gram_occ, dup_gram_ratio, cross_source_ratio)
+      n-gram duplication audit; it shingles the text column ITSELF —
+      never put a chunk/tokenize op before it; REPLACES the schema
+      with key, n_docs, n_distinct_grams, n_gram_occ, dup_gram_ratio,
+      cross_source_ratio)
   {{"op": "winnow_dedup", "overlap": 0.5}}  (winnowing-fingerprint
       keep-first dedup: drop docs sharing fingerprinted passages with
       an earlier doc above the overlap bound)
@@ -391,8 +401,9 @@ def _filter_exprs_on_output(spec: dict) -> list[dict]:
         # spearman -> pair rows; mutual_info -> one report row
         "spearman", "mutual_info",
         # anova -> one report row; funnel -> per-step rows;
-        # novelty -> per-doc rows
-        "anova", "funnel", "novelty",
+        # novelty -> per-doc rows; concentration -> one report row;
+        # hapax -> per-group rows
+        "anova", "funnel", "novelty", "concentration", "hapax",
         # evaluation layer: ndcg -> per-query rows; silhouette ->
         # per-label rows; bpe_merges -> per-merge rows;
         # perplexity_buckets -> per-doc scored rows
@@ -539,7 +550,7 @@ def critic_agent(
             "pivot, dsir, fertility, dup_by_source, vocab_divergence, "
             "dedup_savings, kanon, word_entropy, oov, majority, "
             "agreement, correlate, spearman, mutual_info, "
-            "anova, funnel, novelty, "
+            "anova, funnel, novelty, concentration, hapax, "
             "ndcg, silhouette, bpe_merges, "
             "perplexity_buckets, common_direction, unimax, "
             "bootstrap_mean) REPLACE the "

@@ -4715,6 +4715,31 @@ def p108_nl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nl(spark, sf_dir, "documents", _P108_DESC)
 
 
+_P109_DESC = "Audit the source concentration of the token mass"
+
+
+@register("p109_nl_concentration", _docs_nl_oracle(_P109_DESC))
+def p109_nl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL mix governance: 'audit the [source] concentration of the
+    token mass [by <key>]' — corpus.concentration_audit behind one
+    clause (schema-replacing, one HHI/Gini/top-share report row):
+    one corpus scan, rank math on the group-cardinality frame behind
+    the pmod key; same chain as ns_corpus_concentration."""
+    return _nl(spark, sf_dir, "documents", _P109_DESC)
+
+
+_P110_DESC = "Compute the hapax ratio per source"
+
+
+@register("p110_nl_hapax", _docs_nl_oracle(_P110_DESC))
+def p110_nl_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NL lexical richness: 'compute the hapax ratio per <key>' —
+    text.hapax_ratio behind one clause (schema-replacing, one row
+    per group): token explode, (group, word) count, vocabulary
+    rollup; same chain as ns_text_hapax."""
+    return _nl(spark, sf_dir, "documents", _P110_DESC)
+
+
 # round-9 session registrations (post-window; these lead the r10
 # rotation) live in their own module, imported last so the frozen
 # driver window above is untouched.

@@ -621,6 +621,14 @@ def compile_spec(
             from ..operators.text import ngram_novelty
 
             df = ngram_novelty(df, n=int(op.get("n", 3)))
+        elif kind == "concentration":
+            from ..operators.corpus import concentration_audit
+
+            df = concentration_audit(df, group_col=op.get("key", "source"))
+        elif kind == "hapax":
+            from ..operators.text import hapax_ratio
+
+            df = hapax_ratio(df, group_col=op.get("key", "source"))
         elif kind == "ndcg":
             from ..operators.similarity import ndcg_per_query
 

@@ -469,6 +469,22 @@ _NOVELTY = re.compile(
     r"(\d+)-gram\s+novelty\s*$",
     re.IGNORECASE,
 )
+# "audit the [source] concentration of the token mass [by <key>]" ->
+# HHI / Gini / top-share dominance report (corpus.concentration_audit),
+# schema-replacing one row
+_CONCENTRATION = re.compile(
+    r"^(?:audit|compute|show)\s+(?:the\s+)?(?:source\s+)?concentration"
+    r"\s+of\s+(?:the\s+)?token\s+mass(?:\s+by\s+(\w+))?\s*$",
+    re.IGNORECASE,
+)
+# "compute the hapax ratio per <key>" -> per-group fraction of the
+# vocabulary occurring exactly once (text.hapax_ratio),
+# schema-replacing per-group rows
+_HAPAX = re.compile(
+    r"^(?:compute|show|score)\s+(?:the\s+)?hapax\s+ratio"
+    r"(?:\s+per\s+(\w+))?\s*$",
+    re.IGNORECASE,
+)
 # "flag anomalies in <col> over last <N> rows per <key> ordered by
 # <o> [above z <t>]" -> rolling z-score anomaly flags
 # (timeseries.rolling_zscore_anomalies); adds moving_avg/moving_std/
@@ -1040,6 +1056,18 @@ def _parse_clause(clause: str, columns: list[str] | None) -> dict | list[dict]:
         }
     if m := _NOVELTY.match(clause):
         return {"op": "novelty", "n": int(m.group(1))}
+    if m := _CONCENTRATION.match(clause):
+        return {
+            "op": "concentration",
+            "key": _resolve_col(m.group(1), columns) if m.group(1)
+            else "source",
+        }
+    if m := _HAPAX.match(clause):
+        return {
+            "op": "hapax",
+            "key": _resolve_col(m.group(1), columns) if m.group(1)
+            else "source",
+        }
     if m := _ANOMALY.match(clause):
         n = int(m.group(2))
         if n < 3:

@@ -116,6 +116,16 @@ Reserved / extension ops (SURVEY.md section 2.6, 2.9):
       # carrying doc_id is this doc; REPLACES the schema with one
       # row per doc with >= n words (doc_id, n_grams, n_novel,
       # novelty)
+  {"op": "concentration", "key": "source"}
+      # token-mass dominance audit across the key's groups (text
+      # column tokens): HHI, Gini, top-3 share; REPLACES the schema
+      # with ONE report row (k_groups, total_tokens, hhi, gini,
+      # top3_share)
+  {"op": "hapax", "key": "source"}
+      # per-group hapax legomena ratio (fraction of the group's
+      # vocabulary occurring exactly once, from the text column);
+      # REPLACES the schema with one row per group (key, vocab_size,
+      # n_tokens, n_hapax, hapax_ratio)
   {"op": "ndcg", "k": 10, "n_queries": 8}
       # NDCG@k retrieval harness over a (vec_id, embedding, label)
       # table: exact-cosine top-k per query (queries = the first
@@ -747,6 +757,11 @@ def validate_op(op: Any) -> None:
             isinstance(n, int) and not isinstance(n, bool) and 1 <= n <= 8
         ):
             _err(f"novelty 'n' must be an int in [1, 8]: {op!r}")
+    elif kind in ("concentration", "hapax"):
+        if not isinstance(op.get("key", "source"), str):
+            _err(f"{kind} 'key' must be a string: {op!r}")
+        if op.get("key") == "text":
+            _err(f"{kind} 'key' may not be the text column: {op!r}")
     elif kind == "ndcg":
         for f in ("k", "n_queries"):
             if not (

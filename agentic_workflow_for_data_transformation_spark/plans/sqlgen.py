@@ -672,6 +672,45 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"/ count(*), 6) AS novelty "
                 f"FROM __nv_e JOIN __nv_f USING (s) GROUP BY doc_id"
             )
+        elif kind == "concentration":
+            # mirrors operators/corpus.concentration_audit: per-group
+            # token sums, sorted-rank Gini with integer rank-weight
+            # products, HHI and top-3 share as fixed double shapes
+            # over exact BIGINTs
+            kq = _q(op.get("key", "source"))
+            sql = (
+                f"WITH __cc_t AS (SELECT {kq}, "
+                f"CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w "
+                f"FROM ({sql}) GROUP BY 1), "
+                f"__cc_r AS (SELECT {kq}, w, CAST(row_number() OVER ("
+                f"ORDER BY w ASC, {kq}) AS INTEGER) AS i, "
+                f"CAST(count(*) OVER () AS BIGINT) AS k FROM __cc_t) "
+                f"SELECT CAST(count(*) AS BIGINT) AS k_groups, "
+                f"CAST(sum(w) AS BIGINT) AS total_tokens, "
+                f"round(sum(CAST(w AS DOUBLE) * w) "
+                f"/ (CAST(sum(w) AS DOUBLE) * sum(w)), 6) AS hhi, "
+                f"round(2.0 * CAST(sum(CAST(i AS BIGINT) * w) AS DOUBLE) "
+                f"/ CAST(count(*) * sum(w) AS DOUBLE) "
+                f"- CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini, "
+                f"round(CAST(sum(CASE WHEN i > k - 3 THEN w ELSE 0 END) "
+                f"AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS top3_share "
+                f"FROM __cc_r"
+            )
+        elif kind == "hapax":
+            # mirrors operators/text.hapax_ratio: one token explode,
+            # one (group, word) count, one per-group vocabulary rollup
+            kq = _q(op.get("key", "source"))
+            sql = (
+                f"WITH __hx_w AS (SELECT {kq}, "
+                f"unnest(string_split(text, ' ')) AS w FROM ({sql})), "
+                f"__hx_v AS (SELECT {kq}, w, CAST(count(*) AS BIGINT) AS c "
+                f"FROM __hx_w GROUP BY 1, 2) "
+                f"SELECT {kq}, CAST(count(*) AS BIGINT) AS vocab_size, "
+                f"CAST(sum(c) AS BIGINT) AS n_tokens, "
+                f"CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax, "
+                f"round(count(*) FILTER (WHERE c = 1) * 1.0 / count(*), 6) "
+                f"AS hapax_ratio FROM __hx_v GROUP BY 1"
+            )
         elif kind == "ndcg":
             # mirrors operators/similarity.ndcg_per_query (the
             # ns_sim_ndcg oracle, parameterized): exact-cosine top-k

@@ -1270,3 +1270,89 @@ def test_live_novelty_spec_roundtrip(spark, tmp_path):
         for r in out.collect()
     }
     assert got == golden
+
+
+@needs_live_llm
+def test_live_concentration_spec_roundtrip(spark, tmp_path):
+    """The concentration-audit paraphrase against a real model: the
+    LLM must emit the schema-replacing concentration spec; the one
+    HHI/Gini/top-share report row must match the canonical-phrasing
+    golden exactly."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = "Audit the source concentration of the token mass"
+    para = (
+        "Is one source dominating this corpus? Give me the "
+        "Herfindahl index, the Gini, and how much of the tokens the "
+        "top few sources own."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = [
+        (r["k_groups"], r["total_tokens"], r["hhi"], r["gini"],
+         r["top3_share"])
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    ]
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = [
+        (int(r["k_groups"]), int(r["total_tokens"]),
+         round(float(r["hhi"]), 6), round(float(r["gini"]), 6),
+         round(float(r["top3_share"]), 6))
+        for r in out.collect()
+    ]
+    assert got == golden
+
+
+@needs_live_llm
+def test_live_hapax_spec_roundtrip(spark, tmp_path):
+    """The hapax-ratio paraphrase against a real model: the LLM must
+    emit the schema-replacing hapax spec; the per-source vocabulary
+    rows must match the canonical-phrasing goldens exactly."""
+    from agentic_workflow_for_data_transformation_spark.agents.orchestrator import (
+        run_transform,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.parser import ParseError
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    canon = "Compute the hapax ratio per source"
+    para = (
+        "For each source, what share of its vocabulary shows up only "
+        "a single time? Low numbers usually mean templated or "
+        "generated text."
+    )
+    with pytest.raises(ParseError):
+        parse_description(para, columns=docs.columns)
+    golden = {
+        r["source"]: (r["vocab_size"], r["n_tokens"], r["n_hapax"],
+                      r["hapax_ratio"])
+        for r in compile_spec(
+            docs, parse_description(canon, columns=docs.columns)
+        ).collect()
+    }
+    st = run_transform(spark, docs, para, out_dir=tmp_path,
+                       llm=live_or_replay_llm())
+    assert st.valid
+    out = spark.read.option("header", True).csv(st.output_path)
+    got = {
+        r["source"]: (int(r["vocab_size"]), int(r["n_tokens"]),
+                      int(r["n_hapax"]), round(float(r["hapax_ratio"]), 6))
+        for r in out.collect()
+    }
+    assert got == golden

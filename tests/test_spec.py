@@ -2743,3 +2743,57 @@ def test_anova_funnel_novelty_spec_bounds():
         validate_op({"op": "novelty", "n": 0})
     with _pytest.raises(SpecError):
         validate_op({"op": "novelty", "n": 9})
+
+
+def test_concentration_hapax_spec_op_roundtrip(spark):
+    import duckdb
+
+    from agentic_workflow_for_data_transformation_spark.plans import (
+        compile_spec,
+        parse_description,
+    )
+    from agentic_workflow_for_data_transformation_spark.plans.sqlgen import (
+        spec_to_sql,
+    )
+
+    spec = parse_description(
+        "Audit the source concentration of the token mass by origin",
+        columns=["doc_id", "text", "origin"],
+    )
+    assert spec["ops"] == [{"op": "concentration", "key": "origin"}]
+    spec_h = parse_description(
+        "Compute the hapax ratio per origin",
+        columns=["doc_id", "text", "origin"],
+    )
+    assert spec_h["ops"] == [{"op": "hapax", "key": "origin"}]
+    rows = [
+        (1, "a b c d", "x"), (2, "a a a", "x"),
+        (3, "p q", "y"), (4, "p p q q r", "y"), (5, "s", "y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "origin"])
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    for sp in (spec, spec_h):
+        got = sorted(tuple(r) for r in compile_spec(df, sp).collect())
+        want = sorted(
+            tuple(r) for r in con.sql(spec_to_sql(sp, "t")).fetchall()
+        )
+        assert got == want
+    # concentration: one report row; hapax: one row per group
+    assert compile_spec(df, spec).count() == 1
+    assert compile_spec(df, spec_h).count() == 2
+
+
+def test_concentration_hapax_spec_bounds():
+    import pytest as _pytest
+
+    from agentic_workflow_for_data_transformation_spark.plans.spec import (
+        SpecError,
+        validate_spec,
+    )
+
+    for kind in ("concentration", "hapax"):
+        with _pytest.raises(SpecError):
+            validate_spec({"ops": [{"op": kind, "key": "text"}]})
+        with _pytest.raises(SpecError):
+            validate_spec({"ops": [{"op": kind, "key": 3}]})
