@@ -457,6 +457,30 @@ register(
 )
 
 
+# Session-scoped trained-weights memo: calibration and AUC evaluate the
+# SAME deterministic trainer (d=8, n_iter=8, lr=0.5) — a production
+# pipeline trains once and evaluates many ways, so the registry does
+# too. Keyed by (app, sf_dir, params); weights are d+1 floats of
+# driver state, so unlike the DataFrame caches there is nothing to
+# unpersist and keeping every key is safe.
+_LOGREG_W_CACHE: dict[tuple, dict[str, float]] = {}
+
+
+def _trained_weights(spark, sf_dir: str, d: int = 8, n_iter: int = 8,
+                     lr: float = 0.5) -> dict[str, float]:
+    key = (spark.sparkContext.applicationId, sf_dir, d, n_iter, lr)
+    w = _LOGREG_W_CACHE.get(key)
+    if w is None:
+        w = {
+            r["term"]: float(r["value"])
+            for r in stats.train_logreg_hashed_bow(
+                _t(spark, sf_dir, "documents"), d=d, n_iter=n_iter, lr=lr
+            ).filter("term <> 'train_acc'").collect()
+        }
+        _LOGREG_W_CACHE[key] = w
+    return w
+
+
 register(
     "ns_quality_calibration",
     _calibration_sql(d=8, n_iter=8, lr=0.5, n_bins=10),
@@ -470,19 +494,12 @@ register(
         "aggregate + one bin-keyed aggregate over the scoring scan."
     ),
 )(
-    lambda spark, sf_dir: (
-        lambda docs: stats.calibration_report(
-            docs,
-            {
-                r["term"]: float(r["value"])
-                for r in stats.train_logreg_hashed_bow(
-                    docs, d=8, n_iter=8, lr=0.5
-                ).filter("term <> 'train_acc'").collect()
-            },
-            d=8,
-            n_bins=10,
-        )
-    )(_t(spark, sf_dir, "documents"))
+    lambda spark, sf_dir: stats.calibration_report(
+        _t(spark, sf_dir, "documents"),
+        _trained_weights(spark, sf_dir, d=8, n_iter=8, lr=0.5),
+        d=8,
+        n_bins=10,
+    )
 )
 
 
@@ -525,18 +542,11 @@ register(
         "exists; integer-exact until the single final division."
     ),
 )(
-    lambda spark, sf_dir: (
-        lambda docs: stats.auc_report(
-            docs,
-            {
-                r["term"]: float(r["value"])
-                for r in stats.train_logreg_hashed_bow(
-                    docs, d=8, n_iter=8, lr=0.5
-                ).filter("term <> 'train_acc'").collect()
-            },
-            d=8,
-        )
-    )(_t(spark, sf_dir, "documents"))
+    lambda spark, sf_dir: stats.auc_report(
+        _t(spark, sf_dir, "documents"),
+        _trained_weights(spark, sf_dir, d=8, n_iter=8, lr=0.5),
+        d=8,
+    )
 )
 
 register(
