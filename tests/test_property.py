@@ -1272,3 +1272,103 @@ def test_random_null_frames_correlate_match_duckdb(spark, data):
             ref = pcorr.loc[col_a, col_b]
             if ref == ref:  # not NaN
                 assert abs(r - round(float(ref), 6)) < 2e-6, (col_a, col_b)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["g1", "g2", "g3"])),
+            st.one_of(st.none(),
+                      st.decimals(min_value=-999, max_value=999, places=2)
+                      .map(float)),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+def test_random_null_frames_anova_match_duckdb(spark, data):
+    """One-way-ANOVA null fuzz (the correlate-fuzz pattern): random
+    (group, value) frames with NULLs in both columns — the one-row
+    (k, n, ss_between, ss_within, f_stat, eta_sq) report must match
+    DuckDB's rendering of the same null-excluded sufficient-stats
+    chain, including every degenerate guard (k < 2, n <= k, zero
+    within-variance -> NULL F)."""
+    import duckdb
+    import pandas as pd
+
+    spec = {"ops": [{"op": "anova", "value": "v", "group": "g"}]}
+    pdf = pd.DataFrame(data, columns=["g", "v"])
+    pdf["v"] = pdf["v"].astype("float64")
+    df = spark.createDataFrame(
+        data or [(None, None)], "g: string, v: double"
+    )
+    if not data:
+        df = df.limit(0)
+    got = sorted(tuple(r) for r in compile_spec(df, spec).collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(tuple(r) for r in con.sql(spec_to_sql(spec, "t")).fetchall())
+    assert got == want
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["a1", "a2", "a3"])),
+            st.one_of(st.none(), st.sampled_from(["b1", "b2"])),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+def test_random_null_frames_cramers_v_match_duckdb(spark, data):
+    """Cramér's V null fuzz: random two-categorical frames with NULLs
+    — the one-row (n, r_levels, c_levels, chi2, cramers_v) report
+    must match DuckDB's rendering of the same null-excluded
+    contingency chain, including the single-level NULL-V guard."""
+    import duckdb
+    import pandas as pd
+
+    spec_sql = (
+        "WITH j AS (SELECT g AS a, h AS b, CAST(count(*) AS BIGINT) AS o "
+        "FROM t WHERE g IS NOT NULL AND h IS NOT NULL GROUP BY 1, 2), "
+        "ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS na FROM j GROUP BY 1), "
+        "cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS nb FROM j GROUP BY 1), "
+        "t2 AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM j), "
+        "lv AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ra) AS r_levels, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM cb) AS c_levels), "
+        "c2 AS (SELECT sum(CAST(round((o - CAST(na AS DOUBLE) * nb / n) "
+        "* (o - CAST(na AS DOUBLE) * nb / n) / (CAST(na AS DOUBLE) * nb / n), "
+        "12) AS DECIMAL(28,12))) AS chi2 "
+        "FROM j JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN t2) "
+        "SELECT n, r_levels, c_levels, round(CAST(chi2 AS DOUBLE), 6) AS chi2, "
+        "CASE WHEN least(r_levels, c_levels) - 1 >= 1 THEN "
+        "round(sqrt(round(CAST(chi2 AS DOUBLE), 6) "
+        "/ (n * (least(r_levels, c_levels) - 1))), 6) END AS cramers_v "
+        "FROM t2 CROSS JOIN lv CROSS JOIN c2"
+    )
+    from agentic_workflow_for_data_transformation_spark.operators.stats import cramers_v
+
+    pdf = pd.DataFrame(data, columns=["g", "h"])
+    df = spark.createDataFrame(
+        data or [(None, None)], "g: string, h: string"
+    )
+    if not data:
+        df = df.limit(0)
+    got = sorted(tuple(r) for r in cramers_v(df, "g", "h").collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(tuple(r) for r in con.sql(spec_sql).fetchall())
+    assert got == want
