@@ -510,7 +510,12 @@ def main() -> None:
         "the one-time index build (train + the n*(m*k) encode join — 173 s at sf10),",
         "the steady column is the per-query serve cost a deployment actually pays",
         "(code-table scan + broadcast LUT join; 1.8-4.4 s at sf10, was 66-155 s when",
-        "the round-8 queries re-encoded the corpus per query).",
+        "the round-8 queries re-encoded the corpus per query). The co-order graph",
+        "reads (`ns_graph_bfs_levels`, `ns_graph_label_prop`, adamic-adar) likewise",
+        "share one session-scoped checkpointed edge list (the lineitem self-join is",
+        "the dominant cost; it materializes once, as a pipeline would run it), and",
+        "the classifier evaluations (`ns_quality_calibration` / `ns_quality_auc`)",
+        "evaluate one session-trained weight set instead of retraining per query.",
         "",
         f"| query | {sf_heads} | exponent | max-seg slope | verdict |",
         "|---|" + "---|" * (len(sfs) + 3),
