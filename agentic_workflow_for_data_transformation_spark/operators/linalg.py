@@ -53,7 +53,14 @@ def gram_upper(df: DataFrame, vec_col: str = "embedding",
     Output: (i, j, dot, n, si, sj) with 0-based dimension indices —
     dot/si/sj in the scaled-integer domain.
     """
-    q = df.select(quantized(vec_col, scale).alias("q"))
+    # the triangle explode below does d(d+1)/2 products per row — far
+    # more work than the scan — so a single small input file must not
+    # pin the Gram pass to one task (dedup.spread_small_input is a
+    # no-op for real multi-file tables); integer sums are exact under
+    # any partitioning
+    from .dedup import spread_small_input
+
+    q = spread_small_input(df).select(quantized(vec_col, scale).alias("q"))
     # per-dimension sums + count, one tiny aggregate pass
     sums = (
         q.select(F.posexplode("q").alias("i", "qi"))
@@ -138,84 +145,150 @@ def covariance_full(df: DataFrame, vec_col: str = "embedding",
     return upper.unionByName(lower)
 
 
+def _rhu(x: float, ndigits: int) -> float:
+    """Bit-exact replica of Spark's round(double, s) (and of the
+    DuckDB oracle's agreeing values): HALF_UP on the shortest
+    round-trip decimal representation — Java's
+    BigDecimal.valueOf(x).setScale(s, HALF_UP).toDouble(), which
+    Python reproduces as quantize over repr(x) (both languages print
+    the minimal-length decimal that round-trips)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal(1).scaleb(-ndigits),
+            rounding=decimal.ROUND_HALF_UP,
+        )
+    )
+
+
+def _dec(x: float, scale_digits: int):
+    """Bit-exact replica of Spark's CAST(double AS DECIMAL(p, s)):
+    HALF_UP at scale s over the shortest round-trip decimal. For the
+    power-iteration inputs (values already rounded to <= s decimals
+    and well inside 15 significant digits) the quantize is exact —
+    it recovers the intended decimal, not an approximation."""
+    import decimal
+
+    return decimal.Decimal(repr(float(x))).quantize(
+        decimal.Decimal(1).scaleb(-scale_digits),
+        rounding=decimal.ROUND_HALF_UP,
+    )
+
+
+def _matvec_local(cov_dec: dict, v: dict) -> dict:
+    """w = C v with the plan's exact decimal accumulation:
+    SUM(CAST(c AS DEC(20,12)) * CAST(v AS DEC(12,9)) AS DEC(38,21))
+    CAST AS DOUBLE — Decimal sums are exact in any order, the final
+    double conversion is correctly rounded in both runtimes.
+    ``cov_dec`` carries the DEC(20,12) covariances pre-quantized (one
+    conversion per entry, not one per entry per round); the iterate is
+    quantized once per dimension per call."""
+    import decimal
+
+    vdec = {j: _dec(x, 9) for j, x in v.items()}
+    acc: dict = {}
+    zero = decimal.Decimal(0)
+    for (i, j), cd in cov_dec.items():
+        acc[i] = acc.get(i, zero) + cd * vdec[j]
+    return {i: float(s) for i, s in acc.items()}
+
+
+def _power_rounds_local(cov: dict, dims: list, n_iter: int) -> dict:
+    """Driver-side replica of the fixed-round power iteration the
+    in-plan version ran over localCheckpointed d*d frames (and the
+    unrolled-SQL oracle still runs): matvec -> 9-round -> normalize
+    (double sqrt/divide) -> 9-round, n_iter times, then the sign pin
+    (largest-|v| entry, ties to lowest i, made positive). Identical
+    arithmetic at every step, so the hash-checked output is unchanged
+    — but ~2*n_iter tiny Spark jobs become zero (the covariance is
+    d*d-bounded driver state, the same class as the logreg weights
+    and the Bloom bitset words)."""
+    import decimal
+    import math
+
+    cov_dec = {k: _dec(c, 12) for k, c in cov.items()}
+    v = {i: 1.0 for i in dims}
+    for _ in range(n_iter):
+        w = _matvec_local(cov_dec, v)
+        s = sum((_dec(_rhu(w[i], 9), 9) * _dec(_rhu(w[i], 9), 9)
+                 for i in dims), start=decimal.Decimal(0))
+        nrm = math.sqrt(float(s))
+        v = {i: _rhu(_rhu(w[i], 9) / nrm, 9) for i in dims}
+    top_i = min(dims, key=lambda i: (-abs(v[i]), i))
+    sgn = -1.0 if v[top_i] < 0 else 1.0
+    return {i: _rhu(v[i] * sgn, 9) for i in dims}
+
+
+def _rayleigh_local(cov: dict, v: dict) -> float:
+    """lam = v' C v, the plan's two exact stages: decimal matvec then
+    SUM(CAST(round(w,9) AS DEC(18,9)) * CAST(v AS DEC(12,9)) AS
+    DEC(38,18)) in Decimal, one double round to 12."""
+    import decimal
+
+    cov_dec = {k: _dec(c, 12) for k, c in cov.items()}
+    w = _matvec_local(cov_dec, v)
+    s = sum((_dec(_rhu(w[i], 9), 9) * _dec(v[i], 9) for i in v),
+            start=decimal.Decimal(0))
+    return _rhu(float(s), 12)
+
+
+def _collect_cov_local(df: DataFrame, vec_col: str, scale: int):
+    """One distributed gram scan, then the d*d covariance assembled
+    driver-side with covariance_full's exact double expression
+    (((dot - si*sj/n) / n) / scale^2 rounded to 12). Returns
+    (cov dict {(i, j): c}, sums dict {i: si}, n, dims). Bounded
+    driver state: d(d+1)/2 rows collected, never corpus-sized."""
+    rows = gram_upper(df, vec_col, scale).collect()
+    sc2 = float(scale * scale)
+    cov: dict = {}
+    sums: dict = {}
+    n = 0
+    for r in rows:
+        n = r["n"]
+        c = _rhu(
+            (float(r["dot"]) - float(r["si"]) * float(r["sj"]) / float(n))
+            / float(n) / sc2,
+            12,
+        )
+        cov[(r["i"], r["j"])] = c
+        if r["i"] != r["j"]:
+            cov[(r["j"], r["i"])] = c
+        else:
+            sums[r["i"]] = r["si"]
+    dims = sorted(sums)
+    return cov, sums, n, dims
+
+
 def power_iteration_top_pc(df: DataFrame, vec_col: str = "embedding",
                            n_iter: int = 6, scale: int = SCALE) -> DataFrame:
-    """Top principal component by FIXED-ROUND power iteration run
-    entirely in the plan over the covariance frame — the eigh-free
-    path with an exact SQL oracle (pca_components does a driver-side
-    numpy eigh; fine operationally, but numpy's LAPACK result cannot
-    be hash-checked cross-engine; this can).
+    """Top principal component by FIXED-ROUND power iteration — the
+    eigh-free path with an exact SQL oracle (pca_components does a
+    driver-side numpy eigh; fine operationally, but numpy's LAPACK
+    result cannot be hash-checked cross-engine; this can).
 
     Determinism engineering (the Lloyd/logreg discipline): the matvec
     w = C v sums DECIMAL products of the 12-rounded covariances and
-    the 9-rounded iterate, so each round's sums are exact under any
-    partition order; the normalization divides in doubles and rounds
-    the next iterate to 9 BEFORE the following round; iterations are
-    FIXED at n_iter (no convergence test), so the unrolled oracle is
-    finite. Start vector is all-ones (its scale cancels in the first
-    normalize). Sign is fixed after the last round: if the
-    largest-|v_i| entry (ties to the lowest i) is negative, the whole
-    vector flips — eigenvectors are defined up to sign, pinning it
-    makes the result comparable across engines and runs.
+    the 9-rounded iterate (exact in any order); the normalization
+    divides in doubles and rounds the next iterate to 9 BEFORE the
+    following round; iterations are FIXED at n_iter (no convergence
+    test), so the unrolled oracle is finite. Start vector is
+    all-ones. Sign is pinned after the last round (largest-|v| entry,
+    ties to the lowest i, made positive).
 
-    Output: (i, v) — d rows, the unit top component. Everything after
-    the one gram scan is joins over a <= d*d-row frame; each round
-    localCheckpoints so plan size stays constant in n_iter."""
-    cov = covariance_full(df, vec_col, scale).localCheckpoint()
-    return _power_rounds(cov, n_iter)
+    Scale/overhead shape (optimization round 9): ONE distributed gram
+    scan; the d*d covariance (4096 values at d=64 — dimension-bounded,
+    never data-sized) is collected and the fixed rounds run
+    driver-side with bit-identical arithmetic (_power_rounds_local).
+    The previous in-plan form paid ~2 jobs + a localCheckpoint per
+    round over 4096-row frames — pure scheduler overhead at any scale.
 
-
-def _power_rounds(cov: DataFrame, n_iter: int) -> DataFrame:
-    """Fixed-round power iteration + sign pin over an (i, j, c)
-    covariance frame — the shared core of the top-component and the
-    deflated second-component paths (identical expression shapes, so
-    one unrolled-SQL renderer oracles both)."""
-    v = cov.select("i").distinct().select(
-        "i", F.lit(1.0).alias("v")
-    ).localCheckpoint()
-    for _ in range(n_iter):
-        w = (
-            cov.join(
-                F.broadcast(v.select(F.col("i").alias("j"),
-                                     F.col("v").alias("vj"))),
-                "j",
-            )
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    (
-                        F.col("c").cast("decimal(20,12)")
-                        * F.col("vj").cast("decimal(12,9)")
-                    ).cast("decimal(38,21)")
-                ).cast("double").alias("w")
-            )
-        )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(
-                    (
-                        F.round(F.col("w"), 9).cast("decimal(18,9)")
-                        * F.round(F.col("w"), 9).cast("decimal(18,9)")
-                    ).cast("decimal(38,18)")
-                ).cast("double")
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                "i",
-                F.round(
-                    F.round(F.col("w"), 9) / F.col("nrm"), 9
-                ).alias("v"),
-            )
-            .localCheckpoint()
-        )
-    # sign pin: flip so the largest-|v| entry (ties -> lowest i) is > 0
-    top = v.orderBy(F.abs(F.col("v")).desc(), F.col("i")).limit(1).select(
-        F.when(F.col("v") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn")
-    )
-    return v.crossJoin(F.broadcast(top)).select(
-        "i", F.round(F.col("v") * F.col("sgn"), 9).alias("v")
+    Output: (i, v) — d rows, the unit top component."""
+    cov, _sums, _n, dims = _collect_cov_local(df, vec_col, scale)
+    v = _power_rounds_local(cov, dims, n_iter)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(i), float(v[i])) for i in dims], "i int, v double"
     )
 
 
@@ -242,25 +315,27 @@ def common_direction_audit(df: DataFrame, id_col: str = "vec_id",
     sums multiply 9-rounded decimals into DECIMAL(38,x) accumulators
     (exact under any fold order), and the two emitted measures round
     to 6 from one double sqrt/divide each."""
-    cov_v = power_iteration_top_pc(df, vec_col, n_iter, scale)
-    g = gram_upper(df, vec_col, scale)
-    means = (
-        g.filter(F.col("i") == F.col("j"))
-        .select(
-            "i",
-            F.round(
-                F.col("si").cast("double") / F.col("n").cast("double")
-                / F.lit(float(scale)),
-                9,
-            ).alias("mu"),
+    # one gram scan feeds BOTH the component and the means (the old
+    # form ran power_iteration_top_pc(df) AND gram_upper(df) — two
+    # full gram passes); the fixed rounds run driver-side over the
+    # d*d-bounded covariance with bit-identical arithmetic
+    cov, sums, n, dims = _collect_cov_local(df, vec_col, scale)
+    v = _power_rounds_local(cov, dims, n_iter)
+    mu = {
+        i: _rhu(float(sums[i]) / float(n) / float(scale), 9) for i in dims
+    }
+    model = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(i), float(v[i]), float(mu[i])) for i in dims],
+            "i int, v double, mu double",
         )
     )
-    model = F.broadcast(
-        cov_v.join(means, "i").select("i", "v", "mu")
-    )
+    from .dedup import spread_small_input
+
     cx = (
-        df.select(F.col(id_col), F.posexplode(quantized(vec_col, scale))
-                  .alias("i", "q"))
+        spread_small_input(df.select(id_col, vec_col))
+        .select(F.col(id_col), F.posexplode(quantized(vec_col, scale))
+                .alias("i", "q"))
         .join(model, "i")
         .select(
             id_col,
@@ -290,42 +365,6 @@ def common_direction_audit(df: DataFrame, id_col: str = "vec_id",
     )
 
 
-def _rayleigh(cov: DataFrame, v: DataFrame) -> DataFrame:
-    """Rayleigh quotient lam = v' C v for a unit iterate, as two
-    stages that reuse the matvec's exact expression shapes: w = C v
-    (decimal-accumulated, 9-rounded), then lam = sum(round(w,9) * v)
-    (decimal-exact), one double round to 12. Returns a 1-row (lam)
-    frame."""
-    w = (
-        cov.join(
-            F.broadcast(v.select(F.col("i").alias("j"),
-                                 F.col("v").alias("vj"))),
-            "j",
-        )
-        .groupBy("i")
-        .agg(
-            F.sum(
-                (
-                    F.col("c").cast("decimal(20,12)")
-                    * F.col("vj").cast("decimal(12,9)")
-                ).cast("decimal(38,21)")
-            ).cast("double").alias("w")
-        )
-    )
-    return (
-        w.join(F.broadcast(v), "i")
-        .agg(
-            F.round(
-                F.sum(
-                    (
-                        F.round(F.col("w"), 9).cast("decimal(18,9)")
-                        * F.col("v").cast("decimal(12,9)")
-                    ).cast("decimal(38,18)")
-                ).cast("double"),
-                12,
-            ).alias("lam")
-        )
-    )
 
 
 def power_iteration_top2(df: DataFrame, vec_col: str = "embedding",
@@ -358,45 +397,28 @@ def power_iteration_top2(df: DataFrame, vec_col: str = "embedding",
     re-rounds to 12 — the same pin covariance_full emits, so rounds
     over C2 are as engine-stable as over C.
 
-    Scale shape: ONE corpus scan (the gram aggregate); every later
-    stage joins d*d-row frames (4096 rows at d=64). Output:
-    (component, i, v, eigval) — 2d rows."""
-    cov = covariance_full(df, vec_col, scale).localCheckpoint()
-    v1 = _power_rounds(cov, n_iter).localCheckpoint()
-    lam1 = _rayleigh(cov, v1).localCheckpoint()
-    cov2 = (
-        cov.join(
-            F.broadcast(v1.select(F.col("i").alias("_vi_i"),
-                                  F.col("v").alias("vi"))),
-            F.col("i") == F.col("_vi_i"),
-        )
-        .join(
-            F.broadcast(v1.select(F.col("i").alias("_vj_i"),
-                                  F.col("v").alias("vj"))),
-            F.col("j") == F.col("_vj_i"),
-        )
-        .crossJoin(F.broadcast(lam1))
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("c") - F.col("lam") * F.col("vi") * F.col("vj"), 12
-            ).alias("c"),
-        )
-        .localCheckpoint()
+    Scale/overhead shape (optimization round 9): ONE distributed gram
+    scan, then every stage — both iterates, both Rayleigh quotients,
+    the deflation — runs driver-side over the collected d*d
+    covariance with bit-identical arithmetic (_power_rounds_local /
+    _rayleigh_local; the deflation is the same left-associated
+    c - lam * vi * vj double expression re-rounded to 12). The
+    previous in-plan form paid ~25 tiny jobs + localCheckpoints over
+    4096-row frames: measured 13.5 s in-bench at sf0.1 for what is
+    microseconds of arithmetic. Output: (component, i, v, eigval) —
+    2d rows."""
+    cov, _sums, _n, dims = _collect_cov_local(df, vec_col, scale)
+    v1 = _power_rounds_local(cov, dims, n_iter)
+    lam1 = _rayleigh_local(cov, v1)
+    cov2 = {
+        (i, j): _rhu(c - lam1 * v1[i] * v1[j], 12)
+        for (i, j), c in cov.items()
+    }
+    v2 = _power_rounds_local(cov2, dims, n_iter)
+    lam2 = _rayleigh_local(cov2, v2)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(1, int(i), float(v1[i]), _rhu(lam1, 9)) for i in dims]
+        + [(2, int(i), float(v2[i]), _rhu(lam2, 9)) for i in dims],
+        "component int, i int, v double, eigval double",
     )
-    v2 = _power_rounds(cov2, n_iter).localCheckpoint()
-    lam2 = _rayleigh(cov2, v2)
-    c1 = v1.crossJoin(F.broadcast(lam1)).select(
-        F.lit(1).cast("int").alias("component"),
-        "i",
-        "v",
-        F.round(F.col("lam"), 9).alias("eigval"),
-    )
-    c2 = v2.crossJoin(F.broadcast(lam2)).select(
-        F.lit(2).cast("int").alias("component"),
-        "i",
-        "v",
-        F.round(F.col("lam"), 9).alias("eigval"),
-    )
-    return c1.unionByName(c2)

@@ -934,12 +934,20 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, val_col: str,
     (group x B) partial rows before the only corpus-sized exchange —
     at any corpus size the shuffle carries groups*B rows. The rank
     window partitions by group over B rows."""
+    from .dedup import spread_small_input
     from .sampling import poisson1_weight
 
     val = F.col(val_col).cast("decimal(18,2)")
+    # the replicate explode does n_boot md5 draws per row — orders of
+    # magnitude more work than the scan, so a single small input file
+    # must not pin the whole map stage to one task (same rationale as
+    # the shingling ops). Weighted sums are decimal-exact, so the
+    # round-robin repartition cannot move any digit.
     rep = (
-        df.select(F.col(group_col), F.col(key_col).alias("_k"),
-                  val.alias("_v"))
+        spread_small_input(
+            df.select(F.col(group_col), F.col(key_col).alias("_k"),
+                      val.alias("_v"))
+        )
         .withColumn(
             "r", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
         )
@@ -1020,15 +1028,21 @@ def bootstrap_diff_ci(df: DataFrame, group_col: str, val_col: str,
     sums each; everything after the one exchange is group-cardinality.
     Determinism: hash draws, decimal-exact weighted sums, one double
     division per cohort per replicate, rank ties on replicate id."""
+    from .dedup import spread_small_input
     from .sampling import poisson1_weight
 
     val = F.col(val_col).cast("decimal(18,2)")
+    # same single-small-file guard as poisson_bootstrap_ci: the
+    # n_boot-way explode + md5 draw is the expensive part and must
+    # parallelize even when the scan is one task
     rep = (
-        df.select(
-            F.col(group_col),
-            F.col(key_col).alias("_k"),
-            val.alias("_v"),
-            cohort.cast("boolean").alias("_a"),
+        spread_small_input(
+            df.select(
+                F.col(group_col),
+                F.col(key_col).alias("_k"),
+                val.alias("_v"),
+                cohort.cast("boolean").alias("_a"),
+            )
         )
         .withColumn(
             "r", F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1)))
