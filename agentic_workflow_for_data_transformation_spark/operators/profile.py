@@ -78,7 +78,13 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     scan you were already paying, never d^2 scans."""
     pairs = [(i, j) for i in range(len(cols))
              for j in range(i + 1, len(cols))]
-    proj = df.select(
+    # 6*d(d-1)/2 decimal aggregations per row is far more work than
+    # the scan: spread a single-small-file input across the cores
+    # (no-op for real multi-file tables; the moment sums are
+    # decimal-exact, so partitioning cannot move a digit)
+    from .dedup import spread_small_input
+
+    proj = spread_small_input(df.select(*cols)).select(
         *[F.col(c).cast(in_decimal).alias(f"_x{i}")
           for i, c in enumerate(cols)]
     )

@@ -40,6 +40,34 @@ from ..functions.vectors import (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """dedup.spread_small_input re-exported for the vector operators:
+    round-robin repartition for tiny (<= 4 file) scans only, so the
+    posexplode fan-outs below — d rows per vector, times the label or
+    centroid count after their broadcast joins — never run as one
+    task just because the input is a single small parquet file. A
+    no-op for real multi-file tables; every consumer's sums are
+    decimal/integer-exact, so partitioning cannot move a digit."""
+    from .dedup import spread_small_input
+
+    return spread_small_input(df)
+
+
+def _salt_ways(df: DataFrame, n_blocks: int) -> int:
+    """How many ways to salt a blocked self-join whose equi-key has
+    only ``n_blocks`` distinct values (guide-style skew handling: a
+    join keyed on <= a handful of labels/cells caps parallelism at
+    that count, leaving the rest of the cluster idle). Scale-adaptive:
+    ceil(defaultParallelism / n_blocks), so a corpus with MANY blocks
+    (auto_cells at scale) gets ways=1 — no replication overhead —
+    while a few-block input splits each block across the idle cores.
+    Salting only changes partitioning, never the joined pair set: the
+    left row keeps ONE deterministic salt, the right side is
+    replicated across all of them."""
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, math.ceil(dp / max(1, int(n_blocks))))
+
+
 def _vec_norm(df: DataFrame, id_col: str, vec_col: str, dim: int,
               extra_cols: list[str] | None = None) -> DataFrame:
     """Project (id, v, nrm [, extras]): the double vector and its L2
@@ -92,6 +120,12 @@ def sign_bucket(vec: str | F.Column, bits: int = 8) -> F.Column:
 
 
 _COUNT_CACHE: dict[tuple[str, int, str], int] = {}
+
+# kmeans_assign results per (applicationId, plan hash, file
+# fingerprint, params) — see the docstring inside kmeans_assign.
+# Eviction on application change only DROPS references (never
+# unpersists — a query built earlier may still hold the frame).
+_KMEANS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def cached_count(df: DataFrame) -> int:
@@ -433,20 +467,31 @@ def knn_join_per_label(df: DataFrame, id_col: str = "vec_id",
     recall at scale."""
     dim = probe_dim(df, vec_col, dim)
     rows = _vec_norm(df, id_col, vec_col, dim, extra_cols=[label_col])
+    # salt the blocked self-join (guide-style skew fix): the equi-key
+    # has only |labels| distinct values, so an unsalted join caps the
+    # quadratic pair work at |labels| tasks; each left row keeps one
+    # deterministic salt and the right side replicates across all of
+    # them — identical pair set, ceil(P/|labels|)-way wider
+    ways = _salt_ways(df, cached_count(df.select(label_col).distinct()))
     left = rows.select(
         F.col(id_col).alias("a_id"),
         F.col(label_col).alias("label"),
         F.col("v").alias("a_v"),
         F.col("nrm").alias("a_nrm"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(ways)).cast("int")
+        .alias("_s"),
     )
     right = rows.select(
         F.col(id_col).alias("b_id"),
         F.col(label_col).alias("label"),
         F.col("v").alias("b_v"),
         F.col("nrm").alias("b_nrm"),
+    ).withColumn(
+        "_s",
+        F.explode(F.sequence(F.lit(0), F.lit(int(ways) - 1))),
     )
     pairs = (
-        left.join(right, "label")
+        left.join(right, ["label", "_s"])
         .filter(F.col("a_id") != F.col("b_id"))
         .withColumn(
             "cos_sim",
@@ -504,7 +549,29 @@ def kmeans_assign(df: DataFrame, n_centroids: int = 8, n_iter: int = 1,
     is one explode-aggregate plus one broadcast join — no shuffle of
     the corpus beyond the assignment aggregate."""
     dim = probe_dim(df, vec_col, dim)
-    rows = _vec_norm(df, id_col, vec_col, dim).localCheckpoint()
+    # session-scoped assignment cache (the _DEDUP_CACHE / _CO_EDGE
+    # discipline): semantic dedup, cluster purity, and the refined-
+    # centroid query all run Lloyd on the SAME corpus — a production
+    # pipeline materializes the clustering once and every consumer
+    # reads it, so the registry does too. Keyed like cached_count
+    # (applicationId + semantic plan hash + input-file fingerprint) so
+    # a different table, filter, or rewritten file can never hit.
+    files = "\x00".join(sorted(df.inputFiles()))
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        hashlib.md5(files.encode()).hexdigest(),
+        int(n_centroids), int(n_iter), id_col, vec_col, int(dim),
+    )
+    got = _KMEANS_CACHE.get(key)
+    if got is not None:
+        return got
+    for k in [k for k in _KMEANS_CACHE if k[0] != key[0]]:
+        del _KMEANS_CACHE[k]
+    # spread BEFORE the checkpoint: the checkpointed frame keeps its
+    # partitioning, and every assign() pass (n_centroids cosines per
+    # row) runs on it
+    rows = _vec_norm(_spread(df), id_col, vec_col, dim).localCheckpoint()
 
     cents = rows.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).cast("long").alias("cell"),
@@ -545,7 +612,10 @@ def kmeans_assign(df: DataFrame, n_centroids: int = 8, n_iter: int = 1,
         )
         cents = refined
 
-    return assign(cents).select(id_col, "cell", "cent_sim")
+    out = assign(cents).select(id_col, "cell", "cent_sim") \
+        .localCheckpoint(eager=False)
+    _KMEANS_CACHE[key] = out
+    return out
 
 
 def ann_recall_vs_bruteforce(df: DataFrame, query_ids: list[int], k: int = 5,
@@ -1276,14 +1346,32 @@ def semantic_dedup(df: DataFrame, n_centroids: int | None = 8,
     assigned = kmeans_assign(df, n_centroids=n_centroids, n_iter=n_iter,
                              id_col=id_col, vec_col=vec_col, dim=dim)
     rows = _vec_norm(df, id_col, vec_col, dim)
+    # materialize the assignment once: the pair join consumes members
+    # TWICE (x and y) and the final anti-join a third time — without
+    # the checkpoint each consumer re-runs the whole kmeans chain
     members = assigned.join(rows, id_col).select(
         id_col, "cell", "cent_sim", "v", "nrm"
-    )
-    x, y = members.alias("x"), members.alias("y")
+    ).localCheckpoint(eager=False)
+    # salt the within-cell pair join (guide-style skew fix): with few
+    # cells the equi-join on cell alone caps the pair work at
+    # |cells| tasks; ways is scale-adaptive (1 when auto_cells has
+    # already made cells plentiful), and salting leaves the joined
+    # pair set identical — x keeps one deterministic salt, y is
+    # replicated across all of them
+    ways = _salt_ways(df, n_centroids)
+    x = members.withColumn(
+        "_s",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(ways)).cast("int"),
+    ).alias("x")
+    y = members.withColumn(
+        "_s",
+        F.explode(F.sequence(F.lit(0), F.lit(int(ways) - 1))),
+    ).alias("y")
     dropped = (
         x.join(
             y,
             (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x._s") == F.col("y._s"))
             & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
         )
         .withColumn(
@@ -1442,7 +1530,9 @@ def label_centroid_similarity(df: DataFrame, label_col: str = "label",
     aggregate — the only corpus-sized pass; the pairwise self-join
     runs on labels x dim rows (KBs at any corpus size), so the
     quadratic term is in LABEL count, never rows."""
-    e = df.select(F.col(label_col), F.posexplode(vec_col).alias("pos", "val"))
+    e = _spread(df.select(label_col, vec_col)).select(
+        F.col(label_col), F.posexplode(vec_col).alias("pos", "val")
+    )
     cent = e.groupBy(label_col, "pos").agg(
         F.round(
             F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
@@ -1540,7 +1630,9 @@ def fit_centroid_model(df: DataFrame, label_col: str = "label",
     on any engine or partitioning. labels x dim rows: KBs at any
     corpus size; persist it (write_centroid_model) and it becomes the
     stream scorer's fixed state, swapped by path like the ANN index."""
-    e = df.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+    e = _spread(df.select(label_col, vec_col)).select(
+        label_col, F.posexplode(vec_col).alias("pos", "val")
+    )
     return (
         e.groupBy(F.col(label_col).alias("predicted"), "pos")
         .agg(
@@ -1567,7 +1659,7 @@ def assign_nearest_centroid(rows: DataFrame, cent: DataFrame,
     cnorm = cent.groupBy("predicted").agg(
         F.sum(F.col("c") * F.col("c")).alias("c2")
     )
-    e = rows.select(
+    e = _spread(rows.select(id_col, *keep_cols, vec_col)).select(
         id_col, *keep_cols, F.posexplode(vec_col).alias("pos", "val")
     )
     dots = (
@@ -1620,7 +1712,9 @@ def cluster_exemplars(df: DataFrame, k: int = 3,
     cnorm = cent.groupBy("predicted").agg(
         F.sum(F.col("c") * F.col("c")).alias("c2")
     )
-    e = df.select(id_col, label_col, F.posexplode(vec_col).alias("pos", "val"))
+    e = _spread(df.select(id_col, label_col, vec_col)).select(
+        id_col, label_col, F.posexplode(vec_col).alias("pos", "val")
+    )
     ec = e.alias("e")
     cc = F.broadcast(cent).alias("cc")
     dots = (
@@ -1699,7 +1793,9 @@ def label_margin_audit(df: DataFrame, label_col: str = "label",
     cnorm = cent.groupBy("predicted").agg(
         F.sum(F.col("c") * F.col("c")).alias("c2")
     )
-    e = df.select(id_col, label_col, F.posexplode(vec_col).alias("pos", "val"))
+    e = _spread(df.select(id_col, label_col, vec_col)).select(
+        id_col, label_col, F.posexplode(vec_col).alias("pos", "val")
+    )
     dots = (
         e.join(F.broadcast(cent), "pos")
         .groupBy(id_col, label_col, "predicted")
@@ -1774,7 +1870,9 @@ def simplified_silhouette(df: DataFrame, label_col: str = "label",
     # is interpreted, not codegen'd: the "optimized" fold benched 2x
     # slower at sf0.1 with identical hashes), so the codegen'd
     # aggregate sum stays
-    e = df.select(id_col, label_col, F.posexplode(vec_col).alias("pos", "val"))
+    e = _spread(df.select(id_col, label_col, vec_col)).select(
+        id_col, label_col, F.posexplode(vec_col).alias("pos", "val")
+    )
     dots = (
         e.join(F.broadcast(cent), "pos")
         .groupBy(id_col, label_col, "predicted")
