@@ -53,14 +53,13 @@ def gram_upper(df: DataFrame, vec_col: str = "embedding",
     Output: (i, j, dot, n, si, sj) with 0-based dimension indices —
     dot/si/sj in the scaled-integer domain.
     """
-    # the triangle explode below does d(d+1)/2 products per row — far
-    # more work than the scan — so a single small input file must not
-    # pin the Gram pass to one task (dedup.spread_small_input is a
-    # no-op for real multi-file tables); integer sums are exact under
-    # any partitioning
-    from .dedup import spread_small_input
-
-    q = spread_small_input(df).select(quantized(vec_col, scale).alias("q"))
+    # NOT spread: an optimization-round A/B measured the round-robin
+    # repartition costing ~1 s in-bench at sf0.1 against a noise-level
+    # gain (the d(d+1)/2-products-per-row explode partial-aggregates
+    # to d^2 sums in the scan task, so the exchange it saves is tiny);
+    # a single-file embedding table big enough to need the spread
+    # (~100 MB+) should set maxPartitionBytes / split the file instead
+    q = df.select(quantized(vec_col, scale).alias("q"))
     # per-dimension sums + count, one tiny aggregate pass
     sums = (
         q.select(F.posexplode("q").alias("i", "qi"))

@@ -42,7 +42,8 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 def correlation_matrix(df: DataFrame, cols: list[str],
-                       in_decimal: str = "decimal(18,6)") -> DataFrame:
+                       in_decimal: str = "decimal(18,6)",
+                       spread: bool = True) -> DataFrame:
     """Pairwise Pearson correlations across numeric columns — the
     profiling read after per-column stats (profile_table): which
     measures move together, which "independent" features are the same
@@ -81,10 +82,15 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     # 6*d(d-1)/2 decimal aggregations per row is far more work than
     # the scan: spread a single-small-file input across the cores
     # (no-op for real multi-file tables; the moment sums are
-    # decimal-exact, so partitioning cannot move a digit)
+    # decimal-exact, so partitioning cannot move a digit). Callers
+    # whose input is already exchange-partitioned (spearman's
+    # rank-joined frame) pass spread=False to skip the extra shuffle.
     from .dedup import spread_small_input
 
-    proj = spread_small_input(df.select(*cols)).select(
+    base = df.select(*cols)
+    if spread:
+        base = spread_small_input(base)
+    proj = base.select(
         *[F.col(c).cast(in_decimal).alias(f"_x{i}")
           for i, c in enumerate(cols)]
     )
@@ -238,4 +244,8 @@ def spearman_matrix(df: DataFrame, cols: list[str],
     ranked = ranked.select(
         *[F.col(f"_r{i}").alias(c) for i, c in enumerate(cols)]
     )
-    return correlation_matrix(ranked, cols).withColumnRenamed("r", "rho")
+    # spread=False: the rank joins above already exchange-partitioned
+    # this frame; a round-robin repartition here would be a second
+    # full shuffle of the data for nothing
+    return correlation_matrix(ranked, cols, spread=False) \
+        .withColumnRenamed("r", "rho")

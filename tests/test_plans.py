@@ -588,15 +588,22 @@ def test_perplexity_buckets_broadcast_cutoffs(spark):
 
 
 def test_semantic_dedup_pair_stage_is_cell_equijoin(spark):
-    """SemDeDup: the within-cluster prune must be an equi-join on the
-    cell id (pair work bounded by cell size), with the centroid set
-    broadcast into the assignment — never a corpus x corpus
-    SortMergeJoin on anything non-cell, and never a cartesian over
-    data-sized sides."""
+    """SemDeDup: the within-cluster prune must be an equi-join keyed
+    on the cell id (pair work bounded by cell size, optimization r9:
+    plus the deterministic salt that splits each cell across idle
+    cores) — never a cartesian or nested-loop join over data-sized
+    sides. The broadcast-centroid assignment stage moved behind the
+    session-checkpointed members frame in r9 (it plans as a Scan
+    ExistingRDD here; the broadcast shape itself is still pinned by
+    the classifier-family tests over assign_nearest_centroid)."""
+    import re
+
     plan = plan_of(spark, "ns_dedup_semantic")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # the only joins on data-sized sides key on the cell / id columns
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join's equi-keys are (cell, salt)
+    keys = re.findall(r"SortMergeJoin \[([^\]]*)\]", plan)
+    assert any("cell" in k for k in keys), keys
 
 
 def test_gopher_rules_plan_is_shuffle_free(spark):
