@@ -1381,7 +1381,13 @@ def anova_oneway(df: DataFrame, group_col: str, value_col: str,
     )
     ssb = F.col("_w") - F.col("_s") * F.col("_s") / F.col("n")
     ssw = F.col("_ss") - F.col("_w")
-    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (ssw > 0)
+    # Guard on the REPORT-scale ssw: the raw float64 difference carries
+    # ~1e-8 representation noise that the two engines resolve
+    # differently around exact zero (e.g. a singleton group whose
+    # s^2/n term round-trips through round(double, 12)); at scale 6
+    # both engines agree because any true nonzero ssw of 2-decimal
+    # data is >= 2.5e-5.
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (F.round(ssw, 6) > 0)
     f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
     return tot.select(
         "k",

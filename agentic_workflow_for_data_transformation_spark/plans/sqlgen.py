@@ -603,10 +603,10 @@ def spec_to_sql(spec: dict, table: str) -> str:
                 f"AS DOUBLE) AS w FROM __an_g) "
                 f"SELECT k, n, round(w - s * s / n, 6) AS ss_between, "
                 f"round(ss - w, 6) AS ss_within, "
-                f"CASE WHEN k >= 2 AND n > k AND ss - w > 0 THEN "
+                f"CASE WHEN k >= 2 AND n > k AND round(ss - w, 6) > 0 THEN "
                 f"round(((w - s * s / n) / (k - 1)) "
                 f"/ ((ss - w) / (n - k)), 6) END AS f_stat, "
-                f"CASE WHEN k >= 2 AND n > k AND ss - w > 0 THEN "
+                f"CASE WHEN k >= 2 AND n > k AND round(ss - w, 6) > 0 THEN "
                 f"round((w - s * s / n) / ((w - s * s / n) + (ss - w)), 6) "
                 f"END AS eta_sq FROM __an_t"
             )

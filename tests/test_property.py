@@ -10,8 +10,15 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import HealthCheck, assume, example, given, settings
 from hypothesis import strategies as st
+
+# Derandomize the whole fuzz suite: every @settings below inherits
+# derandomize=True from this profile, so the gate cannot flake on a
+# lucky/unlucky seed. Regressions found by a randomized run get pinned
+# as @example (see the anova ssw-guard case).
+settings.register_profile("derandomized", derandomize=True)
+settings.load_profile("derandomized")
 
 from agentic_workflow_for_data_transformation_spark.plans import compile_spec
 from agentic_workflow_for_data_transformation_spark.plans.sqlgen import spec_to_sql
@@ -1292,6 +1299,11 @@ def test_random_null_frames_correlate_match_duckdb(spark, data):
         max_size=30,
     ),
 )
+# Pinned regression (r10): a singleton group whose s^2/n term
+# round-trips through round(double, 12) leaves ssw ~ 1.5e-8 in Spark
+# but exactly 0 in DuckDB; the NULL-F guard must compare the
+# report-scale round(ssw, 6), not the raw float64 difference.
+@example(data=[("g1", 430.45), ("g2", 0.0), ("g2", 0.0)])
 def test_random_null_frames_anova_match_duckdb(spark, data):
     """One-way-ANOVA null fuzz (the correlate-fuzz pattern): random
     (group, value) frames with NULLs in both columns — the one-row
