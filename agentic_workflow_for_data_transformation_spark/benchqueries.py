@@ -4443,75 +4443,71 @@ def x_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-mix applied sampling.
 # --------------------------------------------------------------------------
 _WINDOW: list[str] = [
-    # Round-9 rotation (VERDICT r8 ask #1): pay down the driver-gate
-    # ledger. The cumulative union of green driver rows across
-    # CORRECTNESS_r01-r08 covered 267/319 registered queries; the 52
-    # never-gated ones are exactly the late-round-8 registrations (the
-    # evaluation layer, the audit family, and the p62-p96 NL phrasings
-    # whose slots were funded by identical-plan twins). This window is
-    # 50 of those 52, FROZEN before any round-9 registration (the r5
-    # lesson: new queries land AFTER the window and wait for r10). The
-    # two deferred to lead the r10 window are p89_nl_word_entropy and
-    # p90_nl_oov, whose plans are IDENTICAL (different literals only)
-    # to ns_text_word_entropy / ns_text_oov_rate, both driver-gated
-    # green in round 8 — the lowest-risk deferrals available. Two of
-    # the fifty changed THIS round and need the fresh row anyway:
-    # x_corr_matrix / p96_nl_correlate now compute PAIRWISE-COMPLETE
-    # Pearson (per-pair null-masked moments, ADVICE r9 high), and
-    # ns_quality_majority_vote's tiebreak pins ASC NULLS FIRST on both
-    # engines. Every rotated-out round-8 query keeps its round-8
-    # driver row plus a fresh row in the committed registry-wide
-    # CORRECTNESS_LOCAL.json.
-    "ns_classify_label_margin",
-    "ns_classify_nearest_centroid",
-    "ns_corpus_dsir_weights",
-    "ns_corpus_dup_by_source",
-    "ns_corpus_js_divergence",
-    "ns_corpus_snapshot_diff",
-    "ns_dedup_cluster_sizes",
-    "ns_dedup_savings_by_source",
+    # Round-10 rotation (VERDICT r9 ask #2): the 39 queries that have
+    # NEVER had a driver CORRECTNESS row (cumulative union of green
+    # rows across CORRECTNESS_r01-r09 vs the 356-query registry; the
+    # BASELINE.md r10 handoff list, re-derived and matched exactly at
+    # r10 start). They contain every risky r9 rewrite: the driver-side
+    # power iteration (pca_top2 / common_direction / p101), the
+    # bootstrap family, both spearmans, and this round's anova
+    # ssw-guard pinning (ns_stats_anova / p106_nl_anova). With these
+    # gated the cumulative driver ledger reaches 356/356.
+    "ns_embed_common_direction",
+    "p89_nl_word_entropy",
+    "p90_nl_oov",
+    "p97_nl_ndcg",
+    "p98_nl_separation",
+    "p99_nl_bpe",
+    "p100_nl_perplexity",
+    "p101_nl_common_direction",
+    "p102_nl_unimax",
+    "p103_nl_bootstrap",
+    "p104_nl_spearman",
+    "p105_nl_mutual_info",
+    "p106_nl_anova",
+    "p107_nl_funnel",
+    "p108_nl_novelty",
+    "p109_nl_concentration",
+    "p110_nl_hapax",
+    "ns_sim_hybrid_rrf",
+    "ns_corpus_unimax",
+    "ns_stats_poisson_bootstrap",
+    "ns_embed_pca_top2",
+    "ns_corpus_unimax_apply",
+    "ns_stats_bootstrap_diff",
+    "ns_stats_mutual_info",
+    "x_spearman_matrix",
+    "ns_graph_bfs_levels",
+    "x_kendall_tau",
+    "ns_text_kneser_ney",
+    "ns_graph_adamic_adar",
+    "ns_stats_anova",
+    "ns_stats_cramers_v",
+    "ns_stats_quantile_norm",
+    "ns_graph_label_prop",
+    "ns_text_novelty",
+    "ns_corpus_curriculum",
+    "ns_corpus_epoch_audit",
+    "x_funnel_conversion",
+    "ns_corpus_concentration",
+    "ns_text_hapax",
+    # 11 re-gates filling the 50-slot window: queries this
+    # optimization round touches (groupwise_ols, the anti-scaling
+    # spread right-sizing set, knn_per_label, decontaminate_bloom) or
+    # that r9 rewrote without a fresh driver row landing (semantic
+    # dedup salt + kmeans session cache), plus the two inherited
+    # perf-weak sweep subjects (winnowing, topk_pq).
+    "ns_dedup_semantic",
+    "ns_kmeans_refined",
+    "ns_sim_knn_per_label",
+    "x_groupwise_ols",
+    "ns_sim_topk_ivf",
+    "ns_text_tfidf_top",
+    "ns_dedup_minhash_estimate",
+    "ns_embed_quantize",
+    "ns_decontaminate_bloom",
     "ns_dedup_winnowing",
-    "ns_quality_gopher",
-    "ns_quality_kripp_alpha",
-    "ns_quality_majority_vote",
-    "ns_sample_negatives",
-    "ns_sim_centroid_pairs",
-    "ns_sim_cluster_exemplars",
-    "ns_sim_hard_negatives",
-    "ns_sim_map",
-    "ns_sim_mrr",
-    "ns_sim_ndcg",
-    "ns_sim_silhouette",
-    "ns_split_leakage_audit",
-    "ns_text_bpe_merges",
-    "ns_text_heaps_fit",
-    "ns_text_token_fertility",
-    "p62_nl_dedup_docs",
-    "p63_nl_neardup",
-    "p64_nl_decontaminate",
-    "p65_nl_pack",
-    "p66_nl_ann",
-    "p67_nl_json_extract",
-    "p68_nl_split",
-    "p69_nl_langid",
-    "p70_nl_token_counts",
-    "p71_nl_quality",
-    "p72_nl_winsorize",
-    "p74_nl_chunk",
-    "p76_nl_negatives",
-    "p77_nl_sample",
-    "p81_nl_dsir",
-    "p83_nl_dup_audit",
-    "p86_nl_dedup_savings",
-    "p96_nl_correlate",
-    "x_benford",
-    "x_corr_matrix",
-    "x_kanonymity",
-    "x_ldiversity",
-    "x_merge_upsert",
-    "x_resample_interpolate",
-    "x_source_csv_evolving",
-    "x_winsorize_group",
+    "ns_sim_topk_pq",
 ]
 
 
@@ -4528,7 +4524,10 @@ def _apply_window_order() -> None:
     _REGISTRY.update(ordered)
 
 
-_apply_window_order()
+# NOTE: _apply_window_order() is invoked at the very END of this module
+# (after the nsqueries10/11 imports) — the r10 window contains names
+# registered by those late modules, so ordering must run once the whole
+# registry is assembled.
 
 
 # catalog lines for this module's lambda/def registrations that carry
@@ -4745,3 +4744,8 @@ def p110_nl_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver window above is untouched.
 from . import nsqueries10  # noqa: E402,F401  (registration side effects)
 from . import nsqueries11  # noqa: E402,F401  (registration side effects)
+
+# Reorder the assembled registry so the frozen 50-slot driver window
+# leads (the driver records correctness rows for the first 50
+# registrations only).
+_apply_window_order()
