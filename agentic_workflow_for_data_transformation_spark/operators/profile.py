@@ -144,52 +144,74 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     )
 
 
-def _fractional_ranks(df: DataFrame, col: str, lo: float, hi: float,
-                      n_buckets: int, out: str) -> DataFrame:
-    """(value, fractional rank) over the NON-NULL values of ``col`` —
-    average ("midrank") ranks, ties sharing (min_rank + max_rank)/2 —
-    WITHOUT a global sort of the data: distinct-value counts are
-    bucketed by a monotone range key, cumulated within bucket by a
-    PARTITIONED window, and stitched with broadcast per-bucket offsets
-    (the two_phase_row_number trick applied to value counts; the
-    offsets cumulative runs over the bounded bucket frame behind the
-    same non-foldable pmod partition key). Output cardinality is the
+def _fractional_ranks_all(df: DataFrame, cols: list[str],
+                          n_buckets: int) -> DataFrame:
+    """(_i, _v, _r): fractional rank of every distinct non-null value
+    of EVERY profiled column, from ONE scan — average ("midrank")
+    ranks, ties sharing (min_rank + max_rank)/2 — without a global
+    sort of the data. The columns are exploded to (_i, _v) so the
+    distinct-value count aggregate, the range-bucket assignment, the
+    in-bucket cumulative window and the broadcast per-bucket offsets
+    all run once over the union instead of once per column (the r9
+    per-column form scanned the table twice per column — 8 scans and
+    ~16 window/aggregate stages for 4 columns; this is 1 scan and 4
+    stages). The per-column bucket bounds come from a tiny broadcast
+    aggregate of the SAME distinct-value frame (its exchange is
+    reused), not a separate driver-collected scan — construction
+    stays fully lazy. Bucket assignment only partitions the
+    cumulative; rank VALUES are exact longs + /2.0 regardless of
+    bucketing. Windows partition by (_i[, _b]) so no stage funnels
+    through a single partition; output cardinality is the summed
     distinct-value count, never |df|."""
     from pyspark.sql import Window
 
+    pairs = df.select(
+        F.posexplode(F.array(*[F.col(c) for c in cols])).alias("_i", "_v")
+    ).where(F.col("_v").isNotNull() & ~F.isnan(F.col("_v")))
+    g0 = pairs.groupBy("_i", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    bnd = g0.groupBy("_i").agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    w = F.when(
+        F.col("_hi") > F.col("_lo"),
+        (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets)),
+    ).otherwise(F.lit(1.0))
     g = (
-        df.where(F.col(col).isNotNull() & ~F.isnan(F.col(col)))
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        g0.join(F.broadcast(bnd), "_i")
+        .withColumn("_b", F.floor((F.col("_v") - F.col("_lo")) / w)
+                    .cast("long"))
+        .select("_i", "_v", "_c", "_b")
     )
-    w = (hi - lo) / n_buckets if hi > lo else 1.0
-    g = g.withColumn(
-        "_b", F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("long")
+    counts = g.groupBy("_i", "_b").agg(
+        F.sum("_c").cast("long").alias("_bc")
     )
-    counts = g.groupBy("_b").agg(F.sum("_c").cast("long").alias("_bc"))
     w_off = (
-        Window.partitionBy(F.pmod(F.col("_b"), F.lit(1)))
+        Window.partitionBy("_i")
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
+        "_i",
         "_b",
         F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
         .cast("long")
         .alias("_off"),
     )
     w_in = (
-        Window.partitionBy("_b")
-        .orderBy(col)
+        Window.partitionBy("_i", "_b")
+        .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("_c").over(w_in), F.lit(0)).cast("long")
     return (
-        g.join(F.broadcast(offsets), "_b")
+        g.join(F.broadcast(offsets), ["_i", "_b"])
         .select(
-            col,
+            "_i",
+            "_v",
             (cum + F.col("_off") + (F.col("_c") + F.lit(1)) / F.lit(2.0))
-            .alias(out),
+            .alias("_r"),
         )
     )
 
@@ -215,37 +237,43 @@ def spearman_matrix(df: DataFrame, cols: list[str],
     rows, not re-ranked per pair — the scipy/pandas listwise-rank
     convention; with no NULLs the two coincide).
 
-    Scale shape: ranking never globally sorts the data — per column,
-    a distinct-value count aggregate is cumulated with the two-phase
-    bucket trick (_fractional_ranks; one bounded driver collect of
-    the d min/max pairs sizes the buckets), and the rank tables join
-    back by value (AQE broadcasts the low-cardinality ones). The
-    moment pass is then the single-scan one-aggregate plan of
-    correlation_matrix. Total: one bounds scan + d rank builds + one
-    moment scan — no step is ever O(n log n) on a single partition."""
+    Scale shape: ranking never globally sorts the data — ALL columns'
+    distinct-value counts come from ONE exploded scan, cumulated with
+    the two-phase bucket trick (_fractional_ranks_all; the per-column
+    min/max bucket bounds are a broadcast aggregate of the same
+    distinct-value frame, so construction is fully lazy), and the
+    per-column rank slices join back by value (broadcast while the
+    slice is small; a genuinely high-cardinality column falls back to
+    a shuffle join, the only correct choice when its rank table is
+    itself corpus-sized). The moment pass is then the single-scan
+    one-aggregate plan of correlation_matrix, running on the spread
+    frame. Total: one exploded rank build + one moment scan — no step
+    is ever O(n log n) on a single partition."""
+    from .dedup import spread_small_input
+
     proj = df.select(
         *[F.col(c).cast("double").alias(c) for c in cols]
     )
-    bounds = proj.agg(
-        *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(cols)],
-        *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(cols)],
-    ).first()
-    ranked = proj
+    # spread BEFORE the rank join-backs: they broadcast at local scale,
+    # so without it the moment battery downstream would run inside the
+    # scan's task count (no-op for real multi-file tables)
+    base = spread_small_input(proj)
+    # lazily checkpoint the shared rank table: its 4 per-column slices
+    # otherwise each re-derive the whole exploded build (the _i filter
+    # pushes into every subtree, defeating exchange reuse — measured
+    # 8 duplicate explode pipelines in the r10 plan capture)
+    ranks = _fractional_ranks_all(base, cols, n_buckets) \
+        .localCheckpoint(eager=False)
+    ranked = base
     for i, c in enumerate(cols):
-        lo = bounds[f"_lo{i}"]
-        hi = bounds[f"_hi{i}"]
-        rt = _fractional_ranks(
-            proj, c,
-            float(lo) if lo is not None else 0.0,
-            float(hi) if hi is not None else 0.0,
-            n_buckets, out=f"_r{i}",
+        rt = ranks.where(F.col("_i") == i).select(
+            F.col("_v").alias(c), F.col("_r").alias(f"_r{i}")
         )
         ranked = ranked.join(rt, on=c, how="left")
     ranked = ranked.select(
         *[F.col(f"_r{i}").alias(c) for i, c in enumerate(cols)]
     )
-    # spread=False: the rank joins above already exchange-partitioned
-    # this frame; a round-robin repartition here would be a second
-    # full shuffle of the data for nothing
+    # spread=False: base is already spread above — a second round-robin
+    # repartition here would be a full shuffle of the data for nothing
     return correlation_matrix(ranked, cols, spread=False) \
         .withColumnRenamed("r", "rho")

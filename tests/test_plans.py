@@ -985,17 +985,23 @@ def test_pca_top2_single_gram_scan(spark):
 
 def test_spearman_no_single_partition_exchange(spark):
     """Spearman's rank build must never funnel the data through one
-    partition: the per-column in-bucket cumulative windows partition
-    by the bucket key, the bounded offsets cumulative hides behind the
-    non-foldable pmod key, and the offsets frames join back as
-    broadcasts — so the executed plan has NO Exchange SinglePartition
-    and at least one BroadcastExchange per profiled column. The ONE
-    allowed SinglePartition exchange is the final moment aggregate's
+    partition: the in-bucket cumulative windows partition by
+    (column-index, bucket), the bounded offsets cumulative partitions
+    by column index, and the rank slices join back as broadcasts — so
+    the executed plan has NO data-sized Exchange SinglePartition and
+    one BroadcastExchange per profiled column. The ONE allowed
+    SinglePartition exchange is the final moment aggregate's
     1-partial-row-per-partition merge (the same bounded shape as
-    x_corr_matrix) — never a data-sized funnel."""
+    x_corr_matrix). The r10 single-scan rank build additionally pins:
+    the main plan reads the parquet ONCE (the probe side); all rank
+    slices come from the one lazily-checkpointed exploded build
+    (Scan ExistingRDD), which the r9 per-column form re-scanned 8x."""
     plan = plan_of(spark, "x_spearman_matrix")
     assert plan.count("Exchange SinglePartition") == 1
-    assert plan.count("BroadcastExchange") >= 4  # one offsets frame/col
+    assert plan.count("BroadcastExchange") >= 4  # one rank slice/col
+    assert plan.count("FileScan") == 1  # probe scan only
+    assert plan.count("Scan ExistingRDD") >= 4  # shared checkpoint
+    assert "CartesianProduct" not in plan
 
 
 def test_mutual_info_single_contingency_scan(spark):
