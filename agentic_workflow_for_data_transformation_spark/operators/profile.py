@@ -168,9 +168,14 @@ def _fractional_ranks_all(df: DataFrame, cols: list[str],
     pairs = df.select(
         F.posexplode(F.array(*[F.col(c) for c in cols])).alias("_i", "_v")
     ).where(F.col("_v").isNotNull() & ~F.isnan(F.col("_v")))
+    # lazily checkpoint the distinct-value counts: g0 feeds the bounds
+    # aggregate AND the bucket join, and the offsets branch re-derives
+    # that join — without the checkpoint the exploded scan is in the
+    # plan 4x and exchange reuse does not kick in (verified in the
+    # executed adaptive plan: 4 duplicate explode+aggregate subtrees)
     g0 = pairs.groupBy("_i", "_v").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
-    )
+    ).localCheckpoint(eager=False)
     bnd = g0.groupBy("_i").agg(
         F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
     )
