@@ -144,6 +144,21 @@ def covariance_full(df: DataFrame, vec_col: str = "embedding",
     return upper.unionByName(lower)
 
 
+def _pinned_ctx():
+    """Decimal context for every local replica below: 50 significant
+    digits (>= the 38 of Spark's widest DECIMAL(38,21) accumulator and
+    the 32 a DEC(20,12) x DEC(12,9) product can need), HALF_UP like
+    the SQL engines. The ambient process context is only prec=28
+    ROUND_HALF_EVEN and is mutable by any host code — under it a
+    large-magnitude covariance product would silently round
+    mid-accumulation and diverge from the oracle's exact decimal sum."""
+    import decimal
+
+    return decimal.localcontext(
+        decimal.Context(prec=50, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def _rhu(x: float, ndigits: int) -> float:
     """Bit-exact replica of Spark's round(double, s) (and of the
     DuckDB oracle's agreeing values): HALF_UP on the shortest
@@ -153,12 +168,13 @@ def _rhu(x: float, ndigits: int) -> float:
     the minimal-length decimal that round-trips)."""
     import decimal
 
-    return float(
-        decimal.Decimal(repr(float(x))).quantize(
-            decimal.Decimal(1).scaleb(-ndigits),
-            rounding=decimal.ROUND_HALF_UP,
+    with _pinned_ctx():
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal(1).scaleb(-ndigits),
+                rounding=decimal.ROUND_HALF_UP,
+            )
         )
-    )
 
 
 def _dec(x: float, scale_digits: int):
@@ -169,10 +185,11 @@ def _dec(x: float, scale_digits: int):
     it recovers the intended decimal, not an approximation."""
     import decimal
 
-    return decimal.Decimal(repr(float(x))).quantize(
-        decimal.Decimal(1).scaleb(-scale_digits),
-        rounding=decimal.ROUND_HALF_UP,
-    )
+    with _pinned_ctx():
+        return decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal(1).scaleb(-scale_digits),
+            rounding=decimal.ROUND_HALF_UP,
+        )
 
 
 def _matvec_local(cov_dec: dict, v: dict) -> dict:
@@ -188,8 +205,9 @@ def _matvec_local(cov_dec: dict, v: dict) -> dict:
     vdec = {j: _dec(x, 9) for j, x in v.items()}
     acc: dict = {}
     zero = decimal.Decimal(0)
-    for (i, j), cd in cov_dec.items():
-        acc[i] = acc.get(i, zero) + cd * vdec[j]
+    with _pinned_ctx():
+        for (i, j), cd in cov_dec.items():
+            acc[i] = acc.get(i, zero) + cd * vdec[j]
     return {i: float(s) for i, s in acc.items()}
 
 
@@ -210,8 +228,9 @@ def _power_rounds_local(cov: dict, dims: list, n_iter: int) -> dict:
     v = {i: 1.0 for i in dims}
     for _ in range(n_iter):
         w = _matvec_local(cov_dec, v)
-        s = sum((_dec(_rhu(w[i], 9), 9) * _dec(_rhu(w[i], 9), 9)
-                 for i in dims), start=decimal.Decimal(0))
+        with _pinned_ctx():
+            s = sum((_dec(_rhu(w[i], 9), 9) * _dec(_rhu(w[i], 9), 9)
+                     for i in dims), start=decimal.Decimal(0))
         nrm = math.sqrt(float(s))
         v = {i: _rhu(_rhu(w[i], 9) / nrm, 9) for i in dims}
     top_i = min(dims, key=lambda i: (-abs(v[i]), i))
@@ -227,8 +246,9 @@ def _rayleigh_local(cov: dict, v: dict) -> float:
 
     cov_dec = {k: _dec(c, 12) for k, c in cov.items()}
     w = _matvec_local(cov_dec, v)
-    s = sum((_dec(_rhu(w[i], 9), 9) * _dec(v[i], 9) for i in v),
-            start=decimal.Decimal(0))
+    with _pinned_ctx():
+        s = sum((_dec(_rhu(w[i], 9), 9) * _dec(v[i], 9) for i in v),
+                start=decimal.Decimal(0))
     return _rhu(float(s), 12)
 
 
@@ -282,6 +302,10 @@ def power_iteration_top_pc(df: DataFrame, vec_col: str = "embedding",
     The previous in-plan form paid ~2 jobs + a localCheckpoint per
     round over 4096-row frames — pure scheduler overhead at any scale.
 
+    EAGER: the gram scan executes at DataFrame-CONSTRUCTION time (the
+    covariance collect), so building this frame speculatively pays a
+    full pass and scan failures surface at build, not at run.
+
     Output: (i, v) — d rows, the unit top component."""
     cov, _sums, _n, dims = _collect_cov_local(df, vec_col, scale)
     v = _power_rounds_local(cov, dims, n_iter)
@@ -313,7 +337,11 @@ def common_direction_audit(df: DataFrame, id_col: str = "vec_id",
     Exactness: mean_i = s_i / n / scale rounded to 9; the per-row
     sums multiply 9-rounded decimals into DECIMAL(38,x) accumulators
     (exact under any fold order), and the two emitted measures round
-    to 6 from one double sqrt/divide each."""
+    to 6 from one double sqrt/divide each.
+
+    EAGER: the gram scan executes at DataFrame-CONSTRUCTION time (the
+    covariance collect), so building this frame speculatively pays a
+    full pass and scan failures surface at build, not at run."""
     # one gram scan feeds BOTH the component and the means (the old
     # form ran power_iteration_top_pc(df) AND gram_upper(df) — two
     # full gram passes); the fixed rounds run driver-side over the
@@ -405,7 +433,11 @@ def power_iteration_top2(df: DataFrame, vec_col: str = "embedding",
     previous in-plan form paid ~25 tiny jobs + localCheckpoints over
     4096-row frames: measured 13.5 s in-bench at sf0.1 for what is
     microseconds of arithmetic. Output: (component, i, v, eigval) —
-    2d rows."""
+    2d rows.
+
+    EAGER: the gram scan executes at DataFrame-CONSTRUCTION time (the
+    covariance collect), so building this frame speculatively pays a
+    full pass and scan failures surface at build, not at run."""
     cov, _sums, _n, dims = _collect_cov_local(df, vec_col, scale)
     v1 = _power_rounds_local(cov, dims, n_iter)
     lam1 = _rayleigh_local(cov, v1)

@@ -128,21 +128,44 @@ _COUNT_CACHE: dict[tuple[str, int, str], int] = {}
 _KMEANS_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _input_fingerprint(df: DataFrame) -> str:
+    """Content-sensitive fingerprint of a frame's input files: the
+    sorted paths plus (size, mtime) for every stat-able local file, so
+    an in-place rewrite UNDER THE SAME NAME within one application
+    misses the session caches instead of serving stale results.
+    Non-local URIs contribute path-only (the bench/oracle inputs are
+    immutable local parquet, where size+mtime is exact)."""
+    import os
+
+    parts = []
+    for f in sorted(df.inputFiles()):
+        p = f
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        try:
+            st = os.stat(p)
+            parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f)
+    return hashlib.md5("\x00".join(parts).encode()).hexdigest()
+
+
 def cached_count(df: DataFrame) -> int:
     """df.count() memoized per (applicationId, semantic plan hash,
     input-file fingerprint): the bits=None operators need the input
     cardinality at construction time, and a benchmark harness
     constructs each query several times — without the memo every
     construction pays a full scan. semanticHash distinguishes
-    filtered/derived frames from the raw table; the sorted
-    inputFiles() fingerprint guards a long-lived application whose
-    table is rewritten in place (same path, same plan hash, new
-    files), so the memo can never serve a stale cardinality."""
-    files = "\x00".join(sorted(df.inputFiles()))
+    filtered/derived frames from the raw table; the _input_fingerprint
+    (paths + local size/mtime) guards a long-lived application whose
+    table is rewritten — even in place under the same file names — so
+    the memo can never serve a stale cardinality."""
     key = (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
-        hashlib.md5(files.encode()).hexdigest(),
+        _input_fingerprint(df),
     )
     n = _COUNT_CACHE.get(key)
     if n is None:
@@ -464,7 +487,12 @@ def knn_join_per_label(df: DataFrame, id_col: str = "vec_id",
     within each label, every vector gets its top-k neighbors by cosine.
     The label is the join key, so the pair space is per-block, not
     global — the blocked-similarity-join shape used to verify ANN
-    recall at scale."""
+    recall at scale.
+
+    EAGER: sizing the salt runs a distinct-label count job at
+    DataFrame-CONSTRUCTION time (memoized per session by
+    cached_count), so the first build pays a scan and scan failures
+    surface at build, not at run."""
     dim = probe_dim(df, vec_col, dim)
     rows = _vec_norm(df, id_col, vec_col, dim, extra_cols=[label_col])
     # salt the blocked self-join (guide-style skew fix): the equi-key
@@ -556,11 +584,10 @@ def kmeans_assign(df: DataFrame, n_centroids: int = 8, n_iter: int = 1,
     # reads it, so the registry does too. Keyed like cached_count
     # (applicationId + semantic plan hash + input-file fingerprint) so
     # a different table, filter, or rewritten file can never hit.
-    files = "\x00".join(sorted(df.inputFiles()))
     key = (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
-        hashlib.md5(files.encode()).hexdigest(),
+        _input_fingerprint(df),
         int(n_centroids), int(n_iter), id_col, vec_col, int(dim),
     )
     got = _KMEANS_CACHE.get(key)
@@ -568,6 +595,14 @@ def kmeans_assign(df: DataFrame, n_centroids: int = 8, n_iter: int = 1,
         return got
     for k in [k for k in _KMEANS_CACHE if k[0] != key[0]]:
         del _KMEANS_CACHE[k]
+    # bound the per-application footprint: each entry pins a
+    # localCheckpoint's executor storage, so cap distinct
+    # (input, params) clusterings and drop the oldest reference
+    # (never an explicit unpersist — an earlier-built query may still
+    # hold the frame; the dropped reference lets Spark's
+    # ContextCleaner reclaim the blocks once it is unreachable)
+    while len(_KMEANS_CACHE) >= 16:
+        del _KMEANS_CACHE[next(iter(_KMEANS_CACHE))]
     # spread BEFORE the checkpoint: the checkpointed frame keeps its
     # partitioning, and every assign() pass (n_centroids cosines per
     # row) runs on it
